@@ -1,0 +1,28 @@
+"""SURVEY.md §2 operator inventory — importing this package registers
+every qid into aprsdb_spark.registry.QUERIES / ORACLE."""
+
+from . import (  # noqa: F401
+    scans,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    sort_limit,
+    setops,
+    scalars,
+    llm,
+    aprs_queries,
+)
+
+ALL_MODULES = [
+    scans,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    sort_limit,
+    setops,
+    scalars,
+    llm,
+    aprs_queries,
+]

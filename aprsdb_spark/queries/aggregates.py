@@ -1,0 +1,245 @@
+"""§2.D — aggregations: hash agg (partial+final is automatic), exact and
+approx distinct, rollup/cube, filtered agg, stats, exact percentiles,
+order-stable collect, pivot.
+
+Oracle discipline: double sums are ROUND()ed (2 for money, 6 for stats)
+so parallel-accumulation FP noise can't flip the value-hash; integer sums
+are CAST in DuckDB (its SUM(BIGINT) returns HUGEINT).
+
+100 TB: groupBy→agg is the canonical two-phase hash aggregate — map-side
+partial agg means the shuffle carries one row per (partition x group),
+not per input row. High-cardinality groupBys (user_id at billions) spill;
+countDistinct expands — prefer approx_count_distinct in dashboards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "d_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+           FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+           FLOOR((AVG(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+           FLOOR((AVG(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (sum/avg/count by flag+status)."""
+    t = load(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            rnd(F.sum(disc), 2).alias("sum_disc"),
+            rnd(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 6).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "d_agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def d_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Spark's two-phase expand; exact by design."""
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("d_agg_approx")  # approx -> rows-only check (no hash-stable oracle)
+def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB answer to countDistinct:
+    mergeable sketch, no expand, bounded memory."""
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "d_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n_cust,
+           FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def d_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (r_name, n_name) with grouping_id — hierarchy totals in one
+    pass (Spark expands grouping sets before the hash agg)."""
+    t = load(spark, sf_dir)
+    return (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_cust"),
+            rnd(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .select("r_name", "n_name", "gid", "n_cust", "sum_bal")
+    )
+
+
+@query(
+    "d_agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           FLOOR((SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100
+             AS open_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / sum(CASE WHEN)."""
+    t = load(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        rnd(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("open_value"),
+    )
+
+
+@query(
+    "d_agg_stats",
+    oracle="""
+    SELECT event_type,
+           FLOOR((STDDEV_SAMP(value)) * 1000000 + 0.5) / 1000000 AS sd_value,
+           FLOOR((VAR_SAMP(value)) * 1000000 + 0.5) / 1000000 AS var_value,
+           FLOOR((CORR(value, CAST(user_id AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS corr_vu,
+           FLOOR((COVAR_SAMP(value, CAST(user_id AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS covar_vu,
+           FLOOR((MIN(value)) * 1000000 + 0.5) / 1000000 AS min_value,
+           FLOOR((MAX(value)) * 1000000 + 0.5) / 1000000 AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def d_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments + bivariate stats per event_type."""
+    t = load(spark, sf_dir)
+    u = F.col("user_id").cast("double")
+    return t.events.groupBy("event_type").agg(
+        rnd(F.stddev_samp("value"), 6).alias("sd_value"),
+        rnd(F.var_samp("value"), 6).alias("var_value"),
+        rnd(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        rnd(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+        rnd(F.min("value"), 6).alias("min_value"),
+        rnd(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@query(
+    "d_agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           FLOOR((QUANTILE_CONT(o_totalprice, 0.25)) * 10000 + 0.5) / 10000 AS p25,
+           FLOOR((QUANTILE_CONT(o_totalprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+           FLOOR((QUANTILE_CONT(o_totalprice, 0.75)) * 10000 + 0.5) / 10000 AS p75,
+           FLOOR((QUANTILE_CONT(o_totalprice, 0.95)) * 10000 + 0.5) / 10000 AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) — matches DuckDB
+    quantile_cont. The 100 TB path is approx_percentile (t-digest); kept
+    exact here because the oracle gate hashes values."""
+    t = load(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        rnd(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        rnd(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        rnd(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        rnd(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@query(
+    "d_agg_collect",
+    oracle="""
+    SELECT user_id,
+           LIST(event_id ORDER BY epoch_ms(ts), event_id) AS event_ids,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def d_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-stable collect_list: explicit in-group ordering via
+    sort_array over (ts_ms, event_id) structs — the only way a collected
+    array can hash-match an engine with ORDER BY-able LIST()."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("ts_ms").alias("ms"), F.col("event_id")))
+                ),
+                lambda s: s.event_id,
+            ).alias("event_ids"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "d_agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def d_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into count columns. The value list is FIXED —
+    at scale an unlisted pivot triggers an extra distinct-values job."""
+    t = load(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    p = t.events.groupBy("user_id").pivot("event_type", kinds).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+    )

