@@ -1,0 +1,162 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all expression-first (no Python in the hot path):
+
+- exact:       hash-groupBy on the text (or md5 of it)
+- n-gram:      exact Jaccard over token shingles, brute-force pairs
+               (the small-scale ground truth)
+- MinHash+LSH: shingle → 128 minhashes → 32 bands x 4 rows →
+               band-bucket join → candidate pairs → exact-Jaccard verify.
+               THE 100 TB path: cost is O(docs x shingles) for
+               signatures (one shuffle, map-side partial min) plus a
+               band-bucket equi-join that only pairs likely dups —
+               never the O(n²) all-pairs.
+- SimHash:     64-bit fingerprint; near-dups share chunks (blocking on
+               16-bit quarters). Rows-only (xxhash64 is Spark-internal).
+
+LSH parameters: b=32 bands, r=4 rows -> s-curve threshold
+(1/b)^(1/r) ≈ 0.42; a pair with true Jaccard 0.8 is missed with
+probability (1-0.8^4)^32 ≈ 5e-8 — why the verified output can be
+oracle-checked against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 128
+BAND_ROWS = 4
+NUM_BANDS = NUM_HASHES // BAND_ROWS
+SHINGLE_K = 3
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_col(text: str | Column = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles as array<string>; empty if < k tokens.
+
+    Spark's sequence(1, n) DESCENDS when n < 1, so the short-doc case is
+    guarded explicitly (DuckDB's range() is simply empty there).
+    """
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, h0..h127) — min over shingles of xxhash64(shingle || seed).
+
+    Shape: explode shingles then ONE groupBy(id) computing all 128 mins —
+    map-side partial aggregation means the shuffle carries one 128-long
+    row per document, not per shingle.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"\x00{i}")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature and bucket-join: (id_a, id_b) candidate pairs.
+
+    The join key (band, band_hash) is equi — Spark hash-partitions it;
+    identical texts land in the same bucket in all 32 bands, hence the
+    distinct. Bucket skew (a viral duplicate cluster) is AQE-split.
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"h{b * BAND_ROWS + j}").cast("string") for j in range(BAND_ROWS)])
+            ).alias("bh"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("x")).select(
+        F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact shingle-Jaccard for each candidate pair (cheap: |pairs| is
+    tiny after LSH). Returns (id_a, id_b, jaccard)."""
+    sh = docs.select(F.col(id_col).alias("_id"), shingles_col(text_col).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash_col(text: str | Column = "text", bits: int = 64) -> Column:
+    """64-bit SimHash over distinct tokens, as a signed LONG.
+
+    bit_k(sig) = majority over tokens of bit_k(xxhash64(token)).
+    Pure expressions: per bit, sum ±1 across the token array via
+    aggregate(); shiftleft+bitwise-or folds the bits back together.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit(k: int) -> Column:
+        # 1<<63 overflows a signed-long literal — build the mask JVM-side
+        mask = F.shiftleft(F.lit(1).cast("long"), k)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        sig = sig.bitwiseOR(F.shiftleft(bit(k), k))
+    return sig
+
+
+def simhash_chunks(sig: Column, chunk_bits: int = 16) -> list[Column]:
+    """Blocking keys: near-dup signatures (small Hamming distance) agree
+    on at least one 16-bit chunk with high probability."""
+    mask = (1 << chunk_bits) - 1
+    return [
+        F.shiftrightunsigned(sig, i * chunk_bits).bitwiseAND(F.lit(mask).cast("long"))
+        for i in range(64 // chunk_bits)
+    ]

@@ -1,11 +1,457 @@
-"""§2.J — LLM-data-pipeline operators (dedup, similarity, text analysis,
-multimodal). Implementations arrive with operators/{dedup,similarity}.py.
+"""§2.J — LLM-data-pipeline operators: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search (brute cosine top-k, kNN
+label vote, all-pairs, IVF), text analysis (stats, TF-IDF, quality,
+naive-Bayes language-ID, fingerprinting), multimodal columns.
+
+Thresholds are calibrated to the fixtures: embeddings are L2-normalized
+64-dim with max pairwise dot ≈ 0.51 (measured), so similarity cutoffs
+use 0.3; documents share a 31-token vocabulary across langs, so
+language-ID is the corpus-trained naive-Bayes operator, not a stopword
+whitelist.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import rnd
+from ..operators.dedup import (
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_col,
+    simhash_chunks,
+    simhash_col,
+    tokens_col,
+)
+from ..operators.multimodal import decode_payloads, pack_multimodal
+from ..operators.similarity import as_double, brute_topk, dot_expr, ivf_assign, ivf_search
 from ..registry import query
 from ..tables import load
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "j_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def j_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper (min doc_id) per identical text. Pure
+    hash-groupBy — at 100 TB group on md5(text) so the shuffle carries
+    16-byte keys, not documents."""
+    t = load(spark, sf_dir)
+    return t.documents.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    )
+
+
+_NGRAM_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR((len(list_intersect(a.s, b.s)) * 1.0 /
+                  len(list_distinct(a.s || b.s))) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= {tau}
+"""
+
+
+@query("j_dedup_ngram", oracle=_NGRAM_ORACLE.format(tau=0.8))
+def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup: brute-force 3-gram shingle Jaccard >= 0.8
+    over all pairs. Quadratic on purpose — the small-scale oracle that
+    j_dedup_near (LSH) is checked against."""
+    t = load(spark, sf_dir)
+    sh = t.documents.select(F.col("doc_id"), shingles_col("text").alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            rnd(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@query("j_dedup_near", oracle=_NGRAM_ORACLE.format(tau=0.8))
+def j_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup, verified: 128 minhashes → 32x4 band bucket
+    join → candidates → exact-Jaccard filter >= 0.8.
+
+    Same oracle as j_dedup_ngram: with b=32/r=4 a 0.8-Jaccard pair
+    escapes all bands with p ≈ 5e-8, so LSH+verify equals brute force —
+    while scaling as O(n·shingles + candidates), not O(n²)."""
+    t = load(spark, sf_dir)
+    sig = minhash_signatures(t.documents)
+    cands = lsh_candidate_pairs(sig)
+    verified = jaccard_verify(cands, t.documents)
+    return verified.where(F.col("jaccard") >= 0.8).select(
+        "id_a", "id_b", rnd(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@query("j_dedup_simhash")  # rows-only: xxhash64 bit-pattern is Spark-internal
+def j_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + 16-bit-chunk blocking keys. Near-dup
+    candidates = pairs sharing any chunk (joined downstream like LSH
+    bands); here the operator emits signatures + chunks per doc."""
+    t = load(spark, sf_dir)
+    sig = simhash_col("text")
+    d = t.documents.select("doc_id", sig.alias("simhash"))
+    chunks = simhash_chunks(F.col("simhash"))
+    return d.select(
+        "doc_id",
+        "simhash",
+        *[c.alias(f"chunk{i}") for i, c in enumerate(chunks)],
+    )
+
+
+# ------------------------------------------------------------ similarity
+
+_QVEC_SQL = "(SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
+
+
+@query(
+    "j_sim_topk",
+    oracle=f"""
+    SELECT vec_id, label,
+           FLOOR((list_dot_product(CAST(embedding AS DOUBLE[]), qv)) * 1000000 + 0.5)
+             / 1000000 AS score
+    FROM embeddings, {_QVEC_SQL} q
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def j_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 for a query vector (vec_id=0; ‖v‖=1 so cosine=dot).
+    Broadcast 1-row query x full scan → TakeOrderedAndProject: the exact
+    baseline every ANN variant is judged against."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    return brute_topk(t.embeddings.crossJoin(F.broadcast(q)), F.col("qv"), k=10)
+
+
+@query(
+    "j_knn_label",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id, label,
+             FLOOR((list_dot_product(CAST(embedding AS DOUBLE[]), qv)) * 1000000 + 0.5)
+               / 1000000 AS score
+      FROM embeddings, {_QVEC_SQL} q
+      WHERE vec_id <> 0),
+    knn AS (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10),
+    votes AS (SELECT label, COUNT(*) AS n_votes FROM knn GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS predicted_label, n_votes
+    FROM votes ORDER BY n_votes DESC, label LIMIT 1
+    """,
+)
+def j_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN (k=10) majority-vote label for the query vector, self
+    excluded; deterministic tie-breaks at both stages."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    knn = brute_topk(
+        t.embeddings.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qv"),
+        k=10,
+    )
+    return (
+        knn.groupBy("label")
+        .agg(F.count("*").alias("n_votes"))
+        .orderBy(F.col("n_votes").desc(), F.col("label"))
+        .limit(1)
+        .select(F.col("label").cast("long").alias("predicted_label"), "n_votes")
+    )
+
+
+@query(
+    "j_sim_pairs",
+    oracle="""
+    SELECT e1.vec_id AS id_a, e2.vec_id AS id_b, e1.label AS label,
+           FLOOR((list_dot_product(CAST(e1.embedding AS DOUBLE[]),
+                                   CAST(e2.embedding AS DOUBLE[]))) * 1000000 + 0.5)
+             / 1000000 AS score
+    FROM embeddings e1 JOIN embeddings e2
+      ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+    WHERE FLOOR((list_dot_product(CAST(e1.embedding AS DOUBLE[]),
+                                  CAST(e2.embedding AS DOUBLE[]))) * 1000000 + 0.5)
+            / 1000000 >= 0.3
+    """,
+)
+def j_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity >= 0.3 within label groups. The label equi-key
+    carries the shuffle (hash join), the dot evaluates per-bucket; the
+    no-labels 100 TB variant swaps the key for hyperplane_sketch buckets
+    (operators/similarity.py)."""
+    t = load(spark, sf_dir)
+    e1 = t.embeddings.alias("e1")
+    e2 = t.embeddings.alias("e2")
+    score = rnd(dot_expr(as_double(F.col("e1.embedding")), as_double(F.col("e2.embedding"))), 6)
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.label") == F.col("e2.label"))
+            & (F.col("e1.vec_id") < F.col("e2.vec_id")),
+        )
+        .select(
+            F.col("e1.vec_id").alias("id_a"),
+            F.col("e2.vec_id").alias("id_b"),
+            F.col("e1.label").alias("label"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= 0.3)
+    )
+
+
+@query("j_ann_ivf")  # rows-only: approximate by construction
+def j_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: 16 coarse centroids, probe 4 — scans ~1/4 of
+    the corpus instead of all of it; recall vs j_sim_topk is asserted in
+    tests (top-1 must match: the query's own cluster is always probed)."""
+    t = load(spark, sf_dir)
+    assigned, cents = ivf_assign(t.embeddings, k_clusters=16)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow.embedding]
+    return ivf_search(assigned, cents, qvec, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------- text analysis
+
+@query(
+    "j_text_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           FLOOR((AVG(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def j_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats by lang x source: doc/char/token counts."""
+    t = load(spark, sf_dir)
+    return t.documents.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "j_tfidf",
+    oracle="""
+    WITH corpus AS (SELECT COUNT(*) AS n FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            WHERE doc_id < 20),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dtok AS (SELECT DISTINCT doc_id, term
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+    idf AS (SELECT term, COUNT(*) AS df FROM dtok GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             FLOOR((tf.tf * ln((corpus.n + 1.0) / (idf.df + 1.0))) * 1000000 + 0.5)
+               / 1000000 AS tfidf
+      FROM tf JOIN idf USING (term) CROSS JOIN corpus),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def j_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per doc (docs 0-19; DF over the full corpus).
+    All expressions: explode → two hash aggs → broadcast idf join →
+    ranked window. The idf side is tiny (vocab) — always broadcast."""
+    t = load(spark, sf_dir)
+    n_docs = t.documents.count()  # scalar; one jobs-count read of footer stats
+    tok = t.documents.where(F.col("doc_id") < 20).select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dtok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term")).distinct()
+    idf = dtok.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        rnd(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@query(
+    "j_lang_quality",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           FLOOR((len(string_split(text, ' ')) * 1.0 / n_chars) * 1000000 + 0.5)
+             / 1000000 AS tok_density
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr')
+      AND n_chars BETWEEN 100 AND 2000
+      AND n_chars = length(text)
+      AND len(string_split(text, ' ')) >= 20
+    """,
+)
+def j_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter: lang whitelist, length bounds, metadata-integrity
+    check (n_chars == length(text)), minimum token count."""
+    t = load(spark, sf_dir)
+    n_tok = F.size(tokens_col("text"))
+    return (
+        t.documents.where(
+            F.col("lang").isin("en", "de", "fr")
+            & F.col("n_chars").between(100, 2000)
+            & (F.col("n_chars") == F.length("text"))
+            & (n_tok >= 20)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_tok.cast("long").alias("n_tokens"),
+            rnd(n_tok * 1.0 / F.col("n_chars"), 6).alias("tok_density"),
+        )
+    )
+
+
+@query(
+    "j_lang_id",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+    prof AS (SELECT lang, term, COUNT(*) AS cnt
+             FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+             GROUP BY lang, term),
+    totals AS (SELECT lang, SUM(cnt) AS tot FROM prof GROUP BY lang),
+    scores AS (
+      SELECT tok.doc_id, langs.lang AS cand,
+             FLOOR((SUM(ln((COALESCE(prof.cnt, 0) + 1.0) / (totals.tot + vocab.v))))
+                   * 10000 + 0.5) / 10000 AS score
+      FROM tok CROSS JOIN langs CROSS JOIN vocab
+      LEFT JOIN prof ON prof.lang = langs.lang AND prof.term = tok.term
+      JOIN totals ON totals.lang = langs.lang
+      GROUP BY tok.doc_id, langs.lang, vocab.v),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, cand) AS rk
+               FROM scores)
+    SELECT doc_id, cand AS pred_lang, score FROM ranked WHERE rk = 1
+    """,
+)
+def j_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: add-one-smoothed unigram naive Bayes, profiles
+    trained on the corpus itself (the fixture langs share one vocabulary,
+    so a stopword whitelist cannot discriminate — the operator shape is
+    what's under test). Scale: profile is vocab x langs — broadcast."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    langs = t.documents.select("lang").distinct()
+    vocab_n = tok.select("term").distinct().count()
+    prof = (
+        t.documents.select("lang", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = prof.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    prof_t = F.broadcast(
+        prof.join(totals, "lang").select(
+            F.col("lang").alias("cand"), "term", "cnt", "tot"
+        )
+    )
+    totals_b = F.broadcast(totals.select(F.col("lang").alias("cand"), "tot"))
+    scores = (
+        tok.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
+        .join(prof_t, ["cand", "term"], "left")
+        .drop("tot")
+        .join(totals_b, "cand")
+        .groupBy("doc_id", "cand")
+        .agg(
+            rnd(
+                F.sum(F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot") + vocab_n))),
+                4,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"), "score")
+    )
+
+
+@query(
+    "j_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    SELECT doc_id, MIN(md5(s)) AS fingerprint, COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def j_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-of-hashes over 3-gram shingles (a
+    1-permutation MinHash / winnowing-style sketch) using portable md5."""
+    t = load(spark, sf_dir)
+    sh = shingles_col("text")
+    return t.documents.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+@query(
+    "j_multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           2 AS n_modalities
+    FROM documents
+    """,
+)
+def j_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal packing: struct<text, payload binary, meta map> with
+    per-modality size + checksum (payload == utf8(text) in fixtures, so
+    md5 matches across engines)."""
+    t = load(spark, sf_dir)
+    mm = pack_multimodal(t.documents)
+    return mm.select(
+        "doc_id",
+        F.octet_length(F.col("mm.payload")).cast("long").alias("n_bytes"),
+        F.md5(F.col("mm.payload")).alias("checksum"),
+        F.lit(2).alias("n_modalities"),
+    )
+
+
+@query("j_multimodal_decode")  # rows-only: stub decode (no codec libs here)
+def j_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stage over binary payloads —
+    plumbing is real (schema/batching/partitioning), codec is a
+    deterministic stub (operators/multimodal.py)."""
+    t = load(spark, sf_dir)
+    return decode_payloads(pack_multimodal(t.documents))

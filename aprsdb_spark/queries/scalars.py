@@ -1,12 +1,292 @@
-"""§2.H — scalar function families (string/date/math/cond/array/map/json/
-hash). Filled in step by step; see aprs_queries.py for the TNC2 parse
-rows which are also scalar-expression work.
+"""§2.H — scalar function families: string / date / math(+haversine) /
+conditional / array HOFs / map / json / hash.
+
+These are the APRS parse workhorses (regexp over packet text, haversine
+for APRS-IS `r/lat/lon/dist` range filters) exercised on the driver's
+relational tables; the packet-specific rows live in aprs_queries.py.
+
+Cross-engine type discipline: Spark's INT-returning functions (size,
+year, levenshtein, datediff) are cast to LONG to match DuckDB's BIGINT;
+DuckDB's DOUBLE-returning ceil/floor are cast to BIGINT to match
+Spark's LONG. All scalar math is identical IEEE ops on both engines —
+only libm-backed fns (sin/cos/ln) get a 6-digit portable round.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import rnd
 from ..registry import query
 from ..tables import load
+
+
+@query(
+    "h_str",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 5) AS name5,
+           upper(p_brand) AS brand_up,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+           string_split(p_type, ' ') AS words,
+           CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+           concat_ws('_', p_brand, p_type) AS tagged,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+           trim('  ' || p_name || '  ') AS trimmed,
+           levenshtein(p_brand, 'Brand#12') AS lev
+    FROM part
+    """,
+)
+def h_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: substr/upper/lpad/split/concat_ws/regexp_*/trim/
+    levenshtein — all JVM-side built-ins, no UDF."""
+    t = load(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_brand").alias("brand_up"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.split("p_type", " ").alias("words"),
+        F.size(F.split("p_type", " ")).cast("long").alias("n_words"),
+        F.concat_ws("_", "p_brand", "p_type").alias("tagged"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("novowel"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.levenshtein("p_brand", F.lit("Brand#12")).cast("long").alias("lev"),
+    )
+
+
+@query(
+    "h_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS BIGINT) AS dow_sun0,
+           epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_95,
+           epoch_ms(o_orderdate + INTERVAL 90 DAY) AS deadline_ms,
+           epoch_ms(o_orderdate) AS od_ms
+    FROM orders
+    """,
+)
+def h_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, trunc, datediff, interval arithmetic,
+    epoch conversion. dow normalized to Sunday=0 (Spark's dayofweek is
+    Sunday=1; DuckDB's dow is Sunday=0)."""
+    t = load(spark, sf_dir)
+    od = F.col("o_orderdate")
+    return t.orders.select(
+        "o_orderkey",
+        od.cast("date").alias("od"),
+        F.year(od).cast("long").alias("yr"),
+        F.month(od).cast("long").alias("mo"),
+        (F.dayofweek(od) - 1).cast("long").alias("dow_sun0"),
+        F.unix_millis(F.date_trunc("month", od)).alias("month_start_ms"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        # parquet ms-timestamps surface as TIMESTAMP_NTZ; with the session
+        # pinned to UTC the cast to TIMESTAMP is the identity mapping.
+        F.unix_millis((od + F.expr("INTERVAL 90 DAYS")).cast("timestamp")).alias("deadline_ms"),
+        F.unix_millis(od.cast("timestamp")).alias("od_ms"),
+    )
+
+
+def _haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in pure column expressions (no UDF) — the
+    engine's implementation of the APRS-IS `r/lat/lon/dist` range filter.
+    2*R*asin(sqrt(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2)))."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2 * 6371.0 * F.asin(F.sqrt(a))
+
+
+@query(
+    "h_math",
+    oracle="""
+    SELECT s_suppkey,
+           abs(s_acctbal) AS abs_bal,
+           CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+           pow(s_acctbal, 2) AS pow2,
+           FLOOR((ln(abs(s_acctbal) + 1)) * 1000000 + 0.5) / 1000000 AS ln_bal,
+           FLOOR((log10(abs(s_acctbal) + 1)) * 1000000 + 0.5) / 1000000 AS log10_bal,
+           FLOOR((sqrt(abs(s_acctbal))) * 1000000 + 0.5) / 1000000 AS sqrt_bal,
+           FLOOR((2 * 6371.0 * asin(sqrt(
+               sin(radians(48.85 - (((s_suppkey * 7) % 120) - 60)) / 2)
+             * sin(radians(48.85 - (((s_suppkey * 7) % 120) - 60)) / 2)
+             + cos(radians(((s_suppkey * 7) % 120) - 60)) * cos(radians(48.85))
+             * sin(radians(2.35 - (((s_suppkey * 13) % 300) - 150)) / 2)
+             * sin(radians(2.35 - (((s_suppkey * 13) % 300) - 150)) / 2)
+           ))) * 10000 + 0.5) / 10000 AS dist_km
+    FROM supplier
+    """,
+)
+def h_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family + haversine distance in pure SQL expressions.
+
+    The synthetic coordinates derive from s_suppkey; dist_km is the
+    distance to (48.85, 2.35). At 100 TB the geo range filter gets a
+    coarse grid-cell equality pre-join before the exact haversine
+    (operators/geo.py) — here the formula itself is under test."""
+    t = load(spark, sf_dir)
+    bal = F.col("s_acctbal")
+    lat1 = ((F.col("s_suppkey") * 7) % 120 - 60).cast("double")
+    lon1 = ((F.col("s_suppkey") * 13) % 300 - 150).cast("double")
+    return t.supplier.select(
+        "s_suppkey",
+        F.abs(bal).alias("abs_bal"),
+        F.ceil(bal).cast("long").alias("ceil_bal"),
+        F.floor(bal).cast("long").alias("floor_bal"),
+        F.pow(bal, 2).alias("pow2"),
+        rnd(F.log(F.abs(bal) + 1), 6).alias("ln_bal"),
+        rnd(F.log10(F.abs(bal) + 1), 6).alias("log10_bal"),
+        rnd(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
+        rnd(_haversine_km(lat1, lon1, F.lit(48.85), F.lit(2.35)), 4).alias("dist_km"),
+    )
+
+
+@query(
+    "h_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           greatest(c_acctbal, 0.0) AS bal_pos,
+           least(c_acctbal, 1000.0) AS bal_cap,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_nb
+    FROM customer
+    """,
+)
+def h_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN / greatest / least / nullif+coalesce."""
+    t = load(spark, sf_dir)
+    bal = F.col("c_acctbal")
+    return t.customer.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high").alias("tier"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_nb"
+        ),
+    )
+
+
+@query(
+    "h_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           FLOOR((sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000 + 0.5)
+             / 1000000 AS l2_norm,
+           list_transform(embedding[1:4],
+                 x -> FLOOR((CAST(x AS DOUBLE)) * 1000000 + 0.5) / 1000000) AS first4,
+           list_sort(list_transform(embedding[1:4],
+                 x -> FLOOR((CAST(x AS DOUBLE)) * 1000000 + 0.5) / 1000000)) AS first4_sorted,
+           FLOOR((list_sum(list_transform(range(1, CAST(len(embedding) AS INTEGER) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 AS dot_rev
+    FROM embeddings
+    """,
+)
+def h_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HOFs on the embedding column: size, transform, slice,
+    sort_array, and zip_with+aggregate as a pure-SQL dot product (the
+    basis of j_sim_topk). ‖v‖=1 on this data, so l2_norm also validates
+    the FIXTURES.md normalization claim."""
+    t = load(spark, sf_dir)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_rev = F.aggregate(
+        F.zip_with(emb_d, F.reverse(emb_d), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return t.embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        rnd(F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x)), 6).alias("l2_norm"),
+        F.transform(F.slice(emb_d, 1, 4), lambda x: rnd(x, 6)).alias("first4"),
+        F.sort_array(F.transform(F.slice(emb_d, 1, 4), lambda x: rnd(x, 6))).alias(
+            "first4_sorted"
+        ),
+        rnd(dot_rev, 6).alias("dot_rev"),
+    )
+
+
+@query(
+    "h_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+    FROM events
+    """,
+)
+def h_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: parse the JSON props column into map<string,bigint>,
+    element_at + map_keys."""
+    t = load(spark, sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    return t.events.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@query(
+    "h_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           to_json(struct_pack(t := event_type)) AS packed
+    FROM events
+    """,
+)
+def h_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction (get_json_object) and struct→JSON
+    (string fields only — float JSON formatting is engine-specific)."""
+    t = load(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.to_json(F.struct(F.col("event_type").alias("t"))).alias("packed"),
+    )
+
+
+@query(
+    "h_hash",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct,
+           MIN(md5(text)) AS md5_min,
+           MIN(sha256(text)) AS sha_min
+    FROM documents GROUP BY lang
+    """,
+)
+def h_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family — dedup keys. xxhash64 is Spark-internal (not
+    portable), so the oracle checks it via the distinct-count identity:
+    COUNT(DISTINCT xxhash64(text)) == COUNT(DISTINCT text) barring a
+    collision; md5/sha256 hex strings are portable and compared raw."""
+    t = load(spark, sf_dir)
+    return t.documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.xxhash64("text")).alias("n_distinct"),
+        F.min(F.md5("text")).alias("md5_min"),
+        F.min(F.sha2("text", 256)).alias("sha_min"),
+    )
