@@ -1,11 +1,256 @@
-"""APRS parsing qids (h_str_parse_tnc2 / h_str_parse_pos) + rows-only
-pipeline checks over committed packet fixtures. Implementations arrive
-with aprs/parse.py.
+"""APRS qids: TNC2 + position parsing (oracle-checked over literal
+frames — both engines run the same RE2/Java-compatible regexes and the
+same arithmetic, so results hash-match exactly) and rows-only pipeline
+checks over the committed packet fixtures (tests/fixtures/aprs/).
 """
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..aprs.decoders import enrich_positions
+from ..aprs.parse import parse_packets, parse_tnc2, station_view
 from ..registry import query
+
+FIXTURE_DIR = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "aprs"
+
+# Hand-picked frames exercising the header grammar (digis, used-marker
+# '*', q-constructs, TCPIP path, SSIDs) and the position formats.
+PACKETS = [
+    "N0CALL-9>APDR16,WIDE1-1,WIDE2-2,qAR,IGATE7:!4903.50N/07201.75W-Test packet 1",
+    "KB2ICI-14>APRS,TCPIP*,qAC,FOURTH:=4215.25N/07342.50W>088/036/A=001234 going north",
+    "W1AW>APRS,WIDE1-1*,qAO,RXGATE:!0000.00N\\00000.00E_weather station",
+    "DL1ABC-7>APWW11,qAR,HAMBURG:@092345z5230.70N/01322.50E-home qth",
+    "VK2XYZ>APRS,WIDE2-2,qAS,SYDNEY:/234517h3351.50S/15112.60Ev120/045 mobile",
+    "M0XYZ-5>APRS:>status only no path",
+    "F4ABC>APRS,qAC,PARIS:T#005,123,45.6,789,0,1,10101010",
+    "G7DEF>APRS,qAR,LONDON::N0CALL-9 :message text here{42",
+    "EA1GHI>APRS,qAO,MADRID:!9912.99X/12345.67Q-malformed position",
+    "JA1JKL>APRS,WIDE1-1,qAR,TOKYO:_10090556c220s004g008t077r001p045P068h50b09921",
+]
+
+_HEADER_SQL_RE = r"^([A-Za-z0-9\-]{1,9})>([A-Za-z0-9\-]{1,9})((?:,[^,:]+)*):(.+)$"
+_POS_SQL_RE = r"^(\d{2})(\d{2}\.\d{2})([NS])(.)(\d{3})(\d{2}\.\d{2})([EW])(.)(.*)$"
+
+
+def _values_sql() -> str:
+    rows = ",".join("('" + p.replace("'", "''") + "')" for p in PACKETS)
+    return f"(VALUES {rows}) t(raw)"
+
+
+def _packets_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(p,) for p in PACKETS], "raw string")
+
+
+@query(
+    "h_str_parse_tnc2",
+    oracle=f"""
+    WITH x AS (
+      SELECT raw,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 1) AS src,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 2) AS dst,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 3) AS path_str,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 4) AS info
+      FROM {_values_sql()}),
+    y AS (
+      SELECT raw, src, dst, info,
+             CASE WHEN path_str = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(path_str, ',')[2:] END AS path
+      FROM x)
+    SELECT raw,
+           CASE WHEN src = '' THEN NULL ELSE src END AS src,
+           CASE WHEN dst = '' THEN NULL ELSE dst END AS dst,
+           path,
+           (list_filter(path, p -> regexp_matches(p, '^qA')))[1] AS q_construct,
+           path[list_position(path, (list_filter(path, p -> regexp_matches(p, '^qA')))[1]) + 1]
+             AS gate,
+           CASE WHEN info <> '' THEN substr(info, 1, 1) END AS dti,
+           CASE WHEN info = '' THEN NULL ELSE info END AS info
+    FROM y
+    """,
+)
+def h_str_parse_tnc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TNC2 frame grammar as pure expressions: SRC>DST,PATH,qAX,GATE:info
+    → typed columns. The oracle runs the identical regex in DuckDB."""
+    h = parse_tnc2(F.col("raw"))
+    return _packets_df(spark).select(
+        "raw",
+        F.when(h.getField("src") != "", h.getField("src")).alias("src"),
+        F.when(h.getField("dst") != "", h.getField("dst")).alias("dst"),
+        h.getField("path").alias("path"),
+        h.getField("q_construct").alias("q_construct"),
+        h.getField("gate").alias("gate"),
+        h.getField("dti").alias("dti"),
+        F.when(h.getField("info") != "", h.getField("info")).alias("info"),
+    )
+
+
+@query(
+    "h_str_parse_pos",
+    oracle=f"""
+    WITH x AS (
+      SELECT raw, regexp_extract(raw, '{_HEADER_SQL_RE}', 1) AS src,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 4) AS info
+      FROM {_values_sql()}),
+    b AS (
+      SELECT raw, src,
+             CASE WHEN substr(info, 1, 1) IN ('!', '=') THEN substr(info, 2)
+                  WHEN substr(info, 1, 1) IN ('/', '@') THEN substr(info, 9)
+                  ELSE '' END AS body
+      FROM x),
+    g AS (
+      SELECT raw, src, body,
+             regexp_extract(body, '{_POS_SQL_RE}', 1) AS latd,
+             regexp_extract(body, '{_POS_SQL_RE}', 2) AS latm,
+             regexp_extract(body, '{_POS_SQL_RE}', 3) AS ns,
+             regexp_extract(body, '{_POS_SQL_RE}', 4) AS sym_t,
+             regexp_extract(body, '{_POS_SQL_RE}', 5) AS lond,
+             regexp_extract(body, '{_POS_SQL_RE}', 6) AS lonm,
+             regexp_extract(body, '{_POS_SQL_RE}', 7) AS ew,
+             regexp_extract(body, '{_POS_SQL_RE}', 8) AS sym,
+             regexp_extract(body, '{_POS_SQL_RE}', 9) AS after
+      FROM b)
+    SELECT raw, src,
+           CASE WHEN ns <> '' THEN (CAST(latd AS DOUBLE) + CAST(latm AS DOUBLE) / 60.0)
+                * (CASE WHEN ns = 'S' THEN -1.0 ELSE 1.0 END) END AS latitude,
+           CASE WHEN ns <> '' THEN (CAST(lond AS DOUBLE) + CAST(lonm AS DOUBLE) / 60.0)
+                * (CASE WHEN ew = 'W' THEN -1.0 ELSE 1.0 END) END AS longitude,
+           CASE WHEN ns <> '' THEN sym_t END AS symbol_table,
+           CASE WHEN ns <> '' THEN sym END AS symbol,
+           CASE WHEN regexp_extract(after, '^(\\d{{3}})/(\\d{{3}})', 1) <> ''
+                THEN CAST(regexp_extract(after, '^(\\d{{3}})/(\\d{{3}})', 1) AS DOUBLE) END
+             AS course_deg,
+           CASE WHEN regexp_extract(after, '^(\\d{{3}})/(\\d{{3}})', 2) <> ''
+                THEN CAST(regexp_extract(after, '^(\\d{{3}})/(\\d{{3}})', 2) AS DOUBLE) * 1.852
+             END AS speed_kmh,
+           CASE WHEN regexp_extract(body, '/A=(\\d{{6}})', 1) <> ''
+                THEN CAST(regexp_extract(body, '/A=(\\d{{6}})', 1) AS DOUBLE) * 0.3048
+             END AS altitude_m
+    FROM g
+    WHERE ns <> ''
+    """,
+)
+def h_str_parse_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncompressed position decode (ddmm.mmN/dddmm.mmE → signed degrees,
+    course/speed, altitude) — pure regexp + arithmetic, bit-identical
+    across engines so no rounding is needed."""
+    parsed = parse_packets(_packets_df(spark))
+    return parsed.where(F.col("latitude").isNotNull()).select(
+        "raw",
+        "src",
+        "latitude",
+        "longitude",
+        "symbol_table",
+        "symbol",
+        "course_deg",
+        "speed_kmh",
+        "altitude_m",
+    )
+
+
+def _read_fixture(spark: SparkSession, name: str) -> DataFrame:
+    """Replay file -> (recv_ts timestamp, raw line)."""
+    lines = spark.read.text(str(FIXTURE_DIR / name))
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        F.try_element_at(parts, F.lit(1)).try_cast("long").alias("recv_ms"),
+        F.try_element_at(parts, F.lit(2)).alias("raw"),
+    ).select(F.timestamp_millis(F.col("recv_ms")).alias("recv_ts"), "raw")
+
+
+@query("aprs_pipeline")  # rows-only: fixture-driven, not sf-table-backed
+def aprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingest: fixture replay → full parse →
+    typed wide frame (all format branches in one pass)."""
+    frames = [
+        _read_fixture(spark, n)
+        for n in (
+            "pos_uncompressed.txt",
+            "wx_telemetry.txt",
+            "msgs_acks.txt",
+            "malformed.txt",
+            "mice_compressed.txt",
+        )
+    ]
+    allp = frames[0]
+    for f in frames[1:]:
+        allp = allp.unionByName(f)
+    return parse_packets(allp, recv_ts_col="recv_ts")
+
+
+@query("aprs_lastpos")  # rows-only
+def aprs_lastpos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Where is station X now' — stations dimension with last-heard
+    position (the collector's upsert target, as a batch aggregate)."""
+    parsed = parse_packets(_read_fixture(spark, "pos_uncompressed.txt"), recv_ts_col="recv_ts")
+    return station_view(parsed)
+
+
+@query("aprs_msg_ack")  # rows-only
+def aprs_msg_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message↔ack correlation: self-join on (from,to,msgNo) reversed —
+    APRS101 §14 ack semantics (c_join_self's domain shape)."""
+    parsed = parse_packets(_read_fixture(spark, "msgs_acks.txt"), recv_ts_col="recv_ts")
+    msgs = parsed.where(
+        F.col("msg").isNotNull() & ~F.col("msg.is_ack") & ~F.col("msg.is_rej")
+    ).select(
+        F.col("src").alias("m_from"),
+        F.col("msg.addressee").alias("m_to"),
+        F.col("msg.msg_no").alias("msg_no"),
+        F.col("msg.text").alias("text"),
+        F.col("recv_ts").alias("sent_ts"),
+    )
+    acks = parsed.where(F.col("msg.is_ack")).select(
+        F.col("src").alias("a_from"),
+        F.col("msg.addressee").alias("a_to"),
+        F.regexp_extract(F.col("msg.text"), r"^ack([A-Za-z0-9]{1,5})$", 1).alias("ack_no"),
+        F.col("recv_ts").alias("ack_ts"),
+    )
+    return msgs.join(
+        acks,
+        (F.col("m_from") == F.col("a_to"))
+        & (F.col("m_to") == F.col("a_from"))
+        & (F.col("msg_no") == F.col("ack_no")),
+        "left",
+    ).select(
+        "m_from", "m_to", "msg_no", "text", "sent_ts", "ack_ts",
+        F.col("ack_ts").isNotNull().alias("acked"),
+    )
+
+
+@query("aprs_wx")  # rows-only
+def aprs_wx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed weather + telemetry extraction from the mixed fixture."""
+    parsed = parse_packets(_read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts")
+    return parsed.where(F.col("wx").isNotNull() | F.col("telemetry").isNotNull()).select(
+        "src",
+        "recv_ts",
+        "fmt",
+        F.col("wx.wind_dir").alias("wind_dir"),
+        F.col("wx.temp_f").alias("temp_f"),
+        F.col("wx.pressure_mb").alias("pressure_mb"),
+        F.col("telemetry.seq").alias("tel_seq"),
+        F.col("telemetry.vals").alias("tel_vals"),
+        F.col("telemetry.bits").alias("tel_bits"),
+    )
+
+
+@query("aprs_decode_udf")  # rows-only: pandas-UDF base-91 path
+def aprs_decode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-position decode via the Arrow pandas UDF (the
+    sanctioned non-expression path)."""
+    parsed = parse_packets(_read_fixture(spark, "mice_compressed.txt"), recv_ts_col="recv_ts")
+    info = parse_tnc2(F.col("raw")).getField("info")
+    enriched = enrich_positions(parsed, info)
+    return enriched.select("src", "fmt", "latitude", "longitude", "symbol_table", "symbol")
+
+
+@query("aprs_malformed")  # rows-only: parser-never-throws audit path
+def aprs_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-packet audit: every malformed line lands with parse_error set;
+    the parse itself must not raise."""
+    parsed = parse_packets(_read_fixture(spark, "malformed.txt"), recv_ts_col="recv_ts")
+    return parsed.select("raw", "src", "fmt", "parse_error")

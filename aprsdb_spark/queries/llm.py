@@ -54,30 +54,45 @@ def j_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_ORACLE = """
     WITH sh AS (
-      SELECT doc_id,
+      SELECT doc_id, {keys}
              list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            FLOOR((len(list_intersect(a.s, b.s)) * 1.0 /
                   len(list_distinct(a.s || b.s))) * 1000000 + 0.5) / 1000000 AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id {group_cond}
     WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= {tau}
 """
 
+_NGRAM_GLOBAL = _NGRAM_ORACLE.format(keys="", group_cond="", tau="{tau}")
+_NGRAM_GROUPED = _NGRAM_ORACLE.format(
+    keys="lang, source,",
+    group_cond="AND a.lang = b.lang AND a.source = b.source",
+    tau="{tau}",
+)
 
-@query("j_dedup_ngram", oracle=_NGRAM_ORACLE.format(tau=0.8))
+
+@query("j_dedup_ngram", oracle=_NGRAM_GROUPED.format(tau=0.8))
 def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ground-truth near-dup: brute-force 3-gram shingle Jaccard >= 0.8
-    over all pairs. Quadratic on purpose — the small-scale oracle that
-    j_dedup_near (LSH) is checked against."""
+    """Exact near-dup within (lang, source) partitions: brute-force
+    3-gram shingle Jaccard >= 0.8, pairs restricted to the same crawl
+    partition — the practical exact pattern (the partition key carries
+    the join shuffle; ~n²/|groups| pairs). GLOBAL near-dup at scale is
+    j_dedup_near's LSH job — an unrestricted quadratic would be
+    O(n²)·|shingles| and die at sf0.1, let alone 100 TB."""
     t = load(spark, sf_dir)
-    sh = t.documents.select(F.col("doc_id"), shingles_col("text").alias("s"))
+    sh = t.documents.select("doc_id", "lang", "source", shingles_col("text").alias("s"))
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(jac >= 0.8)
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -87,7 +102,7 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("j_dedup_near", oracle=_NGRAM_ORACLE.format(tau=0.8))
+@query("j_dedup_near", oracle=_NGRAM_GLOBAL.format(tau=0.8))
 def j_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup, verified: 128 minhashes → 32x4 band bucket
     join → candidates → exact-Jaccard filter >= 0.8.

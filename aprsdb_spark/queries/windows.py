@@ -252,3 +252,31 @@ def e_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("session_start_ms"),
         F.max("ts_ms").alias("session_end_ms"),
     )
+
+
+@query(
+    "s_dedup_30s_batch",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+         g AS (SELECT *, LAG(ts_ms) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts_ms, event_id) AS prev_ms
+               FROM e)
+    SELECT user_id, event_id, event_type, ts_ms
+    FROM g WHERE prev_ms IS NULL OR ts_ms - prev_ms > 30000
+    """,
+)
+def s_dedup_30s_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the APRS-IS 30-second duplicate rule (debounce
+    flavor: drop a row if its predecessor with the same key is within
+    30 s). The true kept-relative streaming semantics live in
+    streaming/ingest.dedup_30s (dropDuplicatesWithinWatermark); this
+    lag-based variant is the SQL-checkable batch analog on events,
+    keyed (user_id, event_type) ≙ (src, payload)."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ms", "event_id")
+    e = t.events.select("user_id", "event_id", "event_type", "ts_ms")
+    return (
+        e.withColumn("prev_ms", F.lag("ts_ms").over(w))
+        .where(F.col("prev_ms").isNull() | (F.col("ts_ms") - F.col("prev_ms") > 30000))
+        .drop("prev_ms")
+    )

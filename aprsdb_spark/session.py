@@ -60,6 +60,37 @@ def get_spark(app_name: str = "aprsdb_spark", shuffle_partitions: int | None = N
     return b.getOrCreate()
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make aprsdb_spark importable on executor python workers.
+
+    Worker processes don't inherit the driver's sys.path, so any pandas
+    UDF / mapInPandas kernel defined in this package would die with
+    ModuleNotFoundError when the driver runs from another cwd. Shipping
+    the package as a zip via addPyFile fixes it everywhere (local and
+    cluster) — this is also exactly how the package deploys to a real
+    1000-executor cluster.
+    """
+    if getattr(spark, "_aprsdb_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "aprsdb_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted(pkg.rglob("*.py")):
+            z.write(f, "aprsdb_spark/" + str(f.relative_to(pkg)))
+    try:
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:
+        try:
+            spark.addArtifacts(str(zpath), pyfile=True)  # Spark Connect path
+        except Exception:
+            pass
+    spark._aprsdb_pkg_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Assert runtime-settable confs on an externally-provided session.
 
@@ -71,4 +102,5 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not runtime-settable in this build — non-fatal
+    _ship_package(spark)
     return spark

@@ -1,0 +1,198 @@
+"""Structured Streaming ingest: the aprsdb capability surface
+("collects APRS packets into DB") rebuilt on Spark's incremental
+execution — readStream → parse → dedup → window/sessionize →
+foreachBatch upsert.
+
+Sources: file-replay (deterministic tests; each line `epoch_ms<TAB>raw`)
+and socket (dev against a live APRS-IS feed: a feeder handles the
+`user CALL pass N filter r/...` login line — the TCP login belongs to
+the feeder process, not the query). At scale the source is Kafka with
+the same downstream plan.
+
+State at 100 TB/day: dedup + window state lives in the state store —
+key it narrowly (src, md5(payload)) not (src, raw), watermark
+aggressively (30 s dedup, minutes for windows), and use RocksDB state
+store on real clusters. Every query below is watermarked: unbounded
+state is an outage, not a feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..aprs.parse import parse_packets, parse_tnc2
+
+
+def read_packet_lines(spark: SparkSession, path: str, **options) -> DataFrame:
+    """File-replay source: text lines `epoch_ms<TAB>tnc2` → (recv_ts, raw).
+    maxFilesPerTrigger=1 gives per-file micro-batches for deterministic
+    watermark tests."""
+    lines = spark.readStream.options(**options).text(path)
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        F.timestamp_millis(
+            F.try_element_at(parts, F.lit(1)).try_cast("long")
+        ).alias("recv_ts"),
+        F.try_element_at(parts, F.lit(2)).alias("raw"),
+    )
+
+
+def read_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Dev source: live APRS-IS line stream (arrival-stamped here)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .select(F.current_timestamp().alias("recv_ts"), F.col("value").alias("raw"))
+    )
+
+
+def parsed_packet_stream(lines: DataFrame) -> DataFrame:
+    """Parse stage + dedup key: payload = info field (APRS-IS dedups on
+    (src, payload) ignoring the digi path)."""
+    parsed = parse_packets(lines, recv_ts_col="recv_ts")
+    return parsed.withColumn("payload", parse_tnc2(F.col("raw")).getField("info"))
+
+
+def dedup_30s(parsed: DataFrame) -> DataFrame:
+    """APRS-IS 30-second duplicate suppression: first frame per
+    (src, payload) kept, repeats within 30 s dropped, repeats after the
+    window are new packets. State is evicted by the watermark — the
+    textbook dropDuplicatesWithinWatermark use."""
+    return parsed.withWatermark("recv_ts", "30 seconds").dropDuplicatesWithinWatermark(
+        ["src", "payload"]
+    )
+
+
+def packets_per_station(parsed: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling per-station rate (packets/hour per callsign)."""
+    return (
+        parsed.withWatermark("recv_ts", "10 minutes")
+        .groupBy(F.window("recv_ts", window).alias("w"), F.col("src"))
+        .agg(F.count("*").alias("n_packets"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "src", "n_packets")
+    )
+
+
+def sliding_rate(parsed: DataFrame, length: str = "5 minutes", slide: str = "1 minute") -> DataFrame:
+    """Sliding global packet rate."""
+    return (
+        parsed.withWatermark("recv_ts", "10 minutes")
+        .groupBy(F.window("recv_ts", length, slide).alias("w"))
+        .agg(F.count("*").alias("n_packets"))
+        .select(F.col("w.start").alias("w_start"), "n_packets")
+    )
+
+
+def station_sessions(parsed: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session per station: closes after `gap` of silence
+    (session_window — the streaming twin of e_win_sessionize)."""
+    return (
+        parsed.withWatermark("recv_ts", "10 minutes")
+        .groupBy(F.session_window("recv_ts", gap).alias("w"), F.col("src"))
+        .agg(F.count("*").alias("n_packets"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "src",
+            "n_packets",
+        )
+    )
+
+
+def enrich_with_stations(parsed: DataFrame, stations: DataFrame) -> DataFrame:
+    """Stream-static join: live packets against the stations dimension
+    (dim re-read per micro-batch — self-updating enrichment)."""
+    dim = stations.select(
+        F.col("src").alias("dim_src"),
+        F.col("last_heard").alias("prev_last_heard"),
+        F.col("n_packets").alias("prev_n_packets"),
+    )
+    return parsed.join(F.broadcast(dim), parsed.src == dim.dim_src, "left").drop("dim_src")
+
+
+def message_ack_stream(parsed: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Stream-stream join: message↔ack correlation live, both sides
+    watermarked, join bounded by event time (unbounded stream joins
+    accumulate state forever)."""
+    msgs = (
+        parsed.where(F.col("msg").isNotNull() & ~F.col("msg.is_ack") & ~F.col("msg.is_rej"))
+        .select(
+            F.col("src").alias("m_from"),
+            F.col("msg.addressee").alias("m_to"),
+            F.col("msg.msg_no").alias("msg_no"),
+            F.col("recv_ts").alias("sent_ts"),
+        )
+        .withWatermark("sent_ts", "10 minutes")
+    )
+    acks = (
+        parsed.where(F.col("msg.is_ack"))
+        .select(
+            F.col("src").alias("a_from"),
+            F.col("msg.addressee").alias("a_to"),
+            F.regexp_extract(F.col("msg.text"), r"^ack([A-Za-z0-9]{1,5})$", 1).alias("ack_no"),
+            F.col("recv_ts").alias("ack_ts"),
+        )
+        .withWatermark("ack_ts", "10 minutes")
+    )
+    return msgs.join(
+        acks,
+        (F.col("m_from") == F.col("a_to"))
+        & (F.col("m_to") == F.col("a_from"))
+        & (F.col("msg_no") == F.col("ack_no"))
+        & (F.col("ack_ts") >= F.col("sent_ts"))
+        & (F.col("ack_ts") <= F.col("sent_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+
+
+def upsert_stations_sink(batch: DataFrame, batch_id: int, stations_dir: str) -> None:
+    """foreachBatch idempotent upsert of the stations dimension — the
+    collector's 'DB write'. Parquet read-merge-overwrite here; on a real
+    deployment this is a Delta/Iceberg MERGE keyed on src (same shape,
+    transactional). Idempotency: the merge is a pure function of
+    (existing state, batch aggregate), safe under batch replay."""
+    spark = batch.sparkSession
+    agg = (
+        batch.where(F.col("src").isNotNull())
+        .groupBy("src")
+        .agg(
+            F.max("recv_ts").alias("last_heard"),
+            F.count("*").alias("n_packets"),
+            F.max_by("latitude", "recv_ts").alias("last_lat"),
+            F.max_by("longitude", "recv_ts").alias("last_lon"),
+        )
+    )
+    try:
+        existing = spark.read.parquet(stations_dir)
+        merged = (
+            existing.unionByName(agg)
+            .groupBy("src")
+            .agg(
+                F.max("last_heard").alias("last_heard"),
+                F.sum("n_packets").alias("n_packets"),
+                F.max_by("last_lat", "last_heard").alias("last_lat"),
+                F.max_by("last_lon", "last_heard").alias("last_lon"),
+            )
+        )
+    except Exception:
+        merged = agg
+    merged.write.mode("overwrite").parquet(stations_dir + "_next")
+    # atomic-ish swap via overwrite of the main dir
+    spark.read.parquet(stations_dir + "_next").write.mode("overwrite").parquet(stations_dir)
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, sink=None, **foreach_kwargs):
+    """Drain everything currently available, then stop (deterministic
+    test driver; also the cron-batch deployment mode)."""
+    w = stream_df.writeStream.option("checkpointLocation", checkpoint).trigger(
+        availableNow=True
+    )
+    if sink is not None:
+        q = w.foreachBatch(lambda b, i: sink(b, i, **foreach_kwargs)).outputMode("update").start()
+    else:
+        q = w.format("memory").queryName("_test_sink").outputMode("append").start()
+    q.awaitTermination()
+    return q

@@ -1,0 +1,108 @@
+"""APRS parser/decoder tests: encode∘decode roundtrips (property-based
+via hypothesis where the domain allows) and malformed-input hardening
+(SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from fixtures.gen_aprs import enc_compressed, enc_uncompressed  # noqa: E402
+
+from aprsdb_spark.aprs.decoders import (  # noqa: E402
+    _decode_compressed_one,
+    _decode_mice_one,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lat=st.floats(min_value=-89.99, max_value=89.99),
+    lon=st.floats(min_value=-179.99, max_value=179.99),
+)
+def test_compressed_roundtrip(lat, lon):
+    """base-91 compressed: encode -> decode recovers within quantization
+    (1/380926 deg lat ≈ 0.3 m)."""
+    body = enc_compressed(lat, lon)
+    dlat, dlon, table, sym, _, _ = _decode_compressed_one(body)
+    assert dlat is not None
+    assert math.isclose(dlat, lat, abs_tol=1e-4)
+    assert math.isclose(dlon, lon, abs_tol=1e-4)
+    assert table == "/"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lat=st.floats(min_value=-89.9, max_value=89.9),
+    lon=st.floats(min_value=-179.9, max_value=179.9),
+)
+def test_uncompressed_format_parses(lat, lon):
+    """ddmm.mm encoding is well-formed: lat/lon fields re-extract with
+    the parser's regex and arithmetic (python mirror, no session)."""
+    import re
+
+    s = enc_uncompressed(lat, lon)
+    m = re.match(r"^(\d{2})(\d{2}\.\d{2})([NS])(.)(\d{3})(\d{2}\.\d{2})([EW])(.)", s)
+    assert m, s
+    got_lat = (int(m.group(1)) + float(m.group(2)) / 60.0) * (-1 if m.group(3) == "S" else 1)
+    got_lon = (int(m.group(5)) + float(m.group(6)) / 60.0) * (-1 if m.group(7) == "W" else 1)
+    # ddmm.mm quantizes to 0.01 arcmin ≈ 1.7e-4 deg
+    assert math.isclose(got_lat, lat, abs_tol=5e-4)
+    assert math.isclose(got_lon, lon, abs_tol=5e-4)
+
+
+def test_compressed_malformed_returns_none():
+    for bad in [None, "", "x", "/ab", "/∞∞∞∞∞∞∞∞>", "Q!!!!!!!!>"]:
+        out = _decode_compressed_one(bad)
+        assert out[0] is None or isinstance(out[0], float)
+
+
+def test_mice_malformed_returns_none():
+    assert _decode_mice_one(None, None)[0] is None
+    assert _decode_mice_one("ABC", "`x")[0] is None
+    assert _decode_mice_one("??????", "`abcdefgh")[0] is None
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lat=st.floats(min_value=-89.9, max_value=89.9),
+    lon=st.floats(min_value=-179.9, max_value=179.9),
+    speed=st.integers(min_value=0, max_value=300),
+    course=st.integers(min_value=0, max_value=359),
+)
+def test_mice_roundtrip(lat, lon, speed, course):
+    """Mic-E encode (gen_aprs, from APRS101 §10) ∘ decode recovers
+    position to ddmm.hh quantization, speed exactly, course exactly."""
+    from fixtures.gen_aprs import enc_mice
+
+    dst, info = enc_mice(lat, lon, speed_knots=speed, course=course)
+    dlat, dlon, _t, _s, dcourse, dspeed = _decode_mice_one(dst, info)
+    assert dlat is not None, (dst, info)
+    assert math.isclose(dlat, lat, abs_tol=2e-4)
+    assert math.isclose(dlon, lon, abs_tol=2e-4)
+    assert math.isclose(dspeed, speed * 1.852, abs_tol=1e-6)
+    assert math.isclose(dcourse, float(course), abs_tol=1e-6)
+
+
+def test_parser_never_throws_on_fixture(spark):
+    """malformed.txt: every line yields a row; bad ones carry parse_error."""
+    from aprsdb_spark.aprs.parse import parse_packets
+
+    raw = spark.read.text(str(Path(__file__).parent / "fixtures/aprs/malformed.txt"))
+    from pyspark.sql import functions as F
+
+    lines = raw.select(
+        F.try_element_at(F.split("value", "\t", 2), F.lit(2)).alias("raw")
+    )
+    rows = parse_packets(lines).collect()
+    assert len(rows) == 7
+    errs = [r for r in rows if r.parse_error is not None]
+    ok = [r for r in rows if r.parse_error is None]
+    assert len(errs) >= 3  # headerless garbage, no-colon, empty-info...
+    assert any(r.src == "OKSTATUS" and r.fmt == "status" for r in ok)

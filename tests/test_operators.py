@@ -1,0 +1,134 @@
+"""Operator-level invariants (SURVEY.md §5.4): dedup finds the planted
+duplicates at sf0.1 and is idempotent; IVF recall vs brute force; as-of
+lowering vs a naive quadratic reference; top-k ⊆ sort prefix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.1"
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_exact_dedup_finds_planted_dups_sf01(spark):
+    """TESTDATA: sf0.1 documents contain 8 exact duplicate texts."""
+    from aprsdb_spark.tables import load
+
+    docs = load(spark, SF01).documents
+    dups = (
+        docs.groupBy("text").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    ).collect()
+    assert sum(r.n - 1 for r in dups) == 8
+
+
+def test_lsh_finds_exact_dups_sf01(spark):
+    """MinHash-LSH must catch all 8 planted exact duplicates (identical
+    text ⇒ identical signature ⇒ same bucket in every band)."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    pairs = QUERIES["j_dedup_near"](spark, SF01).collect()
+    perfect = [p for p in pairs if p.jaccard >= 0.999999]
+    assert len(perfect) >= 8
+
+
+def test_dedup_idempotent(spark):
+    """dedup(dedup(x)) == dedup(x) for the exact-dedup keeper set."""
+    from aprsdb_spark.tables import load
+
+    docs = load(spark, SF01).documents
+    keep1 = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    round1 = docs.join(keep1, "doc_id", "left_semi")
+    keep2 = round1.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    round2 = round1.join(keep2, "doc_id", "left_semi")
+    assert round1.count() == round2.count()
+    assert round1.select("doc_id").subtract(round2.select("doc_id")).count() == 0
+
+
+def test_ivf_top1_matches_brute(spark):
+    """The query's own cluster is always probed → IVF top-1 == brute
+    top-1 (the query vector itself, dot = 1)."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    brute = QUERIES["j_sim_topk"](spark, SF001).collect()
+    ivf = QUERIES["j_ann_ivf"](spark, SF001).collect()
+    assert brute[0].vec_id == ivf[0].vec_id == 0
+    # recall@10 sanity: IVF finds a meaningful share scanning ~1/4 of data
+    brute_ids = {r.vec_id for r in brute}
+    ivf_ids = {r.vec_id for r in ivf}
+    assert len(brute_ids & ivf_ids) >= 3
+
+
+def test_asof_matches_naive(spark):
+    """Union+window as-of lowering == quadratic join+row_number on a
+    small slice."""
+    from pyspark.sql import Window
+
+    from aprsdb_spark.operators.asof import asof_join
+    from aprsdb_spark.tables import load
+
+    ev = load(spark, SF001).events
+    v = ev.where(F.col("event_type") == "view").select("user_id", "event_id", "ts_ms")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts_ms")
+    fast = asof_join(p, v, on="user_id", t="ts_ms", tiebreak="event_id",
+                     right_cols=["event_id"]).select("event_id", "asof_event_id")
+
+    pairs = p.alias("p").join(
+        v.alias("v"),
+        (F.col("p.user_id") == F.col("v.user_id")) & (F.col("v.ts_ms") <= F.col("p.ts_ms")),
+    )
+    w = Window.partitionBy("p.event_id").orderBy(F.col("v.ts_ms").desc(), F.col("v.event_id").desc())
+    naive = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(F.col("p.event_id").alias("event_id"), F.col("v.event_id").alias("asof_event_id"))
+    )
+    assert fast.subtract(naive).count() == 0
+    assert naive.subtract(fast).count() == 0
+    assert fast.count() == naive.count() > 0
+
+
+def test_topk_is_sort_prefix(spark):
+    from aprsdb_spark.tables import load
+
+    orders = load(spark, SF001).orders
+    full_sorted = [
+        r.o_orderkey
+        for r in orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).collect()
+    ]
+    topk = [
+        r.o_orderkey
+        for r in orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .collect()
+    ]
+    assert topk == full_sorted[:10]
+
+
+def test_simhash_identical_and_perturbed(spark):
+    """Identical texts → identical simhash; one-token change → small
+    Hamming distance."""
+    from aprsdb_spark.operators.dedup import simhash_col
+
+    base = "the quick brown fox jumps over a lazy dog near the river bank today"
+    variant = base.replace("river", "ocean")
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, variant)], "id long, text string"
+    ).select("id", simhash_col("text").alias("sig"))
+    sigs = {r.id: r.sig for r in df.collect()}
+    assert sigs[1] == sigs[2]
+    ham = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham <= 16
+
+
+def test_multimodal_decode_stub(spark):
+    from aprsdb_spark.operators.multimodal import decode_payloads, pack_multimodal
+    from aprsdb_spark.tables import load
+
+    docs = load(spark, SF001).documents.limit(50)
+    out = decode_payloads(pack_multimodal(docs)).collect()
+    assert len(out) == 50
+    assert all(64 <= r.width < 128 and r.format in ("png", "jpeg") for r in out)
+    assert all(r.n_bytes > 0 for r in out)

@@ -1,0 +1,165 @@
+"""Streaming determinism tests (SURVEY.md §5.5): fixture replay through
+real micro-batches (availableNow), asserting final state. No oracle
+exists for streaming — these pin the semantics."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from aprsdb_spark.streaming import ingest as S
+
+FIXTURES = Path(__file__).parent / "fixtures" / "aprs"
+
+
+def _stage(tmp_path, name):
+    """File-stream sources need a directory, not a file."""
+    d = tmp_path / "in"
+    d.mkdir(exist_ok=True)
+    shutil.copy(FIXTURES / name, d / name)
+    return str(d)
+
+
+def _drain(df, checkpoint, mode="append", name="sink"):
+    q = (
+        df.writeStream.option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_dedup_30s(spark, tmp_path):
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "dupes_30s.txt"))
+    deduped = S.dedup_30s(S.parsed_packet_stream(lines))
+    _drain(deduped.select("src", "payload", "recv_ts"), tmp_path / "ck", name="dedup_sink")
+    out = spark.sql("SELECT * FROM dedup_sink").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r.recv_ts)
+    # 10 stations x 5 frames: dups at +5s/+29s MUST drop (within 30 s of
+    # the kept frame); the +45s repeat is legitimately new; +50s dups it.
+    assert len(by_src) == 10
+    assert all(len(v) <= 2 for v in by_src.values()), by_src
+    assert len(out) >= 10  # first frame per station always survives
+
+
+def test_tumbling_counts(spark, tmp_path):
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    counts = S.packets_per_station(S.parsed_packet_stream(lines))
+    _drain(counts, tmp_path / "ck", mode="complete", name="tumble_sink")
+    rows = spark.sql("SELECT * FROM tumble_sink").collect()
+    # 200 packets, 20 stations, 36 s apart => exactly 2 hours of data
+    assert sum(r.n_packets for r in rows) == 200
+    assert {r.src for r in rows} and all(r.n_packets > 0 for r in rows)
+    hours = {r.w_start for r in rows}
+    assert len(hours) == 2
+
+
+def test_session_windows(spark, tmp_path):
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    sessions = S.station_sessions(S.parsed_packet_stream(lines), gap="30 minutes")
+    _drain(sessions, tmp_path / "ck", mode="complete", name="sess_sink")
+    rows = spark.sql("SELECT * FROM sess_sink").collect()
+    # each station beacons every 12 min (20 stations x 36 s spacing) —
+    # one unbroken session per station
+    assert len(rows) == 20
+    assert sum(r.n_packets for r in rows) == 200
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batch runs over one checkpoint: rows older than the
+    persisted watermark are dropped on the second run."""
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    ck = tmp_path / "ck"
+    base = 1704067200000
+    hour = 3600_000
+
+    def fline(ms, i):
+        return f"{ms}\tLATE{i}>APRS,qAR,G:>status {i}\n"
+
+    # batch 1: two hours of data -> watermark lands at ~max - 10 min
+    (src_dir / "a.txt").write_text("".join(fline(base + i * hour, i) for i in range(3)))
+    counts = S.packets_per_station(
+        S.parsed_packet_stream(S.read_packet_lines(spark, str(src_dir)))
+    )
+    # memory sink can't recover a checkpoint; foreachBatch can — and
+    # update mode is required anyway (complete mode never drops late rows)
+    emitted: list = []
+
+    def run_once():
+        counts = S.packets_per_station(
+            S.parsed_packet_stream(S.read_packet_lines(spark, str(src_dir)))
+        )
+        q = (
+            counts.writeStream.option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .foreachBatch(lambda b, i: emitted.extend(b.collect()))
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sum(r.n_packets for r in emitted) == 3
+
+    # batch 2: one fresh row + one row 2 h older than the watermark
+    (src_dir / "b.txt").write_text(
+        fline(base + 3 * hour, 99) + fline(base - 2 * hour, 98)
+    )
+    emitted.clear()
+    run_once()
+    srcs = {r.src for r in emitted}
+    assert "LATE99" in srcs  # fresh row aggregated
+    assert "LATE98" not in srcs  # late row dropped by the persisted watermark
+
+
+def test_foreachbatch_station_upsert(spark, tmp_path):
+    stations_dir = str(tmp_path / "stations")
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    parsed = S.parsed_packet_stream(lines)
+    q = (
+        parsed.writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda b, i: S.upsert_stations_sink(b, i, stations_dir))
+        .start()
+    )
+    q.awaitTermination()
+    stations = spark.read.parquet(stations_dir)
+    rows = {r.src: r for r in stations.collect()}
+    assert len(rows) == 20
+    assert sum(r.n_packets for r in rows.values()) == 200
+    assert all(r.last_lat is not None for r in rows.values())
+
+    # idempotent-upsert shape: a second replay over a NEW checkpoint
+    # merges (counts add, last_heard keeps max)
+    q2 = (
+        S.parsed_packet_stream(
+            S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+        )
+        .writeStream.option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda b, i: S.upsert_stations_sink(b, i, stations_dir))
+        .start()
+    )
+    q2.awaitTermination()
+    again = {r.src: r for r in spark.read.parquet(stations_dir).collect()}
+    assert sum(r.n_packets for r in again.values()) == 400
+
+
+def test_stream_stream_msg_ack(spark, tmp_path):
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "msgs_acks.txt"))
+    joined = S.message_ack_stream(S.parsed_packet_stream(lines))
+    _drain(joined, tmp_path / "ck", name="ack_sink")
+    rows = spark.sql("SELECT * FROM ack_sink").collect()
+    # 15 messages; i % 3 != 0 got an ack 3 s later -> 10 correlated pairs
+    assert len(rows) == 10
+    assert all(r.ack_ts >= r.sent_ts for r in rows)
