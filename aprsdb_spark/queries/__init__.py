@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     scalars,
     llm,
     aprs_queries,
+    udfs,
 )
 
 ALL_MODULES = [
@@ -25,4 +26,5 @@ ALL_MODULES = [
     scalars,
     llm,
     aprs_queries,
+    udfs,
 ]

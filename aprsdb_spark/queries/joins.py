@@ -307,3 +307,41 @@ def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product of the two tiny dims (5 x 25)."""
     t = load(spark, sf_dir)
     return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@query(
+    "c_sql_q3",
+    oracle="""
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS od,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def c_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the SQL entry point (EP2, SURVEY.md §3):
+    same ANTLR-parse → Catalyst pipeline as the DataFrame API, proving
+    both front-ends drive one engine. Views re-registered per call —
+    temp-view registration is catalog metadata, not data movement."""
+    t = load(spark, sf_dir)
+    t.customer.createOrReplaceTempView("v_customer")
+    t.orders.createOrReplaceTempView("v_orders")
+    t.lineitem.createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS od,
+               FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """)

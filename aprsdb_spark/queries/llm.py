@@ -86,6 +86,9 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    # (measured: a size-band necessary-condition prefilter does NOT pay
+    # here — the fixture docs are near-uniform length, so it prunes
+    # little and forces the shingle arrays to materialize pre-join)
     return (
         a.join(
             b,
@@ -429,11 +432,13 @@ def j_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-of-hashes over 3-gram shingles (a
     1-permutation MinHash / winnowing-style sketch) using portable md5."""
     t = load(spark, sf_dir)
-    sh = shingles_col("text")
-    return t.documents.select(
+    # materialize the shingle array once — inlining shingles_col() twice
+    # doubles the regex/split work per row
+    staged = t.documents.select("doc_id", shingles_col("text").alias("sh"))
+    return staged.select(
         "doc_id",
-        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
-        F.size(sh).cast("long").alias("n_shingles"),
+        F.array_min(F.transform("sh", F.md5)).alias("fingerprint"),
+        F.size("sh").cast("long").alias("n_shingles"),
     )
 
 
@@ -470,3 +475,71 @@ def j_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stub (operators/multimodal.py)."""
     t = load(spark, sf_dir)
     return decode_payloads(pack_multimodal(t.documents))
+
+
+@query(
+    "j_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+           FLOOR((n_chars * 1.0 / len(string_split(text, ' '))) * 10000 + 0.5) / 10000
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def j_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens +
+    a BPE-ish subword estimate (ceil(len/4) units per token ≈ the 4-chars
+    -per-token rule of thumb) — pure array HOFs, no tokenizer library."""
+    t = load(spark, sf_dir)
+    toks = tokens_col("text")
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.ceil(F.length(x) / 4.0)
+        ).alias("n_subwords"),
+        rnd(F.col("n_chars") * 1.0 / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "j_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           FLOOR((len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'in', 'and')))
+                  * 1.0 / len(toks)) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+           FLOOR((len(list_distinct(toks)) * 1.0 / len(toks)) * 1000000 + 0.5) / 1000000
+             AS distinct_ratio,
+           (n_chars BETWEEN 200 AND 5000
+            AND len(toks) >= 30
+            AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.1) AS keep
+    FROM t
+    """,
+)
+def j_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (Gopher-rule style, public): stopword
+    ratio, lexical diversity, length bounds → keep flag. All expression-
+    level; at 100 TB this is a single scan with zero shuffles."""
+    t = load(spark, sf_dir)
+    toks = tokens_col("text")
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "to", "in", "and"))) * 1.0 / n
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) * 1.0 / n
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        rnd(stop_ratio, 6).alias("stopword_ratio"),
+        rnd(distinct_ratio, 6).alias("distinct_ratio"),
+        (
+            F.col("n_chars").between(200, 5000) & (n >= 30) & (distinct_ratio >= 0.1)
+        ).alias("keep"),
+    )

@@ -290,3 +290,48 @@ def h_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("text")).alias("md5_min"),
         F.min(F.sha2("text", 256)).alias("sha_min"),
     )
+
+
+@query(
+    "h_geo_range",
+    oracle="""
+    SELECT s_suppkey,
+           FLOOR((2 * 6371.0 * asin(sqrt(
+               sin(radians(48.85 - (((s_suppkey * 7) % 120) - 60)) / 2)
+             * sin(radians(48.85 - (((s_suppkey * 7) % 120) - 60)) / 2)
+             + cos(radians(((s_suppkey * 7) % 120) - 60)) * cos(radians(48.85))
+             * sin(radians(2.35 - (((s_suppkey * 13) % 300) - 150)) / 2)
+             * sin(radians(2.35 - (((s_suppkey * 13) % 300) - 150)) / 2)
+           ))) * 10000 + 0.5) / 10000 AS dist_km
+    FROM supplier
+    WHERE 2 * 6371.0 * asin(sqrt(
+               sin(radians(48.85 - (((s_suppkey * 7) % 120) - 60)) / 2)
+             * sin(radians(48.85 - (((s_suppkey * 7) % 120) - 60)) / 2)
+             + cos(radians(((s_suppkey * 7) % 120) - 60)) * cos(radians(48.85))
+             * sin(radians(2.35 - (((s_suppkey * 13) % 300) - 150)) / 2)
+             * sin(radians(2.35 - (((s_suppkey * 13) % 300) - 150)) / 2)
+           )) <= 3000
+    """,
+)
+def h_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APRS-IS `r/lat/lon/dist` range filter at scale: sargable bbox
+    prefilter (pushes to parquet row-group stats) + exact haversine —
+    operators/geo.py. The oracle runs the UNfiltered haversine predicate:
+    the bbox is a necessary condition, so the row sets are provably
+    identical — that equality is exactly what this qid checks."""
+    from ..operators.geo import within_radius
+
+    t = load(spark, sf_dir)
+    pts = t.supplier.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7) % 120 - 60).cast("double").alias("lat"),
+        ((F.col("s_suppkey") * 13) % 300 - 150).cast("double").alias("lon"),
+    )
+    from ..operators.geo import haversine_km
+
+    return within_radius(pts, "lat", "lon", 48.85, 2.35, 3000.0).select(
+        "s_suppkey",
+        rnd(haversine_km(F.col("lat"), F.col("lon"), F.lit(48.85), F.lit(2.35)), 4).alias(
+            "dist_km"
+        ),
+    )

@@ -1,0 +1,171 @@
+"""§2.K — the UDF escape-hatch surface, demonstrated end-to-end: scalar
+pandas UDF, grouped-agg pandas UDF, applyInPandas (grouped map), python
+UDTF, and SQL-registered UDF. Each is oracle-checked where the python
+arithmetic is portable (numpy IEEE ops + portable rounding).
+
+These exist to prove the slow paths WORK — the engine's rule stays
+"built-ins first": every one of these has a pure-expression twin
+elsewhere in the inventory that beats it by 10-100x.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "k_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def k_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF. numpy does the same IEEE double
+    ops as the JVM, so the unrounded result hash-matches."""
+
+    def _net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    net = pandas_udf(_net, "double")
+    t = load(spark, sf_dir)
+    return t.lineitem.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        net(F.col("l_extendedprice"), F.col("l_discount")).alias("net"),
+    )
+
+
+@query(
+    "k_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR((SUM(l_extendedprice * l_discount) / SUM(l_extendedprice)) * 1000000 + 0.5)
+             / 1000000 AS wavg_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def k_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: weighted average discount. (pandas uses
+    pairwise summation vs SQL's sequential — the 1e-12 relative noise is
+    absorbed by the portable 6-digit round.)"""
+    import numpy as np
+
+    def _wavg(price: pd.Series, disc: pd.Series) -> float:
+        p = price.to_numpy()
+        return float(np.floor((p * disc.to_numpy()).sum() / p.sum() * 1e6 + 0.5) / 1e6)
+
+    wavg = pandas_udf(_wavg, "double", F.PandasUDFType.GROUPED_AGG)
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        wavg(F.col("l_extendedprice"), F.col("l_discount")).alias("wavg_discount")
+    )
+
+
+@query(
+    "k_apply_in_pandas",
+    oracle="""
+    SELECT event_id,
+           FLOOR(((value - AVG(value) OVER (PARTITION BY event_type)) /
+                  STDDEV_SAMP(value) OVER (PARTITION BY event_type)) * 10000 + 0.5)
+             / 10000 AS zscore
+    FROM events
+    """,
+)
+def k_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type z-score normalization
+    (the track-smoothing / per-station-normalization shape). Whole
+    groups stream through a python worker as Arrow batches."""
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "zscore": np.floor(z * 1e4 + 0.5) / 1e4}
+        )
+
+    t = load(spark, sf_dir)
+    return (
+        t.events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_norm, "event_id long, zscore double")
+    )
+
+
+@query(
+    "k_udtf",
+    oracle="""
+    SELECT p_partkey, t.word, CAST(t.pos AS INTEGER) AS pos
+    FROM (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part WHERE p_partkey < 100),
+         LATERAL (SELECT unnest(words) AS word, generate_subscripts(words, 1) AS pos) t
+    """,
+)
+def k_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one row fans out to N typed rows (the packet-line →
+    N entity rows shape). Lateral-joined against the part table."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i + 1
+
+    spark.udtf.register("split_words", SplitWords)
+    t = load(spark, sf_dir)
+    t.part.where(F.col("p_partkey") < 100).createOrReplaceTempView("_udtf_part")
+    return spark.sql(
+        "SELECT p_partkey, s.word, s.pos FROM _udtf_part, "
+        "LATERAL split_words(p_type) s"
+    )
+
+
+@query(
+    "k_sql_udf",
+    oracle="""
+    SELECT n_nationkey,
+           FLOOR((2 * 6371.0 * asin(sqrt(
+               sin(radians(48.85 - (n_nationkey * 3 - 36)) / 2)
+             * sin(radians(48.85 - (n_nationkey * 3 - 36)) / 2)
+             + cos(radians(n_nationkey * 3 - 36)) * cos(radians(48.85))
+             * sin(radians(2.35 - (n_nationkey * 7 - 84)) / 2)
+             * sin(radians(2.35 - (n_nationkey * 7 - 84)) / 2)))) * 10000 + 0.5) / 10000
+             AS dist_km
+    FROM nation
+    """,
+)
+def k_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered python UDF callable from spark.sql — the row-at-a-
+    time slow path, registered once as `haversine_py` (the expression
+    form in operators/geo.py is the fast path)."""
+    import math
+
+    def hav(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+        dlat = math.radians(lat2 - lat1)
+        dlon = math.radians(lon2 - lon1)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon / 2) ** 2
+        )
+        d = 2 * 6371.0 * math.asin(math.sqrt(a))
+        return math.floor(d * 1e4 + 0.5) / 1e4
+
+    spark.udf.register("haversine_py", hav, "double")
+    t = load(spark, sf_dir)
+    t.nation.createOrReplaceTempView("_udf_nation")
+    # SQL float literals parse as DECIMAL and reach the python UDF as
+    # decimal.Decimal — cast to DOUBLE explicitly
+    return spark.sql(
+        "SELECT n_nationkey, haversine_py(CAST(n_nationkey * 3 - 36 AS DOUBLE), "
+        "CAST(n_nationkey * 7 - 84 AS DOUBLE), CAST(48.85 AS DOUBLE), "
+        "CAST(2.35 AS DOUBLE)) AS dist_km FROM _udf_nation"
+    )

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the 100 TB story lives or dies on
+these properties — filter pushdown reaching the parquet scan, column
+pruning, dimension broadcasts, top-k without a global sort. A code
+change that silently breaks one of these passes correctness tests and
+then falls over at scale; these tests make the plan part of the spec.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aprsdb_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def _plan(spark, qid: str) -> str:
+    df = QUERIES[qid](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_pruned_pushes_filter_and_prunes_columns(spark):
+    p = _plan(spark, "a_scan_pruned")
+    assert "GreaterThanOrEqual(l_shipdate" in p, "date filter not pushed to parquet"
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read and "l_extendedprice" in read and "l_shipdate" in read
+    assert "l_quantity" not in read, "column pruning lost: full row read for 3-col query"
+
+
+def test_star_dims_are_broadcast(spark):
+    p = _plan(spark, "c_join_bcast")
+    assert p.count("BroadcastHashJoin") >= 2, "nation/region must broadcast, not shuffle"
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_avoids_global_sort(spark):
+    p = _plan(spark, "f_topk")
+    assert "TakeOrderedAndProject" in p, "top-k regressed to a full global sort"
+
+
+def test_smj_hint_respected_for_large_join(spark):
+    p = _plan(spark, "c_join_smj")
+    assert "SortMergeJoin" in p
+
+
+def test_agg_is_two_phase(spark):
+    """Partial (map-side) + final hash agg: the shuffle carries one row
+    per group per partition, not per input row."""
+    p = _plan(spark, "d_agg_basic")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in _plan(spark, "c_join_semi")
+    assert "LeftAnti" in _plan(spark, "c_join_anti")
+
+
+def test_asof_has_no_range_join_explosion(spark):
+    """The as-of lowering must be window-over-union — a single exchange
+    on user_id and NO join operator at all."""
+    p = _plan(spark, "c_join_asof")
+    assert "Join" not in p or "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    assert "Union" in p
+
+
+def test_lsh_candidates_join_is_hash_equi(spark):
+    """LSH banding must produce an equi join on (band, hash) — a nested
+    loop here means the bucketing key got lost."""
+    p = _plan(spark, "j_dedup_near")
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sim_topk_projects_only_needed_columns(spark):
+    p = _plan(spark, "j_sim_topk")
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and all("embedding" in l or "vec_id" in l for l in read)
+    assert "TakeOrderedAndProject" in p

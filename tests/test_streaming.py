@@ -163,3 +163,45 @@ def test_stream_stream_msg_ack(spark, tmp_path):
     # 15 messages; i % 3 != 0 got an ack 3 s later -> 10 correlated pairs
     assert len(rows) == 10
     assert all(r.ack_ts >= r.sent_ts for r in rows)
+
+
+def test_stateful_station_state(spark, tmp_path):
+    """applyInPandasWithState: per-station running state across TWO
+    micro-batch runs sharing a checkpoint — counts accumulate in the
+    state store, not by re-reading old data."""
+    from aprsdb_spark.streaming.stateful import station_state_stream
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    ck = tmp_path / "ck"
+    captured: dict = {}
+
+    def run():
+        lines = S.read_packet_lines(spark, str(src_dir))
+        out = station_state_stream(S.parsed_packet_stream(lines))
+        q = (
+            out.writeStream.option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .foreachBatch(
+                lambda b, i: captured.update({r.src: r for r in b.collect()})
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    base = 1704067200000
+    pos = "!4700.50N/12201.75W-x"
+    (src_dir / "a.txt").write_text(
+        f"{base}\tSTA1>APRS,qAR,G:{pos}\n{base + 1000}\tSTA2>APRS,qAR,G:>status\n"
+    )
+    run()
+    assert captured["STA1"].n_packets == 1
+    assert captured["STA1"].last_lat is not None
+    assert captured["STA2"].last_lat is None
+
+    (src_dir / "b.txt").write_text(
+        f"{base + 60_000}\tSTA1>APRS,qAR,G:{pos}\n{base + 61_000}\tSTA1>APRS,qAR,G:>s2\n"
+    )
+    run()
+    assert captured["STA1"].n_packets == 3  # state carried across runs
