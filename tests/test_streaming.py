@@ -205,3 +205,61 @@ def test_stateful_station_state(spark, tmp_path):
     )
     run()
     assert captured["STA1"].n_packets == 3  # state carried across runs
+
+
+def test_sliding_rate(spark, tmp_path):
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    rate = S.sliding_rate(S.parsed_packet_stream(lines), "10 minutes", "5 minutes")
+    _drain(rate, tmp_path / "ck", mode="complete", name="slide_sink")
+    rows = spark.sql("SELECT * FROM slide_sink ORDER BY w_start").collect()
+    # 2h of data, 10-min windows sliding every 5 -> ~25 overlapping windows;
+    # every packet lands in exactly 2 windows
+    assert sum(r.n_packets for r in rows) == 400
+    assert len(rows) >= 24
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: per-batch re-read of the stations dimension."""
+    stations_dir = str(tmp_path / "stations")
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    parsed = S.parsed_packet_stream(lines)
+    q = (
+        parsed.writeStream.option("checkpointLocation", str(tmp_path / "ck0"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda b, i: S.upsert_stations_sink(b, i, stations_dir))
+        .start()
+    )
+    q.awaitTermination()
+
+    dim = spark.read.parquet(stations_dir)
+    lines2 = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    enriched = S.enrich_with_stations(S.parsed_packet_stream(lines2), dim)
+    _drain(
+        enriched.select("src", "recv_ts", "prev_last_heard", "prev_n_packets"),
+        tmp_path / "ck1",
+        name="enrich_sink",
+    )
+    rows = spark.sql("SELECT * FROM enrich_sink").collect()
+    assert len(rows) == 200
+    assert all(r.prev_n_packets == 10 for r in rows)  # dim had 10 pkts/station
+
+
+def test_parquet_append_sink(spark, tmp_path):
+    """writeStream parquet sink: the collector's immutable packets log."""
+    out_dir = str(tmp_path / "packets_log")
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    parsed = S.parsed_packet_stream(lines).select(
+        "raw", "recv_ts", "src", "fmt", "latitude", "longitude"
+    )
+    q = (
+        parsed.writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(out_dir)
+    assert log.count() == 200
+    assert log.where(F.col("latitude").isNotNull()).count() == 200
