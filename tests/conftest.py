@@ -46,8 +46,13 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and float32/float64 repr noise
-        return float(f"{v:.10g}")
+        if v == 0.0:
+            return 0.0  # collapse -0.0 / +0.0
+        # EXACT comparison otherwise: the driver's value-hash may use full
+        # precision, so the local mirror must be at least as strict —
+        # queries are designed to be bit-identical across engines
+        # (identical IEEE ops, or portable floor-rounding of aggregates)
+        return v
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     if isinstance(v, dict):
