@@ -543,3 +543,32 @@ def j_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").between(200, 5000) & (n >= 30) & (distinct_ratio >= 0.1)
         ).alias("keep"),
     )
+
+
+@query(
+    "j_embed_centroid",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           FLOOR((AVG(x)) * 1000000 + 0.5) / 1000000 AS centroid,
+           COUNT(*) AS n
+    FROM flat GROUP BY label, dim
+    """,
+)
+def j_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids of the embedding space (the training step of
+    IVF/k-means): posexplode to (label, dim, value), one hash agg.
+    At 100 TB: partial aggregation means the shuffle carries
+    |labels| x dim rows per partition — constant, not data-sized."""
+    t = load(spark, sf_dir)
+    flat = t.embeddings.select(
+        "label", F.posexplode(as_double("embedding")).alias("pos", "x")
+    )
+    return flat.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim")).agg(
+        rnd(F.avg("x"), 6).alias("centroid"),
+        F.count("*").alias("n"),
+    )

@@ -26,7 +26,10 @@ def main() -> None:
     from aprsdb_spark.session import get_spark
 
     load_all()
-    spark = get_spark("aprsdb_spark-bench")
+    # initial shuffle partitions sized to the local SF (AQE coalesces down,
+    # but task-launch overhead of the initial number still costs ~30% at
+    # sf0.1); a real cluster run sets 2-3x total executor cores instead.
+    spark = get_spark("aprsdb_spark-bench", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: touch every table + codegen paths once
