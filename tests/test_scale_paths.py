@@ -95,3 +95,44 @@ def test_aqe_coalesces_small_shuffle(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan or "coalesced" in plan.lower()
+
+
+def test_date_partitioned_layout_prunes(spark, tmp_path):
+    """The 100 TB event-table layout: date-partitioned parquet; a 1-day
+    predicate shows up as PartitionFilters (directory pruning before IO),
+    and the partition column never reaches the data files."""
+    from aprsdb_spark.plans.inspect import formatted_plan, partition_filters
+    from aprsdb_spark.sources.layout import read_partitioned, write_partitioned
+
+    t = load(spark, SF)
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(t.events, out, ts_ms_col="ts_ms", entity_col="user_id")
+
+    back = read_partitioned(spark, out)
+    one_day = back.where(F.col("p_date") == "2024-01-05")
+    pf = partition_filters(one_day)
+    assert pf and any("p_date" in f for f in pf), formatted_plan(one_day)[:1500]
+    # pruning is real: only that day's rows come back, and the full
+    # round-trip preserves every row
+    import datetime
+    rows = one_day.select("event_id").count()
+    expect = t.events.where(
+        F.to_date(F.timestamp_millis(F.col("ts_ms"))) == "2024-01-05"
+    ).count()
+    assert rows == expect > 0
+    assert back.count() == t.events.count()
+
+
+def test_exchange_counting(spark):
+    """plans.inspect.count_exchanges: broadcast star join costs zero
+    fact-side shuffles besides the agg; the asof lowering costs one."""
+    from aprsdb_spark.plans.inspect import count_exchanges
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    bcast = QUERIES["c_join_bcast"](spark, SF)
+    # broadcast exchanges are not shuffles; count real Exchange hashpartitioning
+    from aprsdb_spark.plans.inspect import formatted_plan
+
+    p = formatted_plan(bcast)
+    assert p.count("Exchange hashpartitioning") <= 1  # just the groupBy
