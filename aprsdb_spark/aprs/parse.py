@@ -156,19 +156,31 @@ def parse_packets(df: DataFrame, raw_col: str = "raw", recv_ts_col: str | None =
     info = h.getField("info")
     dti = h.getField("dti")
 
-    # strip DTI (+ 7-char timestamp for / and @ forms) for position decode
-    pos_body = F.when(dti.isin("!", "="), F.substring(info, 2, 1000)).when(
-        dti.isin("/", "@"), F.substring(info, 9, 1000)
+    # strip DTI (+ 7-char timestamp for / and @ forms) for position decode;
+    # objects (§11): ;NAME(9)*|_ ts(7) pos...; items: )NAME[3-9]!|_ pos...
+    pos_body = (
+        F.when(dti.isin("!", "="), F.substring(info, 2, 1000))
+        .when(dti.isin("/", "@"), F.substring(info, 9, 1000))
+        .when(dti == ";", F.substring(info, 19, 1000))
+        .when(dti == ")", F.regexp_extract(info, r"^\)([^!_]{3,9})[!_](.*)$", 2))
+    )
+    obj_name = F.when(dti == ";", F.trim(F.substring(info, 2, 9))).when(
+        dti == ")", F.regexp_extract(info, r"^\)([^!_]{3,9})[!_]", 1)
+    )
+    obj_alive = F.when(dti == ";", F.substring(info, 11, 1) == "*").when(
+        dti == ")", ~info.rlike(r"^\)[^!_]{3,9}_")
     )
     p = _pos_fields(F.coalesce(pos_body, F.lit("")))
 
-    is_pos = dti.isin("!", "=", "/", "@") & p["matched"]
+    is_pos = dti.isin("!", "=", "/", "@", ";", ")") & p["matched"]
     is_wx = dti == "_"
     is_tel = dti == "T"
     is_msg = dti == ":"
     is_status = dti == ">"
     fmt = (
-        F.when(is_pos, "uncompressed")
+        F.when(is_pos & dti.isin(";"), "object")
+        .when(is_pos & dti.isin(")"), "item")
+        .when(is_pos, "uncompressed")
         .when(dti.isin("!", "=", "/", "@"), "compressed")  # pos DTI, digit-less body
         .when(is_wx, "wx")
         .when(is_tel, "telemetry")
@@ -208,6 +220,8 @@ def parse_packets(df: DataFrame, raw_col: str = "raw", recv_ts_col: str | None =
         F.when(is_wx, _wx_struct(info)).alias("wx"),
         F.when(is_tel, _telemetry_struct(info)).alias("telemetry"),
         F.when(is_msg, _msg_struct(info)).alias("msg"),
+        obj_name.alias("obj_name"),
+        obj_alive.alias("obj_alive"),
         parse_error.alias("parse_error"),
     )
     return out

@@ -74,6 +74,8 @@ PACKET_SCHEMA = StructType(
         StructField("wx", WX_SCHEMA),
         StructField("telemetry", TELEMETRY_SCHEMA),
         StructField("msg", MSG_SCHEMA),
+        StructField("obj_name", StringType()),
+        StructField("obj_alive", BooleanType()),
         StructField("parse_error", StringType()),
     ]
 )

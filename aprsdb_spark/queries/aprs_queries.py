@@ -254,3 +254,33 @@ def aprs_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parse itself must not raise."""
     parsed = parse_packets(_read_fixture(spark, "malformed.txt"), recv_ts_col="recv_ts")
     return parsed.select("raw", "src", "fmt", "parse_error")
+
+
+@query("aprs_objects")  # rows-only
+def aprs_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object/item reports (APRS101 §11): named map entities with
+    positions — parsed from literal frames covering live/killed objects
+    and items."""
+    frames = [
+        "N0CALL>APRS,qAR,G:;LEADER   *111111z4903.50N/07201.75W>object cmt",
+        "N0CALL>APRS,qAR,G:;DEADOBJ  _111111z4903.50N/07201.75W>gone",
+        "N1CALL>APRS,qAR,G:)AID#2!4903.50N/07201.75WA",
+        "N1CALL>APRS,qAR,G:)GONE_4903.50N/07201.75WA",
+    ]
+    df = spark.createDataFrame([(f,) for f in frames], "raw string")
+    from ..aprs.parse import parse_packets
+
+    return parse_packets(df).select(
+        "src", "fmt", "obj_name", "obj_alive", "latitude", "longitude", "symbol"
+    )
+
+
+@query("aprs_telemetry_eng")  # rows-only
+def aprs_telemetry_eng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry in engineering units: EQNS definition messages joined to
+    T# frames, a·v²+b·v+c per channel (aprs/telemetry.py)."""
+    from ..aprs.telemetry import apply_eqns, eqns_definitions
+
+    parsed = parse_packets(_read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts")
+    defs = eqns_definitions(parsed)
+    return apply_eqns(parsed, defs)
