@@ -144,6 +144,11 @@ def gen_mice_compressed() -> list[tuple[int, str]]:
     for i in range(10):
         body = "=" + enc_compressed(40.0 + i * 0.5, -105.0 - i * 0.5)
         rows.append((BASE_MS + i * 10_000, line(f"CMP{i}", "APRS", "qAR,CGATE", body)))
+    # Mic-E: position+speed+course ride in dst + info bytes
+    for i in range(10):
+        dst, info = enc_mice(37.0 + i * 0.3, -121.5 - i * 0.3,
+                             speed_knots=5 * i, course=36 * i)
+        rows.append((BASE_MS + 200_000 + i * 10_000, line(f"MIC{i}", dst, "qAR,MGATE", info)))
     return rows
 
 
@@ -162,10 +167,6 @@ def main() -> None:
     for name, fn in ALL.items():
         p = write(name, fn())
         print(p, sum(1 for _ in p.open()))
-
-
-if __name__ == "__main__":
-    main()
 
 
 def enc_mice(lat: float, lon: float, speed_knots: int = 0, course: int = 0,
@@ -221,3 +222,7 @@ def enc_mice(lat: float, lon: float, speed_knots: int = 0, course: int = 0,
         + sym_table
     )
     return dst, info
+
+
+if __name__ == "__main__":
+    main()

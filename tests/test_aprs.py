@@ -106,3 +106,37 @@ def test_parser_never_throws_on_fixture(spark):
     ok = [r for r in rows if r.parse_error is None]
     assert len(errs) >= 3  # headerless garbage, no-colon, empty-info...
     assert any(r.src == "OKSTATUS" and r.fmt == "status" for r in ok)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    src=st.from_regex(r"[A-Z][A-Z0-9]{2,5}(\-[0-9]{1,2})?", fullmatch=True),
+    dst=st.from_regex(r"[A-Z][A-Z0-9]{3,6}", fullmatch=True),
+    digis=st.lists(
+        st.sampled_from(["WIDE1-1", "WIDE2-2", "RELAY", "WIDE2-2*", "TCPIP*"]),
+        max_size=3,
+    ),
+    q=st.sampled_from(["qAC", "qAR", "qAO", "qAS"]),
+    gate=st.from_regex(r"[A-Z][A-Z0-9]{2,7}", fullmatch=True),
+    info=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_tnc2_grammar_roundtrip(src, dst, digis, q, gate, info):
+    """format∘parse identity on the TNC2 header grammar (python mirror of
+    the engine regex — SURVEY.md §5.4)."""
+    import re
+
+    from aprsdb_spark.aprs.parse import _HEADER_RE
+
+    path = ",".join(digis + [q, gate])
+    raw = f"{src}>{dst},{path}:{info}"
+    m = re.match(_HEADER_RE, raw)
+    assert m, raw
+    assert m.group(1) == src
+    assert m.group(2) == dst
+    parts = m.group(3).split(",")[1:]
+    assert parts == digis + [q, gate]
+    assert m.group(4) == info

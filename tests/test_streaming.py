@@ -263,3 +263,56 @@ def test_parquet_append_sink(spark, tmp_path):
     log = spark.read.parquet(out_dir)
     assert log.count() == 200
     assert log.where(F.col("latitude").isNotNull()).count() == 200
+
+
+def test_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas: power-of-two packet-count threshold
+    crossings per station, state persisted across two checkpointed runs
+    (RocksDB state store)."""
+    # the tws python driver worker needs protobuf, absent in this container
+    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
+    from aprsdb_spark.streaming.tws import rate_threshold_stream
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src_dir = tmp_path / "in"
+        src_dir.mkdir()
+        ck = tmp_path / "ck"
+        emitted: list = []
+
+        def run():
+            lines = S.read_packet_lines(spark, str(src_dir))
+            out = rate_threshold_stream(S.parsed_packet_stream(lines))
+            q = (
+                out.writeStream.option("checkpointLocation", str(ck))
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .foreachBatch(lambda b, i: emitted.extend(b.collect()))
+                .start()
+            )
+            q.awaitTermination()
+
+        base = 1704067200000
+        (src_dir / "a.txt").write_text(
+            "".join(f"{base + i * 1000}\tTWS1>APRS,qAR,G:>s{i}\n" for i in range(3))
+        )
+        run()
+        # counts 1,2,3 -> crossings at 1 and 2
+        assert sorted(r.threshold_crossed for r in emitted if r.src == "TWS1") == [1, 2]
+
+        (src_dir / "b.txt").write_text(
+            "".join(f"{base + (10 + i) * 1000}\tTWS1>APRS,qAR,G:>t{i}\n" for i in range(3))
+        )
+        emitted.clear()
+        run()
+        # counts 4,5,6 continuing from persisted state -> crossing at 4 only
+        assert sorted(r.threshold_crossed for r in emitted if r.src == "TWS1") == [4]
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
