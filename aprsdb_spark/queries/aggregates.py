@@ -243,3 +243,30 @@ def d_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
     )
+
+
+@query(
+    "d_agg_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def d_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, status): all 2^2 grouping sets in one pass
+    (Spark expands the sets before the hash agg — input is read once)."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select("c_mktsegment", "o_orderstatus", "gid", "n_orders", "total_value")
+    )
