@@ -572,3 +572,43 @@ def j_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("x"), 6).alias("centroid"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "j_pipeline_curate",
+    oracle="""
+    WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+    curated AS (
+      SELECT d.doc_id, d.lang, d.n_chars, len(string_split(d.text, ' ')) AS n_tok,
+             len(list_distinct(string_split(d.text, ' '))) * 1.0 /
+               len(string_split(d.text, ' ')) AS ldiv
+      FROM documents d JOIN keepers USING (doc_id))
+    SELECT doc_id, lang, n_chars,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           FLOOR(ldiv * 1000000 + 0.5) / 1000000 AS lexical_diversity
+    FROM curated
+    WHERE n_chars BETWEEN 200 AND 5000 AND n_tok >= 30 AND ldiv >= 0.1
+    """,
+)
+def j_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline: exact-dedup (keep
+    min doc_id per text) → quality gate (length/tokens/diversity) →
+    per-doc stats. One declarative plan: Catalyst fuses the semi-join
+    and filters; at 100 TB this is one shuffle (the dedup groupBy) plus
+    a scan — the shape of a production corpus-curation job."""
+    t = load(spark, sf_dir)
+    keepers = t.documents.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    ldiv = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    return (
+        t.documents.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col("n_chars").between(200, 5000) & (n_tok >= 30) & (ldiv >= 0.1))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_tok.cast("long").alias("n_tokens"),
+            rnd(ldiv, 6).alias("lexical_diversity"),
+        )
+    )
