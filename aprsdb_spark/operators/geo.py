@@ -65,3 +65,63 @@ def within_radius(
     return boxed.where(
         haversine_km(lat, lon, F.lit(qlat), F.lit(qlon)) <= radius_km
     )
+
+
+def geo_pairs_within(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    max_abs_lat: float = 70.0,
+) -> DataFrame:
+    """All pairs of rows within radius_km of each other — WITHOUT the
+    O(n²) cross join: assign each point a grid cell sized >= radius, so
+    any qualifying pair sits in the same or an adjacent cell; explode
+    one side to its 3x3 cell neighborhood and equi-join on the cell key.
+
+    Shuffle cost is O(9n) rows hashed by cell instead of n² pair
+    evaluations; the exact haversine runs only on co-celled candidates.
+    Requires |lat| <= max_abs_lat (cell widths degenerate at the poles).
+    Output: (id_a, id_b, dist_km) with id_a < id_b, exact.
+    """
+    lat_cell = radius_km / 111.0
+    # widest lon span a radius can cover at the most extreme usable lat
+    lon_cell = radius_km / (111.0 * math.cos(math.radians(min(89.0, max_abs_lat + lat_cell))))
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        lat.alias("_lat"),
+        lon.alias("_lon"),
+        F.floor(lat / lat_cell).cast("int").alias("_cy"),
+        F.floor(lon / lon_cell).cast("int").alias("_cx"),
+    )
+    neighbors = F.array(
+        *[
+            F.struct(
+                (F.col("_cy") + dy).alias("cy"), (F.col("_cx") + dx).alias("cx")
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("_id").alias("id_a"),
+        F.col("_lat").alias("lat_a"),
+        F.col("_lon").alias("lon_a"),
+        F.explode(neighbors).alias("_cell"),
+    ).select("id_a", "lat_a", "lon_a", F.col("_cell.cy").alias("cy"), F.col("_cell.cx").alias("cx"))
+    right = pts.select(
+        F.col("_id").alias("id_b"),
+        F.col("_lat").alias("lat_b"),
+        F.col("_lon").alias("lon_b"),
+        F.col("_cy").alias("cy"),
+        F.col("_cx").alias("cx"),
+    )
+    d = haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    return (
+        left.join(right, ["cy", "cx"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(d <= radius_km)
+        .select("id_a", "id_b", d.alias("dist_km"))
+    )

@@ -284,3 +284,45 @@ def aprs_telemetry_eng(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_packets(_read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts")
     defs = eqns_definitions(parsed)
     return apply_eqns(parsed, defs)
+
+
+@query(
+    "h_str_parse_phg",
+    oracle="""
+    WITH x AS (
+      SELECT raw, regexp_extract(raw, 'PHG(\\d)(\\d)(\\d)(\\d)', 1) AS p,
+                  regexp_extract(raw, 'PHG(\\d)(\\d)(\\d)(\\d)', 2) AS h,
+                  regexp_extract(raw, 'PHG(\\d)(\\d)(\\d)(\\d)', 3) AS g,
+                  regexp_extract(raw, 'PHG(\\d)(\\d)(\\d)(\\d)', 4) AS d
+      FROM (VALUES
+        ('N0CALL>APRS,qAR,G:!4903.50N/07201.75W#PHG5132 digi'),
+        ('N1CALL>APRS,qAR,G:!4903.50N/07201.75W#PHG9000 big amp'),
+        ('N2CALL>APRS,qAR,G:!4903.50N/07201.75W#PHG0360'),
+        ('N3CALL>APRS,qAR,G:!4903.50N/07201.75W-no phg here')) t(raw))
+    SELECT raw,
+           CASE WHEN p <> '' THEN CAST(p AS DOUBLE) * CAST(p AS DOUBLE) END AS power_w,
+           CASE WHEN h <> '' THEN 10.0 * pow(2.0, CAST(h AS DOUBLE)) END AS height_ft,
+           CASE WHEN g <> '' THEN CAST(g AS BIGINT) END AS gain_db,
+           CASE WHEN d <> '' THEN CAST(d AS BIGINT) * 45 END AS directivity_deg
+    FROM x
+    """,
+)
+def h_str_parse_phg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHG (power-height-gain, APRS101 §7) decode from position
+    comments: PHGphgd → power=p² W, height=10·2^h ft, gain dB,
+    directivity=d·45°. Pure regexp+arithmetic; nulls when absent."""
+    frames = [
+        "N0CALL>APRS,qAR,G:!4903.50N/07201.75W#PHG5132 digi",
+        "N1CALL>APRS,qAR,G:!4903.50N/07201.75W#PHG9000 big amp",
+        "N2CALL>APRS,qAR,G:!4903.50N/07201.75W#PHG0360",
+        "N3CALL>APRS,qAR,G:!4903.50N/07201.75W-no phg here",
+    ]
+    df = spark.createDataFrame([(f,) for f in frames], "raw string")
+    g = lambda i: F.regexp_extract("raw", r"PHG(\d)(\d)(\d)(\d)", i)  # noqa: E731
+    return df.select(
+        "raw",
+        F.when(g(1) != "", g(1).cast("double") * g(1).cast("double")).alias("power_w"),
+        F.when(g(2) != "", 10.0 * F.pow(F.lit(2.0), g(2).cast("double"))).alias("height_ft"),
+        F.when(g(3) != "", g(3).cast("long")).alias("gain_db"),
+        F.when(g(4) != "", g(4).cast("long") * 45).alias("directivity_deg"),
+    )

@@ -335,3 +335,43 @@ def h_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_km"
         ),
     )
+
+
+@query(
+    "h_geo_pairs",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey AS id,
+             CAST(((s_suppkey * 7) % 120) - 60 AS DOUBLE) AS lat,
+             CAST(((s_suppkey * 13) % 300) - 150 AS DOUBLE) AS lon
+      FROM supplier)
+    SELECT a.id AS id_a, b.id AS id_b,
+           FLOOR((2 * 6371.0 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+           ))) * 10000 + 0.5) / 10000 AS dist_km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE 2 * 6371.0 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+           )) <= 1500
+    """,
+)
+def h_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise geo join — all station pairs within 1500 km — via grid-
+    cell bucketing (operators/geo.geo_pairs_within): 3x3 neighbor-cell
+    equi-join instead of an O(n²) haversine cross join. The oracle IS
+    the brute-force theta join, so cell coverage correctness (no pair
+    missed at cell borders) is exactly what the hash-match proves."""
+    from ..operators.geo import geo_pairs_within
+
+    t = load(spark, sf_dir)
+    pts = t.supplier.select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 7) % 120 - 60).cast("double").alias("lat"),
+        ((F.col("s_suppkey") * 13) % 300 - 150).cast("double").alias("lon"),
+    )
+    pairs = geo_pairs_within(pts, "id", "lat", "lon", 1500.0, max_abs_lat=60.0)
+    return pairs.select("id_a", "id_b", rnd(F.col("dist_km"), 4).alias("dist_km"))
