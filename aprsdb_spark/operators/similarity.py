@@ -41,17 +41,20 @@ def brute_topk(emb: DataFrame, query_vec: Column, k: int = 10) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def ivf_assign(emb: DataFrame, k_clusters: int = 16) -> tuple[DataFrame, list]:
-    """One-pass IVF index: centroids = the first k vectors by vec_id
-    (deterministic seeding, matching a k-means|| init's first round);
-    every vector is assigned to its max-dot centroid.
+def ivf_assign(
+    emb: DataFrame, k_clusters: int = 16, cents: list | None = None
+) -> tuple[DataFrame, list]:
+    """IVF index: assign every vector to its max-dot centroid. Centroids
+    default to deterministic seed rows; pass kmeans_train() output for a
+    trained quantizer (better recall at the same nprobe).
 
     Returns (assignments df, centroid python list for query planning).
     """
-    cents = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.orderBy("vec_id").limit(k_clusters).collect()
-    ]
+    if cents is None:
+        cents = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.orderBy("vec_id").limit(k_clusters).collect()
+        ]
     cent_arr = F.array(
         *[
             F.struct(
@@ -131,3 +134,131 @@ def hyperplane_sketch(vec: str | Column, n_planes: int = 16, dim: int = 64) -> C
     for b in bits:
         out = out + b
     return out
+
+
+def lsh_probe_buckets(qbucket: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance <= radius of qbucket —
+    the multi-probe set. Driver-side: sum_{r<=radius} C(n_planes, r)
+    ints of index metadata, independent of data size."""
+    from itertools import combinations
+
+    out = [qbucket]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(n_planes), r):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return out
+
+
+def lsh_search(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_planes: int = 8,
+    radius: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: sign-sketch every vector into one of
+    2^n_planes buckets, multi-probe the buckets within Hamming radius of
+    the query's bucket, brute-force rank inside them.
+
+    100 TB path: the sketch is computed once at WRITE time and the table
+    is partitioned/bucketed by `bucket`, so the isin() probe below is
+    partition PRUNING — a query touches ~probe/2^n_planes of the data
+    and never shuffles. The query's own bucket is always probed
+    (Hamming 0), so the query vector itself is always retrievable."""
+    from ..functions import rnd
+
+    tagged = emb.withColumn(
+        "bucket", hyperplane_sketch("embedding", n_planes=n_planes, dim=dim)
+    )
+    qrow = tagged.where(F.col("vec_id") == query_id).select("embedding", "bucket").head()
+    qvec = [float(x) for x in qrow.embedding]
+    probe = lsh_probe_buckets(int(qrow.bucket), n_planes, radius)
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    return (
+        tagged.where(F.col("bucket").isin(probe))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            rnd(dot_expr(as_double("embedding"), qcol), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def kmeans_train(emb: DataFrame, k: int = 16, iters: int = 2) -> list:
+    """Lloyd's k-means over the embedding column, expressed as DataFrame
+    ops per iteration: broadcast centroids → max-dot assignment (window)
+    → per-dimension avg (posexplode + hash agg) → collect the k*dim
+    model back to the driver. The collect is MODEL state (k·dim floats),
+    not data — the same loop runs unchanged over 100 TB.
+
+    Init = first k vectors by vec_id (deterministic). Returns
+    [(cluster_id, [centroid floats])].
+    """
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    cents = [(i, v) for i, (_, v) in enumerate(cents)]
+    for _ in range(iters):
+        cent_arr = F.array(
+            *[
+                F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
+                for cid, vec in cents
+            ]
+        )
+        scored = emb.select("vec_id", "embedding", F.explode(cent_arr).alias("c")).select(
+            "vec_id",
+            "embedding",
+            F.col("c.cid").alias("cid"),
+            dot_expr(as_double("embedding"), F.col("c.cv")).alias("s"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
+        assigned = scored.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+        new_cents = (
+            assigned.select("cid", F.posexplode(as_double("embedding")).alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dims"))
+            .select("cid", F.transform("dims", lambda d: d.m).alias("cv"))
+            .collect()
+        )
+        import math as _math
+
+        by_cid = {}
+        for r in new_cents:
+            v = [float(x) for x in r.cv]
+            norm = _math.sqrt(sum(x * x for x in v))
+            if norm > 1e-12:
+                # SPHERICAL k-means: renormalize — raw means shrink in
+                # norm (mean of unit vectors is inside the sphere), which
+                # would make dot-based assignment degrade monotonically
+                by_cid[int(r.cid)] = [x / norm for x in v]
+        # empty clusters keep their previous centroid
+        cents = [(cid, by_cid.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def kmeans_objective(emb: DataFrame, cents: list) -> float:
+    """Mean best-dot over the corpus — the quantity Lloyd ascends
+    (for L2-normalized data, max dot == min squared distance)."""
+    cent_arr = F.array(
+        *[
+            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
+            for cid, vec in cents
+        ]
+    )
+    best = (
+        emb.select("vec_id", "embedding", F.explode(cent_arr).alias("c"))
+        .select("vec_id", dot_expr(as_double("embedding"), F.col("c.cv")).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("best"))
+    )
+    return best.agg(F.avg("best")).collect()[0][0]

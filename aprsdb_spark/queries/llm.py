@@ -236,13 +236,82 @@ def j_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_dedup_embed",
+    oracle="""
+    WITH pairs AS (
+      SELECT e1.vec_id AS a, e2.vec_id AS b
+      FROM embeddings e1 JOIN embeddings e2
+        ON e1.label = e2.label AND e1.vec_id <> e2.vec_id
+      WHERE FLOOR((list_dot_product(CAST(e1.embedding AS DOUBLE[]),
+                                    CAST(e2.embedding AS DOUBLE[]))) * 1000000 + 0.5)
+              / 1000000 >= 0.3)
+    SELECT v.vec_id, v.label,
+           LEAST(v.vec_id, COALESCE(MIN(p.b), v.vec_id)) AS keep_id,
+           CAST(COUNT(p.b) AS BIGINT) AS n_near,
+           (LEAST(v.vec_id, COALESCE(MIN(p.b), v.vec_id)) = v.vec_id) AS is_keeper
+    FROM embeddings v LEFT JOIN pairs p ON p.a = v.vec_id
+    GROUP BY v.vec_id, v.label
+    """,
+)
+def j_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: each vector's keeper is the
+    min vec_id among itself and its >= 0.3-cosine neighbors (same label)
+    — the single-hop greedy keeper assignment of a semantic-dedup pass.
+    The label equi-key carries the join shuffle; the unlabeled 100 TB
+    variant swaps the key for hyperplane_sketch buckets (same plan
+    shape, candidate pairs per bucket instead of per label)."""
+    t = load(spark, sf_dir)
+    e1 = t.embeddings.alias("e1")
+    e2 = t.embeddings.alias("e2")
+    score = rnd(dot_expr(as_double(F.col("e1.embedding")), as_double(F.col("e2.embedding"))), 6)
+    pairs = (
+        e1.join(
+            e2,
+            (F.col("e1.label") == F.col("e2.label"))
+            & (F.col("e1.vec_id") != F.col("e2.vec_id")),
+        )
+        .where(score >= 0.3)
+        .select(F.col("e1.vec_id").alias("a"), F.col("e2.vec_id").alias("b"))
+    )
+    base = t.embeddings.select("vec_id", "label")
+    keep = F.least(F.col("vec_id"), F.coalesce(F.min("b"), F.col("vec_id")))
+    return (
+        base.join(pairs, base.vec_id == pairs.a, "left")
+        .groupBy("vec_id", "label")
+        .agg(
+            keep.alias("keep_id"),
+            F.count("b").alias("n_near"),
+            (keep == F.col("vec_id")).alias("is_keeper"),
+        )
+    )
+
+
+@query("j_ann_lsh")  # rows-only: approximate by construction
+def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the scale path next to j_ann_ivf):
+    8 sign-bits → 256 buckets, multi-probe Hamming radius 2 (37 buckets,
+    ~14% of the corpus). At 100 TB the bucket is a write-time partition
+    key, so the probe is partition pruning — no shuffle, no full scan.
+    Recall vs j_sim_topk asserted in tests (top-1 must match: the
+    query's own bucket is always probed)."""
+    from ..operators.similarity import lsh_search
+
+    t = load(spark, sf_dir)
+    return lsh_search(t.embeddings, query_id=0, k=10, n_planes=8, radius=2)
+
+
 @query("j_ann_ivf")  # rows-only: approximate by construction
 def j_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN: 16 coarse centroids, probe 4 — scans ~1/4 of
-    the corpus instead of all of it; recall vs j_sim_topk is asserted in
-    tests (top-1 must match: the query's own cluster is always probed)."""
+    """IVF approximate NN: 16 spherical-k-means centroids (2 Lloyd
+    iterations, operators/similarity.kmeans_train), probe 4 — scans ~1/4
+    of the corpus; recall vs j_sim_topk asserted in tests (top-1 must
+    match: the query's own cluster is always probed)."""
+    from ..operators.similarity import kmeans_train
+
     t = load(spark, sf_dir)
-    assigned, cents = ivf_assign(t.embeddings, k_clusters=16)
+    trained = kmeans_train(t.embeddings, k=16, iters=2)
+    assigned, cents = ivf_assign(t.embeddings, k_clusters=16, cents=trained)
     qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
     qvec = [float(x) for x in qrow.embedding]
     return ivf_search(assigned, cents, qvec, k=10, nprobe=4)

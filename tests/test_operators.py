@@ -132,3 +132,52 @@ def test_multimodal_decode_stub(spark):
     assert len(out) == 50
     assert all(64 <= r.width < 128 and r.format in ("png", "jpeg") for r in out)
     assert all(r.n_bytes > 0 for r in out)
+
+
+def test_lsh_search_top1_and_pruning(spark):
+    """LSH ANN: the query's own bucket is always probed, so top-1 is the
+    query itself (score 1.0); every returned row's bucket is within the
+    Hamming probe radius of the query's bucket."""
+    from aprsdb_spark.operators.similarity import lsh_probe_buckets, lsh_search
+    from aprsdb_spark.tables import load
+
+    emb = load(spark, SF001).embeddings
+    out = lsh_search(emb, query_id=0, k=10, n_planes=8, radius=2).collect()
+    assert out[0].vec_id == 0 and out[0].score == 1.0
+    qbucket = next(r.bucket for r in out if r.vec_id == 0)
+    probe = set(lsh_probe_buckets(qbucket, 8, 2))
+    assert all(r.bucket in probe for r in out)
+    assert [r.score for r in out] == sorted((r.score for r in out), reverse=True)
+    # probe set size: 1 + C(8,1) + C(8,2) = 37 of 256 buckets
+    assert len(probe) == 37
+
+
+def test_dedup_embed_keeper_invariants(spark):
+    """Every non-keeper points at a smaller keeper and has >=1 neighbor;
+    keepers point at themselves."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["j_dedup_embed"](spark, SF001).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.keep_id <= r.vec_id
+        assert r.is_keeper == (r.keep_id == r.vec_id)
+        if not r.is_keeper:
+            assert r.n_near >= 1
+    assert any(not r.is_keeper for r in rows)  # τ=0.3 yields real dup groups
+
+
+def test_kmeans_objective_improves(spark):
+    """Lloyd iterations (pure DataFrame ops) must not decrease the mean
+    best-dot objective; trained centroids beat the seed rows."""
+    from aprsdb_spark.operators.similarity import kmeans_objective, kmeans_train
+    from aprsdb_spark.tables import load
+
+    emb = load(spark, SF001).embeddings
+    seed = kmeans_train(emb, k=8, iters=0)
+    trained = kmeans_train(emb, k=8, iters=2)
+    o0 = kmeans_objective(emb, seed)
+    o2 = kmeans_objective(emb, trained)
+    assert o2 >= o0 - 1e-9, (o0, o2)
+    assert o2 > o0 + 0.01  # random-normal data: real movement expected
