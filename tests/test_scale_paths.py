@@ -136,3 +136,25 @@ def test_exchange_counting(spark):
 
     p = formatted_plan(bcast)
     assert p.count("Exchange hashpartitioning") <= 1  # just the groupBy
+
+
+def test_ann_bucket_layout_prunes(spark, tmp_path):
+    """The 100 TB ANN layout behind j_ann_lsh: embeddings written
+    partitioned by the hyperplane-sketch bucket; a multi-probe query
+    shows up as PartitionFilters (directory pruning — only ~probe/256
+    of the corpus is read) and returns exactly the probed rows."""
+    from aprsdb_spark.operators.similarity import hyperplane_sketch, lsh_probe_buckets
+    from aprsdb_spark.plans.inspect import formatted_plan, partition_filters
+
+    emb = load(spark, SF).embeddings
+    tagged = emb.withColumn("bucket", hyperplane_sketch("embedding", n_planes=8, dim=64))
+    out = str(tmp_path / "emb_by_bucket")
+    tagged.write.partitionBy("bucket").parquet(out)
+
+    back = spark.read.parquet(out)
+    qbucket = int(back.where(F.col("vec_id") == 0).select("bucket").head().bucket)
+    probe = lsh_probe_buckets(qbucket, 8, 2)
+    probed = back.where(F.col("bucket").isin(probe))
+    pf = partition_filters(probed)
+    assert pf and any("bucket" in f for f in pf), formatted_plan(probed)[:1500]
+    assert probed.count() == tagged.where(F.col("bucket").isin(probe)).count() > 0
