@@ -10,7 +10,8 @@
                the data. Centroid collect() is index *metadata* (K·dim
                floats), not a data collect.
 - LSH (random hyperplane): sign-bit sketch for cosine — bucket join for
-  all-pairs; hyperplanes derive from xxhash64, seed-stable.
+  all-pairs, multi-probe search; plane patterns are driver-side
+  constants embedded as literals, seed-stable.
 """
 
 from __future__ import annotations
@@ -108,31 +109,35 @@ def ivf_search(
     )
 
 
+def _plane_sign(p: int, j: int) -> float:
+    """Deterministic pseudo-random ±1 for plane p, dimension j (md5
+    parity — seed-stable across runs; bucketing only, so the exact
+    family doesn't matter)."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{p},{j}".encode()).digest()[0] & 1 == 0 else -1.0
+
+
 def hyperplane_sketch(vec: str | Column, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane (sign) sketch for cosine LSH, as an INT bucket.
 
-    Plane p's component j is a deterministic pseudo-random ±1 derived
-    from xxhash64(p, j) — seed-stable across runs and engines that share
-    xxhash64; used for bucketing only, so portability doesn't matter.
+    The ±1 plane patterns are data-INDEPENDENT, so they are computed
+    once on the driver and embedded as literal arrays — per row this is
+    n_planes·dim multiply-adds in codegen. (The previous form derived
+    the pattern from xxhash64(p, j) inside the lambda: 1024 constant
+    hash calls per row that Catalyst cannot fold out of a higher-order
+    function.)
     """
     v = as_double(vec)
-    bits = []
+    out = F.lit(0)
     for p in range(n_planes):
-        # ±1 pattern: parity of xxhash64 of (p, j)
+        signs = F.array(*[F.lit(_plane_sign(p, j)) for j in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x
-                * F.when(F.xxhash64(F.lit(p), j).bitwiseAND(F.lit(1).cast("long")) == 0, 1.0).otherwise(-1.0),
-            ),
+            F.zip_with(v, signs, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
+        out = out + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return out
 
 
