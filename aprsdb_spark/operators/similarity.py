@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,30 +56,40 @@ def ivf_assign(
             (int(r.vec_id), [float(x) for x in r.embedding])
             for r in emb.orderBy("vec_id").limit(k_clusters).collect()
         ]
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cluster_id"),
-                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in cents
-        ]
-    )
-    scored = emb.select(
+    # NARROW assignment: argmax over k literal centroids via array_max of
+    # struct(score, -cid) — struct ordering is lexicographic, so ties
+    # break to the SMALLEST cluster_id. No explode (k-fold row blowup),
+    # no window, and critically no shuffle: assignment is a map stage.
+    assigned = emb.select(
         "vec_id",
         "label",
         "embedding",
-        F.explode(cent_arr).alias("c"),
+        _best_centroid(cents).alias("b"),
     ).select(
         "vec_id",
         "label",
         "embedding",
-        F.col("c.cluster_id").alias("cluster_id"),
-        dot_expr(as_double("embedding"), F.col("c.cvec")).alias("cscore"),
+        (-F.col("b.ncid")).alias("cluster_id"),
+        F.col("b.s").alias("cscore"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cluster_id"))
-    assigned = scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
     return assigned, cents
+
+
+def _best_centroid(cents: list, emb_col: str = "embedding") -> Column:
+    """struct<s: double, ncid: int> of the max-dot centroid for a row's
+    embedding; ncid is the NEGATED cluster id so lexicographic struct
+    max tie-breaks to the smallest id."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    dot_expr(as_double(emb_col), F.array(*[F.lit(x) for x in vec])).alias("s"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, vec in cents
+            ]
+        )
+    )
 
 
 def ivf_search(
@@ -205,27 +215,32 @@ def kmeans_train(emb: DataFrame, k: int = 16, iters: int = 2) -> list:
 
     Init = first k vectors by vec_id (deterministic). Returns
     [(cluster_id, [centroid floats])].
+
+    The working set is persisted across iterations — Lloyd re-reads the
+    corpus once per iteration, and at scale the re-scan (and any
+    upstream transform) dominates; unpersisted on exit since the
+    returned model is already materialized on the driver.
     """
+    emb = emb.select("vec_id", "embedding").persist()
+    try:
+        return _kmeans_iterate(emb, k, iters)
+    finally:
+        emb.unpersist()
+
+
+def _kmeans_iterate(emb: DataFrame, k: int, iters: int) -> list:
     cents = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.orderBy("vec_id").limit(k).collect()
     ]
     cents = [(i, v) for i, (_, v) in enumerate(cents)]
     for _ in range(iters):
-        cent_arr = F.array(
-            *[
-                F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
-                for cid, vec in cents
-            ]
+        # narrow argmax assignment (see _best_centroid) — the only
+        # shuffle per iteration is the (cid, dim) hash agg below, whose
+        # map-side partials are k*dim rows per partition, data-size-free
+        assigned = emb.select(
+            "embedding", (-_best_centroid(cents)["ncid"]).alias("cid")
         )
-        scored = emb.select("vec_id", "embedding", F.explode(cent_arr).alias("c")).select(
-            "vec_id",
-            "embedding",
-            F.col("c.cid").alias("cid"),
-            dot_expr(as_double("embedding"), F.col("c.cv")).alias("s"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
-        assigned = scored.withColumn("rn", F.row_number().over(w)).where("rn = 1")
         new_cents = (
             assigned.select("cid", F.posexplode(as_double("embedding")).alias("dim", "x"))
             .groupBy("cid", "dim")
@@ -253,17 +268,7 @@ def kmeans_train(emb: DataFrame, k: int = 16, iters: int = 2) -> list:
 
 def kmeans_objective(emb: DataFrame, cents: list) -> float:
     """Mean best-dot over the corpus — the quantity Lloyd ascends
-    (for L2-normalized data, max dot == min squared distance)."""
-    cent_arr = F.array(
-        *[
-            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
-            for cid, vec in cents
-        ]
-    )
-    best = (
-        emb.select("vec_id", "embedding", F.explode(cent_arr).alias("c"))
-        .select("vec_id", dot_expr(as_double("embedding"), F.col("c.cv")).alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("best"))
-    )
+    (for L2-normalized data, max dot == min squared distance).
+    One narrow map + a scalar avg: no explode, no per-vector shuffle."""
+    best = emb.select(_best_centroid(cents)["s"].alias("best"))
     return best.agg(F.avg("best")).collect()[0][0]

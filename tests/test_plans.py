@@ -79,3 +79,16 @@ def test_sim_topk_projects_only_needed_columns(spark):
     read = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read and all("embedding" in l or "vec_id" in l for l in read)
     assert "TakeOrderedAndProject" in p
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """IVF cluster assignment must be a pure map stage — argmax over
+    literal centroids via array_max(struct(s, -cid)), zero Exchange.
+    (The window-over-explode form cost a k-fold row blowup plus a full
+    hash-partition shuffle per assignment pass.)"""
+    from aprsdb_spark.operators.similarity import ivf_assign
+    from aprsdb_spark.plans.inspect import count_exchanges
+    from aprsdb_spark.tables import load
+
+    assigned, _ = ivf_assign(load(spark, SF_DIR).embeddings, k_clusters=8)
+    assert count_exchanges(assigned) == 0
