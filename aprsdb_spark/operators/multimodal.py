@@ -23,6 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -91,4 +94,116 @@ def decode_payloads(mm: DataFrame) -> DataFrame:
     """Run the decode stage over packed multimodal rows."""
     return mm.select("doc_id", F.col("mm.payload").alias("payload")).mapInPandas(
         decode_batches, DECODED_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize: a real implementation decodes + rescales via
+    PIL/libvips (absent here). Deterministic fake: tile/truncate the
+    payload to the target byte budget (w*h//16) so output size tracks
+    target dims and tests are stable. Swap body at deploy."""
+    budget = max(w * h // 16, 1)
+    reps = budget // max(len(payload), 1) + 1
+    return (payload * reps)[:budget]
+
+
+def resize_payloads(mm: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stage: binary in → binary out, target dims carried as
+    typed columns. Same partitioning/batching discipline as decode."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int64"),
+                    "height": pd.Series([height] * len(pdf), dtype="int64"),
+                    "payload": [_resize_stub(p, width, height) for p in pdf["payload"]],
+                }
+            )
+
+    return mm.select("doc_id", F.col("mm.payload").alias("payload")).mapInPandas(
+        kernel, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(mm: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
+    """Frame-sampling stage (the video path): one payload row fans out
+    to n_frames evenly-spaced fixed-size slices — 1→N inside the Arrow
+    batch, no explode shuffle. A real implementation seeks keyframes
+    via a codec; the slicing is the deterministic stand-in, the fan-out
+    plumbing (schema, row multiplication, batch shape) is real."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, idxs, frames = [], [], []
+        for pdf in it:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                span = max(len(p) - frame_bytes, 0)
+                for i in range(n_frames):
+                    off = (span * i) // max(n_frames - 1, 1)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(p[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+            ids, idxs, frames = [], [], []
+
+    return mm.select("doc_id", F.col("mm.payload").alias("payload")).mapInPandas(
+        kernel, FRAMES_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Feature-extract stage: payload → L2-normalized 16-bin byte
+    histogram (high nibble). NOT a stub — byte histograms need no codec,
+    so this is a real, deterministic embedding any downstream ANN qid
+    can consume. numpy-vectorized per Arrow batch."""
+    import numpy as np
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(p, dtype=np.uint8)
+                h = np.bincount(a >> 4, minlength=16).astype(np.float64)
+                n = float(np.sqrt((h * h).sum()))
+                feats.append((h / n).tolist() if n > 0 else h.tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "features": feats}
+            )
+
+    return mm.select("doc_id", F.col("mm.payload").alias("payload")).mapInPandas(
+        kernel, FEATURES_SCHEMA
     )

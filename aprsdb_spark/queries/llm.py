@@ -537,6 +537,66 @@ def j_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("j_multimodal_frames")  # rows-only: fan-out plumbing, codec stubbed
+def j_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (video path): each payload fans out to 4
+    evenly-spaced fixed-size frames inside the Arrow batch — 1→N row
+    multiplication in mapInPandas, no explode shuffle. Frame bytes are
+    deterministic slices (real keyframe seek needs a codec)."""
+    from ..operators.multimodal import sample_frames
+
+    t = load(spark, sf_dir)
+    frames = sample_frames(pack_multimodal(t.documents), n_frames=4, frame_bytes=32)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").cast("long").alias("n_bytes")
+    )
+
+
+@query("j_multimodal_resize")  # rows-only: stub resize (no codec libs here)
+def j_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: binary in → binary out at a target-dim byte budget;
+    schema/batching real, rescale kernel a marked stub."""
+    from ..operators.multimodal import resize_payloads
+
+    t = load(spark, sf_dir)
+    resized = resize_payloads(pack_multimodal(t.documents), width=64, height=64)
+    return resized.select(
+        "doc_id", "width", "height", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+
+
+@query(
+    "j_multimodal_features",
+    oracle="""
+    WITH flat AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+             i -> ord(substr(text, i, 1)) // 16)) AS bucket
+      FROM documents),
+    hist AS (SELECT doc_id, bucket, COUNT(*) AS c FROM flat GROUP BY doc_id, bucket),
+    norms AS (SELECT doc_id, sqrt(SUM(c * c)) AS n FROM hist GROUP BY doc_id)
+    SELECT hist.doc_id, CAST(bucket AS BIGINT) AS bucket,
+           FLOOR((c / n) * 1000000 + 0.5) / 1000000 AS v
+    FROM hist JOIN norms ON hist.doc_id = norms.doc_id
+    """,
+)
+def j_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract stage over binary payloads: L2-normalized 16-bin
+    byte histogram via a numpy-vectorized mapInPandas kernel — a REAL
+    (non-stub) embedding, and the proof that the Arrow kernel path has
+    exact engine parity: the oracle recomputes the histogram character-
+    wise in SQL (payload == utf8(text), ASCII fixtures) and the values
+    hash-match. Zero buckets are dropped on both sides."""
+    from ..operators.multimodal import extract_features
+
+    t = load(spark, sf_dir)
+    feats = extract_features(pack_multimodal(t.documents))
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bucket", "v"))
+        .where(F.col("v") > 0)
+        .select("doc_id", F.col("bucket").cast("long").alias("bucket"), rnd(F.col("v"), 6).alias("v"))
+    )
+
+
 @query("j_multimodal_decode")  # rows-only: stub decode (no codec libs here)
 def j_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage over binary payloads —

@@ -181,3 +181,29 @@ def test_kmeans_objective_improves(spark):
     o2 = kmeans_objective(emb, trained)
     assert o2 >= o0 - 1e-9, (o0, o2)
     assert o2 > o0 + 0.01  # random-normal data: real movement expected
+
+
+def test_multimodal_stage_invariants(spark):
+    """Frame sampling fans out exactly n_frames rows per doc with
+    bounded frame size; extracted features are unit-norm."""
+    from aprsdb_spark.operators.multimodal import (
+        extract_features,
+        pack_multimodal,
+        sample_frames,
+    )
+    from aprsdb_spark.tables import load
+
+    mm = pack_multimodal(load(spark, SF001).documents)
+    frames = sample_frames(mm, n_frames=4, frame_bytes=32).collect()
+    assert len(frames) == 4 * 500
+    assert all(0 < len(r.frame) <= 32 for r in frames)
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+    feats = extract_features(mm).collect()
+    assert len(feats) == 500
+    for r in feats[:50]:
+        assert len(r.features) == 16
+        assert abs(sum(x * x for x in r.features) - 1.0) < 1e-9
