@@ -597,6 +597,51 @@ def j_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_multimodal_sim",
+    oracle="""
+    WITH flat AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+             i -> ord(substr(text, i, 1)) // 16)) AS bucket
+      FROM documents),
+    hist AS (SELECT doc_id, bucket, COUNT(*) AS c FROM flat GROUP BY doc_id, bucket),
+    norms AS (SELECT doc_id, sqrt(SUM(c * c)) AS n FROM hist GROUP BY doc_id),
+    grid AS (SELECT d.doc_id, b.bucket
+             FROM (SELECT DISTINCT doc_id FROM documents) d,
+                  (SELECT unnest(range(0, 16)) AS bucket) b),
+    densev AS (
+      SELECT grid.doc_id,
+             list(COALESCE(hist.c / norms.n, 0.0) ORDER BY grid.bucket) AS v
+      FROM grid
+      LEFT JOIN hist ON hist.doc_id = grid.doc_id AND hist.bucket = grid.bucket
+      JOIN norms ON norms.doc_id = grid.doc_id
+      GROUP BY grid.doc_id),
+    q AS (SELECT v AS qv FROM densev WHERE doc_id = 0)
+    SELECT densev.doc_id,
+           FLOOR(list_dot_product(densev.v, q.qv) * 1000000 + 0.5) / 1000000 AS score
+    FROM densev, q
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def j_multimodal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multimodal retrieval pipeline: binary payload →
+    feature-extract (Arrow kernel) → cosine top-10 vs doc 0's features.
+    Same broadcast-query/TakeOrderedAndProject shape as j_sim_topk, but
+    the embedding column is PRODUCED by the mapInPandas stage rather
+    than read from parquet — end-to-end oracle-checked (the SQL twin
+    rebuilds the histogram and uses list_dot_product on the dense
+    bucket-ordered vector, matching dot_expr's fold order)."""
+    from ..operators.multimodal import extract_features
+
+    t = load(spark, sf_dir)
+    feats = extract_features(pack_multimodal(t.documents))
+    q = feats.where(F.col("doc_id") == 0).select(F.col("features").alias("qv"))
+    scored = feats.crossJoin(F.broadcast(q)).select(
+        "doc_id", rnd(dot_expr(F.col("features"), F.col("qv")), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+
+
 @query("j_multimodal_decode")  # rows-only: stub decode (no codec libs here)
 def j_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage over binary payloads —
