@@ -635,7 +635,12 @@ def j_multimodal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir)
     feats = extract_features(pack_multimodal(t.documents))
-    q = feats.where(F.col("doc_id") == 0).select(F.col("features").alias("qv"))
+    # filter BEFORE the kernel: predicates cannot push through the
+    # opaque mapInPandas stage, so filtering feats would re-extract the
+    # whole corpus just to keep one query row
+    q = extract_features(
+        pack_multimodal(t.documents.where(F.col("doc_id") == 0))
+    ).select(F.col("features").alias("qv"))
     scored = feats.crossJoin(F.broadcast(q)).select(
         "doc_id", rnd(dot_expr(F.col("features"), F.col("qv")), 6).alias("score")
     )
