@@ -111,8 +111,15 @@ def jaccard_verify(
     pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact shingle-Jaccard for each candidate pair (cheap: |pairs| is
-    tiny after LSH). Returns (id_a, id_b, jaccard)."""
-    sh = docs.select(F.col(id_col).alias("_id"), shingles_col(text_col).alias("_sh"))
+    tiny after LSH). Returns (id_a, id_b, jaccard).
+
+    Shingles are hashed to longs first — 8-byte equality in the
+    intersect/union; identical to string Jaccard modulo ~2^-64
+    collision probability per pair."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles_col(text_col), lambda x: F.xxhash64(x)).alias("_sh"),
+    )
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")

