@@ -158,3 +158,23 @@ def test_ann_bucket_layout_prunes(spark, tmp_path):
     pf = partition_filters(probed)
     assert pf and any("bucket" in f for f in pf), formatted_plan(probed)[:1500]
     assert probed.count() == tagged.where(F.col("bucket").isin(probe)).count() > 0
+
+
+def test_ivf_index_layout_prunes(spark, tmp_path):
+    """The stored-IVF layout behind j_ann_ivf at 100 TB: assignments
+    written partitioned by cluster_id; an nprobe query shows up as
+    PartitionFilters and reads only the probed clusters."""
+    from aprsdb_spark.operators.similarity import ivf_assign
+    from aprsdb_spark.plans.inspect import formatted_plan, partition_filters
+
+    emb = load(spark, SF).embeddings
+    assigned, cents = ivf_assign(emb, k_clusters=8)
+    out = str(tmp_path / "emb_by_cluster")
+    assigned.write.partitionBy("cluster_id").parquet(out)
+
+    back = spark.read.parquet(out)
+    probe = [cid for cid, _ in cents[:2]]
+    probed = back.where(F.col("cluster_id").isin(probe))
+    pf = partition_filters(probed)
+    assert pf and any("cluster_id" in f for f in pf), formatted_plan(probed)[:1500]
+    assert probed.count() == assigned.where(F.col("cluster_id").isin(probe)).count() > 0
