@@ -1,7 +1,9 @@
 """§2.J — LLM-data-pipeline operators: dedup (exact / n-gram Jaccard /
-MinHash-LSH / SimHash), similarity search (brute cosine top-k, kNN
-label vote, all-pairs, IVF), text analysis (stats, TF-IDF, quality,
-naive-Bayes language-ID, fingerprinting), multimodal columns.
+MinHash-LSH / SimHash / embedding-cosine), similarity search (brute
+cosine top-k, kNN label vote, all-pairs, k-means-trained IVF,
+hyperplane-LSH multi-probe ANN), text analysis (stats, TF-IDF, quality,
+naive-Bayes language-ID, fingerprinting), multimodal columns (pack,
+decode, resize, frame-sample, feature-extract, composed retrieval).
 
 Thresholds are calibrated to the fixtures: embeddings are L2-normalized
 64-dim with max pairwise dot ≈ 0.51 (measured), so similarity cutoffs
