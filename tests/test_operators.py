@@ -207,3 +207,34 @@ def test_multimodal_stage_invariants(spark):
     for r in feats[:50]:
         assert len(r.features) == 16
         assert abs(sum(x * x for x in r.features) - 1.0) < 1e-9
+
+
+def test_hashed_jaccard_equals_string_jaccard(spark):
+    """The hashed-long shingle arrays used by j_dedup_ngram and the LSH
+    verify stage must produce the same Jaccard as string shingles
+    (collision probability ~2^-64 per pair; seeded random docs)."""
+    import random
+
+    from aprsdb_spark.operators.dedup import shingles_col
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    s_str = shingles_col("text")
+    s_hash = F.transform(s_str, lambda x: F.xxhash64(x))
+
+    def pairs(s):
+        sh = df.select("doc_id", s.alias("s"))
+        a, b = sh.alias("a"), sh.alias("b")
+        jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+        return sorted(
+            tuple(r)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"), jac.alias("j"))
+            .where(F.col("j") > 0)
+            .collect()
+        )
+
+    assert pairs(s_str) == pairs(s_hash)

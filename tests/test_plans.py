@@ -92,3 +92,30 @@ def test_ivf_assignment_is_narrow(spark):
 
     assigned, _ = ivf_assign(load(spark, SF_DIR).embeddings, k_clusters=8)
     assert count_exchanges(assigned) == 0
+
+
+# qids where these physical operators are the POINT, not a smell
+_EXPECTED_BNLJ = {
+    "c_join_cross",   # cartesian of two tiny dims
+    "c_join_theta",   # pure non-equi join
+    "j_knn_label", "j_lang_id", "j_multimodal_sim", "j_sim_topk",  # 1-row/tiny broadcast query side
+}
+_EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
+
+
+def test_no_accidental_cartesian_or_row_python(spark):
+    """Suite-wide plan audit: no qid may grow a CartesianProduct, an
+    unexpected BroadcastNestedLoopJoin, or a row-at-a-time Python eval
+    outside the explicitly documented ones. Catches the silent plan
+    regressions correctness tests can't."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    bad = []
+    for qid, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan:
+            bad.append(f"{qid}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and qid not in _EXPECTED_BNLJ:
+            bad.append(f"{qid}: unexpected BNLJ")
+        if "BatchEvalPython" in plan and qid not in _EXPECTED_ROW_PYTHON:
+            bad.append(f"{qid}: row-at-a-time python")
+    assert not bad, bad
