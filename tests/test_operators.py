@@ -238,3 +238,23 @@ def test_hashed_jaccard_equals_string_jaccard(spark):
         )
 
     assert pairs(s_str) == pairs(s_hash)
+
+
+def test_shingles_short_doc_edges(spark):
+    """The slice+zip_with shingle rewrite must keep the short-doc
+    semantics: < k tokens -> empty array (never negative-length slices),
+    exactly k tokens -> one shingle, duplicates collapsed."""
+    from aprsdb_spark.operators.dedup import shingles_col
+
+    rows = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"),
+         (5, "a b c a b c a b c")],
+        "doc_id long, text string",
+    ).select("doc_id", shingles_col("text").alias("s")).collect()
+    got = {r.doc_id: sorted(r.s) for r in rows}
+    assert got[0] == []  # split("") -> [""], 1 token < k -> no shingles
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["a b c"]
+    assert got[4] == ["a b c", "b c d"]
+    assert got[5] == sorted({"a b c", "b c a", "c a b"})
