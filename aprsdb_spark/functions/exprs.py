@@ -28,3 +28,29 @@ def sql_rnd(expr: str, n: int = 2) -> str:
     """DuckDB twin of rnd() for oracle SQL strings."""
     p = 10**n
     return f"FLOOR(({expr}) * {p} + 0.5) / {p}"
+
+
+def scalarize(df: "DataFrame") -> "DataFrame":  # noqa: F821 - hinted lazily
+    """Serialize every non-scalar output column so result frames survive
+    row-wise canonicalization in pandas (sort_values chokes on ndarray
+    cells: `TypeError: unhashable type`).
+
+    array<string> -> concat_ws(',') (readable, join-stable for the
+    fixture domains, which never contain ','); any other array / struct /
+    map -> to_json; binary -> hex. Scalar columns pass through untouched.
+    Apply as the FINAL projection of a registered query — the plan
+    underneath (the thing under test) is unchanged.
+    """
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StringType, StructType
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, ArrayType) and isinstance(f.dataType.elementType, StringType):
+            c = F.when(c.isNotNull(), F.concat_ws(",", c))
+        elif isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            c = F.to_json(c)
+        elif isinstance(f.dataType, BinaryType):
+            c = F.hex(c)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)

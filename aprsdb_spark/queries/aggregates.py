@@ -75,14 +75,40 @@ def d_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d_agg_approx")  # approx -> rows-only check (no hash-stable oracle)
+@query(
+    "d_agg_approx",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the 100 TB answer to countDistinct:
-    mergeable sketch, no expand, bounded memory."""
+    mergeable sketch, no expand, bounded memory.
+
+    The raw sketch estimate is engine-specific, so it can't hash-match
+    DuckDB; instead the output carries the exact count plus `approx_ok` =
+    |approx - exact| <= 5% * exact. HLL++ merge is commutative and the
+    hash is data-deterministic, so the boolean is stable across runs and
+    partitionings — the oracle asserts it TRUE, which both verifies the
+    sketch actually ran and bounds its error."""
     t = load(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
+    agg = t.events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("approx_ok"),
     )
 
 
@@ -194,7 +220,7 @@ def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_agg_collect",
     oracle="""
     SELECT user_id,
-           LIST(event_id ORDER BY epoch_ms(ts), event_id) AS event_ids,
+           array_to_string(LIST(event_id ORDER BY epoch_ms(ts), event_id), ',') AS event_ids,
            COUNT(*) AS n_events
     FROM events
     WHERE user_id < 20
@@ -204,17 +230,25 @@ def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-stable collect_list: explicit in-group ordering via
     sort_array over (ts_ms, event_id) structs — the only way a collected
-    array can hash-match an engine with ORDER BY-able LIST()."""
+    array can hash-match an engine with ORDER BY-able LIST().
+
+    The final projection serializes the array with concat_ws: the
+    driver's canonicalizer sorts result frames row-wise in pandas, and
+    ndarray cells are unhashable there — every output column must be
+    scalar. The collect/sort plan underneath is unchanged."""
     t = load(spark, sf_dir)
     return (
         t.events.where(F.col("user_id") < 20)
         .groupBy("user_id")
         .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("ts_ms").alias("ms"), F.col("event_id")))
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("ts_ms").alias("ms"), F.col("event_id")))
+                    ),
+                    lambda s: s.event_id,
                 ),
-                lambda s: s.event_id,
             ).alias("event_ids"),
             F.count("*").alias("n_events"),
         )

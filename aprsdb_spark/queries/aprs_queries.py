@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..aprs.decoders import enrich_positions
 from ..aprs.parse import parse_packets, parse_tnc2, station_view
+from ..functions import scalarize
 from ..registry import query
 
 FIXTURE_DIR = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "aprs"
@@ -63,7 +64,7 @@ def _packets_df(spark: SparkSession) -> DataFrame:
     SELECT raw,
            CASE WHEN src = '' THEN NULL ELSE src END AS src,
            CASE WHEN dst = '' THEN NULL ELSE dst END AS dst,
-           path,
+           COALESCE(array_to_string(path, ','), '') AS path,
            (list_filter(path, p -> regexp_matches(p, '^qA')))[1] AS q_construct,
            path[list_position(path, (list_filter(path, p -> regexp_matches(p, '^qA')))[1]) + 1]
              AS gate,
@@ -74,13 +75,15 @@ def _packets_df(spark: SparkSession) -> DataFrame:
 )
 def h_str_parse_tnc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TNC2 frame grammar as pure expressions: SRC>DST,PATH,qAX,GATE:info
-    → typed columns. The oracle runs the identical regex in DuckDB."""
+    → typed columns. The oracle runs the identical regex in DuckDB.
+    `path` re-joins the digi list with ',' (its own source delimiter —
+    lossless) so every output column is canonicalizer-safe scalar."""
     h = parse_tnc2(F.col("raw"))
     return _packets_df(spark).select(
         "raw",
         F.when(h.getField("src") != "", h.getField("src")).alias("src"),
         F.when(h.getField("dst") != "", h.getField("dst")).alias("dst"),
-        h.getField("path").alias("path"),
+        F.concat_ws(",", h.getField("path")).alias("path"),
         h.getField("q_construct").alias("q_construct"),
         h.getField("gate").alias("gate"),
         h.getField("dti").alias("dti"),
@@ -178,7 +181,10 @@ def aprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     allp = frames[0]
     for f in frames[1:]:
         allp = allp.unionByName(f)
-    return parse_packets(allp, recv_ts_col="recv_ts")
+    # rows-only qid, but the driver still materializes the frame: the
+    # struct/array columns (wx, telemetry, msg, path) serialize to JSON/
+    # csv so its pandas canonicalizer never sees an ndarray cell.
+    return scalarize(parse_packets(allp, recv_ts_col="recv_ts"))
 
 
 @query("aprs_lastpos")  # rows-only
@@ -225,16 +231,18 @@ def aprs_msg_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def aprs_wx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed weather + telemetry extraction from the mixed fixture."""
     parsed = parse_packets(_read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts")
-    return parsed.where(F.col("wx").isNotNull() | F.col("telemetry").isNotNull()).select(
-        "src",
-        "recv_ts",
-        "fmt",
-        F.col("wx.wind_dir").alias("wind_dir"),
-        F.col("wx.temp_f").alias("temp_f"),
-        F.col("wx.pressure_mb").alias("pressure_mb"),
-        F.col("telemetry.seq").alias("tel_seq"),
-        F.col("telemetry.vals").alias("tel_vals"),
-        F.col("telemetry.bits").alias("tel_bits"),
+    return scalarize(
+        parsed.where(F.col("wx").isNotNull() | F.col("telemetry").isNotNull()).select(
+            "src",
+            "recv_ts",
+            "fmt",
+            F.col("wx.wind_dir").alias("wind_dir"),
+            F.col("wx.temp_f").alias("temp_f"),
+            F.col("wx.pressure_mb").alias("pressure_mb"),
+            F.col("telemetry.seq").alias("tel_seq"),
+            F.col("telemetry.vals").alias("tel_vals"),
+            F.col("telemetry.bits").alias("tel_bits"),
+        )
     )
 
 
@@ -283,7 +291,7 @@ def aprs_telemetry_eng(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parsed = parse_packets(_read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts")
     defs = eqns_definitions(parsed)
-    return apply_eqns(parsed, defs)
+    return scalarize(apply_eqns(parsed, defs))
 
 
 @query(

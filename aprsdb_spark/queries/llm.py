@@ -377,19 +377,30 @@ def j_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-5 terms per doc (docs 0-19; DF over the full corpus).
     All expressions: explode → two hash aggs → broadcast idf join →
-    ranked window. The idf side is tiny (vocab) — always broadcast."""
+    ranked window. The idf side is tiny (vocab) — always broadcast.
+
+    The corpus size enters the plan as a broadcast 1-row aggregate
+    cross-join (exactly like the oracle's `CROSS JOIN corpus`), not a
+    driver-side .count(): building this DataFrame runs zero Spark jobs,
+    and at 100 TB there is no eager full-scan sync point."""
     t = load(spark, sf_dir)
-    n_docs = t.documents.count()  # scalar; one jobs-count read of footer stats
+    corpus = t.documents.agg(F.count("*").alias("n_corpus"))
     tok = t.documents.where(F.col("doc_id") < 20).select(
         "doc_id", F.explode(tokens_col("text")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dtok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term")).distinct()
     idf = dtok.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(idf), "term").select(
-        "doc_id",
-        "term",
-        rnd(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            rnd(
+                F.col("tf") * F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
@@ -463,7 +474,10 @@ def j_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     tok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
     langs = t.documents.select("lang").distinct()
-    vocab_n = tok.select("term").distinct().count()
+    # Vocabulary size as a broadcast 1-row aggregate (the oracle's
+    # `CROSS JOIN vocab`) — not an eager distinct().count(), which at
+    # 100 TB would be a full shuffle executed during plan construction.
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
     prof = (
         t.documents.select("lang", F.explode(tokens_col("text")).alias("term"))
         .groupBy("lang", "term")
@@ -481,10 +495,15 @@ def j_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(prof_t, ["cand", "term"], "left")
         .drop("tot")
         .join(totals_b, "cand")
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "cand")
         .agg(
             rnd(
-                F.sum(F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot") + vocab_n))),
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot") + F.col("v"))
+                    )
+                ),
                 4,
             ).alias("score")
         )

@@ -29,7 +29,7 @@ from ..tables import load
            substr(p_name, 1, 5) AS name5,
            upper(p_brand) AS brand_up,
            lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
-           string_split(p_type, ' ') AS words,
+           array_to_string(string_split(p_type, ' '), '|') AS words,
            CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
            concat_ws('_', p_brand, p_type) AS tagged,
            regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
@@ -41,14 +41,17 @@ from ..tables import load
 )
 def h_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: substr/upper/lpad/split/concat_ws/regexp_*/trim/
-    levenshtein — all JVM-side built-ins, no UDF."""
+    levenshtein — all JVM-side built-ins, no UDF.
+
+    `words` is the split array serialized with '|' (p_type never contains
+    '|'): the driver canonicalizer needs all-scalar output columns."""
     t = load(spark, sf_dir)
     return t.part.select(
         "p_partkey",
         F.substring("p_name", 1, 5).alias("name5"),
         F.upper("p_brand").alias("brand_up"),
         F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
-        F.split("p_type", " ").alias("words"),
+        F.concat_ws("|", F.split("p_type", " ")).alias("words"),
         F.size(F.split("p_type", " ")).cast("long").alias("n_words"),
         F.concat_ws("_", "p_brand", "p_type").alias("tagged"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
@@ -191,10 +194,12 @@ def h_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR((sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000 + 0.5)
              / 1000000 AS l2_norm,
-           list_transform(embedding[1:4],
-                 x -> FLOOR((CAST(x AS DOUBLE)) * 1000000 + 0.5) / 1000000) AS first4,
-           list_sort(list_transform(embedding[1:4],
-                 x -> FLOOR((CAST(x AS DOUBLE)) * 1000000 + 0.5) / 1000000)) AS first4_sorted,
+           array_to_string(list_transform(embedding[1:4],
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ',')
+             AS first4,
+           array_to_string(list_sort(list_transform(embedding[1:4],
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))), ',')
+             AS first4_sorted,
            FLOOR((list_sum(list_transform(range(1, CAST(len(embedding) AS INTEGER) + 1),
                  i -> CAST(embedding[i] AS DOUBLE)
                     * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))))
@@ -206,7 +211,13 @@ def h_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array HOFs on the embedding column: size, transform, slice,
     sort_array, and zip_with+aggregate as a pure-SQL dot product (the
     basis of j_sim_topk). ‖v‖=1 on this data, so l2_norm also validates
-    the FIXTURES.md normalization claim."""
+    the FIXTURES.md normalization claim.
+
+    first4/first4_sorted serialize as comma-joined micro-unit BIGINTs
+    (floor(x*1e6+0.5) — the portable-round integer, same IEEE ops both
+    engines): the driver canonicalizer needs scalar columns, and integer
+    to-string is formatting-stable where double to-string is not. Sorting
+    the scaled longs ≡ sorting the rounded doubles (monotonic map)."""
     t = load(spark, sf_dir)
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot_rev = F.aggregate(
@@ -214,14 +225,16 @@ def h_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    first4_us = F.transform(
+        F.slice(emb_d, 1, 4), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+    )
+    as_csv = lambda arr: F.concat_ws(",", F.transform(arr, lambda x: x.cast("string")))  # noqa: E731
     return t.embeddings.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         rnd(F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x)), 6).alias("l2_norm"),
-        F.transform(F.slice(emb_d, 1, 4), lambda x: rnd(x, 6)).alias("first4"),
-        F.sort_array(F.transform(F.slice(emb_d, 1, 4), lambda x: rnd(x, 6))).alias(
-            "first4_sorted"
-        ),
+        as_csv(first4_us).alias("first4"),
+        as_csv(F.sort_array(first4_us)).alias("first4_sorted"),
         rnd(dot_rev, 6).alias("dot_rev"),
     )
 

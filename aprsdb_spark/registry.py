@@ -8,6 +8,7 @@ dicts. A qid with ``oracle=None`` gets the driver's weaker rows-only check
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,7 +23,22 @@ def query(qid: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if qid in QUERIES:
             raise ValueError(f"duplicate qid {qid!r}")
-        QUERIES[qid] = fn
+
+        # Every registered query must work on the DRIVER's session — a
+        # vanilla SparkSession built outside this package, possibly with
+        # cwd != repo. tune() pins the correctness confs (UTC, ns-as-long)
+        # and ships the package zip to executor python workers, so
+        # fixture-backed qids that never call tables.load() (aprs_*,
+        # literal-frame parses, pandas-UDF paths) get the same guarantees
+        # as table-backed ones. Idempotent and ~free after the first call.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .session import tune
+
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[qid] = wrapped
         if oracle is not None:
             ORACLE[qid] = oracle
         return fn

@@ -46,10 +46,18 @@ def get_spark(app_name: str = "aprsdb_spark", shuffle_partitions: int | None = N
     cores = default_parallelism()
     if shuffle_partitions is None:
         shuffle_partitions = 2 * cores
+    b = SparkSession.builder.appName(app_name)
+    # Only force local mode when no master was provided externally:
+    # spark-submit --master sets spark.master in the JVM system properties
+    # (visible through SparkConf defaults), and getOrCreate() may also
+    # return a pre-existing session. Unconditionally calling .master()
+    # here would override a cluster deploy with local[N].
+    from pyspark import SparkConf
+
+    if not SparkConf(loadDefaults=True).contains("spark.master"):
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Files: split large parquet into ~128MB tasks (default), but
         # coalesce tiny test files into few tasks to cut scheduling overhead.

@@ -8,8 +8,6 @@ declare explicit StructTypes instead (aprs/schema.py).
 
 from __future__ import annotations
 
-from types import SimpleNamespace
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import tune
@@ -27,10 +25,20 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# DataFrame plans keyed by (session appId, sf_dir, table). spark.read.parquet
+# runs a footer/schema-inference job; without this cache every query build
+# paid it for all ten tables (~10 tiny jobs per qid — pure scheduler noise
+# locally, and at 100 TB an eager file-listing of nine uninvolved tables).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is LONG nanoseconds (see session._RUNTIME_CONFS): derive the
@@ -39,14 +47,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts_ms", F.expr("ts div 1000000"))
+    _PLAN_CACHE[key] = df
     return df
 
 
-def load(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
-    """Load all ten tables lazily (parquet scan plans, no IO until action).
+class Tables:
+    """Lazy table namespace: `t.events` builds (or fetches the cached)
+    scan plan on first attribute access — queries touch only the tables
+    they actually read, and repeat builds are job-free."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        df = table(self._spark, self._sf_dir, name)
+        object.__setattr__(self, name, df)
+        return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> Tables:
+    """Lazy namespace over the ten tables (plans built on access, cached).
 
     Also pins runtime confs (UTC, AQE) on the session — the driver hands us
     sessions we didn't build.
     """
     tune(spark)
-    return SimpleNamespace(**{n: table(spark, sf_dir, n) for n in TABLE_NAMES})
+    return Tables(spark, sf_dir)
