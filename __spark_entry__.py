@@ -52,16 +52,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from aprsdb_spark.registry import QUERIES, load_all
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's scored window (first 50 entries) covers the qids that
+    have not yet received a CORRECTNESS row (registry.DRIVER_ORDER)."""
+    from aprsdb_spark.registry import QUERIES, driver_ordered, load_all
 
     load_all()
-    return dict(QUERIES)
+    return driver_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every hash-checkable qid."""
-    from aprsdb_spark.registry import ORACLE, load_all
+    from aprsdb_spark.registry import ORACLE, driver_ordered, load_all
 
     load_all()
-    return dict(ORACLE)
+    return driver_ordered(ORACLE)

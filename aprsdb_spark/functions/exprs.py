@@ -40,6 +40,15 @@ def scalarize(df: "DataFrame") -> "DataFrame":  # noqa: F821 - hinted lazily
     map -> to_json; binary -> hex. Scalar columns pass through untouched.
     Apply as the FINAL projection of a registered query — the plan
     underneath (the thing under test) is unchanged.
+
+    Null conventions (deliberate, mirrored by each qid's oracle SQL):
+    a NULL array serializes to NULL here (the when(isNotNull) guard),
+    while the hand-rolled h_str_parse_tnc2 path serializes NULL paths to
+    '' via COALESCE — each oracle encodes its own query's convention, so
+    the two never mix within one qid. Also note concat_ws DROPS null
+    ELEMENTS: ['a', null] and ['a'] serialize identically. Fixture
+    arrays contain no null elements; a new qid whose arrays can must use
+    to_json instead.
     """
     from pyspark.sql.types import ArrayType, BinaryType, MapType, StringType, StructType
 

@@ -300,6 +300,158 @@ def j_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- bucketed all-pairs (the 100 TB replacements for the label-keyed
+# quadratics above) ----------------------------------------------------
+#
+# The join key is the random-hyperplane sign sketch (operators/
+# similarity.hyperplane_sketch): data-independent ±1 plane patterns,
+# computed on the driver and embedded as literals on BOTH engines — the
+# oracle SQL below interpolates the exact same sign matrix, so bucket
+# assignment is bit-identical (list_dot_product folds sequentially like
+# dot_expr; signs are exact ±1.0 doubles).
+
+_BUCKET_PLANES = 8
+_BUCKET_DIM = 64
+
+
+def _bucket_sql_expr() -> str:
+    """DuckDB twin of hyperplane_sketch(embedding, 8, 64): sum over
+    planes of 2^p * (dot(v, signs_p) >= 0)."""
+    from ..operators.similarity import _plane_sign
+
+    terms = []
+    for p in range(_BUCKET_PLANES):
+        signs = ", ".join(
+            str(_plane_sign(p, j)) for j in range(_BUCKET_DIM)
+        )
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{signs}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _bucketed_base_sql() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, label, v, {_bucket_sql_expr()} AS bucket FROM e)
+"""
+
+
+@query(
+    "j_sim_pairs_bucketed",
+    oracle=_bucketed_base_sql()
+    + """
+    , scored AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b, CAST(a.bucket AS BIGINT) AS bucket,
+             FLOOR((list_dot_product(a.v, b2.v)) * 1000000 + 0.5) / 1000000 AS score
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, bucket, score FROM scored WHERE score >= 0.3
+    """,
+)
+def j_sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity >= 0.3 restricted to hyperplane-LSH buckets —
+    the scale-safe registered replacement for j_sim_pairs' label-keyed
+    quadratic. 8 sign-planes → 256 buckets; the bucket is the join
+    equi-key, so candidate pairs are Σ n_b² over buckets (~n²/256 for
+    balanced buckets) instead of n²/|labels|, and the key is available
+    at WRITE time: at 100 TB the table is bucketed/partitioned by
+    `bucket` and the self-join is exchange-free. Cosine-similar vectors
+    collide in buckets with high probability (that is the LSH
+    guarantee), so in-bucket pairs are exactly the candidates a
+    production semantic-dedup pass scores.
+
+    The operator's contract is "same-bucket pairs with score >= 0.3" —
+    the oracle computes the identical definition (same literal sign
+    matrix), so this is hash-checked, not rows-only."""
+    t = load(spark, sf_dir)
+    from ..operators.similarity import hyperplane_sketch
+
+    tagged = t.embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        hyperplane_sketch("embedding", n_planes=_BUCKET_PLANES, dim=_BUCKET_DIM)
+        .cast("long")
+        .alias("bucket"),
+    )
+    e1 = tagged.alias("e1")
+    e2 = tagged.alias("e2")
+    score = rnd(dot_expr(as_double(F.col("e1.embedding")), as_double(F.col("e2.embedding"))), 6)
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.bucket") == F.col("e2.bucket"))
+            & (F.col("e1.vec_id") < F.col("e2.vec_id")),
+        )
+        .select(
+            F.col("e1.vec_id").alias("id_a"),
+            F.col("e2.vec_id").alias("id_b"),
+            F.col("e1.bucket").alias("bucket"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= 0.3)
+    )
+
+
+@query(
+    "j_dedup_embed_bucketed",
+    oracle=_bucketed_base_sql()
+    + """
+    , pairs AS (
+      SELECT a.vec_id AS a, b2.vec_id AS b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+      WHERE FLOOR((list_dot_product(a.v, b2.v)) * 1000000 + 0.5) / 1000000 >= 0.3)
+    SELECT v.vec_id, v.label, CAST(v.bucket AS BIGINT) AS bucket,
+           LEAST(v.vec_id, COALESCE(MIN(p.b), v.vec_id)) AS keep_id,
+           CAST(COUNT(p.b) AS BIGINT) AS n_near,
+           (LEAST(v.vec_id, COALESCE(MIN(p.b), v.vec_id)) = v.vec_id) AS is_keeper
+    FROM b v LEFT JOIN pairs p ON p.a = v.vec_id
+    GROUP BY v.vec_id, v.label, v.bucket
+    """,
+)
+def j_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine dedup keyed on hyperplane-LSH buckets — the
+    scale-safe registered replacement for j_dedup_embed's label-keyed
+    quadratic. Same greedy keeper rule (min vec_id among self and
+    >= 0.3-cosine same-bucket neighbors); the bucket equi-key carries
+    the self-join shuffle, and at 100 TB it is a write-time bucketing
+    key so the candidate join co-locates without an exchange."""
+    t = load(spark, sf_dir)
+    from ..operators.similarity import hyperplane_sketch
+
+    tagged = t.embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        hyperplane_sketch("embedding", n_planes=_BUCKET_PLANES, dim=_BUCKET_DIM)
+        .cast("long")
+        .alias("bucket"),
+    )
+    e1 = tagged.alias("e1")
+    e2 = tagged.alias("e2")
+    score = rnd(dot_expr(as_double(F.col("e1.embedding")), as_double(F.col("e2.embedding"))), 6)
+    pairs = (
+        e1.join(
+            e2,
+            (F.col("e1.bucket") == F.col("e2.bucket"))
+            & (F.col("e1.vec_id") != F.col("e2.vec_id")),
+        )
+        .where(score >= 0.3)
+        .select(F.col("e1.vec_id").alias("a"), F.col("e2.vec_id").alias("b"))
+    )
+    base = tagged.select("vec_id", "label", "bucket")
+    keep = F.least(F.col("vec_id"), F.coalesce(F.min("b"), F.col("vec_id")))
+    return (
+        base.join(pairs, base.vec_id == pairs.a, "left")
+        .groupBy("vec_id", "label", "bucket")
+        .agg(
+            keep.alias("keep_id"),
+            F.count("b").alias("n_near"),
+            (keep == F.col("vec_id")).alias("is_keeper"),
+        )
+    )
+
+
 @query("j_ann_lsh")  # rows-only: approximate by construction
 def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the scale path next to j_ann_ivf):

@@ -36,6 +36,30 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _external_master_defined() -> bool:
+    """True when a deploy master is already decided, so get_spark() must
+    NOT force local[N] over it.
+
+    Checked in order: an active session (getOrCreate() will return it
+    unchanged anyway); the environment a spark-submit launcher sets
+    (PYSPARK_SUBMIT_ARGS / MASTER) — visible even BEFORE any
+    SparkContext exists, when SparkConf(loadDefaults=True) still reads
+    an empty dict on the Python side; finally the JVM system properties
+    via SparkConf, which work once a gateway is up."""
+    if SparkSession.getActiveSession() is not None:
+        return True
+    if "MASTER" in os.environ:
+        return True
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    from pyspark import SparkConf
+
+    try:
+        return SparkConf(loadDefaults=True).contains("spark.master")
+    except Exception:
+        return False
+
+
 def get_spark(app_name: str = "aprsdb_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -47,14 +71,7 @@ def get_spark(app_name: str = "aprsdb_spark", shuffle_partitions: int | None = N
     if shuffle_partitions is None:
         shuffle_partitions = 2 * cores
     b = SparkSession.builder.appName(app_name)
-    # Only force local mode when no master was provided externally:
-    # spark-submit --master sets spark.master in the JVM system properties
-    # (visible through SparkConf defaults), and getOrCreate() may also
-    # return a pre-existing session. Unconditionally calling .master()
-    # here would override a cluster deploy with local[N].
-    from pyspark import SparkConf
-
-    if not SparkConf(loadDefaults=True).contains("spark.master"):
+    if not _external_master_defined():
         b = b.master(f"local[{cores}]")
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

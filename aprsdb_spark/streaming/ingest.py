@@ -49,6 +49,41 @@ def read_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
+def read_kafka_lines(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    **options,
+) -> DataFrame:
+    """Production source: a Kafka topic of APRS-IS lines → (recv_ts, raw),
+    the same downstream plan as socket/file-replay. recv_ts is the broker
+    append timestamp (Kafka `timestamp` column) — the closest analogue of
+    APRS-IS arrival time, and stable under replay (unlike
+    current_timestamp()).
+
+    Needs the spark-sql-kafka connector on the classpath
+    (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark ver>`);
+    this container has no connector jar and no broker, so the unit test
+    asserts the wiring reaches kafka source resolution. Scale config
+    (SCALE.md): one input partition per Kafka partition — size the topic
+    at ≥ 2-3× executor cores; cap per-trigger intake with
+    maxOffsetsPerTrigger so a backlog replay cannot blow state-store
+    memory."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .options(**options)
+        .load()
+    )
+    return raw.select(
+        F.col("timestamp").alias("recv_ts"),
+        F.col("value").cast("string").alias("raw"),
+    )
+
+
 def parsed_packet_stream(lines: DataFrame) -> DataFrame:
     """Parse stage + dedup key: payload = info field (APRS-IS dedups on
     (src, payload) ignoring the digi path)."""
@@ -148,12 +183,54 @@ def message_ack_stream(parsed: DataFrame, within: str = "10 minutes") -> DataFra
     )
 
 
-def upsert_stations_sink(batch: DataFrame, batch_id: int, stations_dir: str) -> None:
-    """foreachBatch idempotent upsert of the stations dimension — the
-    collector's 'DB write'. Parquet read-merge-overwrite here; on a real
-    deployment this is a Delta/Iceberg MERGE keyed on src (same shape,
-    transactional). Idempotency: the merge is a pure function of
-    (existing state, batch aggregate), safe under batch replay."""
+def _last_applied_batch(stations_dir: str, run_key: str) -> int:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(stations_dir + "_meta", "last_batch.json")) as f:
+            meta = json.load(f)
+        return int(meta["batch_id"]) if meta.get("run_key") == run_key else -1
+    except Exception:
+        return -1
+
+
+def _record_applied_batch(stations_dir: str, run_key: str, batch_id: int) -> None:
+    import json
+    import os
+
+    meta_dir = stations_dir + "_meta"
+    os.makedirs(meta_dir, exist_ok=True)
+    tmp = os.path.join(meta_dir, ".last_batch.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"run_key": run_key, "batch_id": int(batch_id)}, f)
+    os.replace(tmp, os.path.join(meta_dir, "last_batch.json"))
+
+
+def upsert_stations_sink(
+    batch: DataFrame, batch_id: int, stations_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch upsert of the stations dimension — the collector's
+    'DB write'. Parquet read-merge-overwrite here; on a real deployment
+    this is a Delta/Iceberg MERGE keyed on src (same shape,
+    transactional).
+
+    Idempotence under replay: foreachBatch is at-least-once — after a
+    crash the restarted query re-delivers the last micro-batch with the
+    SAME batch_id. Because this merge SUMS n_packets, a blind re-apply
+    double-counts, so pass ``run_key`` (the query's checkpoint path —
+    batch_ids are only unique per checkpoint) and the sink records the
+    last applied (run_key, batch_id) in a sidecar
+    (`<dir>_meta/last_batch.json`, written after the swap) and skips any
+    batch_id <= it for the same run_key — the standard
+    "transactional-ish" foreachBatch recipe. A different run_key is a
+    deliberate reprocessing run and always applies. With run_key=None
+    the guard is off (at-least-once, replay inflates n_packets).
+    Remaining window: a crash after the data swap but before the marker
+    write re-applies once; closing that needs a single atomic commit,
+    i.e. a real table format's transaction log."""
+    if run_key is not None and batch_id <= _last_applied_batch(stations_dir, run_key):
+        return
     spark = batch.sparkSession
     agg = (
         batch.where(F.col("src").isNotNull())
@@ -182,6 +259,8 @@ def upsert_stations_sink(batch: DataFrame, batch_id: int, stations_dir: str) -> 
     merged.write.mode("overwrite").parquet(stations_dir + "_next")
     # atomic-ish swap via overwrite of the main dir
     spark.read.parquet(stations_dir + "_next").write.mode("overwrite").parquet(stations_dir)
+    if run_key is not None:
+        _record_applied_batch(stations_dir, run_key, batch_id)
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, sink=None, **foreach_kwargs):

@@ -2,11 +2,14 @@
 API (successor to applyInPandasWithState, RocksDB-backed, typed state
 variables, per-key timers).
 
-ENVIRONMENT NOTE: the tws python driver worker imports protobuf, which
-is not installed in this container — the operator is implemented and
-gated (tests skip via importorskip); streaming/stateful.py
-(applyInPandasWithState) is the fully-tested stateful path here, and
-this module is the drop-in modern form for protobuf-equipped clusters.
+ENVIRONMENT NOTE — PERMANENT GATE IN THIS CONTAINER: the tws python
+driver worker imports protobuf, which is not installed here and cannot
+be (package installs are off-limits per the build constraints), so the
+one importorskip in tests/test_streaming.py is a permanent, declared
+skip — not a TODO. The operator is implemented and plan-constructed;
+streaming/stateful.py (applyInPandasWithState) is the fully-tested
+stateful path in this environment, and this module is the drop-in
+modern form for protobuf-equipped clusters.
 
 Operator: per-station packet-rate tracker with change detection — emits
 a row only when a station's packet count crosses a power-of-two

@@ -25,17 +25,22 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# DataFrame plans keyed by (session appId, sf_dir, table). spark.read.parquet
-# runs a footer/schema-inference job; without this cache every query build
-# paid it for all ten tables (~10 tiny jobs per qid — pure scheduler noise
-# locally, and at 100 TB an eager file-listing of nine uninvolved tables).
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# DataFrame plans keyed by (session identity, appId, sf_dir, table).
+# spark.read.parquet runs a footer/schema-inference job; without this cache
+# every query build paid it for all ten tables (~10 tiny jobs per qid — pure
+# scheduler noise locally, and at 100 TB an eager file-listing of nine
+# uninvolved tables). id(spark) is in the key because a cached DataFrame
+# stays bound to the session that built it — two sessions sharing one
+# context (spark.newSession()) must not share plans, or the second executes
+# under the first session's SQLConf. appId keeps entries from leaking
+# across stopped/restarted contexts that reuse an id().
+_PLAN_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -63,7 +68,12 @@ class Tables:
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
-        df = table(self._spark, self._sf_dir, name)
+        try:
+            df = table(self._spark, self._sf_dir, name)
+        except KeyError:
+            # follow the attribute protocol: hasattr()/getattr(default)
+            # must see AttributeError, not a KeyError leak
+            raise AttributeError(name) from None
         object.__setattr__(self, name, df)
         return df
 

@@ -17,6 +17,23 @@ import sys
 import time
 
 
+def _r02_reference() -> dict[str, float]:
+    """Per-qid r2 datapoints for the regression gate. BENCH_r02.json
+    stores the bench line as a (head-truncated) "tail" string, so the
+    pairs are regex-extracted; non-qid matches ("sf", the truncated
+    first key) simply never intersect the current timing keys."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
+    try:
+        with open(path) as f:
+            tail = json.load(f).get("tail", "")
+    except Exception:
+        return {}
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,6 +86,22 @@ def main() -> None:
             }
         )
     )
+
+    # Regression gate (BASELINE.md): any qid > 2x its recorded r2 time
+    # fails the bench. The +0.5s floor absorbs run noise on sub-second
+    # qids; disable with SPARK_GRAFT_BENCH_GATE=off. Gate only at the
+    # recorded scale factor — other SFs have no reference datapoints.
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_GATE", "on") != "off":
+        ref = _r02_reference()
+        slow = [
+            (qid, t, ref[qid])
+            for qid, t in timings.items()
+            if t >= 0 and qid in ref and t > max(2 * ref[qid], ref[qid] + 0.5)
+        ]
+        for qid, t, r in slow:
+            print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs r2 {r:.3f}s (>2x)", file=sys.stderr)
+        if slow:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -94,11 +94,24 @@ def test_ivf_assignment_is_narrow(spark):
     assert count_exchanges(assigned) == 0
 
 
+def test_bucketed_allpairs_join_on_sketch(spark):
+    """The scale-safe all-pairs variants must equi-join on the hyperplane
+    sketch bucket — if the bucket key falls out of the join condition the
+    plan degrades to the quadratic these qids exist to replace."""
+    for qid in ("j_sim_pairs_bucketed", "j_dedup_embed_bucketed"):
+        p = _plan(spark, qid)
+        assert "BroadcastNestedLoopJoin" not in p, f"{qid}: lost the equi-key"
+        assert "CartesianProduct" not in p, f"{qid}: lost the equi-key"
+        keys = [l for l in p.splitlines() if "keys" in l and "bucket" in l]
+        assert keys, f"{qid}: join keys do not include the LSH bucket"
+
+
 # qids where these physical operators are the POINT, not a smell
 _EXPECTED_BNLJ = {
     "c_join_cross",   # cartesian of two tiny dims
     "c_join_theta",   # pure non-equi join
     "j_knn_label", "j_lang_id", "j_multimodal_sim", "j_sim_topk",  # 1-row/tiny broadcast query side
+    "j_tfidf",  # crossJoin(broadcast(corpus)): 1-row scalar-aggregate build side
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 

@@ -155,6 +155,64 @@ def test_foreachbatch_station_upsert(spark, tmp_path):
     assert sum(r.n_packets for r in again.values()) == 400
 
 
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once → effectively-once: re-delivering the SAME
+    (run_key, batch_id) must be a no-op, a LATER batch_id on the same
+    run_key must apply, and a different run_key (deliberate
+    reprocessing) must apply."""
+    stations_dir = str(tmp_path / "stations")
+    lines = S.read_packet_lines(spark, _stage(tmp_path, "pos_uncompressed.txt"))
+    parsed = S.parsed_packet_stream(lines)
+    q = (
+        parsed.writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda b, i: S.upsert_stations_sink(b, i, stations_dir, run_key="ck"))
+        .start()
+    )
+    q.awaitTermination()
+    first = sum(r.n_packets for r in spark.read.parquet(stations_dir).collect())
+    assert first == 200
+
+    # crash-replay: same run_key, same batch_id (foreachBatch re-delivery),
+    # simulated with a static frame of the same fixture
+    replay = spark.read.text(_stage(tmp_path, "pos_uncompressed.txt"))
+    parts = F.split(F.col("value"), "\t", 2)
+    replay_parsed = S.parse_packets(
+        replay.select(
+            F.timestamp_millis(F.try_element_at(parts, F.lit(1)).try_cast("long")).alias(
+                "recv_ts"
+            ),
+            F.try_element_at(parts, F.lit(2)).alias("raw"),
+        ),
+        recv_ts_col="recv_ts",
+    )
+    S.upsert_stations_sink(replay_parsed, 0, stations_dir, run_key="ck")
+    assert sum(r.n_packets for r in spark.read.parquet(stations_dir).collect()) == first
+
+    # a LATER batch on the same run_key applies
+    S.upsert_stations_sink(replay_parsed, 1, stations_dir, run_key="ck")
+    assert sum(r.n_packets for r in spark.read.parquet(stations_dir).collect()) == 2 * first
+
+    # a different run_key (fresh checkpoint == deliberate reprocess) applies
+    S.upsert_stations_sink(replay_parsed, 0, stations_dir, run_key="ck2")
+    assert sum(r.n_packets for r in spark.read.parquet(stations_dir).collect()) == 3 * first
+
+
+def test_kafka_source_wiring(spark):
+    """No broker or connector jar in this container: the wrapper must at
+    least drive source resolution to the kafka DataSource lookup (the
+    error names it). If a connector IS present, assert the output
+    contract instead."""
+    try:
+        df = S.read_kafka_lines(spark, "broker:9092", "aprs", starting_offsets="earliest")
+    except Exception as e:
+        assert "kafka" in str(e).lower(), f"failed before kafka source resolution: {e!r}"
+    else:
+        assert [f.name for f in df.schema.fields] == ["recv_ts", "raw"]
+        assert df.schema["recv_ts"].dataType.typeName() == "timestamp"
+        assert df.isStreaming
+
+
 def test_stream_stream_msg_ack(spark, tmp_path):
     lines = S.read_packet_lines(spark, _stage(tmp_path, "msgs_acks.txt"))
     joined = S.message_ack_stream(S.parsed_packet_stream(lines))
