@@ -15,7 +15,7 @@ from pyspark.sql.functions import pandas_udf
 
 _COMPRESSED_SCHEMA = (
     "struct<latitude double, longitude double, symbol_table string, symbol string,"
-    " course_deg double, speed_kmh double>"
+    " course_deg double, speed_kmh double, altitude_m double>"
 )
 
 
@@ -28,8 +28,14 @@ def _b91(chars: str) -> int:
 
 def _decode_compressed_one(body: str):
     """`/YYYYXXXX$csT` — sym table, 4-char b91 lat, 4-char b91 lon,
-    symbol, course/speed pair, compression type (APRS101 §9)."""
-    none = (None, None, None, None, None, None)
+    symbol, cs pair, compression type (APRS101 §9).
+
+    The cs pair is POLYMORPHIC on the type byte T: when the GPS-fix
+    bits (T-33) & 0x18 == 0x10 the pair is altitude
+    (1.002^((c-33)*91 + (s-33)) feet); otherwise c in '!'..'z' encodes
+    course/speed ('{' is radio range — not represented here; ' ' means
+    no data)."""
+    none = (None, None, None, None, None, None, None)
     if body is None or len(body) < 10:
         return none
     table, yyyy, xxxx, sym = body[0], body[1:5], body[5:9], body[9]
@@ -39,15 +45,21 @@ def _decode_compressed_one(body: str):
         return none
     lat = 90.0 - _b91(yyyy) / 380926.0
     lon = -180.0 + _b91(xxxx) / 190463.0
-    course = speed = None
+    course = speed = altitude_m = None
     if len(body) >= 12:
         c, s = body[10], body[11]
-        if "!" <= c <= "z" and c != " ":
+        ctype = ord(body[12]) - 33 if len(body) >= 13 else 0
+        if c == " ":
+            pass  # explicit "no cs data"
+        elif ctype & 0x18 == 0x10 and "!" <= c <= "{" and "!" <= s <= "{":
+            alt_ft = 1.002 ** ((ord(c) - 33) * 91 + (ord(s) - 33))
+            altitude_m = alt_ft * 0.3048
+        elif "!" <= c <= "z":
             cv = ord(c) - 33
             if 0 <= cv <= 89:
                 course = float(cv * 4)
                 speed = (1.08 ** (ord(s) - 33) - 1.0) * 1.852  # knots->km/h
-    return lat, lon, table, sym, course, speed
+    return lat, lon, table, sym, course, speed, altitude_m
 
 
 _MICE_LAT_DIGIT = {}
@@ -65,7 +77,7 @@ _MICE_LAT_DIGIT["Z"] = (" ", 1, "N", 100)
 def _decode_mice_one(dst: str, info: str):
     """Mic-E: latitude/message in the DST callsign, longitude/speed/course
     in the first info bytes (APRS101 §10)."""
-    none = (None, None, None, None, None, None)
+    none = (None, None, None, None, None, None, None)
     if not dst or not info or len(dst) < 6 or len(info) < 9 or info[0] not in "`'":
         return none
     try:
@@ -115,12 +127,21 @@ def _decode_mice_one(dst: str, info: str):
             info[7],
             float(course),
             speed_knots * 1.852,
+            None,  # Mic-E altitude lives in the status text; not decoded
         )
     except (ValueError, IndexError):
         return none
 
 
-_COLS = ["latitude", "longitude", "symbol_table", "symbol", "course_deg", "speed_kmh"]
+_COLS = [
+    "latitude",
+    "longitude",
+    "symbol_table",
+    "symbol",
+    "course_deg",
+    "speed_kmh",
+    "altitude_m",
+]
 
 
 def _decode_compressed_batch(body: pd.Series) -> pd.DataFrame:
@@ -156,6 +177,6 @@ def enrich_positions(packets, info_col: Column) -> "pyspark.sql.DataFrame":  # n
     comp = F.when(F.col("fmt") == "compressed", decode_compressed(comp_body))
     dec = F.coalesce(mice, comp)
     out = packets
-    for field in ["latitude", "longitude", "symbol_table", "symbol", "course_deg", "speed_kmh"]:
+    for field in _COLS:
         out = out.withColumn(field, F.coalesce(F.col(field), dec.getField(field)))
     return out

@@ -7,8 +7,11 @@ similar plan). The classic scalable lowering, used here:
 2. One shuffle: window partitioned by the equi-key, ordered by
    ``(t, side, tiebreak)`` — right rows sort *before* left rows at equal
    t, so a right row at exactly t matches ("at or before").
-3. ``last(right_payload, ignorenulls=True)`` over rows unboundedPreceding
-   → current row carries the most recent right payload forward.
+3. ``last(payload_struct, ignorenulls=True)`` over rows
+   unboundedPreceding → current row carries the most recent right
+   payload forward. The payload is a single STRUCT (non-null wrapper,
+   nullable fields) so a right row whose payload values are NULL still
+   wins the as-of race instead of leaking an older row's values.
 4. Keep left rows; inner semantics drop rows with no match.
 
 Scale: ONE hash shuffle on the key + a per-partition sort. No join
@@ -44,16 +47,21 @@ def asof_join(
     ``left`` and ``right`` must both carry columns ``on``, ``t``,
     ``tiebreak``; right payload columns are returned as ``asof_<col>``.
     """
-    l_tag = left.withColumn("_side", F.lit(1))
-    for c in right_cols:
-        l_tag = l_tag.withColumn(f"asof_{c}", F.lit(None).cast(right.schema[c].dataType))
-
-    r_tag = right.select(
-        on,
-        t,
-        tiebreak,
-        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
-    ).withColumn("_side", F.lit(0))
+    # Payload travels as ONE struct, not N independent columns: the
+    # struct wrapper is non-null for every right row even when payload
+    # FIELDS are null, so last(_, ignorenulls=True) always picks the
+    # true latest right row — with per-column fill, a legitimately-NULL
+    # payload value on the latest right row would leak the value from an
+    # OLDER row forward. Bonus: one window expression instead of N, and
+    # "matched" is simply "struct is non-null" (independent of which
+    # fields happen to be null).
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r_tag = right.select(on, t, tiebreak, payload.alias("_asof_p")).withColumn(
+        "_side", F.lit(0)
+    )
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_asof_p", F.lit(None).cast(r_tag.schema["_asof_p"].dataType)
+    )
     # Right rows carry nulls for left payload columns via unionByName.
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -63,15 +71,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"asof_{c}"), ignorenulls=True).over(w).alias(f"_filled_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(F.col("_asof_p"), ignorenulls=True).over(w).alias("_filled")
     )
-    out = filled.where(F.col("_side") == 1).drop("_side")
-    for c in right_cols:
-        out = out.drop(f"asof_{c}").withColumnRenamed(f"_filled_{c}", f"asof_{c}")
+    out = filled.where(F.col("_side") == 1).drop("_side", "_asof_p")
     if how == "inner":
-        out = out.where(F.col(f"asof_{right_cols[0]}").isNotNull())
-    return out
+        out = out.where(F.col("_filled").isNotNull())
+    for c in right_cols:
+        out = out.withColumn(f"asof_{c}", F.col("_filled").getField(c))
+    return out.drop("_filled")

@@ -53,15 +53,28 @@ def within_radius(
     """All rows within radius_km of (qlat, qlon): sargable bbox prefilter
     then exact haversine. 1 deg lat = ~111.19 km; lon shrinks by cos(lat).
     The bbox is padded (floor of cos towards the pole side) so it can
-    only over-select, never under-select."""
+    only over-select, never under-select.
+
+    Antimeridian-safe: the exact haversine is wrap-safe by construction
+    (sin²(Δλ/2) has period 360° in Δλ), and when the padded box crosses
+    ±180° the lon prefilter becomes the wrapped OR of two ranges — still
+    sargable (each leg pushes to row-group stats), still a necessary
+    condition, so the result set stays provably identical."""
     dlat = radius_km / 111.19
     # widest |lon| span inside the lat band
     worst_lat = min(89.9, abs(qlat) + dlat)
     dlon = radius_km / (111.19 * math.cos(math.radians(worst_lat)))
     lat, lon = F.col(lat_col), F.col(lon_col)
-    boxed = df.where(
-        lat.between(qlat - dlat, qlat + dlat) & lon.between(qlon - dlon, qlon + dlon)
-    )
+    lon_lo, lon_hi = qlon - dlon, qlon + dlon
+    if dlon >= 180.0:
+        lon_pred = F.lit(True)  # radius spans all longitudes at this lat
+    elif lon_lo < -180.0:
+        lon_pred = (lon >= lon_lo + 360.0) | (lon <= lon_hi)
+    elif lon_hi > 180.0:
+        lon_pred = (lon >= lon_lo) | (lon <= lon_hi - 360.0)
+    else:
+        lon_pred = lon.between(lon_lo, lon_hi)
+    boxed = df.where(lat.between(qlat - dlat, qlat + dlat) & lon_pred)
     return boxed.where(
         haversine_km(lat, lon, F.lit(qlat), F.lit(qlon)) <= radius_km
     )
@@ -82,8 +95,16 @@ def geo_pairs_within(
 
     Shuffle cost is O(9n) rows hashed by cell instead of n² pair
     evaluations; the exact haversine runs only on co-celled candidates.
-    Requires |lat| <= max_abs_lat (cell widths degenerate at the poles).
     Output: (id_a, id_b, dist_km) with id_a < id_b, exact.
+
+    EXPLICIT DOMAIN RESTRICTION: requires |lat| <= max_abs_lat (cell
+    widths degenerate at the poles) AND pairs must not straddle the
+    ±180° antimeridian — integer cell ids floor(lon/cell) are not
+    adjacent across the wrap, so a pair at lon 179.9 / -179.9 is
+    missed. The fixture domain (and APRS-IS traffic generally) is far
+    from both; a global deployment would explode wrap-adjacent cells
+    into the neighbor array the same way the 3x3 neighborhood already
+    does for interior cells.
     """
     lat_cell = radius_km / 111.0
     # widest lon span a radius can cover at the most extreme usable lat

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     setops,
     scalars,
     llm,
+    curation,
     aprs_queries,
     udfs,
 )
@@ -25,6 +26,7 @@ ALL_MODULES = [
     setops,
     scalars,
     llm,
+    curation,
     aprs_queries,
     udfs,
 ]

@@ -118,9 +118,10 @@ DRIVER_ORDER: list[str] = [
     "k_apply_in_pandas",
     "k_udtf",
     "k_sql_udf",
-    # canaries: r1+r2 green; a fail here means harness, not query
-    "a_scan_parquet",
-    "e_win_lastpos",
+    # round-3 curation additions (two more wait outside the window:
+    # j_pii_scrub / j_inverted_index rotate in next round)
+    "j_dedup_cluster",
+    "j_split_train_val",
 ]
 
 

@@ -30,7 +30,7 @@ def test_compressed_roundtrip(lat, lon):
     """base-91 compressed: encode -> decode recovers within quantization
     (1/380926 deg lat ≈ 0.3 m)."""
     body = enc_compressed(lat, lon)
-    dlat, dlon, table, sym, _, _ = _decode_compressed_one(body)
+    dlat, dlon, table, sym, _, _, _ = _decode_compressed_one(body)
     assert dlat is not None
     assert math.isclose(dlat, lat, abs_tol=1e-4)
     assert math.isclose(dlon, lon, abs_tol=1e-4)
@@ -57,7 +57,29 @@ def test_uncompressed_format_parses(lat, lon):
     assert math.isclose(got_lon, lon, abs_tol=5e-4)
 
 
-def test_compressed_malformed_returns_none():
+def test_compressed_altitude_type_byte():
+    """APRS101 §9: when the type byte's GPS-fix bits are 0b10 the cs
+    pair is altitude = 1.002^cs feet, NOT course/speed."""
+    import math as m
+
+    # cs for ~10000 ft: cs_val = round(log(10000)/log(1.002)) = 4610
+    cs_val = round(m.log(10000) / m.log(1.002))
+    c, s = chr(33 + cs_val // 91), chr(33 + cs_val % 91)
+    t_alt = chr(33 + 0x10)  # GPS-fix bits = 0b10 -> altitude
+    base = enc_compressed(37.5, -122.3)[:10]  # table+lat+lon+symbol
+    lat, lon, _, _, course, speed, alt_m = _decode_compressed_one(base + c + s + t_alt)
+    assert course is None and speed is None
+    assert alt_m is not None and m.isclose(alt_m, 10000 * 0.3048, rel_tol=2e-3)
+
+    # same cs with a non-altitude type byte decodes as course/speed
+    t_cs = chr(33 + 0x00)
+    _, _, _, _, course2, speed2, alt2 = _decode_compressed_one(base + c + s + t_cs)
+    assert alt2 is None
+    assert course2 is not None and speed2 is not None
+
+    # ' ' always means "no cs data", even with the altitude type byte
+    out = _decode_compressed_one(base + " s" + t_alt)
+    assert out[4] is None and out[5] is None and out[6] is None
     for bad in [None, "", "x", "/ab", "/∞∞∞∞∞∞∞∞>", "Q!!!!!!!!>"]:
         out = _decode_compressed_one(bad)
         assert out[0] is None or isinstance(out[0], float)
@@ -82,7 +104,7 @@ def test_mice_roundtrip(lat, lon, speed, course):
     from fixtures.gen_aprs import enc_mice
 
     dst, info = enc_mice(lat, lon, speed_knots=speed, course=course)
-    dlat, dlon, _t, _s, dcourse, dspeed = _decode_mice_one(dst, info)
+    dlat, dlon, _t, _s, dcourse, dspeed, _alt = _decode_mice_one(dst, info)
     assert dlat is not None, (dst, info)
     assert math.isclose(dlat, lat, abs_tol=2e-4)
     assert math.isclose(dlon, lon, abs_tol=2e-4)

@@ -90,6 +90,78 @@ def test_asof_matches_naive(spark):
     assert fast.count() == naive.count() > 0
 
 
+def test_dedup_cluster_fixed_rounds_are_converged(spark):
+    """j_dedup_cluster runs exactly 6 propagation rounds with no
+    convergence action; this pins that a 7th round changes nothing on
+    the fixture (component diameter <= 6), plus transitivity on a
+    synthetic chain A~B~C with no direct A~C edge."""
+    from aprsdb_spark.queries.curation import cluster_labels
+
+    nodes = spark.range(8).select(F.col("id").cast("long").alias("doc_id"))
+    # chain 0-1-2, pair 3-4, singleton 5, reversed-order chain 7-6: the
+    # min label must flow AGAINST edge direction too
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    l6 = {r.doc_id: r.label for r in cluster_labels(nodes, pairs, rounds=6).collect()}
+    assert l6 == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 6}
+    l7 = {r.doc_id: r.label for r in cluster_labels(nodes, pairs, rounds=7).collect()}
+    assert l7 == l6
+    # fixture-level convergence is pinned by the ORACLE hash-match:
+    # test_oracle_match[j_dedup_cluster] compares the 6-round propagation
+    # against DuckDB's true recursive-CTE transitive closure.
+
+
+def test_within_radius_antimeridian_wrap(spark):
+    """The bbox prefilter must not under-select when the padded box
+    crosses ±180°: points on both sides of the antimeridian within the
+    radius are found; far points are still excluded."""
+    from aprsdb_spark.operators.geo import within_radius
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 179.95),    # ~10 km east of the query
+            (2, 0.0, -179.95),   # ~12 km west, across the wrap
+            (3, 0.0, 178.0),     # ~244 km — outside
+            (4, 0.0, -178.0),    # across the wrap but outside
+            (5, 0.0, 0.0),       # other side of the planet
+        ],
+        "id int, lat double, lon double",
+    )
+    got = {r.id for r in within_radius(pts, "lat", "lon", 0.0, 179.99, 50.0).collect()}
+    assert got == {1, 2}
+
+    # east-crossing box (query just west of -180)
+    got2 = {r.id for r in within_radius(pts, "lat", "lon", 0.0, -179.99, 50.0).collect()}
+    assert got2 == {1, 2}
+
+
+def test_asof_null_payload_on_latest_right_row_wins(spark):
+    """A right row whose payload VALUE is null must still win the as-of
+    race — the struct-wrapped fill must return (match, null), not leak
+    the older non-null payload forward."""
+    from aprsdb_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 1, "old"), (1, 20, 2, None)],
+        "k int, t int, tb int, val string",
+    )
+    left = spark.createDataFrame([(1, 30, 3)], "k int, t int, tb int")
+    out = asof_join(
+        left, right, on="k", t="t", tiebreak="tb", right_cols=["val"], how="inner"
+    ).collect()
+    # the t=20 null-val row is the latest at-or-before t=30: it MATCHES
+    # (inner keeps the row) and its null value is what comes back
+    assert len(out) == 1
+    assert out[0].asof_val is None
+
+    # left row before any right row: no match, dropped by inner
+    early = spark.createDataFrame([(1, 5, 9)], "k int, t int, tb int")
+    assert not asof_join(
+        early, right, on="k", t="t", tiebreak="tb", right_cols=["val"], how="inner"
+    ).collect()
+
+
 def test_topk_is_sort_prefix(spark):
     from aprsdb_spark.tables import load
 

@@ -29,6 +29,7 @@ NEVER_SCORED = {
     "aprs_telemetry_eng",
     "k_pandas_scalar", "k_pandas_grouped_agg", "k_apply_in_pandas",
     "k_udtf", "k_sql_udf",
+    "j_dedup_cluster", "j_split_train_val",
 }
 
 
