@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     scalars,
     llm,
     curation,
+    analytics,
     aprs_queries,
     udfs,
 )
@@ -27,6 +28,7 @@ ALL_MODULES = [
     scalars,
     llm,
     curation,
+    analytics,
     aprs_queries,
     udfs,
 ]

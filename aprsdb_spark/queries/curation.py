@@ -7,13 +7,15 @@ lookups. All hash-checked against DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import rnd
 from ..operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingles_col,
     tokens_col,
 )
 from ..registry import query
@@ -137,15 +139,16 @@ def j_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE keeper even though A~C was never scored directly.
 
     Spark lowering: min-label propagation as a FIXED number of
-    declarative rounds (6) — each round joins labels to the edge list
+    declarative rounds (4) — each round joins labels to the edge list
     and takes the neighborhood min. No driver-side convergence loop, so
     building the DataFrame runs zero jobs (the iterative .count()-per-
     round pattern would be an eager full-scan sync point per iteration).
     Exact whenever component diameter <= rounds; near-dup components are
-    quasi-cliques (diameter 1-2 — tests pin convergence on the fixture
-    with a 7th-round fixpoint check). At 100 TB swap plain propagation
-    for the pointer-doubling variant (O(log d) rounds) behind the same
-    interface. Oracle = true transitive closure via recursive CTE."""
+    quasi-cliques (measured max diameter 1 at sf0.01; tests pin
+    convergence with an extra-round fixpoint check). At 100 TB swap
+    plain propagation for the pointer-doubling variant (O(log d) rounds)
+    behind the same interface. Oracle = true transitive closure via
+    recursive CTE."""
     t = load(spark, sf_dir)
     sig = minhash_signatures(t.documents)
     cands = lsh_candidate_pairs(sig)
@@ -154,7 +157,7 @@ def j_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b")
     )
-    labels = cluster_labels(t.documents.select("doc_id"), pairs, rounds=6)
+    labels = cluster_labels(t.documents.select("doc_id"), pairs, rounds=4)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -165,35 +168,420 @@ def j_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_labels(nodes: DataFrame, pairs: DataFrame, rounds: int) -> DataFrame:
     """Min-label propagation over an undirected edge list, expressed as
     `rounds` declarative join+agg rounds (no driver loop, no action).
-    nodes: (doc_id); pairs: (id_a, id_b). Returns (doc_id, label)."""
-    edges = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    # Persist the edge list: every round references it, and without a
-    # cache each round re-executes the ENTIRE upstream pair computation
-    # (minhash → LSH bucket join → Jaccard verify) — 6x the most
-    # expensive subtree in the query. persist() is lazy (no job here);
-    # the first round materializes it and rounds 2..R read the cache.
+    nodes: (doc_id); pairs: (id_a, id_b). Returns (doc_id, label).
+
+    Each round references the running `labels` frame exactly ONCE:
+    new_label(x) = min over {label(y) : y ∈ N(x) ∪ {x}}, with the
+    "∪ {x}" expressed as a self-loop edge per node instead of a second
+    left-join back onto labels. The obvious two-reference formulation
+    (neighbor-min join + left-join merge) makes the lineage a binary
+    tree — 2^rounds copies of the base subtree, which Spark executes
+    and Catalyst analyzes in full (measured: 28.7 s at sf0.1 vs ~2 s
+    for this linear-chain form). Self-loops also keep isolated nodes
+    present without an outer join."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .unionByName(nodes.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v")))
+    )
+    # Persist the (tiny: 2|E|+|V| longs) edge list pre-hashed on the join
+    # key: every round joins it, and without a cache each round would
+    # re-execute the ENTIRE upstream pair computation (minhash → LSH
+    # bucket join → Jaccard verify) — rounds× the most expensive subtree
+    # in the query. persist() is lazy (no job here); round 1
+    # materializes it and rounds 2..R read the cache, already
+    # partitioned by v so only the labels side of each join shuffles.
     # This is the canonical iterative-algorithm pattern: the working set
     # an iteration loop touches every round must be cached, at any scale.
-    edges = edges.persist()
+    edges = edges.repartition(F.col("v")).persist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(rounds):
-        neigh = (
+        labels = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(neigh, labels.doc_id == neigh.u, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("u", "doc_id")
         )
     return labels
+
+
+# 3-token shingle sets as a DuckDB CTE body — the SQL twin of
+# operators.dedup.shingles_col (same tokenization, same k=3, distinct).
+_SHINGLE_SETS_SQL = """
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+"""
+
+# Stratified sampling rates by lang, expressed as 4-hex-digit thresholds
+# on md5('smp' || doc_id): floor(rate * 0x10000) in lowercase hex, so the
+# same string comparison runs in both engines. zh keeps everything.
+_SAMPLE_THRESH = {"en": "4ccc", "de": "8000", "es": "b333", "fr": "e666"}
+
+
+@query(
+    "j_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '{_SAMPLE_THRESH["en"]}'
+                    WHEN 'de' THEN '{_SAMPLE_THRESH["de"]}'
+                    WHEN 'es' THEN '{_SAMPLE_THRESH["es"]}'
+                    WHEN 'fr' THEN '{_SAMPLE_THRESH["fr"]}'
+                    ELSE 'gggg' END
+    """,
+)
+def j_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-lang keep rates (en 30%,
+    de 50%, es 70%, fr 90%, zh 100%) decided by an md5-prefix threshold
+    per row — the downsampling step that rebalances a web-scale corpus
+    across languages. Unlike df.sample(), membership is a pure function
+    of doc_id, so it is stable across runs, engines, partitionings and
+    retries (a lost-task re-execution cannot change the sample), and a
+    row's fate is decidable without seeing any other row.
+
+    Single narrow scan, zero shuffles at any scale; the 'smp' salt
+    decorrelates this hash from j_split_train_val's split hash."""
+    t = load(spark, sf_dir)
+    h = F.substring(F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))), 1, 4)
+    thresh = F.lit("gggg")  # > any hex digit: keep-all default (zh)
+    for lang, hx in _SAMPLE_THRESH.items():
+        thresh = F.when(F.col("lang") == lang, hx).otherwise(thresh)
+    return t.documents.select("doc_id", "lang", "source").where(h < thresh)
+
+
+_PACK_RANGE = 256  # docs per prefix-sum range
+_PACK_BUDGET = 2048  # tokens per packed sequence
+
+
+@query(
+    "j_pack_sequences",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                      SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM tok)
+    SELECT doc_id, n_tok,
+           (cum - n_tok) // {_PACK_BUDGET} AS bin_id,
+           (cum - n_tok) % {_PACK_BUDGET} AS bin_pos
+    FROM c
+    """,
+)
+def j_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch assembly: documents laid out
+    end-to-end in doc_id order; each lands in the 2048-token bin where
+    its start offset falls (block packing — a doc may straddle its bin
+    boundary; the trainer splits there).
+
+    The naive lowering is a GLOBAL-order running sum — a single-
+    partition window, the classic scale killer. This is the two-level
+    distributed prefix sum instead: (1) within-range running sums,
+    windowed per range_id = doc_id div 256 (parallel across ranges);
+    (2) per-range totals cumulated in a tiny ranges-count-sized window;
+    (3) broadcast the range offsets back. Only step 2 is single-
+    partition, over n/256 rows — and recurses to three levels if ranges
+    themselves outgrow a partition. Exactness vs the one-window form is
+    what the oracle checks."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    packed = distributed_prefix_sum(tok, "doc_id", "n_tok", _PACK_RANGE)
+    start = F.col("cum") - F.col("n_tok")
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {_PACK_BUDGET}").alias("bin_id"),
+        (start % _PACK_BUDGET).alias("bin_pos"),
+    )
+
+
+def distributed_prefix_sum(
+    df: DataFrame, id_col: str, val_col: str, range_size: int
+) -> DataFrame:
+    """Inclusive running sum of val_col in id_col order WITHOUT a
+    global-order window: within-range window (parallel) + tiny
+    per-range-offset window + broadcast join back. Adds column `cum`.
+    Exact for any id distribution (gaps/clumps fine — ranges only need
+    to be order-preserving, not balanced)."""
+    tok = df.withColumn("range_id", F.expr(f"{id_col} div {range_size}"))
+    w_in = (
+        Window.partitionBy("range_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = tok.withColumn("cum_in", F.sum(val_col).over(w_in))
+    w_rng = Window.orderBy("range_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        tok.groupBy("range_id")
+        .agg(F.sum(val_col).alias("range_tok"))
+        .withColumn("offset", F.sum("range_tok").over(w_rng) - F.col("range_tok"))
+        .select("range_id", "offset")
+    )
+    return (
+        within.join(F.broadcast(offsets), "range_id")
+        .withColumn("cum", F.col("offset") + F.col("cum_in"))
+        .drop("range_id", "cum_in", "offset")
+    )
+
+
+@query(
+    "j_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SETS_SQL}),
+         bench AS (SELECT DISTINCT unnest(s) AS term FROM sh WHERE source = 'src0'),
+         cand AS (SELECT doc_id, unnest(s) AS term FROM sh WHERE source <> 'src0'),
+         hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+                  FROM cand JOIN bench USING (term) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(sh.s) AS BIGINT) AS n_shingles,
+           COALESCE(hits.n_matched, 0) AS n_matched,
+           FLOOR(COALESCE(hits.n_matched, 0) * 1.0 / len(sh.s) * 10000 + 0.5) / 10000
+               AS contam_ratio,
+           (COALESCE(hits.n_matched, 0) * 1.0 / len(sh.s) >= 0.2) AS contaminated
+    FROM documents d
+    JOIN sh ON sh.doc_id = d.doc_id
+    LEFT JOIN hits ON hits.doc_id = d.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def j_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: treat source 'src0' as the held-out
+    benchmark; for every other document, the fraction of its 3-gram
+    shingles that appear ANYWHERE in the benchmark. The decontamination
+    gate every training pipeline runs before a data release.
+
+    The benchmark shingle dictionary is tiny relative to the corpus
+    (benchmarks are thousands of docs, the corpus is billions), so it
+    BROADCASTS: the candidate side streams through a broadcast hash
+    semi-join with no shuffle of the corpus, then one hash agg on doc_id.
+    Per-doc totals come from the same frame pre-explosion — keyed on
+    doc_id, co-partitioned with the hit counts."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", shingles_col("text").alias("sh")
+    )
+    cand = docs.where(F.col("source") != "src0")
+    bench_terms = (
+        docs.where(F.col("source") == "src0")
+        .select(F.explode("sh").alias("term"))
+        .distinct()
+    )
+    hits = (
+        cand.select("doc_id", F.explode("sh").alias("term"))
+        .join(F.broadcast(bench_terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    totals = cand.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+    out = totals.join(hits, "doc_id", "left").withColumn(
+        "n_matched", F.coalesce(F.col("n_matched"), F.lit(0).cast("long"))
+    )
+    ratio = F.col("n_matched") / F.col("n_shingles")
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        rnd(ratio, 4).alias("contam_ratio"),
+        (ratio >= 0.2).alias("contaminated"),
+    )
+
+
+_CONTAIN_DF_CAP = 1000  # skew guard: drop stop-shingle postings
+
+
+@query(
+    "j_dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SETS_SQL}),
+         post AS (SELECT doc_id, term FROM
+                      (SELECT doc_id, unnest(s) AS term FROM sh)),
+         keep AS (SELECT term FROM post GROUP BY term
+                  HAVING COUNT(*) <= {_CONTAIN_DF_CAP}),
+         p AS (SELECT post.doc_id, post.term FROM post JOIN keep USING (term)),
+         shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(COUNT(*) AS BIGINT) AS n_shared
+                    FROM p a JOIN p b ON a.term = b.term AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM p GROUP BY doc_id)
+    SELECT id_a, id_b, n_shared, sizes.n_sh AS n_a,
+           FLOOR(n_shared * 1.0 / sizes.n_sh * 10000 + 0.5) / 10000 AS containment
+    FROM shared JOIN sizes ON sizes.doc_id = shared.id_a
+    WHERE n_shared * 1.0 / sizes.n_sh >= 0.9
+    """,
+)
+def j_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: pairs where >= 90% of doc A's shingles appear
+    in doc B — catches near-SUBSET duplicates (a doc embedded in a
+    longer one) that Jaccard-based MinHash misses, because containment
+    is asymmetric while Jaccard punishes the size gap.
+
+    Candidate generation is an inverted-index equi-join on the shingle
+    (shuffle keyed by term), counted per ordered pair, then one join
+    against |A|'s shingle count. The skew guard is the df cap: a
+    stop-shingle appearing in f docs contributes f^2 candidate rows, so
+    postings with df > 1000 are dropped from BOTH the numerator and
+    denominator (identically in the oracle — semantics, not
+    approximation). On this corpus max df is ~25, so the cap is inert
+    at fixture scale; at 100 TB it is what bounds the join."""
+    t = load(spark, sf_dir)
+    post = t.documents.select(
+        "doc_id", F.explode(shingles_col("text")).alias("term")
+    )
+    keep = post.groupBy("term").agg(F.count("*").alias("df")).where(
+        F.col("df") <= _CONTAIN_DF_CAP
+    )
+    p = post.join(keep.select("term"), "term")
+    sizes = p.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = p.select(F.col("doc_id").alias("id_a"), "term")
+    b = p.select(F.col("doc_id").alias("id_b"), "term")
+    shared = (
+        a.join(b, "term")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ratio = F.col("n_shared") / F.col("n_a")
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .where(ratio >= 0.9)
+        .select("id_a", "id_b", "n_shared", "n_a", rnd(ratio, 4).alias("containment"))
+    )
+
+
+@query(
+    "j_embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             -- DuckDB binds FLOAT op DOUBLE as float32 arithmetic; Spark
+             -- promotes to double. Explicit DOUBLE casts keep both
+             -- engines on the identical IEEE-754 op sequence.
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m,
+             embedding
+      FROM embeddings)
+    SELECT vec_id,
+           m / 127.0 AS scale,
+           CAST(list_aggregate(list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)), 'sum')
+                AS BIGINT) AS code_sum,
+           md5(array_to_string(list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)), ',')) AS code_md5
+    FROM q
+    """,
+)
+def j_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x storage/bandwidth cut applied before shipping vectors to an ANN
+    index. Per vector: scale = max|x|/127, code_i = round(x_i/scale).
+    Codes are checked via their sum and an md5 of the serialized array
+    (hash-stable without shipping 64 columns).
+
+    Pure higher-order functions (transform/aggregate) over the array
+    column — JVM-side, zero shuffles, scales linearly. The round is the
+    portable floor(x+0.5) form; float->double promotion is exact and
+    identical in both engines, so the codes hash-match bit-for-bit.
+    Embeddings are L2-normalized (max|x| > 0), so no zero-scale guard
+    branch is needed beyond the one the oracle shares."""
+    t = load(spark, sf_dir)
+    m = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    withm = t.embeddings.select("vec_id", "embedding", m.alias("m"))
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(127.0) / F.col("m") + F.lit(0.5)).cast("long"),
+    )
+    return withm.select(
+        "vec_id",
+        (F.col("m") / F.lit(127.0)).alias("scale"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))).alias(
+            "code_md5"
+        ),
+    )
+
+
+@query(
+    "j_pipeline_release",
+    oracle=f"""
+    WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    q AS (SELECT d.doc_id, d.lang, d.text,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents d JOIN keepers USING (doc_id)
+          WHERE d.n_chars BETWEEN 100 AND 5000
+            AND len(string_split(d.text, ' ')) >= 20),
+    sampled AS (
+      SELECT * FROM q
+      WHERE substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE lang WHEN 'en' THEN '{_SAMPLE_THRESH["en"]}'
+                      WHEN 'de' THEN '{_SAMPLE_THRESH["de"]}'
+                      WHEN 'es' THEN '{_SAMPLE_THRESH["es"]}'
+                      WHEN 'fr' THEN '{_SAMPLE_THRESH["fr"]}'
+                      ELSE 'gggg' END)
+    SELECT doc_id, lang, n_tokens,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM sampled
+    """,
+)
+def j_pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed data-RELEASE pipeline, stitching the curation family
+    end-to-end the way a production corpus release runs it: exact dedup
+    (keep min doc_id per text) → quality gate (length + token floor) →
+    deterministic stratified downsample by lang → PII scrub → stable
+    train/val/test assignment. Everything downstream of the dedup agg is
+    narrow, so the whole release is ONE shuffle + one scan at any scale;
+    every stage is a pure function of (doc_id, text), so a retried or
+    re-sharded run emits the identical release. The dedup groups on
+    md5(text), not text — the shuffle carries 16-byte keys instead of
+    multi-KB documents (the difference between shuffling 2 TB and
+    100 TB at scale)."""
+    t = load(spark, sf_dir)
+    keepers = t.documents.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    toks = tokens_col("text")
+    n_tok = F.size(toks).cast("long")
+    smp = F.substring(
+        F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thresh = F.lit("gggg")
+    for lang, hx in _SAMPLE_THRESH.items():
+        thresh = F.when(F.col("lang") == lang, hx).otherwise(thresh)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    split_prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        t.documents.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col("n_chars").between(100, 5000) & (n_tok >= 20))
+        .where(smp < thresh)
+        .select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+            F.when(split_prefix < "cd", "train")
+            .when(split_prefix < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
 
 
 @query(

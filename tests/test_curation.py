@@ -1,0 +1,94 @@
+"""Semantics tests for the curation/analytics additions that the oracle
+hash-match can't isolate: funnel stage ordering, the distributed prefix
+sum vs a naive global window, and stratified-sample determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_funnel_order_matters(spark):
+    """An event BEFORE the previous stage's conversion time must not
+    convert the next stage; at-or-after (>=) must."""
+    from aprsdb_spark.queries.analytics import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", 10), (1, "view", 20), (1, "click", 30), (1, "purchase", 40),
+        # u2: view BEFORE signup only -> stops after signup
+        (2, "view", 5), (2, "signup", 10),
+        # u3: view exactly AT signup time (>= counts), click never
+        (3, "signup", 10), (3, "view", 10), (3, "purchase", 50),
+        # u4: never signed up -> no stage at all
+        (4, "view", 1), (4, "click", 2), (4, "purchase", 3),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+    got = funnel_counts(
+        e,
+        [("signup", "n_signup"), ("view", "n_view"),
+         ("click", "n_click"), ("purchase", "n_purchase")],
+    ).collect()[0]
+    assert (got.n_signup, got.n_view, got.n_click, got.n_purchase) == (3, 2, 1, 1)
+
+
+def test_distributed_prefix_sum_equals_global_window(spark):
+    """Two-level prefix sum == single global-order window, including
+    with id gaps, empty ranges, and a range boundary mid-run."""
+    from aprsdb_spark.queries.curation import distributed_prefix_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in [0, 1, 2, 5, 255, 256, 257, 900, 1000, 1023, 1024]]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    fast = {
+        r.doc_id: r.cum
+        for r in distributed_prefix_sum(df, "doc_id", "n_tok", 256).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    }
+    assert fast == naive and len(fast) == len(rows)
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark, duck):
+    """Same rows on repeated runs (pure function of doc_id), and the
+    en-stratum keep-rate lands near its 30% target."""
+    from aprsdb_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    a = {r.doc_id for r in QUERIES["j_sample_stratified"](spark, SF_DIR).collect()}
+    b = {r.doc_id for r in QUERIES["j_sample_stratified"](spark, SF_DIR).collect()}
+    assert a == b
+    n_en = duck.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet') WHERE lang='en'"
+    ).fetchone()[0]
+    kept_en = duck.execute(
+        f"""SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')
+        WHERE lang='en' AND substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'"""
+    ).fetchone()[0]
+    assert 0.15 <= kept_en / n_en <= 0.45  # 30% target, binomial slack
+
+
+def test_contamination_self_is_total(spark):
+    """A benchmark document's own shingles are 100% contaminated by
+    construction — sanity-check the ratio math by running the hit join
+    on a doc copied into both sides."""
+    from aprsdb_spark.operators.dedup import shingles_col
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "bench"), (2, "a b c d e f", "cand"), (3, "x y z w v u", "cand")],
+        "doc_id long, text string, source string",
+    ).select("doc_id", "source", shingles_col("text").alias("sh"))
+    bench = docs.where(F.col("source") == "bench").select(
+        F.explode("sh").alias("term")
+    ).distinct()
+    cand = docs.where(F.col("source") == "cand")
+    hits = (
+        cand.select("doc_id", F.explode("sh").alias("term"))
+        .join(F.broadcast(bench), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r.doc_id: r.n for r in hits.collect()}
+    assert got == {2: 4}  # all 4 shingles of the copy, none of doc 3

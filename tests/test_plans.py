@@ -106,6 +106,51 @@ def test_bucketed_allpairs_join_on_sketch(spark):
         assert keys, f"{qid}: join keys do not include the LSH bucket"
 
 
+def _physical(spark, qid: str) -> str:
+    """Simple-mode physical plan: operator arguments (hashpartitioning
+    keys, SinglePartition) appear inline, unlike formatted mode."""
+    df = QUERIES[qid](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark shingle dictionary must broadcast — a shuffle here
+    means the whole corpus re-partitions by term for a membership probe
+    against a set that fits in memory."""
+    p = _plan(spark, "j_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_funnel_is_single_user_shuffle(spark):
+    """All four stage minima must stack on ONE user_id exchange — a
+    second hash exchange means the same-window-spec fusion broke and
+    funnel depth became a per-stage shuffle multiplier. (SinglePartition
+    exchanges are the final 1-row global agg — expected.)"""
+    p = _physical(spark, "j_funnel_stages")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_pack_sequences_big_side_window_is_partitioned(spark):
+    """The corpus-sized running sum must ride the range-partitioned
+    window; only the tiny range-offset roll-up may be a single-partition
+    window. One unpartitioned window over the full table is the global
+    sort this qid exists to avoid."""
+    p = _physical(spark, "j_pack_sequences")
+    # the per-range window: partitioned by range_id
+    assert "range_id" in p
+    # exactly one SinglePartition exchange (the n/256-row offsets window)
+    assert p.count("Exchange SinglePartition") == 1, p
+
+
+def test_release_pipeline_shuffles_hashes_not_text(spark):
+    """The dedup agg must key on md5(text): the exchange carries 16-byte
+    digests, never the documents themselves."""
+    p = _physical(spark, "j_pipeline_release")
+    exch = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("text#" not in l for l in exch), exch
+
+
 # qids where these physical operators are the POINT, not a smell
 _EXPECTED_BNLJ = {
     "c_join_cross",   # cartesian of two tiny dims
