@@ -14,7 +14,7 @@ countDistinct expands — prefer approx_count_distinct in dashboards.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rnd
@@ -303,4 +303,75 @@ def d_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("o_totalprice"), 2).alias("total_value"),
         )
         .select("c_mktsegment", "o_orderstatus", "gid", "n_orders", "total_value")
+    )
+
+
+@query(
+    "d_agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+)
+def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: per-segment totals, per-priority totals, and the grand total in
+    ONE scan (Spark's Expand feeds a single hash agg; three separate
+    groupBys would read the input three times)."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupingSets(
+            [["c_mktsegment"], ["o_orderpriority"], []],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select("c_mktsegment", "o_orderpriority", "gid", "n_orders", "total_value")
+    )
+
+
+@query(
+    "d_agg_mode",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM (SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_orderpriority)
+    WHERE rk = 1
+    """,
+)
+def d_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent order priority per
+    market segment, ties broken by priority string order (built-in
+    mode() leaves ties unspecified — useless under an exact oracle).
+    Count agg then a per-group rank over the tiny (segment, priority)
+    frequency table: the window runs on |groups| rows, not |orders|."""
+    t = load(spark, sf_dir)
+    freq = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
     )

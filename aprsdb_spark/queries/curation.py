@@ -436,7 +436,10 @@ def j_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = post.groupBy("term").agg(F.count("*").alias("df")).where(
         F.col("df") <= _CONTAIN_DF_CAP
     )
-    p = post.join(keep.select("term"), "term")
+    # The capped postings list feeds three consumers (sizes, both join
+    # sides); without a cache each re-runs shingling + the df join.
+    # Lazy persist — same pattern as cluster_labels' edge list.
+    p = post.join(keep.select("term"), "term").persist()
     sizes = p.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     a = p.select(F.col("doc_id").alias("id_a"), "term")
     b = p.select(F.col("doc_id").alias("id_b"), "term")

@@ -345,3 +345,50 @@ def c_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """)
+
+
+@query(
+    "c_sql_q5",
+    oracle="""
+    SELECT n_name,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def c_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the six-way star+fact-fact
+    join, through the SQL entry point. The interesting planning property
+    is mixed strategies in ONE query: region/nation/supplier broadcast
+    (Catalyst pushes r_name through the dim chain before sizing them),
+    while customer⋈orders⋈lineitem shuffle on their keys with the date
+    range pushed into the orders scan. The c_nationkey = s_nationkey
+    residual makes the supplier join a composite-key equi-join, not a
+    filter-after — at 100 TB that is the difference between joining on
+    suppkey then filtering ~96% of rows away and never materializing
+    them."""
+    t = load(spark, sf_dir)
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        getattr(t, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql("""
+        SELECT n_name,
+               FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """)
