@@ -375,3 +375,39 @@ def d_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "d_agg_approx_quantile",
+    oracle="""
+    SELECT o_orderstatus,
+           FLOOR((QUANTILE_CONT(o_totalprice, 0.5)) * 10000 + 0.5) / 10000
+               AS median_exact,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the mergeable-sketch quantile that replaces
+    exact percentile at 100 TB (exact needs per-group sorted value
+    collection; the sketch is fixed-size and combines map-side).
+
+    Same oracle pattern as d_agg_approx: the sketch estimate is
+    engine-specific, so the row carries the exact median plus
+    `approx_ok` = approx lies within the exact [p45, p55] band — a
+    rank-space bound, so it holds for any value distribution. The
+    boolean is deterministic (the sketch is data-deterministic and
+    merge-commutative), and the oracle asserts it TRUE: the sketch ran
+    AND its error is bounded."""
+    t = load(spark, sf_dir)
+    agg = t.orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("apx"),
+        F.percentile("o_totalprice", F.lit(0.45)).alias("p45"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.55)).alias("p55"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        rnd(F.col("p50"), 4).alias("median_exact"),
+        (F.col("apx").between(F.col("p45"), F.col("p55"))).alias("approx_ok"),
+    )

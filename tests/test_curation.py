@@ -51,6 +51,56 @@ def test_distributed_prefix_sum_equals_global_window(spark):
     assert fast == naive and len(fast) == len(rows)
 
 
+def test_distributed_prefix_sum_property(spark):
+    """Property form of the equivalence: arbitrary sparse id sets and
+    values, tiny range size (8) so many range boundaries are exercised,
+    must equal a plain python running sum. One Spark round-trip over a
+    batch of generated cases (a per-example session call would take
+    minutes); hypothesis still drives the case generation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aprsdb_spark.queries.curation import distributed_prefix_sum
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=1000),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def collect(case):
+        cases.append(sorted(case.items()))
+
+    collect()
+    rows = [
+        (ci, doc_id, v) for ci, case in enumerate(cases) for doc_id, v in case
+    ]
+    df = spark.createDataFrame(rows, "case long, doc_id long, n_tok long")
+    # run each case independently: offset ids by case * 1000 so ranges
+    # never span cases, then subtract per-case base cum
+    df = df.withColumn("gid", F.col("case") * 1000 + F.col("doc_id"))
+    got = {
+        (r.case, r.doc_id): r.cum
+        for r in distributed_prefix_sum(
+            df.select(F.col("gid").alias("doc_id"), "n_tok", "case",
+                      F.col("doc_id").alias("orig")),
+            "doc_id", "n_tok", 8,
+        ).select("case", F.col("orig").alias("doc_id"), "cum").collect()
+    }
+    for ci, case in enumerate(cases):
+        run = 0
+        prev_cum = got[(ci - 1, cases[ci - 1][-1][0])] if ci else 0
+        for doc_id, v in case:
+            run += v
+            assert got[(ci, doc_id)] == prev_cum + run, (ci, doc_id)
+
+
 def test_stratified_sample_is_deterministic_and_stratified(spark, duck):
     """Same rows on repeated runs (pure function of doc_id), and the
     en-stratum keep-rate lands near its 30% target."""
