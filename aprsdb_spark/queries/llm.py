@@ -225,10 +225,12 @@ def j_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs similarity >= 0.3 within label groups. The label equi-key
-    carries the shuffle (hash join), the dot evaluates per-bucket; the
-    no-labels 100 TB variant swaps the key for hyperplane_sketch buckets
-    (operators/similarity.py)."""
+    """All-pairs similarity >= 0.3 within label groups — the EXACT
+    ground-truth variant: with ~10 labels the per-group self-join is
+    Σn_g² ≈ n²/10 candidate pairs, which does not survive 100×. The
+    registered production path is `j_sim_pairs_bucketed` (hyperplane-
+    sketch equi-key, plan-pinned); keep this one for oracle-exact
+    verification and recall measurement of the bucketed variant."""
     t = load(spark, sf_dir)
     e1 = t.embeddings.alias("e1")
     e2 = t.embeddings.alias("e2")
@@ -271,9 +273,11 @@ def j_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: each vector's keeper is the
     min vec_id among itself and its >= 0.3-cosine neighbors (same label)
     — the single-hop greedy keeper assignment of a semantic-dedup pass.
-    The label equi-key carries the join shuffle; the unlabeled 100 TB
-    variant swaps the key for hyperplane_sketch buckets (same plan
-    shape, candidate pairs per bucket instead of per label)."""
+    EXACT ground-truth variant (label-keyed Σn_g² pairs — quadratic at
+    100×); the registered production path is `j_dedup_embed_bucketed`
+    (hyperplane-sketch equi-key, same plan shape, candidate pairs per
+    bucket — plan-pinned). Keep this one as the oracle-exact recall
+    reference for the bucketed variant."""
     t = load(spark, sf_dir)
     e1 = t.embeddings.alias("e1")
     e2 = t.embeddings.alias("e2")

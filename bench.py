@@ -17,21 +17,34 @@ import sys
 import time
 
 
-def _r02_reference() -> dict[str, float]:
-    """Per-qid r2 datapoints for the regression gate. BENCH_r02.json
-    stores the bench line as a (head-truncated) "tail" string, so the
-    pairs are regex-extracted; non-qid matches ("sf", the truncated
+def _reference() -> dict[str, float]:
+    """Per-qid datapoints from the NEWEST recorded driver round
+    (BENCH_r{N}.json with the largest N) for the regression gate.
+    Driver bench files store the output line either parsed (a "queries"
+    dict) or as a (head-truncated) "tail" string; for the latter the
+    pairs are regex-extracted — non-qid matches ("sf", the truncated
     first key) simply never intersect the current timing keys."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
-    try:
-        with open(path) as f:
-            tail = json.load(f).get("tail", "")
-    except Exception:
-        return {}
-    return {
-        m.group(1): float(m.group(2))
-        for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
-    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    for fname in reversed(rounds):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        parsed = data.get("parsed") or {}
+        queries = data.get("queries") or parsed.get("queries")
+        if isinstance(queries, dict) and queries:
+            return {k: float(v) for k, v in queries.items() if float(v) >= 0}
+        ref = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', data.get("tail", ""))
+        }
+        if ref:
+            return ref
+    return {}
 
 
 def main() -> None:
@@ -87,19 +100,20 @@ def main() -> None:
         )
     )
 
-    # Regression gate (BASELINE.md): any qid > 2x its recorded r2 time
-    # fails the bench. The +0.5s floor absorbs run noise on sub-second
-    # qids; disable with SPARK_GRAFT_BENCH_GATE=off. Gate only at the
-    # recorded scale factor — other SFs have no reference datapoints.
+    # Regression gate (BASELINE.md): any qid > 2x its newest recorded
+    # driver datapoint fails the bench. The +0.5s floor absorbs run
+    # noise on sub-second qids; disable with SPARK_GRAFT_BENCH_GATE=off.
+    # Gate only at the recorded scale factor — other SFs have no
+    # reference datapoints.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_GATE", "on") != "off":
-        ref = _r02_reference()
+        ref = _reference()
         slow = [
             (qid, t, ref[qid])
             for qid, t in timings.items()
             if t >= 0 and qid in ref and t > max(2 * ref[qid], ref[qid] + 0.5)
         ]
         for qid, t, r in slow:
-            print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs r2 {r:.3f}s (>2x)", file=sys.stderr)
+            print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs recorded {r:.3f}s (>2x)", file=sys.stderr)
         if slow:
             sys.exit(1)
 
