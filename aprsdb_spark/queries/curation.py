@@ -510,6 +510,48 @@ def j_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_labels_doubling(nodes: DataFrame, pairs: DataFrame, rounds: int) -> DataFrame:
+    """Pointer-doubling variant of cluster_labels — the 100 TB path for
+    HIGH-diameter graphs (SCALE.md §3): each round does one neighborhood
+    min (propagate) then one shortcut (label ← label-of-label), so the
+    frontier a label crosses roughly DOUBLES per round — ~log2(diameter)
+    rounds instead of diameter. Near-dup graphs are quasi-cliques and
+    don't need it (plain propagation is fewer joins per round); chain- or
+    mesh-shaped entity graphs do. Same interface and result as
+    cluster_labels; equivalence to union-find is property-tested.
+
+    Each round's labels frame feeds the next round THREE times (edge
+    join + both shortcut sides), so a plain persist still grows the
+    ANALYZED plan 3^rounds — enough to OOM the driver before any task
+    runs. localCheckpoint(eager=False) truncates the lineage at the
+    plan itself (lazy: no job until the first action), keeping both
+    execution AND planning linear in rounds — the cluster_labels
+    lineage lesson, squared."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .unionByName(nodes.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v")))
+        .repartition(F.col("v"))
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(rounds):
+        labels = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("u", "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        hop = labels.select(F.col("doc_id").alias("k"), F.col("label").alias("l2"))
+        labels = (
+            labels.join(hop, labels.label == hop.k)
+            .select("doc_id", F.least(F.col("label"), F.col("l2")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 @query(
     "j_pipeline_release",
     oracle=f"""

@@ -120,6 +120,63 @@ def test_stratified_sample_is_deterministic_and_stratified(spark, duck):
     assert 0.15 <= kept_en / n_en <= 0.45  # 30% target, binomial slack
 
 
+def test_pointer_doubling_cc_matches_union_find(spark):
+    """cluster_labels_doubling == union-find ground truth on random
+    graphs, with rounds ~ log2(n) — including a 60-node PATH (diameter
+    59), which plain propagation at the same round count cannot close.
+    Cases batched into one Spark run via per-case id offsets."""
+    import random
+
+    from aprsdb_spark.queries.curation import cluster_labels_doubling
+
+    random.seed(20260813)
+    cases = []
+    for ci in range(6):
+        n = random.randint(8, 40)
+        n_edges = random.randint(0, n)
+        edges = [
+            tuple(random.sample(range(n), 2)) for _ in range(n_edges)
+        ]
+        cases.append((n, edges))
+    cases.append((60, [(i, i + 1) for i in range(59)]))  # the path
+
+    OFF = 1000
+    node_rows = [
+        (ci * OFF + i,) for ci, (n, _) in enumerate(cases) for i in range(n)
+    ]
+    edge_rows = [
+        (ci * OFF + a, ci * OFF + b)
+        for ci, (_, es) in enumerate(cases)
+        for a, b in es
+    ]
+    nodes = spark.createDataFrame(node_rows, "doc_id long")
+    pairs = spark.createDataFrame(edge_rows or [(0, 0)], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.label
+        for r in cluster_labels_doubling(nodes, pairs, rounds=6).collect()
+    }
+
+    for ci, (n, es) in enumerate(cases):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min = {}
+        for i in range(n):
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        for i in range(n):
+            assert got[ci * OFF + i] == ci * OFF + comp_min[find(i)], (ci, i)
+
+
 def test_contamination_self_is_total(spark):
     """A benchmark document's own shingles are 100% contaminated by
     construction — sanity-check the ratio math by running the hit join
