@@ -90,6 +90,13 @@ def _lit_matrix(vecs: list[list[float]]) -> Column:
     return F.expr(sql)
 
 
+def _lit_vector(v: list[float]) -> Column:
+    """array<double> literal via one parsed expression (see _lit_matrix)."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in v) + ")"
+    )
+
+
 def _best_centroid(cents: list, emb_col: str = "embedding") -> Column:
     """struct<s: double, ncid: int> of the max-dot centroid for a row's
     embedding; ncid is the NEGATED cluster id so lexicographic struct
@@ -125,7 +132,7 @@ def ivf_search(
         ((float(np.dot(q, np.array(v))), cid) for cid, v in cents), reverse=True
     )
     probe = [cid for _, cid in order[:nprobe]]
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = _lit_vector([float(x) for x in query_vec])
     return (
         assigned.where(F.col("cluster_id").isin(probe))
         .select(
@@ -159,11 +166,13 @@ def hyperplane_sketch(vec: str | Column, n_planes: int = 16, dim: int = 64) -> C
     function.)
     """
     v = as_double(vec)
+    mat = _lit_matrix(
+        [[_plane_sign(p, j) for j in range(dim)] for p in range(n_planes)]
+    )
     out = F.lit(0)
     for p in range(n_planes):
-        signs = F.array(*[F.lit(_plane_sign(p, j)) for j in range(dim)])
         proj = F.aggregate(
-            F.zip_with(v, signs, lambda x, s: x * s),
+            F.zip_with(v, F.element_at(mat, p + 1), lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -212,7 +221,7 @@ def lsh_search(
     qrow = tagged.where(F.col("vec_id") == query_id).select("embedding", "bucket").head()
     qvec = [float(x) for x in qrow.embedding]
     probe = lsh_probe_buckets(int(qrow.bucket), n_planes, radius)
-    qcol = F.array(*[F.lit(x) for x in qvec])
+    qcol = _lit_vector(qvec)
     return (
         tagged.where(F.col("bucket").isin(probe))
         .select(
