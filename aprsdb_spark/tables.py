@@ -46,12 +46,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is LONG nanoseconds (see session._RUNTIME_CONFS): derive the
-        # canonical epoch-ms column every time-based operator keys on.
-        # Integer div — double math would lose precision above 2^53 ns.
+        # Derive the canonical epoch-ms column every time-based operator
+        # keys on. The driver has shipped `ts` as LONG nanoseconds and as
+        # parquet timestamp[us] (read as TIMESTAMP_NTZ) across rounds, so
+        # branch on the footer dtype rather than assuming one encoding.
+        # tune() pins the session timezone to UTC, so NTZ→TZ cast agrees
+        # with DuckDB's epoch_ms(), which treats naive timestamps as UTC.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts_ms", F.expr("ts div 1000000"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, (T.LongType, T.IntegerType)):
+            # Integer div — double math would lose precision above 2^53 ns.
+            ts_ms = F.expr("ts div 1000000")
+        elif isinstance(ts_type, T.TimestampNTZType):
+            ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        else:  # TIMESTAMP (instant): already an absolute point in time
+            ts_ms = F.unix_millis(F.col("ts"))
+        df = df.withColumn("ts_ms", ts_ms)
     _PLAN_CACHE[key] = df
     return df
 
