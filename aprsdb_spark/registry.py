@@ -56,72 +56,69 @@ def load_all() -> None:
 
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
-# CORRECTNESS_r01.json and CORRECTNESS_r02.json both end at registry
-# position 50 — same 50 qids, zero errors in r2). DRIVER_ORDER pins which
-# qids occupy that scored window: the 46 qids that have never received a
-# driver row (registry positions 51-96 in rounds 1-2 — all j_*, aprs_*,
-# k_*, h_map..h_geo_pairs, h_str_parse_*), the round-3 bucketed all-pairs
-# variants, and two long-green canaries (a_scan_parquet, e_win_lastpos)
-# to detect any environment-level breakage of the harness itself.
-# Everything not listed follows in plain registration order — the r2-green
-# block keeps its recorded evidence.
+# every CORRECTNESS_r0N.json ends at registry position 50). DRIVER_ORDER
+# pins which qids occupy that scored window. Round-5 rotation: after r4,
+# exactly 14 registered qids have never received a driver row (union of
+# CORRECTNESS_r01..r04 vs the registry — derived, not hand-counted, by
+# tests/test_registry_order.py). They lead the window; the remaining 36
+# slots re-score the block whose latest driver evidence is oldest (r2:
+# scans, filters, joins, aggregates, windows — including the two
+# harness-breakage canaries a_scan_parquet / e_win_lastpos). Everything
+# not listed follows in registration order and keeps its r4 evidence.
 DRIVER_ORDER: list[str] = [
-    # scalar-function block never reached by the r1/r2 driver cap
-    "h_map",
-    "h_json",
-    "h_hash",
-    "h_geo_range",
-    "h_geo_pairs",
-    # the LLM-pipeline family (SURVEY §2.J) — never driver-scored
-    "j_dedup_exact",
-    "j_dedup_ngram",
-    "j_dedup_near",
-    "j_dedup_simhash",
-    "j_sim_topk",
-    "j_knn_label",
-    "j_sim_pairs",
-    "j_dedup_embed",
-    "j_sim_pairs_bucketed",
-    "j_dedup_embed_bucketed",
-    "j_ann_lsh",
-    "j_ann_ivf",
-    "j_text_stats",
-    "j_tfidf",
-    "j_lang_quality",
-    "j_lang_id",
-    "j_fingerprint",
-    "j_multimodal",
-    "j_multimodal_frames",
-    "j_multimodal_resize",
-    "j_multimodal_features",
-    "j_multimodal_sim",
-    "j_multimodal_decode",
-    "j_token_count",
-    "j_quality_score",
-    "j_embed_centroid",
-    "j_pipeline_curate",
-    # APRS parse + composite family — never driver-scored
-    "h_str_parse_tnc2",
-    "h_str_parse_pos",
-    "aprs_pipeline",
-    "aprs_lastpos",
-    "aprs_msg_ack",
-    "aprs_wx",
-    "aprs_decode_udf",
-    "aprs_malformed",
-    "aprs_objects",
-    "aprs_telemetry_eng",
-    "h_str_parse_phg",
-    # UDF surface (SURVEY §2.K) — never driver-scored
-    "k_pandas_scalar",
-    "k_pandas_grouped_agg",
-    "k_apply_in_pandas",
-    "k_udtf",
-    "k_sql_udf",
-    # round-3 curation additions (two more wait outside the window:
-    # j_pii_scrub / j_inverted_index rotate in next round)
-    "j_dedup_cluster",
-    "j_split_train_val",
+    # never driver-scored (r3 SQL/agg additions + r3/r4 curation suite)
+    "c_sql_q5",
+    "d_agg_grouping_sets",
+    "d_agg_mode",
+    "d_agg_approx_quantile",
+    "j_pii_scrub",
+    "j_sample_stratified",
+    "j_pack_sequences",
+    "j_contamination",
+    "j_dedup_containment",
+    "j_embed_quantize",
+    "j_pipeline_release",
+    "j_inverted_index",
+    "j_retention_cohort",
+    "j_funnel_stages",
+    # stale-r2 evidence block (canary: a_scan_parquet)
+    "a_scan_parquet",
+    "a_scan_pruned",
+    "b_filter_pred",
+    "b_filter_like",
+    "b_filter_null",
+    "b_project_expr",
+    "c_join_inner",
+    "c_join_bcast",
+    "c_join_smj",
+    "c_join_outer",
+    "c_join_semi",
+    "c_join_anti",
+    "c_join_theta",
+    "c_join_interval",
+    "c_join_asof",
+    "c_join_self",
+    "c_join_cross",
+    "c_sql_q3",
+    "d_agg_basic",
+    "d_agg_distinct",
+    "d_agg_approx",
+    "d_agg_rollup",
+    "d_agg_filtered",
+    "d_agg_stats",
+    "d_agg_percentile",
+    "d_agg_collect",
+    "d_agg_pivot",
+    "d_agg_cube",
+    # canary: e_win_lastpos
+    "e_win_rank",
+    "e_win_lastpos",
+    "e_win_lag",
+    "e_win_running",
+    "e_win_moving",
+    "e_win_analytic",
+    "e_win_sessionize",
+    "s_dedup_30s_batch",
 ]
 
 
