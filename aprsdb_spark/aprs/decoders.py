@@ -127,10 +127,25 @@ def _decode_mice_one(dst: str, info: str):
             info[7],
             float(course),
             speed_knots * 1.852,
-            None,  # Mic-E altitude lives in the status text; not decoded
+            _mice_status_altitude(info[9:]),
         )
     except (ValueError, IndexError):
         return none
+
+
+def _mice_status_altitude(status: str):
+    """Altitude from the Mic-E status text (APRS101 §10): the FIRST item,
+    encoded as 3 base-91 chars + '}', value = base91 - 10000 metres.
+    Kenwood radios prefix one device-id byte ('>' TH-D7, ']' TM-D700),
+    so the '}' may sit at offset 3 or 4."""
+    for start in (0, 1):
+        if len(status) >= start + 4 and status[start + 3] == "}":
+            if start == 1 and status[0] not in ">]`'":
+                continue
+            c0, c1, c2 = (ord(c) - 33 for c in status[start : start + 3])
+            if all(0 <= c < 91 for c in (c0, c1, c2)):
+                return float((c0 * 91 + c1) * 91 + c2 - 10000)
+    return None
 
 
 _COLS = [

@@ -40,6 +40,12 @@ _PLAN_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
+    # table() is a public entry point: pin session confs here, not only in
+    # load() — a direct table() call on a driver-provided session would
+    # otherwise build the events NTZ→timestamp cast under the session's
+    # local timezone and memoize the WRONG plan for the session lifetime.
+    # tune() is idempotent and ~free after its first call.
+    tune(spark)
     key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
@@ -52,17 +58,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # branch on the footer dtype rather than assuming one encoding.
         # tune() pins the session timezone to UTC, so NTZ→TZ cast agrees
         # with DuckDB's epoch_ms(), which treats naive timestamps as UTC.
+        # Unknown encodings fail loudly: an int32 cannot hold epoch
+        # nanoseconds (if ts ever ships as INT32 it is seconds or millis,
+        # and `div 1000000` would produce silent garbage), and a
+        # string/double/date ts needs a human decision, not a cast.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, (T.LongType, T.IntegerType)):
+        if isinstance(ts_type, T.LongType):
             # Integer div — double math would lose precision above 2^53 ns.
             ts_ms = F.expr("ts div 1000000")
         elif isinstance(ts_type, T.TimestampNTZType):
             ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
-        else:  # TIMESTAMP (instant): already an absolute point in time
+        elif isinstance(ts_type, T.TimestampType):
+            # instant: already an absolute point in time
             ts_ms = F.unix_millis(F.col("ts"))
+        else:
+            raise TypeError(
+                f"unsupported events.ts encoding {ts_type.simpleString()!r}: "
+                "expected LONG epoch-nanoseconds, TIMESTAMP_NTZ, or TIMESTAMP"
+            )
         df = df.withColumn("ts_ms", ts_ms)
     _PLAN_CACHE[key] = df
     return df

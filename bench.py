@@ -86,16 +86,27 @@ def main() -> None:
     _ident = pandas_udf(lambda s: s, "long")
     t.region.select(_ident(F.col("r_regionkey"))).write.format("noop").mode("overwrite").save()
 
+    # n runs per qid, min reported: r2's gate datapoints were warm n=2
+    # while r3/r4 ran cold n=1, and the resulting 1.2-3x "regressions"
+    # were mostly measurement regime (BASELINE.md methodology note).
+    # Minima compare like with like across rounds; the JSON records the
+    # regime so future gates can tell.
+    n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
     timings: dict[str, float] = {}
     for qid in sorted(QUERIES):
         fn = QUERIES[qid]
-        start = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[qid] = round(time.perf_counter() - start, 3)
-        except Exception as e:  # a failing query must not kill the bench
-            timings[qid] = -1.0
-            print(f"BENCH-ERROR {qid}: {e}", file=sys.stderr)
+        best = None
+        for _ in range(n):
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - start, 3)
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as e:  # a failing query must not kill the bench
+                best = -1.0
+                print(f"BENCH-ERROR {qid}: {e}", file=sys.stderr)
+                break
+        timings[qid] = best
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
@@ -106,6 +117,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": n,
+                "warmed": True,  # table + codegen + UDF-worker warmup above
+                "stat": "min" if n > 1 else "single",
             }
         )
     )

@@ -170,7 +170,8 @@ def main() -> None:
 
 
 def enc_mice(lat: float, lon: float, speed_knots: int = 0, course: int = 0,
-             sym_table: str = "/", sym: str = ">") -> tuple[str, str]:
+             sym_table: str = "/", sym: str = ">",
+             altitude_m: int | None = None) -> tuple[str, str]:
     """Mic-E encoder per APRS101 §10 (inverse of the engine's decoder):
     lat digits + N/S + lon-offset + E/W ride in the DST callsign; lon
     degrees/minutes/hundredths + speed/course in info bytes. Returns
@@ -221,6 +222,10 @@ def enc_mice(lat: float, lon: float, speed_knots: int = 0, course: int = 0,
         + sym
         + sym_table
     )
+    if altitude_m is not None:
+        # status-text altitude: 3 base-91 chars + '}', value = alt + 10000
+        v = altitude_m + 10000
+        info += chr(v // 8281 + 33) + chr(v // 91 % 91 + 33) + chr(v % 91 + 33) + "}"
     return dst, info
 
 

@@ -112,6 +112,34 @@ def test_mice_roundtrip(lat, lon, speed, course):
     assert math.isclose(dcourse, float(course), abs_tol=1e-6)
 
 
+@settings(max_examples=100, deadline=None)
+@given(alt=st.integers(min_value=-10000, max_value=99999 - 10000))
+def test_mice_status_altitude_roundtrip(alt):
+    """APRS101 §10: altitude rides the status text as 3 base-91 chars +
+    '}', value - 10000 m; must decode at offset 0 and after a Kenwood
+    device-id byte."""
+    from fixtures.gen_aprs import enc_mice
+
+    dst, info = enc_mice(37.1, -121.6, altitude_m=alt)
+    *_, dalt = _decode_mice_one(dst, info)
+    assert dalt == float(alt), (info, dalt)
+    # Kenwood TH-D7 prefixes '>' before the altitude block
+    body, status = info[:9], info[9:]
+    *_, dalt2 = _decode_mice_one(dst, body + ">" + status)
+    assert dalt2 == float(alt)
+
+
+def test_mice_without_altitude_stays_none():
+    from fixtures.gen_aprs import enc_mice
+
+    dst, info = enc_mice(37.1, -121.6)
+    *_, dalt = _decode_mice_one(dst, info)
+    assert dalt is None
+    # a status text that merely contains '}' later must not decode
+    *_, dalt3 = _decode_mice_one(dst, info + "hello}world")
+    assert dalt3 is None
+
+
 def test_parser_never_throws_on_fixture(spark):
     """malformed.txt: every line yields a row; bad ones carry parse_error."""
     from aprsdb_spark.aprs.parse import parse_packets
