@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     scalars,
     llm,
     curation,
+    quality,
     analytics,
     aprs_queries,
     udfs,
@@ -28,6 +29,7 @@ ALL_MODULES = [
     scalars,
     llm,
     curation,
+    quality,
     analytics,
     aprs_queries,
     udfs,

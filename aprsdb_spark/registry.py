@@ -58,13 +58,14 @@ def load_all() -> None:
 # __spark_entry__.queries() in insertion order, then stops (observed:
 # every CORRECTNESS_r0N.json ends at registry position 50). DRIVER_ORDER
 # pins which qids occupy that scored window. Round-5 rotation: after r4,
-# exactly 14 registered qids have never received a driver row (union of
+# exactly 14 registered qids had never received a driver row (union of
 # CORRECTNESS_r01..r04 vs the registry — derived, not hand-counted, by
-# tests/test_registry_order.py). They lead the window; the remaining 36
-# slots re-score the block whose latest driver evidence is oldest (r2:
-# scans, filters, joins, aggregates, windows — including the two
-# harness-breakage canaries a_scan_parquet / e_win_lastpos). Everything
-# not listed follows in registration order and keeps its r4 evidence.
+# tests/test_registry_order.py), plus the 4 new r5 quality.py qids. They
+# lead the window; the remaining 32 slots re-score the block whose
+# latest driver evidence is oldest (r2: scans, filters, joins,
+# aggregates, windows — including the two harness-breakage canaries
+# a_scan_parquet / e_win_lastpos). Everything not listed follows in
+# registration order and keeps its r4 evidence.
 DRIVER_ORDER: list[str] = [
     # never driver-scored (r3 SQL/agg additions + r3/r4 curation suite)
     "c_sql_q5",
@@ -81,6 +82,11 @@ DRIVER_ORDER: list[str] = [
     "j_inverted_index",
     "j_retention_cohort",
     "j_funnel_stages",
+    # new in r5 (quality.py) — never scored by construction
+    "j_repetition",
+    "j_domain_mix",
+    "j_ngram_lm",
+    "j_embed_outlier",
     # stale-r2 evidence block (canary: a_scan_parquet)
     "a_scan_parquet",
     "a_scan_pruned",
@@ -113,10 +119,6 @@ DRIVER_ORDER: list[str] = [
     # canary: e_win_lastpos
     "e_win_rank",
     "e_win_lastpos",
-    "e_win_lag",
-    "e_win_running",
-    "e_win_moving",
-    "e_win_analytic",
     "e_win_sessionize",
     "s_dedup_30s_batch",
 ]
