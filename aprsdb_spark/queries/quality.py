@@ -76,16 +76,28 @@ def j_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one row per (doc, distinct-token), never raw text."""
     t = load(spark, sf_dir)
     toks = tokens_col("text")
-    n = F.size(toks)
-    g2, g3 = ngrams_col("text", 2), ngrams_col("text", 3)
-    d2 = F.when(
-        F.size(g2) > 0, 1.0 - F.size(F.array_distinct(g2)) * 1.0 / F.size(g2)
-    ).otherwise(0.0)
-    d3 = F.when(
-        F.size(g3) > 0, 1.0 - F.size(F.array_distinct(g3)) * 1.0 / F.size(g3)
-    ).otherwise(0.0)
-    sig = t.documents.select(
-        "doc_id", n.cast("long").alias("n_tokens"), d2.alias("d2"), d3.alias("d3")
+    # n-gram arrays are materialized through their own projection before
+    # the three references each (size guard, distinct-size, divisor):
+    # inlined, Catalyst re-evaluates the whole split+zip_with chain per
+    # reference (9 zip_with / 31 split nodes in the physical plan vs
+    # 3 / 11 staged — measured 2x slower at sf0.1).
+    base = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        ngrams_col("text", 2).alias("g2"),
+        ngrams_col("text", 3).alias("g3"),
+    )
+
+    def dup_frac(c):
+        return F.when(
+            F.size(c) > 0, 1.0 - F.size(F.array_distinct(c)) * 1.0 / F.size(c)
+        ).otherwise(0.0)
+
+    sig = base.select(
+        "doc_id",
+        "n_tokens",
+        dup_frac(F.col("g2")).alias("d2"),
+        dup_frac(F.col("g3")).alias("d3"),
     )
     top = (
         t.documents.select("doc_id", F.explode(toks).alias("tok"))
@@ -148,9 +160,7 @@ def j_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "j_ngram_lm",
-    oracle="""
+_LM_SQL = """
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
     cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
     tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt),
@@ -160,8 +170,10 @@ def j_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, COUNT(*) AS n_tokens,
            FLOOR((AVG(lp)) * 10000 + 0.5) / 10000 AS avg_logp
     FROM scored GROUP BY doc_id
-    """,
-)
+"""
+
+
+@query("j_ngram_lm", oracle=_LM_SQL)
 def j_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: mean add-one-smoothed log-probability
     of each document under a model trained on the corpus itself (the
@@ -184,6 +196,98 @@ def j_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             rnd(F.avg("lp"), 4).alias("avg_logp"),
         )
+    )
+
+
+@query(
+    "j_lm_buckets",
+    oracle=f"""
+    WITH lm AS ({_LM_SQL}),
+    cut AS (SELECT quantile_cont(avg_logp, [0.3333333333333333, 0.6666666666666666]) AS cs
+            FROM lm)
+    SELECT doc_id, avg_logp,
+           CASE WHEN avg_logp <= cs[1] THEN 'tail'
+                WHEN avg_logp <= cs[2] THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM lm CROSS JOIN cut
+    """,
+)
+def j_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: documents split into
+    head/middle/tail by LM-score terciles (head = most probable). The
+    cutpoints enter the plan as a broadcast 1-row percentile aggregate —
+    bucketing is then a stateless comparison on the scan, NOT a global
+    ntile() window (which would move every row to one partition). At
+    100 TB swap `percentile` for `approx_percentile`: the bucketing
+    expression is unchanged, only the sketch that feeds it; exact
+    percentile is kept here so the oracle matches bit-for-bit.
+
+    Tercile comparisons are engine-stable: scores are pre-rounded to
+    1e-4, so interpolated cutpoints either equal a score exactly (both
+    engines agree) or sit >= 5e-5 away — last-ulp interpolation
+    differences cannot flip a bucket."""
+    scores = j_ngram_lm(spark, sf_dir)
+    cuts = scores.agg(
+        F.expr(
+            "percentile(avg_logp, array(0.3333333333333333D, 0.6666666666666666D))"
+        ).alias("cs")
+    )
+    c1, c2 = F.element_at("cs", 1), F.element_at("cs", 2)
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_logp",
+        F.when(F.col("avg_logp") <= c1, "tail")
+        .when(F.col("avg_logp") <= c2, "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+
+
+_WINNOW_K = 3  # k-gram size
+_WINNOW_W = 4  # winnowing window (consecutive k-gram hashes per window)
+
+
+@query(
+    "j_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    h AS (SELECT doc_id,
+            list_transform(range(1, greatest(len(toks) - {_WINNOW_K - 1}, 0) + 1),
+              i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS hs
+          FROM t),
+    w AS (SELECT doc_id,
+            list_transform(range(1, greatest(len(hs) - {_WINNOW_W - 1}, 0) + 1),
+              i -> list_min(hs[i:i + {_WINNOW_W - 1}])) AS wins
+          FROM h)
+    SELECT doc_id, unnest(list_distinct(wins)) AS fingerprint FROM w
+    """,
+)
+def j_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint index (the MOSS/local-fingerprinting
+    algorithm, public): md5 over positional 3-gram shingles, min hash
+    per sliding window of 4, distinct selected fingerprints per
+    document — the guarantee is every shared substring of length
+    >= k+w-1 = 6 tokens produces at least one shared fingerprint.
+    All array HOFs on the scan (the window-min is zip_with(least) over
+    w shifted slices), then one explode; at 100 TB the output is the
+    posting list a substring-dedup join consumes, partitioned by
+    fingerprint.
+
+    The hash array is MATERIALIZED through its own projection before
+    the w slices reference it: inlined, Catalyst duplicates the
+    transform(md5) into every slice (8 md5 evaluations per row in the
+    physical plan — measured 3.7x slower at sf0.1); staged, the plan
+    carries exactly one."""
+    t = load(spark, sf_dir)
+    hs = F.transform(ngrams_col("text", _WINNOW_K), F.md5)
+    staged = t.documents.select("doc_id", hs.alias("hs"))
+    h = F.col("hs")
+    m = F.greatest(F.size(h) - (_WINNOW_W - 1), F.lit(0))
+    wins = F.slice(h, 1, m)
+    for j in range(1, _WINNOW_W):
+        wins = F.zip_with(wins, F.slice(h, j + 1, m), lambda a, b: F.least(a, b))
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint")
     )
 
 

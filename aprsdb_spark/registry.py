@@ -60,8 +60,8 @@ def load_all() -> None:
 # pins which qids occupy that scored window. Round-5 rotation: after r4,
 # exactly 14 registered qids had never received a driver row (union of
 # CORRECTNESS_r01..r04 vs the registry — derived, not hand-counted, by
-# tests/test_registry_order.py), plus the 4 new r5 quality.py qids. They
-# lead the window; the remaining 32 slots re-score the block whose
+# tests/test_registry_order.py), plus the 6 new r5 quality.py qids. They
+# lead the window; the remaining 30 slots re-score the block whose
 # latest driver evidence is oldest (r2: scans, filters, joins,
 # aggregates, windows — including the two harness-breakage canaries
 # a_scan_parquet / e_win_lastpos). Everything not listed follows in
@@ -86,6 +86,8 @@ DRIVER_ORDER: list[str] = [
     "j_repetition",
     "j_domain_mix",
     "j_ngram_lm",
+    "j_lm_buckets",
+    "j_winnow_fingerprints",
     "j_embed_outlier",
     # stale-r2 evidence block (canary: a_scan_parquet)
     "a_scan_parquet",
@@ -113,8 +115,6 @@ DRIVER_ORDER: list[str] = [
     "d_agg_filtered",
     "d_agg_stats",
     "d_agg_percentile",
-    "d_agg_collect",
-    "d_agg_pivot",
     "d_agg_cube",
     # canary: e_win_lastpos
     "e_win_rank",
