@@ -36,6 +36,21 @@ def tokens_col(text: str | Column = "text") -> Column:
     return F.split(c, " ")
 
 
+def shingles_from_toks(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles from an already-materialized token
+    array column; empty if < k tokens. Prefer this over shingles_col
+    when the DataFrame can stage `toks` through its own projection —
+    the k+1 internal references (k slices + the size guard) then share
+    ONE split() instead of re-evaluating it per reference (6 -> 1 split
+    nodes in the physical plan, ~20% on the fingerprint job at sf0.1)."""
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # shingle count, >=0
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    out = parts[0]
+    for j in range(1, k):
+        out = F.zip_with(out, parts[j], lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(out)
+
+
 def shingles_col(text: str | Column = "text", k: int = SHINGLE_K) -> Column:
     """Distinct k-token shingles as array<string>; empty if < k tokens.
 
@@ -43,14 +58,19 @@ def shingles_col(text: str | Column = "text", k: int = SHINGLE_K) -> Column:
     evaluates split() k times per ROW. The naive transform(sequence,
     i -> element_at(toks, i+j)) form inlines the split into the lambda,
     re-splitting the text per shingle POSITION — O(k·n) splits per row,
-    ~4x slower on the whole dedup family (measured at sf0.1)."""
-    toks = tokens_col(text)
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # shingle count, >=0
-    parts = [F.slice(toks, j + 1, m) for j in range(k)]
-    out = parts[0]
-    for j in range(1, k):
-        out = F.zip_with(out, parts[j], lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(out)
+    ~4x slower on the whole dedup family (measured at sf0.1). Callers
+    that control the DataFrame should stage the token array and use
+    shingles_from_toks instead (one further split-sharing level)."""
+    return shingles_from_toks(tokens_col(text), k)
+
+
+def shingle_rows(
+    docs: DataFrame, id_cols: list[str], text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """(id..., sh) — one row per distinct k-shingle, with the token
+    array staged through its own projection (see shingles_from_toks)."""
+    base = docs.select(*id_cols, tokens_col(text_col).alias("_toks"))
+    return base.select(*id_cols, F.explode(shingles_from_toks(F.col("_toks"), k)).alias("sh"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -60,7 +80,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     map-side partial aggregation means the shuffle carries one 128-long
     row per document, not per shingle.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("sh"))
+    sh = shingle_rows(docs, [id_col], text_col)
     # Hash the shingle STRING once to a long, then derive the 128 seeded
     # hashes from the 8-byte long: each xxhash64(h, i) consumes 8 bytes
     # instead of re-consuming the full shingle bytes 128 times. Identical
@@ -116,9 +136,9 @@ def jaccard_verify(
     Shingles are hashed to longs first — 8-byte equality in the
     intersect/union; identical to string Jaccard modulo ~2^-64
     collision probability per pair."""
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles_col(text_col), lambda x: F.xxhash64(x)).alias("_sh"),
+    sh = docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")).select(
+        "_id",
+        F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias("_sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")

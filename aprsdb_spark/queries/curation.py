@@ -15,7 +15,8 @@ from ..operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingles_col,
+    shingle_rows,
+    shingles_from_toks,
     tokens_col,
 )
 from ..registry import query
@@ -364,8 +365,8 @@ def j_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, co-partitioned with the hit counts."""
     t = load(spark, sf_dir)
     docs = t.documents.select(
-        "doc_id", "source", shingles_col("text").alias("sh")
-    )
+        "doc_id", "source", tokens_col("text").alias("_toks")
+    ).select("doc_id", "source", shingles_from_toks(F.col("_toks")).alias("sh"))
     cand = docs.where(F.col("source") != "src0")
     bench_terms = (
         docs.where(F.col("source") == "src0")
@@ -430,9 +431,7 @@ def j_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation). On this corpus max df is ~25, so the cap is inert
     at fixture scale; at 100 TB it is what bounds the join."""
     t = load(spark, sf_dir)
-    post = t.documents.select(
-        "doc_id", F.explode(shingles_col("text")).alias("term")
-    )
+    post = shingle_rows(t.documents, ["doc_id"]).withColumnRenamed("sh", "term")
     keep = post.groupBy("term").agg(F.count("*").alias("df")).where(
         F.col("df") <= _CONTAIN_DF_CAP
     )

@@ -22,7 +22,8 @@ from ..operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingles_col,
+    shingle_rows,
+    shingles_from_toks,
     simhash_chunks,
     simhash_table,
     tokens_col,
@@ -91,10 +92,12 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (p ~ |shingles|^2 / 2^64 — negligible, and the LSH path is judged
     # against this same quantity).
     sh = t.documents.select(
+        "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+    ).select(
         "doc_id",
         "lang",
         "source",
-        F.transform(shingles_col("text"), lambda x: F.xxhash64(x)).alias("s"),
+        F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias("s"),
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -693,7 +696,7 @@ def j_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + min-agg beats array_min(transform(...)) ~30% (measured):
     # md5 runs in the agg's codegen loop with map-side partial min
     return (
-        t.documents.select("doc_id", F.explode(shingles_col("text")).alias("sh"))
+        shingle_rows(t.documents, ["doc_id"])
         .groupBy("doc_id")
         .agg(F.min(F.md5("sh")).alias("fingerprint"), F.count("*").alias("n_shingles"))
     )
@@ -861,8 +864,13 @@ def j_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a BPE-ish subword estimate (ceil(len/4) units per token ≈ the 4-chars
     -per-token rule of thumb) — pure array HOFs, no tokenizer library."""
     t = load(spark, sf_dir)
-    toks = tokens_col("text")
-    return t.documents.select(
+    # toks is materialized through its own projection before its three
+    # references — inlined, Catalyst evaluates split() once per
+    # reference (3 split nodes in the physical plan vs 1 staged; same
+    # pattern measured 2-3.7x at sf0.1 on the quality.py ops).
+    base = t.documents.select("doc_id", "n_chars", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
+    return base.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.aggregate(
@@ -894,13 +902,17 @@ def j_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, lexical diversity, length bounds → keep flag. All expression-
     level; at 100 TB this is a single scan with zero shuffles."""
     t = load(spark, sf_dir)
-    toks = tokens_col("text")
+    # staged toks projection: the ratios reference the token array six
+    # times; inlined that is 8 split() nodes in the physical plan, 1
+    # staged (see quality.py for the measured 2-3.7x effect).
+    base = t.documents.select("doc_id", "lang", "n_chars", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     stop_ratio = (
         F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "to", "in", "and"))) * 1.0 / n
     )
     distinct_ratio = F.size(F.array_distinct(toks)) * 1.0 / n
-    return t.documents.select(
+    return base.select(
         "doc_id",
         "lang",
         n.cast("long").alias("n_tokens"),
@@ -965,17 +977,27 @@ def j_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scan — the shape of a production corpus-curation job."""
     t = load(spark, sf_dir)
     keepers = t.documents.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    toks = tokens_col("text")
-    n_tok = F.size(toks)
-    ldiv = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    # two-level staging (toks, then n_tok/ldiv) so the five references
+    # share one split(): 7 split nodes inlined -> 5 staged (predicate
+    # pushdown re-substitutes the filter's aliases; the projection-side
+    # references stay shared).
+    base = t.documents.join(keepers.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_chars", tokens_col("text").alias("toks")
+    )
+    n_tok = F.size(F.col("toks"))
+    ldiv = F.size(F.array_distinct(F.col("toks"))) * 1.0 / n_tok
+    staged = base.select(
+        "doc_id", "lang", "n_chars", n_tok.alias("n_tok"), ldiv.alias("ldiv")
+    )
     return (
-        t.documents.join(keepers.select("doc_id"), "doc_id", "left_semi")
-        .where(F.col("n_chars").between(200, 5000) & (n_tok >= 30) & (ldiv >= 0.1))
+        staged.where(
+            F.col("n_chars").between(200, 5000) & (F.col("n_tok") >= 30) & (F.col("ldiv") >= 0.1)
+        )
         .select(
             "doc_id",
             "lang",
             "n_chars",
-            n_tok.cast("long").alias("n_tokens"),
-            rnd(ldiv, 6).alias("lexical_diversity"),
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            rnd(F.col("ldiv"), 6).alias("lexical_diversity"),
         )
     )

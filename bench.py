@@ -108,6 +108,40 @@ def main() -> None:
                 break
         timings[qid] = best
 
+    # Regression gate (BASELINE.md): any qid > 2x its newest recorded
+    # driver datapoint fails the bench. The +0.5s floor absorbs run
+    # noise on sub-second qids; disable with SPARK_GRAFT_BENCH_GATE=off.
+    # Gate only at the recorded scale factor — other SFs have no
+    # reference datapoints. Runs BEFORE the JSON line so retried minima
+    # land in the recorded datapoints.
+    slow: list[tuple[str, float, float]] = []
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_GATE", "on") != "off":
+        ref = _reference()
+
+        def violates(qid: str, t: float) -> bool:
+            return t >= 0 and qid in ref and t > max(2 * ref[qid], ref[qid] + 0.5)
+
+        # A 120-qid session has per-qid scheduler/GC noise a fixed
+        # threshold can't absorb (d_agg_basic: 1.2s mid-session vs a
+        # 0.55s isolated steady state). Re-measure violators up to twice
+        # before declaring a regression — a real slowdown (the r3 28s
+        # lineage bug) reproduces on retry; a one-off noise spike doesn't.
+        for qid, t in sorted(timings.items()):
+            if not violates(qid, t):
+                continue
+            for _ in range(2):
+                start = time.perf_counter()
+                try:
+                    QUERIES[qid](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                except Exception:
+                    break
+                t = min(t, round(time.perf_counter() - start, 3))
+                if not violates(qid, t):
+                    break
+            timings[qid] = t
+            if violates(qid, t):
+                slow.append((qid, t, ref[qid]))
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -124,22 +158,10 @@ def main() -> None:
         )
     )
 
-    # Regression gate (BASELINE.md): any qid > 2x its newest recorded
-    # driver datapoint fails the bench. The +0.5s floor absorbs run
-    # noise on sub-second qids; disable with SPARK_GRAFT_BENCH_GATE=off.
-    # Gate only at the recorded scale factor — other SFs have no
-    # reference datapoints.
-    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_GATE", "on") != "off":
-        ref = _reference()
-        slow = [
-            (qid, t, ref[qid])
-            for qid, t in timings.items()
-            if t >= 0 and qid in ref and t > max(2 * ref[qid], ref[qid] + 0.5)
-        ]
-        for qid, t, r in slow:
-            print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs recorded {r:.3f}s (>2x)", file=sys.stderr)
-        if slow:
-            sys.exit(1)
+    for qid, t, r in slow:
+        print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs recorded {r:.3f}s (>2x)", file=sys.stderr)
+    if slow:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
