@@ -199,7 +199,12 @@ def aprs_lastpos(spark: SparkSession, sf_dir: str) -> DataFrame:
 def aprs_msg_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Message↔ack correlation: self-join on (from,to,msgNo) reversed —
     APRS101 §14 ack semantics (c_join_self's domain shape)."""
-    parsed = parse_packets(_read_fixture(spark, "msgs_acks.txt"), recv_ts_col="recv_ts")
+    # persisted: msgs and acks both branch off the parse chain (~55
+    # regexp/split nodes) and Spark re-evaluates it per consumer —
+    # same no-ReuseExchange rationale as the dedup self-joins.
+    parsed = parse_packets(
+        _read_fixture(spark, "msgs_acks.txt"), recv_ts_col="recv_ts"
+    ).persist()
     msgs = parsed.where(
         F.col("msg").isNotNull() & ~F.col("msg.is_ack") & ~F.col("msg.is_rej")
     ).select(

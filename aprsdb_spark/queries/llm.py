@@ -91,6 +91,10 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unless xxhash64 collides within a pair's shingle sets
     # (p ~ |shingles|^2 / 2^64 — negligible, and the LSH path is judged
     # against this same quantity).
+    # persisted: the frame feeds both self-join sides and Spark does not
+    # ReuseExchange across aliases — without the cache the shingle chain
+    # runs twice (-17% measured at sf0.1; same rationale as the LSH
+    # banded frame in operators/dedup.py).
     sh = t.documents.select(
         "doc_id", "lang", "source", tokens_col("text").alias("_toks")
     ).select(
@@ -98,7 +102,7 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias("s"),
-    )
+    ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
