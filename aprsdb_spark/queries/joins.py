@@ -348,6 +348,54 @@ def c_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_sql_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+           FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def c_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue in a quarter, through the SQL entry point. Planning
+    properties: the returnflag filter reaches the lineitem scan and the
+    date range the orders scan BEFORE the fact-fact join; nation
+    broadcasts; the final ORDER BY ... LIMIT 20 compiles to
+    TakeOrderedAndProject (per-partition heaps), never a global sort of
+    the aggregate."""
+    t = load(spark, sf_dir)
+    for name in ("customer", "orders", "lineitem", "nation"):
+        getattr(t, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+               FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal,
+               n_name
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """)
+
+
+@query(
     "c_sql_q5",
     oracle="""
     SELECT n_name,

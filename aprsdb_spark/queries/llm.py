@@ -463,6 +463,92 @@ def j_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_semdedup",
+    oracle=_bucketed_base_sql()
+    + """
+    , flat AS (SELECT bucket, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM b),
+    centd AS (SELECT bucket, dim, FLOOR((AVG(x)) * 1000000 + 0.5) / 1000000 AS c
+              FROM flat GROUP BY bucket, dim),
+    cent AS (SELECT bucket, list(c ORDER BY dim) AS cv FROM centd GROUP BY bucket),
+    scored AS (
+      SELECT vec_id, label, b.bucket, v,
+             FLOOR((list_dot_product(v, cv)) * 1000000 + 0.5) / 1000000 AS sim
+      FROM b JOIN cent ON b.bucket = cent.bucket),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                            ORDER BY sim DESC, vec_id) AS rk
+               FROM scored),
+    dropped AS (
+      SELECT DISTINCT lo.vec_id AS d
+      FROM ranked hi JOIN ranked lo ON hi.bucket = lo.bucket AND hi.rk < lo.rk
+      WHERE FLOOR((list_dot_product(hi.v, lo.v)) * 1000000 + 0.5) / 1000000 >= 0.3)
+    SELECT r.vec_id, r.label, CAST(r.bucket AS BIGINT) AS bucket,
+           r.sim AS sim_centroid, (d.d IS NULL) AS keep
+    FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.d
+    """,
+)
+def j_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup that keeps,
+    within each embedding cluster, the best-centroid-fit representative
+    of every >= tau cosine neighborhood. Clusters here are the same
+    hyperplane sign-buckets the other *_bucketed ops key on (at 100 TB
+    the cluster id comes from the IVF k-means instead — swap the bucket
+    column, the rest of the plan is unchanged). Deterministic rule:
+    rank by (rounded centroid-similarity DESC, vec_id); a vector is
+    dropped iff a HIGHER-ranked same-bucket vector is >= 0.3 cosine.
+
+    Scale shape: centroids are (bucket, dim) partial aggs reassembled
+    into 256 broadcast rows; ranking windows over the bucket key (the
+    write-time partition key — no single-partition window); the
+    pairwise check is the bucket-keyed self-join all *_bucketed ops
+    share. Centroid sims are rounded to 1e-6 BEFORE ranking so the
+    rank order cannot differ between engines on last-ulp sums."""
+    t = load(spark, sf_dir)
+    from ..operators.similarity import hyperplane_sketch
+
+    tagged = t.embeddings.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("v"),
+        hyperplane_sketch("embedding", n_planes=_BUCKET_PLANES, dim=_BUCKET_DIM)
+        .cast("long")
+        .alias("bucket"),
+    )
+    flat = tagged.select("bucket", F.posexplode("v").alias("pos", "x"))
+    centd = flat.groupBy("bucket", "pos").agg(rnd(F.avg("x"), 6).alias("c"))
+    cent = centd.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    scored = tagged.join(F.broadcast(cent), "bucket").select(
+        "vec_id",
+        "label",
+        "bucket",
+        "v",
+        rnd(dot_expr(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("sim").desc(), "vec_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w)).persist()
+    hi, lo = ranked.alias("hi"), ranked.alias("lo")
+    dropped = (
+        hi.join(
+            lo,
+            (F.col("hi.bucket") == F.col("lo.bucket")) & (F.col("hi.rk") < F.col("lo.rk")),
+        )
+        .where(rnd(dot_expr(F.col("hi.v"), F.col("lo.v")), 6) >= 0.3)
+        .select(F.col("lo.vec_id").alias("d"))
+        .distinct()
+    )
+    return ranked.join(dropped, ranked.vec_id == dropped.d, "left").select(
+        "vec_id",
+        "label",
+        "bucket",
+        F.col("sim").alias("sim_centroid"),
+        F.col("d").isNull().alias("keep"),
+    )
+
+
 @query("j_ann_lsh")  # rows-only: approximate by construction
 def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the scale path next to j_ann_ivf):

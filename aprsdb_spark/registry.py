@@ -89,6 +89,8 @@ DRIVER_ORDER: list[str] = [
     "j_lm_buckets",
     "j_winnow_fingerprints",
     "j_embed_outlier",
+    "j_semdedup",
+    "c_sql_q10",
     # stale-r2 evidence block (canary: a_scan_parquet)
     "a_scan_parquet",
     "a_scan_pruned",
@@ -109,12 +111,10 @@ DRIVER_ORDER: list[str] = [
     "c_join_cross",
     "c_sql_q3",
     "d_agg_basic",
-    "d_agg_distinct",
     "d_agg_approx",
     "d_agg_rollup",
     "d_agg_filtered",
     "d_agg_stats",
-    "d_agg_percentile",
     "d_agg_cube",
     # canary: e_win_lastpos
     "e_win_rank",
