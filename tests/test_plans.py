@@ -58,6 +58,42 @@ def test_semi_anti_join_shapes(spark):
     assert "LeftAnti" in _plan(spark, "c_join_anti")
 
 
+def test_q10_pushes_filters_and_heaps_topk(spark):
+    """TPC-H Q10 shape: returnflag reaches the lineitem scan, the date
+    range the orders scan, nation broadcasts, and the final ORDER BY +
+    LIMIT 20 is per-partition heaps — never a global sort."""
+    p = _plan(spark, "c_sql_q10")
+    assert "EqualTo(l_returnflag,R)" in p, "returnflag filter not pushed to lineitem scan"
+    assert "GreaterThanOrEqual(o_orderdate" in p, "date range not pushed to orders scan"
+    assert "TakeOrderedAndProject" in p, "top-20 regressed to a global sort"
+    assert "BroadcastHashJoin" in p, "nation dim must broadcast"
+
+
+def test_staged_arrays_share_one_producing_chain(spark):
+    """The r5 staging rule (SCALE.md §4): multi-referenced computed
+    arrays must carry ONE producing chain in the physical plan, not one
+    per reference. Winnowing references its md5-hash array 5 times and
+    quality_score its token array 6 times — inlined, these plans carried
+    8 and 8 producer copies respectively."""
+    df = QUERIES["j_winnow_fingerprints"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("md5") <= 2, f"winnowing md5 chain duplicated: {p.count('md5')} nodes"
+    df = QUERIES["j_quality_score"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("split(") <= 2, f"quality_score split duplicated: {p.count('split(')} nodes"
+
+
+def test_semdedup_broadcasts_centroids_and_windows_on_bucket(spark):
+    """SemDeDup's centroid join must broadcast (256 rows) and its rank
+    window must partition by the bucket key — a global or label window
+    would collapse to one partition at scale."""
+    p = _plan(spark, "j_semdedup")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    spec = next(l for l in p.splitlines() if "windowspecdefinition" in l)
+    assert "windowspecdefinition(bucket" in spec, f"rank window not bucket-keyed: {spec}"
+
+
 def test_asof_has_no_range_join_explosion(spark):
     """The as-of lowering must be window-over-union — a single exchange
     on user_id and NO join operator at all."""
