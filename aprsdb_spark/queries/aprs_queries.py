@@ -294,7 +294,11 @@ def aprs_telemetry_eng(spark: SparkSession, sf_dir: str) -> DataFrame:
     T# frames, a·v²+b·v+c per channel (aprs/telemetry.py)."""
     from ..aprs.telemetry import apply_eqns, eqns_definitions
 
-    parsed = parse_packets(_read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts")
+    # persisted: the EQNS-definition extraction and the T#-frame side
+    # both branch off the parse chain (multi-consumer — see aprs_msg_ack)
+    parsed = parse_packets(
+        _read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts"
+    ).persist()
     defs = eqns_definitions(parsed)
     return scalarize(apply_eqns(parsed, defs))
 
