@@ -267,8 +267,8 @@ _PACK_BUDGET = 2048  # tokens per packed sequence
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                FROM tok)
     SELECT doc_id, n_tok,
-           (cum - n_tok) // {_PACK_BUDGET} AS bin_id,
-           (cum - n_tok) % {_PACK_BUDGET} AS bin_pos
+           CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS bin_pos
     FROM c
     """,
 )
