@@ -119,26 +119,36 @@ def _best_centroid(cents: list, emb_col: str = "embedding") -> Column:
     )
 
 
+def seq_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side dot product as a strict LEFT FOLD — the same IEEE
+    operation order as dot_expr (Spark) and list_dot_product (DuckDB),
+    so driver-planned decisions (e.g. which clusters to probe) are
+    bit-reproducible by an oracle engine. numpy's pairwise/SIMD dot is
+    NOT: it can differ in the last ulp and flip a probe ranking."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def ivf_search(
     assigned: DataFrame, cents: list, query_vec: list[float], k: int = 10, nprobe: int = 4
 ) -> DataFrame:
-    """Probe the nprobe closest clusters, brute-force within them."""
-    import numpy as np
-
+    """Probe the nprobe closest clusters, brute-force within them.
+    Probe ranking: (dot DESC, cluster_id ASC) with seq_dot, so the
+    probe set is reproducible from the centroid literals alone."""
     from ..functions import rnd
 
-    q = np.array(query_vec)
-    order = sorted(
-        ((float(np.dot(q, np.array(v))), cid) for cid, v in cents), reverse=True
-    )
-    probe = [cid for _, cid in order[:nprobe]]
-    qcol = _lit_vector([float(x) for x in query_vec])
+    q = [float(x) for x in query_vec]
+    order = sorted(((seq_dot(q, v), -int(cid)) for cid, v in cents), reverse=True)
+    probe = [-ncid for _, ncid in order[:nprobe]]
+    qcol = _lit_vector(q)
     return (
         assigned.where(F.col("cluster_id").isin(probe))
         .select(
             "vec_id",
             "label",
-            "cluster_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
             rnd(dot_expr(as_double("embedding"), qcol), 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
@@ -227,7 +237,7 @@ def lsh_search(
         .select(
             "vec_id",
             "label",
-            "bucket",
+            F.col("bucket").cast("long").alias("bucket"),
             rnd(dot_expr(as_double("embedding"), qcol), 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
@@ -293,6 +303,50 @@ def _kmeans_iterate(emb: DataFrame, k: int, iters: int) -> list:
         # empty clusters keep their previous centroid
         cents = [(cid, by_cid.get(cid, vec)) for cid, vec in cents]
     return cents
+
+
+def kmeans_train_local(
+    sf_dir: str, k: int = 16, iters: int = 2, sample: int = 4096
+) -> list:
+    """Spherical k-means trained DRIVER-SIDE on a bounded deterministic
+    sample: the first `sample` vectors by vec_id, read straight from
+    parquet with pyarrow. Returns [(cluster_id, [float]*dim)].
+
+    Why driver-side: the coarse quantizer of an IVF index is standard
+    practice to train on a bounded sample — the model is k*dim floats
+    of index METADATA, and the sample is capped regardless of corpus
+    size, so this is 100 TB-safe (the distributed pass is assignment,
+    not training). The payoff is verifiability: the trained centroids
+    are plain Python floats embedded as literals in BOTH the Spark
+    plan and the DuckDB oracle, so training arithmetic (numpy here)
+    never needs to be bit-matched across engines — only the shared
+    downstream folds do.
+
+    Same semantics as _kmeans_iterate: init = first k by vec_id,
+    argmax-dot assignment (tie -> smallest cid), per-dim mean,
+    renormalize (spherical); empty clusters keep their centroid.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    pairs = sorted(zip(tbl["vec_id"], tbl["embedding"]))[:sample]
+    # float32 -> float64 is exact, so these are the same doubles Spark's
+    # CAST(embedding AS array<double>) and DuckDB's DOUBLE[] cast see.
+    X = np.array([[float(x) for x in v] for _, v in pairs], dtype=np.float64)
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # first max = smallest cid
+        for cid in range(k):
+            members = X[assign == cid]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = float(np.sqrt((m * m).sum()))
+                if norm > 1e-12:
+                    C[cid] = m / norm
+    return [(cid, [float(x) for x in C[cid]]) for cid in range(k)]
 
 
 def kmeans_objective(emb: DataFrame, cents: list) -> float:

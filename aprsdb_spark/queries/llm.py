@@ -549,34 +549,104 @@ def j_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("j_ann_lsh")  # rows-only: approximate by construction
+@query(
+    "j_ann_lsh",
+    oracle=_bucketed_base_sql()
+    + """
+    , q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id, label, CAST(bucket AS BIGINT) AS bucket,
+           FLOOR((list_dot_product(v, qv)) * 1000000 + 0.5) / 1000000 AS score
+    FROM b, q
+    WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST(qb AS BIGINT))) <= 2
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
 def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the scale path next to j_ann_ivf):
     8 sign-bits → 256 buckets, multi-probe Hamming radius 2 (37 buckets,
     ~14% of the corpus). At 100 TB the bucket is a write-time partition
     key, so the probe is partition pruning — no shuffle, no full scan.
-    Recall vs j_sim_topk asserted in tests (top-1 must match: the
-    query's own bucket is always probed)."""
+
+    Hash-checked, not rows-only: "approximate" here means a DEFINED
+    candidate set (Hamming <= 2 of the query's bucket), and the oracle
+    computes the identical definition — same literal sign matrix as the
+    *_bucketed qids, Hamming via bit_count(xor(...)). The multi-probe
+    isin() on the Spark side and the bit_count predicate are the same
+    set by construction (lsh_probe_buckets enumerates that ball)."""
     from ..operators.similarity import lsh_search
 
     t = load(spark, sf_dir)
     return lsh_search(t.embeddings, query_id=0, k=10, n_planes=8, radius=2)
 
 
-@query("j_ann_ivf")  # rows-only: approximate by construction
+def _ivf_oracle() -> str | None:
+    """DuckDB twin of j_ann_ivf, built at import time: train the coarse
+    quantizer once (driver-side, bounded sample — see kmeans_train_local)
+    on the canonical correctness SF and embed the centroids as literals.
+    Assignment (argmax dot, tie -> smallest cid), probe ranking (dot
+    DESC, cid ASC, nprobe=4) and scoring replicate the Spark plan with
+    the shared sequential-fold dot, so every float is bit-identical.
+    Returns None (rows-only fallback) if the canonical data is absent."""
+    import os
+
+    from ..operators.similarity import kmeans_train_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    except Exception:
+        return None
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in v)}])" for cid, v in cents
+    )
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {rows}),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, e.label, e.v, c.cid,
+                      list_dot_product(e.v, cv) AS s
+               FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, label, v, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT cid FROM cents, q
+              ORDER BY list_dot_product(qv, cv) DESC, cid LIMIT {_IVF_NPROBE})
+    SELECT vec_id, label, CAST(cluster_id AS BIGINT) AS cluster_id,
+           FLOOR((list_dot_product(v, qv)) * 1000000 + 0.5) / 1000000 AS score
+    FROM assigned, q
+    WHERE cluster_id IN (SELECT cid FROM probe)
+    ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+
+_IVF_K = 16
+_IVF_ITERS = 2
+_IVF_NPROBE = 4
+
+
+@query("j_ann_ivf", oracle=_ivf_oracle())
 def j_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN: 16 spherical-k-means centroids (2 Lloyd
-    iterations, operators/similarity.kmeans_train), probe 4 — scans ~1/4
-    of the corpus; recall vs j_sim_topk asserted in tests (top-1 must
-    match: the query's own cluster is always probed)."""
-    from ..operators.similarity import kmeans_train
+    """IVF approximate NN: 16 spherical-k-means centroids, probe 4 —
+    scans ~1/4 of the corpus; top-1 recall asserted in tests (the
+    query's own cluster is always probed).
+
+    The quantizer is trained driver-side on a bounded deterministic
+    sample (kmeans_train_local) and enters the plan as a LITERAL
+    centroid matrix, which upgrades this qid from rows-only to
+    hash-checked: the oracle embeds the same literals and replicates
+    assignment + probe with the shared sequential-fold dot. Strictly
+    better at scale too — the query runs zero training shuffles
+    (assignment is one narrow map stage; at 100 TB it's a write-time
+    partition key and the probe is partition pruning)."""
+    from ..operators.similarity import kmeans_train_local
 
     t = load(spark, sf_dir)
-    trained = kmeans_train(t.embeddings, k=16, iters=2)
-    assigned, cents = ivf_assign(t.embeddings, k_clusters=16, cents=trained)
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    assigned, cents = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
     qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
     qvec = [float(x) for x in qrow.embedding]
-    return ivf_search(assigned, cents, qvec, k=10, nprobe=4)
+    return ivf_search(assigned, cents, qvec, k=10, nprobe=_IVF_NPROBE)
 
 
 # ---------------------------------------------------------- text analysis
