@@ -12,7 +12,9 @@ Four tiers, all expression-first (no Python in the hot path):
                band-bucket equi-join that only pairs likely dups —
                never the O(n²) all-pairs.
 - SimHash:     64-bit fingerprint; near-dups share chunks (blocking on
-               16-bit quarters). Rows-only (xxhash64 is Spark-internal).
+               16-bit quarters). Token hash is md5-derived
+               (portable_hash64), so signatures are value-checkable
+               by any engine with md5.
 
 LSH parameters: b=32 bands, r=4 rows -> s-curve threshold
 (1/b)^(1/r) ≈ 0.42; a pair with true Jaccard 0.8 is missed with
@@ -166,15 +168,30 @@ def jaccard_verify(
     return out
 
 
+def portable_hash64(c: Column) -> Column:
+    """Signed 64-bit hash = first 16 hex chars of md5, as a LONG.
+
+    md5 exists with identical output on Spark, DuckDB, and Python, so
+    anything derived from these bits (SimHash votes, chunks) is
+    value-checkable by an oracle engine — unlike xxhash64, whose bit
+    pattern is Spark-internal. Packed as two 32-bit conv() halves
+    because conv('ffff...',16,10) of a full 64-bit value overflows the
+    signed-long cast; (hi << 32) | lo is exact two's complement."""
+    h = F.md5(c)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_col(text: str | Column = "text", bits: int = 64) -> Column:
     """64-bit SimHash over distinct tokens, as a signed LONG.
 
-    bit_k(sig) = majority over tokens of bit_k(xxhash64(token)).
+    bit_k(sig) = majority over tokens of bit_k(portable_hash64(token)).
     Pure expressions: per bit, sum ±1 across the token array via
     aggregate(); shiftleft+bitwise-or folds the bits back together.
     """
     toks = F.array_distinct(tokens_col(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: portable_hash64(t))
 
     def bit(k: int) -> Column:
         # 1<<63 overflows a signed-long literal — build the mask JVM-side
@@ -204,11 +221,11 @@ def simhash_chunks(sig: Column, chunk_bits: int = 16) -> list[Column]:
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) via explode + one hash agg — bit-identical to
-    simhash_col but 3-4x faster (measured): one xxhash64 per distinct
+    simhash_col but 3-4x faster (measured): one token hash per distinct
     token instead of 64 re-walks of the token array per row, and the 64
     bit-votes become map-side partial sums."""
     tok = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tk"))
-    h = tok.select(id_col, F.xxhash64("tk").alias("h"))
+    h = tok.select(id_col, portable_hash64(F.col("tk")).alias("h"))
     aggs = []
     for k in range(64):
         mask = F.shiftleft(F.lit(1).cast("long"), k)

@@ -142,11 +142,52 @@ def j_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("j_dedup_simhash")  # rows-only: xxhash64 bit-pattern is Spark-internal
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_table + simhash_chunks: the token hash is
+    md5-derived (operators/dedup.portable_hash64), so every bit is
+    recomputable from md5 hex digits — bit k of the 64-bit value is bit
+    (k%4) of hex digit 16-(k//4) (1-indexed, big-endian hex). Votes are
+    integer sums (exact); the packed signature adds -2^63 for bit 63
+    (two's complement) since 1<<63 overflows signed BIGINT."""
+    hexd = "0123456789abcdef"
+
+    def bit(k: int) -> str:
+        pos, p = 16 - k // 4, 1 << (k % 4)
+        return f"((strpos('{hexd}', substr(h, {pos}, 1)) - 1) // {p}) % 2"
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN {bit(k)} = 1 THEN 1 ELSE -1 END) AS v{k}" for k in range(64)
+    )
+    packed = " + ".join(
+        "CASE WHEN v63 >= 0 THEN -9223372036854775808 ELSE 0 END"
+        if k == 63
+        else f"CASE WHEN v{k} >= 0 THEN {1 << k} ELSE 0 END"
+        for k in range(64)
+    )
+    chunks = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN v{16 * i + j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        )
+        + f" AS BIGINT) AS chunk{i}"
+        for i in range(4)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+                 FROM documents),
+    hashed AS (SELECT doc_id, md5(tk) AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash, {chunks} FROM votes
+    """
+
+
+@query("j_dedup_simhash", oracle=_simhash_oracle())
 def j_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + 16-bit-chunk blocking keys. Near-dup
     candidates = pairs sharing any chunk (joined downstream like LSH
-    bands); here the operator emits signatures + chunks per doc."""
+    bands); here the operator emits signatures + chunks per doc.
+    Hash-checked: the md5-derived token hash (portable_hash64) makes
+    the full signature recomputable in the oracle engine."""
     t = load(spark, sf_dir)
     d = simhash_table(t.documents)
     chunks = simhash_chunks(F.col("simhash"))
