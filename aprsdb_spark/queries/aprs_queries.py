@@ -46,6 +46,35 @@ def _packets_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(p,) for p in PACKETS], "raw string")
 
 
+def _fixture_values_sql(name: str) -> str:
+    """The VALUES-relation detour for fixture-backed qids: embed the
+    committed replay file's (recv_ms, raw) rows as a literal relation so
+    the oracle engine parses the exact same lines the Spark side reads
+    from disk — the technique h_str_parse_tnc2 uses for literal frames,
+    extended to the fixture files. Committed fixtures are deterministic,
+    so the SQL is stable across runs."""
+    rows = []
+    for line in (FIXTURE_DIR / name).read_text().splitlines():
+        if not line.strip():
+            continue
+        ms, _, raw = line.partition("\t")
+        rows.append(f"({int(ms)}, '" + raw.replace("'", "''") + "')")
+    return "(VALUES " + ", ".join(rows) + ") lines(recv_ms, raw)"
+
+
+# DuckDB twins of the parse_tnc2 header split + epoch_ms timestamp used
+# by every fixture-backed oracle below.
+def _fixture_base_sql(name: str) -> str:
+    return f"""
+    WITH x AS (
+      SELECT epoch_ms(recv_ms) AS recv_ts,
+             CASE WHEN regexp_extract(raw, '{_HEADER_SQL_RE}', 1) = '' THEN NULL
+                  ELSE regexp_extract(raw, '{_HEADER_SQL_RE}', 1) END AS src,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 4) AS info
+      FROM {_fixture_values_sql(name)})
+"""
+
+
 @query(
     "h_str_parse_tnc2",
     oracle=f"""
@@ -187,18 +216,88 @@ def aprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalarize(parse_packets(allp, recv_ts_col="recv_ts"))
 
 
-@query("aprs_lastpos")  # rows-only
+@query(
+    "aprs_lastpos",
+    oracle=_fixture_base_sql("pos_uncompressed.txt")
+    + f"""
+    , b AS (SELECT recv_ts, src,
+             CASE WHEN substr(info, 1, 1) IN ('!', '=') THEN substr(info, 2)
+                  WHEN substr(info, 1, 1) IN ('/', '@') THEN substr(info, 9)
+                  ELSE '' END AS body
+      FROM x),
+    g AS (SELECT recv_ts, src,
+             regexp_extract(body, '{_POS_SQL_RE}', 1) AS latd,
+             regexp_extract(body, '{_POS_SQL_RE}', 2) AS latm,
+             regexp_extract(body, '{_POS_SQL_RE}', 3) AS ns,
+             regexp_extract(body, '{_POS_SQL_RE}', 5) AS lond,
+             regexp_extract(body, '{_POS_SQL_RE}', 6) AS lonm,
+             regexp_extract(body, '{_POS_SQL_RE}', 7) AS ew,
+             regexp_extract(body, '{_POS_SQL_RE}', 8) AS sym
+      FROM b),
+    p AS (SELECT src, recv_ts,
+             CASE WHEN ns <> '' THEN (CAST(latd AS DOUBLE) + CAST(latm AS DOUBLE) / 60.0)
+                  * (CASE WHEN ns = 'S' THEN -1.0 ELSE 1.0 END) END AS latitude,
+             CASE WHEN ns <> '' THEN (CAST(lond AS DOUBLE) + CAST(lonm AS DOUBLE) / 60.0)
+                  * (CASE WHEN ew = 'W' THEN -1.0 ELSE 1.0 END) END AS longitude,
+             CASE WHEN ns <> '' THEN sym END AS symbol
+      FROM g)
+    SELECT src, MAX(recv_ts) AS last_heard, COUNT(*) AS n_packets,
+           arg_max(latitude, recv_ts) AS last_lat,
+           arg_max(longitude, recv_ts) AS last_lon,
+           arg_max(symbol, recv_ts) AS symbol
+    FROM p WHERE src IS NOT NULL GROUP BY src
+    """,
+)
 def aprs_lastpos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Where is station X now' — stations dimension with last-heard
-    position (the collector's upsert target, as a batch aggregate)."""
+    position (the collector's upsert target, as a batch aggregate).
+    Hash-checked via the fixture-VALUES detour: the oracle re-parses the
+    same replay lines with the identical header/position regexes and
+    aggregates with arg_max (= max_by; fixture timestamps are unique
+    per station, so the tie-free equivalence is exact)."""
     parsed = parse_packets(_read_fixture(spark, "pos_uncompressed.txt"), recv_ts_col="recv_ts")
     return station_view(parsed)
 
 
-@query("aprs_msg_ack")  # rows-only
+_MSG_NO_CAP_RE = r"\{([A-Za-z0-9]{1,5})$"
+_MSG_NO_STRIP_RE = r"\{[A-Za-z0-9]{1,5}$"
+_ACK_CAP_RE = r"^ack([A-Za-z0-9]{1,5})$"
+_ACK_RE = r"^ack[A-Za-z0-9]{1,5}$"
+_REJ_RE = r"^rej[A-Za-z0-9]{1,5}$"
+
+
+@query(
+    "aprs_msg_ack",
+    oracle=_fixture_base_sql("msgs_acks.txt")
+    + f"""
+    , m AS (SELECT recv_ts, src,
+             trim(substr(info, 2, 9)) AS addressee,
+             CASE WHEN substr(info, 11, 1) = ':' THEN substr(info, 12, 67) END AS body
+      FROM x WHERE substr(info, 1, 1) = ':'),
+    msgs AS (SELECT src AS m_from, addressee AS m_to,
+                    CASE WHEN regexp_extract(body, '{_MSG_NO_CAP_RE}', 1) <> ''
+                         THEN regexp_extract(body, '{_MSG_NO_CAP_RE}', 1) END AS msg_no,
+                    regexp_replace(body, '{_MSG_NO_STRIP_RE}', '') AS text,
+                    recv_ts AS sent_ts
+             FROM m WHERE body IS NOT NULL
+               AND NOT regexp_matches(body, '{_ACK_RE}')
+               AND NOT regexp_matches(body, '{_REJ_RE}')),
+    acks AS (SELECT src AS a_from, addressee AS a_to,
+                    regexp_extract(body, '{_ACK_CAP_RE}', 1) AS ack_no,
+                    recv_ts AS ack_ts
+             FROM m WHERE body IS NOT NULL AND regexp_matches(body, '{_ACK_RE}'))
+    SELECT m_from, m_to, msg_no, text, sent_ts, ack_ts,
+           (ack_ts IS NOT NULL) AS acked
+    FROM msgs LEFT JOIN acks
+      ON m_from = a_to AND m_to = a_from AND msg_no = ack_no
+    """,
+)
 def aprs_msg_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Message↔ack correlation: self-join on (from,to,msgNo) reversed —
-    APRS101 §14 ack semantics (c_join_self's domain shape)."""
+    APRS101 §14 ack semantics (c_join_self's domain shape). Hash-checked
+    via the fixture-VALUES detour: the oracle re-parses the same replay
+    lines with the identical §14 message grammar and runs the same
+    reversed-key left join."""
     # persisted: msgs and acks both branch off the parse chain (~55
     # regexp/split nodes) and Spark re-evaluates it per consumer —
     # same no-ReuseExchange rationale as the dedup self-joins.
@@ -288,10 +387,51 @@ def aprs_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("aprs_telemetry_eng")  # rows-only
+def _telemetry_eng_oracle() -> str:
+    """DuckDB twin of eqns_definitions + apply_eqns over the fixture:
+    T# frames and EQNS messages parsed from the same lines, joined on
+    station, each channel scaled a·v²+b·v+c with the identical
+    left-assoc IEEE fold; stations with no EQNS row take the identity
+    polynomial (0,1,0) exactly as the Spark coalesce does."""
+    seq_re, rest_re, eqns_re = r"^T#(\d{1,3})", r"^T#\d{1,3},(.*)$", r"^EQNS\."
+    coefs = ", ".join(
+        f"arg_max(TRY_CAST(cs[{3 * i + j + 1}] AS DOUBLE), recv_ts) AS {c}{i + 1}"
+        for i in range(5)
+        for j, c in enumerate("abc")
+    )
+    vcols = ", ".join(f"TRY_CAST(parts[{i + 1}] AS DOUBLE) AS v{i + 1}" for i in range(5))
+    ecols = ", ".join(
+        f"CASE WHEN station IS NULL THEN 0.0 * v{i} * v{i} + 1.0 * v{i} + 0.0 "
+        f"ELSE a{i} * v{i} * v{i} + b{i} * v{i} + c{i} END AS e{i}"
+        for i in (1, 2, 3, 4, 5)
+    )
+    return (
+        _fixture_base_sql("wx_telemetry.txt")
+        + f"""
+    , tel AS (SELECT src, recv_ts,
+               CAST(regexp_extract(info, '{seq_re}', 1) AS INTEGER) AS seq,
+               string_split(regexp_extract(info, '{rest_re}', 1), ',') AS parts
+        FROM x WHERE substr(info, 1, 1) = 'T'
+          AND regexp_extract(info, '{seq_re}', 1) <> ''),
+    telv AS (SELECT src, recv_ts, seq, parts[6] AS bits, {vcols} FROM tel),
+    eq AS (SELECT trim(substr(info, 2, 9)) AS station, recv_ts,
+               string_split(regexp_replace(substr(info, 12, 67), '{eqns_re}', ''), ',') AS cs
+        FROM x WHERE substr(info, 1, 1) = ':' AND substr(info, 11, 1) = ':'
+          AND regexp_matches(substr(info, 12, 67), '{eqns_re}')),
+    defs AS (SELECT station, {coefs} FROM eq GROUP BY station)
+    SELECT src, recv_ts, seq, bits, v1, v2, v3, v4, v5, {ecols}
+    FROM telv LEFT JOIN defs ON telv.src = defs.station
+    """
+    )
+
+
+@query("aprs_telemetry_eng", oracle=_telemetry_eng_oracle())
 def aprs_telemetry_eng(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry in engineering units: EQNS definition messages joined to
-    T# frames, a·v²+b·v+c per channel (aprs/telemetry.py)."""
+    T# frames, a·v²+b·v+c per channel (aprs/telemetry.py). Hash-checked
+    via the fixture-VALUES detour; channels unpacked to scalar columns
+    (v1..v5 raw counts, e1..e5 engineering values) so every cell is
+    value-comparable without JSON serialization."""
     from ..aprs.telemetry import apply_eqns, eqns_definitions
 
     # persisted: the EQNS-definition extraction and the T#-frame side
@@ -300,7 +440,15 @@ def aprs_telemetry_eng(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts"
     ).persist()
     defs = eqns_definitions(parsed)
-    return scalarize(apply_eqns(parsed, defs))
+    out = apply_eqns(parsed, defs)
+    return out.select(
+        "src",
+        "recv_ts",
+        "seq",
+        "bits",
+        *[F.col("vals").getItem(i).alias(f"v{i + 1}") for i in range(5)],
+        *[F.col("eng_vals").getItem(i).alias(f"e{i + 1}") for i in range(5)],
+    )
 
 
 @query(
