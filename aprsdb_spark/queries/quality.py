@@ -226,12 +226,26 @@ def j_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4, so interpolated cutpoints either equal a score exactly (both
     engines agree) or sit >= 5e-5 away — last-ulp interpolation
     differences cannot flip a bucket."""
+    return lm_buckets(spark, sf_dir, approx=False)
+
+
+def lm_buckets(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
+    """The j_lm_buckets plan with the percentile sketch selectable:
+    exact `percentile` for oracle-checkable small-SF runs, and the
+    100 TB path `approx_percentile` (t-digest: mergeable, bounded
+    memory, one pass) — the bucketing expression and the broadcast
+    1-row cutpoint aggregate are IDENTICAL either way, which is the
+    whole point: the swap touches the sketch only, never the plan
+    shape. The approx variant is exercised by
+    tests/test_scale_paths.py::test_lm_buckets_approx_swap."""
     scores = j_ngram_lm(spark, sf_dir)
-    cuts = scores.agg(
-        F.expr(
-            "percentile(avg_logp, array(0.3333333333333333D, 0.6666666666666666D))"
-        ).alias("cs")
+    fracs = "array(0.3333333333333333D, 0.6666666666666666D)"
+    sketch = (
+        f"approx_percentile(avg_logp, {fracs}, 10000)"
+        if approx
+        else f"percentile(avg_logp, {fracs})"
     )
+    cuts = scores.agg(F.expr(sketch).alias("cs"))
     c1, c2 = F.element_at("cs", 1), F.element_at("cs", 2)
     return scores.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
@@ -300,12 +314,14 @@ def j_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(CAST(embedding AS DOUBLE[])) AS x
       FROM embeddings),
     cent AS (SELECT label, dim, AVG(x) AS c FROM flat GROUP BY label, dim),
-    d AS (SELECT flat.vec_id, flat.label, sqrt(SUM((x - c) * (x - c))) AS dist
+    d AS (SELECT flat.vec_id, flat.label,
+                 FLOOR(sqrt(SUM((x - c) * (x - c))) * 1000000 + 0.5) / 1000000 AS dist
           FROM flat JOIN cent ON cent.label = flat.label AND cent.dim = flat.dim
           GROUP BY flat.vec_id, flat.label),
-    st AS (SELECT label, AVG(dist) AS mu, stddev_pop(dist) AS sd FROM d GROUP BY label)
-    SELECT d.vec_id, d.label,
-           FLOOR(dist * 1000000 + 0.5) / 1000000 AS dist_to_centroid,
+    st AS (SELECT label, FLOOR(AVG(dist) * 1000000 + 0.5) / 1000000 AS mu,
+                  FLOOR(stddev_pop(dist) * 1000000 + 0.5) / 1000000 AS sd
+           FROM d GROUP BY label)
+    SELECT d.vec_id, d.label, dist AS dist_to_centroid,
            dist > mu + 2 * sd AS is_outlier
     FROM d JOIN st USING (label)
     """,
@@ -317,7 +333,12 @@ def j_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid distance is the discriminating signal. Scale shape:
     posexplode → centroid agg (labels x dims rows — broadcast) → joined
     recomposition keyed by vec_id, then label-level stats broadcast back;
-    no window over a skewed label partition, no driver-side model state."""
+    no window over a skewed label partition, no driver-side model state.
+
+    dist, mu, and sd are all pre-rounded to 1e-6 BEFORE the 2-sigma
+    comparison (the j_semdedup/j_lm_buckets convention): they come from
+    order-dependent float sums, and an unrounded threshold test could
+    flip for a vector sitting at the boundary between engines."""
     t = load(spark, sf_dir)
     flat = t.embeddings.select(
         "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "x")
@@ -326,14 +347,18 @@ def j_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         flat.join(F.broadcast(cent), ["label", "pos"])
         .groupBy("vec_id", "label")
-        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dist"))
+        .agg(
+            rnd(
+                F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6
+            ).alias("dist")
+        )
     )
     st = d.groupBy("label").agg(
-        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
+        rnd(F.avg("dist"), 6).alias("mu"), rnd(F.stddev_pop("dist"), 6).alias("sd")
     )
     return d.join(F.broadcast(st), "label").select(
         "vec_id",
         "label",
-        rnd(F.col("dist"), 6).alias("dist_to_centroid"),
+        F.col("dist").alias("dist_to_centroid"),
         (F.col("dist") > F.col("mu") + 2 * F.col("sd")).alias("is_outlier"),
     )

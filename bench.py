@@ -29,8 +29,18 @@ def _reference() -> dict[str, float]:
     trailing "sf" are dropped explicitly, and error datapoints (-1.0)
     never match the non-negative pattern."""
     here = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_full_r{N}.json (complete per-qid data, written by main() since
+    # r6) is preferred over the driver's BENCH_r{N}.json whose captured
+    # "tail" is head-truncated. Same round number -> full file wins (it
+    # sorts after "BENCH_r" and the merge is newest-first). Rounds sort
+    # NUMERICALLY — lexicographic order breaks at r10.
     rounds = sorted(
-        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+        (
+            f
+            for f in os.listdir(here)
+            if re.fullmatch(r"BENCH(_full)?_r\d+\.json", f)
+        ),
+        key=lambda f: (int(re.search(r"\d+", f).group()), "_full_" in f),
     )
     ref: dict[str, float] = {}
     for fname in reversed(rounds):  # newest first; existing (newer) keys win
@@ -107,6 +117,13 @@ def main() -> None:
                 print(f"BENCH-ERROR {qid}: {e}", file=sys.stderr)
                 break
         timings[qid] = best
+        # Drop blocks persisted inside the qid (LSH bands, parse chains,
+        # …): queries never share caches across qids (each builds its own
+        # lineage), so accumulation is pure executor-memory/disk pressure
+        # over a 122-qid session. Within a qid's n runs the cache DOES
+        # carry (CacheManager dedups canonicalized plans) — that's the
+        # warm regime being measured.
+        spark.catalog.clearCache()
 
     # Regression gate (BASELINE.md): any qid > 2x its newest recorded
     # driver datapoint fails the bench. The +0.5s floor absorbs run
@@ -143,20 +160,36 @@ def main() -> None:
                 slow.append((qid, t, ref[qid]))
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n": n,
-                "warmed": True,  # table + codegen + UDF-worker warmup above
-                "stat": "min" if n > 1 else "single",
-            }
-        )
-    )
+    record = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n": n,
+        "warmed": True,  # table + codegen + UDF-worker warmup above
+        "stat": "min" if n > 1 else "single",
+    }
+    print(json.dumps(record))
+
+    # Persist the COMPLETE per-qid datapoints alongside the stdout line:
+    # the driver's captured BENCH_r{N}.json head-truncates its "tail"
+    # (r5 lost 38 of 122 qids), so future gates read these full files
+    # first (committed per round — see _reference). Round number comes
+    # from the driver's progress log; skip the file rather than guess
+    # when it's absent. Only at the gated SF — other SFs would pollute
+    # the reference with incomparable datapoints.
+    if sf == 0.1:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "PROGRESS.jsonl")) as f:
+                rnd = max(
+                    json.loads(line)["round"] for line in f if line.strip()
+                )
+            with open(os.path.join(here, f"BENCH_full_r{rnd}.json"), "w") as f:
+                json.dump(record, f, indent=1)
+        except Exception as e:
+            print(f"BENCH-WARN full-record write skipped: {e}", file=sys.stderr)
 
     for qid, t, r in slow:
         print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs recorded {r:.3f}s (>2x)", file=sys.stderr)

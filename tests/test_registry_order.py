@@ -24,7 +24,8 @@ def _scored_ever() -> set[str]:
     """Every qid with a driver CORRECTNESS row in any recorded round
     (rows-only "no_oracle" rows count — the qid ran under the driver)."""
     scored: set[str] = set()
-    for fname in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r0*.json"))):
+    # 'r*' not 'r0*': a zero-padded glob stops matching at round 10
+    for fname in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         with open(fname) as f:
             scored |= set(json.load(f))
     return scored

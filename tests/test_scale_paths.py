@@ -178,3 +178,29 @@ def test_ivf_index_layout_prunes(spark, tmp_path):
     pf = partition_filters(probed)
     assert pf and any("cluster_id" in f for f in pf), formatted_plan(probed)[:1500]
     assert probed.count() == assigned.where(F.col("cluster_id").isin(probe)).count() > 0
+
+
+def test_lm_buckets_approx_swap(spark):
+    """The j_lm_buckets docstring's 100 TB claim, executed: swapping the
+    exact percentile for approx_percentile (mergeable t-digest) changes
+    ONLY the cutpoint sketch — no window appears, the cutpoints stay a
+    broadcast 1-row aggregate, and every document still lands in exactly
+    one tercile bucket."""
+    from aprsdb_spark.plans.inspect import formatted_plan
+    from aprsdb_spark.queries.quality import lm_buckets
+
+    approx = lm_buckets(spark, SF, approx=True)
+    plan = formatted_plan(approx)
+    assert "Window" not in plan, plan[:1500]  # ntile would move all rows
+    assert "approx_percentile" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    n_docs = load(spark, SF).documents.count()
+    rows = approx.collect()
+    assert len(rows) == n_docs
+    assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
+    # the sketch is accurate at this SF: buckets are roughly terciles
+    from collections import Counter
+
+    counts = Counter(r.bucket for r in rows)
+    assert all(c > n_docs // 5 for c in counts.values()), counts
