@@ -56,71 +56,77 @@ def load_all() -> None:
 
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
-# every CORRECTNESS_r0N.json ends at registry position 50). DRIVER_ORDER
-# pins which qids occupy that scored window. Round-5 rotation: after r4,
-# exactly 14 registered qids had never received a driver row (union of
-# CORRECTNESS_r01..r04 vs the registry — derived, not hand-counted, by
-# tests/test_registry_order.py), plus the 6 new r5 quality.py qids. They
-# lead the window; the remaining 30 slots re-score the block whose
-# latest driver evidence is oldest (r2: scans, filters, joins,
-# aggregates, windows — including the two harness-breakage canaries
-# a_scan_parquet / e_win_lastpos). Everything not listed follows in
-# registration order and keeps its r4 evidence.
+# every CORRECTNESS_r{N}.json ends at registry position 50). DRIVER_ORDER
+# pins which qids occupy that scored window. Round-6 rotation, derived
+# from the recorded artifacts (no never-scored qids remain; latest
+# evidence after r5 splits 50×r5 / 50×r4 / 22×r2): (1) the r5 red
+# datapoint j_pack_sequences (oracle type bug, fixed) and the six qids
+# upgraded from rows-only to hash-checked oracles this round, plus the
+# two qids whose threshold/rounding semantics changed; (2) the entire
+# 22-qid r2-latest block, so after r6 no qid's evidence is older than
+# r4; (3) the r4 dedup/similarity, pandas-UDF, and geo families. The
+# two harness-breakage canaries a_scan_parquet / e_win_lastpos stay in.
 DRIVER_ORDER: list[str] = [
-    # never driver-scored (r3 SQL/agg additions + r3/r4 curation suite)
-    "c_sql_q5",
-    "d_agg_grouping_sets",
-    "d_agg_mode",
-    "d_agg_approx_quantile",
-    "j_pii_scrub",
-    "j_sample_stratified",
+    # r5 hash-fail, oracle fixed this round
     "j_pack_sequences",
-    "j_contamination",
-    "j_dedup_containment",
-    "j_embed_quantize",
-    "j_pipeline_release",
-    "j_inverted_index",
-    "j_retention_cohort",
-    "j_funnel_stages",
-    # new in r5 (quality.py) — never scored by construction
-    "j_repetition",
-    "j_domain_mix",
-    "j_ngram_lm",
-    "j_lm_buckets",
-    "j_winnow_fingerprints",
+    # upgraded rows-only -> hash-checked oracles (r6)
+    "j_ann_ivf",
+    "j_ann_lsh",
+    "j_dedup_simhash",
+    "aprs_lastpos",
+    "aprs_msg_ack",
+    "aprs_telemetry_eng",
+    # comparison semantics touched this round (pre-rounded thresholds /
+    # sketch-selectable cutpoints) — re-score
     "j_embed_outlier",
-    "j_semdedup",
-    "c_sql_q10",
-    # stale-r2 evidence block (canary: a_scan_parquet)
+    "j_lm_buckets",
+    # canary: a_scan_parquet
     "a_scan_parquet",
-    "a_scan_pruned",
-    "b_filter_pred",
-    "b_filter_like",
-    "b_filter_null",
-    "b_project_expr",
-    "c_join_inner",
-    "c_join_bcast",
-    "c_join_smj",
-    "c_join_outer",
-    "c_join_semi",
-    "c_join_anti",
-    "c_join_theta",
-    "c_join_interval",
-    "c_join_asof",
-    "c_join_self",
-    "c_join_cross",
-    "c_sql_q3",
-    "d_agg_basic",
-    "d_agg_approx",
-    "d_agg_rollup",
-    "d_agg_filtered",
-    "d_agg_stats",
-    "d_agg_cube",
+    # stale-r2 evidence block (everything whose latest row is r2)
+    "d_agg_distinct",
+    "d_agg_percentile",
+    "d_agg_collect",
+    "d_agg_pivot",
+    "e_win_lag",
+    "e_win_running",
+    "e_win_moving",
+    "e_win_analytic",
+    "f_sort_multi",
+    "f_topk",
+    "f_topk_group",
+    "g_union",
+    "g_union_all",
+    "g_intersect",
+    "g_intersect_all",
+    "g_except",
+    "g_except_all",
+    "h_str",
+    "h_date",
+    "h_math",
+    "h_cond",
+    "h_array",
+    # r4-evidence refresh: dedup/similarity production paths
+    "j_dedup_exact",
+    "j_dedup_ngram",
+    "j_dedup_near",
+    "j_dedup_embed",
+    "j_dedup_embed_bucketed",
+    "j_dedup_cluster",
+    "j_sim_topk",
+    "j_knn_label",
+    "j_sim_pairs",
+    "j_sim_pairs_bucketed",
+    # r4-evidence refresh: §2.K pandas/UDF family
+    "k_pandas_scalar",
+    "k_pandas_grouped_agg",
+    "k_apply_in_pandas",
+    "k_udtf",
+    "k_sql_udf",
+    # r4-evidence refresh: geo
+    "h_geo_range",
+    "h_geo_pairs",
     # canary: e_win_lastpos
-    "e_win_rank",
     "e_win_lastpos",
-    "e_win_sessionize",
-    "s_dedup_30s_batch",
 ]
 
 
