@@ -67,7 +67,7 @@ def _fixture_values_sql(name: str) -> str:
 def _fixture_base_sql(name: str) -> str:
     return f"""
     WITH x AS (
-      SELECT epoch_ms(recv_ms) AS recv_ts,
+      SELECT epoch_ms(recv_ms) AS recv_ts, raw,
              CASE WHEN regexp_extract(raw, '{_HEADER_SQL_RE}', 1) = '' THEN NULL
                   ELSE regexp_extract(raw, '{_HEADER_SQL_RE}', 1) END AS src,
              regexp_extract(raw, '{_HEADER_SQL_RE}', 4) AS info
@@ -331,22 +331,60 @@ def aprs_msg_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("aprs_wx")  # rows-only
+@query(
+    "aprs_wx",
+    oracle=_fixture_base_sql("wx_telemetry.txt")
+    + r"""
+    SELECT src, recv_ts,
+           CASE WHEN substr(info, 1, 1) = '_' THEN 'wx' ELSE 'telemetry' END AS fmt,
+           CASE WHEN substr(info, 1, 1) = '_'
+                AND regexp_extract(info, 'c(\d{3})', 1) <> ''
+                THEN CAST(regexp_extract(info, 'c(\d{3})', 1) AS INTEGER) END AS wind_dir,
+           CASE WHEN substr(info, 1, 1) = '_'
+                AND regexp_extract(info, 's(\d{3})', 1) <> ''
+                THEN TRY_CAST(regexp_extract(info, 's(\d{3})', 1) AS DOUBLE) * 1.609344
+             END AS wind_speed,
+           CASE WHEN substr(info, 1, 1) = '_'
+                AND regexp_extract(info, 't(-?\d{2,3})', 1) <> ''
+                THEN TRY_CAST(regexp_extract(info, 't(-?\d{2,3})', 1) AS DOUBLE)
+             END AS temp_f,
+           CASE WHEN substr(info, 1, 1) = '_'
+                AND regexp_extract(info, 'h(\d{2})', 1) <> ''
+                THEN CAST(regexp_extract(info, 'h(\d{2})', 1) AS INTEGER) END AS humidity,
+           CASE WHEN substr(info, 1, 1) = '_'
+                AND regexp_extract(info, 'b(\d{5})', 1) <> ''
+                THEN TRY_CAST(regexp_extract(info, 'b(\d{5})', 1) AS DOUBLE) * 0.1
+             END AS pressure_mb,
+           CASE WHEN substr(info, 1, 1) = 'T'
+                THEN CAST(regexp_extract(info, '^T#(\d{1,3})', 1) AS INTEGER) END AS tel_seq,
+           CASE WHEN substr(info, 1, 1) = 'T'
+                THEN string_split(regexp_extract(info, '^T#\d{1,3},(.*)$', 1), ',')[6]
+             END AS tel_bits
+    FROM x
+    WHERE substr(info, 1, 1) = '_'
+       OR (substr(info, 1, 1) = 'T' AND regexp_extract(info, '^T#(\d{1,3})', 1) <> '')
+    """,
+)
 def aprs_wx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed weather + telemetry extraction from the mixed fixture."""
+    """Typed weather + telemetry extraction from the mixed fixture.
+    Hash-checked via the fixture-VALUES detour (§12 letter-field grammar
+    re-run in the oracle); scalar columns only — wind_speed/humidity
+    replace the JSON-serialized telemetry array so every cell is
+    directly comparable (raw channel values live in aprs_telemetry_eng)."""
     parsed = parse_packets(_read_fixture(spark, "wx_telemetry.txt"), recv_ts_col="recv_ts")
-    return scalarize(
-        parsed.where(F.col("wx").isNotNull() | F.col("telemetry").isNotNull()).select(
-            "src",
-            "recv_ts",
-            "fmt",
-            F.col("wx.wind_dir").alias("wind_dir"),
-            F.col("wx.temp_f").alias("temp_f"),
-            F.col("wx.pressure_mb").alias("pressure_mb"),
-            F.col("telemetry.seq").alias("tel_seq"),
-            F.col("telemetry.vals").alias("tel_vals"),
-            F.col("telemetry.bits").alias("tel_bits"),
-        )
+    return parsed.where(
+        F.col("wx").isNotNull() | F.col("telemetry").isNotNull()
+    ).select(
+        "src",
+        "recv_ts",
+        "fmt",
+        F.col("wx.wind_dir").alias("wind_dir"),
+        F.col("wx.wind_speed").alias("wind_speed"),
+        F.col("wx.temp_f").alias("temp_f"),
+        F.col("wx.humidity").alias("humidity"),
+        F.col("wx.pressure_mb").alias("pressure_mb"),
+        F.col("telemetry.seq").alias("tel_seq"),
+        F.col("telemetry.bits").alias("tel_bits"),
     )
 
 
@@ -360,26 +398,111 @@ def aprs_decode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.select("src", "fmt", "latitude", "longitude", "symbol_table", "symbol")
 
 
-@query("aprs_malformed")  # rows-only: parser-never-throws audit path
+_FMT_DISPATCH_SQL = r"""
+      CASE WHEN dti IN ('!', '=', '/', '@', ';', ')') AND matched THEN
+             (CASE WHEN dti = ';' THEN 'object'
+                   WHEN dti = ')' THEN 'item'
+                   ELSE 'uncompressed' END)
+           WHEN dti IN ('!', '=', '/', '@') THEN 'compressed'
+           WHEN dti = '_' THEN 'wx'
+           WHEN dti = 'T' THEN 'telemetry'
+           WHEN dti = ':' THEN 'message'
+           WHEN dti = '>' THEN 'status'
+           WHEN dti = ';' THEN 'object'
+           WHEN dti = ')' THEN 'item'
+           WHEN dti IN ('`', '''') THEN 'mic-e'
+           ELSE 'other' END
+"""
+
+
+@query(
+    "aprs_malformed",
+    oracle=_fixture_base_sql("malformed.txt")
+    + rf"""
+    , d AS (SELECT raw, src, info,
+             CASE WHEN info <> '' THEN substr(info, 1, 1) END AS dti
+      FROM x),
+    p AS (SELECT raw, src, info, dti,
+             regexp_extract(
+               CASE WHEN dti IN ('!', '=') THEN substr(info, 2)
+                    WHEN dti IN ('/', '@') THEN substr(info, 9)
+                    WHEN dti = ';' THEN substr(info, 19)
+                    WHEN dti = ')' THEN regexp_extract(info, '^\)([^!_]{{3,9}})[!_](.*)$', 2)
+                    ELSE '' END,
+               '{_POS_SQL_RE}', 3) <> '' AS matched
+      FROM d),
+    e AS (SELECT raw, src, dti, matched,
+             CASE WHEN src IS NULL THEN 'bad-header'
+                  WHEN info IS NULL OR info = '' THEN 'empty-info' END AS parse_error
+      FROM p)
+    SELECT raw, src,
+           CASE WHEN parse_error IS NULL THEN {_FMT_DISPATCH_SQL} END AS fmt,
+           parse_error
+    FROM e
+    """,
+)
 def aprs_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bad-packet audit: every malformed line lands with parse_error set;
-    the parse itself must not raise."""
+    the parse itself must not raise. Hash-checked via the fixture-VALUES
+    detour: the oracle replays the full DTI dispatch (including the
+    'position DTI but digit-less body → compressed' fallback) and the
+    bad-header/empty-info classification."""
     parsed = parse_packets(_read_fixture(spark, "malformed.txt"), recv_ts_col="recv_ts")
     return parsed.select("raw", "src", "fmt", "parse_error")
 
 
-@query("aprs_objects")  # rows-only
+_OBJECT_FRAMES = [
+    "N0CALL>APRS,qAR,G:;LEADER   *111111z4903.50N/07201.75W>object cmt",
+    "N0CALL>APRS,qAR,G:;DEADOBJ  _111111z4903.50N/07201.75W>gone",
+    "N1CALL>APRS,qAR,G:)AID#2!4903.50N/07201.75WA",
+    "N1CALL>APRS,qAR,G:)GONE_4903.50N/07201.75WA",
+]
+
+
+def _objects_oracle() -> str:
+    rows = ", ".join("('" + f.replace("'", "''") + "')" for f in _OBJECT_FRAMES)
+    return rf"""
+    WITH x AS (
+      SELECT regexp_extract(raw, '{_HEADER_SQL_RE}', 1) AS src,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 4) AS info
+      FROM (VALUES {rows}) t(raw)),
+    d AS (SELECT src, info, substr(info, 1, 1) AS dti,
+             CASE WHEN substr(info, 1, 1) = ';' THEN substr(info, 19)
+                  WHEN substr(info, 1, 1) = ')'
+                  THEN regexp_extract(info, '^\)([^!_]{{3,9}})[!_](.*)$', 2)
+                  ELSE '' END AS body
+      FROM x),
+    g AS (SELECT src, info, dti, body,
+             regexp_extract(body, '{_POS_SQL_RE}', 1) AS latd,
+             regexp_extract(body, '{_POS_SQL_RE}', 2) AS latm,
+             regexp_extract(body, '{_POS_SQL_RE}', 3) AS ns,
+             regexp_extract(body, '{_POS_SQL_RE}', 5) AS lond,
+             regexp_extract(body, '{_POS_SQL_RE}', 6) AS lonm,
+             regexp_extract(body, '{_POS_SQL_RE}', 7) AS ew,
+             regexp_extract(body, '{_POS_SQL_RE}', 8) AS sym
+      FROM d)
+    SELECT src,
+           CASE WHEN dti = ';' THEN 'object' ELSE 'item' END AS fmt,
+           CASE WHEN dti = ';' THEN trim(substr(info, 2, 9))
+                ELSE regexp_extract(info, '^\)([^!_]{{3,9}})[!_]', 1) END AS obj_name,
+           CASE WHEN dti = ';' THEN substr(info, 11, 1) = '*'
+                ELSE NOT regexp_matches(info, '^\)[^!_]{{3,9}}_') END AS obj_alive,
+           CASE WHEN ns <> '' THEN (CAST(latd AS DOUBLE) + CAST(latm AS DOUBLE) / 60.0)
+                * (CASE WHEN ns = 'S' THEN -1.0 ELSE 1.0 END) END AS latitude,
+           CASE WHEN ns <> '' THEN (CAST(lond AS DOUBLE) + CAST(lonm AS DOUBLE) / 60.0)
+                * (CASE WHEN ew = 'W' THEN -1.0 ELSE 1.0 END) END AS longitude,
+           CASE WHEN ns <> '' THEN sym END AS symbol
+    FROM g
+    """
+
+
+@query("aprs_objects", oracle=_objects_oracle())
 def aprs_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Object/item reports (APRS101 §11): named map entities with
     positions — parsed from literal frames covering live/killed objects
-    and items."""
-    frames = [
-        "N0CALL>APRS,qAR,G:;LEADER   *111111z4903.50N/07201.75W>object cmt",
-        "N0CALL>APRS,qAR,G:;DEADOBJ  _111111z4903.50N/07201.75W>gone",
-        "N1CALL>APRS,qAR,G:)AID#2!4903.50N/07201.75WA",
-        "N1CALL>APRS,qAR,G:)GONE_4903.50N/07201.75WA",
-    ]
-    df = spark.createDataFrame([(f,) for f in frames], "raw string")
+    and items. Hash-checked: the oracle replays the §11 name/kill-bit
+    grammar and position decode on the same literal frames."""
+    df = spark.createDataFrame([(f,) for f in _OBJECT_FRAMES], "raw string")
     from ..aprs.parse import parse_packets
 
     return parse_packets(df).select(

@@ -76,6 +76,9 @@ DRIVER_ORDER: list[str] = [
     "aprs_lastpos",
     "aprs_msg_ack",
     "aprs_telemetry_eng",
+    "aprs_wx",
+    "aprs_malformed",
+    "aprs_objects",
     # comparison semantics touched this round (pre-rounded thresholds /
     # sketch-selectable cutpoints) — re-score
     "j_embed_outlier",
@@ -106,14 +109,14 @@ DRIVER_ORDER: list[str] = [
     "h_cond",
     "h_array",
     # r4-evidence refresh: dedup/similarity production paths
-    "j_dedup_exact",
+    # (j_dedup_exact / j_sim_topk / j_knn_label yield their slots to the
+    # three schema-changed aprs qids above — unchanged code, r4-green,
+    # next in line for the r7 rotation)
     "j_dedup_ngram",
     "j_dedup_near",
     "j_dedup_embed",
     "j_dedup_embed_bucketed",
     "j_dedup_cluster",
-    "j_sim_topk",
-    "j_knn_label",
     "j_sim_pairs",
     "j_sim_pairs_bucketed",
     # r4-evidence refresh: §2.K pandas/UDF family
