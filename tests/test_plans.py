@@ -214,3 +214,28 @@ def test_no_accidental_cartesian_or_row_python(spark):
         if "BatchEvalPython" in plan and qid not in _EXPECTED_ROW_PYTHON:
             bad.append(f"{qid}: row-at-a-time python")
     assert not bad, bad
+
+
+def test_ann_queries_have_no_training_shuffles(spark):
+    """r6: both registered ANN queries are probe-only plans — zero
+    Exchange (the IVF quantizer trains on a bounded sample driver-side,
+    so no Lloyd aggregation appears; LSH sketches are literal). The only
+    ordering operator is the per-partition top-k heap."""
+    from aprsdb_spark.plans.inspect import count_exchanges
+
+    for qid in ("j_ann_ivf", "j_ann_lsh"):
+        df = QUERIES[qid](spark, SF_DIR)
+        assert count_exchanges(df) == 0, f"{qid}: training/probe shuffle appeared"
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in p, f"{qid}: top-k regressed to global sort"
+
+
+def test_simhash_is_one_hash_agg(spark):
+    """SimHash must stay explode -> ONE hash aggregate keyed on doc_id
+    (map-side partial bit-votes): exactly one Exchange, and the md5
+    token hash evaluated once per token row, not once per vote bit."""
+    p = _physical(spark, "j_dedup_simhash")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange SinglePartition") == 0, p
+    # portable_hash64 packs two conv() halves of ONE md5 per token row
+    assert p.count("md5") <= 2, f"md5 re-evaluated per bit: {p.count('md5')} nodes"
