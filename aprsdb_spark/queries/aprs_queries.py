@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from ..aprs.decoders import enrich_positions
 from ..aprs.parse import parse_packets, parse_tnc2, station_view
-from ..functions import scalarize
 from ..registry import query
 
 FIXTURE_DIR = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "aprs"
@@ -46,6 +45,19 @@ def _packets_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(p,) for p in PACKETS], "raw string")
 
 
+def _fixture_lines(name: str) -> list[str]:
+    """Split a replay fixture the way spark.read.text does (Hadoop line
+    reader: \\n / \\r\\n / lone \\r; no row for a trailing newline).
+    NOT str.splitlines(), which also splits on \\x1c-\\x1e — Mic-E
+    payload bytes that are DATA here, not separators."""
+    import re
+
+    lines = re.split(r"\r\n|\r|\n", (FIXTURE_DIR / name).read_text())
+    if lines and lines[-1] == "":
+        lines.pop()
+    return lines
+
+
 def _fixture_values_sql(name: str) -> str:
     """The VALUES-relation detour for fixture-backed qids: embed the
     committed replay file's (recv_ms, raw) rows as a literal relation so
@@ -54,12 +66,29 @@ def _fixture_values_sql(name: str) -> str:
     extended to the fixture files. Committed fixtures are deterministic,
     so the SQL is stable across runs."""
     rows = []
-    for line in (FIXTURE_DIR / name).read_text().splitlines():
-        if not line.strip():
-            continue
+    for line in _fixture_lines(name):
         ms, _, raw = line.partition("\t")
         rows.append(f"({int(ms)}, '" + raw.replace("'", "''") + "')")
     return "(VALUES " + ", ".join(rows) + ") lines(recv_ms, raw)"
+
+
+# DuckDB twin of parse_packets' fmt dispatch (APRS101 §5 DTI table),
+# expects `dti` and `matched` columns in scope.
+_FMT_DISPATCH_SQL = r"""
+      CASE WHEN dti IN ('!', '=', '/', '@', ';', ')') AND matched THEN
+             (CASE WHEN dti = ';' THEN 'object'
+                   WHEN dti = ')' THEN 'item'
+                   ELSE 'uncompressed' END)
+           WHEN dti IN ('!', '=', '/', '@') THEN 'compressed'
+           WHEN dti = '_' THEN 'wx'
+           WHEN dti = 'T' THEN 'telemetry'
+           WHEN dti = ':' THEN 'message'
+           WHEN dti = '>' THEN 'status'
+           WHEN dti = ';' THEN 'object'
+           WHEN dti = ')' THEN 'item'
+           WHEN dti IN ('`', '''') THEN 'mic-e'
+           ELSE 'other' END
+"""
 
 
 # DuckDB twins of the parse_tnc2 header split + epoch_ms timestamp used
@@ -193,27 +222,138 @@ def _read_fixture(spark: SparkSession, name: str) -> DataFrame:
     ).select(F.timestamp_millis(F.col("recv_ms")).alias("recv_ts"), "raw")
 
 
-@query("aprs_pipeline")  # rows-only: fixture-driven, not sf-table-backed
+_PIPELINE_FIXTURES = (
+    "pos_uncompressed.txt",
+    "wx_telemetry.txt",
+    "msgs_acks.txt",
+    "malformed.txt",
+    "mice_compressed.txt",
+)
+
+
+def _pipeline_oracle() -> str:
+    """DuckDB twin of the FULL parse_packets wide frame over the union
+    of all five replay fixtures: TNC2 header split, q-construct/gate
+    extraction, DTI dispatch (incl. object/item bodies and the
+    compressed fallback), uncompressed-position decode with
+    course/speed/altitude/comment, and the bad-packet classification —
+    every scalar column of the frame, value-checked on 296 lines."""
+    rows = []
+    for name in _PIPELINE_FIXTURES:
+        for line in _fixture_lines(name):
+            ms, _, raw = line.partition("\t")
+            rows.append(f"({int(ms)}, '" + raw.replace("'", "''") + "')")
+    values = "(VALUES " + ", ".join(rows) + ") lines(recv_ms, raw)"
+    return rf"""
+    WITH h AS (
+      SELECT epoch_ms(recv_ms) AS recv_ts, raw,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 1) AS src0,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 2) AS dst0,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 3) AS path_str,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 4) AS info
+      FROM {values}),
+    y AS (SELECT *, CASE WHEN path_str = '' THEN CAST([] AS VARCHAR[])
+                         ELSE string_split(path_str, ',')[2:] END AS path
+          FROM h),
+    z AS (SELECT *,
+            CASE WHEN info <> '' THEN substr(info, 1, 1) END AS dti,
+            (list_filter(path, p -> regexp_matches(p, '^qA')))[1] AS q_construct,
+            path[list_position(path,
+                (list_filter(path, p -> regexp_matches(p, '^qA')))[1]) + 1] AS gate
+          FROM y),
+    b AS (SELECT *,
+            CASE WHEN dti IN ('!', '=') THEN substr(info, 2)
+                 WHEN dti IN ('/', '@') THEN substr(info, 9)
+                 WHEN dti = ';' THEN substr(info, 19)
+                 WHEN dti = ')' THEN regexp_extract(info, '^\)([^!_]{{3,9}})[!_](.*)$', 2)
+                 ELSE '' END AS body
+          FROM z),
+    g AS (SELECT *,
+            regexp_extract(body, '{_POS_SQL_RE}', 1) AS latd,
+            regexp_extract(body, '{_POS_SQL_RE}', 2) AS latm,
+            regexp_extract(body, '{_POS_SQL_RE}', 3) AS ns,
+            regexp_extract(body, '{_POS_SQL_RE}', 4) AS symt,
+            regexp_extract(body, '{_POS_SQL_RE}', 5) AS lond,
+            regexp_extract(body, '{_POS_SQL_RE}', 6) AS lonm,
+            regexp_extract(body, '{_POS_SQL_RE}', 7) AS ew,
+            regexp_extract(body, '{_POS_SQL_RE}', 8) AS sym,
+            regexp_extract(body, '{_POS_SQL_RE}', 9) AS aftr
+          FROM b),
+    p AS (SELECT *, (ns <> '') AS matched,
+            regexp_extract(aftr, '^(\d{{3}})/(\d{{3}})', 1) AS cse,
+            regexp_extract(aftr, '^(\d{{3}})/(\d{{3}})', 2) AS spd,
+            regexp_extract(body, '/A=(\d{{6}})', 1) AS alt_ft
+          FROM g),
+    e AS (SELECT *,
+            CASE WHEN src0 = '' THEN 'bad-header'
+                 WHEN info IS NULL OR info = '' THEN 'empty-info' END AS parse_error
+          FROM p)
+    SELECT raw, recv_ts,
+           CASE WHEN src0 = '' THEN NULL ELSE src0 END AS src,
+           CASE WHEN dst0 = '' THEN NULL ELSE dst0 END AS dst,
+           COALESCE(array_to_string(path, ','), '') AS path,
+           q_construct, gate, dti,
+           CASE WHEN parse_error IS NULL THEN {_FMT_DISPATCH_SQL} END AS fmt,
+           CASE WHEN matched THEN (CAST(latd AS DOUBLE) + CAST(latm AS DOUBLE) / 60.0)
+                * (CASE WHEN ns = 'S' THEN -1.0 ELSE 1.0 END) END AS latitude,
+           CASE WHEN matched THEN (CAST(lond AS DOUBLE) + CAST(lonm AS DOUBLE) / 60.0)
+                * (CASE WHEN ew = 'W' THEN -1.0 ELSE 1.0 END) END AS longitude,
+           CASE WHEN matched THEN symt END AS symbol_table,
+           CASE WHEN matched THEN sym END AS symbol,
+           CASE WHEN matched AND alt_ft <> '' THEN CAST(alt_ft AS DOUBLE) * 0.3048
+             END AS altitude_m,
+           CASE WHEN matched AND cse <> '' THEN CAST(cse AS DOUBLE) END AS course_deg,
+           CASE WHEN matched AND spd <> '' THEN CAST(spd AS DOUBLE) * 1.852
+             END AS speed_kmh,
+           CASE WHEN matched THEN regexp_replace(aftr, '^(\d{{3}})/(\d{{3}})', '')
+                WHEN dti = '>' THEN substr(info, 2) END AS comment,
+           CASE WHEN dti = ';' THEN trim(substr(info, 2, 9))
+                WHEN dti = ')' THEN regexp_extract(info, '^\)([^!_]{{3,9}})[!_]', 1)
+             END AS obj_name,
+           CASE WHEN dti = ';' THEN substr(info, 11, 1) = '*'
+                WHEN dti = ')' THEN NOT regexp_matches(info, '^\)[^!_]{{3,9}}_')
+             END AS obj_alive,
+           parse_error
+    FROM e
+    """
+
+
+@query("aprs_pipeline", oracle=_pipeline_oracle())
 def aprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming ingest: fixture replay → full parse →
-    typed wide frame (all format branches in one pass)."""
-    frames = [
-        _read_fixture(spark, n)
-        for n in (
-            "pos_uncompressed.txt",
-            "wx_telemetry.txt",
-            "msgs_acks.txt",
-            "malformed.txt",
-            "mice_compressed.txt",
-        )
-    ]
+    typed wide frame (all format branches in one pass). Hash-checked
+    via the fixture-VALUES detour over the union of ALL FIVE replay
+    fixtures (296 lines): every scalar column of the wide frame is
+    value-compared; the three struct columns (wx/telemetry/msg) are
+    dropped here because their contents are value-checked by their own
+    dedicated qids (aprs_wx, aprs_telemetry_eng, aprs_msg_ack)."""
+    frames = [_read_fixture(spark, n) for n in _PIPELINE_FIXTURES]
     allp = frames[0]
     for f in frames[1:]:
         allp = allp.unionByName(f)
-    # rows-only qid, but the driver still materializes the frame: the
-    # struct/array columns (wx, telemetry, msg, path) serialize to JSON/
-    # csv so its pandas canonicalizer never sees an ndarray cell.
-    return scalarize(parse_packets(allp, recv_ts_col="recv_ts"))
+    parsed = parse_packets(allp, recv_ts_col="recv_ts")
+    return parsed.select(
+        "raw",
+        "recv_ts",
+        "src",
+        "dst",
+        F.concat_ws(",", "path").alias("path"),
+        "q_construct",
+        "gate",
+        "dti",
+        "fmt",
+        "latitude",
+        "longitude",
+        "symbol_table",
+        "symbol",
+        "altitude_m",
+        "course_deg",
+        "speed_kmh",
+        "comment",
+        "obj_name",
+        "obj_alive",
+        "parse_error",
+    )
 
 
 @query(
@@ -396,23 +536,6 @@ def aprs_decode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     info = parse_tnc2(F.col("raw")).getField("info")
     enriched = enrich_positions(parsed, info)
     return enriched.select("src", "fmt", "latitude", "longitude", "symbol_table", "symbol")
-
-
-_FMT_DISPATCH_SQL = r"""
-      CASE WHEN dti IN ('!', '=', '/', '@', ';', ')') AND matched THEN
-             (CASE WHEN dti = ';' THEN 'object'
-                   WHEN dti = ')' THEN 'item'
-                   ELSE 'uncompressed' END)
-           WHEN dti IN ('!', '=', '/', '@') THEN 'compressed'
-           WHEN dti = '_' THEN 'wx'
-           WHEN dti = 'T' THEN 'telemetry'
-           WHEN dti = ':' THEN 'message'
-           WHEN dti = '>' THEN 'status'
-           WHEN dti = ';' THEN 'object'
-           WHEN dti = ')' THEN 'item'
-           WHEN dti IN ('`', '''') THEN 'mic-e'
-           ELSE 'other' END
-"""
 
 
 @query(

@@ -60,7 +60,7 @@ def load_all() -> None:
 # pins which qids occupy that scored window. Round-6 rotation, derived
 # from the recorded artifacts (no never-scored qids remain; latest
 # evidence after r5 splits 50×r5 / 50×r4 / 22×r2): (1) the r5 red
-# datapoint j_pack_sequences (oracle type bug, fixed) and the six qids
+# datapoint j_pack_sequences (oracle type bug, fixed) and the ten qids
 # upgraded from rows-only to hash-checked oracles this round, plus the
 # two qids whose threshold/rounding semantics changed; (2) the entire
 # 22-qid r2-latest block, so after r6 no qid's evidence is older than
@@ -79,6 +79,7 @@ DRIVER_ORDER: list[str] = [
     "aprs_wx",
     "aprs_malformed",
     "aprs_objects",
+    "aprs_pipeline",
     # comparison semantics touched this round (pre-rounded thresholds /
     # sketch-selectable cutpoints) — re-score
     "j_embed_outlier",
@@ -109,15 +110,14 @@ DRIVER_ORDER: list[str] = [
     "h_cond",
     "h_array",
     # r4-evidence refresh: dedup/similarity production paths
-    # (j_dedup_exact / j_sim_topk / j_knn_label yield their slots to the
-    # three schema-changed aprs qids above — unchanged code, r4-green,
-    # next in line for the r7 rotation)
+    # (j_dedup_exact / j_sim_topk / j_knn_label / j_sim_pairs yield
+    # their slots to the four schema-changed aprs qids above — unchanged
+    # code, r4-green, next in line for the r7 rotation)
     "j_dedup_ngram",
     "j_dedup_near",
     "j_dedup_embed",
     "j_dedup_embed_bucketed",
     "j_dedup_cluster",
-    "j_sim_pairs",
     "j_sim_pairs_bucketed",
     # r4-evidence refresh: §2.K pandas/UDF family
     "k_pandas_scalar",
