@@ -528,10 +528,124 @@ def aprs_wx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("aprs_decode_udf")  # rows-only: pandas-UDF base-91 path
+def _decode_udf_oracle() -> str:
+    """DuckDB twin of the pandas-UDF decoders for the columns this qid
+    emits (lat/lon/symbol_table/symbol — the cs/altitude tail is not
+    selected). Base-91: integer fold over ascii()-33, then the SAME
+    IEEE ops as decoders._decode_compressed_one (90.0 - v/380926.0).
+    Mic-E latitude rebuilds the 'mm.hh' DECIMAL STRING and casts — the
+    Python decoder goes through float('mm.hh'), and decimal parse is
+    correctly rounded on both engines, while d3*10+d4 + d5d6/100.0
+    arithmetic could differ in the last ulp. Validity predicates mirror
+    the decoders' guards exactly (char ranges, lengths, digit map)."""
+    # b91(body[i..i+3]) as an integer fold, 1-indexed start position
+    def b91(start: int) -> str:
+        v = "0"
+        for k in range(4):
+            v = f"(({v}) * 91 + (ascii(substr(body, {start + k}, 1)) - 33))"
+        return v
+
+    comp_chars_ok = " AND ".join(
+        f"ascii(substr(body, {i}, 1)) BETWEEN 33 AND 123" for i in range(2, 10)
+    )
+    # Mic-E dst digit for 1-indexed position i of dst6
+    def mdig(i: int) -> str:
+        c = f"substr(dst6, {i}, 1)"
+        return (
+            f"(CASE WHEN {c} BETWEEN '0' AND '9' THEN ascii({c}) - 48"
+            f" WHEN {c} BETWEEN 'A' AND 'J' THEN ascii({c}) - 65"
+            f" WHEN {c} IN ('K', 'L', 'Z') THEN 0"
+            f" WHEN {c} BETWEEN 'P' AND 'Y' THEN ascii({c}) - 80 END)"
+        )
+
+    return rf"""
+    WITH x AS (
+      SELECT CASE WHEN regexp_extract(raw, '{_HEADER_SQL_RE}', 1) = '' THEN NULL
+                  ELSE regexp_extract(raw, '{_HEADER_SQL_RE}', 1) END AS src,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 2) AS dst,
+             regexp_extract(raw, '{_HEADER_SQL_RE}', 4) AS info
+      FROM {_fixture_values_sql("mice_compressed.txt")}),
+    d AS (SELECT src, dst, info,
+            CASE WHEN info <> '' THEN substr(info, 1, 1) END AS dti FROM x),
+    f AS (SELECT *,
+            regexp_extract(CASE WHEN dti IN ('!', '=') THEN substr(info, 2)
+                                WHEN dti IN ('/', '@') THEN substr(info, 9)
+                                ELSE '' END, '{_POS_SQL_RE}', 3) <> '' AS matched
+          FROM d),
+    t AS (SELECT src, dst, info, dti, {_FMT_DISPATCH_SQL} AS fmt FROM f),
+    comp AS (
+      SELECT src, info,
+             CASE WHEN dti IN ('!', '=') THEN substr(info, 2)
+                  ELSE substr(info, 9) END AS body
+      FROM t WHERE fmt = 'compressed'),
+    compok AS (
+      SELECT src, body,
+             length(body) >= 10
+             AND (substr(body, 1, 1) = '/' OR substr(body, 1, 1) = '\'
+                  OR substr(body, 1, 1) BETWEEN '0' AND '9'
+                  OR substr(body, 1, 1) BETWEEN 'A' AND 'Z')
+             AND {comp_chars_ok} AS ok
+      FROM comp),
+    compdec AS (
+      SELECT src,
+             CASE WHEN ok THEN 90.0 - ({b91(2)}) / 380926.0 END AS latitude,
+             CASE WHEN ok THEN -180.0 + ({b91(6)}) / 190463.0 END AS longitude,
+             CASE WHEN ok THEN substr(body, 1, 1) END AS symbol_table,
+             CASE WHEN ok THEN substr(body, 10, 1) END AS symbol
+      FROM compok),
+    mice AS (
+      SELECT src, substr(dst, 1, 6) AS dst6, info
+      FROM t WHERE fmt = 'mic-e'),
+    miceok AS (
+      SELECT *, length(dst6) >= 6 AND length(info) >= 9
+             AND substr(info, 1, 1) IN ('`', '''')
+             AND regexp_matches(dst6, '^[0-9A-LP-Z]{{6}}$') AS ok,
+             {mdig(1)} AS d1, {mdig(2)} AS d2, {mdig(3)} AS d3,
+             {mdig(4)} AS d4, {mdig(5)} AS d5, {mdig(6)} AS d6,
+             (substr(dst6, 4, 1) BETWEEN 'P' AND 'Z') AS is_north,
+             (CASE WHEN substr(dst6, 5, 1) BETWEEN 'P' AND 'Z' THEN 100 ELSE 0 END)
+               AS lon_off,
+             (substr(dst6, 6, 1) BETWEEN 'P' AND 'Z') AS is_west,
+             ascii(substr(info, 2, 1)) - 28 AS d28,
+             ascii(substr(info, 3, 1)) - 28 AS m28,
+             ascii(substr(info, 4, 1)) - 28 AS h28
+      FROM mice),
+    micedec AS (
+      SELECT src,
+             CASE WHEN ok THEN
+               (CASE WHEN is_north THEN 1.0 ELSE -1.0 END)
+               * ((d1 * 10 + d2)
+                  + CAST(CAST(d3 AS VARCHAR) || CAST(d4 AS VARCHAR) || '.'
+                         || CAST(d5 AS VARCHAR) || CAST(d6 AS VARCHAR) AS DOUBLE)
+                    / 60.0) END AS latitude,
+             CASE WHEN ok THEN
+               (CASE WHEN is_west THEN -1.0 ELSE 1.0 END)
+               * ((CASE WHEN d28 + lon_off BETWEEN 180 AND 189 THEN d28 + lon_off - 80
+                        WHEN d28 + lon_off BETWEEN 190 AND 199 THEN d28 + lon_off - 190
+                        ELSE d28 + lon_off END)
+                  + ((CASE WHEN m28 >= 60 THEN m28 - 60 ELSE m28 END)
+                     + h28 / 100.0) / 60.0) END AS longitude,
+             CASE WHEN ok THEN substr(info, 9, 1) END AS symbol_table,
+             CASE WHEN ok THEN substr(info, 8, 1) END AS symbol
+      FROM miceok)
+    SELECT t.src, t.fmt,
+           COALESCE(c.latitude, m.latitude) AS latitude,
+           COALESCE(c.longitude, m.longitude) AS longitude,
+           COALESCE(c.symbol_table, m.symbol_table) AS symbol_table,
+           COALESCE(c.symbol, m.symbol) AS symbol
+    FROM t LEFT JOIN compdec c ON t.src = c.src
+           LEFT JOIN micedec m ON t.src = m.src
+    """
+
+
+@query("aprs_decode_udf", oracle=_decode_udf_oracle())
 def aprs_decode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-position decode via the Arrow pandas UDF (the
-    sanctioned non-expression path)."""
+    sanctioned non-expression path). Hash-checked as of r6: the oracle
+    re-derives base-91 and Mic-E lat/lon with exact integer folds and
+    the identical IEEE float ops (see _decode_udf_oracle), so even the
+    pandas-UDF escape hatch is value-verified — the Spark-side batching
+    can't silently reorder or misalign rows without failing the hash."""
     parsed = parse_packets(_read_fixture(spark, "mice_compressed.txt"), recv_ts_col="recv_ts")
     info = parse_tnc2(F.col("raw")).getField("info")
     enriched = enrich_positions(parsed, info)

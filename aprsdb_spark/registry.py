@@ -80,6 +80,7 @@ DRIVER_ORDER: list[str] = [
     "aprs_malformed",
     "aprs_objects",
     "aprs_pipeline",
+    "aprs_decode_udf",
     # comparison semantics touched this round (pre-rounded thresholds /
     # sketch-selectable cutpoints) — re-score
     "j_embed_outlier",
@@ -119,12 +120,12 @@ DRIVER_ORDER: list[str] = [
     "j_dedup_embed_bucketed",
     "j_dedup_cluster",
     "j_sim_pairs_bucketed",
-    # r4-evidence refresh: §2.K pandas/UDF family
+    # r4-evidence refresh: §2.K pandas/UDF family (k_sql_udf yields its
+    # slot to aprs_decode_udf above — unchanged, r4-green, r7 rotation)
     "k_pandas_scalar",
     "k_pandas_grouped_agg",
     "k_apply_in_pandas",
     "k_udtf",
-    "k_sql_udf",
     # r4-evidence refresh: geo
     "h_geo_range",
     "h_geo_pairs",
