@@ -183,6 +183,21 @@ def portable_hash64(c: Column) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def portable_hash32(c: Column) -> Column:
+    """Non-negative 32-bit hash = HIGH md5 word (one conv). Pairs with
+    portable_bucket (low word) when two independent-ish portable hash
+    values are needed from a single md5 evaluation."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def portable_bucket(c: Column, buckets: int) -> Column:
+    """Non-negative bucket id from the LOW 32-bit md5 word. One conv,
+    no signed-modulo pitfalls (the word is non-negative on both
+    engines), recomputable in SQL as CAST('0x'||substr(md5(x),9,8) AS
+    BIGINT) % buckets."""
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long") % buckets
+
+
 def simhash_col(text: str | Column = "text", bits: int = 64) -> Column:
     """64-bit SimHash over distinct tokens, as a signed LONG.
 

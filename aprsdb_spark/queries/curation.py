@@ -658,3 +658,53 @@ def j_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("df"),
         F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
     )
+
+
+# ----------------------------------------------- deterministic shuffle (r6)
+
+_SHUFFLE_SHARDS = 64
+_SHUFFLE_SALT = "epoch1"
+
+
+@query(
+    "j_shuffle_shards",
+    oracle=f"""
+    WITH k AS (SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SALT}') AS h
+               FROM documents),
+    s AS (SELECT doc_id,
+            CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) % {_SHUFFLE_SHARDS} AS shard,
+            CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS sort_key
+          FROM k)
+    SELECT doc_id, shard, sort_key,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY sort_key, doc_id) AS INTEGER) AS pos
+    FROM s
+    """,
+)
+def j_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    shard and an in-shard position from a salted portable hash — the
+    standard way a 100 TB training run gets a reproducible global
+    shuffle WITHOUT a global sort: shard = write-time partition (the
+    only exchange), in-shard order = local sort within each partition,
+    re-shuffle for the next epoch = new salt, no data movement
+    decision depends on any other row. The per-shard window is
+    scale-safe because shard count is a knob: size it so a shard is
+    one task's worth of data.
+
+    Hash-checked: shard is the low md5 word mod N, the sort key the
+    high word (one md5 per row), both exact integers in any engine."""
+    from ..operators.dedup import portable_bucket, portable_hash32
+
+    t = load(spark, sf_dir)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_SALT}"))
+    s = t.documents.select(
+        "doc_id",
+        portable_bucket(key, _SHUFFLE_SHARDS).alias("shard"),
+        portable_hash32(key).alias("sort_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return s.select(
+        "doc_id", "shard", "sort_key", F.row_number().over(w).alias("pos")
+    )

@@ -362,3 +362,83 @@ def j_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("dist_to_centroid"),
         (F.col("dist") > F.col("mu") + 2 * F.col("sd")).alias("is_outlier"),
     )
+
+
+# ------------------------------------------------------------ DSIR (r6)
+
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_TARGET = "src0"  # target domain (DSIR's "Wikipedia" stand-in)
+
+_DSIR_HB_SQL = f"""
+    tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    ng AS (SELECT doc_id, source,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS ng
+           FROM tok),
+    hb AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(ng), 9, 8)) AS BIGINT) % {_DSIR_B} AS b
+           FROM ng)
+"""
+
+
+@query(
+    "j_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_HB_SQL},
+    cnt AS (SELECT b, COUNT(*) AS qc,
+                   SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS tc
+            FROM hb GROUP BY b),
+    tot AS (SELECT SUM(qc) AS qt, SUM(tc) AS tt FROM cnt),
+    lr AS (SELECT b,
+             FLOOR((ln((tc + 1.0) / (tt + {_DSIR_B})) - ln((qc + 1.0) / (qt + {_DSIR_B})))
+                   * 1000000 + 0.5) / 1000000 AS lr
+           FROM cnt, tot)
+    SELECT doc_id, COUNT(*) AS n_ngrams,
+           FLOOR(SUM(lr) * 10000 + 0.5) / 10000 AS log_w
+    FROM hb JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def j_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, public): log importance
+    of each document under hashed-bigram bag-of-ngrams models of a
+    TARGET domain vs the RAW corpus — the data-selection signal used to
+    resample pretraining data toward a high-quality distribution.
+    log_w(doc) = Σ_ngram [ln p_target(b) - ln p_raw(b)] over the
+    ngram's hash bucket b, add-1 smoothed over B=1024 buckets.
+
+    Scale shape: bucket counts are a B-bounded hash agg (map-side
+    partials, B rows total), totals a broadcast 1-row agg, the
+    log-ratio table a broadcast B-row join — the only data-sized
+    shuffle is the final doc_id aggregation. The bucket hash is the
+    portable low md5 word, so the oracle recomputes it exactly;
+    per-bucket log-ratios round to 1e-6 and per-doc sums to 1e-4 (the
+    j_ngram_lm float-sum convention). Docs with < 2 tokens have no
+    features and are excluded (DSIR is undefined on them)."""
+    from ..operators.dedup import portable_bucket
+
+    t = load(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id", "source", F.explode(ngrams_col("text", 2)).alias("ng")
+    )
+    g = base.select(
+        "doc_id", "source", portable_bucket(F.col("ng"), _DSIR_B).alias("b")
+    )
+    cnt = g.groupBy("b").agg(
+        F.count("*").alias("qc"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("tc"),
+    )
+    tot = cnt.agg(F.sum("qc").alias("qt"), F.sum("tc").alias("tt"))
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        rnd(
+            F.log((F.col("tc") + 1.0) / (F.col("tt") + _DSIR_B))
+            - F.log((F.col("qc") + 1.0) / (F.col("qt") + _DSIR_B)),
+            6,
+        ).alias("lr"),
+    )
+    return (
+        g.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_ngrams"), rnd(F.sum("lr"), 4).alias("log_w"))
+    )

@@ -126,9 +126,11 @@ DRIVER_ORDER: list[str] = [
     "k_pandas_grouped_agg",
     "k_apply_in_pandas",
     "k_udtf",
-    # r4-evidence refresh: geo
-    "h_geo_range",
-    "h_geo_pairs",
+    # new in r6 — never scored by construction, must sit in the window
+    # (their slots come from the h_geo_* refresh picks: unchanged,
+    # r4-green, r7 rotation)
+    "j_dsir_weights",
+    "j_shuffle_shards",
     # canary: e_win_lastpos
     "e_win_lastpos",
 ]

@@ -194,6 +194,7 @@ _EXPECTED_BNLJ = {
     "j_knn_label", "j_lang_id", "j_multimodal_sim", "j_sim_topk",  # 1-row/tiny broadcast query side
     "j_tfidf",  # crossJoin(broadcast(corpus)): 1-row scalar-aggregate build side
     "j_domain_mix", "j_ngram_lm", "j_lm_buckets",  # same 1-row broadcast totals cross-join shape
+    "j_dsir_weights",  # same shape: broadcast 1-row (qt, tt) totals
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
