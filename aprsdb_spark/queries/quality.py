@@ -421,9 +421,13 @@ def j_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t.documents.select(
         "doc_id", "source", F.explode(ngrams_col("text", 2)).alias("ng")
     )
+    # persisted: the exploded (doc_id, source, bucket) frame feeds BOTH
+    # the bucket-count aggregate and the final join-back — unpersisted,
+    # Spark recomputes the explode + md5 chain per consumer (the
+    # multi-consumer rule the LSH/ngram qids follow; measured ~2x here)
     g = base.select(
         "doc_id", "source", portable_bucket(F.col("ng"), _DSIR_B).alias("b")
-    )
+    ).persist()
     cnt = g.groupBy("b").agg(
         F.count("*").alias("qc"),
         F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("tc"),
