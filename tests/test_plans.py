@@ -240,3 +240,23 @@ def test_simhash_is_one_hash_agg(spark):
     assert p.count("Exchange SinglePartition") == 0, p
     # portable_hash64 packs two conv() halves of ONE md5 per token row
     assert p.count("md5") <= 2, f"md5 re-evaluated per bit: {p.count('md5')} nodes"
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """DSIR's log-ratio table (B=1024 rows) must broadcast into the
+    join-back — a sort-merge here would shuffle the exploded n-gram
+    frame a second time on the bucket key. The totals cross-join is the
+    whitelisted 1-row broadcast shape."""
+    p = _plan(spark, "j_dsir_weights")
+    assert "BroadcastHashJoin" in p, "ratio-table join lost its broadcast"
+    assert "SortMergeJoin" not in p, "bucket join degraded to SMJ"
+
+
+def test_shuffle_shards_window_is_shard_partitioned(spark):
+    """The in-shard position window must partition by the shard key —
+    zero SinglePartition exchanges (a global row_number would be the
+    global sort this operator exists to avoid)."""
+    p = _physical(spark, "j_shuffle_shards")
+    assert p.count("Exchange SinglePartition") == 0, p
+    spec = next(l for l in p.splitlines() if "row_number" in l.lower() or "Window" in l)
+    assert "shard" in spec, spec
