@@ -929,29 +929,65 @@ def j_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("j_multimodal_frames")  # rows-only: fan-out plumbing, codec stubbed
+# Shared dims CTE for the media oracles: the SQL twin of
+# operators/multimodal.media_dims — the generation contract the real
+# PPM parse must recover from actual container bytes.
+_MEDIA_DIMS_SQL = """
+    d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 5) % 24 AS h
+          FROM documents)
+"""
+_PPM_HEADER_LEN_SQL = (
+    "length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)"
+    " || chr(10) || '255' || chr(10))"
+)
+
+
+@query(
+    "j_multimodal_frames",
+    oracle=f"""
+    WITH {_MEDIA_DIMS_SQL}
+    SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx,
+           CAST({_PPM_HEADER_LEN_SQL} + w * h * 3 AS BIGINT) AS n_bytes
+    FROM d CROSS JOIN range(0, 4) t(frame_idx)
+    """,
+)
 def j_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stage (video path): each payload fans out to 4
-    evenly-spaced fixed-size frames inside the Arrow batch — 1→N row
-    multiplication in mapInPandas, no explode shuffle. Frame bytes are
-    deterministic slices (real keyframe seek needs a codec)."""
-    from ..operators.multimodal import sample_frames
+    """Frame-sampling stage (video path): the payload is a REAL
+    concatenated-P6 stream (8 frames, pack_video) and the kernel walks
+    the actual container, picking 4 evenly-spaced frames — 1→N row
+    multiplication inside the Arrow batch, no explode shuffle. The
+    oracle recomputes each frame's exact byte size from the generation
+    contract; frame pixel content is pinned by unit tests."""
+    from ..operators.multimodal import pack_video, sample_frames
 
     t = load(spark, sf_dir)
-    frames = sample_frames(pack_multimodal(t.documents), n_frames=4, frame_bytes=32)
+    frames = sample_frames(pack_video(t.documents), n_frames=4)
     return frames.select(
         "doc_id", "frame_idx", F.octet_length("frame").cast("long").alias("n_bytes")
     )
 
 
-@query("j_multimodal_resize")  # rows-only: stub resize (no codec libs here)
+_RESIZE_BYTES = len(b"P6\n64 64\n255\n") + 64 * 64 * 3
+
+
+@query(
+    "j_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+           CAST({_RESIZE_BYTES} AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def j_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage: binary in → binary out at a target-dim byte budget;
-    schema/batching real, rescale kernel a marked stub."""
-    from ..operators.multimodal import resize_payloads
+    """Resize stage: binary in → binary out at 64×64. The kernel is a
+    REAL nearest-neighbor pixel-buffer resample (numpy fancy-indexing
+    over the decoded (h, w, 3) array) re-encoded as P6 — not a byte
+    trick. The oracle checks every output is a well-formed 64×64 P6
+    (exact byte size); resample correctness is pinned by unit tests."""
+    from ..operators.multimodal import pack_media, resize_payloads
 
     t = load(spark, sf_dir)
-    resized = resize_payloads(pack_multimodal(t.documents), width=64, height=64)
+    resized = resize_payloads(pack_media(t.documents), width=64, height=64)
     return resized.select(
         "doc_id", "width", "height", F.octet_length("payload").cast("long").alias("n_bytes")
     )
@@ -1039,13 +1075,29 @@ def j_multimodal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
 
 
-@query("j_multimodal_decode")  # rows-only: stub decode (no codec libs here)
+@query(
+    "j_multimodal_decode",
+    oracle=f"""
+    WITH {_MEDIA_DIMS_SQL}
+    SELECT doc_id,
+           CAST({_PPM_HEADER_LEN_SQL} + w * h * 3 AS BIGINT) AS n_bytes,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           'ppm' AS format
+    FROM d
+    """,
+)
 def j_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode stage over binary payloads —
-    plumbing is real (schema/batching/partitioning), codec is a
-    deterministic stub (operators/multimodal.py)."""
+    """Arrow-batched mapInPandas decode over binary payloads. The
+    payloads are genuine P6 PPM containers (pack_media) and the kernel
+    PARSES their headers — the oracle independently recomputes the
+    dims/byte-size every row must decode to from the generation
+    contract, so a batching, alignment, or parsing bug hash-fails.
+    Compressed codecs (jpeg/mp4) remain env-blocked; they would enter
+    through this same kernel as another `format` branch."""
+    from ..operators.multimodal import pack_media
+
     t = load(spark, sf_dir)
-    return decode_payloads(pack_multimodal(t.documents))
+    return decode_payloads(pack_media(t.documents))
 
 
 @query(

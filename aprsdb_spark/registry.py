@@ -81,6 +81,9 @@ DRIVER_ORDER: list[str] = [
     "aprs_objects",
     "aprs_pipeline",
     "aprs_decode_udf",
+    "j_multimodal_decode",
+    "j_multimodal_resize",
+    "j_multimodal_frames",
     # comparison semantics touched this round (pre-rounded thresholds /
     # sketch-selectable cutpoints) — re-score
     "j_embed_outlier",
@@ -120,12 +123,10 @@ DRIVER_ORDER: list[str] = [
     "j_dedup_embed_bucketed",
     "j_dedup_cluster",
     "j_sim_pairs_bucketed",
-    # r4-evidence refresh: §2.K pandas/UDF family (k_sql_udf yields its
-    # slot to aprs_decode_udf above — unchanged, r4-green, r7 rotation)
-    "k_pandas_scalar",
-    "k_pandas_grouped_agg",
+    # r4-evidence refresh: one §2.K representative (the other four k_*
+    # qids yielded their slots to this round's schema-changed/oracled
+    # qids — unchanged code, r4-green, first in line for r7)
     "k_apply_in_pandas",
-    "k_udtf",
     # new in r6 — never scored by construction, must sit in the window
     # (their slots come from the h_geo_* refresh picks: unchanged,
     # r4-green, r7 rotation)

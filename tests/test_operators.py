@@ -195,15 +195,67 @@ def test_simhash_identical_and_perturbed(spark):
     assert 0 < ham <= 16
 
 
-def test_multimodal_decode_stub(spark):
-    from aprsdb_spark.operators.multimodal import decode_payloads, pack_multimodal
+def test_multimodal_decode_parses_real_ppm(spark):
+    """The decode kernel PARSES genuine P6 containers: dims recovered
+    from bytes must equal the generation contract, and a non-media
+    payload (plain text) lands on the null-format audit path."""
+    from aprsdb_spark.operators.multimodal import (
+        decode_payloads,
+        media_dims,
+        pack_media,
+        pack_multimodal,
+    )
     from aprsdb_spark.tables import load
 
     docs = load(spark, SF001).documents.limit(50)
-    out = decode_payloads(pack_multimodal(docs)).collect()
+    out = decode_payloads(pack_media(docs)).collect()
     assert len(out) == 50
-    assert all(64 <= r.width < 128 and r.format in ("png", "jpeg") for r in out)
-    assert all(r.n_bytes > 0 for r in out)
+    for r in out:
+        w, h = media_dims(r.doc_id)
+        assert (r.width, r.height, r.format) == (w, h, "ppm")
+        assert r.n_bytes > w * h * 3  # header + pixels
+    # text bytes are not a PPM: parse must refuse, not fabricate
+    bad = decode_payloads(pack_multimodal(docs.limit(5))).collect()
+    assert all(r.format is None and r.width is None for r in bad)
+
+
+def test_multimodal_resize_resamples_pixels():
+    """Nearest-neighbor resample, checked against a hand-computed 2x2:
+    upscaling 1x2 -> 2x2 must replicate the correct source pixels."""
+    from aprsdb_spark.operators.multimodal import ppm_decode, ppm_encode, resize_ppm
+
+    src = ppm_encode(2, 1, bytes([255, 0, 0, 0, 255, 0]))  # red, green
+    out = resize_ppm(src, 2, 2)
+    w, h, off = ppm_decode(out)
+    assert (w, h) == (2, 2)
+    px = out[off:]
+    # both rows map to source row 0: red green / red green
+    assert px == bytes([255, 0, 0, 0, 255, 0] * 2)
+    assert resize_ppm(b"not a ppm", 2, 2) is None
+
+
+def test_multimodal_video_stream_roundtrip():
+    """pack_video's stream splits back into exactly its frames, and the
+    sampler's evenly-spaced picks are real frames from the stream."""
+    from aprsdb_spark.operators.multimodal import (
+        media_dims,
+        ppm_decode,
+        split_ppm_stream,
+    )
+
+    # build the same stream pack_video builds, driver-side
+    from aprsdb_spark.operators.multimodal import VIDEO_FRAMES, _tile, ppm_encode
+
+    doc_id, text = 7, "hello world tokens"
+    w, h = media_dims(doc_id)
+    stream = b"".join(
+        ppm_encode(w, h, _tile(text.encode(), w * h * 3, shift=k))
+        for k in range(VIDEO_FRAMES)
+    )
+    frames = split_ppm_stream(stream)
+    assert len(frames) == VIDEO_FRAMES
+    assert all(ppm_decode(f)[:2] == (w, h) for f in frames)
+    assert b"".join(frames) == stream
 
 
 def test_lsh_search_top1_and_pruning(spark):
@@ -265,15 +317,18 @@ def test_multimodal_stage_invariants(spark):
     )
     from aprsdb_spark.tables import load
 
-    mm = pack_multimodal(load(spark, SF001).documents)
-    frames = sample_frames(mm, n_frames=4, frame_bytes=32).collect()
+    from aprsdb_spark.operators.multimodal import pack_video, ppm_decode
+
+    docs = load(spark, SF001).documents
+    frames = sample_frames(pack_video(docs), n_frames=4).collect()
     assert len(frames) == 4 * 500
-    assert all(0 < len(r.frame) <= 32 for r in frames)
+    assert all(ppm_decode(r.frame) is not None for r in frames)  # real frames
     per_doc = {}
     for r in frames:
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
 
+    mm = pack_multimodal(docs)
     feats = extract_features(mm).collect()
     assert len(feats) == 500
     for r in feats[:50]:
