@@ -199,3 +199,42 @@ def test_contamination_self_is_total(spark):
     )
     got = {r.doc_id: r.n for r in hits.collect()}
     assert got == {2: 4}  # all 4 shingles of the copy, none of doc 3
+
+
+def test_dsir_upweights_target_domain(spark):
+    """The DSIR signal must do its job: documents FROM the target
+    domain score higher mean log-importance than the rest of the
+    corpus (they are what the target bigram model was fit on)."""
+    from aprsdb_spark.queries.quality import _DSIR_TARGET, j_dsir_weights
+    from aprsdb_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    w = j_dsir_weights(spark, SF_DIR)
+    docs = load(spark, SF_DIR).documents.select("doc_id", "source")
+    j = w.join(docs, "doc_id")
+    rows = j.groupBy(F.col("source") == _DSIR_TARGET).agg(
+        F.avg("log_w").alias("m")
+    ).collect()
+    means = {r[0]: r.m for r in rows}
+    assert means[True] > means[False], means
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    """Every document appears exactly once; per-shard positions are
+    exactly 1..n_shard; the assignment is salt-deterministic (two
+    builds collect identically)."""
+    from aprsdb_spark.queries.curation import j_shuffle_shards
+    from aprsdb_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    out = j_shuffle_shards(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR).documents.count()
+    assert len(out) == n_docs
+    assert len({r.doc_id for r in out}) == n_docs
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    again = j_shuffle_shards(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
