@@ -47,6 +47,7 @@ DECODED_SCHEMA = StructType(
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("format", StringType()),
+        StructField("checksum", StringType()),
     ]
 )
 
@@ -171,6 +172,8 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     DECODED_SCHEMA rows. REAL header parse (P6 PPM); any other
     container yields null dims + null format (the audit path). One
     python worker per partition, payloads never cross the driver."""
+    import hashlib
+
     for pdf in it:
         dims = [ppm_decode(p) for p in pdf["payload"]]
         yield pd.DataFrame(
@@ -184,6 +187,10 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     [d[1] if d else None for d in dims], dtype="Int64"
                 ),
                 "format": ["ppm" if d else None for d in dims],
+                # md5 of the raw container: lets an oracle engine verify
+                # the exact BYTES that reached the kernel, not just the
+                # parsed dims
+                "checksum": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
             }
         )
 

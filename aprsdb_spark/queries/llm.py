@@ -28,7 +28,7 @@ from ..operators.dedup import (
     simhash_table,
     tokens_col,
 )
-from ..operators.multimodal import decode_payloads, pack_multimodal
+from ..operators.multimodal import VIDEO_FRAMES, decode_payloads, pack_multimodal
 from ..operators.similarity import as_double, brute_topk, dot_expr, ivf_assign, ivf_search
 from ..registry import query
 from ..tables import load
@@ -929,41 +929,66 @@ def j_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared dims CTE for the media oracles: the SQL twin of
-# operators/multimodal.media_dims — the generation contract the real
-# PPM parse must recover from actual container bytes.
+# Shared CTEs for the media oracles: the SQL twin of
+# operators/multimodal.media_dims + the exact container bytes
+# (fixture text is pure printable ASCII — tests pin this — so the
+# utf-8 payload reconstructs as a SQL string and md5 matches the raw
+# bytes the kernel hashed).
 _MEDIA_DIMS_SQL = """
-    d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 5) % 24 AS h
+    d AS (SELECT doc_id, text, 8 + doc_id % 24 AS w, 8 + (doc_id // 5) % 24 AS h
           FROM documents)
 """
-_PPM_HEADER_LEN_SQL = (
-    "length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)"
-    " || chr(10) || '255' || chr(10))"
+_PPM_HEADER_SQL = (
+    "'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)"
+    " || chr(10) || '255' || chr(10)"
 )
+# tiled pixel fill: text repeated to exactly w*h*3 bytes (shift 0)
+_MEDIA_PIX_SQL = f"""
+    px AS (SELECT doc_id, w, h,
+             substr(repeat(text, CAST(w * h * 3 // len(text) AS INTEGER) + 1),
+                    1, w * h * 3) AS pix
+           FROM d)
+"""
 
 
 @query(
     "j_multimodal_frames",
     oracle=f"""
-    WITH {_MEDIA_DIMS_SQL}
-    SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx,
-           CAST({_PPM_HEADER_LEN_SQL} + w * h * 3 AS BIGINT) AS n_bytes
-    FROM d CROSS JOIN range(0, 4) t(frame_idx)
+    WITH {_MEDIA_DIMS_SQL},
+    f AS (SELECT d.*, t.frame_idx,
+            CAST((({VIDEO_FRAMES} - 1) * t.frame_idx) // 3 AS INTEGER) AS k
+          FROM d CROSS JOIN range(0, 4) t(frame_idx)),
+    rot AS (SELECT doc_id, frame_idx, w, h,
+              substr(text, (k % len(text)) + 1) || substr(text, 1, k % len(text))
+                AS rtext
+            FROM f),
+    px AS (SELECT doc_id, frame_idx, w, h,
+             substr(repeat(rtext, CAST(w * h * 3 // len(rtext) AS INTEGER) + 1),
+                    1, w * h * 3) AS pix
+           FROM rot)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(length({_PPM_HEADER_SQL}) + w * h * 3 AS BIGINT) AS n_bytes,
+           md5({_PPM_HEADER_SQL} || pix) AS checksum
+    FROM px
     """,
 )
 def j_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage (video path): the payload is a REAL
     concatenated-P6 stream (8 frames, pack_video) and the kernel walks
     the actual container, picking 4 evenly-spaced frames — 1→N row
-    multiplication inside the Arrow batch, no explode shuffle. The
-    oracle recomputes each frame's exact byte size from the generation
-    contract; frame pixel content is pinned by unit tests."""
+    multiplication inside the Arrow batch, no explode shuffle.
+    BYTE-level verified: the oracle reconstructs each sampled frame's
+    exact container bytes (dims, header, rotated-tile pixel fill) and
+    md5-matches the frame the stream walk emitted."""
     from ..operators.multimodal import pack_video, sample_frames
 
     t = load(spark, sf_dir)
     frames = sample_frames(pack_video(t.documents), n_frames=4)
     return frames.select(
-        "doc_id", "frame_idx", F.octet_length("frame").cast("long").alias("n_bytes")
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("checksum"),
     )
 
 
@@ -973,23 +998,40 @@ _RESIZE_BYTES = len(b"P6\n64 64\n255\n") + 64 * 64 * 3
 @query(
     "j_multimodal_resize",
     oracle=f"""
+    WITH {_MEDIA_DIMS_SQL},
+    {_MEDIA_PIX_SQL},
+    rs AS (SELECT doc_id,
+             list_aggregate(list_transform(range(0, 4096, 1),
+                i -> substr(pix,
+                            3 * ((((i // 64) * h // 64) * w) + ((i % 64) * w // 64)) + 1,
+                            3)),
+                'string_agg', '') AS rpix
+           FROM px)
     SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
-           CAST({_RESIZE_BYTES} AS BIGINT) AS n_bytes
-    FROM documents
+           CAST({_RESIZE_BYTES} AS BIGINT) AS n_bytes,
+           md5('P6' || chr(10) || '64 64' || chr(10) || '255' || chr(10) || rpix)
+             AS checksum
+    FROM rs
     """,
 )
 def j_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage: binary in → binary out at 64×64. The kernel is a
-    REAL nearest-neighbor pixel-buffer resample (numpy fancy-indexing
-    over the decoded (h, w, 3) array) re-encoded as P6 — not a byte
-    trick. The oracle checks every output is a well-formed 64×64 P6
-    (exact byte size); resample correctness is pinned by unit tests."""
+    """Resize stage: binary in → binary out at 64×64 via a REAL
+    nearest-neighbor pixel-buffer resample (numpy fancy-indexing over
+    the decoded (h, w, 3) array), re-encoded as P6. BYTE-level
+    verified: the oracle recomputes the resample INDEPENDENTLY —
+    per output pixel i it selects source pixel
+    ((y*h)//64)*w + (x*w)//64 straight from the reconstructed pixel
+    string — and md5-matches the kernel's entire output container."""
     from ..operators.multimodal import pack_media, resize_payloads
 
     t = load(spark, sf_dir)
     resized = resize_payloads(pack_media(t.documents), width=64, height=64)
     return resized.select(
-        "doc_id", "width", "height", F.octet_length("payload").cast("long").alias("n_bytes")
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
     )
 
 
@@ -1078,22 +1120,25 @@ def j_multimodal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j_multimodal_decode",
     oracle=f"""
-    WITH {_MEDIA_DIMS_SQL}
+    WITH {_MEDIA_DIMS_SQL},
+    {_MEDIA_PIX_SQL}
     SELECT doc_id,
-           CAST({_PPM_HEADER_LEN_SQL} + w * h * 3 AS BIGINT) AS n_bytes,
+           CAST(length({_PPM_HEADER_SQL}) + w * h * 3 AS BIGINT) AS n_bytes,
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-           'ppm' AS format
-    FROM d
+           'ppm' AS format,
+           md5({_PPM_HEADER_SQL} || pix) AS checksum
+    FROM px
     """,
 )
 def j_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode over binary payloads. The
     payloads are genuine P6 PPM containers (pack_media) and the kernel
-    PARSES their headers — the oracle independently recomputes the
-    dims/byte-size every row must decode to from the generation
-    contract, so a batching, alignment, or parsing bug hash-fails.
-    Compressed codecs (jpeg/mp4) remain env-blocked; they would enter
-    through this same kernel as another `format` branch."""
+    PARSES their headers. BYTE-level verified: the oracle reconstructs
+    every container (header + tiled pixel fill) and md5-matches the
+    raw bytes the kernel hashed, alongside the parsed dims — a
+    batching, alignment, or parsing bug hash-fails. Compressed codecs
+    (jpeg/mp4) remain env-blocked; they would enter through this same
+    kernel as another `format` branch."""
     from ..operators.multimodal import pack_media
 
     t = load(spark, sf_dir)

@@ -385,3 +385,16 @@ def test_shingles_short_doc_edges(spark):
     assert got[3] == ["a b c"]
     assert got[4] == ["a b c", "b c d"]
     assert got[5] == sorted({"a b c", "b c a", "c a b"})
+
+
+def test_fixture_text_is_printable_ascii(spark):
+    """Precondition the byte-level media oracles rely on: utf-8 text
+    bytes == SQL string chars only when every char is printable ASCII.
+    If a future fixture breaks this, the oracles must switch to
+    blob-based reconstruction — fail loudly here, not with a silent
+    hash mismatch."""
+    from aprsdb_spark.tables import load
+
+    docs = load(spark, SF001).documents
+    bad = docs.where(~F.col("text").rlike("^[ -~]+$")).count()
+    assert bad == 0
