@@ -398,3 +398,39 @@ def test_fixture_text_is_printable_ascii(spark):
     docs = load(spark, SF001).documents
     bad = docs.where(~F.col("text").rlike("^[ -~]+$")).count()
     assert bad == 0
+
+
+def test_portable_hash_matches_python_reference(spark):
+    """The portability contract under every r6 oracle: Spark's
+    conv/substr lowering of portable_hash64/32/bucket must equal the
+    direct Python interpretation of the md5 digest — signed two's
+    complement for the 64-bit pack, unsigned words for hash32/bucket —
+    for arbitrary token-ish strings including unicode."""
+    import hashlib
+
+    from aprsdb_spark.operators.dedup import (
+        portable_bucket,
+        portable_hash32,
+        portable_hash64,
+    )
+
+    strs = [f"tok{i}" for i in range(50)] + [
+        "", " ", "a b", "héllo", "日本語", "x" * 300, "0", "\t", "p6\n",
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {
+        r.s: (r.h64, r.h32, r.b)
+        for r in df.select(
+            "s",
+            portable_hash64(F.col("s")).alias("h64"),
+            portable_hash32(F.col("s")).alias("h32"),
+            portable_bucket(F.col("s"), 1024).alias("b"),
+        ).collect()
+    }
+    for s in strs:
+        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+        u64 = int(d[:16], 16)
+        h64 = u64 - (1 << 64) if u64 >= (1 << 63) else u64
+        h32 = int(d[:8], 16)
+        b = int(d[8:16], 16) % 1024
+        assert got[s] == (h64, h32, b), (s, got[s], (h64, h32, b))
