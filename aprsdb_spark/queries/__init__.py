@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     llm,
     curation,
     quality,
+    corpus,
     analytics,
     aprs_queries,
     udfs,
@@ -30,6 +31,7 @@ ALL_MODULES = [
     llm,
     curation,
     quality,
+    corpus,
     analytics,
     aprs_queries,
     udfs,

@@ -1,0 +1,515 @@
+"""§2.J additions (r6 continuation) — corpus-STRUCTURE operators from the
+public training-data literature that act on sub-document granularity or
+whole-corpus statistics, complementing the doc-level dedup/quality
+families:
+
+- line/segment-level corpus dedup (RefinedWeb, Penedo et al. 2023: drop
+  any line that repeats across the corpus, then reassemble documents),
+- exact substring dedup via sliding token windows (Lee et al. 2021
+  "Deduplicating Training Data Makes Language Models Better" — their
+  suffix-array pass, approximated distributably as fixed-width window
+  hashing),
+- overlapping chunking for sequence/RAG prep,
+- top-K vocabulary coverage / OOV rate,
+- bloom-prefiltered benchmark decontamination (the bitmap is BUILT with
+  DataFrame expressions and broadcast as one row — no driver-side
+  filter object, no false negatives, exact verify join after),
+- temperature-scaled language mixture (the multilingual sampling rule
+  popularized by mT5/UniMax: q_i ∝ p_i^τ).
+
+Fixture note: documents.parquet has no newlines, so "lines" are
+deterministic 8-token segments — the operator semantics (drop exact
+sub-units repeated across documents, reassemble in order) are the
+RefinedWeb ones regardless of how the unit boundary is drawn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd, sql_rnd
+from ..operators.dedup import tokens_col
+from ..registry import query
+from ..tables import load
+from .quality import ngrams_col
+
+# Segment width for line-level dedup; a segment is "boilerplate" when its
+# exact text occurs in >= _LINE_DF distinct documents (RefinedWeb uses
+# occurrence thresholds in the single digits for its line-dedup pass).
+_SEG = 8
+_LINE_DF = 2
+
+# Sliding-window width for exact substring dedup (Lee et al. use 50 BPE
+# tokens; the fixture's 31-word vocabulary makes 12 whitespace tokens a
+# comparable specificity).
+_SUB_W = 12
+_SUB_FLAG = 0.2
+
+# Chunking geometry: 32-token chunks, stride 24 (8-token overlap).
+_CHUNK, _STRIDE = 32, 24
+
+# Vocabulary coverage: top-K corpus tokens; a doc is well covered when
+# at most 35% of its token positions fall outside that vocabulary.
+_VOCAB_K = 16
+_OOV_MAX = 0.35
+
+# Bloom decontamination: 8-token windows, 2^17-bit filter, 3 probes.
+_BLOOM_W = 8
+_BLOOM_BITS = 1 << 17
+_BLOOM_K = 3
+_LEAK_FLAG = 0.05
+
+_TAU = 0.7  # sampling temperature
+
+
+def _seg_frame(docs: DataFrame, width: int) -> DataFrame:
+    """Explode documents into consecutive `width`-token segments:
+    (doc_id, n_segs, seg_id, seg_text). Zero-shuffle narrow explode; the
+    guarded sequence() keeps Spark from generating a DESCENDING range on
+    empty docs (sequence(0,-1) = [0,-1], a silent two-row bug)."""
+    base = docs.select("doc_id", tokens_col("text").alias("toks")).select(
+        "doc_id", "toks", F.ceil(F.size("toks") / F.lit(width)).alias("n_segs")
+    )
+    seg_ids = F.when(
+        F.col("n_segs") > 0, F.sequence(F.lit(0), (F.col("n_segs") - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        "doc_id",
+        F.col("n_segs").cast("long").alias("n_segs"),
+        F.explode(seg_ids).alias("seg_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("seg_id") * width + 1, width)
+        ).alias("seg_text"),
+    )
+
+
+@query(
+    "j_dedup_lines",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, toks,
+                    CAST((len(toks) + {_SEG - 1}) // {_SEG} AS BIGINT) AS n_segs
+             FROM t),
+    seg AS (SELECT doc_id, i AS seg_id,
+                   array_to_string(toks[(i*{_SEG}+1):(i*{_SEG}+{_SEG})], ' ') AS seg_text
+            FROM base, UNNEST(range(0, n_segs)) AS u(i)),
+    boiler AS (SELECT seg_text FROM seg GROUP BY seg_text
+               HAVING COUNT(DISTINCT doc_id) >= {_LINE_DF}),
+    kept AS (SELECT * FROM seg
+             WHERE seg_text NOT IN (SELECT seg_text FROM boiler)),
+    re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  string_agg(seg_text, ' ' ORDER BY seg_id) AS text_clean
+           FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, b.n_segs,
+           b.n_segs - COALESCE(re.n_kept, 0) AS n_dropped,
+           COALESCE(re.text_clean, '') AS text_clean,
+           (b.n_segs - COALESCE(re.n_kept, 0)) > 0 AS changed
+    FROM base b LEFT JOIN re USING (doc_id)
+    """,
+)
+def j_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (RefinedWeb, public): any 8-token segment
+    whose exact text appears in >= 2 distinct documents is boilerplate
+    and is struck from EVERY document containing it; surviving segments
+    reassemble in order. This is the pass that removes nav bars, cookie
+    banners, and license headers that doc-level dedup can't see.
+
+    Scale shape: the segment explode is narrow; the boilerplate vote
+    groups on md5(seg_text) — the shuffle carries 16-byte digests plus a
+    doc_id, never segment text, and the distinct-doc count partial-
+    aggregates map-side. The strike is a left-anti join on the same
+    digest, and reassembly is one doc_id-keyed agg whose in-group order
+    is explicit (sort_array over (seg_id, seg_text) structs — the
+    d_agg_collect pattern), so the result is deterministic under any
+    partitioning."""
+    t = load(spark, sf_dir)
+    seg = _seg_frame(t.documents, _SEG).withColumn("h", F.md5("seg_text"))
+    seg.persist()  # 3 consumers: boilerplate vote, anti-join probe, totals
+    boiler = (
+        seg.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _LINE_DF)
+        .select("h")
+    )
+    kept = seg.join(boiler, "h", "left_anti")
+    reasm = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = seg.groupBy("doc_id").agg(F.max("n_segs").alias("n_segs"))
+    dropped = F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+    return totals.join(reasm, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        dropped.alias("n_dropped"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        (dropped > 0).alias("changed"),
+    )
+
+
+@query(
+    "j_dedup_substr",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - {_SUB_W - 1}, 0) + 1),
+                                i -> array_to_string(toks[i:i+{_SUB_W - 1}], ' ')) AS wins
+          FROM t),
+    base AS (SELECT doc_id, CAST(len(wins) AS BIGINT) AS n_windows, wins FROM w),
+    dh AS (SELECT doc_id, unnest(list_distinct(wins)) AS s FROM base),
+    shared AS (SELECT s FROM dh GROUP BY s HAVING COUNT(*) >= 2),
+    pos AS (SELECT doc_id, unnest(wins) AS s FROM base),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pos
+             FROM pos JOIN shared USING (s) GROUP BY doc_id)
+    SELECT b.doc_id, b.n_windows,
+           COALESCE(h.n_dup_pos, 0) AS n_dup_pos,
+           CASE WHEN b.n_windows > 0
+                THEN {sql_rnd('COALESCE(h.n_dup_pos, 0) * 1.0 / b.n_windows', 6)}
+                ELSE 0.0 END AS dup_frac,
+           CASE WHEN b.n_windows > 0
+                THEN COALESCE(h.n_dup_pos, 0) * 1.0 / b.n_windows >= {_SUB_FLAG}
+                ELSE FALSE END AS substring_dup
+    FROM base b LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def j_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup signals (Lee et al. 2021, public): slide a
+    12-token window over every document; a window POSITION is duplicated
+    when the same 12-token string occurs in at least one OTHER document.
+    Reports per doc the duplicated-position fraction — the statistic
+    their suffix-array pass thresholds on before cutting spans. Windows
+    repeated only WITHIN a doc don't count (that's j_repetition's job).
+
+    Scale shape: the window array is staged through one projection (the
+    j_repetition staged-array rule — inlined, Catalyst re-evaluates the
+    whole split/zip_with chain per reference), then hashed to md5 ONCE
+    so both explodes and the share vote shuffle 16-byte digests. The
+    cross-doc vote runs on array_distinct'd hashes (one row per
+    (doc, distinct window)), so COUNT(*) per digest IS the distinct-doc
+    count — no countDistinct expand. Never O(n^2): a suffix array is
+    pointer-chasing and single-node; window hashing is one explode and
+    two hash aggs at any corpus size."""
+    t = load(spark, sf_dir)
+    staged = t.documents.select(
+        "doc_id", ngrams_col("text", _SUB_W).alias("wins")
+    ).select(
+        "doc_id",
+        F.size("wins").cast("long").alias("n_windows"),
+        F.transform("wins", lambda c: F.md5(c)).alias("hs"),
+    )
+    staged.persist()  # 3 consumers: distinct vote, position probe, totals
+    doch = staged.select("doc_id", F.explode(F.array_distinct("hs")).alias("h"))
+    shared = (
+        doch.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    pos = staged.select("doc_id", F.explode("hs").alias("h"))
+    hits = (
+        pos.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup_pos"))
+    )
+    n_dup = F.coalesce(F.col("n_dup_pos"), F.lit(0).cast("long"))
+    frac = n_dup * 1.0 / F.col("n_windows")
+    return (
+        staged.select("doc_id", "n_windows")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            n_dup.alias("n_dup_pos"),
+            F.when(F.col("n_windows") > 0, rnd(frac, 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+            F.when(F.col("n_windows") > 0, frac >= _SUB_FLAG)
+            .otherwise(F.lit(False))
+            .alias("substring_dup"),
+        )
+    )
+
+
+@query(
+    "j_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT doc_id, toks,
+                 (len(toks) + {_STRIDE - 1}) // {_STRIDE} AS n_chunks FROM t),
+    c AS (SELECT doc_id, i AS chunk_id,
+                 toks[(i*{_STRIDE}+1):(i*{_STRIDE}+{_CHUNK})] AS ct
+          FROM b, UNNEST(range(0, n_chunks)) AS u(i))
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ct, ' ') AS chunk_text,
+           md5(array_to_string(ct, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def j_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking for sequence/RAG prep: 32-token chunks at
+    stride 24 (8-token overlap so no sentence boundary is lost), one row
+    per (doc, chunk) with a content digest for downstream shard routing
+    and chunk-level dedup.
+
+    Scale shape: a pure narrow explode — ZERO Exchange in the physical
+    plan (pinned in tests/test_plans.py): the chunk geometry is computed
+    from the already-scanned token array, so 100 TB of documents chunk
+    at scan speed with no shuffle at all. chunk_md5 doubles as a uniform
+    write-time partition key for the chunk store."""
+    t = load(spark, sf_dir)
+    base = t.documents.select("doc_id", tokens_col("text").alias("toks")).select(
+        "doc_id", "toks", F.ceil(F.size("toks") / F.lit(_STRIDE)).alias("n_chunks")
+    )
+    chunk_ids = F.when(
+        F.col("n_chunks") > 0, F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = base.select("doc_id", F.explode(chunk_ids).alias("chunk_id"), "toks")
+    ct = F.slice(F.col("toks"), F.col("chunk_id") * _STRIDE + 1, _CHUNK)
+    text = F.concat_ws(" ", ct)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id").cast("long") * _STRIDE).alias("chunk_start"),
+        F.size(ct).cast("long").alias("n_chunk_tokens"),
+        text.alias("chunk_text"),
+        F.md5(text).alias("chunk_md5"),
+    )
+
+
+@query(
+    "j_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    vocab AS (SELECT tok FROM tok GROUP BY tok
+              ORDER BY COUNT(*) DESC, tok LIMIT {_VOCAB_K}),
+    oov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov FROM tok
+            WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents)
+    SELECT b.doc_id, b.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+           {sql_rnd('COALESCE(o.n_oov, 0) * 1.0 / b.n_tokens', 6)} AS oov_frac,
+           COALESCE(o.n_oov, 0) * 1.0 / b.n_tokens <= {_OOV_MAX} AS well_covered
+    FROM base b LEFT JOIN oov o USING (doc_id)
+    """,
+)
+def j_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate: build the top-16 corpus vocabulary
+    (frequency desc, token asc for a deterministic tie-break), then score
+    every document by the fraction of token POSITIONS outside it — the
+    tokenizer-fit statistic that decides whether a corpus slice needs
+    vocab extension before training.
+
+    Scale shape: one exploded-token frame feeds both sides. The vocab is
+    orderBy().limit(K) — TakeOrderedAndProject over the token counts,
+    not a global sort — and at K rows it BROADCASTS into a left-anti
+    probe, so the corpus-side explode never shuffles for the membership
+    test; the only wide ops are the two doc_id/token hash aggs, both
+    partial-aggregated map-side."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    tok.persist()  # 2 consumers: vocab vote + membership probe
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .select("tok")
+    )
+    oov = (
+        tok.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_oov"))
+    )
+    base = t.documents.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    n_oov = F.coalesce(F.col("n_oov"), F.lit(0).cast("long"))
+    frac = n_oov * 1.0 / F.col("n_tokens")
+    return base.join(oov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        n_oov.alias("n_oov"),
+        rnd(frac, 6).alias("oov_frac"),
+        (frac <= _OOV_MAX).alias("well_covered"),
+    )
+
+
+def _bloom_pos(col: Column, probe: int) -> Column:
+    """Bit position for probe j: pmod(xxhash64(digest, j), m). Hashing
+    the (digest, j) tuple gives _BLOOM_K independent positions from one
+    hash family — the standard double-hashing-free construction."""
+    return F.pmod(F.xxhash64(col, F.lit(probe)), F.lit(_BLOOM_BITS))
+
+
+@query(
+    "j_bloom_decontam",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(toks) - {_BLOOM_W - 1}, 0) + 1),
+                     i -> array_to_string(toks[i:i+{_BLOOM_W - 1}], ' '))) AS gs
+          FROM t),
+    bench AS (SELECT DISTINCT unnest(gs) AS s FROM g WHERE source = 'src0'),
+    tr AS (SELECT doc_id, unnest(gs) AS s FROM g WHERE source <> 'src0'),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM tr JOIN bench USING (s) GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM g
+             WHERE source <> 'src0')
+    SELECT b.doc_id, b.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+           CASE WHEN b.n_grams > 0
+                THEN {sql_rnd('COALESCE(h.n_hit, 0) * 1.0 / b.n_grams', 6)}
+                ELSE 0.0 END AS hit_frac,
+           CASE WHEN b.n_grams > 0
+                THEN COALESCE(h.n_hit, 0) * 1.0 / b.n_grams >= {_LEAK_FLAG}
+                ELSE FALSE END AS leaked
+    FROM base b LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def j_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination: docs from the held-
+    out benchmark source ('src0') contribute their distinct 8-token
+    windows to a 2^17-bit Bloom filter BUILT WITH DATAFRAME EXPRESSIONS
+    — each digest sets 3 bit positions, bit_or-aggregated into sparse
+    64-bit words collected as one map<long,long> row — which broadcasts
+    into the corpus-side probe. Survivors are exact-verified with an
+    equi-join on the same digests, so the RESULT is exact (blooms have
+    no false negatives; false positives die in the verify join) and the
+    oracle is the plain overlap SQL.
+
+    Why not reuse j_contamination's broadcast term table? A benchmark
+    SUITE's n-gram dictionary can be GBs of strings — too big to
+    broadcast as a hash relation — while this bitmap is 16 KB at ANY
+    benchmark size (size m to taste for the false-positive budget: the
+    probe is a prefilter, so FPs cost verify-join work, never
+    correctness). The verify join itself carries 16-byte md5s, and at
+    production FP rates the bitmap prunes ~99% of the corpus explode
+    before that shuffle. This is the runtime-bloom-join pattern Spark
+    applies to selective joins, made explicit because OSS Spark does not
+    expose bloom_filter_agg/might_contain in its public function
+    registry."""
+    t = load(spark, sf_dir)
+    g = t.documents.select(
+        "doc_id", "source", ngrams_col("text", _BLOOM_W).alias("wins")
+    ).select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.transform("wins", lambda c: F.md5(c))).alias("hs"),
+    )
+    g.persist()  # consumers: bloom build, bench verify side, probe, totals
+    bench = (
+        g.where(F.col("source") == "src0").select(F.explode("hs").alias("h")).distinct()
+    )
+    # Build: every digest sets _BLOOM_K bits; sparse words via bit_or.
+    bits = bench.select(
+        F.explode(F.array(*[_bloom_pos(F.col("h"), j) for j in range(_BLOOM_K)])).alias(
+            "p"
+        )
+    )
+    words = bits.select(
+        (F.col("p") / F.lit(64)).cast("long").alias("w"),
+        F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
+    ).groupBy("w")
+    bloom = (
+        words.agg(F.bit_or("m").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bf"))
+    )
+    # Probe: all _BLOOM_K bits must be set.
+    probe = g.where(F.col("source") != "src0").select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    staged = probe.crossJoin(F.broadcast(bloom)).select(
+        "doc_id",
+        "h",
+        *[_bloom_pos(F.col("h"), j).alias(f"p{j}") for j in range(_BLOOM_K)],
+    )
+    bit_tests = [
+        f"(coalesce(element_at(bf, CAST(p{j} / 64 AS LONG)), 0L)"
+        f" & shiftleft(1L, CAST(p{j} % 64 AS INT))) != 0"
+        for j in range(_BLOOM_K)
+    ]
+    pruned = staged.where(F.expr(" AND ".join(bit_tests))).select("doc_id", "h")
+    hits = (
+        pruned.join(bench, "h")  # exact verify: kills bloom false positives
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = g.where(F.col("source") != "src0").select(
+        "doc_id", F.size("hs").cast("long").alias("n_grams")
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    frac = n_hit * 1.0 / F.col("n_grams")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_hit.alias("n_hit"),
+        F.when(F.col("n_grams") > 0, rnd(frac, 6)).otherwise(F.lit(0.0)).alias(
+            "hit_frac"
+        ),
+        F.when(F.col("n_grams") > 0, frac >= _LEAK_FLAG)
+        .otherwise(F.lit(False))
+        .alias("leaked"),
+    )
+
+
+@query(
+    "j_mix_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+    b AS (SELECT lang, n_docs, n_total,
+                 n_docs * 1.0 / n_total AS p,
+                 {sql_rnd(f'pow(n_docs * 1.0 / n_total, {_TAU})', 6)} AS qraw
+          FROM c, t),
+    z AS (SELECT SUM(qraw) AS zz FROM b)
+    SELECT lang, n_docs,
+           {sql_rnd('p', 6)} AS p_frac,
+           {sql_rnd('qraw / zz', 6)} AS q_frac,
+           {sql_rnd('(qraw / zz) / p', 6)} AS mix_weight,
+           {sql_rnd('qraw / zz * n_total', 2)} AS expected_docs
+    FROM b, z
+    """,
+)
+def j_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (the mT5/UniMax sampling rule,
+    public): sampling share q_i ∝ p_i^τ with τ=0.7 — upweights tail
+    languages, damps the head — plus the per-language resampling factor
+    (q/p) and the expected post-mix doc count. The companion to
+    j_domain_mix (fixed targets) when no explicit target mix exists.
+
+    Scale shape: one hash agg on lang, then two 1-row broadcast
+    cross-joins (corpus total, partition constant Z) — the j_domain_mix
+    totals shape, never a global window. pow() is the one engine-
+    implementation-defined op in the chain, so q_raw is rounded to 1e-6
+    on BOTH engines before the Z sum — everything downstream is
+    arithmetic on identical doubles."""
+    t = load(spark, sf_dir)
+    cnt = t.documents.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = cnt.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    p = F.col("n_docs") * 1.0 / F.col("n_total")
+    b = cnt.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_total", p.alias("p"), rnd(F.pow(p, _TAU), 6).alias("qraw")
+    )
+    z = b.agg(F.sum("qraw").alias("zz"))
+    q = F.col("qraw") / F.col("zz")
+    return b.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        rnd(F.col("p"), 6).alias("p_frac"),
+        rnd(q, 6).alias("q_frac"),
+        rnd(q / F.col("p"), 6).alias("mix_weight"),
+        rnd(q * F.col("n_total"), 2).alias("expected_docs"),
+    )

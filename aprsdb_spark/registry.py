@@ -113,25 +113,26 @@ DRIVER_ORDER: list[str] = [
     "h_math",
     "h_cond",
     "h_array",
-    # r4-evidence refresh: dedup/similarity production paths
-    # (j_dedup_exact / j_sim_topk / j_knn_label / j_sim_pairs yield
-    # their slots to the four schema-changed aprs qids above — unchanged
-    # code, r4-green, next in line for the r7 rotation)
-    "j_dedup_ngram",
+    # r4-evidence refresh: the most load-bearing dedup production path
+    # keeps its slot; the other r4-green refresh picks (j_dedup_ngram /
+    # j_dedup_embed / j_dedup_embed_bucketed / j_dedup_cluster /
+    # j_sim_pairs_bucketed / k_apply_in_pandas) yielded theirs to the
+    # six never-scored corpus-structure qids below — unchanged code,
+    # r4-green, first in line for the r7 rotation. Never-scored >
+    # refresh: a qid without any driver row can never be verified by
+    # the hard signal, while the displaced picks all have green r4 rows.
     "j_dedup_near",
-    "j_dedup_embed",
-    "j_dedup_embed_bucketed",
-    "j_dedup_cluster",
-    "j_sim_pairs_bucketed",
-    # r4-evidence refresh: one §2.K representative (the other four k_*
-    # qids yielded their slots to this round's schema-changed/oracled
-    # qids — unchanged code, r4-green, first in line for r7)
-    "k_apply_in_pandas",
     # new in r6 — never scored by construction, must sit in the window
-    # (their slots come from the h_geo_* refresh picks: unchanged,
-    # r4-green, r7 rotation)
+    # (j_dsir_weights / j_shuffle_shards took the h_geo_* refresh
+    # slots; the corpus.py six take the dedup/k_* refresh slots above)
     "j_dsir_weights",
     "j_shuffle_shards",
+    "j_dedup_lines",
+    "j_dedup_substr",
+    "j_chunk_overlap",
+    "j_vocab_coverage",
+    "j_bloom_decontam",
+    "j_mix_temperature",
     # canary: e_win_lastpos
     "e_win_lastpos",
 ]

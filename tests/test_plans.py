@@ -195,6 +195,8 @@ _EXPECTED_BNLJ = {
     "j_tfidf",  # crossJoin(broadcast(corpus)): 1-row scalar-aggregate build side
     "j_domain_mix", "j_ngram_lm", "j_lm_buckets",  # same 1-row broadcast totals cross-join shape
     "j_dsir_weights",  # same shape: broadcast 1-row (qt, tt) totals
+    "j_mix_temperature",  # two 1-row broadcast totals (corpus total, Z)
+    "j_bloom_decontam",  # 1-row broadcast bloom bitmap cross-join
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
