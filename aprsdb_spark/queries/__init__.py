@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     curation,
     quality,
     corpus,
+    infostats,
     analytics,
     aprs_queries,
     udfs,
@@ -32,6 +33,7 @@ ALL_MODULES = [
     curation,
     quality,
     corpus,
+    infostats,
     analytics,
     aprs_queries,
     udfs,

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import rnd
 from ..registry import query
 from ..tables import load
 
@@ -114,3 +115,124 @@ def funnel_counts(events: DataFrame, stages: list[tuple[str, str]]) -> DataFrame
             for c, (_, out) in zip(tcols, stages)
         ]
     )
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+# The trade graph is near-complete on uniform TPC-H data (every nation
+# trades with every nation), which would make PageRank exactly uniform;
+# keeping each nation's top-3 partners by lineitem flow (deterministic
+# tie-break on dst) gives the sparse directed graph the algorithm is
+# actually interesting on.
+_PR_FANOUT = 3
+
+
+@query(
+    "j_pagerank",
+    oracle=f"""
+    WITH flow AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                  GROUP BY 1, 2),
+    e AS (SELECT src, dst FROM (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY w DESC, dst) AS rk
+              FROM flow) WHERE rk <= {_PR_FANOUT}),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+    n AS (SELECT n_nationkey AS nk FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM n),
+    it0 AS (SELECT nk, FLOOR(1.0 / cnt * 1e9 + 0.5) / 1e9 AS pr
+            FROM n CROSS JOIN nn),
+    {','.join(f'''
+    it{k} AS (SELECT n.nk,
+                     FLOOR(({1 - _PR_DAMP} / nn.cnt
+                            + {_PR_DAMP} * COALESCE(c.s, 0)) * 1e9 + 0.5) / 1e9
+                         AS pr
+              FROM n CROSS JOIN nn
+              LEFT JOIN (SELECT e.dst AS nk, SUM(p.pr / deg.d) AS s
+                         FROM e JOIN it{k - 1} p ON e.src = p.nk
+                         JOIN deg ON deg.src = e.src
+                         GROUP BY e.dst) c ON c.nk = n.nk)''' for k in range(1, _PR_ITERS + 1))}
+    SELECT nat.n_nationkey, nat.n_name, itf.pr AS pagerank
+    FROM it{_PR_ITERS} itf JOIN nation nat ON nat.n_nationkey = itf.nk
+    """,
+)
+def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round PageRank (d=0.85, 5 iterations) over the TPC-H trade
+    graph — a directed edge supplier-nation → customer-nation to each
+    nation's top-3 trade partners by lineitem flow (uniform TPC-H data
+    makes the full trade graph complete, i.e. PageRank-uniform; the
+    fan-out cap keeps the graph sparse and the ranks informative).
+    The one ITERATIVE fixpoint algorithm in the registry with a full
+    value-level oracle: each Spark iteration is mirrored by an unrolled
+    CTE in the DuckDB SQL, and ranks round to 1e-9 after EVERY
+    iteration on both engines, so the order-dependent float sums can
+    never drift apart across rounds (the j_dedup_cluster fixed-round
+    philosophy applied to a numeric fixpoint). Dangling nodes keep
+    their teleport mass and contribute nothing (documented variant —
+    no dangling redistribution).
+
+    Scale shape: the edge list is built once (flow agg on two int keys
+    — the shuffle carries 2 ints and a count — then a top-3 window per
+    src over |V| fan-in rows), persisted with its
+    out-degrees, and every iteration is edge⋈rank (broadcast rank — the
+    rank table is |V| rows) + one dst-keyed agg. Lineage grows linearly
+    with a fixed iteration count; a high-iteration deployment would add
+    the lazy localCheckpoint every ~8 rounds exactly as
+    j_dedup_cluster's pointer-doubling variant does
+    (queries/curation.py:525)."""
+    t = load(spark, sf_dir)
+    flow = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    )
+    e = flow.withColumn("rk", rk).where(F.col("rk") <= _PR_FANOUT).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    # deg and contrib are |V|-row derived aggregates — Catalyst has no
+    # stats for them, so hint the broadcast explicitly or both joins
+    # fall back to SMJ and reshuffle the edge list every iteration.
+    ed = e.join(F.broadcast(deg), "src").select("src", "dst", "d")
+    ed.persist()  # reused by all iterations
+    nodes = t.nation.select(F.col("n_nationkey").alias("nk"))
+    nn = nodes.agg(F.count("*").cast("long").alias("cnt"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "nk", "cnt", rnd(F.lit(1.0) / F.col("cnt"), 9).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(F.broadcast(ranks.select("nk", "pr")), ed.src == F.col("nk"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(F.broadcast(contrib), F.col("nk") == F.col("dst"), "left")
+            .select(
+                "nk",
+                "cnt",
+                rnd(
+                    F.lit(1 - _PR_DAMP) / F.col("cnt")
+                    + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return ranks.join(
+        F.broadcast(t.nation), F.col("nk") == F.col("n_nationkey")
+    ).select("n_nationkey", "n_name", F.col("pr").alias("pagerank"))

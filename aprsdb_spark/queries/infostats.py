@@ -1,0 +1,337 @@
+"""§2.J additions (r6 continuation, batch 2) — information-theoretic
+corpus statistics and sparse lexical similarity, the measurement side
+of a training-data pipeline (the dedup/quality families act; these
+quantify):
+
+- per-document Shannon entropy (the informativeness signal: gibberish
+  and template text sit at the entropy extremes),
+- per-source KL divergence from the corpus unigram distribution
+  (domain-shift detection for mixture design),
+- PMI collocations (the word2vec/GloVe-era phrase-mining statistic),
+- BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+  weighting, Lucene idf form) over an inverted-index join — the
+  LEXICAL retrieval twin of the dense-embedding j_sim_topk.
+
+Float discipline: every statistic ends in an order-dependent sum
+(entropy, KL, norms, dot products), so outputs round through the
+portable floor form at 1e-6 on both engines; thresholds compare the
+ROUNDED value (the j_semdedup rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd, sql_rnd
+from ..operators.dedup import tokens_col
+from ..registry import query
+from ..tables import load
+from .quality import ngrams_col
+
+# Entropy: normalized entropy below this flags template/repetitive text.
+# (Fixture calibration: the 31-token vocabulary keeps every doc's
+# normalized entropy in [0.92, 1.0]; 0.95 splits the corpus ~1/3 : 2/3.)
+_LOW_ENTROPY = 0.95
+
+# PMI: collocation candidates need support; top-K by (pmi, bigram).
+_PMI_MIN = 5
+_PMI_K = 20
+
+# BM25: standard Robertson parameters; a fixed literal query (all terms
+# are in the fixture vocabulary); top-K by (score desc, doc_id asc).
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_QUERY = ("spark", "merge", "window", "sort", "hash")
+_BM25_TOPK = 10
+
+# Hoisted out of the j_pmi_bigrams oracle f-string (nested triple quotes
+# are a 3.12-only f-string feature).
+_PMI_EXPR = (
+    "ln((bc.n_pair * 1.0 / tb.tb)"
+    " / ((a.cu * 1.0 / tu.tu) * (b.cu * 1.0 / tu.tu)))"
+)
+
+
+@query(
+    "j_entropy",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   SUM(c * ln(c)) AS s
+            FROM tc GROUP BY doc_id),
+    ent AS (SELECT doc_id, n_tokens, n_distinct,
+                   ln(n_tokens) - s / n_tokens AS h
+            FROM agg)
+    SELECT doc_id, n_tokens, n_distinct,
+           {sql_rnd('h', 6)} AS entropy,
+           CASE WHEN n_distinct > 1
+                THEN {sql_rnd('h / ln(n_distinct)', 6)} ELSE 0.0 END AS entropy_norm,
+           CASE WHEN n_distinct > 1
+                THEN {sql_rnd('h / ln(n_distinct)', 6)} < {_LOW_ENTROPY}
+                ELSE TRUE END AS low_entropy
+    FROM ent
+    """,
+)
+def j_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, plus the
+    [0,1]-normalized form (H / ln(n_distinct)) and a low-entropy flag —
+    the informativeness filter that catches keyword-stuffed and
+    template documents that length/stopword heuristics miss.
+
+    One explode and TWO stacked hash aggs, both keyed on doc_id: the
+    identity H = ln(n) - (Σ c·ln c)/n turns entropy into plain
+    aggregates of the per-(doc,token) counts — no per-token probability
+    join-back, no second pass over the corpus. Both aggs partial-
+    aggregate map-side; the shuffle carries (doc_id, token) count rows,
+    never text. The threshold compares the ROUNDED normalized entropy
+    so the flag is engine-stable."""
+    t = load(spark, sf_dir)
+    tc = (
+        t.documents.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("s"),
+    )
+    h = F.log("n_tokens") - F.col("s") / F.col("n_tokens")
+    hn = rnd(h / F.log("n_distinct"), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        rnd(h, 6).alias("entropy"),
+        F.when(F.col("n_distinct") > 1, hn).otherwise(0.0).alias("entropy_norm"),
+        F.when(F.col("n_distinct") > 1, hn < _LOW_ENTROPY)
+        .otherwise(F.lit(True))
+        .alias("low_entropy"),
+    )
+
+
+@query(
+    "j_kl_sources",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, tok),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM sc GROUP BY source),
+    cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY tok),
+    ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM cc),
+    term AS (SELECT sc.source,
+                    (sc.c * 1.0 / st.nt)
+                        * ln((sc.c * 1.0 / st.nt) / (cc.cc * 1.0 / ct.n)) AS kl_t
+             FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN ct),
+    red AS (SELECT source, {sql_rnd('SUM(kl_t)', 6)} AS kl_div
+            FROM term GROUP BY source),
+    terms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms
+              FROM sc GROUP BY source)
+    SELECT st.source, st.nt AS n_tokens, terms.n_terms, red.kl_div
+    FROM st JOIN terms USING (source) JOIN red USING (source)
+    """,
+)
+def j_kl_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    KL(P_source ‖ P_corpus) — the domain-shift statistic that tells a
+    mixture designer which sources are redundant with the corpus body
+    and which carry novel distribution mass (the measurement behind
+    j_domain_mix / j_mix_temperature reweighting).
+
+    P_source ⊆ P_corpus by construction (every source term is a corpus
+    term), so no smoothing is needed and KL is finite and exact. Plan:
+    one (source, token) hash agg, then the corpus vocabulary — tiny by
+    Heaps' law relative to the corpus — BROADCASTS back onto the
+    per-source term rows; the per-source reduction is a second hash agg
+    on source. The corpus total is a 1-row broadcast. No shuffle ever
+    carries more than (source, token) count rows."""
+    t = load(spark, sf_dir)
+    sc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sc.persist()  # 3 consumers: source totals, corpus vocab, term rows
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    cc = sc.groupBy("tok").agg(F.sum("c").cast("long").alias("cc"))
+    ct = cc.agg(F.sum("cc").cast("long").alias("n"))
+    ps = F.col("c") * 1.0 / F.col("nt")
+    pc = F.col("cc") * 1.0 / F.col("n")
+    term = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "tok")
+        .crossJoin(F.broadcast(ct))
+        .select("source", (ps * F.log(ps / pc)).alias("kl_t"))
+    )
+    red = term.groupBy("source").agg(rnd(F.sum("kl_t"), 6).alias("kl_div"))
+    n_terms = sc.groupBy("source").agg(F.count("*").cast("long").alias("n_terms"))
+    return (
+        st.join(n_terms, "source")
+        .join(red, "source")
+        .select("source", F.col("nt").alias("n_tokens"), "n_terms", "kl_div")
+    )
+
+
+@query(
+    "j_pmi_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(
+                      range(1, greatest(len(toks) - 1, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM t),
+    bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM bg GROUP BY bigram),
+    tb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS tb FROM bc),
+    tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY tok),
+    tu AS (SELECT CAST(SUM(cu) AS BIGINT) AS tu FROM uc),
+    sc AS (SELECT bc.bigram, bc.n_pair,
+                  {sql_rnd(_PMI_EXPR, 6)} AS pmi
+           FROM bc CROSS JOIN tb CROSS JOIN tu
+           JOIN uc a ON a.tok = string_split(bc.bigram, ' ')[1]
+           JOIN uc b ON b.tok = string_split(bc.bigram, ' ')[2]
+           WHERE bc.n_pair >= {_PMI_MIN})
+    SELECT bigram, n_pair, pmi FROM sc
+    ORDER BY pmi DESC, bigram LIMIT {_PMI_K}
+    """,
+)
+def j_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations: pointwise mutual information of adjacent token
+    pairs — ln(p(ab) / (p(a)·p(b))) — with a minimum support of 5,
+    top-20 by (pmi desc, bigram asc). The phrase-mining statistic used
+    to decide which token sequences deserve single vocabulary entries
+    (word2vec's phrase pass, public).
+
+    Plan: one bigram explode → hash agg; the unigram table (corpus
+    vocabulary — tiny) BROADCASTS onto the bigram counts twice (left
+    and right token), totals are 1-row broadcasts, and the top-K is
+    TakeOrderedAndProject (pinned) — never a global sort. The ordering
+    key (rounded pmi, bigram) is a total order, so the LIMIT is
+    deterministic on both engines."""
+    t = load(spark, sf_dir)
+    bc = (
+        t.documents.select(F.explode(ngrams_col("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    uc = (
+        t.documents.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cu"))
+    )
+    uc.persist()  # consumers: totals, left-token join, right-token join
+    tb = bc.agg(F.sum("n_pair").cast("long").alias("tb"))
+    tu = uc.agg(F.sum("cu").cast("long").alias("tu"))
+    a, b = uc.alias("a"), uc.alias("b")
+    parts = F.split("bigram", " ")
+    scored = (
+        bc.where(F.col("n_pair") >= _PMI_MIN)
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+        .withColumn("l", parts.getItem(0))
+        .withColumn("r", parts.getItem(1))
+        .join(F.broadcast(a), F.col("l") == F.col("a.tok"))
+        .join(F.broadcast(b), F.col("r") == F.col("b.tok"))
+    )
+    p_ab = F.col("n_pair") * 1.0 / F.col("tb")
+    p_a = F.col("a.cu") * 1.0 / F.col("tu")
+    p_b = F.col("b.cu") * 1.0 / F.col("tu")
+    return (
+        scored.select(
+            "bigram", "n_pair", rnd(F.log(p_ab / (p_a * p_b)), 6).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(_PMI_K)
+    )
+
+
+@query(
+    "j_bm25_topk",
+    oracle=f"""
+    WITH q(qt) AS (VALUES {', '.join(f"('{t}')" for t in _BM25_QUERY)}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+    tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+           FROM documents),
+    df AS (SELECT tc.tok, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tc JOIN q ON tc.tok = q.qt GROUP BY tc.tok),
+    hit AS (SELECT tc.doc_id,
+                   ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * tc.tf * ({_BM25_K1} + 1)
+                       / (tc.tf + {_BM25_K1} * (1 - {_BM25_B}
+                          + {_BM25_B} * dl.dl / st.avgdl)) AS part
+            FROM tc JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+    sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                  {sql_rnd('SUM(part)', 6)} AS score
+           FROM hit GROUP BY doc_id)
+    SELECT doc_id, n_terms, score FROM sc
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def j_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+    weighting, Lucene's +1 idf form; k1=1.2, b=0.75) for a fixed
+    5-term query: top-10 documents by (score desc, doc_id asc) — the
+    LEXICAL retrieval twin of the dense j_sim_topk, and the decontam/
+    attribution lookup every corpus tooling stack ships.
+
+    Scale shape: the query relation is a literal handful of terms, so
+    the inverted-index probe is a BROADCAST semi-join of the
+    (doc, term, tf) rows against the query terms — only the matching
+    posting rows (Σ df over 5 query terms, NOT the corpus) survive into
+    the per-doc score agg, and the df/corpus statistics are 1-row or
+    K-row broadcasts. The final top-K is TakeOrderedAndProject
+    (pinned). avgdl is an exact integer-sum ratio, identical on both
+    engines; the score's 5-term sum rounds to 1e-6 (the j_semdedup
+    rule) so the ORDER BY key is engine-stable."""
+    t = load(spark, sf_dir)
+    q = spark.createDataFrame([(x,) for x in _BM25_QUERY], ["qt"])
+    tc = (
+        t.documents.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .join(F.broadcast(q), F.col("tok") == F.col("qt"))
+        .drop("qt")
+    )
+    tc.persist()  # consumers: df vote + score rows
+    df = tc.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    dl = t.documents.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("dl")
+    )
+    st = t.documents.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(F.size(tokens_col("text"))) * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    part = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tc.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            rnd(F.sum("part"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )

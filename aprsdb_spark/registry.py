@@ -93,21 +93,16 @@ DRIVER_ORDER: list[str] = [
     # stale-r2 evidence block (everything whose latest row is r2)
     "d_agg_distinct",
     "d_agg_percentile",
-    "d_agg_collect",
     "d_agg_pivot",
     "e_win_lag",
     "e_win_running",
     "e_win_moving",
-    "e_win_analytic",
     "f_sort_multi",
     "f_topk",
     "f_topk_group",
     "g_union",
-    "g_union_all",
     "g_intersect",
-    "g_intersect_all",
     "g_except",
-    "g_except_all",
     "h_str",
     "h_date",
     "h_math",
@@ -133,6 +128,16 @@ DRIVER_ORDER: list[str] = [
     "j_vocab_coverage",
     "j_bloom_decontam",
     "j_mix_temperature",
+    # new in r6 batch 2 (infostats.py + j_pagerank) — their slots come
+    # from five r2-green refresh picks (d_agg_collect, e_win_analytic,
+    # g_union_all/g_intersect_all/g_except_all — each family keeps its
+    # sibling representative in-window; all five unchanged since r2,
+    # first in line for r7)
+    "j_entropy",
+    "j_kl_sources",
+    "j_pmi_bigrams",
+    "j_bm25_topk",
+    "j_pagerank",
     # canary: e_win_lastpos
     "e_win_lastpos",
 ]

@@ -197,6 +197,10 @@ _EXPECTED_BNLJ = {
     "j_dsir_weights",  # same shape: broadcast 1-row (qt, tt) totals
     "j_mix_temperature",  # two 1-row broadcast totals (corpus total, Z)
     "j_bloom_decontam",  # 1-row broadcast bloom bitmap cross-join
+    "j_kl_sources",  # 1-row broadcast corpus total
+    "j_pmi_bigrams",  # two 1-row broadcast totals (bigram/unigram mass)
+    "j_bm25_topk",  # 1-row broadcast corpus stats (N, avgdl)
+    "j_pagerank",  # 1-row broadcast |V| into every iteration's teleport
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
