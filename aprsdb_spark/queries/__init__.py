@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     quality,
     corpus,
     infostats,
+    layout,
     analytics,
     aprs_queries,
     udfs,
@@ -34,6 +35,7 @@ ALL_MODULES = [
     quality,
     corpus,
     infostats,
+    layout,
     analytics,
     aprs_queries,
     udfs,

@@ -1,0 +1,226 @@
+"""§2.J additions (r6 continuation, batch 3) — data-LAYOUT operators:
+the writer-side machinery that decides whether a 100 TB table is
+scannable or prunable at all. Query engines get graded on reads, but a
+training-data pipeline spends half its life writing: shard manifests
+(release auditing / incremental diff), Z-order keys (multi-dimensional
+data skipping — the Morton-curve layout popularized by Delta/Iceberg
+OPTIMIZE ZORDER, public), and equi-depth histograms (the ANALYZE-stats
+primitive cost-based optimizers and skew planners read).
+
+All three emit STATISTICS relations — small, per-shard/file/bucket —
+so every one is an aggregation whose output is orders of magnitude
+smaller than its input: the natural shape for collect-free layout
+tooling at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd, sql_rnd
+from ..operators.dedup import tokens_col
+from ..registry import query
+from ..tables import load
+
+# Z-order: 8-bit grid per dimension (16-bit Morton key), 64-cell files,
+# and a literal box query to score prunability against.
+_Z_BITS = 8
+_Z_FILE_SHIFT = 6
+_Z_BOX = (100, 140, 60, 100)  # bx_lo, bx_hi, by_lo, by_hi
+
+# Equi-depth histogram: B buckets over documents.n_chars.
+_HIST_B = 8
+
+
+def _interleave_sql(bx: str, by: str) -> str:
+    """16-bit Morton interleave as portable integer bit ops (SQL)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "j_shard_manifest",
+    oracle="""
+    WITH k AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS h
+               FROM documents),
+    s AS (SELECT doc_id, n_tok,
+                 CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) % 64 AS shard,
+                 CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS sort_key
+          FROM k)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY sort_key, doc_id)) AS manifest_md5
+    FROM s GROUP BY shard
+    """,
+)
+def j_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for a training-data release: per shard (the
+    j_shuffle_shards scheme — salted portable hash, here epoch
+    'epoch0'), the doc/token counts,
+    the doc_id range, and a FINGERPRINT — md5 over the shard's doc_ids
+    in training order — that makes releases auditable and incremental
+    diffs O(shards) instead of O(docs): two releases disagree exactly
+    where the 64 fingerprints disagree.
+
+    One shard-keyed hash agg; the in-shard training order is explicit
+    (array_sort over (sort_key, doc_id) structs — the d_agg_collect
+    determinism pattern), so the fingerprint is stable under any
+    partitioning. Output is |shards| rows regardless of corpus size —
+    the manifest of a 100 TB release is kilobytes."""
+    from ..operators.dedup import portable_bucket, portable_hash32
+
+    t = load(spark, sf_dir)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))
+    s = t.documents.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+        portable_bucket(key, 64).alias("shard"),
+        portable_hash32(key).alias("sort_key"),
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("sort_key", "doc_id"))),
+        lambda x: x["doc_id"].cast("string"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.md5(F.concat_ws(",", ordered_ids)).alias("manifest_md5"),
+    )
+
+
+@query(
+    "j_zorder_stats",
+    oracle=f"""
+    WITH pt AS (SELECT s_suppkey,
+                       ((s_suppkey * 13) % 300) * 256 // 300 AS bx,
+                       ((s_suppkey * 7) % 120) * 256 // 120 AS by
+                FROM supplier),
+    z AS (SELECT s_suppkey, bx, by,
+                 ({_interleave_sql('bx', 'by')}) AS zkey
+          FROM pt),
+    f AS (SELECT zkey >> {_Z_FILE_SHIFT} AS file_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+                 MIN(by) AS min_by, MAX(by) AS max_by
+          FROM z GROUP BY 1)
+    SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+           CAST(min_bx AS BIGINT) AS min_bx, CAST(max_bx AS BIGINT) AS max_bx,
+           CAST(min_by AS BIGINT) AS min_by, CAST(max_by AS BIGINT) AS max_by,
+           (max_bx < {_Z_BOX[0]} OR min_bx > {_Z_BOX[1]}
+            OR max_by < {_Z_BOX[2]} OR min_by > {_Z_BOX[3]}) AS prunable
+    FROM f
+    """,
+)
+def j_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout statistics: grid the synthetic
+    supplier coordinates (the h_geo_* convention) to an 8-bit cell per
+    dimension, interleave the bits into a 16-bit Z key, group rows into
+    Z-range 'files' (zkey >> 6), and emit per-file min/max envelopes
+    plus whether a literal box query could PRUNE the file — the
+    mechanics behind Delta/Iceberg OPTIMIZE ZORDER, made inspectable.
+
+    Why it matters at 100 TB: sorting a write by the Morton key makes
+    parquet row-group min/max stats selective in BOTH dimensions at
+    once, so a 2-D range query skips most files (the prunable flag
+    measures exactly that); a 1-D sort gives one selective dimension
+    and leaves the other's envelope full-width. The whole computation
+    is integer bit arithmetic on the scan (modular grid → shifts/ands),
+    one hash agg on file_id — no shuffle carries more than the grid
+    cells, and the output is |files| rows."""
+    t = load(spark, sf_dir)
+    pt = t.supplier.select(
+        "s_suppkey",
+        F.expr("((s_suppkey * 13) % 300 * 256) div 300").alias("bx"),
+        F.expr("((s_suppkey * 7) % 120 * 256) div 120").alias("by"),
+    )
+    z = pt.select(
+        "s_suppkey", "bx", "by", F.expr(_interleave_sql("bx", "by")).alias("zkey")
+    )
+    f = z.groupBy(F.shiftright("zkey", _Z_FILE_SHIFT).cast("long").alias("file_id")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("bx").alias("min_bx"),
+        F.max("bx").alias("max_bx"),
+        F.min("by").alias("min_by"),
+        F.max("by").alias("max_by"),
+    )
+    bx_lo, bx_hi, by_lo, by_hi = _Z_BOX
+    return f.select(
+        "file_id",
+        "n_rows",
+        "min_bx",
+        "max_bx",
+        "min_by",
+        "max_by",
+        (
+            (F.col("max_bx") < bx_lo)
+            | (F.col("min_bx") > bx_hi)
+            | (F.col("max_by") < by_lo)
+            | (F.col("min_by") > by_hi)
+        ).alias("prunable"),
+    )
+
+
+@query(
+    "j_histogram_equi",
+    oracle=f"""
+    WITH b AS (SELECT {', '.join(
+        f"quantile_cont(n_chars, {i}.0/{_HIST_B}) AS q{i}"
+        for i in range(1, _HIST_B))}
+               FROM documents),
+    a AS (SELECT d.n_chars,
+                 ({' + '.join(
+        f"CASE WHEN d.n_chars > b.q{i} THEN 1 ELSE 0 END"
+        for i in range(1, _HIST_B))}) AS bucket
+          FROM documents d CROSS JOIN b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS lo, MAX(n_chars) AS hi
+    FROM a GROUP BY bucket
+    """,
+)
+def j_histogram_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of documents.n_chars (8 buckets) — the
+    ANALYZE-TABLE statistic cost-based optimizers and skew planners
+    consume: bucket boundaries are the exact 1/8..7/8 percentiles
+    (linear interpolation, the d_agg_percentile parity contract), rows
+    land in the bucket counting boundaries strictly below them, and
+    each bucket reports its actual [lo, hi] envelope and depth.
+
+    Plan: ONE pass computes all 7 boundaries (percentile with an array
+    argument — a single 1-row aggregate), which then broadcasts into a
+    stateless bucket-assignment projection and one hash agg on the
+    bucket id. The percentile agg is the only non-mergeable piece —
+    at 100 TB swap `percentile` for `approx_percentile` exactly as
+    j_lm_buckets documents (tests/test_scale_paths.py pins that swap's
+    plan); boundaries compare on identical doubles in both engines
+    because n_chars is integer-valued."""
+    t = load(spark, sf_dir)
+    fracs = ", ".join(f"{i}D / {_HIST_B}" for i in range(1, _HIST_B))
+    b = t.documents.agg(
+        F.expr(f"percentile(n_chars, array({fracs}))").alias("qs")
+    )
+    bucket = sum(
+        F.when(F.col("n_chars") > F.col("qs").getItem(i - 1), 1).otherwise(0)
+        for i in range(1, _HIST_B)
+    )
+    return (
+        t.documents.select("n_chars")
+        .crossJoin(F.broadcast(b))
+        .select(bucket.cast("long").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )

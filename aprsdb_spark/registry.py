@@ -93,13 +93,10 @@ DRIVER_ORDER: list[str] = [
     # stale-r2 evidence block (everything whose latest row is r2)
     "d_agg_distinct",
     "d_agg_percentile",
-    "d_agg_pivot",
     "e_win_lag",
     "e_win_running",
-    "e_win_moving",
     "f_sort_multi",
     "f_topk",
-    "f_topk_group",
     "g_union",
     "g_intersect",
     "g_except",
@@ -138,6 +135,13 @@ DRIVER_ORDER: list[str] = [
     "j_pmi_bigrams",
     "j_bm25_topk",
     "j_pagerank",
+    # new in r6 batch 3 (layout.py) — slots from three more r2-green
+    # refresh picks (d_agg_pivot, e_win_moving, f_topk_group; their
+    # family siblings stay in-window, all unchanged since r2, queued
+    # for r7)
+    "j_shard_manifest",
+    "j_zorder_stats",
+    "j_histogram_equi",
     # canary: e_win_lastpos
     "e_win_lastpos",
 ]

@@ -201,6 +201,7 @@ _EXPECTED_BNLJ = {
     "j_pmi_bigrams",  # two 1-row broadcast totals (bigram/unigram mass)
     "j_bm25_topk",  # 1-row broadcast corpus stats (N, avgdl)
     "j_pagerank",  # 1-row broadcast |V| into every iteration's teleport
+    "j_histogram_equi",  # 1-row broadcast percentile-boundary array
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
