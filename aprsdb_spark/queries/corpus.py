@@ -124,12 +124,19 @@ def j_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_agg_collect pattern), so the result is deterministic under any
     partitioning."""
     t = load(spark, sf_dir)
-    seg = _seg_frame(t.documents, _SEG).withColumn("h", F.md5("seg_text"))
+    return line_dedup(t.documents)
+
+
+def line_dedup(docs: DataFrame, width: int = _SEG, min_df: int = _LINE_DF) -> DataFrame:
+    """Frame-level core of j_dedup_lines over any (doc_id, text) frame —
+    separated so property tests can drive it with generated corpora
+    (the funnel_counts pattern)."""
+    seg = _seg_frame(docs, width).withColumn("h", F.md5("seg_text"))
     seg.persist()  # 3 consumers: boilerplate vote, anti-join probe, totals
     boiler = (
         seg.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= _LINE_DF)
+        .where(F.col("nd") >= min_df)
         .select("h")
     )
     kept = seg.join(boiler, "h", "left_anti")
@@ -266,19 +273,27 @@ def j_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scan speed with no shuffle at all. chunk_md5 doubles as a uniform
     write-time partition key for the chunk store."""
     t = load(spark, sf_dir)
-    base = t.documents.select("doc_id", tokens_col("text").alias("toks")).select(
-        "doc_id", "toks", F.ceil(F.size("toks") / F.lit(_STRIDE)).alias("n_chunks")
+    return chunk_docs(t.documents)
+
+
+def chunk_docs(
+    docs: DataFrame, size: int = _CHUNK, stride: int = _STRIDE
+) -> DataFrame:
+    """Frame-level core of j_chunk_overlap over any (doc_id, text)
+    frame — separated for property tests over generated geometries."""
+    base = docs.select("doc_id", tokens_col("text").alias("toks")).select(
+        "doc_id", "toks", F.ceil(F.size("toks") / F.lit(stride)).alias("n_chunks")
     )
     chunk_ids = F.when(
         F.col("n_chunks") > 0, F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
     ).otherwise(F.array().cast("array<int>"))
     chunks = base.select("doc_id", F.explode(chunk_ids).alias("chunk_id"), "toks")
-    ct = F.slice(F.col("toks"), F.col("chunk_id") * _STRIDE + 1, _CHUNK)
+    ct = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size)
     text = F.concat_ws(" ", ct)
     return chunks.select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
-        (F.col("chunk_id").cast("long") * _STRIDE).alias("chunk_start"),
+        (F.col("chunk_id").cast("long") * stride).alias("chunk_start"),
         F.size(ct).cast("long").alias("n_chunk_tokens"),
         text.alias("chunk_text"),
         F.md5(text).alias("chunk_md5"),

@@ -69,7 +69,7 @@ def c_join_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_join_smj",
     oracle="""
     SELECT o_orderpriority,
-           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -87,9 +87,16 @@ def c_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         .groupBy("o_orderpriority")
         .agg(
-            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # Money sums run in DECIMAL so the aggregate is EXACT (float
+            # summation is order-dependent: at sf0.001 a Q10 revenue
+            # landed on an exact .005 boundary and the two engines'
+            # 1-ulp-apart sums rounded to different cents); the cast to
+            # DOUBLE happens only on the final rounded output.
+            F.expr(
+                "FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)"
+                " * 100 + 0.5) / 100"
+            ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -313,7 +320,7 @@ def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_sql_q3",
     oracle="""
     SELECT l_orderkey, CAST(o_orderdate AS DATE) AS od,
-           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -335,7 +342,7 @@ def c_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.lineitem.createOrReplaceTempView("v_lineitem")
     return spark.sql("""
         SELECT l_orderkey, CAST(o_orderdate AS DATE) AS od,
-               FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+               FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
         FROM v_customer JOIN v_orders ON c_custkey = o_custkey
         JOIN v_lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
@@ -351,7 +358,7 @@ def c_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_sql_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
            FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal,
            n_name
     FROM customer
@@ -379,7 +386,7 @@ def c_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         getattr(t, name).createOrReplaceTempView(f"v_{name}")
     return spark.sql("""
         SELECT c_custkey, c_name,
-               FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+               FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
                FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal,
                n_name
         FROM v_customer
@@ -399,7 +406,7 @@ def c_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_sql_q5",
     oracle="""
     SELECT n_name,
-           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -428,7 +435,7 @@ def c_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         getattr(t, name).createOrReplaceTempView(f"v_{name}")
     return spark.sql("""
         SELECT n_name,
-               FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+               FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
         FROM v_customer
         JOIN v_orders ON c_custkey = o_custkey
         JOIN v_lineitem ON l_orderkey = o_orderkey

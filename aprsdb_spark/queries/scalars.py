@@ -120,7 +120,7 @@ def _haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Col
            abs(s_acctbal) AS abs_bal,
            CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
            CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
-           pow(s_acctbal, 2) AS pow2,
+           FLOOR((pow(s_acctbal, 2)) * 1000000 + 0.5) / 1000000 AS pow2,
            FLOOR((ln(abs(s_acctbal) + 1)) * 1000000 + 0.5) / 1000000 AS ln_bal,
            FLOOR((log10(abs(s_acctbal) + 1)) * 1000000 + 0.5) / 1000000 AS log10_bal,
            FLOOR((sqrt(abs(s_acctbal))) * 1000000 + 0.5) / 1000000 AS sqrt_bal,
@@ -150,7 +150,10 @@ def h_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(bal).alias("abs_bal"),
         F.ceil(bal).cast("long").alias("ceil_bal"),
         F.floor(bal).cast("long").alias("floor_bal"),
-        F.pow(bal, 2).alias("pow2"),
+        # pow is libm-implementation-defined (JVM fdlibm vs DuckDB's
+        # libm differ by 1 ulp on some inputs — first seen at sf0.1,
+        # supplier 50), so it rounds like the other transcendentals.
+        rnd(F.pow(bal, 2), 6).alias("pow2"),
         rnd(F.log(F.abs(bal) + 1), 6).alias("ln_bal"),
         rnd(F.log10(F.abs(bal) + 1), 6).alias("log10_bal"),
         rnd(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
