@@ -411,3 +411,46 @@ def d_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("p50"), 4).alias("median_exact"),
         (F.col("apx").between(F.col("p45"), F.col("p55"))).alias("approx_ok"),
     )
+
+
+@query(
+    "d_agg_salted",
+    oracle="""
+    SELECT event_type,
+           FLOOR(SUM(value) * 1000000 + 0.5) / 1000000 AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           FLOOR(SUM(value) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def d_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-phase aggregate: sum/count/avg of events.value
+    per event_type computed through operators/skew.salted_sum_count —
+    phase 1 groups on (key, salt-of-event_id) so a viral key fans out
+    over 16 tasks, phase 2 merges the 16 partials per key. The oracle is
+    the PLAIN direct GROUP BY: salting is semantics-preserving by
+    construction (algebraic aggregates compose), and this qid makes that
+    equivalence a driver-checked fact rather than a test-only property
+    (tests/test_scale_paths.py::test_salted_agg_matches_direct).
+
+    Why it exists: AQE's skew-join splitting cannot split a single
+    groupBy partition — one key with 10^9 rows serializes onto one task
+    at 100 TB. The cost here is a second (tiny: keys x 16 rows) shuffle;
+    the win is bounded fan-in per task regardless of key skew. Sums
+    round at 1e-6: the salt changes float accumulation order, which is
+    exactly the divergence the portable rounding discipline absorbs."""
+    from ..operators.skew import salted_sum_count
+
+    t = load(spark, sf_dir)
+    s = salted_sum_count(
+        t.events.select("event_type", "value", "event_id"),
+        key="event_type",
+        value="value",
+        uniquifier="event_id",
+    )
+    return s.select(
+        "event_type",
+        rnd(F.col("sum_value"), 6).alias("sum_value"),
+        "n_rows",
+        rnd(F.col("sum_value") / F.col("n_rows"), 6).alias("avg_value"),
+    )

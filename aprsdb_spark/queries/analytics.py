@@ -127,10 +127,9 @@ _PR_DAMP = 0.85
 _PR_FANOUT = 3
 
 
-@query(
-    "j_pagerank",
-    oracle=f"""
-    WITH flow AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+# Trade-graph CTE chain (flow agg + top-_PR_FANOUT capped edge list),
+# shared by the j_pagerank and j_triangle_count oracles.
+_TRADE_E_CTES = f"""flow AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                          CAST(COUNT(*) AS BIGINT) AS w
                   FROM lineitem l
                   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -141,7 +140,36 @@ _PR_FANOUT = 3
               SELECT src, dst,
                      ROW_NUMBER() OVER (PARTITION BY src
                                         ORDER BY w DESC, dst) AS rk
-              FROM flow) WHERE rk <= {_PR_FANOUT}),
+              FROM flow) WHERE rk <= {_PR_FANOUT})"""
+
+
+def _trade_edges(t) -> DataFrame:
+    """The capped directed trade-partner edge list (src, dst) — each
+    supplier nation's top-_PR_FANOUT customer nations by lineitem flow —
+    shared by j_pagerank and j_triangle_count."""
+    flow = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    )
+    return flow.withColumn("rk", rk).where(F.col("rk") <= _PR_FANOUT).select("src", "dst")
+
+
+@query(
+    "j_pagerank",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
     deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
     n AS (SELECT n_nationkey AS nk FROM nation),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM n),
@@ -186,23 +214,7 @@ def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_dedup_cluster's pointer-doubling variant does
     (queries/curation.py:525)."""
     t = load(spark, sf_dir)
-    flow = (
-        t.lineitem.select("l_orderkey", "l_suppkey")
-        .join(t.orders.select("o_orderkey", "o_custkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer.select("c_custkey", "c_nationkey"),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count("*").cast("long").alias("w"))
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
-    )
-    e = flow.withColumn("rk", rk).where(F.col("rk") <= _PR_FANOUT).select("src", "dst")
+    e = _trade_edges(t)
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     # deg and contrib are |V|-row derived aggregates — Catalyst has no
     # stats for them, so hint the broadcast explicitly or both joins
@@ -236,3 +248,147 @@ def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(t.nation), F.col("nk") == F.col("n_nationkey")
     ).select("n_nationkey", "n_name", F.col("pr").alias("pagerank"))
+
+
+@query(
+    "j_triangle_count",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e WHERE src != dst),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (SELECT a AS nk FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+    cnt AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY nk)
+    SELECT n.n_nationkey, n.n_name,
+           COALESCE(cnt.n_triangles, 0) AS n_triangles
+    FROM nation n LEFT JOIN cnt ON cnt.nk = n.n_nationkey
+    """,
+)
+def j_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the (undirected) capped trade
+    graph — the clustering-coefficient numerator and the standard
+    distributed-graph benchmark beside PageRank. Edges canonicalize to
+    u < v, so each triangle a<b<c is enumerated exactly once by the
+    two-path join (a,b)⋈(b,c) closed by the (a,c) edge probe; every
+    corner then votes once per triangle.
+
+    Scale shape: the classic MapReduce triangle algorithm (Suri &
+    Vassilvitskii 2011, public) IS this plan — two equi-joins on edge
+    endpoints plus a count agg. Real deployments order by degree
+    (join low-degree endpoints first) to bound skew; on the
+    fan-out-capped trade graph (deg <= {_PR_FANOUT} + fan-in) the
+    canonical u<v orientation already bounds every join key's fan-out,
+    and the |V|-row edge list broadcasts. The expensive part at 100 TB
+    is building `e` — one flow aggregation whose shuffle carries two
+    int keys and a count, shared verbatim with j_pagerank."""
+    t = load(spark, sf_dir)
+    e = _trade_edges(t)
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    und.persist()  # consumers: e1, e2, e3 legs of the triangle join
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("nk"))
+        .unionAll(tri.select(F.col("b").alias("nk")))
+        .unionAll(tri.select(F.col("c").alias("nk")))
+    )
+    cnt = corners.groupBy("nk").agg(F.count("*").cast("long").alias("n_triangles"))
+    return (
+        t.nation.join(F.broadcast(cnt), F.col("n_nationkey") == F.col("nk"), "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+# Welch two-sample test: |t| beyond this flags a significant difference
+# (two-sided 5% on the normal approximation — per-type daily n >= ~400).
+_TTEST_CRIT = 1.96
+
+
+@query(
+    "j_ab_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (grp = 'A') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (grp = 'B') AS BIGINT) AS n_b,
+             FLOOR(AVG(value) FILTER (grp = 'A') * 1000000 + 0.5) / 1000000 AS mean_a,
+             FLOOR(AVG(value) FILTER (grp = 'B') * 1000000 + 0.5) / 1000000 AS mean_b,
+             FLOOR(var_samp(value) FILTER (grp = 'A') * 1000000 + 0.5) / 1000000 AS var_a,
+             FLOOR(var_samp(value) FILTER (grp = 'B') * 1000000 + 0.5) / 1000000 AS var_b
+      FROM g GROUP BY event_type),
+    tt AS (
+      SELECT *, FLOOR((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+                      * 10000 + 0.5) / 10000 AS t_stat
+      FROM s)
+    SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+           abs(t_stat) > {_TTEST_CRIT} AS significant
+    FROM tt
+    """,
+)
+def j_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into arms by a salted md5
+    parity (deterministic, balanced, decorrelated from the other hashes
+    — the j_split_train_val argument), then per event_type the Welch
+    two-sample t statistic on `value` with a |t| > 1.96 significance
+    flag. The analytics counterpart every event platform ships beside
+    funnels and retention.
+
+    One hash agg on event_type computes BOTH arms via FILTER/conditional
+    aggregates — no self-join of the arms, no second scan. Means and
+    variances pre-round at 1e-6 (parallel float sums), the t statistic
+    derives from the ROUNDED moments and rounds at 1e-4 before the
+    threshold compare, and sqrt is IEEE-correctly-rounded on both
+    engines — so the significance flag can never flip between engines.
+    Scale shape: |event_type| output rows from one map-side-combined
+    shuffle of (type, partial-moment) rows."""
+    t = load(spark, sf_dir)
+    grp = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    g = t.events.select("event_type", "value", grp.alias("grp"))
+    a = F.col("grp") == "A"
+    b = F.col("grp") == "B"
+    s = g.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        rnd(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
+        rnd(F.avg(F.when(b, F.col("value"))), 6).alias("mean_b"),
+        rnd(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),
+        rnd(F.var_samp(F.when(b, F.col("value"))), 6).alias("var_b"),
+    )
+    tstat = rnd(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        4,
+    )
+    return s.select(
+        "*",
+        tstat.alias("t_stat"),
+    ).withColumn("significant", F.abs(F.col("t_stat")) > _TTEST_CRIT)

@@ -708,3 +708,47 @@ def j_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "shard", "sort_key", F.row_number().over(w).alias("pos")
     )
+
+
+# Per-stratum reservoir size for j_reservoir_pergroup.
+_RES_K = 10
+
+
+@query(
+    "j_reservoir_pergroup",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('res' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_RES_K}
+    """,
+)
+def j_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir: exactly min(k, |stratum|)
+    documents from every (lang, source) cell, selected by ranking on an
+    md5 priority — the DISTRIBUTED, rerun-stable equivalent of
+    Vitter's algorithm-R reservoir per group (same selection law: each
+    member equally likely under a uniform priority; md5 stands in for
+    the uniform draw so the reservoir never changes across runs,
+    engines, or repartitioning). Complements rate-based
+    j_sample_stratified (keep-fraction per stratum) with the fixed-
+    QUOTA semantics evaluation sets need.
+
+    One window keyed on the stratum, rank filter pushed right after —
+    at 100 TB this is one exchange on (lang, source) where a true
+    streaming reservoir would need per-partition state merge; skewed
+    strata salt the key exactly as operators/skew.py documents."""
+    t = load(spark, sf_dir)
+    pri = F.md5(F.concat(F.lit("res"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        t.documents.select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= _RES_K)
+        .select("doc_id", "lang", "source", F.col("rk").cast("long").alias("rk"))
+    )

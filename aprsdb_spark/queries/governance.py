@@ -1,0 +1,363 @@
+"""§2.J additions (r6 continuation) — data-GOVERNANCE operators: the
+merge/sample/split primitives a training-data release needs around the
+dedup and quality families:
+
+- batch MERGE/upsert (the Delta/Iceberg ``MERGE INTO`` semantics,
+  public, expressed with vanilla DataFrame ops: matched rows take the
+  update, unmatched updates insert, untouched base rows survive),
+- deterministic weighted sampling without replacement via priority
+  sampling (Duffield, Lund & Thorup 2007, public: priority q = w/u with
+  u a unit uniform, keep the k largest priorities — here u derives from
+  an md5 hash so the sample is stable across runs/engines/partitioning),
+- leakage-safe group split: train/val/test assignment hashed on the
+  DUPLICATE-GROUP key rather than the document key, so exact duplicates
+  can never straddle a split boundary (the test-set-contamination
+  failure mode j_split_train_val alone cannot rule out),
+- token-level edit-distance near-dup pairs (Levenshtein over an exact
+  vocab-compacted encoding) within (lang, source) blocks — the
+  sequence-edit ground-truth companion to the token-set j_dedup_ngram,
+  deliberately block-bounded quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import rnd
+from ..registry import query
+from ..tables import load
+
+# Token-edit near-dup threshold (in TOKEN edits over the compacted
+# encoding): 15 of ~773 length-filtered block pairs at sf0.01 — tight
+# enough to mean "near duplicate", loose enough to be non-trivial.
+_EDIT_MAX = 18
+
+# Priority-sampling target size.
+_SAMPLE_K = 100
+
+
+@query(
+    "j_upsert_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             FLOOR(o_totalprice * 1.05 * 100 + 0.5) / 100 AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'upd' AS src
+    FROM upd
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+           'base' AS src
+    FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def j_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics (the Delta/Iceberg upsert, public)
+    without a table format: given a base relation (orders not divisible
+    by 7 — a stand-in for the current snapshot) and an updates relation
+    (orders divisible by 3, repriced +5% with status 'U'), produce the
+    merged snapshot — WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    INSERT — as updates UNION (base LEFT ANTI updates). Keys in both
+    (matched) take the update exactly once; update keys absent from base
+    (multiples of 21) insert; the rest of base passes through tagged.
+
+    Scale shape: ONE anti equi-join on the merge key (AQE broadcasts the
+    update side when it is small, as MERGE engines do) plus a union —
+    no window, no distinct. At 100 TB this is the standard
+    copy-on-write MERGE plan minus the file rewrite."""
+    t = load(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = t.orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        rnd(F.col("o_totalprice") * 1.05, 2).alias("o_totalprice"),
+    )
+    kept = base.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
+    return upd.withColumn("src", F.lit("upd")).unionByName(
+        kept.withColumn("src", F.lit("base"))
+    )
+
+
+@query(
+    "j_sample_weighted",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             n_chars * 16777216.0 /
+               (CAST('0x' || substr(md5('wsmp' || CAST(doc_id AS VARCHAR)), 1, 6)
+                     AS BIGINT) + 1) AS q
+      FROM documents)
+    SELECT doc_id, n_chars,
+           FLOOR(q * 1000000 + 0.5) / 1000000 AS priority
+    FROM pri
+    ORDER BY q DESC, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def j_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup 2007, public): each document draws a unit
+    uniform u from md5('wsmp' || doc_id) — 6 hex digits scaled by 2^24,
+    +1 so u > 0 — and gets priority q = weight/u with weight = n_chars;
+    the k largest priorities form the sample. Longer documents are
+    proportionally likelier to be kept, and because u is hash-derived
+    the sample is bit-stable across runs, engines, and repartitioning
+    (random() is none of those — the j_split_train_val argument).
+
+    q uses only integer-derived values and one IEEE division, so Spark
+    and DuckDB order pairs identically; doc_id breaks exact ties. The
+    plan is TakeOrderedAndProject — per-partition top-k then a k-row
+    merge on the driver side of the exchange, never a full sort (the
+    f_topk shape). Output priority is display-rounded AFTER selection."""
+    t = load(spark, sf_dir)
+    u_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsmp"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    q = F.col("n_chars") * F.lit(16777216.0) / (u_int + F.lit(1)).cast("double")
+    return (
+        t.documents.select("doc_id", "n_chars", q.alias("q"))
+        .orderBy(F.desc("q"), "doc_id")
+        .limit(_SAMPLE_K)
+        .select("doc_id", "n_chars", rnd(F.col("q"), 6).alias("priority"))
+    )
+
+
+@query(
+    "j_group_split",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS group_id,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+      FROM documents)
+    SELECT doc_id, group_id, group_size,
+           CASE WHEN substr(md5('grp' || CAST(group_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train'
+                WHEN substr(md5('grp' || CAST(group_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """,
+)
+def j_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are first grouped by
+    exact-text identity (md5(text) — the j_dedup_exact key), then the
+    SPLIT hash keys on the group's canonical id (min doc_id), not the
+    document's. Exact duplicates therefore always land in the same
+    split — hashing doc_id alone (j_split_train_val) can put a verbatim
+    copy of a training document into the test set, the classic
+    contamination leak. Thresholds mirror j_split_train_val's 80/10/10
+    hex ranges; the 'grp' salt decorrelates this hash from that one.
+
+    Scale shape: one window over md5(text) — a 16-byte uniformly
+    distributed key (no skew beyond true duplicate mass), min+count in a
+    single Window node, then pure row-level hashing. At 100 TB the
+    group_id becomes a write-time column and the split a partition
+    key."""
+    t = load(spark, sf_dir)
+    wg = Window.partitionBy(F.md5("text"))
+    g = t.documents.select(
+        "doc_id",
+        F.min("doc_id").over(wg).alias("group_id"),
+        F.count("*").over(wg).alias("group_size"),
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("grp"), F.col("group_id").cast("string"))), 1, 2
+    )
+    return g.select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "j_dedup_edit",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a
+                  FROM documents),
+    pos AS (SELECT doc_id, lang, source, generate_subscripts(a, 1) AS pos,
+                   unnest(a) AS tok
+            FROM toks),
+    vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS INTEGER) AS rk
+              FROM (SELECT DISTINCT tok FROM pos)),
+    enc AS (SELECT doc_id, lang, source,
+                   string_agg(chr(64 + rk), '' ORDER BY pos) AS s
+            FROM pos JOIN vocab USING (tok)
+            GROUP BY doc_id, lang, source)
+    SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+           FLOOR((1.0 - levenshtein(a.s, b.s) * 1.0 /
+                  greatest(len(a.s), len(b.s))) * 1000000 + 0.5)
+             / 1000000 AS sim
+    FROM enc a JOIN enc b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE abs(len(a.s) - len(b.s)) <= {_EDIT_MAX}
+      AND levenshtein(a.s, b.s) <= {_EDIT_MAX}
+    """,
+)
+def j_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-level edit-distance near-dup pairs within (lang, source)
+    blocks, kept at dist <= {max} token edits with a normalized
+    similarity 1 - dist/max(n_tokens) — the sequence-edit companion to
+    the token-SET j_dedup_ngram ground truth (Jaccard is blind to
+    reordering and run-length mutations; edit distance is not).
+
+    The DP runs on an EXACT compaction: the corpus vocabulary (31
+    tokens on this fixture; any corpus where it fits one byte) is
+    ranked alphabetically and each document becomes a one-char-per-
+    token string, so Levenshtein over ~60-char encodings IS token-level
+    Levenshtein over ~300-char texts at ~25x fewer DP cells — the
+    char-level variant of this query measured 122 s at sf0.1, this
+    form ~2 s. Two further exact cuts: the necessary length condition
+    |len_a - len_b| <= {max} runs before any DP, and Spark evaluates
+    the banded levenshtein(_, _, threshold) form that abandons a pair
+    once {max} is exceeded (DuckDB's unbanded form only affects oracle
+    runtime, not values — -1 sentinels are filtered before output).
+
+    Still deliberately quadratic WITHIN blocks, like j_dedup_ngram:
+    the (lang, source) equi-join bounds each task to one block's pairs;
+    the encode pass is one explode + broadcast vocab join + one doc_id
+    agg (order-explicit concat, the d_agg_collect pattern). The 31-row
+    vocab rank window is single-partition over |vocab| rows only. The
+    scale path for unblocked corpora remains the banded LSH / winnowing
+    family — this qid is the labeled oracle those are judged against."""
+    t = load(spark, sf_dir)
+    pos = t.documents.select(
+        "doc_id", "lang", "source",
+        F.posexplode(F.split("text", " ")).alias("p", "tok"),
+    )
+    vocab = (
+        pos.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            F.row_number().over(Window.orderBy("tok")).cast("int").alias("rk"),
+        )
+    )
+    ch = F.char(F.col("rk") + 64)
+    enc = (
+        pos.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", ch.alias("c")))),
+                    lambda x: x["c"],
+                ),
+            ).alias("s")
+        )
+    )
+    a = enc.select(
+        "lang", "source", F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
+    )
+    b = enc.select(
+        "lang", "source", F.col("doc_id").alias("id_b"), F.col("s").alias("sb")
+    )
+    dist = F.levenshtein("sa", "sb", _EDIT_MAX)
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.length("sa") - F.length("sb")) <= _EDIT_MAX)
+        .withColumn("dist", dist.cast("long"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _EDIT_MAX))
+        .select(
+            "lang",
+            "source",
+            "id_a",
+            "id_b",
+            "dist",
+            rnd(
+                1.0
+                - F.col("dist").cast("double")
+                / F.greatest(F.length("sa"), F.length("sb")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+
+j_dedup_edit.__doc__ = j_dedup_edit.__doc__.replace("{max}", str(_EDIT_MAX))
+
+
+@query(
+    "j_snapshot_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN FLOOR(o_totalprice * 1.02 * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 != 3
+      UNION ALL
+      SELECT o_orderkey + 10000000,
+             FLOOR(o_totalprice * 0.5 * 100 + 0.5) / 100
+      FROM orders WHERE o_orderkey % 13 = 0),
+    d AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                 a.o_totalprice AS old_price, b.o_totalprice AS new_price
+          FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT o_orderkey, old_price, new_price,
+           CASE WHEN old_price IS NULL THEN 'inserted'
+                WHEN new_price IS NULL THEN 'deleted'
+                WHEN old_price != new_price THEN 'updated'
+                ELSE 'unchanged' END AS change
+    FROM d
+    """,
+)
+def j_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: classify every key across two
+    table versions as inserted / deleted / updated / unchanged — the
+    change feed a lakehouse emits between commits, derived here by a
+    single full-outer equi-join on the key (the j_upsert_merge
+    operation run in reverse). The "next" snapshot is simulated
+    deterministically from orders: keys ≡3 (mod 11) deleted, keys ≡0
+    (mod 4) repriced +2%, and keys ≡0 (mod 13) re-inserted under a
+    shifted key at half price.
+
+    Scale shape: ONE full-outer join on the snapshot key plus stateless
+    classification — both sides shuffle-partition on the same key (or
+    bucket-join shuffle-free when snapshots share a layout, the
+    operators/layout story); no window, no distinct. The value compare
+    runs on the already-rounded stored prices, so 'updated' is
+    engine-stable."""
+    t = load(spark, sf_dir)
+    a = t.orders.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    survived = t.orders.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0, rnd(F.col("o_totalprice") * 1.02, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    inserted = t.orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        rnd(F.col("o_totalprice") * 0.5, 2).alias("new_price"),
+    )
+    b = survived.unionByName(inserted)
+    d = a.join(b, "o_orderkey", "full_outer")
+    return d.select(
+        "o_orderkey",
+        "old_price",
+        "new_price",
+        F.when(F.col("old_price").isNull(), "inserted")
+        .when(F.col("new_price").isNull(), "deleted")
+        .when(F.col("old_price") != F.col("new_price"), "updated")
+        .otherwise("unchanged")
+        .alias("change"),
+    )

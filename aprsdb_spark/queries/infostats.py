@@ -20,7 +20,7 @@ ROUNDED value (the j_semdedup rule).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rnd, sql_rnd
@@ -250,10 +250,9 @@ def j_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "j_bm25_topk",
-    oracle=f"""
-    WITH q(qt) AS (VALUES {', '.join(f"('{t}')" for t in _BM25_QUERY)}),
+# BM25 scored-frame CTE chain, shared by the j_bm25_topk and
+# j_rank_fusion oracles (ends at `sc(doc_id, n_terms, score)`).
+_BM25_CTES = f"""q(qt) AS (VALUES {', '.join(f"('{t}')" for t in _BM25_QUERY)}),
     tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
             FROM documents),
     tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -273,7 +272,13 @@ def j_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tc JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
     sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                   {sql_rnd('SUM(part)', 6)} AS score
-           FROM hit GROUP BY doc_id)
+           FROM hit GROUP BY doc_id)"""
+
+
+@query(
+    "j_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT doc_id, n_terms, score FROM sc
     ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
     """,
@@ -295,6 +300,17 @@ def j_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the score's 5-term sum rounds to 1e-6 (the j_semdedup
     rule) so the ORDER BY key is engine-stable."""
     t = load(spark, sf_dir)
+    return (
+        _bm25_scored(spark, t)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_scored(spark: SparkSession, t) -> DataFrame:
+    """The BM25-scored hit frame (doc_id, n_terms, score) for the fixed
+    literal query — shared by j_bm25_topk (top-K directly) and
+    j_rank_fusion (lexical leg of the RRF fuse)."""
     q = spark.createDataFrame([(x,) for x in _BM25_QUERY], ["qt"])
     tc = (
         t.documents.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
@@ -332,6 +348,92 @@ def j_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_terms"),
             rnd(F.sum("part"), 6).alias("score"),
         )
+    )
+
+
+# RRF fusion: top-N from each retriever, k=60 (the constant from
+# Cormack, Clarke & Buettcher 2009), final top-K.
+_RRF_N = 20
+_RRF_C = 60
+_RRF_TOPK = 10
+
+
+@query(
+    "j_rank_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lextop AS (SELECT doc_id, score FROM sc
+               ORDER BY score DESC, doc_id LIMIT {_RRF_N}),
+    lex AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+            FROM lextop),
+    dtop AS (SELECT vec_id AS doc_id,
+                    FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                          * 1000000 + 0.5) / 1000000 AS score
+             FROM embeddings,
+                  (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+             ORDER BY score DESC, vec_id LIMIT {_RRF_N}),
+    den AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_den
+            FROM dtop),
+    fused AS (SELECT doc_id, r_lex, r_den,
+                     COALESCE(1.0 / ({_RRF_C} + r_lex), 0)
+                       + COALESCE(1.0 / ({_RRF_C} + r_den), 0) AS rrf
+              FROM lex FULL JOIN den USING (doc_id))
+    SELECT doc_id, r_lex, r_den,
+           FLOOR(rrf * 1000000000 + 0.5) / 1000000000 AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+)
+def j_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, public)
+    of the two retrieval legs this registry already ships: the BM25
+    lexical ranking (j_bm25_topk's scored frame, same fixed query) and
+    the dense cosine ranking against the vec_id=0 query vector
+    (j_sim_topk's scoring, doc_id == vec_id by fixture construction).
+    Each leg contributes 1/(60 + rank) over its top-20 list; documents
+    found by only one leg keep that leg's term alone — the hybrid-search
+    primitive every RAG stack ships.
+
+    Scale shape: RRF fuses top-N LISTS, not full rankings — each leg is
+    TakeOrderedAndProject (per-partition heaps, no global sort), and the
+    only ranking windows run AFTER the limit, over N=20-row frames (the
+    j_pack_sequences single-partition argument: bounded by the list
+    size, never by the corpus). The fuse itself is a full outer join of
+    two 20-row frames. Both legs' scores are pre-rounded to 1e-6 before
+    ranking so rank order is engine-stable; ranks are then integers and
+    the RRF sum is the same short IEEE sequence on both engines."""
+    from ..operators.similarity import as_double, dot_expr
+
+    t = load(spark, sf_dir)
+    lextop = (
+        _bm25_scored(spark, t)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(_BM25_TOPK)
+        .limit(_RRF_N)
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lextop.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+    qv = t.embeddings.where(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    dtop = (
+        t.embeddings.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_N)
+    )
+    den = dtop.select("doc_id", F.row_number().over(wl).alias("r_den"))
+    rrf = F.coalesce(1.0 / (_RRF_C + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_RRF_C + F.col("r_den")), F.lit(0.0)
+    )
+    return (
+        lex.join(den, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_den", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPK)
+        .select("doc_id", "r_lex", "r_den", rnd(F.col("rrf"), 9).alias("rrf_score"))
     )

@@ -224,3 +224,66 @@ def j_histogram_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("hi"),
         )
     )
+
+
+# Columns profiled by j_profile_stats (ANALYZE-style table stats).
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "j_profile_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           FLOOR((COUNT(*) - COUNT({c})) * 1.0 / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS null_frac
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def j_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column table profile of `orders`: row count,
+    null count, exact distinct count, and null fraction for every
+    column — the statistics relation a cost-based optimizer (and a data
+    steward) reads before anything else, and the sibling of
+    j_histogram_equi's distribution stats.
+
+    One pass: a single wide aggregate computes all 6 columns' counts
+    (Spark plans multi-column exact DISTINCT as one Expand — 6x the agg
+    input rows but still a single shuffle and one scan), then a
+    stack() unpivots the 1-row result into the (column, stats) relation
+    client tools expect. At 100 TB the exact distinct swaps for
+    approx_count_distinct (HLL++, the d_agg_approx path) and the Expand
+    disappears — stats collection must never cost more than the queries
+    it serves; exact is kept here for value-level verifiability."""
+    t = load(spark, sf_dir)
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"dist_{c}"))
+    one = t.orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_null, n_distinct)",
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        rnd(F.col("n_null") * 1.0 / F.col("n_rows"), 6).alias("null_frac"),
+    )

@@ -1299,3 +1299,78 @@ def j_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("ldiv"), 6).alias("lexical_diversity"),
         )
     )
+
+
+def _lsh_recall_oracle() -> str:
+    """Composes the already-registered exact and bucketed all-pairs
+    oracles (registry.ORACLE — both are plain SELECTs) into a
+    precision/recall evaluation. Built lazily at decoration time, after
+    both constituent qids have registered."""
+    from ..registry import ORACLE
+
+    return f"""
+    WITH exact AS ({ORACLE["j_sim_pairs"]}),
+    approx AS ({ORACLE["j_sim_pairs_bucketed"]}),
+    j AS (SELECT e.id_a AS eid, a.id_a AS aid
+          FROM exact e FULL JOIN approx a
+            ON e.id_a = a.id_a AND e.id_b = a.id_b),
+    c AS (SELECT CAST(COUNT(*) FILTER (eid IS NOT NULL AND aid IS NOT NULL) AS BIGINT) AS tp,
+                 CAST(COUNT(*) FILTER (aid IS NULL) AS BIGINT) AS fn,
+                 CAST(COUNT(*) FILTER (eid IS NULL) AS BIGINT) AS fp
+          FROM j)
+    SELECT tp + fn AS n_exact, tp + fp AS n_approx, tp, fp, fn,
+           FLOOR(tp * 1.0 / (tp + fp) * 1000000 + 0.5) / 1000000 AS precision_,
+           FLOOR(tp * 1.0 / (tp + fn) * 1000000 + 0.5) / 1000000 AS recall,
+           FLOOR(2.0 * tp / (2 * tp + fp + fn) * 1000000 + 0.5) / 1000000 AS f1
+    FROM c
+    """
+
+
+@query("j_lsh_recall", oracle=_lsh_recall_oracle())
+def j_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the approximate similarity path: precision /
+    recall / F1 of the hyperplane-LSH bucketed all-pairs
+    (j_sim_pairs_bucketed, the registered scale path) against the exact
+    label-blocked quadratic (j_sim_pairs, the labeled ground truth) on
+    the pair-key level — the measurement that justifies shipping an
+    approximate operator at 100 TB. Missed pairs (fn) are >= tau
+    neighbors split across bucket boundaries; spurious pairs (fp) are
+    cross-label bucket cohabitants the label-blocked truth excludes by
+    definition.
+
+    Both legs reuse the registered plans verbatim (registry lookup, not
+    a re-derivation — what ships is what is measured); the fuse is ONE
+    full-outer join on the pair key followed by a 1-row conditional
+    aggregate. precision/recall/f1 derive from integer counts with one
+    IEEE division each — engine-parity needs no pre-rounding beyond the
+    display floor. At scale the ground-truth leg is the cost (it is a
+    deliberate quadratic); production recall monitoring runs this on a
+    label-stratified sample, exactly as this fixture-sized corpus is to
+    a real one. `precision_` is aliased with a trailing underscore:
+    PRECISION is a reserved type-modifier keyword in ANSI/DuckDB."""
+    from ..registry import QUERIES
+
+    ex = QUERIES["j_sim_pairs"](spark, sf_dir).select("id_a", "id_b")
+    ap = QUERIES["j_sim_pairs_bucketed"](spark, sf_dir).select("id_a", "id_b")
+    j = ex.withColumn("e", F.lit(1)).join(
+        ap.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    c = j.agg(
+        F.count(F.when(F.col("e").isNotNull() & F.col("p").isNotNull(), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("p").isNull(), 1)).cast("long").alias("fn"),
+        F.count(F.when(F.col("e").isNull(), 1)).cast("long").alias("fp"),
+    )
+    return c.select(
+        (F.col("tp") + F.col("fn")).alias("n_exact"),
+        (F.col("tp") + F.col("fp")).alias("n_approx"),
+        "tp",
+        "fp",
+        "fn",
+        rnd(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias("precision_"),
+        rnd(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        rnd(
+            2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    )

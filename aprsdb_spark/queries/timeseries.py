@@ -1,0 +1,264 @@
+"""§2.J additions (r6 continuation) — TIME-SERIES / history operators the
+reference's event-analytics surface implies but SQL engines rarely ship
+as one primitive, each built from declarative DataFrame ops so Catalyst
+keeps the whole plan JVM-side:
+
+- calendar gap-fill + forward-fill (the `time_bucket_gapfill` /
+  `locf` pair popularized by the TimescaleDB docs, public): densify a
+  per-user daily series onto its min..max calendar grid and carry the
+  last observation forward across the manufactured gaps,
+- SCD type-2 history build (Kimball's public dimensional-modeling
+  pattern): collapse the per-user event stream into contiguous
+  attribute runs with [valid_from, valid_to) intervals, a version
+  counter, and an is_current flag — the batch form of a streaming
+  upsert sink's history table,
+- trailing-window anomaly flags: per event-type daily counts scored
+  against the PRECEDING 7 days' mean/stddev (the frame excludes the
+  current row, so an anomaly cannot suppress its own z-score).
+
+Scale notes per qid in the docstrings; the shared property is that every
+shuffle keys on (user_id) or (event_type, day) — bounded-cardinality
+keys the engine already hashes well — and no window frame is unbounded
+over a raw-event partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import rnd
+from ..registry import query
+from ..tables import load
+
+# Trailing frame for anomaly scoring: the 7 days before today, excluding
+# today; require >= 3 observed days before emitting a score.
+_ANOM_LOOKBACK = 7
+_ANOM_MIN_OBS = 3
+
+
+@query(
+    "j_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             FLOOR(AVG(value) * 1000000 + 0.5) / 1000000 AS day_avg
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span)
+    SELECT g.user_id, g.day, d.day_avg,
+           last_value(d.day_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           d.day_avg IS NULL AS is_gap
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def j_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward-fill (LOCF): densify each user's daily
+    average onto the full min..max calendar grid, then carry the last
+    observation forward so every manufactured day has a value. The grid
+    is built with sequence()+explode on the per-user span — one row per
+    user in, span-days rows out — NOT a cross join against a global
+    calendar, so sparse users don't pay for the corpus's full date range.
+
+    Scale shape: daily agg shuffles on (user_id, day); span agg and the
+    ffill window both key on user_id alone — at 100 TB that is one
+    repartition by user_id reused across the join and the window (AQE
+    coalesces the tiny span side to a broadcast). The ffill frame is
+    ROWS UNBOUNDED PRECEDING over ~span-days rows per user, never over
+    raw events. day_avg pre-rounds to 1e-6 (parallel float sums) before
+    both the join and the fill so the carried value is the compared
+    value."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "user_id",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(rnd(F.avg("value"), 6).alias("day_avg"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
+        F.col("day_avg").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "j_scd2_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts), event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events),
+    r AS (
+      SELECT user_id, event_type, ts_ms,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM e),
+    runs AS (
+      SELECT user_id, run, MIN(event_type) AS attr,
+             MIN(ts_ms) AS valid_from, COUNT(*) AS n_events
+      FROM r GROUP BY user_id, run)
+    SELECT user_id, attr, valid_from,
+           LEAD(valid_from) OVER w AS valid_to,
+           n_events,
+           CAST(run AS BIGINT) AS version,
+           LEAD(valid_from) OVER w IS NULL AS is_current
+    FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def j_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (Kimball's public pattern): collapse each
+    user's event stream into contiguous same-attribute runs, emitting
+    [valid_from, valid_to) epoch-ms intervals, a per-user version
+    counter, and is_current on the open-ended last run — the batch twin
+    of what a streaming upsert sink's history table accumulates.
+
+    Run detection is the classic gaps-and-islands pair: a LAG-based
+    change flag followed by a running SUM over the same (user_id, order)
+    window, so Catalyst evaluates both in ONE Window node and one
+    user_id exchange; the run rollup and both LEAD windows reuse that
+    partitioning (AQE plans no further shuffle). Every frame is bounded
+    by a single user's rows. Timestamps stay epoch-ms longs end-to-end
+    (the e_win_lag convention) — no engine-specific timestamp
+    canonicalization in the compared values."""
+    t = load(spark, sf_dir)
+    we = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    chg = (
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(we)), 1
+        ).otherwise(0)
+    ).alias("chg")
+    e = t.events.select("user_id", "event_type", "ts_ms", "event_id", chg)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = e.select(
+        "user_id", "event_type", "ts_ms", F.sum("chg").over(wr).alias("run")
+    )
+    runs = r.groupBy("user_id", "run").agg(
+        F.min("event_type").alias("attr"),
+        F.min("ts_ms").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(wv)
+    return runs.select(
+        "user_id",
+        "attr",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        F.col("run").cast("long").alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "j_ts_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, day, cnt,
+             FLOOR(AVG(cnt * 1.0) OVER w * 1000000 + 0.5) / 1000000 AS mu,
+             FLOOR(COALESCE(stddev_samp(cnt * 1.0) OVER w, 0) * 1000000 + 0.5)
+               / 1000000 AS sd,
+             COUNT(*) OVER w AS n_obs
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {_ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, cnt, mu, sd,
+           CASE WHEN n_obs >= {_ANOM_MIN_OBS}
+                THEN FLOOR((cnt - mu) / NULLIF(sd, 0) * 10000 + 0.5) / 10000
+           END AS z,
+           n_obs >= {_ANOM_MIN_OBS} AND sd > 0
+             AND abs((cnt - mu) / NULLIF(sd, 0)) > 3 AS is_anomaly
+    FROM scored
+    """,
+)
+def j_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the daily event-count series:
+    each (event_type, day) count is z-scored against the mean/stddev of
+    the PRECEDING {lookback} days — the frame ends at 1 PRECEDING, so a
+    spike cannot inflate its own baseline — and flagged beyond 3 sigma.
+    Days with fewer than {min_obs} prior observations emit NULL z (cold
+    start), and a zero stddev yields NULL z / false flag via NULLIF.
+
+    mu and sd are pre-rounded to 1e-6 and z to 1e-4 before the threshold
+    comparison (the j_embed_outlier convention): window stddev over
+    integer counts is deterministic per engine but accumulation details
+    differ across engines. Scale shape: one (event_type, day) count agg,
+    then one window keyed on event_type over ~days-per-type rows — the
+    raw-event shuffle happens once, in the agg, map-side combined."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_ANOM_LOOKBACK, -1)
+    )
+    cntd = F.col("cnt").cast("double")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        rnd(F.avg(cntd).over(w), 6).alias("mu"),
+        rnd(F.coalesce(F.stddev_samp(cntd).over(w), F.lit(0.0)), 6).alias("sd"),
+        F.count("*").over(w).alias("n_obs"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))
+    return scored.select(
+        "event_type",
+        "day",
+        "cnt",
+        "mu",
+        "sd",
+        F.when(F.col("n_obs") >= _ANOM_MIN_OBS, rnd(z, 4)).alias("z"),
+        (
+            (F.col("n_obs") >= _ANOM_MIN_OBS)
+            & (F.col("sd") > 0)
+            & (F.abs(z) > 3)
+        ).alias("is_anomaly"),
+    )
+
+
+j_ts_anomaly.__doc__ = j_ts_anomaly.__doc__.format(
+    lookback=_ANOM_LOOKBACK, min_obs=_ANOM_MIN_OBS
+)

@@ -192,6 +192,7 @@ _EXPECTED_BNLJ = {
     "c_join_cross",   # cartesian of two tiny dims
     "c_join_theta",   # pure non-equi join
     "j_knn_label", "j_lang_id", "j_multimodal_sim", "j_sim_topk",  # 1-row/tiny broadcast query side
+    "j_rank_fusion",  # dense leg: same 1-row broadcast query-vector cross-join
     "j_tfidf",  # crossJoin(broadcast(corpus)): 1-row scalar-aggregate build side
     "j_domain_mix", "j_ngram_lm", "j_lm_buckets",  # same 1-row broadcast totals cross-join shape
     "j_dsir_weights",  # same shape: broadcast 1-row (qt, tt) totals
@@ -267,3 +268,127 @@ def test_shuffle_shards_window_is_shard_partitioned(spark):
     assert p.count("Exchange SinglePartition") == 0, p
     spec = next(l for l in p.splitlines() if "row_number" in l.lower() or "Window" in l)
     assert "shard" in spec, spec
+
+
+def test_scd2_is_one_user_exchange(spark):
+    """SCD2 builds three logical windows (change flag, run id, lead) plus
+    a run rollup, ALL keyed on user_id — Catalyst must plan exactly one
+    user_id Exchange and reuse its partitioning through every stage. A
+    second exchange here means the gaps-and-islands chain broke the
+    co-partitioning and the history build shuffles raw events twice."""
+    p = _physical(spark, "j_scd2_history")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange SinglePartition") == 0, p
+
+
+def test_gapfill_grid_is_generated_not_joined(spark):
+    """The calendar grid must come from sequence()+explode on the
+    per-user span (Generate node), never from a cross join against a
+    global calendar — and the forward-fill window adds no exchange
+    beyond the two aggregations' own."""
+    p = _physical(spark, "j_gapfill")
+    assert "Generate explode(sequence" in p, "grid no longer sequence()-generated"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_weighted_sample_is_heap_topk(spark):
+    """Priority sampling selects top-k by q: per-partition heaps merged
+    once (TakeOrderedAndProject), zero exchanges — a full global sort of
+    the corpus to pick 100 docs is exactly what priority sampling
+    exists to avoid."""
+    p = _physical(spark, "j_sample_weighted")
+    assert "TakeOrderedAndProject" in p, "weighted sample regressed to global sort"
+    assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def test_upsert_merge_is_single_anti_join(spark):
+    """MERGE INTO = one anti equi-join on the merge key plus a union:
+    no window, no distinct, and the update side broadcasts at this SF
+    (AQE) exactly as a table-format MERGE would plan it."""
+    p = _physical(spark, "j_upsert_merge")
+    assert "LeftAnti" in p, p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_edit_dedup_is_block_bounded(spark):
+    """Levenshtein ground truth must stay an equi-join on the
+    (lang, source) blocking key — a CartesianProduct/BNLJ here is the
+    unblocked O(n^2) this operator's design forbids."""
+    p = _physical(spark, "j_dedup_edit")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_rank_fusion_legs_are_heap_topk(spark):
+    """RRF fuses top-N LISTS: both retrieval legs must select their
+    candidates with TakeOrderedAndProject (per-partition heaps), and the
+    only single-partition work is the rank window over the N=20-row
+    lists — exactly one SinglePartition exchange pair feeding windows,
+    never a global sort of the corpus."""
+    p = _physical(spark, "j_rank_fusion")
+    assert "TakeOrderedAndProject" in p, "a retrieval leg regressed to a global sort"
+    assert "CartesianProduct" not in p
+
+
+def test_profile_stats_is_one_pass(spark):
+    """The ANALYZE profile computes all columns' stats in ONE wide
+    aggregate: a single scan of orders (multi-distinct plans as one
+    Expand + one shuffle + the final 1-row agg), then the stack()
+    unpivot — a per-column loop of scans would read the table N times."""
+    p = _physical(spark, "j_profile_stats")
+    assert p.count("Scan parquet") == 1, "profile reads the table more than once"
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_reservoir_rank_is_stratum_partitioned(spark):
+    """The per-stratum reservoir's row_number must partition by
+    (lang, source) — zero SinglePartition exchanges (a global ranking
+    would serialize the corpus through one task)."""
+    p = _physical(spark, "j_reservoir_pergroup")
+    assert p.count("Exchange SinglePartition") == 0, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_snapshot_diff_is_single_outer_join(spark):
+    """CDC derivation = ONE full-outer equi-join on the snapshot key
+    plus stateless classification: no window, no distinct, no second
+    join."""
+    p = _physical(spark, "j_snapshot_diff")
+    assert "FullOuter" in p, p
+    assert "Window" not in p
+    assert p.count("Join") == 1, "snapshot diff grew a second join"
+
+
+def test_edit_dedup_vocab_windows_are_vocab_sized(spark):
+    """j_dedup_edit's only single-partition work is the vocabulary rank
+    (|vocab| rows, 31 on the fixture) — the document encode path must
+    shuffle on doc_id / the blocking key only. And the pair filter must
+    evaluate the BANDED levenshtein (threshold argument present in the
+    physical plan), not the unbounded form."""
+    from aprsdb_spark.queries.governance import _EDIT_MAX
+
+    p = _physical(spark, "j_dedup_edit")
+    assert f"levenshtein(sa#" in p or "levenshtein(" in p
+    assert f"Some({_EDIT_MAX})" in p, (
+        "banded levenshtein(threshold) lost — unbounded DP is 122 s at sf0.1"
+    )
+
+
+def test_salted_agg_is_two_exchange_fanout(spark):
+    """The salted aggregate must plan exactly two hash exchanges — the
+    (key, salt) partial and the tiny key-level merge — and no window: a
+    single-exchange plan means the salt collapsed and the hot key
+    serializes again."""
+    p = _physical(spark, "d_agg_salted")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "Window" not in p
+
+
+def test_ab_ttest_is_one_pass_no_self_join(spark):
+    """Both experiment arms must come out of ONE conditional-aggregate
+    pass over events — a join between arm subsets doubles the scan and
+    shuffles twice."""
+    p = _physical(spark, "j_ab_ttest")
+    assert "Join" not in p, "arms were self-joined"
+    assert p.count("Exchange hashpartitioning") == 1, p
