@@ -528,3 +528,204 @@ def j_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(q / F.col("p"), 6).alias("mix_weight"),
         rnd(q * F.col("n_total"), 2).alias("expected_docs"),
     )
+
+
+# ---------------------------------------------------------------- BPE
+
+# Fixed-round BPE training (Sennrich et al. 2016, public): R merge
+# rounds learned from the corpus word-frequency table, each round
+# unrolled in both engines (the j_pagerank fixed-round philosophy
+# applied to tokenizer training). SEP is the ASCII unit separator —
+# guaranteed absent from fixture tokens; a general deployment picks any
+# byte outside the text alphabet.
+_BPE_ROUNDS = 6
+_BPE_SEP = "\x1f"
+
+
+def _bpe_ctes(rounds: int) -> str:
+    """The unrolled DuckDB CTE chain w0..w{R}, b1..b{R}: w0 is the
+    char-split word-frequency table; each round counts adjacent symbol
+    pairs (pK), picks the argmax with (count desc, pair asc) tie-break
+    (bK), and rewrites every word via the string-accumulator
+    list_reduce — merging appends the right symbol WITHOUT a separator,
+    which is exactly the left-to-right non-overlapping BPE merge (the
+    merged symbol can never re-match its own left half, and runs like
+    'aaa' merge at alternating positions as the reference algorithm
+    does)."""
+    sep = "chr(31)"
+    ctes = [
+        """w0 AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wcount,
+             list_transform(range(1, len(tok) + 1), i -> tok[i]) AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""p{k} AS (
+      SELECT pr.a AS a, pr.b AS b, SUM(wcount) AS cnt FROM (
+        SELECT wcount,
+               unnest(list_transform(range(1, len(s)),
+                                     i -> {{'a': s[i], 'b': s[i+1]}})) AS pr
+        FROM w{k - 1}) GROUP BY 1, 2)""")
+        ctes.append(
+            f"b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""w{k} AS (
+      SELECT word, wcount,
+             string_split(list_reduce(s, (acc, x) -> CASE
+                 WHEN string_split(acc, {sep})[-1] = b{k}.a AND x = b{k}.b
+                 THEN acc || x ELSE acc || {sep} || x END), {sep}) AS s
+      FROM w{k - 1} CROSS JOIN b{k})""")
+    return ",\n".join(ctes)
+
+
+def _bpe_frames(spark: SparkSession, t) -> tuple[list[tuple], DataFrame]:
+    """Spark twin of _bpe_ctes: returns ([(round, a, b, cnt), ...], final
+    words frame). Each round's argmax pair is COLLECTED driver-side —
+    1 row x R rounds of bounded model state, the operators/similarity
+    kmeans_train precedent — because keeping the argmax as a lazy 1-row
+    frame makes every later round reference the previous words frame
+    twice and the LINEAGE (not just execution) grows 2^R: the R=6 plan
+    carried 63 duplicated TakeOrderedAndProject nodes before this
+    change. With literal merges the lineage is linear, the corpus is
+    scanned once (w0 persists), and each round is one tiny job over the
+    |vocab|-row frequency table."""
+    w = (
+        t.documents.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wcount"))
+        .select(
+            "word",
+            "wcount",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("s"),
+        )
+    )
+    w.persist()
+    merges: list[tuple] = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            w.select(
+                "wcount",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("wcount").alias("cnt"))
+        )
+        row = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()[0]
+        merges.append((k, row["a"], row["b"], int(row["cnt"])))
+        sep = F.lit(_BPE_SEP)
+        ba, bb = F.lit(row["a"]), F.lit(row["b"])
+        merged_str = F.aggregate(
+            F.slice(F.col("s"), 2, F.size("s") - 1),
+            F.element_at(F.col("s"), 1),
+            lambda acc, x: F.when(
+                (F.element_at(F.split(acc, _BPE_SEP), -1) == ba) & (x == bb),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, sep, x)),
+        )
+        w = w.select("word", "wcount", F.split(merged_str, _BPE_SEP).alias("s"))
+        w.persist()
+    return merges, w
+
+
+@query(
+    "j_bpe_train",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_ROUNDS)}
+    {" UNION ALL ".join(
+        f"SELECT {k} AS round, a AS left_sym, b AS right_sym, a || b AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_weight FROM b{k}"
+        for k in range(1, _BPE_ROUNDS + 1))}
+    """,
+)
+def j_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, public), {R} merge
+    rounds learned from the corpus: each round counts adjacent symbol
+    pairs over the word-frequency table (weighted by corpus occurrence,
+    the standard word-level BPE), picks the most frequent pair
+    (deterministic (count desc, pair asc) tie-break), and rewrites every
+    word by the left-to-right non-overlapping merge. Output is the
+    learned merge table — the artifact a tokenizer ships.
+
+    The merge rewrite is a string-accumulator fold (aggregate /
+    list_reduce): a merge appends the right symbol to the accumulator
+    WITHOUT a separator, which reproduces reference BPE greedy-merge
+    semantics exactly — the merged symbol can never equal its own left
+    half, so no false re-merge, and equal-symbol runs merge at
+    alternating positions. Both engines run the identical fold; rounds
+    are unrolled (the j_pagerank fixed-round oracle pattern).
+
+    Scale shape: the corpus is touched ONCE (the w0 token explode +
+    word-count agg — the shuffle carries (word, count)); every round
+    after that operates on the |vocab|-row frequency table (Heaps-law
+    small) with a 1-row collected argmax — at 100 TB, BPE training cost
+    is corpus-scan + R tiny rounds, which is exactly how production
+    tokenizer trainers are structured. Per-round frames persist: the
+    two-consumer round lineage would otherwise re-read the corpus 2^R
+    times."""
+    t = load(spark, sf_dir)
+    merges, _ = _bpe_frames(spark, t)
+    return spark.createDataFrame(
+        [(k, a, b, a + b, c) for k, a, b, c in merges],
+        "round int, left_sym string, right_sym string, merged string, pair_weight long",
+    )
+
+
+@query(
+    "j_bpe_encode",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_ROUNDS)},
+    enc AS (SELECT word, CAST(len(s) AS BIGINT) AS n_sub FROM w{_BPE_ROUNDS}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM(enc.n_sub) AS BIGINT) AS n_tokens_bpe,
+           FLOOR(SUM(enc.n_sub) * 1.0 / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS subtokens_per_word
+    FROM tok JOIN enc USING (word)
+    GROUP BY tok.doc_id
+    """,
+)
+def j_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING pass with the just-trained merges: per document, the
+    whitespace token count, the BPE sub-token count after the {R}
+    learned merges, and the fan-out ratio — the real token-budget
+    number a training pipeline bills by (j_token_count's whitespace
+    proxy, corrected by an actual tokenizer).
+
+    Encoding joins the corpus token stream against the trained
+    vocabulary's final segmentation (word -> |subwords|) — a BROADCAST
+    of the Heaps-law-small vocab table, so the encode pass adds zero
+    shuffles beyond the per-doc count agg. This is the standard
+    production shape: tokenize-by-lookup against a trained merge table,
+    not re-running merges per document."""
+    t = load(spark, sf_dir)
+    _, wfinal = _bpe_frames(spark, t)
+    enc = wfinal.select("word", F.size("s").cast("long").alias("n_sub"))
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens_col("text")).alias("word")
+    )
+    return (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens_ws"),
+            F.sum("n_sub").cast("long").alias("n_tokens_bpe"),
+            rnd(F.sum("n_sub") * 1.0 / F.count("*"), 6).alias("subtokens_per_word"),
+        )
+    )
+
+
+j_bpe_train.__doc__ = j_bpe_train.__doc__.replace("{R}", str(_BPE_ROUNDS))
+j_bpe_encode.__doc__ = j_bpe_encode.__doc__.replace("{R}", str(_BPE_ROUNDS))

@@ -1374,3 +1374,66 @@ def j_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
         ).alias("f1"),
     )
+
+
+# Batch kNN: query set = first _KNNB_NQ vectors, top-_KNNB_K each.
+_KNNB_NQ = 20
+_KNNB_K = 5
+
+
+@query(
+    "j_knn_batch",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    s AS (SELECT q.qid, e.vec_id, e.label,
+                 FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, vec_id) AS rk
+          FROM s)
+    SELECT qid, vec_id, label, score, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_KNNB_K}
+    """,
+)
+def j_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH kNN: exact top-{k} neighbors for EACH of the first {nq}
+    vectors in one pass — the many-queries retrieval shape (j_sim_topk
+    serves one query; production reranking and dedup-verification serve
+    thousands per batch). Self-matches excluded; ranking on the
+    pre-rounded score with vec_id tie-break so rank order is
+    engine-stable.
+
+    Plan: the {nq}-row query set BROADCASTS onto the candidate scan
+    (the whitelisted tiny-build-side nested-loop — the fan-out is
+    |queries| x |candidates| by definition of batch kNN), then ONE
+    window keyed on qid ranks each query's candidates independently —
+    queries parallelize across the cluster instead of looping {nq}
+    TakeOrderedAndProject jobs. At 100 TB the candidate side is first
+    pruned per-query by the ANN bucket structures (j_ann_lsh/_ivf);
+    this qid is the exact batch baseline those are judged against."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
+    )
+    s = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        s.select("*", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= _KNNB_K)
+    )
+
+
+j_knn_batch.__doc__ = j_knn_batch.__doc__.replace("{k}", str(_KNNB_K)).replace(
+    "{nq}", str(_KNNB_NQ)
+)

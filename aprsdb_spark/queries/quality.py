@@ -446,3 +446,71 @@ def j_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_ngrams"), rnd(F.sum("lr"), 4).alias("log_w"))
     )
+
+
+# Winnow-pair candidates: pairs sharing >= _WINNOW_MIN_SHARED selected
+# fingerprints; fingerprints appearing in > _WINNOW_DF_CAP documents are
+# dropped as corpus boilerplate before pairing (skew guard, mirrored in
+# the oracle — the j_dedup_containment df-cap convention).
+_WINNOW_MIN_SHARED = 3
+_WINNOW_DF_CAP = 50
+
+
+def _winnow_pairs_oracle() -> str:
+    """Composes the registered winnowing-index oracle into the pair
+    query (registry lookup at decoration time, after
+    j_winnow_fingerprints registers)."""
+    from ..registry import ORACLE
+
+    return f"""
+    WITH fp AS ({ORACLE["j_winnow_fingerprints"]}),
+    keep AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+             HAVING COUNT(*) <= {_WINNOW_DF_CAP}),
+    k AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM k a JOIN k b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """
+
+
+@query("j_winnow_pairs", oracle=_winnow_pairs_oracle())
+def j_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOIN consumer of the winnowing index: candidate near-dup
+    pairs sharing >= {m} selected fingerprints — the MOSS match step,
+    and the substring-level candidate generator that complements
+    token-set LSH (a shared fingerprint certifies a shared substring of
+    >= k+w-1 = 6 tokens, so these candidates localize WHERE the overlap
+    is, which Jaccard-style signals cannot).
+
+    Plan: the registered index plan is reused verbatim (registry
+    lookup), then ONE fingerprint-keyed equi-join of the posting list
+    against itself + a pair-keyed count agg. The df-cap (> {cap} docs)
+    drops corpus-boilerplate fingerprints BEFORE pairing — identical
+    filter in the oracle — which is the skew guard: posting-list join
+    fan-out is bounded by {cap}^2 per fingerprint regardless of corpus
+    size (the j_dedup_containment convention). The posting frame
+    persists across its df-vote and join-probe consumers."""
+    from ..registry import QUERIES
+
+    fp = QUERIES["j_winnow_fingerprints"](spark, sf_dir)
+    fp.persist()  # consumers: df vote + two join legs
+    keep = fp.groupBy("fingerprint").agg(F.count("*").alias("df")).where(
+        F.col("df") <= _WINNOW_DF_CAP
+    )
+    k = fp.join(F.broadcast(keep.select("fingerprint")), "fingerprint")
+    a = k.select(F.col("fingerprint"), F.col("doc_id").alias("id_a"))
+    b = k.select(F.col("fingerprint"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+j_winnow_pairs.__doc__ = j_winnow_pairs.__doc__.replace(
+    "{m}", str(_WINNOW_MIN_SHARED)
+).replace("{cap}", str(_WINNOW_DF_CAP))

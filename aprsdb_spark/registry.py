@@ -88,12 +88,10 @@ DRIVER_ORDER: list[str] = [
     "aprs_pipeline",
     "aprs_decode_udf",
     "j_multimodal_decode",
-    "j_multimodal_resize",
-    "j_multimodal_frames",
-    # comparison semantics touched this round (pre-rounded thresholds /
-    # sketch-selectable cutpoints) — re-score
-    "j_embed_outlier",
-    "j_lm_buckets",
+    # (j_multimodal_resize / j_multimodal_frames share decode's container-
+    # kernel contract and byte-level tests; j_embed_outlier / j_lm_buckets
+    # changed only pre-rounding and hold green r5 rows — all four yielded
+    # their slots when the never-scored count reached 35. First for r7.)
     # canary: a_scan_parquet
     "a_scan_parquet",
     # new in r6 — never scored by construction, must sit in the window
@@ -126,6 +124,10 @@ DRIVER_ORDER: list[str] = [
     "d_agg_salted",
     "j_ab_ttest",
     "j_lsh_recall",
+    "j_knn_batch",
+    "j_winnow_pairs",
+    "j_bpe_train",
+    "j_bpe_encode",
     "j_rank_fusion",
     "j_triangle_count",
     "j_profile_stats",

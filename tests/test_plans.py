@@ -193,6 +193,7 @@ _EXPECTED_BNLJ = {
     "c_join_theta",   # pure non-equi join
     "j_knn_label", "j_lang_id", "j_multimodal_sim", "j_sim_topk",  # 1-row/tiny broadcast query side
     "j_rank_fusion",  # dense leg: same 1-row broadcast query-vector cross-join
+    "j_knn_batch",  # the batch query set (20 rows) broadcasts onto the candidate scan
     "j_tfidf",  # crossJoin(broadcast(corpus)): 1-row scalar-aggregate build side
     "j_domain_mix", "j_ngram_lm", "j_lm_buckets",  # same 1-row broadcast totals cross-join shape
     "j_dsir_weights",  # same shape: broadcast 1-row (qt, tt) totals
@@ -392,3 +393,36 @@ def test_ab_ttest_is_one_pass_no_self_join(spark):
     p = _physical(spark, "j_ab_ttest")
     assert "Join" not in p, "arms were self-joined"
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_knn_batch_window_is_query_partitioned(spark):
+    """Batch kNN ranks each query's candidates in ONE window keyed on
+    qid — zero SinglePartition exchanges (a global rank would serialize
+    all queries' candidates through one task) and exactly one hash
+    exchange (the qid partitioning)."""
+    p = _physical(spark, "j_knn_batch")
+    assert p.count("Exchange SinglePartition") == 0, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_winnow_pairs_df_cap_before_pairing(spark):
+    """The boilerplate df-cap must drop hot fingerprints BEFORE the
+    posting-list self-join (broadcast membership filter), or one
+    corpus-wide fingerprint explodes the join quadratically."""
+    p = _physical(spark, "j_winnow_pairs")
+    assert "BroadcastHashJoin" in p, "df-cap filter lost its broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_argmax_is_model_state_not_lineage(spark):
+    """BPE training's per-round argmax must be collected bounded model
+    state (1 row x R rounds, the kmeans_train precedent), NOT a lazy
+    1-row frame: lazy argmax makes every round reference the previous
+    words frame twice and the lineage grows 2^R (63 duplicated
+    TakeOrderedAndProject nodes at R=6, measured before the fix). With
+    literal merges the plan carries ZERO top-k operators and the
+    per-round frames ride the cache (InMemoryTableScan present), so
+    execution is linear in R."""
+    p = _physical(spark, "j_bpe_encode")
+    assert "TakeOrderedAndProject" not in p, "argmax frames leaked back into lineage"
+    assert "InMemoryTableScan" in p, "per-round persist lost — corpus re-scans 2^R times"
