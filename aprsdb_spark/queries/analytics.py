@@ -392,3 +392,123 @@ def j_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         tstat.alias("t_stat"),
     ).withColumn("significant", F.abs(F.col("t_stat")) > _TTEST_CRIT)
+
+
+# Winsorization clip quantiles.
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+@query(
+    "j_winsorize",
+    oracle=f"""
+    WITH cut AS (
+      SELECT event_type,
+             FLOOR(quantile_cont(value, {_WINS_LO}) * 1000000 + 0.5) / 1000000 AS lo,
+             FLOOR(quantile_cont(value, {_WINS_HI}) * 1000000 + 0.5) / 1000000 AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value, cut.lo, cut.hi,
+           least(greatest(e.value, cut.lo), cut.hi) AS value_w,
+           e.value < cut.lo OR e.value > cut.hi AS clipped
+    FROM events e JOIN cut USING (event_type)
+    """,
+)
+def j_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-robust feature-prep pass: clip
+    events.value to each event_type's [p5, p95] band, emitting the band,
+    the clipped value, and a clipped flag. The standard companion to
+    z-scoring (k_apply_in_pandas) when heavy tails would dominate a
+    mean/std normalization.
+
+    Plan: exact linear-interpolation percentiles per type (ONE group
+    agg — the d_agg_percentile parity surface) broadcast back onto the
+    event scan; the clip itself is a stateless least/greatest
+    projection. Cutpoints pre-round at 1e-6 so the clip and flag compare
+    rounded values on both engines. At 100 TB the exact percentile
+    swaps for approx_percentile per the pinned j_lm_buckets pattern —
+    the band moves by the sketch error bound, the plan is unchanged."""
+    t = load(spark, sf_dir)
+    cut = t.events.groupBy("event_type").agg(
+        rnd(F.percentile("value", F.lit(_WINS_LO)), 6).alias("lo"),
+        rnd(F.percentile("value", F.lit(_WINS_HI)), 6).alias("hi"),
+    )
+    e = t.events.select("event_id", "event_type", "value")
+    return e.join(F.broadcast(cut), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "value_w"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
+@query(
+    "j_attribution",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+                      value
+               FROM events),
+    w AS (SELECT user_id, event_id, event_type, ts_ms, value,
+                 MAX(CASE WHEN event_type = 'click' THEN ts_ms END)
+                   OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_ms,
+                 MIN(CASE WHEN event_type = 'click' THEN ts_ms END)
+                   OVER (PARTITION BY user_id) AS first_click_ms
+          FROM e)
+    SELECT user_id, event_id, ts_ms, value,
+           last_click_ms, first_click_ms,
+           last_click_ms IS NOT NULL AS attributed
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def j_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution for every purchase: LAST-TOUCH (the most
+    recent click strictly before the purchase — the frame ends at
+    1 PRECEDING, so a same-instant click never attributes to itself)
+    and FIRST-TOUCH (the user's first click ever), plus an attributed
+    flag for purchases with no preceding click. The third classic
+    event-analytics op beside funnels (j_funnel_stages) and retention
+    (j_retention_cohort).
+
+    Both touch points come from windows over the SAME user_id
+    partitioning — Catalyst stacks them on one exchange (the
+    j_funnel_stages fusion) — and the purchase filter applies after, so
+    the conditional MAX sees the full click history. Event-time stays
+    epoch-ms longs end-to-end. At 100 TB: one user_id shuffle total,
+    frames bounded by a user's own rows."""
+    t = load(spark, sf_dir)
+    e = t.events.select("user_id", "event_id", "event_type", "ts_ms", "value")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_ms"))
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("user_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts_ms",
+            "value",
+            "event_type",
+            F.max(click_ts).over(w_before).alias("last_click_ms"),
+            F.min(click_ts).over(w_all).alias("first_click_ms"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ms",
+            "value",
+            "last_click_ms",
+            "first_click_ms",
+            F.col("last_click_ms").isNotNull().alias("attributed"),
+        )
+    )

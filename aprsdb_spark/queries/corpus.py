@@ -579,6 +579,29 @@ def _bpe_ctes(rounds: int) -> str:
     return ",\n".join(ctes)
 
 
+def bpe_merge_expr(s, a: str, b: str):
+    """One BPE merge round as a pure column expression: rewrite the
+    symbol array `s` by merging every left-to-right non-overlapping
+    occurrence of the adjacent pair (a, b) into a||b. The fold keeps a
+    SEP-joined string accumulator; a merge appends the right symbol
+    WITHOUT a separator — the merged symbol can never equal its own
+    left half, so no false re-merge, and equal-symbol runs merge at
+    alternating positions, exactly the reference greedy semantics
+    (property-tested against a plain-Python model in
+    tests/test_new_ops.py)."""
+    sep = F.lit(_BPE_SEP)
+    ba, bb = F.lit(a), F.lit(b)
+    merged_str = F.aggregate(
+        F.slice(s, 2, F.size(s) - 1),
+        F.element_at(s, 1),
+        lambda acc, x: F.when(
+            (F.element_at(F.split(acc, _BPE_SEP), -1) == ba) & (x == bb),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, sep, x)),
+    )
+    return F.split(merged_str, _BPE_SEP)
+
+
 def _bpe_frames(spark: SparkSession, t) -> tuple[list[tuple], DataFrame]:
     """Spark twin of _bpe_ctes: returns ([(round, a, b, cnt), ...], final
     words frame). Each round's argmax pair is COLLECTED driver-side —
@@ -623,17 +646,9 @@ def _bpe_frames(spark: SparkSession, t) -> tuple[list[tuple], DataFrame]:
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
         ).limit(1).collect()[0]
         merges.append((k, row["a"], row["b"], int(row["cnt"])))
-        sep = F.lit(_BPE_SEP)
-        ba, bb = F.lit(row["a"]), F.lit(row["b"])
-        merged_str = F.aggregate(
-            F.slice(F.col("s"), 2, F.size("s") - 1),
-            F.element_at(F.col("s"), 1),
-            lambda acc, x: F.when(
-                (F.element_at(F.split(acc, _BPE_SEP), -1) == ba) & (x == bb),
-                F.concat(acc, x),
-            ).otherwise(F.concat(acc, sep, x)),
+        w = w.select(
+            "word", "wcount", bpe_merge_expr(F.col("s"), row["a"], row["b"]).alias("s")
         )
-        w = w.select("word", "wcount", F.split(merged_str, _BPE_SEP).alias("s"))
         w.persist()
     return merges, w
 

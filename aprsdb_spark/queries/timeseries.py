@@ -262,3 +262,57 @@ def j_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_ts_anomaly.__doc__ = j_ts_anomaly.__doc__.format(
     lookback=_ANOM_LOOKBACK, min_obs=_ANOM_MIN_OBS
 )
+
+
+# Incremental-view-maintenance split point: orders before this date are
+# the materialized state, at-or-after are the new delta batch.
+_IVM_CUTOVER = "1999-01-01"
+
+
+@query(
+    "j_incremental_agg",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def j_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM): the daily-revenue rollup is
+    maintained as STATE (the pre-aggregated partial for orders before
+    the cutover) merged with a DELTA batch (raw orders at-or-after it) —
+    and the oracle is the FULL recompute, so 'merging partials equals
+    recomputing' is a driver-checked fact, the algebraic-aggregate
+    contract every foreachBatch sink and materialized view relies on.
+
+    Plan: state side aggregates once (in a deployment it is already on
+    disk — here it is built inline to stay self-contained), delta side
+    aggregates its own days, and the merge is a (day)-keyed re-agg of
+    the UNION of partials — (day, count, sum) rows only, never raw rows
+    twice. Money sums run in DECIMAL end-to-end (the c_join_smj rule:
+    float partial sums are order-dependent and a 1-ulp drift flips a
+    cent at the .005 boundary); the cast to DOUBLE happens on the final
+    rounded output. At 100 TB this is exactly the nightly-compaction
+    shape: touch the delta, not the history."""
+    t = load(spark, sf_dir)
+    cut = F.lit(_IVM_CUTOVER).cast("timestamp")
+    day = F.col("o_orderdate").cast("date").alias("day")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    partial = lambda df: df.groupBy(day).agg(  # noqa: E731
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec).alias("s"),
+    )
+    state = partial(t.orders.where(F.col("o_orderdate") < cut))
+    delta = partial(t.orders.where(F.col("o_orderdate") >= cut))
+    return (
+        state.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.expr("FLOOR(CAST(SUM(s) AS DOUBLE) * 100 + 0.5) / 100").alias(
+                "revenue"
+            ),
+        )
+    )

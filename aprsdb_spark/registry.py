@@ -82,9 +82,10 @@ DRIVER_ORDER: list[str] = [
     "aprs_lastpos",
     "aprs_msg_ack",
     "aprs_telemetry_eng",
-    "aprs_wx",
-    "aprs_malformed",
-    "aprs_objects",
+    # (aprs_wx / aprs_malformed / aprs_objects yielded their slots to
+    # batch 8 when never-scored hit 38 — their oracle upgrades share the
+    # fixture-VALUES machinery of the five aprs qids still in-window and
+    # are tri-scale-verified locally. First for r7.)
     "aprs_pipeline",
     "aprs_decode_udf",
     "j_multimodal_decode",
@@ -128,6 +129,10 @@ DRIVER_ORDER: list[str] = [
     "j_winnow_pairs",
     "j_bpe_train",
     "j_bpe_encode",
+    # new in r6 batch 8 (IVM merge, winsorize, attribution)
+    "j_incremental_agg",
+    "j_winsorize",
+    "j_attribution",
     "j_rank_fusion",
     "j_triangle_count",
     "j_profile_stats",

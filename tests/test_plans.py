@@ -426,3 +426,31 @@ def test_bpe_argmax_is_model_state_not_lineage(spark):
     p = _physical(spark, "j_bpe_encode")
     assert "TakeOrderedAndProject" not in p, "argmax frames leaked back into lineage"
     assert "InMemoryTableScan" in p, "per-round persist lost — corpus re-scans 2^R times"
+
+
+def test_incremental_agg_merges_partials_not_raw(spark):
+    """IVM: the state/delta merge must re-aggregate (day, n, sum)
+    PARTIAL rows, not union raw orders — two hash exchanges total (one
+    per partial build; the merge re-agg rides AQE/partial combine), no
+    join, no window."""
+    p = _physical(spark, "j_incremental_agg")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_winsorize_cutpoints_broadcast(spark):
+    """The per-type percentile band (|event_type| rows) must broadcast
+    onto the event scan — an SMJ here re-shuffles the full stream to
+    join 5 rows."""
+    p = _physical(spark, "j_winsorize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_attribution_windows_share_one_exchange(spark):
+    """First-touch and last-touch come from windows over the same
+    user_id partitioning — one hash exchange total (the j_funnel_stages
+    same-spec fusion), zero SinglePartition work."""
+    p = _physical(spark, "j_attribution")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange SinglePartition") == 0, p
