@@ -447,3 +447,56 @@ def c_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """)
+
+
+@query(
+    "c_sql_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    SELECT c_name, c_custkey, o.o_orderkey,
+           CAST(o_orderdate AS DATE) AS od, o_totalprice,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c_name, c_custkey, o.o_orderkey, CAST(o_orderdate AS DATE),
+             o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def c_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers) through the SQL entry
+    point: the HAVING-driven semi-reduction — orders whose total
+    quantity exceeds the threshold — feeding a three-way join and a
+    top-100. The classic test of aggregate-then-join ordering: the
+    `big` rollup reduces lineitem to qualifying order keys FIRST, so
+    the expensive join fans out only over ~1% of orders; quantity sums
+    run in DECIMAL (the c_join_smj money rule, same parallel-sum
+    argument for quantities on an exact half-way boundary); the final
+    ORDER BY + LIMIT is per-partition heaps."""
+    t = load(spark, sf_dir)
+    t.customer.createOrReplaceTempView("v_customer")
+    t.orders.createOrReplaceTempView("v_orders")
+    t.lineitem.createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        WITH big AS (
+          SELECT l_orderkey FROM v_lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        SELECT c_name, c_custkey, o.o_orderkey,
+               CAST(o_orderdate AS DATE) AS od, o_totalprice,
+               FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS total_qty
+        FROM v_customer c
+        JOIN v_orders o ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN big ON big.l_orderkey = o.o_orderkey
+        GROUP BY c_name, c_custkey, o.o_orderkey, CAST(o_orderdate AS DATE),
+                 o_totalprice
+        ORDER BY o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """)

@@ -1,0 +1,256 @@
+"""§2.J additions (r6 continuation) — PORTABLE probabilistic sketches,
+built from md5-derived hashes so the sketch CONTENTS (not just a
+tolerance band) hash-match the DuckDB oracle bit-for-bit:
+
+- count-min sketch (Cormode & Muthukrishnan 2005, public): depth-4 x
+  width-256 counter array over the corpus token stream, plus the
+  point-query estimates for every distinct token next to their true
+  counts — the CMS overestimate guarantee (est >= true, error bounded
+  by collisions) becomes a driver-checked fact,
+- HyperLogLog (Flajolet et al. 2007, public): 256 registers over the
+  event user stream with the small-range linear-counting branch —
+  unlike d_agg_approx (whose engine-internal HLL++ sketch can only be
+  tolerance-checked), every register and the final estimate are
+  value-identical across engines.
+
+Float discipline: register weights are dyadic rationals 2^-rho built
+with integer shifts (1.0 / (1 << rho)) — exact in IEEE doubles at any
+summation order, so the harmonic sum needs no rounding; only the
+ln-based linear-counting output rounds (libm)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd
+from ..operators.dedup import tokens_col
+from ..registry import query
+from ..tables import load
+
+# Count-min geometry.
+_CMS_D = 4
+_CMS_W = 256
+
+# HLL geometry: p = 8 -> m = 256 registers; 32-bit hash leaves 24 bits
+# for the rank. alpha_256 from the HLL paper's formula, emitted as the
+# SAME decimal literal into both engines.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _cms_bucket_sql(d: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({d} || ':' || tok), 1, 4)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+def _cms_bucket_col(d: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("tok"))), 1, 4), 16, 10
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@query(
+    "j_cms_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    cells AS (SELECT d.d, CASE d.d
+                {' '.join(f'WHEN {d} THEN {_cms_bucket_sql(d)}' for d in range(1, _CMS_D + 1))}
+              END AS bucket
+              FROM tok CROSS JOIN (VALUES {', '.join(f'({d})' for d in range(1, _CMS_D + 1))}) d(d)),
+    cms AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM cells GROUP BY d, bucket),
+    truth AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+              FROM tok GROUP BY tok),
+    probes AS (SELECT truth.tok, truth.true_count, d.d, CASE d.d
+                 {' '.join(f'WHEN {d} THEN {_cms_bucket_sql(d).replace("tok", "truth.tok")}' for d in range(1, _CMS_D + 1))}
+               END AS bucket
+               FROM truth CROSS JOIN (VALUES {', '.join(f'({d})' for d in range(1, _CMS_D + 1))}) d(d)),
+    est AS (SELECT probes.tok, probes.true_count,
+                   MIN(cms.c) AS cms_est
+            FROM probes JOIN cms ON cms.d = probes.d AND cms.bucket = probes.bucket
+            GROUP BY probes.tok, probes.true_count)
+    SELECT tok, true_count, cms_est,
+           cms_est - true_count AS overcount,
+           cms_est >= true_count AS never_undercounts
+    FROM est
+    """,
+)
+def j_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, depth {d} x width
+    {w}, with md5-derived row hashes — the streaming-frequency sketch
+    whose merge is plain counter addition (mergeable across partitions,
+    shards, and days), plus the point-query estimate for every distinct
+    token against its true count. `never_undercounts` is the CMS
+    one-sided guarantee, asserted per token by the oracle.
+
+    Hashes are engine-portable (md5 prefix mod width), so the ENTIRE
+    sketch is value-identical across engines — the d_agg_approx HLL++
+    can only be tolerance-checked because its sketch is
+    engine-internal; this one is the auditable twin. Plan: one token
+    explode fans out x{d} depths (a generated VALUES cross join — {d}
+    rows, broadcast), one (d, bucket) count agg (the sketch: {d}x{w}
+    cells regardless of corpus size — THE point of CMS at 100 TB), and
+    the probe joins the {d}-row-per-token frame against the broadcast
+    sketch. Counters and estimates are integers: no float discipline
+    needed anywhere."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select(F.explode(tokens_col("text")).alias("tok"))
+    tok.persist()  # consumers: sketch build + truth
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket_col(d).alias("bucket")
+                    )
+                    for d in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.d", "cell.bucket")
+    cms = cells.groupBy("d", "bucket").agg(F.count("*").cast("long").alias("c"))
+    truth = tok.groupBy("tok").agg(F.count("*").cast("long").alias("true_count"))
+    probes = truth.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket_col(d).alias("bucket")
+                    )
+                    for d in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "true_count", "cell.d", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).alias("overcount"),
+        (F.col("cms_est") >= F.col("true_count")).alias("never_undercounts"),
+    )
+
+
+j_cms_sketch.__doc__ = j_cms_sketch.__doc__.replace("{d}", str(_CMS_D)).replace(
+    "{w}", str(_CMS_W)
+)
+
+
+@query(
+    "j_hll_portable",
+    oracle=f"""
+    WITH x AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events),
+    rr AS (SELECT h // 16777216 AS reg, h % 16777216 AS rest FROM x),
+    rho AS (SELECT reg,
+                   CASE WHEN rest = 0 THEN 25
+                        ELSE 25 - length(bin(rest)) END AS rho
+            FROM rr),
+    regs AS (SELECT reg, MAX(rho) AS r FROM rho GROUP BY reg),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS hit,
+                 SUM(1.0 / (1 << r)) AS harm
+          FROM regs),
+    raw AS (SELECT hit, (CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M})
+                        / (harm + ({_HLL_M} - hit)) AS raw_est
+            FROM s),
+    fin AS (SELECT hit,
+                   CASE WHEN raw_est <= 2.5 * {_HLL_M} AND hit < {_HLL_M}
+                        THEN FLOOR({_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - hit))
+                                   * 10000 + 0.5) / 10000
+                        ELSE FLOOR(raw_est * 10000 + 0.5) / 10000 END AS est
+            FROM raw),
+    truth AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+              FROM events)
+    SELECT n_true, hit AS n_registers_hit, est,
+           FLOOR(abs(est - n_true) / n_true * 10000 + 0.5) / 10000 AS rel_err,
+           abs(est - n_true) / n_true < 0.2 AS within_bounds
+    FROM fin CROSS JOIN truth
+    """,
+)
+def j_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog over the event user stream: p={p} (m={m}
+    registers), md5-derived 32-bit hash split into a register index
+    (top {p} bits) and a 24-bit rank field; rho = leading zeros + 1 via
+    string bin() length — identical on both engines. Applies the
+    original paper's small-range linear-counting branch. Where
+    d_agg_approx can only band-check Spark's engine-internal HLL++,
+    every REGISTER of this sketch and the estimate itself hash-match
+    the oracle.
+
+    Float discipline: the harmonic sum adds dyadic rationals 2^-rho
+    built with integer shifts (1.0/(1 << rho)) — exact in IEEE doubles
+    at any accumulation order with m=256 terms, so no pre-rounding is
+    needed until the ln-based output (libm -> rnd 1e-4). Plan: one
+    DISTINCT on the hash (at 100 TB: per-partition register partials +
+    a {m}-row merge — max() is the HLL merge, which is why the sketch
+    distributes), a {m}-row register agg, and 1-row finals."""
+    t = load(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    x = t.events.select(h.alias("h")).distinct()
+    rr = x.select(
+        F.expr("h div 16777216").alias("reg"),
+        (F.col("h") % 16777216).alias("rest"),
+    )
+    rho = rr.select(
+        "reg",
+        F.when(F.col("rest") == 0, 25)
+        .otherwise(25 - F.length(F.bin("rest")))
+        .alias("rho"),
+    )
+    regs = rho.groupBy("reg").agg(F.max("rho").alias("r"))
+    s = regs.agg(
+        F.count("*").cast("long").alias("hit"),
+        F.sum(F.expr("1.0 / shiftleft(1, r)")).alias("harm"),
+    )
+    raw = s.select(
+        "hit",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (F.col("harm") + (_HLL_M - F.col("hit")))
+        ).alias("raw_est"),
+    )
+    fin = raw.select(
+        "hit",
+        F.when(
+            (F.col("raw_est") <= 2.5 * _HLL_M) & (F.col("hit") < _HLL_M),
+            rnd(F.lit(_HLL_M) * F.log(_HLL_M * 1.0 / (_HLL_M - F.col("hit"))), 4),
+        )
+        .otherwise(rnd(F.col("raw_est"), 4))
+        .alias("est"),
+    )
+    truth = t.events.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    return fin.crossJoin(F.broadcast(truth)).select(
+        "n_true",
+        F.col("hit").alias("n_registers_hit"),
+        "est",
+        rnd(F.abs(F.col("est") - F.col("n_true")) / F.col("n_true"), 4).alias(
+            "rel_err"
+        ),
+        (F.abs(F.col("est") - F.col("n_true")) / F.col("n_true") < 0.2).alias(
+            "within_bounds"
+        ),
+    )
+
+
+j_hll_portable.__doc__ = j_hll_portable.__doc__.replace("{p}", str(_HLL_P)).replace(
+    "{m}", str(_HLL_M)
+)

@@ -79,9 +79,10 @@ DRIVER_ORDER: list[str] = [
     "j_ann_ivf",
     "j_ann_lsh",
     "j_dedup_simhash",
-    "aprs_lastpos",
-    "aprs_msg_ack",
-    "aprs_telemetry_eng",
+    # (aprs_lastpos / aprs_msg_ack / aprs_telemetry_eng yielded their
+    # slots to batch 9 at never-scored = 41 — same fixture-VALUES oracle
+    # machinery as the in-window aprs_pipeline / aprs_decode_udf,
+    # tri-scale-verified locally. First for r7.)
     # (aprs_wx / aprs_malformed / aprs_objects yielded their slots to
     # batch 8 when never-scored hit 38 — their oracle upgrades share the
     # fixture-VALUES machinery of the five aprs qids still in-window and
@@ -133,6 +134,10 @@ DRIVER_ORDER: list[str] = [
     "j_incremental_agg",
     "j_winsorize",
     "j_attribution",
+    # new in r6 batch 9 (SQL Q18, portable CMS / HLL sketches)
+    "c_sql_q18",
+    "j_cms_sketch",
+    "j_hll_portable",
     "j_rank_fusion",
     "j_triangle_count",
     "j_profile_stats",

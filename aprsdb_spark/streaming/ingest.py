@@ -275,3 +275,40 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, sink=None, **foreac
         q = w.format("memory").queryName("_test_sink").outputMode("append").start()
     q.awaitTermination()
     return q
+
+
+def incremental_rollup_sink(
+    batch: DataFrame, batch_id: int, state_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch incremental-view maintenance of a daily rollup —
+    the STREAMING twin of queries/timeseries.j_incremental_agg, sharing
+    its algebraic contract: each micro-batch contributes (day, n, sum)
+    PARTIALS and the sink merges partials with the stored state, so
+    state ⊕ delta == full recompute at every point in time (the batch
+    qid's driver-checked fact; tests/test_streaming.py asserts the
+    streamed state equals the one-shot batch aggregate after replay).
+
+    Same read-merge-overwrite + (run_key, batch_id) replay guard as
+    upsert_stations_sink — sums double-count under at-least-once
+    re-delivery, so the sidecar marker skips re-applied batches. Input
+    schema: any frame with (day, value) columns."""
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    spark = batch.sparkSession
+    part = batch.groupBy("day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
+    )
+    try:
+        existing = spark.read.parquet(state_dir)
+        merged = (
+            existing.unionByName(part)
+            .groupBy("day")
+            .agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
+        )
+    except Exception:
+        merged = part
+    merged.write.mode("overwrite").parquet(state_dir + "_next")
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)

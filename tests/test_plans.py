@@ -454,3 +454,31 @@ def test_attribution_windows_share_one_exchange(spark):
     p = _physical(spark, "j_attribution")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("Exchange SinglePartition") == 0, p
+
+
+def test_q18_aggregates_before_joining(spark):
+    """Q18's HAVING rollup must reduce lineitem to qualifying keys
+    BEFORE the three-way join fans out (semi-reduction), the big join
+    stays broadcast/hash at this SF, and the top-100 is per-partition
+    heaps."""
+    p = _physical(spark, "c_sql_q18")
+    assert "TakeOrderedAndProject" in p, "top-100 regressed to a global sort"
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_cms_sketch_is_fixed_size_agg(spark):
+    """The CMS build must collapse to the (depth x width) cell agg —
+    the sketch side of the probe join is small enough to broadcast, and
+    nothing sorts or windows."""
+    p = _physical(spark, "j_cms_sketch")
+    assert "BroadcastHashJoin" in p, "sketch probe lost its broadcast"
+    assert "Window" not in p and "SortMergeJoin" not in p
+
+
+def test_hll_registers_aggregate_two_phase(spark):
+    """Portable HLL must build registers via hash aggregation (the
+    distinct + register max are both partial-aggregated map-side — the
+    HLL merge property) with only 1-row finals on single partitions."""
+    p = _physical(spark, "j_hll_portable")
+    assert p.count("HashAggregate") >= 4, p
+    assert "Window" not in p
