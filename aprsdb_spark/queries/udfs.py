@@ -10,6 +10,8 @@ elsewhere in the inventory that beats it by 10-100x.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -168,4 +170,66 @@ def k_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_nationkey, haversine_py(CAST(n_nationkey * 3 - 36 AS DOUBLE), "
         "CAST(n_nationkey * 7 - 84 AS DOUBLE), CAST(48.85 AS DOUBLE), "
         "CAST(2.35 AS DOUBLE)) AS dist_km FROM _udf_nation"
+    )
+
+
+@query(
+    "k_arrow_udf",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) || '#' || CAST(o_orderkey % 7 AS VARCHAR)
+             AS tag
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def k_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (`useArrow=True`, Spark 3.5+): the
+    row-at-a-time Python signature with Arrow-batched transport —
+    Spark pickles nothing, columns cross as Arrow buffers, and the plan
+    shows ArrowEvalPython instead of BatchEvalPython. The missing
+    middle of the §2.K ladder: same authoring model as the legacy
+    Python UDF (k_sql_udf), ~an order of magnitude less serialization
+    overhead, still slower than the fully vectorized pandas_udf
+    (k_pandas_scalar). String ops only — no float portability
+    concerns."""
+
+    @F.udf("string", useArrow=True)
+    def _tag(prio: str, key: int) -> str:
+        return f"{prio.upper()}#{key % 7}"
+
+    t = load(spark, sf_dir)
+    return t.orders.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", _tag(F.col("o_orderpriority"), F.col("o_orderkey")).alias("tag")
+    )
+
+
+@query(
+    "k_pandas_iter",
+    oracle="""
+    SELECT event_id, value,
+           FLOOR((value * 0.01 + 7.5) * 1000000 + 0.5) / 1000000 AS calibrated
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def k_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form pandas UDF (Iterator[Series] -> Iterator[Series]):
+    the §2.K surface for per-worker one-time initialization — the
+    expensive setup (a model handle, a codec table; here a stand-in
+    calibration constant) happens ONCE per python worker, outside the
+    batch loop, instead of per batch as a scalar pandas UDF would. The
+    shape every model-scoring stage at 100 TB uses: amortize load time
+    across all Arrow batches a worker sees."""
+    @pandas_udf("double")
+    def _calibrate(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale, offset = 0.01, 7.5  # loaded once per worker
+        for batch in batches:
+            yield batch * scale + offset
+
+    from ..functions import rnd
+
+    t = load(spark, sf_dir)
+    return t.events.where(F.col("event_type") == "error").select(
+        "event_id",
+        "value",
+        rnd(_calibrate(F.col("value")), 6).alias("calibrated"),
     )

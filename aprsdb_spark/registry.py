@@ -88,8 +88,11 @@ DRIVER_ORDER: list[str] = [
     # fixture-VALUES machinery of the five aprs qids still in-window and
     # are tri-scale-verified locally. First for r7.)
     "aprs_pipeline",
-    "aprs_decode_udf",
-    "j_multimodal_decode",
+    # (aprs_decode_udf and j_multimodal_decode yielded their slots to the
+    # final §2.K batch at never-scored = 43 — both are byte/value-level
+    # locally verified (pandas base-91 decode hash-checked tri-scale; the
+    # media kernels byte-compared), and aprs_pipeline keeps the composite
+    # family's driver representative. First for r7.)
     # (j_multimodal_resize / j_multimodal_frames share decode's container-
     # kernel contract and byte-level tests; j_embed_outlier / j_lm_buckets
     # changed only pre-rounding and hold green r5 rows — all four yielded
@@ -138,6 +141,10 @@ DRIVER_ORDER: list[str] = [
     "c_sql_q18",
     "j_cms_sketch",
     "j_hll_portable",
+    # new in r6 batch 10 (§2.K surfaces: Arrow-optimized UDF, iterator
+    # pandas UDF)
+    "k_arrow_udf",
+    "k_pandas_iter",
     "j_rank_fusion",
     "j_triangle_count",
     "j_profile_stats",

@@ -204,6 +204,7 @@ _EXPECTED_BNLJ = {
     "j_bm25_topk",  # 1-row broadcast corpus stats (N, avgdl)
     "j_pagerank",  # 1-row broadcast |V| into every iteration's teleport
     "j_histogram_equi",  # 1-row broadcast percentile-boundary array
+    "j_hll_portable",  # 1-row broadcast exact-truth cross-join next to the estimate
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
