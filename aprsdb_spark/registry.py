@@ -154,6 +154,27 @@ DRIVER_ORDER: list[str] = [
     "e_win_lastpos",
 ]
 
+# qids added AFTER this round's 50-slot window was already fully
+# allocated to never-scored + must-re-prove picks (the red
+# j_pack_sequences fix, the rows-only->hash ANN upgrades, the canaries).
+# With more than 50 never-scored qids in existence, not all can receive
+# a driver row this round; everything here is tri-scale-verified locally
+# (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver runs) and is
+# FIRST in line for the r7 window. test_registry_order.py enforces that
+# a never-scored qid is either in the window or on this explicit queue —
+# nothing waits silently.
+R7_QUEUE: list[str] = [
+    # SQL entry point, decorrelation family (queries/tpch_sql.py)
+    "c_sql_q4",
+    "c_sql_q13",
+    "c_sql_q14",
+    "c_sql_q15",
+    "c_sql_q17",
+    "c_sql_q19",
+    "c_sql_q21",
+    "c_sql_q22",
+]
+
 
 def driver_ordered(d: dict) -> dict:
     """Reorder a registry view so DRIVER_ORDER qids come first (in that

@@ -209,6 +209,28 @@ _EXPECTED_BNLJ = {
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
 
+def test_tpch_subquery_shapes_decorrelate(spark):
+    """The decorrelation family (queries/tpch_sql.py): every shape must
+    lower to hash joins — no nested loop, no cartesian product — even
+    though four of them are written as correlated subqueries (Q4's
+    non-equi EXISTS, Q17's scalar AVG, Q21's EXISTS + NOT EXISTS with a
+    two-tables-away outer reference). The semi/anti lowering is the
+    spec: if Catalyst ever falls back to a per-row subquery evaluation,
+    these shapes stop scaling and this test fails first."""
+    for qid in (
+        "c_sql_q4", "c_sql_q13", "c_sql_q14", "c_sql_q15",
+        "c_sql_q17", "c_sql_q19", "c_sql_q21", "c_sql_q22",
+    ):
+        p = _plan(spark, qid)
+        assert "BroadcastNestedLoopJoin" not in p, f"{qid}: nested loop"
+        assert "CartesianProduct" not in p, f"{qid}: cartesian"
+    assert "LeftSemi" in _plan(spark, "c_sql_q4"), "Q4 EXISTS must lower to semi join"
+    p21 = _plan(spark, "c_sql_q21")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, (
+        "Q21's EXISTS/NOT-EXISTS pair must lower to semi + anti joins"
+    )
+
+
 def test_no_accidental_cartesian_or_row_python(spark):
     """Suite-wide plan audit: no qid may grow a CartesianProduct, an
     unexpected BroadcastNestedLoopJoin, or a row-at-a-time Python eval

