@@ -1,0 +1,225 @@
+"""§2.A — batch source connectors beyond parquet: CSV, JSON lines, and
+schema-evolution (mergeSchema) parquet reads.
+
+Each qid derives its input from the canonical parquet ONCE per
+(sf_dir, format) into a deterministic scratch path, then reads it back
+through the connector under test. Because the derived file carries
+exactly the parquet table's rows, the DuckDB oracle runs the same
+aggregate directly against the parquet view: any disagreement is a
+round-trip defect in the connector path (quoting, timestamp parsing,
+double formatting, schema merge), which is precisely what these qids
+exist to catch. Text fidelity is proven at the byte level by summing
+the portable md5 word over a string column (operators/dedup
+portable_hash32) — a formatting-lossy round trip changes the sum.
+
+100 TB notes: the derived-write step is test scaffolding (coalesce(1)
+for a stable layout at bench scale), NOT the sink story — the real
+sinks are the partitioned parquet writers in streaming/ingest.py and
+queries/layout.py. The READ paths are the product surface: Spark's CSV
+and JSON sources split large files by range and read them in parallel
+with an explicit schema exactly as written here (schema inference is
+avoided — at 100 TB an inference pass is a full extra scan); the
+mergeSchema read is how a decade of slowly-evolving parquet partitions
+is queried in place without a rewrite."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import portable_hash32
+from ..registry import query
+from ..tables import load
+
+_SCRATCH = "/tmp/aprsdb_spark_sources"
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        # parquet stores orderdate as isAdjustedToUTC=false -> NTZ; the
+        # CSV round trip must preserve that type, and the CSV source's
+        # NTZ columns are governed by timestampNTZFormat, NOT
+        # timestampFormat (the silent-null failure mode this qid pins).
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _derived_path(sf_dir: str, name: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+def _ensure(path: str, write) -> str:
+    """Materialize a derived source once per path: write to the target,
+    then drop a marker so later calls (bench warm runs, the driver's
+    repeated scoring) skip the job. The write callback must be
+    deterministic given the parquet input."""
+    marker = os.path.join(path, "_DERIVED_OK")
+    if not os.path.exists(marker):
+        write(path)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return path
+
+
+@query(
+    "a_scan_csv",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_day,
+           CAST(MAX(o_orderdate) AS DATE) AS last_day,
+           CAST(SUM(CAST('0x' || substr(md5(o_orderpriority), 1, 8) AS BIGINT))
+                AS BIGINT) AS prio_check
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source connector: orders round-tripped parquet -> CSV ->
+    DataFrame with an EXPLICIT schema (no inference pass) and a pinned
+    timestampFormat, then aggregated. The oracle aggregates the parquet
+    table directly, so a hash match proves the CSV path preserves longs,
+    doubles (Spark writes the shortest round-trip representation),
+    micros timestamps, and strings (prio_check sums the md5 word) —
+    byte-for-byte."""
+    path = _derived_path(sf_dir, "orders_csv")
+
+    def write(p: str) -> None:
+        (
+            load(spark, sf_dir)
+            .orders.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampNTZFormat", _TS_FMT)
+            .csv(p)
+        )
+
+    _ensure(path, write)
+    df = (
+        spark.read.schema(_ORDERS_SCHEMA)
+        .option("header", True)
+        .option("timestampNTZFormat", _TS_FMT)
+        .csv(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("sum_price"),
+        F.min("o_orderdate").cast("date").alias("first_day"),
+        F.max("o_orderdate").cast("date").alias("last_day"),
+        F.sum(portable_hash32(F.col("o_orderpriority"))).cast("long").alias("prio_check"),
+    )
+
+
+@query(
+    "a_scan_json",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS text_check
+    FROM documents GROUP BY lang
+    """,
+)
+def a_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source connector: documents round-tripped parquet ->
+    JSONL -> DataFrame with an explicit schema. JSON escaping makes the
+    text column's round trip lossless by construction (control chars,
+    quotes, unicode); text_check (md5-word sum over the full text)
+    proves it at the byte level against the parquet-side oracle."""
+    path = _derived_path(sf_dir, "documents_json")
+
+    def write(p: str) -> None:
+        (
+            load(spark, sf_dir)
+            .documents.coalesce(1)
+            .write.mode("overwrite")
+            .json(p)
+        )
+
+    _ensure(path, write)
+    df = spark.read.schema(_DOCS_SCHEMA).json(path)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(portable_hash32(F.col("text"))).cast("long").alias("text_check"),
+    )
+
+
+@query(
+    "a_scan_evolve",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                ELSE '<pre-schema>' END AS priority,
+           COUNT(*) AS n_orders,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def a_scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of orders — v1
+    (even orderkeys) written BEFORE the o_orderpriority column existed,
+    v2 (odd orderkeys) with it — read together via mergeSchema, the
+    missing column surfacing as NULL for v1 rows. This is the in-place
+    query path for a long-lived partitioned dataset whose schema grew
+    over time; the oracle reconstructs the same view from the canonical
+    table with a parity CASE."""
+    path = _derived_path(sf_dir, "orders_evolve")
+
+    def write(p: str) -> None:
+        orders = load(spark, sf_dir).orders
+        v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        v1.coalesce(1).write.mode("overwrite").parquet(os.path.join(p, "gen=1"))
+        v2.coalesce(1).write.mode("overwrite").parquet(os.path.join(p, "gen=2"))
+
+    _ensure(path, write)
+    df = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+    return df.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("sum_price"),
+    )

@@ -173,6 +173,10 @@ R7_QUEUE: list[str] = [
     "c_sql_q19",
     "c_sql_q21",
     "c_sql_q22",
+    # batch source connectors (queries/sources.py)
+    "a_scan_csv",
+    "a_scan_json",
+    "a_scan_evolve",
 ]
 
 
