@@ -391,3 +391,47 @@ def h_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = geo_pairs_within(pts, "id", "lat", "lon", 1500.0, max_abs_lat=60.0)
     return pairs.select("id_a", "id_b", rnd(F.col("dist_km"), 4).alias("dist_km"))
+
+
+@query(
+    "h_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+             || '?lang=' || lang || '&n=' || n_chars AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           'https' AS protocol
+    FROM u
+    """,
+)
+def h_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family via parse_url (HOST/PATH/QUERY/QUERY:key/
+    PROTOCOL) — the web-corpus staple for domain extraction, per-domain
+    quotas, and tracking-param stripping. The URL is constructed from
+    table columns (documents carries no URL column), so both engines
+    parse identical strings; the oracle mirrors parse_url with anchored
+    regexps. Pure JVM expressions, zero shuffle, codegen-friendly."""
+    t = load(spark, sf_dir)
+    u = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&n="), F.col("n_chars").cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
+    )

@@ -106,3 +106,31 @@ def g_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL — multiset difference."""
     t = load(spark, sf_dir)
     return _typed_users(t, "view").exceptAll(_typed_users(t, "purchase"))
+
+
+@query(
+    "g_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): the schema-evolution
+    union — two generations of a feed with different column subsets
+    stacked by NAME (position-based union would silently misalign),
+    missing columns surfacing as typed NULLs. The batch twin of what
+    streaming/ingest.py's upsert does across micro-batch schemas and
+    the set-op counterpart of a_scan_evolve's mergeSchema read. Narrow
+    op: no shuffle, both inputs scan-partitioned."""
+    t = load(spark, sf_dir)
+    v1 = t.orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = t.orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -280,3 +280,37 @@ def s_dedup_30s_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev_ms").isNull() | (F.col("ts_ms") - F.col("prev_ms") > 30000))
         .drop("prev_ms")
     )
+
+
+@query(
+    "e_win_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST()    OVER w AS cd,
+           NTH_VALUE(c_name, 2) OVER w AS second_name
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def e_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    nth_value per market segment, ordered by (acctbal, custkey) — the
+    unique tiebreak makes every rank deterministic. No rounding needed:
+    percent_rank = (rank-1)/(n-1) and cume_dist = k/n are single IEEE
+    divisions of small integers, bit-identical on both engines.
+    nth_value rides the default RANGE-to-CURRENT-ROW frame (NULL until
+    the second row enters), same definition in DuckDB. One c_mktsegment
+    exchange; at 100 TB the partition key has enough cardinality that
+    no single window partition exceeds an executor (the segment domain
+    here is 5 — a real deployment keys distribution stats by a finer
+    dimension or computes them per shard)."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_name", 2).over(w).alias("second_name"),
+    )

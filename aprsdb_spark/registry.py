@@ -177,6 +177,10 @@ R7_QUEUE: list[str] = [
     "a_scan_csv",
     "a_scan_json",
     "a_scan_evolve",
+    # distribution windows / by-name union / URL scalars
+    "e_win_dist",
+    "g_union_by_name",
+    "h_url",
 ]
 
 
