@@ -63,3 +63,41 @@ def salted_topk(
         .where(F.col("rk") <= k)
         .select(*select, "rk")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    uniquifier: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Semantics-preserving salted equi join: the fact side gains a
+    deterministic salt in [0, buckets); the dim side is replicated once
+    per salt value (explode of a literal array); the join runs on
+    (key, salt), so a hot key's rows spread over `buckets` tasks
+    instead of serializing onto one.
+
+    Result set is IDENTICAL to fact.join(dim, key) — the salt is an
+    equi-partition refinement, never a filter. Cost: dim is scanned
+    buckets× (it must be small enough to replicate but may be too big /
+    too hot to broadcast outright). When to reach for this instead of
+    AQE: OptimizeSkewedJoin splits oversized SORT-MERGE partitions at
+    runtime, but does not apply to stream-static joins (no AQE in
+    Structured Streaming) and cannot split a build-side hot key in a
+    shuffled hash join; the salting rewrite handles both and is engine-
+    version independent."""
+    f = fact.withColumn(
+        "_fsalt", F.pmod(F.xxhash64(F.col(uniquifier)), F.lit(buckets))
+    )
+    d = dim.withColumn(
+        "_dsalt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return (
+        f.join(
+            d,
+            (F.col(fact_key) == F.col(dim_key)) & (F.col("_fsalt") == F.col("_dsalt")),
+        )
+        .drop("_fsalt", "_dsalt")
+    )

@@ -500,3 +500,41 @@ def c_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o.o_orderkey
         LIMIT 100
     """)
+
+
+@query(
+    "c_join_salted",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(SUM(value) * 1000000 + 0.5) / 1000000 AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe equi join (operators/skew.salted_join): fact rows
+    carry a deterministic salt, the dim side is replicated once per
+    salt value, and the join key becomes (key, salt) — a viral key's
+    rows fan out over 8 tasks instead of serializing onto one. The
+    oracle is the PLAIN join: salting is a physical rewrite, the result
+    set is identical by construction (the companion of d_agg_salted,
+    which applies the same trick to aggregation fan-in). AQE's
+    OptimizeSkewedJoin covers skewed sort-merge partitions at runtime;
+    the explicit rewrite remains the tool for stream-static joins
+    (no AQE mid-stream) and hash-join build-side hot keys."""
+    from ..operators.skew import salted_join
+
+    t = load(spark, sf_dir)
+    joined = salted_join(
+        t.events.select("user_id", "event_type", "value", "event_id"),
+        t.customer.select("c_custkey", "c_mktsegment"),
+        fact_key="user_id",
+        dim_key="c_custkey",
+        uniquifier="event_id",
+        buckets=8,
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.floor(F.sum("value") * 1000000 + F.lit(0.5)) / 1000000).alias("sum_value"),
+    )

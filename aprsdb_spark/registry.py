@@ -181,6 +181,7 @@ R7_QUEUE: list[str] = [
     "e_win_dist",
     "g_union_by_name",
     "h_url",
+    "c_join_salted",
 ]
 
 

@@ -231,6 +231,17 @@ def test_tpch_subquery_shapes_decorrelate(spark):
     )
 
 
+def test_salted_join_actually_salts(spark):
+    """c_join_salted must keep the salt in the physical plan: an
+    explode (Generate) replicating the dim side and a two-column join
+    key. Dropping the salt degenerates to a plain join — results stay
+    correct (the oracle can't see it), but the hot-key protection
+    silently vanishes; this pin is the only thing that notices."""
+    p = _plan(spark, "c_join_salted")
+    assert "explode(" in p, "dim side no longer replicated per salt"
+    assert "_fsalt" in p and "_dsalt" in p, "join key lost the salt column"
+
+
 def test_no_accidental_cartesian_or_row_python(spark):
     """Suite-wide plan audit: no qid may grow a CartesianProduct, an
     unexpected BroadcastNestedLoopJoin, or a row-at-a-time Python eval
