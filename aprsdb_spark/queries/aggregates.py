@@ -454,3 +454,45 @@ def d_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         rnd(F.col("sum_value") / F.col("n_rows"), 6).alias("avg_value"),
     )
+
+
+@query(
+    "d_agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+      FROM events GROUP BY user_id)
+    SELECT user_id, kind, CAST(n AS BIGINT) AS n
+    FROM wide UNPIVOT (n FOR kind IN (n_click, n_purchase, n_view))
+    """,
+)
+def d_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of d_agg_pivot: a wide per-user
+    count table back to long (user_id, kind, n) form, the shape every
+    metrics store and plotting layer wants. DataFrame.unpivot is a
+    zero-shuffle Expand over the already-aggregated frame (3 output
+    rows per input row, no exchange); DuckDB's UNPIVOT drops NULL
+    cells by default and Spark's keeps them, but COUNT FILTER never
+    yields NULL so the semantics coincide here by construction."""
+    t = load(spark, sf_dir)
+    wide = (
+        t.events.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("view").alias("n_view"),
+        )
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_click", "n_purchase", "n_view"],
+        variableColumnName="kind",
+        valueColumnName="n",
+    ).withColumn("n", F.col("n").cast("long"))

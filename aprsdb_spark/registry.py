@@ -182,6 +182,7 @@ R7_QUEUE: list[str] = [
     "g_union_by_name",
     "h_url",
     "c_join_salted",
+    "d_agg_unpivot",
 ]
 
 
