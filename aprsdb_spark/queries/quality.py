@@ -390,11 +390,11 @@ _DSIR_HB_SQL = f"""
             FROM hb GROUP BY b),
     tot AS (SELECT SUM(qc) AS qt, SUM(tc) AS tt FROM cnt),
     lr AS (SELECT b,
-             FLOOR((ln((tc + 1.0) / (tt + {_DSIR_B})) - ln((qc + 1.0) / (qt + {_DSIR_B})))
-                   * 1000000 + 0.5) / 1000000 AS lr
+             CAST(FLOOR((ln((tc + 1.0) / (tt + {_DSIR_B})) - ln((qc + 1.0) / (qt + {_DSIR_B})))
+                   * 1000000 + 0.5) AS BIGINT) AS lr_u
            FROM cnt, tot)
     SELECT doc_id, COUNT(*) AS n_ngrams,
-           FLOOR(SUM(lr) * 10000 + 0.5) / 10000 AS log_w
+           FLOOR(SUM(lr_u) / 100.0 + 0.5) / 10000 AS log_w
     FROM hb JOIN lr USING (b)
     GROUP BY doc_id
     """,
@@ -411,10 +411,19 @@ def j_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, B rows total), totals a broadcast 1-row agg, the
     log-ratio table a broadcast B-row join — the only data-sized
     shuffle is the final doc_id aggregation. The bucket hash is the
-    portable low md5 word, so the oracle recomputes it exactly;
-    per-bucket log-ratios round to 1e-6 and per-doc sums to 1e-4 (the
-    j_ngram_lm float-sum convention). Docs with < 2 tokens have no
-    features and are excluded (DSIR is undefined on them)."""
+    portable low md5 word, so the oracle recomputes it exactly.
+
+    Float parity: per-bucket log-ratios are FLOORED TO SCALED BIGINTS
+    (lr_u = floor(lr*1e6+0.5)) and the per-doc sum runs in exact
+    integer arithmetic — summing the rounded DOUBLES instead left the
+    total order-dependent in its last ulp, which flipped the 1e-4
+    display floor for docs whose sum sat exactly on a .00005 boundary
+    (caught by the sf0.1 sweep: 15 of 50k docs, invisible at sf0.01).
+    log_w = floor(s/100.0 + 0.5)/1e4 is then deterministic: s is
+    exactly representable, and (100k+50)/100.0 yields k+0.5 exactly in
+    IEEE, so the boundary case itself is engine-independent. Docs with
+    < 2 tokens have no features and are excluded (DSIR is undefined on
+    them)."""
     from ..operators.dedup import portable_bucket
 
     t = load(spark, sf_dir)
@@ -435,16 +444,26 @@ def j_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.agg(F.sum("qc").alias("qt"), F.sum("tc").alias("tt"))
     lr = cnt.crossJoin(F.broadcast(tot)).select(
         "b",
-        rnd(
-            F.log((F.col("tc") + 1.0) / (F.col("tt") + _DSIR_B))
-            - F.log((F.col("qc") + 1.0) / (F.col("qt") + _DSIR_B)),
-            6,
-        ).alias("lr"),
+        F.floor(
+            (
+                F.log((F.col("tc") + 1.0) / (F.col("tt") + _DSIR_B))
+                - F.log((F.col("qc") + 1.0) / (F.col("qt") + _DSIR_B))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_u"),
     )
     return (
         g.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_ngrams"), rnd(F.sum("lr"), 4).alias("log_w"))
+        .agg(F.count("*").alias("n_ngrams"), F.sum("lr_u").alias("_s"))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            (F.floor(F.col("_s") / 100.0 + F.lit(0.5)) / 10000).alias("log_w"),
+        )
     )
 
 
