@@ -57,114 +57,24 @@ def load_all() -> None:
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
 # every CORRECTNESS_r{N}.json ends at registry position 50). DRIVER_ORDER
-# pins which qids occupy that scored window. Round-6 rotation (final, 28
-# never-scored qids after the batch-4/5 additions), derived from the
-# recorded artifacts: (1) the r5 red datapoint j_pack_sequences (oracle
-# type bug, fixed) plus every qid whose oracle/threshold semantics were
-# upgraded or touched this round — all must be re-proven; (2) ALL 28
-# never-scored qids (the r6 additions across dsir/corpus/infostats/
-# layout/timeseries/governance + this session's batch) — never-scored >
-# refresh: a qid without any driver row can never be verified by the
-# hard signal, while every displaced refresh pick (the r2-green
-# d_agg/e_win/f_/g_/h_ scalar families, the r4-green dedup/k_* picks)
-# has a recorded green row and is first in line for r7 — including the
-# final three displaced refresh picks (j_dedup_near r4, d_agg_percentile
-# r2, e_win_running r2), whose slots went to batch 6 below when the
-# never-scored count reached 31. The two harness-breakage canaries
-# a_scan_parquet / e_win_lastpos stay in.
+# pins which qids occupy that scored window. Round-7 rotation, derived
+# from the recorded artifacts (r6 window went 50/50 green, so nothing
+# needs re-proving on red grounds): (1) the 16 never-scored qids queued
+# on the r6 NEXT_QUEUE (TPC-H decorrelation family, batch source
+# connectors, h_url / e_win_dist / g_union_by_name / c_join_salted /
+# d_agg_unpivot); (2) the 10 qids whose only driver rows are rows-only
+# "no_oracle" r3/r4 entries that PREDATE their r6 value-level oracle
+# upgrades (7 aprs_* fixture-VALUES hash checks, 3 multimodal byte-level
+# md5 kernels) — a hash-green row exists for none of them yet; (3) the
+# 22 oldest-evidence qids, all last scored in r2 (d_agg scalar block,
+# e_win lag/running/moving/analytic, f_ sort/topk, g_ set ops, h_
+# scalar families) — after this window lands, no qid's latest driver
+# row is older than r4, the bound test_registry_order pins. The two
+# harness-breakage canaries a_scan_parquet / e_win_lastpos stay in.
 DRIVER_ORDER: list[str] = [
-    # r5 hash-fail, oracle fixed this round
-    "j_pack_sequences",
-    # upgraded rows-only -> hash-checked oracles (r6)
-    "j_ann_ivf",
-    "j_ann_lsh",
-    "j_dedup_simhash",
-    # (aprs_lastpos / aprs_msg_ack / aprs_telemetry_eng yielded their
-    # slots to batch 9 at never-scored = 41 — same fixture-VALUES oracle
-    # machinery as the in-window aprs_pipeline / aprs_decode_udf,
-    # tri-scale-verified locally. First for r7.)
-    # (aprs_wx / aprs_malformed / aprs_objects yielded their slots to
-    # batch 8 when never-scored hit 38 — their oracle upgrades share the
-    # fixture-VALUES machinery of the five aprs qids still in-window and
-    # are tri-scale-verified locally. First for r7.)
-    "aprs_pipeline",
-    # (aprs_decode_udf and j_multimodal_decode yielded their slots to the
-    # final §2.K batch at never-scored = 43 — both are byte/value-level
-    # locally verified (pandas base-91 decode hash-checked tri-scale; the
-    # media kernels byte-compared), and aprs_pipeline keeps the composite
-    # family's driver representative. First for r7.)
-    # (j_multimodal_resize / j_multimodal_frames share decode's container-
-    # kernel contract and byte-level tests; j_embed_outlier / j_lm_buckets
-    # changed only pre-rounding and hold green r5 rows — all four yielded
-    # their slots when the never-scored count reached 35. First for r7.)
-    # canary: a_scan_parquet
+    # canary: a_scan_parquet (trivial scan — breaks only if the harness does)
     "a_scan_parquet",
-    # new in r6 — never scored by construction, must sit in the window
-    "j_dsir_weights",
-    "j_shuffle_shards",
-    "j_dedup_lines",
-    "j_dedup_substr",
-    "j_chunk_overlap",
-    "j_vocab_coverage",
-    "j_bloom_decontam",
-    "j_mix_temperature",
-    "j_entropy",
-    "j_kl_sources",
-    "j_pmi_bigrams",
-    "j_bm25_topk",
-    "j_pagerank",
-    "j_shard_manifest",
-    "j_zorder_stats",
-    "j_histogram_equi",
-    # new in r6 batch 4 (timeseries.py + governance.py)
-    "j_gapfill",
-    "j_scd2_history",
-    "j_ts_anomaly",
-    "j_upsert_merge",
-    "j_sample_weighted",
-    "j_group_split",
-    "j_dedup_edit",
-    # new in r6 batch 5 (fusion/graph/profile/reservoir/diff)
-    # and batch 6 (salted agg / A/B t-test / LSH self-evaluation)
-    "d_agg_salted",
-    "j_ab_ttest",
-    "j_lsh_recall",
-    "j_knn_batch",
-    "j_winnow_pairs",
-    "j_bpe_train",
-    "j_bpe_encode",
-    # new in r6 batch 8 (IVM merge, winsorize, attribution)
-    "j_incremental_agg",
-    "j_winsorize",
-    "j_attribution",
-    # new in r6 batch 9 (SQL Q18, portable CMS / HLL sketches)
-    "c_sql_q18",
-    "j_cms_sketch",
-    "j_hll_portable",
-    # new in r6 batch 10 (§2.K surfaces: Arrow-optimized UDF, iterator
-    # pandas UDF)
-    "k_arrow_udf",
-    "k_pandas_iter",
-    "j_rank_fusion",
-    "j_triangle_count",
-    "j_profile_stats",
-    "j_reservoir_pergroup",
-    "j_snapshot_diff",
-    # canary: e_win_lastpos
-    "e_win_lastpos",
-]
-
-# qids added AFTER this round's 50-slot window was already fully
-# allocated to never-scored + must-re-prove picks (the red
-# j_pack_sequences fix, the rows-only->hash ANN upgrades, the canaries).
-# With more than 50 never-scored qids in existence, not all can receive
-# a driver row this round; everything here is tri-scale-verified locally
-# (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver runs) and is
-# FIRST in line for the r7 window. test_registry_order.py enforces that
-# a never-scored qid is either in the window or on this explicit queue —
-# nothing waits silently.
-R7_QUEUE: list[str] = [
-    # SQL entry point, decorrelation family (queries/tpch_sql.py)
+    # never-scored: SQL entry point, decorrelation family (tpch_sql.py)
     "c_sql_q4",
     "c_sql_q13",
     "c_sql_q14",
@@ -173,17 +83,69 @@ R7_QUEUE: list[str] = [
     "c_sql_q19",
     "c_sql_q21",
     "c_sql_q22",
-    # batch source connectors (queries/sources.py)
+    # never-scored: batch source connectors (queries/sources.py)
     "a_scan_csv",
     "a_scan_json",
     "a_scan_evolve",
-    # distribution windows / by-name union / URL scalars
+    # never-scored: distribution windows / by-name union / URL scalars /
+    # skew-rewrite join / unpivot
     "e_win_dist",
     "g_union_by_name",
     "h_url",
     "c_join_salted",
     "d_agg_unpivot",
+    # rows-only r3/r4 rows predate the r6 fixture-VALUES hash oracles —
+    # first hash-checked driver run for all seven
+    "aprs_lastpos",
+    "aprs_msg_ack",
+    "aprs_wx",
+    "aprs_decode_udf",
+    "aprs_malformed",
+    "aprs_objects",
+    "aprs_telemetry_eng",
+    # rows-only r3/r4 rows predate the r6 real container kernels with
+    # byte-level md5 oracles
+    "j_multimodal_decode",
+    "j_multimodal_resize",
+    "j_multimodal_frames",
+    # oldest-evidence refresh: every remaining qid whose latest driver
+    # row is r2 (22 qids — the full set)
+    "d_agg_collect",
+    "d_agg_distinct",
+    "d_agg_percentile",
+    "d_agg_pivot",
+    "e_win_analytic",
+    "e_win_lag",
+    "e_win_moving",
+    "e_win_running",
+    "f_sort_multi",
+    "f_topk",
+    "f_topk_group",
+    "g_except",
+    "g_except_all",
+    "g_intersect",
+    "g_intersect_all",
+    "g_union",
+    "g_union_all",
+    "h_array",
+    "h_cond",
+    "h_date",
+    "h_math",
+    "h_str",
+    # canary: e_win_lastpos
+    "e_win_lastpos",
 ]
+
+# qids added AFTER the current round's 50-slot window was frozen. Not
+# scoreable this round; everything here must be tri-scale-verified
+# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
+# runs) and is FIRST in line for the next rotation.
+# test_registry_order.py enforces that a never-scored qid is either in
+# the window or on this explicit queue — nothing waits silently.
+NEXT_QUEUE: list[str] = []
+
+# Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
+R7_QUEUE = NEXT_QUEUE
 
 
 def driver_ordered(d: dict) -> dict:

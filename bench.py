@@ -34,11 +34,29 @@ def _reference() -> dict[str, float]:
     # "tail" is head-truncated. Same round number -> full file wins (it
     # sorts after "BENCH_r" and the merge is newest-first). Rounds sort
     # NUMERICALLY — lexicographic order breaks at r10.
+    #
+    # The CURRENT round's own full file is EXCLUDED: a full record written
+    # earlier in the same round would become the newest datapoint for its
+    # qids, so a slowdown introduced mid-round would gate against itself
+    # instead of against the previous round (this is how the r6 multimodal
+    # kernel rewrites sailed through rc=0 — justified there, but the
+    # mechanism would equally mask a genuine regression). Round number
+    # comes from the driver's PROGRESS.jsonl; if it's unreadable, exclude
+    # nothing rather than guess.
+    cur_rnd = -1
+    try:
+        with open(os.path.join(here, "PROGRESS.jsonl")) as f:
+            cur_rnd = max(json.loads(line)["round"] for line in f if line.strip())
+    except Exception:
+        pass
     rounds = sorted(
         (
             f
             for f in os.listdir(here)
             if re.fullmatch(r"BENCH(_full)?_r\d+\.json", f)
+            and not (
+                "_full_" in f and int(re.search(r"\d+", f).group()) == cur_rnd
+            )
         ),
         key=lambda f: (int(re.search(r"\d+", f).group()), "_full_" in f),
     )

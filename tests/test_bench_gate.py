@@ -50,6 +50,35 @@ def test_reference_newest_round_wins_per_qid(tmp_path, monkeypatch):
     assert ref == {"old_qid": 9.9, "shared_qid": 2.0, "new_qid": 1.5}, ref
 
 
+def test_reference_ignores_current_rounds_own_full_file(tmp_path, monkeypatch):
+    """A BENCH_full_r{N}.json written EARLIER IN THE SAME ROUND must not
+    become the gate reference for round N's later bench runs — otherwise
+    a slowdown introduced mid-round gates against itself instead of
+    against the previous round (the r6 multimodal mechanism). The round
+    number comes from PROGRESS.jsonl; prior rounds' full files still
+    participate."""
+    b = _bench_module()
+    (tmp_path / "PROGRESS.jsonl").write_text(
+        json.dumps({"round": 98}) + "\n" + json.dumps({"round": 99}) + "\n"
+    )
+    # prior round: slow datapoint (the legitimate reference)
+    (tmp_path / "BENCH_full_r98.json").write_text(
+        json.dumps({"queries": {"q": 1.0}})
+    )
+    # same-round full file carrying a regressed value — must be ignored
+    (tmp_path / "BENCH_full_r99.json").write_text(
+        json.dumps({"queries": {"q": 9.0, "only_in_cur": 3.0}})
+    )
+    # the driver's captured BENCH_r99.json is written AFTER the round's
+    # bench runs, so it never self-references; if present it still counts
+    (tmp_path / "BENCH_r99.json").write_text(
+        json.dumps({"queries": {"driver_q": 2.0}})
+    )
+    monkeypatch.setattr(b.os.path, "dirname", lambda _: str(tmp_path))
+    ref = b._reference()
+    assert ref == {"q": 1.0, "driver_q": 2.0}, ref
+
+
 def test_no_registered_qid_is_a_proper_suffix_of_another():
     """Tail extraction can yield truncated keys ("rs_wx" from "aprs_wx").
     Those are inert only while no registered qid is a proper suffix of

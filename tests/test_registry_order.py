@@ -15,35 +15,69 @@ import json
 import os
 
 import __spark_entry__ as entry_mod
-from aprsdb_spark.registry import DRIVER_ORDER, R7_QUEUE
+from aprsdb_spark.registry import DRIVER_ORDER, NEXT_QUEUE
 
 _REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _rounds() -> dict[str, dict]:
+    """Per-round driver CORRECTNESS rows, keyed by round number."""
+    out: dict[int, dict] = {}
+    # 'r*' not 'r0*': a zero-padded glob stops matching at round 10
+    for fname in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(fname).split("_r")[1].split(".")[0])
+        with open(fname) as f:
+            out[rnd] = json.load(f)
+    return out
 
 
 def _scored_ever() -> set[str]:
     """Every qid with a driver CORRECTNESS row in any recorded round
     (rows-only "no_oracle" rows count — the qid ran under the driver)."""
     scored: set[str] = set()
-    # 'r*' not 'r0*': a zero-padded glob stops matching at round 10
-    for fname in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
-        with open(fname) as f:
-            scored |= set(json.load(f))
+    for rows in _rounds().values():
+        scored |= set(rows)
     return scored
 
 
 def test_never_scored_qids_fit_the_driver_window():
     """A never-scored qid must be in the scored window OR on the
-    explicit R7_QUEUE (added after this round's window was frozen,
+    explicit NEXT_QUEUE (added after this round's window was frozen,
     tri-scale-verified locally, first for the next rotation) — nothing
     waits silently."""
     never_scored = set(entry_mod.queries()) - _scored_ever()
     first50 = list(entry_mod.queries())[:50]
-    missing = never_scored - set(first50) - set(R7_QUEUE)
+    missing = never_scored - set(first50) - set(NEXT_QUEUE)
     assert not missing, f"qids outside the driver's scored window: {sorted(missing)}"
-    stale_queue = set(R7_QUEUE) & _scored_ever()
+    stale_queue = set(NEXT_QUEUE) & _scored_ever()
     assert not stale_queue, (
-        f"R7_QUEUE entries already driver-scored — rotate them into "
+        f"NEXT_QUEUE entries already driver-scored — rotate them into "
         f"DRIVER_ORDER and clear the queue: {sorted(stale_queue)}"
+    )
+
+
+def test_no_qid_waits_more_than_four_rounds():
+    """Rotation-age bound: with 181 qids and a 50-slot window, full
+    re-coverage takes 4 rounds. Any qid whose latest driver row is 4+
+    rounds older than the newest recorded round must be IN the current
+    window (about to be rescored) or on NEXT_QUEUE — staleness is an
+    executable invariant, not a judgement call at verdict time."""
+    rounds = _rounds()
+    newest = max(rounds)
+    latest: dict[str, int] = {}
+    for rnd, rows in sorted(rounds.items()):
+        for q in rows:
+            latest[q] = rnd
+    first50 = set(list(entry_mod.queries())[:50])
+    stale = {
+        q
+        for q, rnd in latest.items()
+        if newest - rnd >= 4 and q in entry_mod.queries()
+    }
+    waiting = stale - first50 - set(NEXT_QUEUE)
+    assert not waiting, (
+        f"qids whose latest driver row is >=4 rounds old and are not "
+        f"scheduled for rescoring: {sorted(waiting)}"
     )
 
 
