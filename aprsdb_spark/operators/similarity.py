@@ -190,6 +190,48 @@ def hyperplane_sketch(vec: str | Column, n_planes: int = 16, dim: int = 64) -> C
     return out
 
 
+def hyperplane_band_keys(
+    vec: str | Column, bands: int = 8, planes_per_band: int = 4, dim: int = 64
+) -> Column:
+    """Banded (OR-construction) hyperplane LSH: array of ``bands`` keys,
+    band b built from planes b*r .. b*r+r-1 of the same deterministic
+    ±1 family as hyperplane_sketch. Two vectors are similarity
+    CANDIDATES iff ANY band key matches — the standard AND/OR LSH
+    amplification (Broder's banding, applied to sign sketches).
+
+    Why this exists next to the single-band sketch: one 8-plane band
+    collides two cosine-0.32 unit vectors with probability
+    (1 - θ/π)^8 ≈ 0.6^8 ≈ 2% — the single-band bucket is a
+    HIGH-PRECISION candidate filter, not a recall-oriented one (its
+    measured recall vs the exact tau=0.3 truth is ~0, j_lsh_recall).
+    With r=4, b=8 the OR over bands lifts recall to 1-(1-0.6^4)^8 ≈
+    0.70 (measured 0.70-0.73 across sf0.001/0.01/0.1) at the cost of
+    examining more candidate pairs — the honest LSH tradeoff at a weak
+    similarity threshold. At 100 TB the explode is narrow (×b rows,
+    no shuffle); the one shuffle is the (band, key) equi-join, and the
+    per-plane projections are n·b·r·dim multiply-adds in codegen."""
+    v = as_double(vec)
+    mat = _lit_matrix(
+        [
+            [_plane_sign(p, j) for j in range(dim)]
+            for p in range(bands * planes_per_band)
+        ]
+    )
+    keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for i in range(planes_per_band):
+            p = b * planes_per_band + i
+            proj = F.aggregate(
+                F.zip_with(v, F.element_at(mat, p + 1), lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        keys.append(key)
+    return F.array(*keys)
+
+
 def lsh_probe_buckets(qbucket: int, n_planes: int, radius: int) -> list[int]:
     """All bucket ids within Hamming distance <= radius of qbucket —
     the multi-probe set. Driver-side: sum_{r<=radius} C(n_planes, r)

@@ -407,10 +407,14 @@ def j_sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-key, so candidate pairs are Σ n_b² over buckets (~n²/256 for
     balanced buckets) instead of n²/|labels|, and the key is available
     at WRITE time: at 100 TB the table is bucketed/partitioned by
-    `bucket` and the self-join is exchange-free. Cosine-similar vectors
-    collide in buckets with high probability (that is the LSH
-    guarantee), so in-bucket pairs are exactly the candidates a
-    production semantic-dedup pass scores.
+    `bucket` and the self-join is exchange-free.
+
+    Recall caveat (measured, j_lsh_recall): ALL 8 sign bits must match,
+    so a cosine-0.32 pair collides with only ~0.6^8 ≈ 2% probability —
+    this is a HIGH-PRECISION cheap candidate filter, not a
+    recall-oriented path. For recall at a weak threshold use the
+    AND/OR-amplified j_sim_pairs_banded (recall ~0.70 measured,
+    floor-pinned).
 
     The operator's contract is "same-bucket pairs with score >= 0.3" —
     the oracle computes the identical definition (same literal sign
@@ -1329,11 +1333,15 @@ def _lsh_recall_oracle() -> str:
 @query("j_lsh_recall", oracle=_lsh_recall_oracle())
 def j_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation of the approximate similarity path: precision /
-    recall / F1 of the hyperplane-LSH bucketed all-pairs
-    (j_sim_pairs_bucketed, the registered scale path) against the exact
-    label-blocked quadratic (j_sim_pairs, the labeled ground truth) on
-    the pair-key level — the measurement that justifies shipping an
-    approximate operator at 100 TB. Missed pairs (fn) are >= tau
+    recall / F1 of the SINGLE-BAND hyperplane-LSH bucketed all-pairs
+    (j_sim_pairs_bucketed) against the exact label-blocked quadratic
+    (j_sim_pairs, the labeled ground truth) on the pair-key level —
+    the measurement that justifies (or, here, indicts) shipping an
+    approximate operator at 100 TB. What it measures at tau=0.3:
+    recall ~0 — all 8 sign bits must match, ~0.6^8 ≈ 2% per true pair
+    — which is precisely why this qid exists and why the registered
+    recall-oriented path is the banded j_lsh_recall_banded twin
+    (recall ~0.70, pytest-floored). Missed pairs (fn) are >= tau
     neighbors split across bucket boundaries; spurious pairs (fp) are
     cross-label bucket cohabitants the label-blocked truth excludes by
     definition.
@@ -1352,6 +1360,178 @@ def j_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ex = QUERIES["j_sim_pairs"](spark, sf_dir).select("id_a", "id_b")
     ap = QUERIES["j_sim_pairs_bucketed"](spark, sf_dir).select("id_a", "id_b")
+    j = ex.withColumn("e", F.lit(1)).join(
+        ap.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    c = j.agg(
+        F.count(F.when(F.col("e").isNotNull() & F.col("p").isNotNull(), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("p").isNull(), 1)).cast("long").alias("fn"),
+        F.count(F.when(F.col("e").isNull(), 1)).cast("long").alias("fp"),
+    )
+    return c.select(
+        (F.col("tp") + F.col("fn")).alias("n_exact"),
+        (F.col("tp") + F.col("fp")).alias("n_approx"),
+        "tp",
+        "fp",
+        "fn",
+        rnd(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias("precision_"),
+        rnd(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        rnd(
+            2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    )
+
+
+# Banded (OR-construction) LSH all-pairs: r planes per band, b bands —
+# AND within a band, OR across bands. Plane index = band*r + i, same
+# deterministic ±1 family as the single-band sketch.
+_BAND_R = 4
+_BAND_B = 8
+
+
+def _band_key_sql(b: int) -> str:
+    """DuckDB twin of band b's key in hyperplane_band_keys."""
+    from ..operators.similarity import _plane_sign
+
+    terms = []
+    for i in range(_BAND_R):
+        p = b * _BAND_R + i
+        signs = ", ".join(str(_plane_sign(p, j)) for j in range(_BUCKET_DIM))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{signs}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _banded_pairs_sql() -> str:
+    keys = ",\n           ".join(f"{_band_key_sql(b)} AS k{b}" for b in range(_BAND_B))
+    legs = "\n      UNION ALL\n      ".join(
+        f"""SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {b} AS band,
+             FLOOR(list_dot_product(a.v, b2.v) * 1000000 + 0.5) / 1000000 AS score
+      FROM kb a JOIN kb b2 ON a.k{b} = b2.k{b} AND a.vec_id < b2.vec_id"""
+        for b in range(_BAND_B)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    kb AS (SELECT vec_id, v,
+           {keys}
+           FROM e),
+    cand AS (
+      {legs})
+    SELECT id_a, id_b, CAST(MIN(band) AS BIGINT) AS band, MIN(score) AS score
+    FROM cand WHERE score >= 0.3 GROUP BY id_a, id_b
+    """
+
+
+@query("j_sim_pairs_banded", oracle=_banded_pairs_sql())
+def j_sim_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity >= 0.3 via BANDED hyperplane LSH (AND/OR
+    amplification: 4 planes per band AND-ed into a 16-way key, 8 bands
+    OR-ed) — the RECALL-ORIENTED registered scale path. The single-band
+    j_sim_pairs_bucketed collides a cosine-0.32 pair with ~0.6^8 ≈ 2%
+    probability (measured recall ~0 vs the exact tau=0.3 truth —
+    j_lsh_recall); banding lifts that to 1-(1-0.6^4)^8 ≈ 0.70 (measured
+    0.70-0.73 across sf0.001/0.01/0.1, floor-pinned in
+    tests/test_scale_paths.py), the honest LSH cost/recall tradeoff at
+    a weak threshold.
+
+    Plan: one narrow posexplode (×8 rows, no shuffle), ONE shuffle on
+    the (band, key) equi-join — at 100 TB the exploded table is
+    written bucketed by (band, key) and the self-join is
+    exchange-free — then a score filter BEFORE the small pair-dedup
+    agg (duplicate candidates across bands are scored ~1.2× on
+    average; filtering at tau first means the dedup shuffle carries
+    only surviving pairs). Output band = lowest band where the pair
+    collided; score is band-invariant (same two vectors, same fold)."""
+    t = load(spark, sf_dir)
+    from ..operators.similarity import hyperplane_band_keys
+
+    # Cast float->double ONCE, before the explode: as_double is a
+    # per-row transform() that allocates a fresh 64-element array — left
+    # inside the score expression it runs per CANDIDATE PAIR side
+    # (~2M allocations, the actual hot cost: 7 s -> ~2 s at sf0.1; the
+    # fold itself is cheap, 1M zip_with+aggregate dots measure 0.5 s).
+    tagged = t.embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        F.posexplode(
+            hyperplane_band_keys(
+                "embedding", bands=_BAND_B, planes_per_band=_BAND_R, dim=_BUCKET_DIM
+            )
+        ).alias("band", "key"),
+    )
+    # Repartition the probe side by the join key: without it the small
+    # exploded table broadcasts and the ~1M-candidate score loop runs in
+    # ONE task (measured 22 s at sf0.1; ~2 s with 32-way (band,key)
+    # distribution). At 100 TB the same layout comes from write-time
+    # bucketing by (band, key) and neither side broadcasts.
+    par = spark.sparkContext.defaultParallelism
+    e1 = tagged.repartition(par, "band", "key").alias("e1")
+    e2 = tagged.alias("e2")
+    score = rnd(dot_expr(F.col("e1.v"), F.col("e2.v")), 6)
+    cand = (
+        e1.join(
+            e2,
+            (F.col("e1.band") == F.col("e2.band"))
+            & (F.col("e1.key") == F.col("e2.key"))
+            & (F.col("e1.vec_id") < F.col("e2.vec_id")),
+        )
+        .select(
+            F.col("e1.vec_id").alias("id_a"),
+            F.col("e2.vec_id").alias("id_b"),
+            F.col("e1.band").alias("band"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= 0.3)
+    )
+    return cand.groupBy("id_a", "id_b").agg(
+        F.min("band").cast("long").alias("band"), F.min("score").alias("score")
+    )
+
+
+def _lsh_recall_banded_oracle() -> str:
+    """Same fuse as _lsh_recall_oracle, approximate leg = the banded
+    pairs (built after j_sim_pairs_banded registers)."""
+    from ..registry import ORACLE
+
+    return f"""
+    WITH exact AS ({ORACLE["j_sim_pairs"]}),
+    approx AS ({ORACLE["j_sim_pairs_banded"]}),
+    j AS (SELECT e.id_a AS eid, a.id_a AS aid
+          FROM exact e FULL JOIN approx a
+            ON e.id_a = a.id_a AND e.id_b = a.id_b),
+    c AS (SELECT CAST(COUNT(*) FILTER (eid IS NOT NULL AND aid IS NOT NULL) AS BIGINT) AS tp,
+                 CAST(COUNT(*) FILTER (aid IS NULL) AS BIGINT) AS fn,
+                 CAST(COUNT(*) FILTER (eid IS NULL) AS BIGINT) AS fp
+          FROM j)
+    SELECT tp + fn AS n_exact, tp + fp AS n_approx, tp, fp, fn,
+           FLOOR(tp * 1.0 / (tp + fp) * 1000000 + 0.5) / 1000000 AS precision_,
+           FLOOR(tp * 1.0 / (tp + fn) * 1000000 + 0.5) / 1000000 AS recall,
+           FLOOR(2.0 * tp / (2 * tp + fp + fn) * 1000000 + 0.5) / 1000000 AS f1
+    FROM c
+    """
+
+
+@query("j_lsh_recall_banded", oracle=_lsh_recall_banded_oracle())
+def j_lsh_recall_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of the BANDED LSH all-pairs
+    (j_sim_pairs_banded, the recall-oriented registered scale path)
+    against the exact label-blocked tau=0.3 truth (j_sim_pairs). The
+    single-band twin j_lsh_recall measures the high-precision bucket
+    filter and reads ~0 recall at this weak threshold — keeping BOTH
+    measurements registered is the point: parameter changes to either
+    construction show up as driver-checked value changes, and the
+    banded recall additionally carries a >= 0.6 pytest floor
+    (tests/test_scale_paths.py) so drift cannot pass silently. The
+    low precision_ against the LABEL-blocked truth is expected: the
+    banded path also surfaces genuinely >= tau cross-label pairs that
+    the label-keyed ground truth excludes by definition."""
+    from ..registry import QUERIES
+
+    ex = QUERIES["j_sim_pairs"](spark, sf_dir).select("id_a", "id_b")
+    ap = QUERIES["j_sim_pairs_banded"](spark, sf_dir).select("id_a", "id_b")
     j = ex.withColumn("e", F.lit(1)).join(
         ap.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )

@@ -219,7 +219,11 @@ def j_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = rho.groupBy("reg").agg(F.max("rho").alias("r"))
     s = regs.agg(
         F.count("*").cast("long").alias("hit"),
-        F.sum(F.expr("1.0 / shiftleft(1, r)")).alias("harm"),
+        # CAST to DOUBLE first: a bare 1.0 literal parses as DECIMAL and
+        # the division evaluates in DECIMAL(13,12) (2^-25 would round to
+        # 2.9802E-8), silently breaking the exact-dyadic invariant the
+        # oracle's DOUBLE 1.0/(1<<r) relies on (ADVICE r6)
+        F.sum(F.expr("CAST(1.0 AS DOUBLE) / shiftleft(1, r)")).alias("harm"),
     )
     raw = s.select(
         "hit",

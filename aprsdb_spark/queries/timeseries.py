@@ -110,15 +110,19 @@ def j_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_scd2_history",
     oracle="""
     WITH e AS (
-      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
              CASE WHEN event_type IS DISTINCT FROM
                        LAG(event_type) OVER (PARTITION BY user_id
                                              ORDER BY epoch_ms(ts), event_id)
                   THEN 1 ELSE 0 END AS chg
       FROM events),
+    -- the running sum MUST order by the same total order as the LAG in
+    -- e (ts_ms, event_id): ORDER BY ts_ms alone leaves a ROWS frame
+    -- order-nondeterministic under tied per-user timestamps and can
+    -- assign run ids differently from the Spark side (ADVICE r6)
     r AS (
       SELECT user_id, event_type, ts_ms,
-             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
       FROM e),
     runs AS (
@@ -130,7 +134,7 @@ def j_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_events,
            CAST(run AS BIGINT) AS version,
            LEAD(valid_from) OVER w IS NULL AS is_current
-    FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, run)
     """,
 )
 def j_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +173,10 @@ def j_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("valid_from"),
         F.count("*").alias("n_events"),
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    # (valid_from, run) — valid_from alone ties when two events straddle
+    # a run boundary at the same timestamp; run is the per-user total
+    # order, mirrored in the oracle's WINDOW clause
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "run")
     valid_to = F.lead("valid_from").over(wv)
     return runs.select(
         "user_id",

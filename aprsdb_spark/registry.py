@@ -142,7 +142,13 @@ DRIVER_ORDER: list[str] = [
 # runs) and is FIRST in line for the next rotation.
 # test_registry_order.py enforces that a never-scored qid is either in
 # the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = []
+NEXT_QUEUE: list[str] = [
+    # r7: banded (AND/OR) hyperplane LSH — the recall-oriented scale
+    # path (the single-band bucket filter measures ~0 recall at
+    # tau=0.3; j_lsh_recall_banded measures ~0.70, pytest-floored)
+    "j_sim_pairs_banded",
+    "j_lsh_recall_banded",
+]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
 R7_QUEUE = NEXT_QUEUE

@@ -18,10 +18,27 @@ state is an outage, not a feature.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..aprs.parse import parse_packets, parse_tnc2
+
+
+def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Load a sink's parquet state, returning None ONLY when the path
+    does not exist yet (first batch). Any other failure — transient IO,
+    a partially-written/corrupt store — propagates so the micro-batch
+    fails and Structured Streaming retries it; swallowing those here
+    would silently reset additive state to just the current batch's
+    partial (ADVICE r6)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def read_packet_lines(spark: SparkSession, path: str, **options) -> DataFrame:
@@ -242,8 +259,8 @@ def upsert_stations_sink(
             F.max_by("longitude", "recv_ts").alias("last_lon"),
         )
     )
-    try:
-        existing = spark.read.parquet(stations_dir)
+    existing = _read_state_or_none(spark, stations_dir)
+    if existing is not None:
         merged = (
             existing.unionByName(agg)
             .groupBy("src")
@@ -254,7 +271,7 @@ def upsert_stations_sink(
                 F.max_by("last_lon", "last_heard").alias("last_lon"),
             )
         )
-    except Exception:
+    else:
         merged = agg
     merged.write.mode("overwrite").parquet(stations_dir + "_next")
     # atomic-ish swap via overwrite of the main dir
@@ -299,16 +316,19 @@ def incremental_rollup_sink(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
     )
-    try:
-        existing = spark.read.parquet(state_dir)
+    existing = _read_state_or_none(spark, state_dir)
+    if existing is not None:
         merged = (
             existing.unionByName(part)
             .groupBy("day")
             .agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
         )
-    except Exception:
+    else:
         merged = part
     merged.write.mode("overwrite").parquet(state_dir + "_next")
+    # the swap read re-validates _next: a corrupt/partial _next fails
+    # here and propagates (micro-batch retries with the old state intact
+    # — the marker is only recorded after a completed swap)
     spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
     if run_key is not None:
         _record_applied_batch(state_dir, run_key, batch_id)

@@ -204,3 +204,37 @@ def test_lm_buckets_approx_swap(spark):
 
     counts = Counter(r.bucket for r in rows)
     assert all(c > n_docs // 5 for c in counts.values()), counts
+
+
+def test_banded_lsh_recall_floor(spark):
+    """The recall of the banded LSH path vs the exact tau=0.3 truth is
+    MEASURED (j_lsh_recall_banded) but nothing else bounds it —
+    parameter drift (halving the plane/band count, a sign-matrix typo)
+    would silently degrade the production dedup path while every oracle
+    stays green (parity, not quality). Pin the floor: r=4/b=8 measures
+    0.70-0.73 across sf0.001/0.01/0.1; 0.6 leaves honest headroom
+    without tolerating a construction regression. Also pin that the
+    single-band measurement stays registered BELOW the banded one —
+    the pair documents the tradeoff."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["j_lsh_recall_banded"](spark, SF).collect()[0]
+    assert row.recall >= 0.6, f"banded LSH recall regressed: {row}"
+    assert row.n_exact > 0 and row.tp > 0
+    single = QUERIES["j_lsh_recall"](spark, SF).collect()[0]
+    assert single.recall <= row.recall, (single, row)
+
+
+def test_banded_lsh_plan_is_equi_join(spark):
+    """The banded candidate join must be a (band, key) equi-join —
+    never a cartesian — and the explode must be narrow (no exchange
+    between the scan and the generator)."""
+    from aprsdb_spark.plans.inspect import formatted_plan
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = formatted_plan(QUERIES["j_sim_pairs_banded"](spark, SF))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "Generate" in plan  # the posexplode
