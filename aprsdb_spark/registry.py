@@ -148,6 +148,21 @@ NEXT_QUEUE: list[str] = [
     # tau=0.3; j_lsh_recall_banded measures ~0.70, pytest-floored)
     "j_sim_pairs_banded",
     "j_lsh_recall_banded",
+    # r7: TPC-H completion — all 22 queries now registered (Q2/Q11/Q16/
+    # Q20 derive the supply relation from lineitem; adaptations in
+    # queries/tpch_sql.py docstrings). Tri-scale-verified at add time.
+    "c_sql_q1",
+    "c_sql_q2",
+    "c_sql_q6",
+    "c_sql_q7",
+    "c_sql_q8",
+    "c_sql_q9",
+    "c_sql_q11",
+    "c_sql_q12",
+    "c_sql_q16",
+    "c_sql_q20",
+    # r7: IVF recall measurement (the ANN twin of j_lsh_recall_banded)
+    "j_ann_recall",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).

@@ -190,3 +190,23 @@ def test_tnc2_grammar_roundtrip(src, dst, digis, q, gate, info):
     parts = m.group(3).split(",")[1:]
     assert parts == digis + [q, gate]
     assert m.group(4) == info
+
+
+def test_committed_fixtures_match_generator():
+    """The streaming goldens and the batch oracles' fixture-VALUES
+    relations both read the COMMITTED tests/fixtures/aprs/*.txt files —
+    so the one way they can drift is the committed bytes falling out of
+    sync with gen_aprs.py (a generator edit without regeneration, or a
+    hand-edited .txt). Regenerate every fixture in-memory and diff
+    byte-for-byte against what is on disk (ADVICE/verdict r6 #6: one
+    source generates both consumers)."""
+    from fixtures.gen_aprs import ALL, HERE
+
+    for name, gen in ALL.items():
+        expected = "".join(f"{ms}\t{ln}\n" for ms, ln in gen())
+        committed = (HERE / name).read_text()
+        assert committed == expected, (
+            f"{name} differs from gen_aprs.py output — regenerate via "
+            f"`python tests/fixtures/gen_aprs.py` (or revert the "
+            f"generator change)"
+        )

@@ -231,6 +231,26 @@ def test_tpch_subquery_shapes_decorrelate(spark):
     )
 
 
+def test_tpch_r7_family_shapes(spark):
+    """The r7 completion batch (Q1/Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q16/Q20):
+    same no-nested-loop/no-cartesian spec, plus the shape facts that
+    make each one scale — Q1/Q6 must stay join-free scan-aggregates,
+    Q2's correlated per-part MIN must decorrelate to an aggregate
+    joined on the equi key, and Q16/Q20's NOT IN / IN must lower to
+    anti / semi joins."""
+    for qid in (
+        "c_sql_q1", "c_sql_q2", "c_sql_q6", "c_sql_q7", "c_sql_q8",
+        "c_sql_q9", "c_sql_q11", "c_sql_q12", "c_sql_q16", "c_sql_q20",
+    ):
+        p = _plan(spark, qid)
+        assert "CartesianProduct" not in p, f"{qid}: cartesian"
+        assert "BroadcastNestedLoopJoin" not in p, f"{qid}: nested loop"
+    for qid in ("c_sql_q1", "c_sql_q6"):
+        assert "Join" not in _plan(spark, qid), f"{qid} must be a pure scan-aggregate"
+    assert "LeftAnti" in _plan(spark, "c_sql_q16"), "Q16 NOT IN must lower to anti join"
+    assert "LeftSemi" in _plan(spark, "c_sql_q20"), "Q20 IN must lower to semi join"
+
+
 def test_salted_join_actually_salts(spark):
     """c_join_salted must keep the salt in the physical plan: an
     explode (Generate) replicating the dim side and a two-column join

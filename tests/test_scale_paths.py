@@ -238,3 +238,17 @@ def test_banded_lsh_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "Generate" in plan  # the posexplode
+
+
+def test_ann_ivf_recall_floor(spark):
+    """Same discipline as the banded-LSH floor, for the second
+    approximate path: j_ann_recall measures IVF recall@5 vs the exact
+    batch kNN (0.82-0.92 across the three scales with the trained
+    16-centroid / nprobe=4 quantizer); 0.6 is the drift alarm — halve
+    nprobe or break the k-means and this fails before any oracle
+    does (oracles check parity, not quality)."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["j_ann_recall"](spark, SF).collect()[0]
+    assert row.n_exact > 0 and row.recall >= 0.6, f"IVF recall regressed: {row}"

@@ -327,7 +327,11 @@ def test_transform_with_state(spark, tmp_path):
     """transformWithStateInPandas: power-of-two packet-count threshold
     crossings per station, state persisted across two checkpointed runs
     (RocksDB state store)."""
-    # the tws python driver worker needs protobuf, absent in this container
+    # The tws python driver worker needs protobuf, absent in this
+    # container. Verified again in r7: `import google.protobuf` raises
+    # ModuleNotFoundError, and the environment policy forbids package
+    # installs (no pip/apt), so the gap cannot be closed in-session —
+    # the skip stays declared rather than silently passing a stub.
     pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
     from aprsdb_spark.streaming.tws import rate_threshold_stream
 
