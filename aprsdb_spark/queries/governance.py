@@ -361,3 +361,72 @@ def j_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change"),
     )
+
+
+@query(
+    "j_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op
+      FROM events),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms DESC, event_id DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM log)
+    SELECT user_id, op AS last_op, value AS last_value,
+           ts_ms AS last_ts_ms, CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked
+    WHERE rk = 1 AND op <> 'D'
+    """,
+)
+def j_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (the Debezium/Delta CDF apply step, public):
+    collapse an insert/update/delete change log to the final snapshot —
+    last change per key wins by the (ts, event_id) total order, and a
+    key whose last change is a DELETE leaves the snapshot entirely. The
+    synthetic op mapping (signup -> I, error -> D, else U) is
+    documented data adaptation; the operator is the shape. Emits the
+    surviving keys with their last op/value/timestamp and the change
+    count the compaction absorbed.
+
+    Plan: ONE user_id exchange feeding both window functions (rank and
+    per-key change count evaluate in the same Window node — the
+    j_scd2_history pattern), then a stateless filter. This is exactly
+    the foreachBatch upsert sink's batch twin (streaming/ingest.py
+    upsert_stations_sink), extended with delete semantics; at 100 TB
+    the same plan runs per micro-batch partition with the snapshot as
+    the merge target. The tie order is total (event_id is unique), so
+    both engines pick the same last row for every key."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    log = t.events.select(
+        "user_id",
+        "ts_ms",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    ranked = log.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).cast("long").alias("n_changes"),
+    )
+    return ranked.where((F.col("rk") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.col("ts_ms").alias("last_ts_ms"),
+        "n_changes",
+    )

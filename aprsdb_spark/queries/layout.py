@@ -287,3 +287,153 @@ def j_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         rnd(F.col("n_null") * 1.0 / F.col("n_rows"), 6).alias("null_frac"),
     )
+
+
+# Skew diagnostic: top-N heavy hitters reported.
+_SKEW_TOPN = 10
+
+# Compaction planner: "files" are (source, doc_id div 50) groups; bins
+# target this many chars.
+_COMPACT_FILE_DIV = 50
+_COMPACT_TARGET = 20000
+
+
+@query(
+    "j_skew_stats",
+    oracle=f"""
+    WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS nkeys
+            FROM k),
+    top AS (SELECT user_id, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+            FROM k)
+    SELECT CAST(rk AS BIGINT) AS rk, user_id, CAST(n AS BIGINT) AS n_rows,
+           nkeys AS n_keys, total AS n_total,
+           FLOOR(n * 1.0 / total * 1000000 + 0.5) / 1000000 AS share,
+           FLOOR(n * 1.0 * nkeys / total * 10000 + 0.5) / 10000 AS x_avg
+    FROM top, tot WHERE rk <= {_SKEW_TOPN}
+    """,
+)
+def j_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic over events.user_id: the
+    top-{N} heavy hitters with their row counts, share of the table,
+    and multiple-of-average (x_avg) — the relation a planner (or an
+    engineer deciding whether d_agg_salted / c_join_salted is worth
+    its extra exchange) reads BEFORE the big job runs. x_avg is the
+    skew factor: x_avg ~ 1 means uniform keys, x_avg >> shuffle
+    parallelism means one straggler task owns the job's tail latency.
+
+    Plan: one hash agg on the key (map-side combined — the diagnostic
+    costs one pass over the table and |keys| shuffled rows), a 1-row
+    totals broadcast, and a top-{N} TakeOrderedAndProject + rank over
+    {N} rows — never a global sort or a full-key window. Output is
+    {N} rows at any scale. Shares divide exact BIGINTs once, on
+    identical operands, in both engines."""
+    t = load(spark, sf_dir)
+    k = t.events.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = k.orderBy(F.col("n").desc(), F.col("user_id")).limit(_SKEW_TOPN)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            "user_id",
+            F.col("n").cast("long").alias("n_rows"),
+            "n_keys",
+            "n_total",
+            rnd(F.col("n") * 1.0 / F.col("n_total"), 6).alias("share"),
+            rnd(F.col("n") * 1.0 * F.col("n_keys") / F.col("n_total"), 4).alias(
+                "x_avg"
+            ),
+        )
+    )
+
+
+j_skew_stats.__doc__ = j_skew_stats.__doc__.replace("{N}", str(_SKEW_TOPN))
+
+
+@query(
+    "j_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id // {_COMPACT_FILE_DIV} AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2),
+    planned AS (
+      SELECT source, file_id, n_docs, bytes,
+             CAST((SUM(bytes) OVER (PARTITION BY source
+                                    ORDER BY file_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - bytes)
+                  // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM files)
+    SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+           SUM(bytes) >= {_COMPACT_TARGET} AS full_bin
+    FROM planned GROUP BY source, bin
+    """,
+)
+def j_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/bin-packing step of
+    Delta/Iceberg table maintenance, public): model files as
+    (source, doc_id div {D}) groups with bytes = total chars, then
+    greedily pack consecutive files per source into target-size bins
+    via the prefix-sum trick — bin = (bytes before me) div target —
+    the order-preserving first-fit that table formats use so compacted
+    files keep their clustering. Emits per-bin rollups: file count,
+    bytes, the [first_file, last_file] range each rewrite task reads,
+    and whether the bin reached the target (the trailing partial bin
+    per source is expected — it rolls into the next compaction run).
+
+    Plan: one groupBy builds the file manifest (|files| rows — already
+    tiny relative to the table), ONE per-source window computes the
+    exclusive prefix sum (integer-exact in both engines), one hash agg
+    forms bins. At 100 TB the manifest comes from the table format's
+    metadata layer instead of a scan, and the plan relation this emits
+    IS the rewrite job list — bounded by |files|, never by rows."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    files = t.documents.groupBy(
+        "source", (F.col("doc_id") / _COMPACT_FILE_DIV).cast("long").alias("file_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    planned = files.select(
+        "source",
+        "file_id",
+        "n_docs",
+        "bytes",
+        ((F.sum("bytes").over(w) - F.col("bytes")) / _COMPACT_TARGET)
+        .cast("long")
+        .alias("bin"),
+    )
+    return planned.groupBy("source", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+        (F.sum("bytes") >= _COMPACT_TARGET).alias("full_bin"),
+    )
+
+
+j_compaction_plan.__doc__ = j_compaction_plan.__doc__.replace(
+    "{D}", str(_COMPACT_FILE_DIV)
+)

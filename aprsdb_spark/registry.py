@@ -163,6 +163,11 @@ NEXT_QUEUE: list[str] = [
     "c_sql_q20",
     # r7: IVF recall measurement (the ANN twin of j_lsh_recall_banded)
     "j_ann_recall",
+    # r7: lakehouse/scale-ops — skew diagnostic, compaction planner,
+    # CDC log compaction
+    "j_skew_stats",
+    "j_compaction_plan",
+    "j_cdc_apply",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).

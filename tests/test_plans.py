@@ -205,6 +205,8 @@ _EXPECTED_BNLJ = {
     "j_pagerank",  # 1-row broadcast |V| into every iteration's teleport
     "j_histogram_equi",  # 1-row broadcast percentile-boundary array
     "j_hll_portable",  # 1-row broadcast exact-truth cross-join next to the estimate
+    "j_ann_recall",  # 1-row broadcast hits x n_exact fuse of the two recall legs
+    "j_skew_stats",  # 1-row broadcast (n_total, n_keys) totals onto the top-N
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
