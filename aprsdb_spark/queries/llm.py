@@ -1757,3 +1757,103 @@ j_ann_recall.__doc__ = (
     .replace("{k}", str(_KNNB_K))
     .replace("{nq}", str(_KNNB_NQ))
 )
+
+
+# Hard-negative mining: per query, the top-K most-similar WRONG-label
+# candidates (contrastive-training negatives).
+_HN_K = 5
+
+
+@query(
+    "j_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    s AS (SELECT q.qid, e.vec_id, e.label,
+                 FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q
+          WHERE e.label <> q.qlabel),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, vec_id) AS rk
+          FROM s)
+    SELECT qid, vec_id, label, score, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_HN_K}
+    """,
+)
+def j_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    in-batch-negatives upgrade every retrieval/embedding recipe uses,
+    public): per query, the top-{k} HIGHEST-cosine candidates whose
+    label DIFFERS — near misses carry the gradient signal random
+    negatives don't. Same engine as j_knn_batch (broadcast query set,
+    one qid-keyed rank window, pre-rounded scores with vec_id
+    tie-break) plus the label-mismatch predicate, which is exactly the
+    point: the miner is the exact kNN with a relational filter, so at
+    100 TB it inherits the same ANN-pruned candidate generation
+    (j_ann_lsh/_ivf buckets) with `label <> qlabel` pushed into the
+    candidate scan."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double("embedding").alias("qv"),
+    )
+    s = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return s.select("*", F.row_number().over(w).cast("long").alias("rk")).where(
+        F.col("rk") <= _HN_K
+    )
+
+
+j_hard_negatives.__doc__ = j_hard_negatives.__doc__.replace("{k}", str(_HN_K))
+
+
+@query(
+    "j_class_weights",
+    oracle="""
+    WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+               FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_classes
+          FROM c)
+    SELECT label, n,
+           FLOOR(n * 1.0 / total * 1000000 + 0.5) / 1000000 AS freq,
+           FLOOR(total * 1.0 / (n_classes * n) * 1000000 + 0.5) / 1000000
+             AS weight
+    FROM c, t
+    ORDER BY label
+    """,
+)
+def j_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (the sklearn 'balanced' formula,
+    public: total / (n_classes * count_c)) over the embedding labels —
+    the reweighting relation a trainer broadcasts to correct label
+    imbalance. One label agg (map-side combined to |classes| rows), a
+    1-row totals broadcast, and one exact division per class on
+    identical BIGINT operands — |classes| output rows at any corpus
+    size."""
+    t = load(spark, sf_dir)
+    c = t.embeddings.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_classes"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        rnd(F.col("n") * 1.0 / F.col("total"), 6).alias("freq"),
+        rnd(F.col("total") * 1.0 / (F.col("n_classes") * F.col("n")), 6).alias(
+            "weight"
+        ),
+    )

@@ -168,6 +168,10 @@ NEXT_QUEUE: list[str] = [
     "j_skew_stats",
     "j_compaction_plan",
     "j_cdc_apply",
+    # r7: contrastive-training data ops — hard-negative mining, class
+    # weights
+    "j_hard_negatives",
+    "j_class_weights",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).

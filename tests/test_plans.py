@@ -207,6 +207,8 @@ _EXPECTED_BNLJ = {
     "j_hll_portable",  # 1-row broadcast exact-truth cross-join next to the estimate
     "j_ann_recall",  # 1-row broadcast hits x n_exact fuse of the two recall legs
     "j_skew_stats",  # 1-row broadcast (n_total, n_keys) totals onto the top-N
+    "j_hard_negatives",  # broadcast 20-row query set (the j_knn_batch fan-out)
+    "j_class_weights",  # 1-row broadcast (total, n_classes) onto |classes| rows
 }
 _EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
 
