@@ -323,3 +323,161 @@ def j_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# EWMA: dyadic alpha=1/2 over a 16-row trailing window; value on the
+# cent grid so the weighted sum is integer-exact.
+_EWMA_W = 16
+
+# Interval-overlap: each event holds a resource for this long.
+_OVL_HOLD_MS = 300_000
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(LAG(vs, {k}) OVER w * {1 << (_EWMA_W - 1 - k)}, 0)"
+        for k in range(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(vs, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EWMA_W - 1 - k)} ELSE 0 END"
+        for k in range(_EWMA_W)
+    )
+    return f"""
+    WITH v AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vs
+      FROM events),
+    e AS (
+      SELECT user_id, ts_ms, event_id, value,
+             ({num}) AS num, ({den}) AS den
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+    SELECT user_id, ts_ms, event_id, value,
+           FLOOR(num * 100.0 / den + 0.5) / 10000 AS ewma
+    FROM e
+    """
+
+
+@query("j_ts_ewma", oracle=_ewma_sql())
+def j_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (adjusted EWMA, alpha=1/2)
+    of events.value per user over a 16-row trailing window — the
+    smoothing primitive of monitoring/feature pipelines. The float
+    discipline makes it engine-exact END-TO-END: values floor to the
+    cent grid (BIGINT), the weights are powers of two (2^15..2^0), so
+    numerator and denominator are exact 64-bit integers at any
+    evaluation order, and the single num/den division happens once on
+    identical operands. The 16 LAG terms all share ONE window spec —
+    Catalyst evaluates them in a single Window node on a single
+    user_id exchange (the j_scd2_history pattern); the truncated-tail
+    windowing (den sums only the available weights) is the standard
+    'adjusted' EWMA initialization, so early rows are exact too."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    vs = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    v = t.events.select("user_id", "ts_ms", "event_id", "value", vs.alias("vs"))
+    num = sum(
+        F.coalesce(
+            F.lag("vs", k).over(w) * F.lit(1 << (_EWMA_W - 1 - k)), F.lit(0)
+        )
+        for k in range(_EWMA_W)
+    )
+    den = sum(
+        F.when(
+            F.lag("vs", k).over(w).isNotNull(), F.lit(1 << (_EWMA_W - 1 - k))
+        ).otherwise(0)
+        for k in range(_EWMA_W)
+    )
+    e = v.select("user_id", "ts_ms", "event_id", "value", num.alias("num"), den.alias("den"))
+    return e.select(
+        "user_id",
+        "ts_ms",
+        "event_id",
+        "value",
+        (F.floor(F.col("num") * 100.0 / F.col("den") + 0.5) / 10000).alias("ewma"),
+    )
+
+
+@query(
+    "j_interval_overlap",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, epoch_ms(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, epoch_ms(ts) + {_OVL_HOLD_MS}, -1 FROM events),
+    g AS (SELECT event_type, t, CAST(SUM(d) AS BIGINT) AS delta
+          FROM b GROUP BY event_type, t),
+    c AS (SELECT event_type, t,
+                 SUM(delta) OVER (PARTITION BY event_type ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS conc
+          FROM g),
+    m AS (SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+          FROM c GROUP BY event_type),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals
+          FROM events GROUP BY event_type)
+    SELECT c.event_type, m.max_concurrent, MIN(c.t) AS at_ms, n.n_intervals
+    FROM c
+    JOIN m ON c.event_type = m.event_type AND c.conc = m.max_concurrent
+    JOIN n ON n.event_type = c.event_type
+    GROUP BY c.event_type, m.max_concurrent, n.n_intervals
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum interval overlap (sweep line): treat each event as
+    holding a resource for {hold} ms and report, per event_type, the
+    peak concurrency and the first instant it is reached — the classic
+    capacity question (max simultaneous sessions / connections / GPU
+    leases). Half-open [s, e) semantics: boundaries COLLAPSE per
+    (type, instant) first (+1s and -1s at the same instant net out),
+    which both removes the end-before-start tie ambiguity and makes
+    the running sum's ROWS frame deterministic — after the collapse,
+    t is unique within each partition.
+
+    Plan: one union of two projections of the same scan (no self
+    join), one (type, t) hash agg, ONE type-keyed window for the
+    running concurrency, then a broadcast-joined max lookup. Shuffle
+    weight: 2 boundary rows per event collapsing to |distinct
+    instants| — at 100 TB the sweep parallelizes over the partition
+    key exactly like every other window family here."""
+    t = load(spark, sf_dir)
+    up = t.events.select("event_type", F.col("ts_ms").alias("t"), F.lit(1).alias("d"))
+    down = t.events.select(
+        "event_type",
+        (F.col("ts_ms") + _OVL_HOLD_MS).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    g = (
+        up.unionByName(down)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select("event_type", "t", F.sum("delta").over(w).alias("conc"))
+    m = c.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )
+    n = t.events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_intervals")
+    )
+    return (
+        c.join(
+            F.broadcast(m),
+            (c.event_type == m.event_type) & (c.conc == F.col("max_concurrent")),
+        )
+        .drop(m.event_type)
+        .join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "max_concurrent", "n_intervals")
+        .agg(F.min("t").alias("at_ms"))
+        .select("event_type", "max_concurrent", "at_ms", "n_intervals")
+    )
+
+
+j_interval_overlap.__doc__ = j_interval_overlap.__doc__.replace(
+    "{hold}", str(_OVL_HOLD_MS)
+)

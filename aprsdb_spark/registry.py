@@ -172,6 +172,10 @@ NEXT_QUEUE: list[str] = [
     # weights
     "j_hard_negatives",
     "j_class_weights",
+    # r7: time-series — integer-exact dyadic EWMA, sweep-line interval
+    # overlap
+    "j_ts_ewma",
+    "j_interval_overlap",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
