@@ -512,3 +512,53 @@ def j_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_click_ms").isNotNull().alias("attributed"),
         )
     )
+
+
+@query(
+    "j_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id) AS next_type
+      FROM events),
+    p AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE next_type IS NOT NULL
+          GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n, t.n_from,
+           FLOOR(p.n * 1.0 / t.n_from * 1000000 + 0.5) / 1000000 AS prob
+    FROM p JOIN t ON p.from_type = t.from_type
+    """,
+)
+def j_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | current), estimated from per-user (ts, event_id)
+    ordered streams — the behavioral model behind next-action
+    prediction, funnel leak analysis, and synthetic-session generation.
+
+    Plan: ONE user_id exchange feeding a single LEAD window (the
+    sequence pairing never self-joins — lead is the linear-cost way to
+    form consecutive pairs), one (from, to) hash agg collapsing the
+    stream to |types|^2 rows, then a broadcast-sized totals join. The
+    probability is one division of exact BIGINTs on identical operands.
+    Output is |types|^2 at any corpus size; at 100 TB only the LEAD
+    window touches raw events and it reuses the partitioning every
+    other per-user family here shuffles on."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    s = t.events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    p = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = p.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return p.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        rnd(F.col("n") * 1.0 / F.col("n_from"), 6).alias("prob"),
+    )

@@ -176,6 +176,8 @@ NEXT_QUEUE: list[str] = [
     # overlap
     "j_ts_ewma",
     "j_interval_overlap",
+    # r7: sequence analytics — first-order Markov transition matrix
+    "j_markov_transitions",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).

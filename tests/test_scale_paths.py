@@ -226,10 +226,12 @@ def test_banded_lsh_recall_floor(spark):
     assert single.recall <= row.recall, (single, row)
 
 
-def test_banded_lsh_plan_is_equi_join(spark):
-    """The banded candidate join must be a (band, key) equi-join —
-    never a cartesian — and the explode must be narrow (no exchange
-    between the scan and the generator)."""
+def test_banded_lsh_plan_shape(spark):
+    """The banded pair generation must stay bucket-grouped: one narrow
+    posexplode (Generate), ONE exchange on the (band, key) group key,
+    Arrow-batched per-bucket scoring (FlatMapGroupsInPandas — NOT a
+    row-at-a-time BatchEvalPython, and NOT a cartesian/nested-loop
+    join materializing every candidate pair as JVM rows)."""
     from aprsdb_spark.plans.inspect import formatted_plan
     from aprsdb_spark.registry import QUERIES, load_all
 
@@ -238,6 +240,8 @@ def test_banded_lsh_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "Generate" in plan  # the posexplode
+    assert "FlatMapGroupsInPandas" in plan, "per-bucket Arrow scoring lost"
+    assert "BatchEvalPython" not in plan, "row-at-a-time python crept in"
 
 
 def test_ann_ivf_recall_floor(spark):
