@@ -256,6 +256,25 @@ def banded_gemm_pairs(tagged: DataFrame, tau: float, parallelism: int) -> DataFr
     bit-identical to the declarative join at all three test scales.
 
     `tagged` must carry (vec_id, v: array<double>, band, key)."""
+    return _gemm_pairs(tagged, ["band", "key"], "band", tau, parallelism)
+
+
+def label_gemm_pairs(tagged: DataFrame, tau: float, parallelism: int) -> DataFrame:
+    """Label-blocked exact all-pairs via the same per-group blocked
+    kernel — the ground-truth quadratic (j_sim_pairs) scored without
+    materializing Σn_g² JVM join rows. Bit-identical to the
+    declarative label self-join (same left-fold accumulate, same 1e-6
+    floor). `tagged` must carry (vec_id, v: array<double>, label)."""
+    return _gemm_pairs(tagged, ["label"], "label", tau, parallelism)
+
+
+def _gemm_pairs(
+    tagged: DataFrame,
+    group_cols: list[str],
+    tag_col: str,
+    tau: float,
+    parallelism: int,
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -267,12 +286,12 @@ def banded_gemm_pairs(tagged: DataFrame, tau: float, parallelism: int) -> DataFr
                 {
                     "id_a": pd.Series([], dtype="int64"),
                     "id_b": pd.Series([], dtype="int64"),
-                    "band": pd.Series([], dtype="int32"),
+                    tag_col: pd.Series([], dtype="int32"),
                     "score": pd.Series([], dtype="float64"),
                 }
             )
         v = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
-        band = np.int32(pdf["band"].iloc[0])
+        tag = np.int32(pdf[tag_col].iloc[0])
         out_a, out_b, out_s = [], [], []
         blk = 256
         for i0 in range(0, m, blk):
@@ -290,15 +309,17 @@ def banded_gemm_pairs(tagged: DataFrame, tau: float, parallelism: int) -> DataFr
             {
                 "id_a": a,
                 "id_b": np.concatenate(out_b),
-                "band": np.full(len(a), band, dtype="int32"),
+                tag_col: np.full(len(a), tag, dtype="int32"),
                 "score": np.concatenate(out_s),
             }
         )
 
     return (
-        tagged.repartition(parallelism, "band", "key")
-        .groupBy("band", "key")
-        .applyInPandas(score_group, "id_a long, id_b long, band int, score double")
+        tagged.repartition(parallelism, *group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(
+            score_group, f"id_a long, id_b long, {tag_col} int, score double"
+        )
     )
 
 

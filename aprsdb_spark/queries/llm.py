@@ -274,29 +274,27 @@ def j_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs similarity >= 0.3 within label groups — the EXACT
-    ground-truth variant: with ~10 labels the per-group self-join is
-    Σn_g² ≈ n²/10 candidate pairs, which does not survive 100×. The
-    registered production path is `j_sim_pairs_bucketed` (hyperplane-
-    sketch equi-key, plan-pinned); keep this one for oracle-exact
-    verification and recall measurement of the bucketed variant."""
+    ground-truth variant: with ~10 labels the candidate space is
+    Σn_g² ≈ n²/10 pairs, which does not survive 100×. The registered
+    production paths are `j_sim_pairs_bucketed`/`j_sim_pairs_banded`;
+    keep this one for oracle-exact verification and recall measurement
+    of the approximate variants.
+
+    Scored via the per-group blocked numpy kernel (label_gemm_pairs) —
+    the candidate pairs exist only to be scored and filtered, so the
+    Σn_g² intermediate never materializes as JVM join rows; the strict
+    left-fold accumulate keeps it bit-identical to the declarative
+    label self-join and to the DuckDB oracle (j_dedup_embed remains
+    the declarative-join exact variant for plan diversity)."""
     t = load(spark, sf_dir)
-    e1 = t.embeddings.alias("e1")
-    e2 = t.embeddings.alias("e2")
-    score = rnd(dot_expr(as_double(F.col("e1.embedding")), as_double(F.col("e2.embedding"))), 6)
-    return (
-        e1.join(
-            e2,
-            (F.col("e1.label") == F.col("e2.label"))
-            & (F.col("e1.vec_id") < F.col("e2.vec_id")),
-        )
-        .select(
-            F.col("e1.vec_id").alias("id_a"),
-            F.col("e2.vec_id").alias("id_b"),
-            F.col("e1.label").alias("label"),
-            score.alias("score"),
-        )
-        .where(F.col("score") >= 0.3)
+    from ..operators.similarity import label_gemm_pairs
+
+    tagged = t.embeddings.select(
+        "vec_id", as_double("embedding").alias("v"), "label"
     )
+    return label_gemm_pairs(
+        tagged, tau=0.3, parallelism=spark.sparkContext.defaultParallelism
+    ).select("id_a", "id_b", "label", "score")
 
 
 @query(
