@@ -496,3 +496,41 @@ def d_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="kind",
         valueColumnName="n",
     ).withColumn("n", F.col("n").cast("long"))
+
+
+@query(
+    "d_agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_or(CAST(1 AS BIGINT) << ((epoch_ms(ts) // 86400000) % 7)) AS BIGINT)
+             AS dow_mask,
+           CAST(bit_or(CAST(1 AS BIGINT) << (user_id % 32)) AS BIGINT) AS bucket_mask,
+           CAST(bit_and(user_id) AS BIGINT) AS and_all,
+           CAST(bit_xor(user_id) AS BIGINT) AS xor_all,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def d_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_or / bit_and / bit_xor) — the bitmap
+    rollup primitive behind presence masks and cheap set summaries:
+    per event type, which weekdays it occurs on (7-bit mask over the
+    portable epoch-day mod 7 — NOT dayofweek(), whose origin differs
+    between engines) and which of 32 user buckets it touches. All
+    integer-exact and fully mergeable (map-side partials combine with
+    the same operator), so at 100 TB the shuffle carries one 64-bit
+    mask per group per partition."""
+    t = load(spark, sf_dir)
+    # F.shiftleft only takes a literal bit count in the Python API —
+    # column-valued shifts go through the SQL expression; the shifted 1
+    # must be BIGINT on BOTH engines (an INT 1 << 31 wraps negative in
+    # Spark but promotes unsigned in DuckDB)
+    dow = F.expr("shiftleft(CAST(1 AS BIGINT), CAST((ts_ms div 86400000) % 7 AS INT))")
+    bucket = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+    return t.events.groupBy("event_type").agg(
+        F.bit_or(dow).cast("long").alias("dow_mask"),
+        F.bit_or(bucket).cast("long").alias("bucket_mask"),
+        F.bit_and("user_id").cast("long").alias("and_all"),
+        F.bit_xor("user_id").cast("long").alias("xor_all"),
+        F.count("*").cast("long").alias("n"),
+    )

@@ -562,3 +562,74 @@ def j_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from",
         rnd(F.col("n") * 1.0 / F.col("n_from"), 6).alias("prob"),
     )
+
+
+# BFS: fixed rounds and the deterministic source nation.
+_BFS_ROUNDS = 3
+_BFS_SRC = 0
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    for k in range(1, _BFS_ROUNDS + 1):
+        rounds.append(f"""
+    r{k} AS (SELECT nk, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT nk, dist FROM r{k - 1}
+        UNION ALL
+        SELECT e.dst AS nk, p.dist + 1 AS dist
+        FROM e JOIN r{k - 1} p ON e.src = p.nk) u GROUP BY nk)""")
+    return f"""
+    WITH {_TRADE_E_CTES},
+    r0 AS (SELECT CAST({_BFS_SRC} AS BIGINT) AS nk, CAST(0 AS BIGINT) AS dist),
+    {','.join(rounds)}
+    SELECT n.n_nationkey, n.n_name, r.dist AS hops,
+           r.dist IS NOT NULL AS reached
+    FROM nation n LEFT JOIN r{_BFS_ROUNDS} r ON r.nk = n.n_nationkey
+    """
+
+
+@query("j_bfs_distance", oracle=_bfs_oracle())
+def j_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round BFS shortest-hop distances from nation {src} over
+    the capped trade graph (the j_pagerank/j_triangle_count edge list)
+    — the second iterative fixpoint in the registry with a full
+    value-level oracle: each frontier expansion is mirrored by an
+    unrolled CTE round, so the bounded-depth semantics (reachable
+    within {R} hops, else NULL) are identical by construction, not by
+    convergence luck.
+
+    Plan: the edge list builds once (one fact rollup + top-K cap) and
+    persists across rounds; each round is edges ⋈ current distances
+    (|V|-row side broadcast) + a min-combine — distances stay
+    O(|V|) rows, lineage stays linear in rounds (the j_dedup_cluster
+    rule). At 100 TB rounds shuffle only the |V|-keyed distance
+    relation, never the fact table."""
+    t = load(spark, sf_dir)
+    e = _trade_edges(t)
+    e.persist()
+    dist = spark.range(1).select(
+        F.lit(_BFS_SRC).cast("long").alias("nk"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_BFS_ROUNDS):
+        nd = e.join(F.broadcast(dist), e.src == dist.nk).select(
+            F.col("dst").alias("nk"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nd)
+            .groupBy("nk")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return (
+        t.nation.join(F.broadcast(dist), t.nation.n_nationkey == dist.nk, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("dist").alias("hops"),
+            F.col("dist").isNotNull().alias("reached"),
+        )
+    )
+
+
+j_bfs_distance.__doc__ = j_bfs_distance.__doc__.replace("{src}", str(_BFS_SRC)).replace(
+    "{R}", str(_BFS_ROUNDS)
+)

@@ -481,3 +481,100 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_interval_overlap.__doc__ = j_interval_overlap.__doc__.replace(
     "{hold}", str(_OVL_HOLD_MS)
 )
+
+
+# Rolling correlation: trailing window (days) and minimum observations.
+_RCORR_WIN = 14
+_RCORR_MIN = 5
+
+
+@query(
+    "j_rolling_corr",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS x,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, x, y,
+             CAST(SUM(x) OVER f AS BIGINT) AS sx,
+             CAST(SUM(y) OVER f AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER f AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER f AS BIGINT) AS syy,
+             CAST(COUNT(*) OVER f AS BIGINT) AS n
+      FROM d
+      WINDOW f AS (ORDER BY day ROWS BETWEEN {_RCORR_WIN - 1} PRECEDING
+                   AND CURRENT ROW))
+    SELECT day, x, y, n,
+           CASE WHEN n >= {_RCORR_MIN}
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN FLOOR((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                           * 1000000 + 0.5) / 1000000
+           END AS corr_roll
+    FROM w
+    """,
+)
+def j_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between two event streams' daily
+    counts (click vs view) over a {W}-day trailing window — the
+    co-movement monitor of metric pipelines. Spark has corr() as an
+    aggregate but NOT as a window function; the window form decomposes
+    into the five exact sufficient statistics (Σx, Σy, Σxy, Σx², Σy² —
+    all BIGINT window sums of integer counts, order-independent), so
+    the only float ops are ONE sqrt and ONE division on identical
+    exact operands per row, floored to 1e-6. Degenerate windows (< {M}
+    observations or zero variance) yield NULL, not a boundary-sensitive
+    0/0.
+
+    Plan: one (day) hash agg collapses the table to |days| rows; the
+    five stats share ONE window spec over that tiny relation (the
+    single-partition global-order window is |days| rows — the pinned
+    'offset table' class, never raw events). At 100 TB add a coarse
+    partition key (year) exactly as the other calendar windows here."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("x"),
+            F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("y"),
+        )
+    )
+    f = Window.orderBy("day").rowsBetween(-(_RCORR_WIN - 1), 0)
+    w = d.select(
+        "day",
+        "x",
+        "y",
+        F.sum("x").over(f).cast("long").alias("sx"),
+        F.sum("y").over(f).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).cast("long").alias("syy"),
+        F.count("*").over(f).cast("long").alias("n"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.floor(
+        num / F.sqrt(vx * 1.0 * vy) * 1000000 + F.lit(0.5)
+    ) / 1000000
+    return w.select(
+        "day",
+        "x",
+        "y",
+        "n",
+        F.when((F.col("n") >= _RCORR_MIN) & (vx > 0) & (vy > 0), corr).alias(
+            "corr_roll"
+        ),
+    )
+
+
+j_rolling_corr.__doc__ = j_rolling_corr.__doc__.replace("{W}", str(_RCORR_WIN)).replace(
+    "{M}", str(_RCORR_MIN)
+)

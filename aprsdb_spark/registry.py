@@ -178,6 +178,11 @@ NEXT_QUEUE: list[str] = [
     "j_interval_overlap",
     # r7: sequence analytics — first-order Markov transition matrix
     "j_markov_transitions",
+    # r7: fixed-round BFS (second oracle-checked iterative fixpoint),
+    # bitwise bitmap rollups, exact rolling correlation
+    "j_bfs_distance",
+    "d_agg_bitwise",
+    "j_rolling_corr",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
