@@ -633,3 +633,47 @@ def j_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_bfs_distance.__doc__ = j_bfs_distance.__doc__.replace("{src}", str(_BFS_SRC)).replace(
     "{R}", str(_BFS_ROUNDS)
 )
+
+
+def _recursive_walk_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_TRADE_E_CTES},
+    walk(nk, dist) AS (
+      SELECT CAST({_BFS_SRC} AS BIGINT) AS nk, CAST(0 AS BIGINT) AS dist
+      UNION ALL
+      SELECT e.dst AS nk, w.dist + 1 AS dist
+      FROM walk w JOIN e ON e.src = w.nk
+      WHERE w.dist < {_BFS_ROUNDS})
+    SELECT nk, CAST(MIN(dist) AS BIGINT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_walks
+    FROM walk GROUP BY nk
+    """
+
+
+@query("c_sql_recursive", oracle=_recursive_walk_sql())
+def c_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4.0, SPARK-24497) — the SQL-native
+    twin of j_bfs_distance: depth-bounded walk enumeration from nation
+    {src} over the trade graph, then min-hop + walk-count per reached
+    node. The SAME SQL text runs on both engines (DuckDB's recursion
+    semantics match for UNION ALL + an explicit depth bound, which is
+    also the only safe recursion on a CYCLIC graph — an unbounded
+    UNION ALL walk never terminates, and this graph has cycles by
+    construction). n_walks counts distinct ≤{R}-step walks — a
+    multiset-level check that both engines expanded the same frontier,
+    strictly stronger than comparing min distances alone.
+
+    At scale the recursion materializes one frontier per step keyed on
+    the |V|-bounded walk relation — same shuffle story as the
+    DataFrame-loop BFS; prefer the loop form when you need to persist/
+    checkpoint per round, the SQL form when the query ships to a SQL
+    surface."""
+    _views_local = load(spark, sf_dir)
+    for name in ("lineitem", "orders", "customer", "supplier", "nation"):
+        getattr(_views_local, name).createOrReplaceTempView(name)
+    return spark.sql(_recursive_walk_sql())
+
+
+c_sql_recursive.__doc__ = c_sql_recursive.__doc__.replace(
+    "{src}", str(_BFS_SRC)
+).replace("{R}", str(_BFS_ROUNDS))

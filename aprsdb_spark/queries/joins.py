@@ -538,3 +538,31 @@ def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         (F.floor(F.sum("value") * 1000000 + F.lit(0.5)) / 1000000).alias("sum_value"),
     )
+
+
+_LATERAL_SQL = """
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM {p}orders o,
+    LATERAL (SELECT l_linenumber, l_extendedprice FROM {p}lineitem li
+             WHERE li.l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+    WHERE o.o_totalprice > 400000
+"""
+
+
+@query("c_join_lateral", oracle=_LATERAL_SQL.format(p=""))
+def c_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-2
+    lineitems per qualifying order) — the SQL-standard per-row
+    table-valued join, same text on both engines. What makes it
+    scale-safe on Spark: Catalyst decorrelates the per-order LIMIT
+    into WindowGroupLimit (a rank-<=2 group limit evaluated DURING the
+    sort, before any window materialization) feeding ONE hash join on
+    o_orderkey — pinned in tests/test_plans.py, because the naive
+    execution of a correlated LIMIT is a nested loop re-running the
+    subquery per outer row. The totalprice filter pushes to the orders
+    scan; tie-break ends in the unique (orderkey, linenumber)."""
+    t = load(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_orders")
+    t.lineitem.createOrReplaceTempView("v_lineitem")
+    return spark.sql(_LATERAL_SQL.format(p="v_"))

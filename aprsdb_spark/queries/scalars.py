@@ -435,3 +435,40 @@ def h_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
     )
+
+
+@query(
+    "h_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props ->> '$.k' AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(props ->> '$.k' AS INT)) AS INT) AS max_k,
+           CAST(COUNT(CASE WHEN props ->> '$.missing' IS NULL THEN 1 END)
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def h_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (new engine type in Spark 4.0): parse the
+    events.props JSON once into a VARIANT and extract typed fields
+    with variant_get — the schema-on-read path for semi-structured
+    columns that replaces per-query JSON string re-parsing (the
+    VARIANT binary encoding is parsed once and field access is a
+    typed offset lookup, not a string scan). The oracle is DuckDB's
+    JSON extraction of the same fields; values are integers, so the
+    rollup is exact on both engines. Missing-path extraction must
+    yield NULL (counted per group), not an error — the
+    schema-drift-tolerance contract of semi-structured ingestion."""
+    t = load(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "int")
+    return t.events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(F.when(missing.isNull(), 1)).cast("long").alias("n_missing"),
+    )

@@ -183,6 +183,12 @@ NEXT_QUEUE: list[str] = [
     "j_bfs_distance",
     "d_agg_bitwise",
     "j_rolling_corr",
+    # r7: Spark 4.0 surfaces — WITH RECURSIVE (same SQL text on both
+    # engines), correlated LATERAL + LIMIT (WindowGroupLimit pin),
+    # VARIANT semi-structured ingestion
+    "c_sql_recursive",
+    "c_join_lateral",
+    "h_variant",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).

@@ -540,3 +540,13 @@ def test_hll_registers_aggregate_two_phase(spark):
     p = _physical(spark, "j_hll_portable")
     assert p.count("HashAggregate") >= 4, p
     assert "Window" not in p
+
+
+def test_lateral_limit_decorrelates_to_group_limit(spark):
+    """c_join_lateral's per-order ORDER BY + LIMIT must lower to
+    WindowGroupLimit + ONE hash join on the correlation key — the
+    naive execution of a correlated LIMIT is a nested loop re-running
+    the subquery per outer row."""
+    p = _plan(spark, "c_join_lateral")
+    assert "WindowGroupLimit" in p, "correlated LIMIT lost the group-limit lowering"
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
