@@ -223,3 +223,39 @@ def a_scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_price"),
     )
+
+
+@query(
+    "a_scan_orc",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS text_check
+    FROM documents GROUP BY lang, source
+    """,
+)
+def a_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source connector: documents round-tripped parquet -> ORC ->
+    DataFrame, then aggregated. Same contract as a_scan_csv/json: the
+    oracle aggregates the parquet table directly, so a hash match
+    proves the ORC path preserves longs and strings byte-for-byte
+    (text_check sums the portable md5 word over the full document
+    text). ORC is the second columnar format large estates actually
+    hold (Hive-era tables); Spark reads it with the same vectorized
+    reader architecture, predicate pushdown, and split-parallel scans
+    as parquet — the point of the qid is that switching `format()` is
+    the ONLY change."""
+    path = _derived_path(sf_dir, "documents_orc")
+
+    def write(p: str) -> None:
+        load(spark, sf_dir).documents.coalesce(1).write.mode("overwrite").orc(p)
+
+    _ensure(path, write)
+    df = spark.read.orc(path)
+    return df.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(portable_hash32(F.col("text"))).cast("long").alias("text_check"),
+    )

@@ -332,3 +332,80 @@ def incremental_rollup_sink(
     spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
     if run_key is not None:
         _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def cdc_apply_sink(
+    batch: DataFrame, batch_id: int, state_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch CDC apply — the STREAMING twin of
+    queries/governance.j_cdc_apply: maintain the last-change-wins
+    snapshot of an insert/update/delete log, keyed by user_id with the
+    (ts_ms, event_id) total order. Input schema: (user_id, ts_ms,
+    event_id, value, op) with op in ('I','U','D').
+
+    State keeps TOMBSTONES: a key whose last change is a delete stays
+    in the store as an op='D' row (cdc_current_view filters it out) —
+    dropping it instead would let a late-arriving OLDER update
+    resurrect the key on the next merge, the classic CDC compaction
+    bug. n_changes accumulates across batches, so the streamed state
+    matches the batch operator's change count after full replay
+    (tests/test_streaming.py proves equality).
+
+    Merge shape: the batch collapses to one row per key (max_by on the
+    order struct + a count partial) BEFORE touching the store, so the
+    read-merge-overwrite handles |keys| rows, not |changes|. Same
+    missing-path-only state read and (run_key, batch_id) replay guard
+    as the other sinks here."""
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    spark = batch.sparkSession
+    ordk = F.struct("ts_ms", "event_id")
+    part = batch.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_changes"),
+        F.max_by(F.struct("ts_ms", "event_id", "value", "op"), ordk).alias("last"),
+    )
+    existing = _read_state_or_none(spark, state_dir)
+    if existing is not None:
+        prev = existing.select(
+            "user_id",
+            "n_changes",
+            F.struct("ts_ms", "event_id", "value", "op").alias("last"),
+        )
+        merged = (
+            prev.unionByName(part)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_changes").cast("long").alias("n_changes"),
+                F.max_by(
+                    F.col("last"), F.struct("last.ts_ms", "last.event_id")
+                ).alias("last"),
+            )
+        )
+    else:
+        merged = part
+    flat = merged.select(
+        "user_id",
+        F.col("last.ts_ms").alias("ts_ms"),
+        F.col("last.event_id").alias("event_id"),
+        F.col("last.value").alias("value"),
+        F.col("last.op").alias("op"),
+        "n_changes",
+    )
+    flat.write.mode("overwrite").parquet(state_dir + "_next")
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def cdc_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The queryable snapshot over cdc_apply_sink's store: surviving
+    keys only (tombstones filtered), in the batch operator's column
+    contract."""
+    s = spark.read.parquet(state_dir)
+    return s.where(F.col("op") != "D").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.col("ts_ms").alias("last_ts_ms"),
+        "n_changes",
+    )

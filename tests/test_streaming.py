@@ -439,3 +439,59 @@ def test_incremental_rollup_sink_matches_batch_recompute(spark, tmp_path):
         for r in spark.read.parquet(state_dir).collect()
     }
     assert again == want, "duplicate batch re-applied: sums double-counted"
+
+
+def test_cdc_apply_sink_matches_batch_operator(spark, tmp_path):
+    """Streaming CDC apply: replaying the full change log through
+    cdc_apply_sink in TWO file micro-batches must leave exactly the
+    snapshot the batch operator (j_cdc_apply) computes in one shot —
+    including delete semantics (tombstoned keys absent from the view)
+    and accumulated change counts. Also re-applies a duplicate batch
+    under the same run_key to prove the replay guard."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    from aprsdb_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    src = load(spark, sf).events.select(
+        "user_id",
+        "ts_ms",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(in_dir / "b0"))
+    state_dir = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema(src.schema).parquet(str(in_dir) + "/*")
+
+    def drain():
+        q = (
+            stream.writeStream.option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .foreachBatch(lambda b, i: S.cdc_apply_sink(b, i, state_dir, run_key=ck))
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(in_dir / "b1"))
+    drain()
+    # duplicate re-apply under the same run_key must be a no-op
+    S.cdc_apply_sink(src.limit(50), 0, state_dir, run_key=ck)
+
+    got = {
+        r["user_id"]: (r["last_op"], r["last_value"], r["last_ts_ms"], r["n_changes"])
+        for r in S.cdc_current_view(spark, state_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["last_op"], r["last_value"], r["last_ts_ms"], r["n_changes"])
+        for r in QUERIES["j_cdc_apply"](spark, sf).collect()
+    }
+    assert got == want
