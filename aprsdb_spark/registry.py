@@ -189,6 +189,8 @@ NEXT_QUEUE: list[str] = [
     "c_sql_recursive",
     "c_join_lateral",
     "h_variant",
+    # r7: ORC source connector
+    "a_scan_orc",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
