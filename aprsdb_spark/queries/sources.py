@@ -259,3 +259,49 @@ def a_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum(portable_hash32(F.col("text"))).cast("long").alias("text_check"),
     )
+
+
+def _pysrc_oracle() -> str:
+    """Per-file rollup over the SAME committed replay lines, embedded as
+    fixture-VALUES relations (the aprs_* oracle machinery)."""
+    from .aprs_queries import _fixture_values_sql
+    from ..sources.pysource import REPLAY_FILES
+
+    legs = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{f}' AS fname, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(recv_ms) AS first_ms, MAX(recv_ms) AS last_ms,
+           CAST(SUM(CAST('0x' || substr(md5(raw), 1, 8) AS BIGINT))
+                AS BIGINT) AS raw_check
+    FROM {_fixture_values_sql(f)}"""
+        for f in REPLAY_FILES
+    )
+    return legs
+
+
+@query("a_pysrc_replay", oracle=_pysrc_oracle())
+def a_pysrc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4.0,
+    SPARK-44076): the `aprs_replay` source reads the five committed
+    replay fixtures with ONE InputPartition per file — Spark schedules
+    a task per partition and the reader executes in executor Python
+    workers, the real connector contract (pre-4.0 this required a JVM
+    DataSourceV2). The qid rolls up per file: line counts, the
+    timestamp span, and the portable md5-word sum over the raw lines —
+    a byte-fidelity proof against the fixture-VALUES oracle, which
+    parses the SAME committed lines with the same Hadoop line-split
+    rule. sf_dir is unused (fixture-backed, like the aprs_* family);
+    registration is idempotent per session."""
+    from ..queries.aprs_queries import FIXTURE_DIR
+    from ..sources.pysource import AprsReplayDataSource
+
+    try:
+        spark.dataSource.register(AprsReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("aprs_replay").option("path", str(FIXTURE_DIR)).load()
+    return df.groupBy("fname").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.min("recv_ms").alias("first_ms"),
+        F.max("recv_ms").alias("last_ms"),
+        F.sum(portable_hash32(F.col("raw"))).cast("long").alias("raw_check"),
+    )

@@ -233,3 +233,56 @@ def k_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         rnd(_calibrate(F.col("value")), 6).alias("calibrated"),
     )
+
+
+@query(
+    "k_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           FLOOR(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))
+                 * 1000000 + 0.5) / 1000000 AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+)
+def k_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Spark 3.5+): per-partition RecordBatch processing on
+    RAW Arrow buffers — no pandas conversion at all, the leanest
+    Python boundary Spark offers (the multimodal kernels use the
+    pandas flavor for its struct ergonomics; this qid pins the Arrow
+    one). Computes each embedding's L2 norm with numpy over the
+    zero-copy Arrow values buffer; the squared terms accumulate with a
+    strict LEFT FOLD (np.add.accumulate — the dot_expr/list_dot_product
+    IEEE order), and np.sqrt is correctly-rounded IEEE, so the result
+    is bit-identical to the oracle's sqrt(list_dot_product(v, v))."""
+    import pyarrow as pa
+
+    def batches(it):
+        import numpy as np
+
+        for batch in it:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = batch.column("embedding")
+            # ListArray -> (n, dim) float64 via the flat values buffer
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            dims = (offs[1:] - offs[:-1]).astype(np.int32)
+            n, d = len(ids), int(dims[0]) if len(dims) else 0
+            v = flat.reshape(n, d) if n and (dims == d).all() else flat.reshape(n, -1)
+            sq = v * v
+            dots = np.add.accumulate(sq, axis=1)[:, -1] if d else np.zeros(n)
+            norm = np.floor(np.sqrt(dots) * 1e6 + 0.5) / 1e6
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(norm, type=pa.float64()),
+                    pa.array(dims, type=pa.int32()),
+                ],
+                names=["vec_id", "l2_norm", "dim"],
+            )
+
+    t = load(spark, sf_dir)
+    return t.embeddings.select("vec_id", "embedding").mapInArrow(
+        batches, "vec_id long, l2_norm double, dim int"
+    )

@@ -191,6 +191,10 @@ NEXT_QUEUE: list[str] = [
     "h_variant",
     # r7: ORC source connector
     "a_scan_orc",
+    # r7: Python Data Source API connector (Spark 4.0) + raw-Arrow
+    # mapInArrow surface
+    "a_pysrc_replay",
+    "k_map_in_arrow",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
