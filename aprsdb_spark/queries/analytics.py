@@ -677,3 +677,74 @@ def c_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 c_sql_recursive.__doc__ = c_sql_recursive.__doc__.replace(
     "{src}", str(_BFS_SRC)
 ).replace("{R}", str(_BFS_ROUNDS))
+
+
+@query(
+    "j_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    tots AS (
+      SELECT c.event_type, c.dow, c.o,
+             rt.rt, ct.ct, n.n
+      FROM cells c
+      JOIN (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+            FROM cells GROUP BY 1) rt USING (event_type)
+      JOIN (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct
+            FROM cells GROUP BY 1) ct USING (dow)
+      CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells) n),
+    terms AS (
+      SELECT CAST(FLOOR(
+               (o * n - rt * ct) * 1.0 * (o * n - rt * ct)
+               / (rt * 1.0 * ct * n) * 1000000 + 0.5) AS BIGINT) AS term_s,
+             1 AS k
+      FROM tots)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           FLOOR(SUM(term_s) / 100.0 + 0.5) / 10000 AS chi2
+    FROM terms
+    """,
+)
+def j_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and weekday
+    (Pearson's X² over the |types| x 7 contingency table) — the
+    categorical-association sibling of j_ab_ttest. The float
+    discipline is the repo's integer-sum rule: each cell's statistic
+    is algebraically rearranged to (o·n − rt·ct)² / (rt·ct·n) so both
+    numerator and denominator are EXACT BIGINT-derived doubles
+    (magnitudes < 2^53), the single division per cell happens on
+    identical operands, and the per-cell terms are floored to a
+    scaled-BIGINT grid and summed in exact integer arithmetic — the
+    order-dependent double-sum-of-rounded-terms trap (SCALE.md 4l)
+    cannot occur. Weekday is the portable epoch-day mod 7.
+
+    Plan: one (type, dow) cell agg (the table collapses to ≤35 rows),
+    two broadcast marginal joins + a 1-row total, then a 1-row final —
+    at any corpus size only the first agg touches raw events."""
+    t = load(spark, sf_dir)
+    cells = (
+        t.events.select(
+            "event_type",
+            ((F.col("ts_ms") / 86400000).cast("long") % 7).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    tots = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    dev = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    term_s = F.floor(
+        dev * 1.0 * dev / (F.col("rt") * 1.0 * F.col("ct") * F.col("n")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return tots.select(term_s.alias("term_s")).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (F.floor(F.sum("term_s") / 100.0 + F.lit(0.5)) / 10000).alias("chi2"),
+    )

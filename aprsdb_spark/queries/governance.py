@@ -430,3 +430,82 @@ def j_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").alias("last_ts_ms"),
         "n_changes",
     )
+
+
+@query(
+    "j_dq_checks",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_cust,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+             CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+               AS nonpos_price,
+             CAST(COUNT(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                              OR o_orderdate >= TIMESTAMP '2030-01-01'
+                             THEN 1 END) AS BIGINT) AS ts_out_of_range,
+             CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 END) AS BIGINT) AS bad_status
+      FROM orders)
+    SELECT 'row_count_positive' AS check_name, n_rows AS observed,
+           n_rows > 0 AS passed FROM m
+    UNION ALL
+    SELECT 'custkey_not_null', null_cust, null_cust = 0 FROM m
+    UNION ALL
+    SELECT 'orderkey_unique', n_rows - n_keys, n_keys = n_rows FROM m
+    UNION ALL
+    SELECT 'price_positive', nonpos_price, nonpos_price = 0 FROM m
+    UNION ALL
+    SELECT 'orderdate_in_range', ts_out_of_range, ts_out_of_range = 0 FROM m
+    UNION ALL
+    SELECT 'status_in_domain', bad_status, bad_status = 0 FROM m
+    """,
+)
+def j_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations relation (the dbt-test /
+    Great-Expectations shape, public): named assertions over `orders`
+    — non-empty, key completeness and uniqueness, value-domain and
+    range bounds — each emitting (check_name, observed, passed) so a
+    pipeline gate reads ONE small relation instead of running N
+    scans. All six checks fold into a SINGLE wide aggregate pass
+    (one scan, one 1-row result, the j_profile_stats pattern), then a
+    stack() unpivots the verdicts; counts are exact BIGINTs so
+    pass/fail booleans are engine-trivial. At 100 TB this runs as the
+    post-write validation step of every pipeline release
+    (j_pipeline_release's gate), costing one scan."""
+    t = load(spark, sf_dir)
+    m = t.orders.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).cast("long").alias("null_cust"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).cast("long").alias("nonpos_price"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("ts_out_of_range"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .cast("long")
+        .alias("bad_status"),
+    )
+    checks = [
+        ("row_count_positive", F.col("n_rows"), F.col("n_rows") > 0),
+        ("custkey_not_null", F.col("null_cust"), F.col("null_cust") == 0),
+        ("orderkey_unique", F.col("n_rows") - F.col("n_keys"), F.col("n_keys") == F.col("n_rows")),
+        ("price_positive", F.col("nonpos_price"), F.col("nonpos_price") == 0),
+        ("orderdate_in_range", F.col("ts_out_of_range"), F.col("ts_out_of_range") == 0),
+        ("status_in_domain", F.col("bad_status"), F.col("bad_status") == 0),
+    ]
+    out = None
+    for name, obs, passed in checks:
+        row = m.select(
+            F.lit(name).alias("check_name"),
+            obs.cast("long").alias("observed"),
+            passed.alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -195,6 +195,10 @@ NEXT_QUEUE: list[str] = [
     # mapInArrow surface
     "a_pysrc_replay",
     "k_map_in_arrow",
+    # r7: chi-square independence test (integer-sum float rule),
+    # data-quality expectations relation
+    "j_chi2_independence",
+    "j_dq_checks",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
