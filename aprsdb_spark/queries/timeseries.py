@@ -578,3 +578,64 @@ def j_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_rolling_corr.__doc__ = j_rolling_corr.__doc__.replace("{W}", str(_RCORR_WIN)).replace(
     "{M}", str(_RCORR_MIN)
 )
+
+
+# Point-in-time feature snapshot: the as-of cutoff and epoch-ms bounds
+# (events span 2024-01-01 .. 2024-01-30; the cutoff sits inside, with
+# 20 days of history behind it and real out-of-window data after).
+_FS_CUT_MS = 1_705_795_200_000  # 2024-01-21T00:00:00Z
+_FS_7D = _FS_CUT_MS - 7 * 86_400_000
+_FS_30D = _FS_CUT_MS - 14 * 86_400_000
+
+
+@query(
+    "j_feature_snapshot",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, value
+      FROM events WHERE epoch_ms(ts) <= {_FS_CUT_MS})
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN ts_ms > {_FS_7D} THEN 1 END) AS BIGINT) AS n_7d,
+           CAST(COUNT(CASE WHEN ts_ms > {_FS_30D} THEN 1 END) AS BIGINT) AS n_14d,
+           CAST(SUM(CASE WHEN ts_ms > {_FS_30D}
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 100.0 AS value_14d,
+           CAST((({_FS_CUT_MS}) - MAX(ts_ms)) // 86400000 AS BIGINT)
+             AS days_since_last,
+           CAST(COUNT(*) AS BIGINT) AS n_lifetime
+    FROM h GROUP BY user_id
+    """,
+)
+def j_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature-store snapshot: per user, trailing 7/14-day
+    activity counts, 14-day value sum, recency, and lifetime count —
+    all AS OF a fixed cutoff (2024-01-21), the leakage-safe shape a
+    training pipeline joins onto labels (features may only see history
+    <= the label's as-of time; the cutoff filter IS that guarantee).
+    Distinct from the calendar-series qids (gapfill/ewma): this is one
+    row per entity at one instant, not a series.
+
+    Exactness: counts are BIGINT; the value sum floors each value to
+    the cent grid FIRST and sums in exact integer arithmetic (the 4l
+    rule — a double sum of 14 days of values would be
+    accumulation-order-dependent), with one exact /100.0 for display;
+    recency is integer epoch-day arithmetic. Plan: the cutoff filter
+    pushes to the scan, then ONE user-keyed conditional aggregate —
+    every window is a CASE inside the same agg, so the table is read
+    once and shuffled once. At 100 TB the cutoff prunes date
+    partitions before the scan."""
+    t = load(spark, sf_dir)
+    h = t.events.where(F.col("ts_ms") <= _FS_CUT_MS)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return h.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts_ms") > _FS_7D, 1)).cast("long").alias("n_7d"),
+        F.count(F.when(F.col("ts_ms") > _FS_30D, 1)).cast("long").alias("n_14d"),
+        (
+            F.sum(F.when(F.col("ts_ms") > _FS_30D, cents).otherwise(0)).cast("long")
+            / 100.0
+        ).alias("value_14d"),
+        F.expr(f"CAST(({_FS_CUT_MS} - MAX(ts_ms)) div 86400000 AS BIGINT)").alias(
+            "days_since_last"
+        ),
+        F.count("*").cast("long").alias("n_lifetime"),
+    )

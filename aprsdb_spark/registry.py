@@ -199,6 +199,8 @@ NEXT_QUEUE: list[str] = [
     # data-quality expectations relation
     "j_chi2_independence",
     "j_dq_checks",
+    # r7: leakage-safe point-in-time feature snapshot
+    "j_feature_snapshot",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
