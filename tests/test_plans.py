@@ -209,6 +209,7 @@ _EXPECTED_BNLJ = {
     "j_skew_stats",  # 1-row broadcast (n_total, n_keys) totals onto the top-N
     "j_hard_negatives",  # broadcast 20-row query set (the j_knn_batch fan-out)
     "j_class_weights",  # 1-row broadcast (total, n_classes) onto |classes| rows
+    "j_chi2_independence",  # 1-row broadcast grand total onto the <=35-cell table
     "j_bfs_distance",  # 1-row literal seed frontier: Catalyst folds the seed's
     # nk to a constant, the equi condition becomes a filter, and the round-1
     # broadcast join is left conditionless — build side is O(|V|) state
