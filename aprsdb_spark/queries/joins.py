@@ -566,3 +566,65 @@ def c_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.orders.createOrReplaceTempView("v_orders")
     t.lineitem.createOrReplaceTempView("v_lineitem")
     return spark.sql(_LATERAL_SQL.format(p="v_"))
+
+
+# As-of tolerance: a view older than this no longer explains a purchase.
+_ASOF_TOL_MS = 3_600_000
+
+
+@query(
+    "c_join_asof_tol",
+    oracle=f"""
+    WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT p.event_id AS purchase_event,
+                  v.event_id AS ve, v.ts_ms AS vms,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY v.ts_ms DESC, v.event_id DESC) AS rn
+           FROM p JOIN v ON p.user_id = v.user_id AND v.ts_ms <= p.ts_ms
+                        AND v.ts_ms > p.ts_ms - {_ASOF_TOL_MS}),
+         m AS (SELECT * FROM pairs WHERE rn = 1)
+    SELECT p.event_id AS purchase_event, p.user_id, p.ts_ms AS purchase_ms,
+           m.ve AS asof_view_event, m.vms AS asof_view_ms,
+           m.ve IS NOT NULL AS matched
+    FROM p LEFT JOIN m ON m.purchase_event = p.event_id
+    """,
+)
+def c_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas merge_asof's `tolerance`,
+    QuestDB/kdb's bounded asof): each purchase matches the latest view
+    at-or-before it, but only within the trailing hour — staler context
+    is no match, and unmatched purchases survive with NULLs (left
+    semantics). Composes the generic union+window lowering
+    (operators/asof.py, how='left') with a stateless post-filter that
+    nulls out matches older than the bound — the tolerance adds ZERO
+    shuffles to the as-of plan, which is the point: a range-join
+    formulation of the same semantics re-introduces the per-key
+    explosion the lowering exists to avoid."""
+    from ..operators.asof import asof_join
+
+    t = load(spark, sf_dir)
+    v = t.events.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts_ms"
+    )
+    p = t.events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ms"
+    )
+    j = asof_join(
+        p, v, on="user_id", t="ts_ms", tiebreak="event_id",
+        right_cols=["event_id", "ts_ms"], how="left",
+    )
+    ok = F.col("asof_ts_ms").isNotNull() & (
+        F.col("asof_ts_ms") > F.col("ts_ms") - _ASOF_TOL_MS
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_event"),
+        "user_id",
+        F.col("ts_ms").alias("purchase_ms"),
+        F.when(ok, F.col("asof_event_id")).alias("asof_view_event"),
+        F.when(ok, F.col("asof_ts_ms")).alias("asof_view_ms"),
+        ok.alias("matched"),
+    )

@@ -201,6 +201,8 @@ NEXT_QUEUE: list[str] = [
     "j_dq_checks",
     # r7: leakage-safe point-in-time feature snapshot
     "j_feature_snapshot",
+    # r7: as-of join with tolerance (merge_asof's bounded variant)
+    "c_join_asof_tol",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
