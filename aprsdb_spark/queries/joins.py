@@ -628,3 +628,41 @@ def c_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("asof_ts_ms")).alias("asof_view_ms"),
         ok.alias("matched"),
     )
+
+
+@query(
+    "c_join_shj",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def c_join_shj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join — the THIRD physical equi-join strategy,
+    completing the set next to c_join_bcast (broadcast) and c_join_smj
+    (sort-merge): both sides shuffle on the key, the smaller side
+    builds an in-memory hash table per partition, NO sort on either
+    side. When it wins at 100 TB: both sides too big to broadcast, and
+    one side small enough per partition that skipping two sorts beats
+    SMJ (also the strategy AQE picks for skew-join splitting). The
+    `shuffle_hash` hint pins the choice; the plan pin in
+    tests/test_plans.py asserts ShuffledHashJoin actually appears —
+    without the hint Spark prefers SMJ for this size."""
+    t = load(spark, sf_dir)
+    j = t.orders.hint("shuffle_hash").join(
+        t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("sum_price"),
+    )

@@ -203,6 +203,8 @@ NEXT_QUEUE: list[str] = [
     "j_feature_snapshot",
     # r7: as-of join with tolerance (merge_asof's bounded variant)
     "c_join_asof_tol",
+    # r7: shuffled hash join — third physical equi-join strategy, pinned
+    "c_join_shj",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).

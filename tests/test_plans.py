@@ -554,3 +554,9 @@ def test_lateral_limit_decorrelates_to_group_limit(spark):
     p = _plan(spark, "c_join_lateral")
     assert "WindowGroupLimit" in p, "correlated LIMIT lost the group-limit lowering"
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_shuffled_hash_join_hint_respected(spark):
+    p = _plan(spark, "c_join_shj")
+    assert "ShuffledHashJoin" in p, "shuffle_hash hint ignored"
+    assert "SortMergeJoin" not in p
