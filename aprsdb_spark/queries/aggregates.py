@@ -534,3 +534,39 @@ def d_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("user_id").cast("long").alias("xor_all"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+@query(
+    "d_agg_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS keys_csv,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey < 200
+    GROUP BY o_orderstatus
+    """,
+)
+def d_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ANSI ordered
+    string aggregation added in Spark 4.0 (before 4.0 this took a
+    collect_list + array_sort + concat_ws detour, the d_agg_collect
+    pattern). The WITHIN GROUP order makes the result deterministic
+    under any partitioning — an UNORDERED listagg over a distributed
+    table is nondeterministic by construction and would never
+    hash-match. DuckDB twin: string_agg with ORDER BY. Keys capped to
+    a small prefix: an unbounded listagg materializes the group in one
+    string — at scale cap or pre-aggregate (this is a reporting
+    surface, not a data-movement one)."""
+    t = load(spark, sf_dir)
+    t.orders.where(F.col("o_orderkey") < 200).createOrReplaceTempView("v_la_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v_la_orders
+        GROUP BY o_orderstatus
+        """
+    )

@@ -205,6 +205,8 @@ NEXT_QUEUE: list[str] = [
     "c_join_asof_tol",
     # r7: shuffled hash join — third physical equi-join strategy, pinned
     "c_join_shj",
+    # r7: ANSI LISTAGG (Spark 4.0)
+    "d_agg_listagg",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).

@@ -409,3 +409,40 @@ def cdc_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
         F.col("ts_ms").alias("last_ts_ms"),
         "n_changes",
     )
+
+
+def dedup_ingest_sink(
+    batch: DataFrame, batch_id: int, store_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch corpus-dedup ingestion — the streaming form of the
+    training-data front door: each micro-batch of documents is checked
+    against the accumulated store by exact text hash, and ONLY novel
+    documents append (first-seen wins; later duplicates never touch
+    the store). The batch twin is j_dedup_exact's keeper rule.
+
+    Scale shape: the batch collapses to one candidate per text hash
+    (min doc_id — the deterministic first-seen under ordered replay)
+    BEFORE probing the store; the probe is an anti equi-join on the
+    16-byte hash; and the store write is APPEND-only — the store grows
+    by |novel| rows per batch and nothing rewrites, which is what
+    makes this viable when the store is 10^10 documents (at that size
+    the store is a bucketed table on h and the anti join is
+    exchange-free on the store side). Same (run_key, batch_id) replay
+    guard as the other sinks — append without it double-ingests under
+    at-least-once re-delivery."""
+    if run_key is not None and batch_id <= _last_applied_batch(store_dir, run_key):
+        return
+    spark = batch.sparkSession
+    cand = (
+        batch.select(F.md5("text").alias("h"), "doc_id", "text")
+        .groupBy("h")
+        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("first"))
+        .select("h", F.col("first.doc_id").alias("doc_id"), F.col("first.text").alias("text"))
+    )
+    existing = _read_state_or_none(spark, store_dir)
+    novel = (
+        cand.join(existing.select("h"), "h", "left_anti") if existing is not None else cand
+    )
+    novel.write.mode("append").parquet(store_dir)
+    if run_key is not None:
+        _record_applied_batch(store_dir, run_key, batch_id)

@@ -495,3 +495,46 @@ def test_cdc_apply_sink_matches_batch_operator(spark, tmp_path):
         for r in QUERIES["j_cdc_apply"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_dedup_ingest_sink_matches_exact_dedup(spark, tmp_path):
+    """Streaming corpus ingestion: replaying documents in TWO ordered
+    micro-batches through dedup_ingest_sink must leave exactly the
+    exact-dedup keeper set (min doc_id per text), with cross-batch
+    duplicates rejected at the store and the replay guard holding for
+    the append-only write."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+    mid = 250
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs.where(F.col("doc_id") < mid).coalesce(1).write.parquet(str(in_dir / "b0"))
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema(docs.schema).parquet(str(in_dir) + "/*")
+
+    def drain():
+        q = (
+            stream.writeStream.option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .foreachBatch(lambda b, i: S.dedup_ingest_sink(b, i, store, run_key=ck))
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_after_b0 = spark.read.parquet(store).count()
+    docs.where(F.col("doc_id") >= mid).coalesce(1).write.parquet(str(in_dir / "b1"))
+    drain()
+    # duplicate re-apply must be a no-op (append-only store!)
+    S.dedup_ingest_sink(docs.limit(100), 1, store, run_key=ck)
+
+    got = {r.doc_id for r in spark.read.parquet(store).collect()}
+    want = {
+        r.k
+        for r in docs.groupBy("text").agg(F.min("doc_id").alias("k")).collect()
+    }
+    assert got == want
+    assert n_after_b0 < len(got)  # second batch contributed novel docs
+    # store uniqueness on the hash (no duplicate ingests)
+    assert spark.read.parquet(store).groupBy("h").count().where("count > 1").count() == 0
