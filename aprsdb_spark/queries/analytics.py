@@ -748,3 +748,77 @@ def j_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         (F.floor(F.sum("term_s") / 100.0 + F.lit(0.5)) / 10000).alias("chi2"),
     )
+
+
+@query(
+    "j_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             CAST(FLOOR(abs(e.value - m.med) * 1000000 + 0.5) AS BIGINT) AS dev_s
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(dev_s, 0.5) + 0.5) AS BIGINT) AS mad_s
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           FLOOR(d.med * 10000 + 0.5) / 10000 AS median_value,
+           FLOOR(m.mad_s / 100.0 + 0.5) / 10000 AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN d.dev_s > 3 * m.mad_s THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.med, m.mad_s
+    """,
+)
+def j_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the ROBUST
+    alternative to the z-score family (j_ts_anomaly, j_winsorize): a
+    single extreme value drags mean and stddev but not median and MAD,
+    so the 3-MAD fence survives contaminated data. Float discipline:
+    the median pre-rounds to 1e-6 (so both engines compute deviations
+    from the identical number), deviations floor to a scaled-BIGINT
+    grid, the MAD is a percentile OF INTEGERS (interpolation midpoint
+    of two BIGINTs — exact), and the 3-MAD fence compares integers —
+    no float boundary anywhere in the decision.
+
+    Plan: two percentile aggregates (each |types| rows, broadcast
+    back) + one counting pass — three scans; at 100 TB swap
+    approx_percentile exactly as j_histogram_equi documents."""
+    t = load(spark, sf_dir)
+    med = t.events.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    dev = t.events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.floor(F.abs(F.col("value") - F.col("med")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("dev_s"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(dev_s, 0.5D)") + F.lit(0.5))
+        .cast("long")
+        .alias("mad_s")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad_s")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count(F.when(F.col("dev_s") > 3 * F.col("mad_s"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            (F.floor(F.col("med") * 10000 + F.lit(0.5)) / 10000).alias("median_value"),
+            (F.floor(F.col("mad_s") / 100.0 + F.lit(0.5)) / 10000).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )

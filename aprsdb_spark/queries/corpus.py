@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import rnd, sql_rnd
-from ..operators.dedup import tokens_col
+from ..operators.dedup import shingles_from_toks, tokens_col
 from ..registry import query
 from ..tables import load
 from .quality import ngrams_col
@@ -744,3 +744,61 @@ def j_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 j_bpe_train.__doc__ = j_bpe_train.__doc__.replace("{R}", str(_BPE_ROUNDS))
 j_bpe_encode.__doc__ = j_bpe_encode.__doc__.replace("{R}", str(_BPE_ROUNDS))
+
+
+@query(
+    "j_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    e AS (SELECT doc_id, md5(g) AS h FROM sh),
+    f AS (SELECT h, MIN(doc_id) AS first_doc FROM e GROUP BY h)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS BIGINT)
+             AS n_novel,
+           FLOOR(COUNT(CASE WHEN f.first_doc = e.doc_id THEN 1 END) * 1.0
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS novelty
+    FROM e JOIN f ON e.h = f.h
+    GROUP BY e.doc_id
+    """,
+)
+def j_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: per document, the fraction of its distinct
+    3-gram shingles appearing for the FIRST time in corpus order (min
+    doc_id owns a shingle) — the curriculum/diversity signal that
+    separates fresh material from recombinations of earlier text, and
+    the document-level view of the same first-occurrence structure
+    RefinedWeb-style line dedup exploits.
+
+    Plan discipline: shingles shuffle as md5 DIGESTS, never as raw
+    text (the repo-wide corpus rule) — one digest-keyed MIN agg builds
+    the first-occurrence table, one digest-keyed join scores docs, one
+    doc-keyed agg rolls up. The novelty ratio divides two exact
+    BIGINTs once, on identical operands."""
+    t = load(spark, sf_dir)
+    sh = t.documents.select(
+        "doc_id",
+        F.explode(shingles_from_toks(tokens_col("text"))).alias("g"),
+    ).select("doc_id", F.md5("g").alias("h"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+            rnd(
+                F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -207,6 +207,9 @@ NEXT_QUEUE: list[str] = [
     "c_join_shj",
     # r7: ANSI LISTAGG (Spark 4.0)
     "d_agg_listagg",
+    # r7: corpus novelty scoring + robust (MAD) outlier detection
+    "j_ngram_novelty",
+    "j_outlier_mad",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
