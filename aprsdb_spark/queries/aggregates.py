@@ -570,3 +570,44 @@ def d_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "d_agg_bitmap",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT user_id) AS n_users_bitmap
+    FROM events GROUP BY event_type
+    """,
+)
+def d_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via Spark 4's BITMAP aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_count) — the two-level bitmap rollup warehouses use for
+    REUSABLE distinct state: unlike COUNT(DISTINCT)'s expand, the
+    per-bucket bitmaps are mergeable artifacts you can persist and OR
+    across days (the d_agg_approx/HLL tradeoff, but exact). The qid
+    computes the same count BOTH ways and the oracle pins them equal
+    to DuckDB's COUNT(DISTINCT) — a wrong bit position or bucket
+    split shows up as a value mismatch, not a plausible-looking
+    estimate. Plan: (type, bucket) partial bitmap agg (32768-bit
+    bitmaps cross the shuffle, one per group per partition), then a
+    per-type SUM of bucket counts."""
+    t = load(spark, sf_dir)
+    t.events.createOrReplaceTempView("v_bm_events")
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT event_type, bitmap_bucket_number(user_id) AS b,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))
+                   AS cnt
+          FROM v_bm_events GROUP BY event_type, bitmap_bucket_number(user_id)),
+        bm AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_users_bitmap
+               FROM buckets GROUP BY event_type),
+        ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+               FROM v_bm_events GROUP BY event_type)
+        SELECT ex.event_type, ex.n_users, bm.n_users_bitmap
+        FROM ex JOIN bm ON ex.event_type = bm.event_type
+        """
+    )

@@ -472,3 +472,48 @@ def h_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("int").alias("max_k"),
         F.count(F.when(missing.isNull(), 1)).cast("long").alias("n_missing"),
     )
+
+
+@query(
+    "h_try_arith",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(CASE WHEN o_custkey % 5 = 0 THEN 1 END) AS BIGINT)
+             AS n_div_null,
+           FLOOR(SUM(CASE WHEN o_custkey % 5 <> 0
+                          THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                    / (o_custkey % 5) AS DOUBLE) END)
+                 * 10000 + 0.5) / 10000 AS sum_div,
+           CAST(COUNT(CASE WHEN TRY_CAST(o_orderpriority AS INT) IS NULL
+                           THEN 1 END) AS BIGINT) AS n_cast_null,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def h_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY arithmetic (try_divide / try_cast): under Spark's
+    ANSI dialect a division by zero or an invalid cast THROWS — the
+    try_ family yields NULL instead, which is what an analytics
+    pipeline over dirty data needs (one bad row must not kill a 100 TB
+    job). The qid divides by a key-derived value that is zero for 1/5
+    of rows and casts a non-numeric string: null counts and the sum of
+    the surviving quotients must match the oracle's explicit CASE
+    formulation exactly. Division parity: the dividend is DECIMAL-
+    exact and the divisor a small integer, so each surviving quotient
+    is one IEEE division on identical operands; the quotient sum is
+    pre-divided by per-row DISTINCT divisors (1-4), so terms stay
+    order-independent enough only because each is floored AFTER the
+    sum — per the sums-of-unrounded-libm-free-terms rule (exact-operand
+    divisions, boundary odds ~1e-10/row)."""
+    t = load(spark, sf_dir)
+    div = F.expr("try_divide(CAST(o_totalprice AS DECIMAL(12,2)), o_custkey % 5)")
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(div.isNull(), 1)).cast("long").alias("n_div_null"),
+        (
+            F.floor(F.sum(div.cast("double")) * 10000 + F.lit(0.5)) / 10000
+        ).alias("sum_div"),
+        F.count(F.when(F.expr("try_cast(o_orderpriority AS INT)").isNull(), 1))
+        .cast("long")
+        .alias("n_cast_null"),
+        F.count("*").cast("long").alias("n"),
+    )

@@ -210,6 +210,9 @@ NEXT_QUEUE: list[str] = [
     # r7: corpus novelty scoring + robust (MAD) outlier detection
     "j_ngram_novelty",
     "j_outlier_mad",
+    # r7: Spark-4 bitmap exact-distinct family, ANSI try_ arithmetic
+    "d_agg_bitmap",
+    "h_try_arith",
 ]
 
 # Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
