@@ -267,3 +267,85 @@ def test_weighted_sample_is_partitioning_invariant(spark):
         .collect()
     )
     assert ids == re_ids
+
+
+def test_compaction_plan_conserves_and_packs(spark):
+    """j_compaction_plan invariants beyond cross-engine parity: bytes
+    and doc counts are CONSERVED (no file dropped or double-binned),
+    bins are contiguous per source (order-preserving first-fit —
+    first_file..last_file ranges never interleave), and every bin
+    except possibly the trailing one per source reaches the target."""
+    rows = QUERIES["j_compaction_plan"](spark, SF_SMALL).collect()
+    from aprsdb_spark.queries.layout import _COMPACT_FILE_DIV, _COMPACT_TARGET
+    from aprsdb_spark.tables import load
+
+    docs = load(spark, SF_SMALL).documents
+    want_bytes = docs.agg(F.sum("n_chars")).collect()[0][0]
+    want_docs = docs.count()
+    assert sum(r.bytes for r in rows) == want_bytes
+    assert sum(r.n_docs for r in rows) == want_docs
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r.bin)
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_file < b.first_file, (src, a, b)
+        for r in bins[:-1]:
+            assert r.full_bin and r.bytes >= _COMPACT_TARGET, (src, r)
+
+
+def test_cdc_apply_conserves_changes(spark):
+    """j_cdc_apply: no tombstoned key appears, and the change counts of
+    surviving keys plus the (recomputed) deleted keys' counts account
+    for every event exactly once."""
+    from aprsdb_spark.tables import load
+
+    out = QUERIES["j_cdc_apply"](spark, SF_SMALL).collect()
+    assert all(r.last_op != "D" for r in out)
+    ev = load(spark, SF_SMALL).events
+    total = ev.count()
+    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    surviving = {r.user_id: r.n_changes for r in out}
+    assert all(per_user[u] == n for u, n in surviving.items())
+    deleted = set(per_user) - set(surviving)
+    assert sum(per_user[u] for u in deleted) + sum(surviving.values()) == total
+
+
+def test_interval_overlap_bounds(spark):
+    rows = QUERIES["j_interval_overlap"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert 1 <= r.max_concurrent <= r.n_intervals, r
+
+
+def test_feature_snapshot_monotone(spark):
+    """Nested trailing windows must nest: n_7d <= n_14d <= n_lifetime;
+    recency is non-negative and every value_14d is consistent with
+    having n_14d contributing events."""
+    rows = QUERIES["j_feature_snapshot"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_7d <= r.n_14d <= r.n_lifetime, r
+        assert r.days_since_last >= 0, r
+        if r.n_14d == 0:
+            assert r.value_14d == 0.0, r
+
+
+def test_markov_rows_sum_to_one(spark):
+    """Transition counts per from-state must sum to n_from exactly (the
+    probability normalization in exact integers, no float tolerance)."""
+    rows = QUERIES["j_markov_transitions"](spark, SF_SMALL).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        assert sum(r.n for r in rs) == rs[0].n_from, ft
+
+
+def test_dq_checks_all_pass_on_clean_fixture(spark):
+    """The committed fixtures are clean by construction — every
+    expectation must pass; a failing check here means either the data
+    drifted or a check definition broke."""
+    rows = QUERIES["j_dq_checks"](spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    assert all(r.passed for r in rows), [r for r in rows if not r.passed]
