@@ -57,100 +57,23 @@ def load_all() -> None:
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
 # every CORRECTNESS_r{N}.json ends at registry position 50). DRIVER_ORDER
-# pins which qids occupy that scored window. Round-7 rotation, derived
-# from the recorded artifacts (r6 window went 50/50 green, so nothing
-# needs re-proving on red grounds): (1) the 16 never-scored qids queued
-# on the r6 NEXT_QUEUE (TPC-H decorrelation family, batch source
-# connectors, h_url / e_win_dist / g_union_by_name / c_join_salted /
-# d_agg_unpivot); (2) the 10 qids whose only driver rows are rows-only
-# "no_oracle" r3/r4 entries that PREDATE their r6 value-level oracle
-# upgrades (7 aprs_* fixture-VALUES hash checks, 3 multimodal byte-level
-# md5 kernels) — a hash-green row exists for none of them yet; (3) the
-# 22 oldest-evidence qids, all last scored in r2 (d_agg scalar block,
-# e_win lag/running/moving/analytic, f_ sort/topk, g_ set ops, h_
-# scalar families) — after this window lands, no qid's latest driver
-# row is older than r4, the bound test_registry_order pins. The two
-# harness-breakage canaries a_scan_parquet / e_win_lastpos stay in.
+# pins which qids occupy that scored window. Round-8 rotation, exactly
+# the r7 verdict's prescription: (1) ALL 40 r7-new qids from the r7
+# NEXT_QUEUE — none has a driver row yet (TPC-H completion q1/q2/q6-q9/
+# q11/q12/q16/q20, banded LSH pair + both recall measurements, the
+# Spark-4 surfaces, the analytics/governance/time-series batch); after
+# this window lands, every registered qid holds a driver-green row ever.
+# (2) 8 slots of oldest-evidence refresh from the 36-qid r4 block —
+# chosen as the similarity/dedup family because operators/similarity.py's
+# _gemm_pairs kernel is re-tiled this round (j-axis blocking) and these
+# are its consumers plus their plan-diversity controls, so the driver
+# re-proves bit-parity on the exact qids the kernel change touches. The
+# remaining 28 r4 qids rotate in r9 (28 + canaries = 30 <= 50 slots).
+# The two harness-breakage canaries a_scan_parquet / e_win_lastpos stay.
 DRIVER_ORDER: list[str] = [
     # canary: a_scan_parquet (trivial scan — breaks only if the harness does)
     "a_scan_parquet",
-    # never-scored: SQL entry point, decorrelation family (tpch_sql.py)
-    "c_sql_q4",
-    "c_sql_q13",
-    "c_sql_q14",
-    "c_sql_q15",
-    "c_sql_q17",
-    "c_sql_q19",
-    "c_sql_q21",
-    "c_sql_q22",
-    # never-scored: batch source connectors (queries/sources.py)
-    "a_scan_csv",
-    "a_scan_json",
-    "a_scan_evolve",
-    # never-scored: distribution windows / by-name union / URL scalars /
-    # skew-rewrite join / unpivot
-    "e_win_dist",
-    "g_union_by_name",
-    "h_url",
-    "c_join_salted",
-    "d_agg_unpivot",
-    # rows-only r3/r4 rows predate the r6 fixture-VALUES hash oracles —
-    # first hash-checked driver run for all seven
-    "aprs_lastpos",
-    "aprs_msg_ack",
-    "aprs_wx",
-    "aprs_decode_udf",
-    "aprs_malformed",
-    "aprs_objects",
-    "aprs_telemetry_eng",
-    # rows-only r3/r4 rows predate the r6 real container kernels with
-    # byte-level md5 oracles
-    "j_multimodal_decode",
-    "j_multimodal_resize",
-    "j_multimodal_frames",
-    # oldest-evidence refresh: every remaining qid whose latest driver
-    # row is r2 (22 qids — the full set)
-    "d_agg_collect",
-    "d_agg_distinct",
-    "d_agg_percentile",
-    "d_agg_pivot",
-    "e_win_analytic",
-    "e_win_lag",
-    "e_win_moving",
-    "e_win_running",
-    "f_sort_multi",
-    "f_topk",
-    "f_topk_group",
-    "g_except",
-    "g_except_all",
-    "g_intersect",
-    "g_intersect_all",
-    "g_union",
-    "g_union_all",
-    "h_array",
-    "h_cond",
-    "h_date",
-    "h_math",
-    "h_str",
-    # canary: e_win_lastpos
-    "e_win_lastpos",
-]
-
-# qids added AFTER the current round's 50-slot window was frozen. Not
-# scoreable this round; everything here must be tri-scale-verified
-# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
-# runs) and is FIRST in line for the next rotation.
-# test_registry_order.py enforces that a never-scored qid is either in
-# the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = [
-    # r7: banded (AND/OR) hyperplane LSH — the recall-oriented scale
-    # path (the single-band bucket filter measures ~0 recall at
-    # tau=0.3; j_lsh_recall_banded measures ~0.70, pytest-floored)
-    "j_sim_pairs_banded",
-    "j_lsh_recall_banded",
-    # r7: TPC-H completion — all 22 queries now registered (Q2/Q11/Q16/
-    # Q20 derive the supply relation from lineitem; adaptations in
-    # queries/tpch_sql.py docstrings). Tri-scale-verified at add time.
+    # never-scored (r7): TPC-H completion — all 22 now driver-provable
     "c_sql_q1",
     "c_sql_q2",
     "c_sql_q6",
@@ -161,62 +84,68 @@ NEXT_QUEUE: list[str] = [
     "c_sql_q12",
     "c_sql_q16",
     "c_sql_q20",
-    # r7: IVF recall measurement (the ANN twin of j_lsh_recall_banded)
+    # never-scored (r7): banded (AND/OR) hyperplane LSH + the recall
+    # measurements for both approximate paths
+    "j_sim_pairs_banded",
+    "j_lsh_recall_banded",
     "j_ann_recall",
-    # r7: lakehouse/scale-ops — skew diagnostic, compaction planner,
-    # CDC log compaction
+    # never-scored (r7): lakehouse / scale ops
     "j_skew_stats",
     "j_compaction_plan",
     "j_cdc_apply",
-    # r7: contrastive-training data ops — hard-negative mining, class
-    # weights
+    # never-scored (r7): contrastive-training data ops
     "j_hard_negatives",
     "j_class_weights",
-    # r7: time-series — integer-exact dyadic EWMA, sweep-line interval
-    # overlap
+    # never-scored (r7): time-series / sequence analytics
     "j_ts_ewma",
     "j_interval_overlap",
-    # r7: sequence analytics — first-order Markov transition matrix
     "j_markov_transitions",
-    # r7: fixed-round BFS (second oracle-checked iterative fixpoint),
-    # bitwise bitmap rollups, exact rolling correlation
     "j_bfs_distance",
-    "d_agg_bitwise",
     "j_rolling_corr",
-    # r7: Spark 4.0 surfaces — WITH RECURSIVE (same SQL text on both
-    # engines), correlated LATERAL + LIMIT (WindowGroupLimit pin),
-    # VARIANT semi-structured ingestion
+    # never-scored (r7): Spark 4.0 surfaces
     "c_sql_recursive",
     "c_join_lateral",
     "h_variant",
-    # r7: ORC source connector
     "a_scan_orc",
-    # r7: Python Data Source API connector (Spark 4.0) + raw-Arrow
-    # mapInArrow surface
     "a_pysrc_replay",
     "k_map_in_arrow",
-    # r7: chi-square independence test (integer-sum float rule),
-    # data-quality expectations relation
+    "d_agg_bitmap",
+    "d_agg_listagg",
+    "h_try_arith",
+    # never-scored (r7): stats / data-quality / leakage-safe features
     "j_chi2_independence",
     "j_dq_checks",
-    # r7: leakage-safe point-in-time feature snapshot
     "j_feature_snapshot",
-    # r7: as-of join with tolerance (merge_asof's bounded variant)
-    "c_join_asof_tol",
-    # r7: shuffled hash join — third physical equi-join strategy, pinned
-    "c_join_shj",
-    # r7: ANSI LISTAGG (Spark 4.0)
-    "d_agg_listagg",
-    # r7: corpus novelty scoring + robust (MAD) outlier detection
-    "j_ngram_novelty",
     "j_outlier_mad",
-    # r7: Spark-4 bitmap exact-distinct family, ANSI try_ arithmetic
-    "d_agg_bitmap",
-    "h_try_arith",
+    "j_ngram_novelty",
+    # never-scored (r7): join strategies
+    "c_join_asof_tol",
+    "c_join_shj",
+    # never-scored (r7): bitwise rollups
+    "d_agg_bitwise",
+    # oldest-evidence refresh (latest row r4): the similarity/dedup
+    # family — consumers of the re-tiled _gemm_pairs kernel
+    # (j_sim_pairs, j_dedup_ngram, j_dedup_embed) plus the bucketed
+    # scale-path twins and the exact/near production paths
+    "j_sim_pairs",
+    "j_dedup_ngram",
+    "j_dedup_embed",
+    "j_dedup_exact",
+    "j_dedup_near",
+    "j_sim_topk",
+    "j_sim_pairs_bucketed",
+    "j_dedup_embed_bucketed",
+    # canary: e_win_lastpos
+    "e_win_lastpos",
 ]
 
-# Backwards-compat alias (r6 artifacts/docs reference R7_QUEUE by name).
-R7_QUEUE = NEXT_QUEUE
+# qids added AFTER the current round's 50-slot window was frozen. Not
+# scoreable this round; everything here must be tri-scale-verified
+# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
+# runs) and is FIRST in line for the next rotation.
+# test_registry_order.py enforces that a never-scored qid is either in
+# the window or on this explicit queue — nothing waits silently.
+NEXT_QUEUE: list[str] = []
 
 
 def driver_ordered(d: dict) -> dict:

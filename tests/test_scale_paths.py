@@ -256,3 +256,55 @@ def test_ann_ivf_recall_floor(spark):
     load_all()
     row = QUERIES["j_ann_recall"](spark, SF).collect()[0]
     assert row.n_exact > 0 and row.recall >= 0.6, f"IVF recall regressed: {row}"
+
+
+def test_gemm_pairs_blocking_and_split_invariance(spark):
+    """The all-pairs kernel must produce the EXACT same pair set and
+    bit-identical scores regardless of how it is tiled or salted — that
+    is what makes its scale knobs safe to turn at 100 TB:
+
+    - blk: pair memory is one (blk, blk, dim) tile; a hot bucket far
+      bigger than blk (here m=700 vs blk=16 -> 44x44 tile grid, both
+      diagonal and off-diagonal tiles) must not change a single bit.
+    - n_splits: a hot bucket's O(m²) compute is spread over S(S+1)/2
+      co-grouped tasks; every unordered pair must land in exactly one
+      (sa, sb) group — no dupes, no drops.
+
+    Ground truth is a driver-side strict left fold (seq_dot) with the
+    same 1e-6 floor — the oracle arithmetic — compared EXACTLY (==),
+    not approximately."""
+    import math
+
+    from aprsdb_spark.operators.similarity import _gemm_pairs, seq_dot
+
+    dim, m = 8, 700
+    rows = []
+    for i in range(m):
+        raw = [math.sin(1.0 + 7.0 * i + 3.0 * j) for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in raw))
+        vec = [x / n for x in raw]
+        rows.append((i * 13 + 5, vec, i % 2, 0))  # two buckets, ids not 0..m
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, band int, key int"
+    )
+    tau = 0.5
+
+    expected = set()
+    for a in range(m):
+        for b in range(a + 1, m):
+            if rows[a][2] != rows[b][2]:
+                continue
+            s = math.floor(seq_dot(rows[a][1], rows[b][1]) * 1e6 + 0.5) / 1e6
+            if s >= tau:
+                ia, ib = rows[a][0], rows[b][0]
+                expected.add((min(ia, ib), max(ia, ib), s))
+    assert len(expected) > 50, "fixture too sparse to exercise the kernel"
+
+    def run(**kw):
+        out = _gemm_pairs(df, ["band", "key"], "band", tau, 8, **kw)
+        return {(r.id_a, r.id_b, r.score) for r in out.collect()}
+
+    assert run() == expected                      # default 256 blocking
+    assert run(blk=16) == expected                # 44x44 tile grid
+    assert run(blk=16, n_splits=3) == expected    # salted hot bucket
+    assert run(n_splits=4) == expected            # salt alone
