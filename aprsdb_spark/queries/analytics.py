@@ -607,18 +607,26 @@ def j_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     e = _trade_edges(t)
     e.persist()
-    dist = spark.range(1).select(
-        F.lit(_BFS_SRC).cast("long").alias("nk"), F.lit(0).cast("long").alias("dist")
-    )
-    for _ in range(_BFS_ROUNDS):
-        nd = e.join(F.broadcast(dist), e.src == dist.nk).select(
-            F.col("dst").alias("nk"), (F.col("dist") + 1).alias("dist")
+    try:
+        dist = spark.range(1).select(
+            F.lit(_BFS_SRC).cast("long").alias("nk"), F.lit(0).cast("long").alias("dist")
         )
-        dist = (
-            dist.unionByName(nd)
-            .groupBy("nk")
-            .agg(F.min("dist").cast("long").alias("dist"))
-        )
+        for _ in range(_BFS_ROUNDS):
+            nd = e.join(F.broadcast(dist), e.src == dist.nk).select(
+                F.col("dst").alias("nk"), (F.col("dist") + 1).alias("dist")
+            )
+            dist = (
+                dist.unionByName(nd)
+                .groupBy("nk")
+                .agg(F.min("dist").cast("long").alias("dist"))
+            )
+        # materialize the O(|V|)-row result and truncate its lineage off
+        # the cached edges, so e can be RELEASED here instead of leaking
+        # a CacheManager entry per invocation (r7 ADVICE); RDD-level
+        # checkpoint blocks are context-cleaned on GC, unlike df.persist
+        dist = dist.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
     return (
         t.nation.join(F.broadcast(dist), t.nation.n_nationkey == dist.nk, "left")
         .select(
@@ -697,8 +705,10 @@ c_sql_recursive.__doc__ = c_sql_recursive.__doc__.replace(
       CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells) n),
     terms AS (
       SELECT CAST(FLOOR(
-               (o * n - rt * ct) * 1.0 * (o * n - rt * ct)
-               / (rt * 1.0 * ct * n) * 1000000 + 0.5) AS BIGINT) AS term_s,
+               CAST(o * n - rt * ct AS DOUBLE)
+               * CAST(o * n - rt * ct AS DOUBLE)
+               / (CAST(rt * ct AS DOUBLE) * CAST(n AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS term_s,
              1 AS k
       FROM tots)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
@@ -711,13 +721,18 @@ def j_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Pearson's X² over the |types| x 7 contingency table) — the
     categorical-association sibling of j_ab_ttest. The float
     discipline is the repo's integer-sum rule: each cell's statistic
-    is algebraically rearranged to (o·n − rt·ct)² / (rt·ct·n) so both
-    numerator and denominator are EXACT BIGINT-derived doubles
-    (magnitudes < 2^53), the single division per cell happens on
-    identical operands, and the per-cell terms are floored to a
-    scaled-BIGINT grid and summed in exact integer arithmetic — the
-    order-dependent double-sum-of-rounded-terms trap (SCALE.md 4l)
-    cannot occur. Weekday is the portable epoch-day mod 7.
+    is algebraically rearranged to (o·n − rt·ct)² / (rt·ct·n), both
+    dev = o·n − rt·ct and rt·ct are computed as EXACT BIGINT products
+    and cross the int→double boundary exactly ONCE each (one CAST,
+    then one multiply per side, identical operation order on both
+    engines — the r7 ADVICE found the previous chained rt*1.0*ct*n
+    could round differently per engine), and the per-cell terms are
+    floored to a scaled-BIGINT grid and summed in exact integer
+    arithmetic — the order-dependent double-sum-of-rounded-terms trap
+    (SCALE.md 4l) cannot occur. At event counts where dev exceeds
+    2^53 the cast itself rounds (identically on both engines; the
+    floor boundary then carries the repo's standard ~1e-10/cell
+    boundary odds). Weekday is the portable epoch-day mod 7.
 
     Plan: one (type, dow) cell agg (the table collapses to ≤35 rows),
     two broadcast marginal joins + a 1-row total, then a 1-row final —
@@ -739,11 +754,9 @@ def j_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "dow")
         .crossJoin(F.broadcast(n))
     )
-    dev = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
-    term_s = F.floor(
-        dev * 1.0 * dev / (F.col("rt") * 1.0 * F.col("ct") * F.col("n")) * 1000000
-        + F.lit(0.5)
-    ).cast("long")
+    dev = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+    den = (F.col("rt") * F.col("ct")).cast("double") * F.col("n").cast("double")
+    term_s = F.floor(dev * dev / den * 1000000 + F.lit(0.5)).cast("long")
     return tots.select(term_s.alias("term_s")).agg(
         F.count("*").cast("long").alias("n_cells"),
         (F.floor(F.sum("term_s") / 100.0 + F.lit(0.5)) / 10000).alias("chi2"),

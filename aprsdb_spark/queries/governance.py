@@ -492,20 +492,21 @@ def j_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bad_status"),
     )
-    checks = [
-        ("row_count_positive", F.col("n_rows"), F.col("n_rows") > 0),
-        ("custkey_not_null", F.col("null_cust"), F.col("null_cust") == 0),
-        ("orderkey_unique", F.col("n_rows") - F.col("n_keys"), F.col("n_keys") == F.col("n_rows")),
-        ("price_positive", F.col("nonpos_price"), F.col("nonpos_price") == 0),
-        ("orderdate_in_range", F.col("ts_out_of_range"), F.col("ts_out_of_range") == 0),
-        ("status_in_domain", F.col("bad_status"), F.col("bad_status") == 0),
-    ]
-    out = None
-    for name, obs, passed in checks:
-        row = m.select(
-            F.lit(name).alias("check_name"),
-            obs.cast("long").alias("observed"),
-            passed.alias("passed"),
+    # ONE stack() over the 1-row aggregate — the r7 ADVICE found the
+    # previous 6-way unionByName re-evaluated the wide aggregate per
+    # branch (no exchange reuse guarantee); the unpivot keeps a single
+    # Aggregate node in the plan
+    return m.select(
+        F.expr(
+            """
+            stack(6,
+              'row_count_positive', n_rows, n_rows > 0,
+              'custkey_not_null', null_cust, null_cust = 0,
+              'orderkey_unique', n_rows - n_keys, n_keys = n_rows,
+              'price_positive', nonpos_price, nonpos_price = 0,
+              'orderdate_in_range', ts_out_of_range, ts_out_of_range = 0,
+              'status_in_domain', bad_status, bad_status = 0
+            ) AS (check_name, observed, passed)
+            """
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )

@@ -264,8 +264,14 @@ def k_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in it:
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             emb = batch.column("embedding")
-            # ListArray -> (n, dim) float64 via the flat values buffer
-            flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            # ListArray -> (n, dim) float64. flatten() is SLICE-AWARE:
+            # unlike .values (the full child buffer), it honors the
+            # array's offset, so a sliced RecordBatch cannot silently
+            # misalign rows (r7 ADVICE). offsets[0] is nonzero on a
+            # slice — rebase dims from consecutive diffs, which are
+            # slice-invariant. (embedding is non-nullable here; a null
+            # list entry would shift flatten()'s packing.)
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             offs = emb.offsets.to_numpy(zero_copy_only=False)
             dims = (offs[1:] - offs[:-1]).astype(np.int32)
             n, d = len(ids), int(dims[0]) if len(dims) else 0

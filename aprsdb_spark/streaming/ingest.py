@@ -33,7 +33,11 @@ def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     would silently reset additive state to just the current batch's
     partial (ADVICE r6)."""
     try:
-        return spark.read.parquet(path)
+        # drop is a no-op for absent columns: states written with the
+        # embedded replay marker (_run_key/_batch_id, see
+        # _last_applied_batch) and legacy marker-less states both come
+        # back in the sink's logical schema
+        return spark.read.parquet(path).drop("_run_key", "_batch_id")
     except AnalysisException as e:
         cond = getattr(e, "getCondition", lambda: None)() or ""
         if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e):
@@ -201,15 +205,49 @@ def message_ack_stream(parsed: DataFrame, within: str = "10 minutes") -> DataFra
 
 
 def _last_applied_batch(stations_dir: str, run_key: str) -> int:
+    """Highest batch_id already applied for ``run_key``, from BOTH
+    markers (max of the two):
+
+    - EMBEDDED: the merge sinks write _run_key/_batch_id literal
+      columns into the state parquet itself, so the marker commits in
+      the same write as the data — a retry after a completed swap but
+      before the sidecar write (the r7 ADVICE double-apply window)
+      still sees the batch as applied. Read via a lazy pyarrow dataset
+      scan of the FIRST non-empty record batch only (every row carries
+      the same literals), so the probe cost is one row group of two
+      small columns, independent of state size.
+    - SIDECAR: `<dir>_meta/last_batch.json`, kept as the fast path and
+      for append-only sinks (dedup_ingest) whose store rows span many
+      batches.
+
+    Unreadable/missing/legacy-schema markers mean "not yet applied for
+    this run_key" — the safe direction, since every guarded sink's
+    re-apply is then caught by the OTHER marker or (dedup_ingest) is
+    naturally idempotent."""
     import json
     import os
 
+    last = -1
     try:
         with open(os.path.join(stations_dir + "_meta", "last_batch.json")) as f:
             meta = json.load(f)
-        return int(meta["batch_id"]) if meta.get("run_key") == run_key else -1
-    except Exception:
-        return -1
+        if meta.get("run_key") == run_key:
+            last = int(meta["batch_id"])
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    try:
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(stations_dir, format="parquet")
+        if {"_run_key", "_batch_id"} <= set(dset.schema.names):
+            for rb in dset.to_batches(columns=["_run_key", "_batch_id"], batch_size=1):
+                if rb.num_rows:
+                    if rb.column("_run_key")[0].as_py() == run_key:
+                        last = max(last, int(rb.column("_batch_id")[0].as_py()))
+                    break
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    return last
 
 
 def _record_applied_batch(stations_dir: str, run_key: str, batch_id: int) -> None:
@@ -222,6 +260,16 @@ def _record_applied_batch(stations_dir: str, run_key: str, batch_id: int) -> Non
     with open(tmp, "w") as f:
         json.dump({"run_key": run_key, "batch_id": int(batch_id)}, f)
     os.replace(tmp, os.path.join(meta_dir, "last_batch.json"))
+
+
+def _with_marker(df: DataFrame, run_key: str | None, batch_id: int) -> DataFrame:
+    """Embed the replay marker into the state rows themselves (see
+    _last_applied_batch) — a no-op when the guard is off."""
+    if run_key is None:
+        return df
+    return df.withColumn("_run_key", F.lit(run_key)).withColumn(
+        "_batch_id", F.lit(int(batch_id)).cast("long")
+    )
 
 
 def upsert_stations_sink(
@@ -243,9 +291,10 @@ def upsert_stations_sink(
     "transactional-ish" foreachBatch recipe. A different run_key is a
     deliberate reprocessing run and always applies. With run_key=None
     the guard is off (at-least-once, replay inflates n_packets).
-    Remaining window: a crash after the data swap but before the marker
-    write re-applies once; closing that needs a single atomic commit,
-    i.e. a real table format's transaction log."""
+    The marker is ALSO embedded in the state rows (_with_marker), so it
+    commits atomically with the data — a crash between the swap and the
+    sidecar write (the r7 ADVICE window) no longer re-applies; see
+    _last_applied_batch."""
     if run_key is not None and batch_id <= _last_applied_batch(stations_dir, run_key):
         return
     spark = batch.sparkSession
@@ -273,7 +322,9 @@ def upsert_stations_sink(
         )
     else:
         merged = agg
-    merged.write.mode("overwrite").parquet(stations_dir + "_next")
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        stations_dir + "_next"
+    )
     # atomic-ish swap via overwrite of the main dir
     spark.read.parquet(stations_dir + "_next").write.mode("overwrite").parquet(stations_dir)
     if run_key is not None:
@@ -325,10 +376,13 @@ def incremental_rollup_sink(
         )
     else:
         merged = part
-    merged.write.mode("overwrite").parquet(state_dir + "_next")
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
     # the swap read re-validates _next: a corrupt/partial _next fails
-    # here and propagates (micro-batch retries with the old state intact
-    # — the marker is only recorded after a completed swap)
+    # here and propagates (a retry before the swap sees the old state
+    # intact; a retry AFTER a completed swap is caught by the marker
+    # embedded in the state rows — _last_applied_batch)
     spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
     if run_key is not None:
         _record_applied_batch(state_dir, run_key, batch_id)
@@ -391,7 +445,9 @@ def cdc_apply_sink(
         F.col("last.op").alias("op"),
         "n_changes",
     )
-    flat.write.mode("overwrite").parquet(state_dir + "_next")
+    _with_marker(flat, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
     spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
     if run_key is not None:
         _record_applied_batch(state_dir, run_key, batch_id)

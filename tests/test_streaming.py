@@ -538,3 +538,33 @@ def test_dedup_ingest_sink_matches_exact_dedup(spark, tmp_path):
     assert n_after_b0 < len(got)  # second batch contributed novel docs
     # store uniqueness on the hash (no duplicate ingests)
     assert spark.read.parquet(store).groupBy("h").count().where("count > 1").count() == 0
+
+
+def test_replay_guard_survives_lost_sidecar(spark, tmp_path):
+    """The r7 ADVICE double-apply window: a crash AFTER the state swap
+    but BEFORE the sidecar marker write used to make the retried
+    micro-batch re-merge its sums. The marker is now also embedded in
+    the state parquet itself (same write as the data), so deleting the
+    sidecar — simulating exactly that crash — must NOT let a re-applied
+    batch double-count."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.expr("CAST(ts AS DATE)").alias("day"), "value", "event_id"
+    )
+    batch0 = src.where(F.col("event_id") % 2 == 0)
+    state_dir = str(tmp_path / "state")
+    S.incremental_rollup_sink(batch0, 0, state_dir, run_key="ck")
+    want = {
+        r["day"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    # crash window: swap completed, sidecar never written
+    shutil.rmtree(state_dir + "_meta")
+    assert S._last_applied_batch(state_dir, "ck") == 0, "embedded marker unread"
+    S.incremental_rollup_sink(batch0, 0, state_dir, run_key="ck")  # retry
+    again = {
+        r["day"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    assert again == want, "post-swap retry re-applied: sums double-counted"
+    # a different run_key is a deliberate reprocess and must still apply
+    assert S._last_applied_batch(state_dir, "other") == -1
