@@ -19,7 +19,12 @@ the listing source changes.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Default fixture set — the five deterministic replay files every other
 # fixture-backed qid shares.
@@ -53,16 +58,67 @@ class AprsReplayReader(DataSourceReader):
         # Hadoop-line-reader splitting (\n / \r\n / lone \r, no row for
         # a trailing newline) — the same rule the fixture-VALUES oracle
         # applies, so the connector and the oracle see identical rows.
-        import re
+        yield from _read_lines(partition.path, partition.fname)
 
-        with open(partition.path, encoding="utf-8") as f:
-            text = f.read()
-        lines = re.split(r"\r\n|\r|\n", text)
-        if lines and lines[-1] == "":
-            lines.pop()
-        for line in lines:
-            ms, _, raw = line.partition("\t")
-            yield (partition.fname, int(ms), raw)
+
+def _read_lines(path: str, fname: str) -> list[tuple]:
+    """One replay file -> (fname, recv_ms, raw) tuples under the Hadoop
+    line-split rule (shared by the batch reader and the stream reader,
+    so both surfaces deliver byte-identical rows)."""
+    import re
+
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    lines = re.split(r"\r\n|\r|\n", text)
+    if lines and lines[-1] == "":
+        lines.pop()
+    out = []
+    for line in lines:
+        ms, _, raw = line.partition("\t")
+        out.append((fname, int(ms), raw))
+    return out
+
+
+class AprsReplayStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the connector (Spark 4.0
+    ``simpleStreamReader``): each micro-batch delivers ONE replay file,
+    the offset is the index into the ordered file list — a dict of
+    primitives, exactly what the checkpoint log serializes. Replay
+    determinism comes from ``readBetweenOffsets``: failure recovery
+    re-reads [start, end) and gets the same rows because the committed
+    fixtures are immutable — the property the engine needs from any
+    source to deliver exactly-once with an idempotent sink.
+
+    The simple (driver-side) reader variant is the right one here:
+    offsets are discovered WITH the data (no separate listing service),
+    and the volume per batch is one fixture file. A high-throughput
+    deployment implements DataSourceStreamReader instead — same offset
+    contract, executor-side partitions — with no change to consumers.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options["path"]
+        files = options.get("files")
+        self.files = files.split(",") if files else list(REPLAY_FILES)
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        import os
+
+        i = int(start["i"])
+        if i >= len(self.files):
+            return iter([]), {"i": i}
+        f = self.files[i]
+        return iter(_read_lines(os.path.join(self.dir, f), f)), {"i": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import os
+
+        for i in range(int(start["i"]), min(int(end["i"]), len(self.files))):
+            f = self.files[i]
+            yield from _read_lines(os.path.join(self.dir, f), f)
 
 
 class AprsReplayDataSource(DataSource):
@@ -75,3 +131,6 @@ class AprsReplayDataSource(DataSource):
 
     def reader(self, schema):
         return AprsReplayReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return AprsReplayStreamReader(self.options)

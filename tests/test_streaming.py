@@ -568,3 +568,58 @@ def test_replay_guard_survives_lost_sidecar(spark, tmp_path):
     assert again == want, "post-swap retry re-applied: sums double-counted"
     # a different run_key is a deliberate reprocess and must still apply
     assert S._last_applied_batch(state_dir, "other") == -1
+
+
+def test_pysource_stream_reader_matches_batch(spark, tmp_path):
+    """Streaming side of the Python Data Source connector (Spark 4.0
+    simpleStreamReader): draining the aprs_replay stream must deliver
+    exactly the batch reader's rows — one fixture file per micro-batch,
+    offsets checkpointed as plain dicts. PythonMicroBatchStream does
+    not support Trigger.AvailableNow multi-batch draining (Spark falls
+    back to single-batch execution), so each start() processes ONE
+    micro-batch and the loop below is ALSO the restart test: every
+    iteration restarts from the checkpointed offset, and the final
+    restart after exhaustion delivers nothing new."""
+    from aprsdb_spark.queries.aprs_queries import FIXTURE_DIR
+    from aprsdb_spark.sources.pysource import AprsReplayDataSource
+
+    try:
+        spark.dataSource.register(AprsReplayDataSource)
+    except Exception:
+        pass
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("aprs_replay")
+        .option("path", str(FIXTURE_DIR))
+        .load()
+    )
+
+    def drain():
+        q = (
+            stream.writeStream.option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+
+    from aprsdb_spark.sources.pysource import REPLAY_FILES
+
+    for _ in range(len(REPLAY_FILES)):
+        drain()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("aprs_replay")
+        .option("path", str(FIXTURE_DIR))
+        .load()
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    drain()  # restart after exhaustion: no re-delivery
+    assert spark.read.parquet(out_dir).count() == len(want)
