@@ -611,3 +611,72 @@ def d_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex JOIN bm ON ex.event_type = bm.event_type
         """
     )
+
+
+# GROUP BY ALL / ORDER BY ALL — ONE SQL text, run verbatim on both
+# engines (the strongest parity statement this repo can make: there is
+# no translation to diverge). Both resolve ALL to the non-aggregate
+# select-list positions.
+_GROUPALL_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM {orders}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("d_agg_groupall", oracle=_GROUPALL_SQL.format(orders="orders"))
+def d_agg_groupall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (Spark 4.0 / modern-warehouse SQL
+    sugar): every non-aggregate select item becomes a grouping key and
+    the full select list the sort order — the de-facto exploratory SQL
+    dialect (DuckDB, Snowflake, Databricks all resolve it the same
+    way). The oracle runs the IDENTICAL SQL text, so what is pinned is
+    the resolution rule itself. DuckDB SUM(BIGINT) returns HUGEINT —
+    both sides CAST (the r6 parity rule)."""
+    t = load(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_ga_orders")
+    return spark.sql(_GROUPALL_SQL.format(orders="v_ga_orders"))
+
+
+@query(
+    "d_agg_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                              * 10000000000 + o_orderkey) AS top_order,
+           min_by(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                              * 10000000000 + o_orderkey) AS bottom_order,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def d_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI max_by / min_by / count_if — the argmax family that replaces
+    the self-join-back-to-the-winner anti-pattern with ONE hash
+    aggregate (no second scan, no join). Determinism rule: max_by on a
+    tied key is engine-arbitrary, so the ordering key is made UNIQUE by
+    packing (cents, orderkey) into one exact BIGINT — cents ≤ ~6e7
+    times 1e10 stays under 2^63, and both engines compute the identical
+    integer. count_if is the standard conditional-count sugar
+    (COUNT(*) FILTER in DuckDB terms; identical name works on both).
+
+    100 TB: one shuffle on the 5-value priority key with map-side
+    partials; the packed-key trick is the general recipe for
+    deterministic argmax over any (score, unique_id) pair at any
+    scale."""
+    t = load(spark, sf_dir)
+    key = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(10000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.min_by("o_orderkey", key).alias("bottom_order"),
+        F.count_if(F.col("o_totalprice") > 150000).cast("long").alias("n_big"),
+    )

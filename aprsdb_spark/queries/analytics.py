@@ -835,3 +835,52 @@ def j_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "j_graph_degree",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+    ind  AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg  FROM e GROUP BY dst)
+    SELECT n.n_nationkey, n.n_name,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           COALESCE(i.in_deg, 0) AS in_deg,
+           COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS total_deg,
+           COALESCE(o.out_deg, 0) = 0 AND COALESCE(i.in_deg, 0) = 0 AS isolated
+    FROM nation n
+    LEFT JOIN outd o ON o.src = n.n_nationkey
+    LEFT JOIN ind  i ON i.dst = n.n_nationkey
+    """,
+)
+def j_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the capped trade graph — in/out/total degree
+    per vertex plus an isolation flag, the standard first diagnostic
+    before any iterative graph algorithm (pagerank damping, BFS
+    reachability, triangle counting all key off it: a power-law
+    out-degree predicts frontier skew; isolated vertices never
+    converge information). Shares _trade_edges with
+    j_pagerank/j_triangle_count/j_bfs_distance, so the degree relation
+    prices exactly the graph those operators run on.
+
+    100 TB: degrees are two |E|-row counts grouped on the |V|-bounded
+    endpoints — map-side partials collapse to |V| rows per partition
+    before the shuffle; the nation spine joins are |V|-row broadcasts."""
+    t = load(spark, sf_dir)
+    e = _trade_edges(t)
+    outd = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    ind = e.groupBy("dst").agg(F.count("*").cast("long").alias("in_deg"))
+    out_deg = F.coalesce(F.col("out_deg"), F.lit(0).cast("long"))
+    in_deg = F.coalesce(F.col("in_deg"), F.lit(0).cast("long"))
+    return (
+        t.nation.join(F.broadcast(outd), t.nation.n_nationkey == outd.src, "left")
+        .join(F.broadcast(ind), t.nation.n_nationkey == ind.dst, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            out_deg.alias("out_deg"),
+            in_deg.alias("in_deg"),
+            (out_deg + in_deg).alias("total_deg"),
+            ((out_deg == 0) & (in_deg == 0)).alias("isolated"),
+        )
+    )

@@ -752,3 +752,158 @@ def j_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RES_K)
         .select("doc_id", "lang", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# Token-budget selection: keep the half of the corpus (by whitespace
+# tokens) with the longest documents — "budget" derives from the corpus
+# itself so the operator binds at every scale factor.
+_KFOLDS = 5
+
+
+@query(
+    "j_token_budget",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      n_chars
+               FROM documents),
+    budget AS (SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS b FROM d),
+    cum AS (SELECT doc_id, lang, n_tok,
+                   SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS running
+            FROM d)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sel,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_sel,
+           CAST(MAX(running) AS BIGINT) AS max_running
+    FROM cum CROSS JOIN budget
+    WHERE running <= b
+    GROUP BY lang
+    """,
+)
+def j_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — the training-run staple "take
+    the best documents until the budget is spent": documents ranked by
+    a deterministic priority (length desc, doc_id tiebreak), admitted
+    while the RUNNING token total stays within budget (here: half the
+    corpus tokens, a scale-free cutoff derived inside the query). All
+    counts are exact BIGINTs; the cumulative sum is a window over a
+    total order ending in the unique doc_id, so the admission boundary
+    is engine-independent.
+
+    100 TB: a single-ORDER window is one range-partitioned sort — the
+    scale lowering is the two-pass prefix sum (per-partition token
+    subtotals collected once, offsets broadcast back; the
+    j_compaction_plan pattern), identical admission set. The 1-row
+    budget side is a broadcast cross join, not a shuffle."""
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", "lang", "n_chars", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    budget = d.agg((F.sum("n_tok") / 2).cast("long").alias("b"))
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.select("doc_id", "lang", "n_tok", F.sum("n_tok").over(w).alias("running"))
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .where(F.col("running") <= F.col("b"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sel"),
+            F.sum("n_tok").cast("long").alias("tokens_sel"),
+            F.max("running").cast("long").alias("max_running"),
+        )
+    )
+
+
+@query(
+    "j_kfold_assign",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+                           AS BIGINT) % {_KFOLDS} AS fold
+               FROM documents)
+    SELECT lang, fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM d GROUP BY lang, fold
+    """,
+)
+def j_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation over the
+    corpus: fold = portable low-md5-word of the doc_id modulo k — the
+    same hash-split discipline as j_split_train_val, extended to the
+    k-way case, so fold membership is a pure function of the stable id
+    (reproducible across engines, runs, and cluster sizes; no RNG
+    state to version). The relation reports per-(lang, fold) document
+    and token masses — the balance check that validates hash-splitting
+    before a CV run trusts it.
+
+    100 TB: fold assignment is a map-stage expression (one md5 per
+    row); the profile is one (lang, fold) hash agg with ≤ 5·k groups.
+    Training jobs then read fold != i via partition pruning when the
+    corpus is written fold-partitioned."""
+    from ..operators.dedup import portable_bucket
+
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "lang",
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+        portable_bucket(F.col("doc_id").cast("string"), _KFOLDS).alias("fold"),
+    )
+    return d.groupBy("lang", "fold").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+@query(
+    "j_clean_text",
+    oracle="""
+    WITH dirty AS (SELECT doc_id,
+                          '  ' || upper(lang) || ': ' || text || '!!  ' AS raw
+                   FROM documents),
+    c AS (SELECT doc_id, raw,
+                 trim(regexp_replace(regexp_replace(lower(raw),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM dirty)
+    SELECT doc_id,
+           md5(clean) AS clean_md5,
+           CAST(length(raw) - length(clean) AS BIGINT) AS n_removed,
+           CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def j_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for corpus ingestion — the lowercase /
+    strip-punctuation / collapse-whitespace / trim pipeline every
+    tokenizer assumes upstream. The input is deliberately dirtied from
+    table columns (leading blanks, an uppercase prefix, trailing
+    punctuation) so each stage provably fires; the md5 of the cleaned
+    text is the byte-level proof both engines produced the identical
+    string (the j_pii_scrub oracle discipline — hash the transform,
+    not just its stats). ASCII-only operations, so Java regex and RE2
+    agree; the [^a-z0-9 ] class runs AFTER lower(), making the
+    uppercase path observable.
+
+    100 TB: pure codegen expressions, zero shuffle — normalization is
+    a map stage fused into whatever scan feeds it."""
+    t = load(spark, sf_dir)
+    raw = F.concat(
+        F.lit("  "), F.upper(F.col("lang")), F.lit(": "), F.col("text"), F.lit("!!  ")
+    )
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return t.documents.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        (F.length(raw) - F.length(clean)).cast("long").alias("n_removed"),
+        F.size(F.split(clean, " ")).cast("long").alias("n_tokens"),
+    )

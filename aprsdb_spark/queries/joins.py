@@ -666,3 +666,58 @@ def c_join_shj(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_price"),
     )
+
+
+@query(
+    "c_join_nullsafe",
+    oracle="""
+    WITH dim AS (SELECT n_nationkey, n_name,
+                        NULLIF(n_nationkey, 13) AS join_key
+                 FROM nation),
+         cust AS (SELECT c_custkey, c_acctbal,
+                         NULLIF(c_nationkey, 13) AS join_key
+                  FROM customer)
+    SELECT d.n_name,
+           d.join_key,
+           CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust,
+           FLOOR(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) * 100 + 0.5) / 100
+             AS sum_bal
+    FROM dim d JOIN cust c ON d.join_key IS NOT DISTINCT FROM c.join_key
+    GROUP BY d.n_name, d.join_key
+    """,
+)
+def c_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics MERGE
+    statements and dimension lookups with an explicit unknown-member
+    row need. Keys are manufactured by NULLIF'ing one nation (13), so
+    exactly one dim row and that nation's customers carry NULL and
+    must still pair up; a plain equality join would silently drop
+    them (the classic null-key data-loss bug this operator exists to
+    avoid). Money follows the house DECIMAL rule.
+
+    100 TB: <=> is a REAL equi key to Spark — it hash-partitions on
+    the null-safe key (nulls all land in one partition, which is why
+    production schemas cap the unknown-member volume) and the 25-row
+    dim side broadcasts; no fallback to a nested loop."""
+    t = load(spark, sf_dir)
+    dim = t.nation.select(
+        "n_nationkey", "n_name", F.nullif(F.col("n_nationkey"), F.lit(13)).alias("join_key")
+    )
+    cust = t.customer.select(
+        "c_custkey", "c_acctbal", F.nullif(F.col("c_nationkey"), F.lit(13)).alias("jk")
+    )
+    return (
+        cust.join(F.broadcast(dim), cust.jk.eqNullSafe(dim.join_key))
+        .groupBy("n_name", "join_key")
+        .agg(
+            F.count("c_custkey").cast("long").alias("n_cust"),
+            (
+                F.floor(
+                    F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("sum_bal"),
+        )
+    )

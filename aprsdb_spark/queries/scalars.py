@@ -517,3 +517,118 @@ def h_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_cast_null"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+@query(
+    "h_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '([a-z]{6,})', 1) AS long_words,
+           CAST(len(regexp_extract_all(text, 'merge|join')) AS INT) AS n_relops,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           split_part(lang || ':' || source || ':' || doc_id, ':', 2) AS mid_part,
+           split_part(lang || ':' || source || ':' || doc_id, ':', -1) AS last_part
+    FROM documents
+    """,
+)
+def h_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar family — regexp_extract_all / regexp_count /
+    regexp_extract(group) / global regexp_replace, plus ANSI
+    split_part with positive AND negative indexes (Spark 3.5+/4.0
+    surface; both engines implement the same negative-index
+    from-the-end rule). Patterns stay in the RE2-compatible subset
+    (char classes, alternation, bounded repeats) where Java regex and
+    DuckDB's RE2 agree; Spark's regexp_count mirrors as
+    len(regexp_extract_all) and Spark's non-flag regexp_replace is
+    global by default, matching DuckDB's explicit 'g'. Pure codegen
+    expressions, zero shuffle."""
+    t = load(spark, sf_dir)
+    ident = F.concat_ws(":", F.col("lang"), F.col("source"), F.col("doc_id").cast("string"))
+    return t.documents.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit("([a-z]{6,})"), F.lit(1)).alias("long_words"),
+        F.regexp_count(F.col("text"), F.lit("merge|join")).cast("int").alias("n_relops"),
+        F.regexp_extract(F.col("text"), "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(F.col("text"), "[aeiou]", "_").alias("devoweled"),
+        F.split_part(ident, F.lit(":"), F.lit(2)).alias("mid_part"),
+        F.split_part(ident, F.lit(":"), F.lit(-1)).alias("last_part"),
+    )
+
+
+@query(
+    "h_mask",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      upper(substr(source, 1, 3)) || '-' || n_chars || '-' || lang
+                        AS raw
+               FROM documents)
+    SELECT doc_id, raw,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g'),
+             '[^Ul#]', '*', 'g') AS masked_custom
+    FROM s
+    """,
+)
+def h_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask() — the PII-redaction scalar (Spark 3.4+/4.0): default form
+    maps upper→X, lower→x, digit→n, other preserved; the 4-arg form
+    substitutes every class including other-chars. The input is
+    constructed from columns (mixed case, digits, punctuation) so all
+    four classes are exercised; ASCII-only, where Java's and RE2's
+    case classes agree, so the oracle mirrors via per-class global
+    regexp_replace. Order matters in the custom oracle: the other-char
+    pass must run LAST and exclude the substitution alphabet itself.
+    Codegen expression, zero shuffle — the shape of a 100 TB scrub
+    pass (j_pii_scrub is the regex-surgical sibling)."""
+    t = load(spark, sf_dir)
+    raw = F.concat_ws(
+        "-",
+        F.upper(F.substring(F.col("source"), 1, 3)),
+        F.col("n_chars").cast("string"),
+        F.col("lang"),
+    )
+    return t.documents.select(
+        "doc_id",
+        raw.alias("raw"),
+        F.mask(raw).alias("masked_default"),
+        F.mask(raw, F.lit("U"), F.lit("l"), F.lit("#"), F.lit("*")).alias("masked_custom"),
+    )
+
+
+@query(
+    "h_encode",
+    oracle="""
+    SELECT doc_id,
+           base64(CAST(substr(text, 1, 24) AS BLOB)) AS b64,
+           hex(substr(text, 1, 8)) AS hexed,
+           substr(text, 1, 8) = CAST(from_hex(hex(substr(text, 1, 8))) AS VARCHAR)
+             AS roundtrip_ok,
+           CAST(bit_count(n_chars) AS INT) AS popcount,
+           CAST((n_chars >> 3) & 1 AS INT) AS bit3
+    FROM documents
+    """,
+)
+def h_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding scalars — base64 / hex / unhex round-trip plus
+    bit_count and getbit. Portability notes encoded as constraints:
+    Spark's base64 is MIME-chunked (a CRLF every 76 chars), so the
+    encoded prefix is capped at 24 bytes (< 57) where Spark and
+    DuckDB emit identical unchunked output; hex() is uppercase on
+    both; getbit(n, i) mirrors as the engine-neutral (n >> i) & 1
+    (DuckDB's get_bit addresses BITSTRINGs, not integers). The
+    round-trip equality proves unhex∘hex is lossless on the corpus
+    bytes. All codegen, zero shuffle."""
+    t = load(spark, sf_dir)
+    prefix8 = F.substring(F.col("text"), 1, 8)
+    return t.documents.select(
+        "doc_id",
+        F.base64(F.substring(F.col("text"), 1, 24).cast("binary")).alias("b64"),
+        F.hex(prefix8).alias("hexed"),
+        (prefix8 == F.unhex(F.hex(prefix8)).cast("string")).alias("roundtrip_ok"),
+        F.bit_count(F.col("n_chars")).cast("int").alias("popcount"),
+        F.getbit(F.col("n_chars"), F.lit(3)).cast("int").alias("bit3"),
+    )

@@ -84,3 +84,33 @@ def f_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "f_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def f_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT + OFFSET pagination (ANSI OFFSET landed in Spark 3.4/4.0's
+    SQL surface and as DataFrame.offset) — rows 101-150 of the
+    total-priced order ranking. Determinism: the order ends in the
+    unique o_orderkey, so the page boundary cannot straddle a tie.
+
+    100 TB: offset+limit compiles to a single TakeOrderedAndProject of
+    (offset + limit) rows — per-partition heaps of 150 rows merged on
+    the driver, NO global sort; deep pagination (offset in the
+    millions) would degrade into that many driver rows, which is why
+    production pagination keys on (last_price, last_key) predicates
+    instead — this qid pins the shallow-page primitive."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+    )

@@ -305,3 +305,56 @@ def a_pysrc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("recv_ms").alias("last_ms"),
         F.sum(portable_hash32(F.col("raw"))).cast("long").alias("raw_check"),
     )
+
+
+def _binfile_oracle() -> str:
+    """Expected (fname, n_bytes, content_md5) for every committed replay
+    fixture, computed at import from the SAME bytes Spark's binaryFile
+    scan will deliver — the exact-byte-reconstruction oracle technique
+    (the multimodal kernels' discipline, applied to a connector)."""
+    import hashlib
+    import os
+
+    from ..queries.aprs_queries import FIXTURE_DIR
+
+    rows = []
+    # EVERY file in the fixture dir, not just REPLAY_FILES — binaryFile
+    # scans the whole directory, so the oracle must cover what it sees
+    # (late_data.txt / mice_compressed.txt included).
+    for f in sorted(os.listdir(FIXTURE_DIR)):
+        data = (FIXTURE_DIR / f).read_bytes()
+        rows.append(f"('{f}', CAST({len(data)} AS BIGINT), "
+                    f"'{hashlib.md5(data).hexdigest()}')")
+    return (
+        "SELECT fname, n_bytes, content_md5 FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(fname, n_bytes, content_md5)"
+    )
+
+
+@query("a_scan_binary", oracle=_binfile_oracle())
+def a_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source connector: whole files as rows of (path,
+    modificationTime, length, content BINARY) — the ingestion surface
+    for opaque media blobs (the j_multimodal_* operators assume their
+    binary column arrived through exactly this reader). The qid scans
+    the committed replay fixtures and emits name, byte length, and
+    content md5; the oracle carries the expected values computed from
+    the same committed bytes at import, so a transcoding or truncation
+    anywhere in the read path is a value mismatch. Determinism note:
+    modificationTime is environment state and is deliberately NOT in
+    the output contract.
+
+    100 TB: one task per file (no splitting — files are the atomic
+    unit); production bounds file size via pathGlobFilter +
+    spark.sql.files.maxPartitionBytes and stores large media pre-
+    chunked, which is why the multimodal operators carry chunk columns
+    rather than assuming splittable blobs."""
+    from ..queries.aprs_queries import FIXTURE_DIR
+
+    df = spark.read.format("binaryFile").load(str(FIXTURE_DIR))
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

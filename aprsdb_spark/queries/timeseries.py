@@ -639,3 +639,143 @@ def j_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").cast("long").alias("n_lifetime"),
     )
+
+
+# OHLC bar width: 6 hours of epoch-ms; day length for hour-of-day math.
+_BAR_MS = 21600000
+_DAY_MS = 86400000
+
+
+@query(
+    "j_ts_ohlc",
+    oracle=f"""
+    WITH e AS (SELECT event_type, event_id, value, epoch_ms(ts) AS ts_ms
+               FROM events),
+    k AS (SELECT event_type, value,
+                 ts_ms // {_BAR_MS} AS bar,
+                 (ts_ms % {_BAR_MS}) * 1000000000 + event_id AS ord
+          FROM e)
+    SELECT event_type, bar,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS volume_s
+    FROM k GROUP BY event_type, bar
+    """,
+)
+def j_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the candlestick/bar aggregation every
+    time-series store ships as a primitive: per (series, 6h bar),
+    first/last/extreme values plus tick count and scaled volume.
+    Open/close are argmin/argmax over a key that packs
+    (offset-in-bar, event_id) into ONE exact BIGINT — the bar-relative
+    offset (< 2.16e7) times 1e9 plus the id stays under 2^63 and both
+    engines compute the identical integer, making the tie-broken
+    endpoints deterministic (the d_agg_argminmax packed-key recipe;
+    a raw ts_ms·1e9 key would overflow). High/low/open/close pass
+    value doubles through unmodified; volume follows the scaled-BIGINT
+    integer-sum rule.
+
+    100 TB: ONE hash aggregate on (event_type, bar) — max_by/min_by
+    carry (value, key) pairs as map-side partial state, so bars
+    downsample without any window sort; the bar key is also the
+    natural write-partition for append-only tick stores."""
+    t = load(spark, sf_dir)
+    ord_key = (F.col("ts_ms") % _BAR_MS) * F.lit(1000000000).cast("long") + F.col(
+        "event_id"
+    )
+    return (
+        t.events.select(
+            "event_type",
+            "value",
+            (F.col("ts_ms") / _BAR_MS).cast("long").alias("bar"),
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ord")).alias("close"),
+            F.count("*").cast("long").alias("n_ticks"),
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("volume_s"),
+        )
+    )
+
+
+@query(
+    "j_ts_seasonality",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      (epoch_ms(ts) % {_DAY_MS}) // 3600000 AS hour,
+                      CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_s
+               FROM events),
+    hourly AS (SELECT event_type, hour,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(v_s) AS BIGINT) AS sum_s
+               FROM e GROUP BY 1, 2),
+    tot AS (SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS tot_n,
+                   CAST(SUM(sum_s) AS BIGINT) AS tot_s
+            FROM hourly GROUP BY 1)
+    SELECT h.event_type, h.hour, h.n,
+           FLOOR(h.sum_s * 1.0 / h.n / 100.0 + 0.5) / 10000 AS hour_mean,
+           FLOOR((h.sum_s * 1.0 / h.n) / (t.tot_s * 1.0 / t.tot_n) * 1000000 + 0.5)
+             / 1000000 AS ratio_to_mean
+    FROM hourly h JOIN tot t ON h.event_type = t.event_type
+    """,
+)
+def j_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: each hour's mean
+    value and its ratio to the series mean (the diurnal-load curve
+    behind traffic shaping and anomaly baselines — j_ts_anomaly's
+    trailing z-score assumes stationarity; this measures how false
+    that is per hour). Float discipline: per-row values floor to the
+    1e-6 scaled-BIGINT grid, all sums are exact integers, and the
+    display mean/ratio derive from those integer sums through an
+    IDENTICAL division sequence on both engines (each step one IEEE
+    op on equal operands — the 4l rule). Hour = epoch-ms modulo-day,
+    timezone-free.
+
+    100 TB: one (type, hour) hash agg — ≤ 24·|types| groups, map-side
+    partials; the per-type totals derive from the hourly relation
+    (never a second events scan) and broadcast back."""
+    t = load(spark, sf_dir)
+    hourly = (
+        t.events.select(
+            "event_type",
+            ((F.col("ts_ms") % _DAY_MS) / 3600000).cast("long").alias("hour"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v_s"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v_s").cast("long").alias("sum_s"),
+        )
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("sum_s").cast("long").alias("tot_s"),
+    )
+    hour_mean = F.floor(F.col("sum_s") * 1.0 / F.col("n") / 100.0 + F.lit(0.5)) / 10000
+    ratio = (
+        F.floor(
+            (F.col("sum_s") * 1.0 / F.col("n"))
+            / (F.col("tot_s") * 1.0 / F.col("tot_n"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        hour_mean.alias("hour_mean"),
+        ratio.alias("ratio_to_mean"),
+    )

@@ -668,3 +668,38 @@ def c_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims — at 100 TB only the lineitem rollup shuffles."""
     _views(spark, sf_dir, "lineitem", "supplier", "nation", "part")
     return spark.sql(_Q20.format(p="v_"))
+
+
+_PIPE_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {_MONEY.format(expr=_REV)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("c_sql_pipe", oracle=_PIPE_ORACLE)
+def c_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555 — the |> operator
+    chain): the Q1 pricing-summary shape written as a linear pipeline
+    (FROM |> WHERE |> AGGREGATE … GROUP BY |> ORDER BY) instead of
+    nested clauses. The surface is sugar — Catalyst resolves it to the
+    SAME logical plan as c_sql_q1's clause form (scan-filter-aggregate,
+    map-side partials, no join), so the oracle is the plain-SQL
+    equivalent and pins that the pipe chain changes nothing
+    semantically. AGGREGATE outputs group keys first, then aggregates
+    — aliases matched on both sides. Money follows the house DECIMAL
+    rule; l_quantity is integral so BIGINT sums are exact."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        FROM v_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                     {_MONEY.format(expr=_REV)} AS revenue,
+                     CAST(COUNT(*) AS BIGINT) AS n_items
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+    """)

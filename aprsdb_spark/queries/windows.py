@@ -314,3 +314,53 @@ def e_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("c_name", 2).over(w).alias("second_name"),
     )
+
+
+@query(
+    "e_win_ignorenulls",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                      CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+               FROM events)
+    SELECT user_id, event_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_obs
+    FROM e
+    """,
+)
+def e_win_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — forward-fill (LOCF) and
+    backward-fill as pure window functions: last(v, ignorenulls) over
+    an unbounded-preceding frame carries the previous observation
+    across a gap, first(v, ignorenulls) over a strictly-following
+    frame finds the next one (the lead-ignore-nulls equivalent that
+    PySpark's column API can express without SQL text). Nulls are
+    manufactured deterministically (every 5th event_id) so both
+    engines fill the same gaps; values pass through unmodified, so
+    there is no float arithmetic to diverge. This is the per-ROW
+    sibling of j_gapfill's per-calendar-day densify+fill.
+
+    100 TB: both fills ride ONE user_id exchange and one sort — frames
+    are running, so Spark evaluates them in a single window pass
+    without re-scanning the partition per row."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    locf = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ahead = order.rowsBetween(1, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(locf).alias("locf"),
+        F.first("v", ignorenulls=True).over(ahead).alias("next_obs"),
+    )

@@ -145,7 +145,34 @@ DRIVER_ORDER: list[str] = [
 # runs) and is FIRST in line for the next rotation.
 # test_registry_order.py enforces that a never-scored qid is either in
 # the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = []
+NEXT_QUEUE: list[str] = [
+    # r8: SQL surfaces — pipe syntax (|>), GROUP/ORDER BY ALL,
+    # LIMIT+OFFSET pagination, argmax family, null-safe equi join,
+    # IGNORE NULLS window navigation (LOCF/backfill)
+    "c_sql_pipe",
+    "d_agg_groupall",
+    "f_offset",
+    "d_agg_argminmax",
+    "c_join_nullsafe",
+    "e_win_ignorenulls",
+    # r8: scalar families — regexp suite + split_part, mask() PII
+    # redaction, binary encodings (base64/hex/unhex/bit_count/getbit)
+    "h_regexp",
+    "h_mask",
+    "h_encode",
+    # r8: binaryFile connector (exact-byte oracle)
+    "a_scan_binary",
+    # r8: corpus ops — token-budget selection, k-fold hash assignment,
+    # text normalization
+    "j_token_budget",
+    "j_kfold_assign",
+    "j_clean_text",
+    # r8: time-series — OHLC bars, hour-of-day seasonality
+    "j_ts_ohlc",
+    "j_ts_seasonality",
+    # r8: graph degree profile
+    "j_graph_degree",
+]
 
 
 def driver_ordered(d: dict) -> dict:
