@@ -349,3 +349,124 @@ def test_dq_checks_all_pass_on_clean_fixture(spark):
     rows = QUERIES["j_dq_checks"](spark, SF_SMALL).collect()
     assert len(rows) == 6
     assert all(r.passed for r in rows), [r for r in rows if not r.passed]
+
+
+# ------------------------------------------------------- r8 batch invariants
+
+
+def test_token_budget_admission_is_maximal_and_within_budget(spark):
+    """The selected set must (a) fit the budget and (b) be MAXIMAL for
+    the priority order: the first rejected document in (n_chars DESC,
+    doc_id) order would overflow the budget if admitted."""
+    from pyspark.sql import Window
+
+    t_docs = (
+        spark.read.parquet(SF_SMALL + "/documents.parquet")
+        .select("doc_id", "n_chars", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    )
+    total = t_docs.agg(F.sum("n_tok")).collect()[0][0]
+    budget = total // 2
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = t_docs.select("n_tok", F.sum("n_tok").over(w).alias("running")).collect()
+    sel = [r for r in cum if r.running <= budget]
+    rej = [r for r in cum if r.running > budget]
+    assert sum(r.n_tok for r in sel) <= budget
+    if rej:  # first rejection overflows — maximality
+        first = min(rej, key=lambda r: r.running)
+        assert first.running > budget
+    got = QUERIES["j_token_budget"](spark, SF_SMALL).agg(
+        F.sum("tokens_sel").cast("long")
+    ).collect()[0][0]
+    assert got == sum(r.n_tok for r in sel)
+
+
+def test_kfold_assignment_partitions_the_corpus(spark):
+    """Folds partition documents: every doc in exactly one fold, fold
+    ids in [0, k), and no fold empty at sf0.001 (hash-balance sanity)."""
+    rows = QUERIES["j_kfold_assign"](spark, SF_SMALL).collect()
+    n_docs = spark.read.parquet(SF_SMALL + "/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    folds = {r.fold for r in rows}
+    assert folds <= set(range(5)) and len(folds) == 5
+
+
+def test_clean_text_is_idempotent_and_normal(spark):
+    """Reference semantics of the normalizer: output is lowercase
+    [a-z0-9 ], single-spaced, trimmed — so cleaning is IDEMPOTENT.
+    Checked in plain Python against the same dirtying construction."""
+    import re as _re
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+        "doc_id", "text", "lang"
+    ).limit(50).collect()
+    got = {
+        r.doc_id: r.clean_md5
+        for r in QUERIES["j_clean_text"](spark, SF_SMALL).collect()
+    }
+    import hashlib
+
+    for r in docs:
+        raw = f"  {r.lang.upper()}: {r.text}!!  "
+        clean = _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", " ", raw.lower())).strip()
+        assert _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", " ", clean.lower())).strip() == clean
+        assert got[r.doc_id] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_ohlc_bar_invariants(spark):
+    """low <= open, close <= high; n_ticks positive; and per type the
+    tick counts sum to the series length."""
+    rows = QUERIES["j_ts_ohlc"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+        assert r.n_ticks > 0
+    n_events = spark.read.parquet(SF_SMALL + "/events.parquet").count()
+    assert sum(r.n_ticks for r in rows) == n_events
+
+
+def test_seasonality_ratios_center_on_one(spark):
+    """Per event type, the tick-weighted mean of hour ratios must sit at
+    ~1 by construction (each hour's ratio is its mean over the series
+    mean)."""
+    rows = QUERIES["j_ts_seasonality"](spark, SF_SMALL).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, hs in by_type.items():
+        n = sum(h.n for h in hs)
+        weighted = sum(h.ratio_to_mean * h.n for h in hs) / n
+        assert abs(weighted - 1.0) < 1e-4, (et, weighted)
+
+
+def test_graph_degree_sums_match_edge_count(spark):
+    """sum(out_deg) == sum(in_deg) == |E| and total = out + in."""
+    rows = QUERIES["j_graph_degree"](spark, SF_SMALL).collect()
+    assert sum(r.out_deg for r in rows) == sum(r.in_deg for r in rows)
+    assert all(r.total_deg == r.out_deg + r.in_deg for r in rows)
+    assert sum(r.out_deg for r in rows) > 0
+
+
+def test_nullsafe_join_conserves_customers(spark):
+    """Every customer matches exactly one dim row under <=> (including
+    the NULLIF'd nation): per-key counts sum to |customer|."""
+    rows = QUERIES["c_join_nullsafe"](spark, SF_SMALL).collect()
+    n_cust = spark.read.parquet(SF_SMALL + "/customer.parquet").count()
+    assert sum(r.n_cust for r in rows) == n_cust
+    assert any(r.join_key is None for r in rows), "the NULL-key row vanished"
+
+
+def test_offset_page_is_the_right_slice(spark):
+    """f_offset's page == rows 101-150 of the f_topk-style full order,
+    computed independently by sorting the table in the driver."""
+    rows = QUERIES["f_offset"](spark, SF_SMALL).collect()
+    allrows = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    want = sorted(allrows, key=lambda r: (-r.o_totalprice, r.o_orderkey))[100:150]
+    assert [(r.o_orderkey, r.o_totalprice) for r in rows] == [
+        (r.o_orderkey, r.o_totalprice) for r in want
+    ]

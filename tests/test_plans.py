@@ -560,3 +560,65 @@ def test_shuffled_hash_join_hint_respected(spark):
     p = _plan(spark, "c_join_shj")
     assert "ShuffledHashJoin" in p, "shuffle_hash hint ignored"
     assert "SortMergeJoin" not in p
+
+
+# ------------------------------------------------------------ r8 plan pins
+
+
+def test_offset_compiles_to_take_ordered(spark):
+    """LIMIT+OFFSET must be ONE TakeOrderedAndProject (per-partition
+    150-row heaps), never a global Sort. The offset argument only
+    prints in the simple plan string, so inspect executedPlan."""
+    df = QUERIES["f_offset"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "offset=100" in p, "offset not folded into the top-k operator"
+    assert "Exchange rangepartitioning" not in p, "global sort crept in"
+
+
+def test_nullsafe_join_stays_hash_equi(spark):
+    """<=> is an equi key: the plan must be a broadcast hash join, not
+    a nested-loop fallback (the failure mode when a null-safe condition
+    is mis-expressed as a theta join)."""
+    p = _plan(spark, "c_join_nullsafe")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ohlc_is_one_aggregate_no_window(spark):
+    """OHLC bars must lower to hash aggregation with max_by/min_by
+    partials — a Window/Sort formulation re-sorts every bar."""
+    p = _plan(spark, "j_ts_ohlc")
+    assert "Window" not in p, "OHLC fell back to a window sort"
+    assert "HashAggregate" in p
+
+
+def test_token_budget_single_window_and_broadcast_budget(spark):
+    """One global-order window (the documented small-N lowering) and a
+    BROADCAST of the 1-row budget — a shuffled join here would move the
+    corpus to join against one row."""
+    df = QUERIES["j_token_budget"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window [") == 1, "cumulative sum must be ONE window node"
+    assert "BroadcastExchange" in p, "1-row budget side must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_groupall_resolves_to_plain_aggregate(spark):
+    """GROUP BY ALL is sugar: the physical plan must be the same
+    scan -> partial agg -> exchange -> final agg as an explicit
+    grouping, with both keys resolved."""
+    p = _plan(spark, "d_agg_groupall")
+    assert "HashAggregate" in p
+    assert "Expand" not in p, "ALL resolution exploded into grouping sets"
+
+
+def test_pipe_sql_matches_clause_plan_shape(spark):
+    """The |> chain must produce the scan-filter-aggregate shape with
+    the shipdate filter PUSHED to the parquet scan — pipe syntax is
+    resolution sugar, not a different executor."""
+    p = _plan(spark, "c_sql_pipe")
+    assert "LessThanOrEqual(l_shipdate" in p, "pipe WHERE not pushed to scan"
+    assert "HashAggregate" in p
+    assert "Join" not in p
