@@ -523,7 +523,9 @@ def h_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_regexp",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '([a-z]{6,})', 1) AS long_words,
+           COALESCE(array_to_string(
+               regexp_extract_all(text, '([a-z]{6,})', 1), ' '), '')
+             AS long_words,
            CAST(len(regexp_extract_all(text, 'merge|join')) AS INT) AS n_relops,
            regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
            regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
@@ -541,13 +543,20 @@ def h_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (char classes, alternation, bounded repeats) where Java regex and
     DuckDB's RE2 agree; Spark's regexp_count mirrors as
     len(regexp_extract_all) and Spark's non-flag regexp_replace is
-    global by default, matching DuckDB's explicit 'g'. Pure codegen
-    expressions, zero shuffle."""
+    global by default, matching DuckDB's explicit 'g'. The extract_all
+    list is flattened with array_join/array_to_string per the repo's
+    no-array-output-cells rule (the driver's pandas canonicalizer
+    cannot sort ndarray cells); DuckDB's array_to_string maps the
+    EMPTY list to NULL where Spark's array_join yields '' — pinned
+    with COALESCE on the oracle side. Pure codegen expressions, zero
+    shuffle."""
     t = load(spark, sf_dir)
     ident = F.concat_ws(":", F.col("lang"), F.col("source"), F.col("doc_id").cast("string"))
     return t.documents.select(
         "doc_id",
-        F.regexp_extract_all(F.col("text"), F.lit("([a-z]{6,})"), F.lit(1)).alias("long_words"),
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit("([a-z]{6,})"), F.lit(1)), " "
+        ).alias("long_words"),
         F.regexp_count(F.col("text"), F.lit("merge|join")).cast("int").alias("n_relops"),
         F.regexp_extract(F.col("text"), "([a-z]+) ([a-z]+)", 2).alias("second_word"),
         F.regexp_replace(F.col("text"), "[aeiou]", "_").alias("devoweled"),
@@ -631,4 +640,59 @@ def h_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (prefix8 == F.unhex(F.hex(prefix8)).cast("string")).alias("roundtrip_ok"),
         F.bit_count(F.col("n_chars")).cast("int").alias("popcount"),
         F.getbit(F.col("n_chars"), F.lit(3)).cast("int").alias("bit3"),
+    )
+
+
+@query(
+    "h_struct",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, value,
+                      epoch_ms(ts) AS ts_ms
+               FROM events WHERE event_id % 50 = 0)
+    SELECT event_id,
+           LEAST(user_id, event_id % 97) AS lo,
+           GREATEST(user_id, event_id % 97) AS hi,
+           ROW(user_id, ts_ms) < ROW(event_id % 97, ts_ms) AS struct_lt,
+           struct_extract(list_zip([user_id, event_id % 97],
+                                   [ts_ms, ts_ms + 1])[2], 1) AS second_key,
+           struct_extract(list_zip([user_id, event_id % 97],
+                                   [ts_ms, ts_ms + 1])[2], 2) AS second_ord
+    FROM s
+    """,
+)
+def h_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT scalar family: named_struct packing + field access,
+    lexicographic struct comparison (the tie-break engine behind every
+    deterministic argmax in this repo — pinned here as a first-class
+    surface), and arrays_zip + element_at + field flattening. Output
+    columns are FLATTENED scalars: a struct-typed output cell would
+    compare Row-vs-dict across engines in the driver's canonicalizer,
+    so the contract is that operators unpack structs before returning
+    (the same rule every aprs_* parse query follows). Spark's
+    arrays_zip names fields after its input columns — aliased
+    explicitly on both sides (DuckDB's list_zip builds UNNAMED structs
+    — extracted by numeric index).
+    Pure codegen, zero shuffle."""
+    t = load(spark, sf_dir)
+    e = t.events.where(F.col("event_id") % 50 == 0).select(
+        "event_id", "user_id", "value", "ts_ms"
+    )
+    alt = F.col("event_id") % 97
+    pair = F.named_struct(F.lit("lo"), F.least(F.col("user_id"), alt),
+                          F.lit("hi"), F.greatest(F.col("user_id"), alt))
+    zipped = F.arrays_zip(
+        F.array(F.col("user_id"), alt).alias("k"),
+        F.array(F.col("ts_ms"), F.col("ts_ms") + 1).alias("o"),
+    )
+    second = F.element_at(zipped, 2)
+    return e.select(
+        "event_id",
+        pair.getField("lo").alias("lo"),
+        pair.getField("hi").alias("hi"),
+        (
+            F.struct(F.col("user_id"), F.col("ts_ms"))
+            < F.struct(alt.alias("user_id"), F.col("ts_ms"))
+        ).alias("struct_lt"),
+        second.getField("k").alias("second_key"),
+        second.getField("o").alias("second_ord"),
     )

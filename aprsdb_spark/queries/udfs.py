@@ -292,3 +292,104 @@ def k_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.embeddings.select("vec_id", "embedding").mapInArrow(
         batches, "vec_id long, l2_norm double, dim int"
     )
+
+
+@query(
+    "k_udtf_table",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_s,
+           CAST(MIN(event_id) AS BIGINT) AS first_id
+    FROM events GROUP BY event_type
+    """,
+)
+def k_udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument + PARTITION BY (Spark 4.0,
+    SPARK-44503): the engine shuffles the input on the partition key
+    and feeds each group to ONE UDTF instance (eval per row, terminate
+    per group) — the table-function form of a custom aggregate, the
+    surface to reach for when per-group logic needs real Python state
+    (parsers, model objects) but applyInPandas' whole-group-in-memory
+    materialization is unwanted: eval() streams rows. State here is
+    three scalars per group, oracle = the plain GROUP BY; the scaled
+    sum is exact BIGINT arithmetic in Python (unbounded ints), so
+    parity holds at any accumulation order."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n bigint, sum_s bigint, first_id bigint")
+    class GroupStats:
+        def __init__(self) -> None:
+            self.key = None
+            self.n = 0
+            self.sum_s = 0
+            self.first_id = None
+
+        def eval(self, row):
+            self.key = row["event_type"]
+            self.n += 1
+            self.sum_s += int(row["v_s"])
+            eid = int(row["event_id"])
+            self.first_id = eid if self.first_id is None else min(self.first_id, eid)
+
+        def terminate(self):
+            if self.n:
+                yield self.key, self.n, self.sum_s, self.first_id
+
+    spark.udtf.register("group_stats_udtf", GroupStats)
+    t = load(spark, sf_dir)
+    t.events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v_s"),
+    ).createOrReplaceTempView("_udtf_events")
+    return spark.sql(
+        "SELECT * FROM group_stats_udtf(TABLE(SELECT * FROM _udtf_events) "
+        "PARTITION BY event_type)"
+    )
+
+
+@query(
+    "k_udtf_analyze",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS tok1,
+           split_part(text, ' ', 2) AS tok2,
+           split_part(text, ' ', 3) AS tok3
+    FROM documents
+    """,
+)
+def k_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4.0 analyze(): the output schema
+    is computed at plan time from the LITERAL argument — here the
+    requested column count — instead of being fixed at registration).
+    This is the Spark-4 answer to variadic table functions (CSV
+    splitters, pivoting parsers) that previously needed one registered
+    UDTF per arity. Lateral-applied per document; the oracle mirrors
+    with split_part columns. Empty-position semantics pinned: both
+    engines return '' for a missing token (documents always have ≥3
+    tokens here, making the comparison exact regardless)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(f"tok{i + 1}", StringType()) for i in range(int(n.value))]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            parts = text.split(" ")
+            yield tuple(parts[i] if i < len(parts) else "" for i in range(n))
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    t = load(spark, sf_dir)
+    t.documents.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, f.* FROM _udtf_docs d, LATERAL first_tokens(d.text, 3) f"
+    )

@@ -172,6 +172,11 @@ NEXT_QUEUE: list[str] = [
     "j_ts_seasonality",
     # r8: graph degree profile
     "j_graph_degree",
+    # r8 wave 2: Spark-4 UDTF surfaces (TABLE arg + PARTITION BY;
+    # polymorphic analyze()), struct scalar family
+    "k_udtf_table",
+    "k_udtf_analyze",
+    "h_struct",
 ]
 
 

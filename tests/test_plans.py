@@ -210,11 +210,17 @@ _EXPECTED_BNLJ = {
     "j_hard_negatives",  # broadcast 20-row query set (the j_knn_batch fan-out)
     "j_class_weights",  # 1-row broadcast (total, n_classes) onto |classes| rows
     "j_chi2_independence",  # 1-row broadcast grand total onto the <=35-cell table
+    "j_token_budget",  # 1-row broadcast token-budget scalar onto the running sums
     "j_bfs_distance",  # 1-row literal seed frontier: Catalyst folds the seed's
     # nk to a constant, the equi condition becomes a filter, and the round-1
     # broadcast join is left conditionless — build side is O(|V|) state
 }
-_EXPECTED_ROW_PYTHON = {"k_sql_udf", "k_udtf"}  # the documented slow-path escape hatches
+_EXPECTED_ROW_PYTHON = {
+    # the documented slow-path escape hatches; UDTFs (incl. the Spark-4
+    # TABLE-arg and polymorphic-analyze forms) evaluate row-at-a-time by
+    # construction — demonstrating that surface is these qids' purpose
+    "k_sql_udf", "k_udtf", "k_udtf_table", "k_udtf_analyze",
+}
 
 
 def test_tpch_subquery_shapes_decorrelate(spark):
