@@ -696,3 +696,146 @@ def h_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         second.getField("k").alias("second_key"),
         second.getField("o").alias("second_ord"),
     )
+
+
+@query(
+    "h_collate",
+    oracle="""
+    SELECT doc_id,
+           contains(lower(text), 'merge') AS has_merge_ci,
+           starts_with(lower(source), 'c') AS src_c_ci,
+           lower(text) LIKE '%data' AS ends_data_ci,
+           lower(lang) < lower(source) AS lang_lt_src_ci,
+           lower(lang) = lower(upper(lang)) AS eq_folded,
+           CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END AS is_en_ci
+    FROM documents
+    """,
+)
+def h_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4.0, SPARK-46830): UTF8_LCASE attaches
+    case-insensitivity to the TYPE, so every comparison, predicate, and
+    string function downstream folds case without the caller sprinkling
+    lower() — the collation travels with the column through joins and
+    aggregates, which is the point at 100 TB: one declaration instead
+    of N rewrite sites, and Catalyst still prunes/pushes because the
+    collated compare is a native expression, not a UDF wrapper. Pinned
+    surfaces: contains / startswith / endswith-via-compare, ordering
+    (<), and equality under UTF8_LCASE; the oracle mirrors each with
+    explicit lower() (UTF8_LCASE is defined as lowercase-mapping
+    comparison, so the mirror is exact — unlike UNICODE_CI, which
+    full-case-folds and has no DuckDB twin). Pure codegen, zero
+    shuffle."""
+    t = load(spark, sf_dir)
+    text_ci = F.collate(F.col("text"), "UTF8_LCASE")
+    lang_ci = F.collate(F.col("lang"), "UTF8_LCASE")
+    src_ci = F.collate(F.col("source"), "UTF8_LCASE")
+    return t.documents.select(
+        "doc_id",
+        F.contains(text_ci, F.lit("MERGE")).alias("has_merge_ci"),
+        F.startswith(src_ci, F.lit("C")).alias("src_c_ci"),
+        F.endswith(text_ci, F.lit("DATA")).alias("ends_data_ci"),
+        (lang_ci < src_ci).alias("lang_lt_src_ci"),
+        (lang_ci == F.collate(F.upper(F.col("lang")), "UTF8_LCASE")).alias("eq_folded"),
+        F.when(lang_ci == F.lit("EN"), 1).otherwise(0).alias("is_en_ci"),
+    )
+
+
+@query(
+    "h_xml",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS rt_custkey,
+           o_orderstatus AS rt_status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS rt_cents,
+           o_custkey AS xp_custkey,
+           o_orderstatus AS xp_status
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def h_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML (Spark 4.0, SPARK-44265): to_xml serializes a struct
+    row to an XML document, from_xml parses it back against an explicit
+    schema, and the xpath_* family extracts typed scalars by path
+    expression. The qid is a ROUND-TRIP identity: original columns →
+    XML text → parsed struct → flattened scalars, plus the same values
+    re-extracted via xpath_long/xpath_string, so the oracle is the
+    identity projection — a hash match proves serializer and both
+    parsers agree on longs, strings, and exact DECIMAL cents without
+    the oracle needing to know Spark's XML formatting. Money crosses
+    the XML boundary as integer cents (doubles-in-text would reopen
+    shortest-round-trip questions). Pure codegen-adjacent expressions
+    (XML functions are JVM-side), zero shuffle."""
+    t = load(spark, sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderstatus").alias("st"),
+            cents.alias("cents"),
+        )
+    )
+    parsed = F.from_xml(xml, "ck BIGINT, st STRING, cents BIGINT")
+    return (
+        t.orders.where(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", xml.alias("x"))
+        .select(
+            "o_orderkey",
+            F.from_xml(F.col("x"), "ck BIGINT, st STRING, cents BIGINT").alias("s"),
+            F.xpath_long(F.col("x"), F.lit("/ROW/ck")).alias("xp_custkey"),
+            F.xpath_string(F.col("x"), F.lit("/ROW/st")).alias("xp_status"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("s.ck").alias("rt_custkey"),
+            F.col("s.st").alias("rt_status"),
+            F.col("s.cents").alias("rt_cents"),
+            "xp_custkey",
+            "xp_status",
+        )
+    )
+
+
+@query(
+    "h_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE)
+                + CAST(((4 - (epoch(o_orderdate)//86400) % 7 + 6) % 7 + 1)
+                       AS INT) AS DATE) AS next_monday,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           make_date(CAST(year(o_orderdate) AS INT),
+                     CAST(month(o_orderdate) AS INT), 1) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def h_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval date math: add_months (month addition with
+    end-of-month CLAMPING — 2024-01-31 + 1 month = 2024-02-29, the
+    semantics both engines share, pinned here because naive
+    day-arithmetic ports get it wrong), last_day, next_day (strictly-
+    later weekday search — DuckDB has no twin, so the oracle derives it
+    from the epoch-day grid: day 0 = 1970-01-01 = Thursday, Monday ≡ 4
+    (mod 7), advance ((4 - ed%7 + 6) % 7) + 1 ∈ [1,7] days), ISO
+    weekofyear / quarter, make_date month anchoring, and datediff from
+    a fixed epoch. All integer calendar arithmetic — no floats, no
+    timezones (session is UTC-pinned), exact at any scale. Pure
+    codegen, zero shuffle."""
+    t = load(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    return t.orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.add_months(od, 3).alias("due_date"),
+        F.last_day(od).alias("month_end"),
+        F.next_day(od, "Mon").alias("next_monday"),
+        F.quarter(od).cast("int").alias("qtr"),
+        F.weekofyear(od).cast("int").alias("iso_week"),
+        F.make_date(F.year(od), F.month(od), F.lit(1)).alias("month_start"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since"),
+    )

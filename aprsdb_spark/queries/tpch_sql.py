@@ -703,3 +703,100 @@ def c_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "c_sql_script",
+    oracle="""
+    WITH c AS (SELECT COUNT(*) AS total,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                           AS BIGINT) AS cents
+               FROM orders),
+         k AS (SELECT CAST(LENGTH(BIN(total - 1)) AS INT) AS doublings,
+                      cents // total AS mean_cents
+               FROM c)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           doublings
+    FROM orders, k
+    WHERE CAST(o_totalprice AS DECIMAL(12,2)) * 100 > mean_cents
+    GROUP BY o_orderpriority, doublings
+    """,
+)
+def c_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0, SPARK-48338 — BEGIN/END compound
+    statements): DECLARE local variables, assign from scalar
+    subqueries, iterate with WHILE, and parameterize a final query
+    with the computed state. The script derives (a) the integer-exact
+    mean order value in cents (DECIMAL cents summed, then BIGINT
+    integer division — no double rounding on either engine) and
+    (b) ceil(log2(row_count)) by literal doubling — the loop is
+    driver-side control flow over scalar state, so the N queries it
+    issues are each full Catalyst plans; scripting adds sequencing,
+    not a new execution engine. The oracle mirrors the loop's result
+    arithmetically: for total >= 2, doublings == bit_length(total-1)
+    == LENGTH(BIN(total-1)) — pure integer, no libm log2 at
+    power-of-two boundaries. Counting orders above the mean then
+    reuses the scan-filter-aggregate shape; at 100 TB the script costs
+    two aggregate passes (COUNT+SUM fused in one, then the filtered
+    rollup) — same as hand-written SQL."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE mean_cents BIGINT DEFAULT 0;
+          DECLARE doublings INT DEFAULT 0;
+          DECLARE p BIGINT DEFAULT 1;
+          SET total = (SELECT COUNT(*) FROM v_orders);
+          SET mean_cents =
+            (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                         AS BIGINT) FROM v_orders) DIV total;
+          WHILE p < total DO
+            SET p = p * 2;
+            SET doublings = doublings + 1;
+          END WHILE;
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_above,
+                 doublings
+          FROM v_orders
+          WHERE CAST(o_totalprice AS DECIMAL(12,2)) * 100 > mean_cents
+          GROUP BY o_orderpriority;
+        END
+    """)
+
+
+@query(
+    "c_sql_variables",
+    oracle="""
+    WITH v AS (SELECT MAX(o_orderstatus) AS tgt FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           tgt AS status
+    FROM orders, v
+    WHERE o_orderstatus = tgt
+    GROUP BY o_orderpriority, tgt
+    """,
+)
+def c_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables + the IDENTIFIER clause (Spark 4.0,
+    SPARK-46908 / SPARK-43205): DECLARE OR REPLACE VARIABLE, assign
+    one variable from a data-driven scalar subquery (SET VAR tgt =
+    (SELECT MAX(...))), and resolve the TABLE NAME itself from a
+    string variable via IDENTIFIER(tbl) — the SQL-injection-safe form
+    of dynamic table dispatch (the identifier is parsed as a name,
+    never spliced as text). The final query references both: the
+    oracle inlines the scalar subquery, pinning that variable
+    indirection changes nothing semantically. DECLARE OR REPLACE keeps
+    repeated driver scoring idempotent."""
+    _views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_tbl STRING DEFAULT 'v_orders'")
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_tgt STRING DEFAULT ''")
+    spark.sql("SET VAR sg_tgt = (SELECT MAX(o_orderstatus) FROM v_orders)")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               sg_tgt AS status
+        FROM IDENTIFIER(sg_tbl)
+        WHERE o_orderstatus = sg_tgt
+        GROUP BY o_orderpriority
+    """)

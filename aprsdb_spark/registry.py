@@ -177,6 +177,15 @@ NEXT_QUEUE: list[str] = [
     "k_udtf_table",
     "k_udtf_analyze",
     "h_struct",
+    # r8 wave 3: Spark-4 SQL control surfaces (scripting, session
+    # variables + IDENTIFIER), collation, native XML, calendar
+    # intervals, hive-partitioned sink with pruned read-back
+    "c_sql_script",
+    "c_sql_variables",
+    "h_collate",
+    "h_xml",
+    "h_interval",
+    "a_sink_partitioned",
 ]
 
 

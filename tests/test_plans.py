@@ -628,3 +628,20 @@ def test_pipe_sql_matches_clause_plan_shape(spark):
     assert "LessThanOrEqual(l_shipdate" in p, "pipe WHERE not pushed to scan"
     assert "HashAggregate" in p
     assert "Join" not in p
+
+
+def test_sink_partitioned_prunes_partitions(spark):
+    """a_sink_partitioned's read-back must satisfy the priority filter
+    from the directory LISTING (PartitionFilters on the scan), not by
+    reading data files — the property that makes date-partitioned fact
+    tables queryable at 100 TB."""
+    p = _plan(spark, "a_sink_partitioned")
+    part_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert part_lines, "scan node lost its PartitionFilters entry"
+    assert any("o_orderpriority" in l and "1-URGENT" in l for l in part_lines), (
+        "priority IN-filter not applied at partition-listing time"
+    )
+    # the partition column must NOT appear as a data-file filter
+    assert not any(
+        "o_orderpriority" in l for l in p.splitlines() if "PushedFilters" in l
+    ), "partition filter leaked into the data-file filter set"
