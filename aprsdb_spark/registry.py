@@ -57,84 +57,89 @@ def load_all() -> None:
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
 # every CORRECTNESS_r{N}.json ends at registry position 50). DRIVER_ORDER
-# pins which qids occupy that scored window. Round-8 rotation, exactly
-# the r7 verdict's prescription: (1) ALL 40 r7-new qids from the r7
-# NEXT_QUEUE — none has a driver row yet (TPC-H completion q1/q2/q6-q9/
-# q11/q12/q16/q20, banded LSH pair + both recall measurements, the
-# Spark-4 surfaces, the analytics/governance/time-series batch); after
-# this window lands, every registered qid holds a driver-green row ever.
-# (2) 8 slots of oldest-evidence refresh from the 36-qid r4 block —
-# chosen as the similarity/dedup family because operators/similarity.py's
-# _gemm_pairs kernel is re-tiled this round (j-axis blocking) and these
-# are its consumers plus their plan-diversity controls, so the driver
-# re-proves bit-parity on the exact qids the kernel change touches. The
-# remaining 28 r4 qids rotate in r9 (28 + canaries = 30 <= 50 slots).
+# pins which qids occupy that scored window. Round-9 rotation, exactly
+# the r8 verdict's prescription: (1) ALL 25 r8-new qids from the r8
+# NEXT_QUEUE — none has a driver row yet (SQL pipe/scripting/variables,
+# argmax family, null-safe join, IGNORE NULLS navigation, OFFSET, the
+# regexp/mask/encode/struct/collate/xml/interval scalar batch,
+# binaryFile + partitioned sink, UDTF TABLE-arg/analyze, token-budget /
+# k-fold / clean-text / OHLC / seasonality / graph-degree data ops);
+# after this window lands, every registered qid holds a driver-green row
+# ever, for the first time. (2) 23 of the 28 r4-stale qids (the oldest
+# evidence anywhere in the registry) — the 5 deferred are the §2.K UDF
+# surfaces (REFRESH_QUEUE below): they carry dedicated pytest coverage
+# and two sibling k_* qids already sit in this window exercising the
+# same Arrow/UDTF machinery, so they are the lowest-risk deferral.
 # The two harness-breakage canaries a_scan_parquet / e_win_lastpos stay.
+# r10 plan (capacity arithmetic): 5 REFRESH_QUEUE k_* + 43 of the 47
+# r5-scored qids + 2 canaries = 50; the remaining 4 r5 qids move to
+# REFRESH_QUEUE then. The staleness invariant's bound is derived from
+# registry size in tests/test_registry_order.py, so this schedule is
+# checked, not promised.
 DRIVER_ORDER: list[str] = [
     # canary: a_scan_parquet (trivial scan — breaks only if the harness does)
     "a_scan_parquet",
-    # never-scored (r7): TPC-H completion — all 22 now driver-provable
-    "c_sql_q1",
-    "c_sql_q2",
-    "c_sql_q6",
-    "c_sql_q7",
-    "c_sql_q8",
-    "c_sql_q9",
-    "c_sql_q11",
-    "c_sql_q12",
-    "c_sql_q16",
-    "c_sql_q20",
-    # never-scored (r7): banded (AND/OR) hyperplane LSH + the recall
-    # measurements for both approximate paths
-    "j_sim_pairs_banded",
-    "j_lsh_recall_banded",
-    "j_ann_recall",
-    # never-scored (r7): lakehouse / scale ops
-    "j_skew_stats",
-    "j_compaction_plan",
-    "j_cdc_apply",
-    # never-scored (r7): contrastive-training data ops
-    "j_hard_negatives",
-    "j_class_weights",
-    # never-scored (r7): time-series / sequence analytics
-    "j_ts_ewma",
-    "j_interval_overlap",
-    "j_markov_transitions",
-    "j_bfs_distance",
-    "j_rolling_corr",
-    # never-scored (r7): Spark 4.0 surfaces
-    "c_sql_recursive",
-    "c_join_lateral",
-    "h_variant",
-    "a_scan_orc",
-    "a_pysrc_replay",
-    "k_map_in_arrow",
-    "d_agg_bitmap",
-    "d_agg_listagg",
-    "h_try_arith",
-    # never-scored (r7): stats / data-quality / leakage-safe features
-    "j_chi2_independence",
-    "j_dq_checks",
-    "j_feature_snapshot",
-    "j_outlier_mad",
-    "j_ngram_novelty",
-    # never-scored (r7): join strategies
-    "c_join_asof_tol",
-    "c_join_shj",
-    # never-scored (r7): bitwise rollups
-    "d_agg_bitwise",
-    # oldest-evidence refresh (latest row r4): the similarity/dedup
-    # family — consumers of the re-tiled _gemm_pairs kernel
-    # (j_sim_pairs, j_dedup_ngram, j_dedup_embed) plus the bucketed
-    # scale-path twins and the exact/near production paths
-    "j_sim_pairs",
-    "j_dedup_ngram",
-    "j_dedup_embed",
-    "j_dedup_exact",
-    "j_dedup_near",
-    "j_sim_topk",
-    "j_sim_pairs_bucketed",
-    "j_dedup_embed_bucketed",
+    # never-scored (r8): SQL surfaces — pipe syntax (|>), GROUP/ORDER BY
+    # ALL, LIMIT+OFFSET pagination, argmax family, null-safe equi join,
+    # IGNORE NULLS window navigation (LOCF/backfill)
+    "c_sql_pipe",
+    "d_agg_groupall",
+    "f_offset",
+    "d_agg_argminmax",
+    "c_join_nullsafe",
+    "e_win_ignorenulls",
+    # never-scored (r8): scalar families — regexp suite + split_part,
+    # mask() PII redaction, binary encodings, struct ops, collation,
+    # native XML, calendar intervals
+    "h_regexp",
+    "h_mask",
+    "h_encode",
+    "h_struct",
+    "h_collate",
+    "h_xml",
+    "h_interval",
+    # never-scored (r8): connectors — binaryFile scan (exact-byte
+    # oracle), hive-partitioned sink with pruned read-back
+    "a_scan_binary",
+    "a_sink_partitioned",
+    # never-scored (r8): Spark-4 control surfaces + UDTF surfaces
+    "c_sql_script",
+    "c_sql_variables",
+    "k_udtf_table",
+    "k_udtf_analyze",
+    # never-scored (r8): corpus / time-series / graph data ops
+    "j_token_budget",
+    "j_kfold_assign",
+    "j_clean_text",
+    "j_ts_ohlc",
+    "j_ts_seasonality",
+    "j_graph_degree",
+    # oldest-evidence refresh (latest row r4): scalar map/json/hash/geo
+    "h_map",
+    "h_json",
+    "h_hash",
+    "h_geo_range",
+    "h_geo_pairs",
+    # oldest-evidence refresh (latest row r4): APRS parse family
+    "h_str_parse_tnc2",
+    "h_str_parse_pos",
+    "h_str_parse_phg",
+    # oldest-evidence refresh (latest row r4): LLM-pipeline block
+    "j_knn_label",
+    "j_text_stats",
+    "j_tfidf",
+    "j_lang_quality",
+    "j_lang_id",
+    "j_fingerprint",
+    "j_multimodal",
+    "j_multimodal_features",
+    "j_multimodal_sim",
+    "j_token_count",
+    "j_quality_score",
+    "j_embed_centroid",
+    "j_pipeline_curate",
+    "j_dedup_cluster",
+    "j_split_train_val",
     # canary: e_win_lastpos
     "e_win_lastpos",
 ]
@@ -145,47 +150,25 @@ DRIVER_ORDER: list[str] = [
 # runs) and is FIRST in line for the next rotation.
 # test_registry_order.py enforces that a never-scored qid is either in
 # the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = [
-    # r8: SQL surfaces — pipe syntax (|>), GROUP/ORDER BY ALL,
-    # LIMIT+OFFSET pagination, argmax family, null-safe equi join,
-    # IGNORE NULLS window navigation (LOCF/backfill)
-    "c_sql_pipe",
-    "d_agg_groupall",
-    "f_offset",
-    "d_agg_argminmax",
-    "c_join_nullsafe",
-    "e_win_ignorenulls",
-    # r8: scalar families — regexp suite + split_part, mask() PII
-    # redaction, binary encodings (base64/hex/unhex/bit_count/getbit)
-    "h_regexp",
-    "h_mask",
-    "h_encode",
-    # r8: binaryFile connector (exact-byte oracle)
-    "a_scan_binary",
-    # r8: corpus ops — token-budget selection, k-fold hash assignment,
-    # text normalization
-    "j_token_budget",
-    "j_kfold_assign",
-    "j_clean_text",
-    # r8: time-series — OHLC bars, hour-of-day seasonality
-    "j_ts_ohlc",
-    "j_ts_seasonality",
-    # r8: graph degree profile
-    "j_graph_degree",
-    # r8 wave 2: Spark-4 UDTF surfaces (TABLE arg + PARTITION BY;
-    # polymorphic analyze()), struct scalar family
-    "k_udtf_table",
-    "k_udtf_analyze",
-    "h_struct",
-    # r8 wave 3: Spark-4 SQL control surfaces (scripting, session
-    # variables + IDENTIFIER), collation, native XML, calendar
-    # intervals, hive-partitioned sink with pruned read-back
-    "c_sql_script",
-    "c_sql_variables",
-    "h_collate",
-    "h_xml",
-    "h_interval",
-    "a_sink_partitioned",
+NEXT_QUEUE: list[str] = []
+
+# Already-scored qids whose evidence is the oldest in the registry but
+# which did NOT fit this round's 50-slot window: scheduled FIRST for the
+# next rotation (after NEXT_QUEUE's never-scored entries). This is the
+# executable form of "deferred to r10" — test_registry_order.py accepts
+# queue membership as "scheduled", and a sibling test pins that only
+# already-scored qids may sit here (never-scored ones belong on
+# NEXT_QUEUE, where the tri-scale-verification contract applies).
+REFRESH_QUEUE: list[str] = [
+    # §2.K pandas/Arrow UDF surfaces, latest driver row r4. Deferred in
+    # favor of the 23 r4 qids above because each has dedicated pytest
+    # coverage (tests/test_udfs.py) and the r9 window already re-proves
+    # the same Arrow machinery via k_udtf_table / k_udtf_analyze.
+    "k_pandas_scalar",
+    "k_pandas_grouped_agg",
+    "k_apply_in_pandas",
+    "k_udtf",
+    "k_sql_udf",
 ]
 
 

@@ -14,8 +14,10 @@ import glob
 import json
 import os
 
+import math
+
 import __spark_entry__ as entry_mod
-from aprsdb_spark.registry import DRIVER_ORDER, NEXT_QUEUE
+from aprsdb_spark.registry import DRIVER_ORDER, NEXT_QUEUE, REFRESH_QUEUE
 
 _REPO = os.path.join(os.path.dirname(__file__), "..")
 
@@ -56,28 +58,60 @@ def test_never_scored_qids_fit_the_driver_window():
     )
 
 
-def test_no_qid_waits_more_than_four_rounds():
-    """Rotation-age bound: with 181 qids and a 50-slot window, full
-    re-coverage takes 4 rounds. Any qid whose latest driver row is 4+
+def test_no_qid_waits_beyond_rotation_capacity():
+    """Rotation-age bound, derived from capacity: the scored window has
+    48 non-canary slots, so full re-coverage of N registered qids takes
+    ceil(N/48) rounds — the bound a perfect round-robin achieves. (The
+    original hardcoded 4 was that formula evaluated at 181 qids; it
+    went red at 246 because the registry outgrew it, not because
+    rotation stalled.) Any qid whose latest driver row is that many
     rounds older than the newest recorded round must be IN the current
-    window (about to be rescored) or on NEXT_QUEUE — staleness is an
-    executable invariant, not a judgement call at verdict time."""
+    window (about to be rescored) or on an explicit queue
+    (NEXT_QUEUE for never-scored additions, REFRESH_QUEUE for scored
+    qids displaced by them) — staleness is an executable invariant,
+    not a judgement call at verdict time."""
     rounds = _rounds()
     newest = max(rounds)
     latest: dict[str, int] = {}
     for rnd, rows in sorted(rounds.items()):
         for q in rows:
             latest[q] = rnd
+    bound = max(4, math.ceil(len(entry_mod.queries()) / 48))
     first50 = set(list(entry_mod.queries())[:50])
     stale = {
         q
         for q, rnd in latest.items()
-        if newest - rnd >= 4 and q in entry_mod.queries()
+        if newest - rnd >= bound and q in entry_mod.queries()
     }
-    waiting = stale - first50 - set(NEXT_QUEUE)
+    waiting = stale - first50 - set(NEXT_QUEUE) - set(REFRESH_QUEUE)
     assert not waiting, (
-        f"qids whose latest driver row is >=4 rounds old and are not "
-        f"scheduled for rescoring: {sorted(waiting)}"
+        f"qids whose latest driver row is >={bound} rounds old and are "
+        f"not scheduled for rescoring: {sorted(waiting)}"
+    )
+
+
+def test_refresh_queue_holds_only_scored_overflow():
+    """REFRESH_QUEUE is for already-driver-scored qids displaced from
+    the window by never-scored additions: every entry must be scored
+    (never-scored ones belong on NEXT_QUEUE, which carries the
+    tri-scale-verification contract), registered, outside the current
+    window (inside it the queue entry would be stale), and the two
+    queues must be disjoint. Queue + canaries must also FIT the next
+    window — a queue bigger than the window is a promise that cannot
+    be kept."""
+    scored = _scored_ever()
+    qs = entry_mod.queries()
+    unscored = [q for q in REFRESH_QUEUE if q not in scored]
+    assert not unscored, f"never-scored qids on REFRESH_QUEUE: {unscored}"
+    unknown = [q for q in REFRESH_QUEUE if q not in qs]
+    assert not unknown, f"REFRESH_QUEUE names unregistered qids: {unknown}"
+    first50 = set(list(qs)[:50])
+    inside = [q for q in REFRESH_QUEUE if q in first50]
+    assert not inside, f"REFRESH_QUEUE entries already in the window: {inside}"
+    assert not set(REFRESH_QUEUE) & set(NEXT_QUEUE)
+    assert len(REFRESH_QUEUE) == len(set(REFRESH_QUEUE))
+    assert len(NEXT_QUEUE) + len(REFRESH_QUEUE) <= 48, (
+        "queued work exceeds one window's 48 non-canary slots"
     )
 
 
