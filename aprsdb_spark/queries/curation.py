@@ -309,10 +309,27 @@ def distributed_prefix_sum(
     per-range-offset window + broadcast join back. Adds column `cum`.
     Exact for any id distribution (gaps/clumps fine — ranges only need
     to be order-preserving, not balanced)."""
-    tok = df.withColumn("range_id", F.expr(f"{id_col} div {range_size}"))
+    return distributed_prefix_sum_ord(
+        df, [F.col(id_col).asc()], val_col, F.expr(f"{id_col} div {range_size}")
+    )
+
+
+def distributed_prefix_sum_ord(
+    df: DataFrame, order_cols: list, val_col: str, range_expr
+) -> DataFrame:
+    """General form of distributed_prefix_sum: inclusive running sum of
+    ``val_col`` along an arbitrary total order ``order_cols`` (list of
+    Column sort expressions), bucketed by ``range_expr`` — any Column
+    that is (a) non-decreasing along the sort order and (b) constant
+    across order-ties, so a range boundary can never split the order.
+    Plan shape: one range-partitioned window over the big relation, one
+    SinglePartition window over |ranges| rows, one broadcast join back;
+    recurses to three levels only if |ranges| itself outgrows a
+    partition. Adds column `cum`."""
+    tok = df.withColumn("range_id", range_expr)
     w_in = (
         Window.partitionBy("range_id")
-        .orderBy(id_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     within = tok.withColumn("cum_in", F.sum(val_col).over(w_in))
@@ -792,20 +809,27 @@ def j_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order ending in the unique doc_id, so the admission boundary
     is engine-independent.
 
-    100 TB: a single-ORDER window is one range-partitioned sort — the
-    scale lowering is the two-pass prefix sum (per-partition token
-    subtotals collected once, offsets broadcast back; the
-    j_compaction_plan pattern), identical admission set. The 1-row
-    budget side is a broadcast cross join, not a shuffle."""
+    100 TB: the naive lowering — one ORDER-only window — is Exchange
+    SinglePartition + a one-task sort over the whole corpus, the
+    classic scale killer. This is j_pack_sequences' two-level
+    distributed prefix sum instead, generalized to the (n_chars DESC,
+    doc_id) priority order: range_id = -(n_chars div 16) is monotone
+    along that order and constant across n_chars ties, so the
+    corpus-sized running sum rides a range-partitioned window; only
+    the |ranges|-row offset roll-up is single-partition (pinned in
+    tests/test_plans.py). The 1-row budget side is a broadcast cross
+    join, not a shuffle."""
     t = load(spark, sf_dir)
     d = t.documents.select(
         "doc_id", "lang", "n_chars", F.size(tokens_col("text")).cast("long").alias("n_tok")
     )
     budget = d.agg((F.sum("n_tok") / 2).cast("long").alias("b"))
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = d.select("doc_id", "lang", "n_tok", F.sum("n_tok").over(w).alias("running"))
+    cum = distributed_prefix_sum_ord(
+        d,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_tok",
+        -F.expr("n_chars div 16"),
+    ).select("doc_id", "lang", "n_tok", F.col("cum").alias("running"))
     return (
         cum.crossJoin(F.broadcast(budget))
         .where(F.col("running") <= F.col("b"))

@@ -179,6 +179,23 @@ def test_pack_sequences_big_side_window_is_partitioned(spark):
     assert p.count("Exchange SinglePartition") == 1, p
 
 
+def test_token_budget_big_side_window_is_partitioned(spark):
+    """The corpus-sized running sum over (n_chars DESC, doc_id) must
+    ride the range-partitioned window (range_id = -(n_chars div 16)).
+    Only two tiny single-partition stages are allowed: the |ranges|-row
+    offset roll-up window and the 1-row budget aggregate. An
+    unpartitioned window over the documents relation is the one-task
+    global sort this lowering exists to avoid."""
+    p = _physical(spark, "j_token_budget")
+    assert "range_id" in p
+    assert p.count("Exchange SinglePartition") <= 2, p
+    # the documents-sized window carries the range_id partition spec
+    big_win = [
+        l for l in p.splitlines() if "Window" in l and "doc_id" in l and "n_chars" in l
+    ]
+    assert big_win and all("range_id" in l for l in big_win), big_win
+
+
 def test_release_pipeline_shuffles_hashes_not_text(spark):
     """The dedup agg must key on md5(text): the exchange carries 16-byte
     digests, never the documents themselves."""
