@@ -622,26 +622,34 @@ def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_search(t.embeddings, query_id=0, k=10, n_planes=8, radius=2)
 
 
-def _ivf_oracle() -> str | None:
-    """DuckDB twin of j_ann_ivf, built at import time: train the coarse
-    quantizer once (driver-side, bounded sample — see kmeans_train_local)
-    on the canonical correctness SF and embed the centroids as literals.
-    Assignment (argmax dot, tie -> smallest cid), probe ranking (dot
-    DESC, cid ASC, nprobe=4) and scoring replicate the Spark plan with
-    the shared sequential-fold dot, so every float is bit-identical.
-    Returns None (rows-only fallback) if the canonical data is absent."""
+def _centroid_values_sql() -> str:
+    """Train the coarse quantizer once at import time (driver-side,
+    bounded sample — see kmeans_train_local) on the canonical
+    correctness SF and render the centroids as a DuckDB VALUES list —
+    the shared literal-model half of the IVF oracles. A training
+    failure (missing testdata, numpy change) PROPAGATES: silently
+    downgrading to oracle=None would shrink test_oracle's
+    parametrization and flip j_ann_ivf/j_ann_recall to rows-only
+    without any test going red (the r8 verdict's finding; the
+    queries==oracles invariant test now pins the 0-rows-only claim)."""
     import os
 
     from ..operators.similarity import kmeans_train_local
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-    try:
-        cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
-    except Exception:
-        return None
-    rows = ", ".join(
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    return ", ".join(
         f"({cid}, [{', '.join(repr(x) for x in v)}])" for cid, v in cents
     )
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of j_ann_ivf: literal centroids from
+    _centroid_values_sql; assignment (argmax dot, tie -> smallest cid),
+    probe ranking (dot DESC, cid ASC, nprobe=4) and scoring replicate
+    the Spark plan with the shared sequential-fold dot, so every float
+    is bit-identical."""
+    rows = _centroid_values_sql()
     return f"""
     WITH cents(cid, cv) AS (VALUES {rows}),
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1596,26 +1604,15 @@ j_knn_batch.__doc__ = j_knn_batch.__doc__.replace("{k}", str(_KNNB_K)).replace(
 )
 
 
-def _ann_recall_oracle() -> str | None:
+def _ann_recall_oracle() -> str:
     """DuckDB twin of j_ann_recall: the IVF batch search (same literal
     centroids, assignment, per-query probe ranking and candidate
     scoring as the Spark plan, all on the shared sequential-fold dot)
-    fused against the exact j_knn_batch oracle. Returns None if the
-    canonical data is absent at import time (rows-only fallback),
-    mirroring _ivf_oracle."""
-    import os
-
-    from ..operators.similarity import kmeans_train_local
+    fused against the exact j_knn_batch oracle. Training failures
+    propagate — see _centroid_values_sql."""
     from ..registry import ORACLE
 
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-    try:
-        cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
-    except Exception:
-        return None
-    rows = ", ".join(
-        f"({cid}, [{', '.join(repr(x) for x in v)}])" for cid, v in cents
-    )
+    rows = _centroid_values_sql()
     return f"""
     WITH cents(cid, cv) AS (VALUES {rows}),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
