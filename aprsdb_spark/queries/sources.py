@@ -294,10 +294,9 @@ def a_pysrc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.aprs_queries import FIXTURE_DIR
     from ..sources.pysource import AprsReplayDataSource
 
-    try:
-        spark.dataSource.register(AprsReplayDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # idempotent: re-registration replaces the prior entry with a
+    # DataSourceManager WARN, it does not raise (verified on 4.1.2)
+    spark.dataSource.register(AprsReplayDataSource)
     df = spark.read.format("aprs_replay").option("path", str(FIXTURE_DIR)).load()
     return df.groupBy("fname").agg(
         F.count("*").cast("long").alias("n_lines"),

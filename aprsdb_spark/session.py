@@ -52,11 +52,14 @@ def _external_master_defined() -> bool:
         return True
     if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
         return True
+    from py4j.protocol import Py4JError
     from pyspark import SparkConf
 
     try:
         return SparkConf(loadDefaults=True).contains("spark.master")
-    except Exception:
+    except (RuntimeError, Py4JError):
+        # a half-initialized gateway (launcher race) — the only failure
+        # mode here; treat as "no external master decided yet"
         return False
 
 
@@ -106,12 +109,19 @@ def _ship_package(spark: SparkSession) -> None:
     with zipfile.ZipFile(zpath, "w") as z:
         for f in sorted(pkg.rglob("*.py")):
             z.write(f, "aprsdb_spark/" + str(f.relative_to(pkg)))
+    from pyspark.errors import PySparkException
+
     try:
         spark.sparkContext.addPyFile(str(zpath))
-    except Exception:
+    except (AttributeError, PySparkException):
+        # Spark Connect sessions expose no sparkContext (and classic
+        # sessions can reject a duplicate addPyFile) — ship via the
+        # Connect artifact API instead; if THAT fails the package is
+        # already importable on the workers or the first UDF call will
+        # say so loudly, so degrade silently here.
         try:
             spark.addArtifacts(str(zpath), pyfile=True)  # Spark Connect path
-        except Exception:
+        except (AttributeError, PySparkException, OSError):
             pass
     spark._aprsdb_pkg_shipped = True
 
@@ -122,10 +132,14 @@ def tune(spark: SparkSession) -> SparkSession:
     The driver harness builds its own SparkSession; timezone pinning in
     particular is required for oracle hash-matching (FIXTURES.md §A).
     """
+    from pyspark.errors import AnalysisException
+
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf not runtime-settable in this build — non-fatal
+        except AnalysisException:
+            # CANNOT_MODIFY_CONFIG: the conf is static in this build —
+            # non-fatal, the session-level default applies
+            pass
     _ship_package(spark)
     return spark
