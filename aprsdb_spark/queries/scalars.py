@@ -612,7 +612,7 @@ def h_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_encode",
     oracle="""
     SELECT doc_id,
-           base64(CAST(substr(text, 1, 24) AS BLOB)) AS b64,
+           base64(CAST(substr(text, 1, 14) AS BLOB)) AS b64,
            hex(substr(text, 1, 8)) AS hexed,
            substr(text, 1, 8) = CAST(from_hex(hex(substr(text, 1, 8))) AS VARCHAR)
              AS roundtrip_ok,
@@ -624,18 +624,22 @@ def h_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 def h_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary encoding scalars — base64 / hex / unhex round-trip plus
     bit_count and getbit. Portability notes encoded as constraints:
-    Spark's base64 is MIME-chunked (a CRLF every 76 chars), so the
-    encoded prefix is capped at 24 bytes (< 57) where Spark and
-    DuckDB emit identical unchunked output; hex() is uppercase on
-    both; getbit(n, i) mirrors as the engine-neutral (n >> i) & 1
-    (DuckDB's get_bit addresses BITSTRINGs, not integers). The
-    round-trip equality proves unhex∘hex is lossless on the corpus
-    bytes. All codegen, zero shuffle."""
+    Spark's base64 is MIME-chunked (a CRLF every 57 BYTES of input),
+    and substring() counts CHARACTERS — so the encoded prefix is
+    capped at 14 chars, whose UTF-8 encoding is <= 56 bytes even at
+    the 4-byte worst case, keeping Spark's and DuckDB's output
+    identically unchunked for ANY corpus content (the r8 ADVICE
+    byte-vs-char trap: 24 chars of multibyte text can exceed 57
+    bytes); hex() is uppercase on both; getbit(n, i) mirrors as the
+    engine-neutral (n >> i) & 1 (DuckDB's get_bit addresses
+    BITSTRINGs, not integers). The round-trip equality proves
+    unhex∘hex is lossless on the corpus bytes. All codegen, zero
+    shuffle."""
     t = load(spark, sf_dir)
     prefix8 = F.substring(F.col("text"), 1, 8)
     return t.documents.select(
         "doc_id",
-        F.base64(F.substring(F.col("text"), 1, 24).cast("binary")).alias("b64"),
+        F.base64(F.substring(F.col("text"), 1, 14).cast("binary")).alias("b64"),
         F.hex(prefix8).alias("hexed"),
         (prefix8 == F.unhex(F.hex(prefix8)).cast("string")).alias("roundtrip_ok"),
         F.bit_count(F.col("n_chars")).cast("int").alias("popcount"),

@@ -215,7 +215,11 @@ def _last_applied_batch(stations_dir: str, run_key: str) -> int:
       still sees the batch as applied. Read via a lazy pyarrow dataset
       scan of the FIRST non-empty record batch only (every row carries
       the same literals), so the probe cost is one row group of two
-      small columns, independent of state size.
+      small columns, independent of state size. Trusted ONLY alongside
+      the committer's `_SUCCESS` completion marker (the r8 ADVICE
+      window): a crash mid-overwrite leaves PARTIAL state whose first
+      row already carries the new marker, and trusting it would freeze
+      the truncated state by skipping the retry.
     - SIDECAR: `<dir>_meta/last_batch.json`, kept as the fast path and
       for append-only sinks (dedup_ingest) whose store rows span many
       batches.
@@ -235,6 +239,8 @@ def _last_applied_batch(stations_dir: str, run_key: str) -> int:
             last = int(meta["batch_id"])
     except (OSError, ValueError, KeyError, TypeError):
         pass
+    if not os.path.exists(os.path.join(stations_dir, "_SUCCESS")):
+        return last  # state incomplete/absent: embedded marker untrustworthy
     try:
         import pyarrow.dataset as ds
 
@@ -245,9 +251,37 @@ def _last_applied_batch(stations_dir: str, run_key: str) -> int:
                     if rb.column("_run_key")[0].as_py() == run_key:
                         last = max(last, int(rb.column("_batch_id")[0].as_py()))
                     break
-    except (OSError, ValueError, KeyError, TypeError):
+    except Exception:
+        # the embedded probe is an OPTIMIZATION over the sidecar: any
+        # probe failure (pyarrow missing, Arrow-internal errors — not
+        # just the IO/shape errors previously listed) must degrade to
+        # the sidecar answer, never fail the micro-batch
         pass
     return last
+
+
+def _recover_incomplete_swap(spark: SparkSession, state_dir: str) -> None:
+    """Complete a swap that crashed mid-overwrite of ``state_dir``.
+
+    The overwrite sinks write the merged state to `<dir>_next` first
+    (committer-atomic: `_SUCCESS` appears only on commit), then copy
+    `_next` over the main dir. A crash DURING that second write leaves
+    the main dir partial — and, with the embedded replay marker, its
+    surviving rows already carry the new batch_id, so a naive retry
+    would skip the batch and freeze truncated state. Recovery is
+    deterministic because `_next` still holds the complete intended
+    state: if the main dir lacks `_SUCCESS` while `_next` has one,
+    redo the copy before anything reads the state. Runs at the top of
+    every overwrite sink; a completed main dir makes it a no-op stat
+    call."""
+    import os
+
+    nxt = state_dir + "_next"
+    if not os.path.exists(os.path.join(nxt, "_SUCCESS")):
+        return  # no completed staging state to recover from
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        return  # last swap completed; _next is just the previous staging
+    spark.read.parquet(nxt).write.mode("overwrite").parquet(state_dir)
 
 
 def _record_applied_batch(stations_dir: str, run_key: str, batch_id: int) -> None:
@@ -295,9 +329,10 @@ def upsert_stations_sink(
     commits atomically with the data — a crash between the swap and the
     sidecar write (the r7 ADVICE window) no longer re-applies; see
     _last_applied_batch."""
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, stations_dir)
     if run_key is not None and batch_id <= _last_applied_batch(stations_dir, run_key):
         return
-    spark = batch.sparkSession
     agg = (
         batch.where(F.col("src").isNotNull())
         .groupBy("src")
@@ -360,9 +395,10 @@ def incremental_rollup_sink(
     upsert_stations_sink — sums double-count under at-least-once
     re-delivery, so the sidecar marker skips re-applied batches. Input
     schema: any frame with (day, value) columns."""
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
     if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
         return
-    spark = batch.sparkSession
     part = batch.groupBy("day").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
@@ -410,9 +446,10 @@ def cdc_apply_sink(
     read-merge-overwrite handles |keys| rows, not |changes|. Same
     missing-path-only state read and (run_key, batch_id) replay guard
     as the other sinks here."""
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
     if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
         return
-    spark = batch.sparkSession
     ordk = F.struct("ts_ms", "event_id")
     part = batch.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_changes"),

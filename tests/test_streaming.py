@@ -570,6 +570,56 @@ def test_replay_guard_survives_lost_sidecar(spark, tmp_path):
     assert S._last_applied_batch(state_dir, "other") == -1
 
 
+def test_replay_guard_survives_crash_mid_swap(spark, tmp_path):
+    """The r8 ADVICE window: a crash DURING the state-dir overwrite
+    leaves PARTIAL state whose surviving rows already carry the new
+    batch marker — trusting that marker would skip the retry and
+    freeze truncated state forever. Two defenses under test: the
+    embedded marker is only trusted alongside `_SUCCESS`, and the next
+    sink call first redoes the swap from the complete `_next` staging
+    dir. Simulated worst case: partial main dir AND a sidecar that
+    still points at the previous batch (the crash beat the sidecar
+    write too)."""
+    import json
+    import os
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.expr("CAST(ts AS DATE)").alias("day"), "value", "event_id"
+    )
+    batch0 = src.where(F.col("event_id") % 2 == 0)
+    batch1 = src.where(F.col("event_id") % 2 == 1)
+    state_dir = str(tmp_path / "state")
+    S.incremental_rollup_sink(batch0, 0, state_dir, run_key="ck")
+    S.incremental_rollup_sink(batch1, 1, state_dir, run_key="ck")
+    want = {
+        r["day"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    # crash mid-swap of batch 1: main dir partial (no _SUCCESS, a data
+    # file gone), sidecar never updated past batch 0, _next complete
+    os.remove(os.path.join(state_dir, "_SUCCESS"))
+    parts = [f for f in os.listdir(state_dir) if f.endswith(".parquet")]
+    os.remove(os.path.join(state_dir, parts[0]))
+    with open(os.path.join(state_dir + "_meta", "last_batch.json"), "w") as f:
+        json.dump({"run_key": "ck", "batch_id": 0}, f)
+    # partial state's embedded marker must NOT count as applied
+    assert S._last_applied_batch(state_dir, "ck") == 0
+    # the retried micro-batch first recovers the swap, then the
+    # now-trustworthy embedded marker (batch 1) suppresses the re-apply
+    S.incremental_rollup_sink(batch1, 1, state_dir, run_key="ck")
+    again = {
+        r["day"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    assert again == want, "crash-mid-swap retry lost or double-counted state"
+    # and the stream continues normally from recovered state
+    S.incremental_rollup_sink(batch0.limit(0), 2, state_dir, run_key="ck")
+    assert {
+        r["day"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(state_dir).collect()
+    } == want
+
+
 def test_pysource_stream_reader_matches_batch(spark, tmp_path):
     """Streaming side of the Python Data Source connector (Spark 4.0
     simpleStreamReader): draining the aprs_replay stream must deliver
