@@ -1455,7 +1455,17 @@ def j_sim_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is written bucketed by (band, key), making the group stage
     exchange-free. Output band = lowest band where the pair collided;
     score is band-invariant (same two vectors, same fold); the final
-    pair-dedup agg shuffles only survivors."""
+    pair-dedup agg shuffles only survivors.
+
+    Hot buckets: SPARK_GRAFT_BANDED_SPLITS=S salts every (band, key)
+    bucket into S(S+1)/2 co-grouped split-pair tasks (bit-identical
+    output — the whole registered plan is equality-tested at S=3 in
+    tests/test_scale_paths.py). When to raise S: run j_skew_stats'
+    top-bucket diagnostic over the exploded tag table; SCALE.md §4n
+    gives the sizing rule (S ≈ ceil(m_max / m_target) for the largest
+    observed bucket m_max)."""
+    import os
+
     t = load(spark, sf_dir)
     from ..operators.similarity import banded_gemm_pairs, hyperplane_band_keys
 
@@ -1469,7 +1479,10 @@ def j_sim_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "key"),
     )
     cand = banded_gemm_pairs(
-        tagged, tau=0.3, parallelism=spark.sparkContext.defaultParallelism
+        tagged,
+        tau=0.3,
+        parallelism=spark.sparkContext.defaultParallelism,
+        n_splits=int(os.environ.get("SPARK_GRAFT_BANDED_SPLITS", "1")),
     )
     return cand.groupBy("id_a", "id_b").agg(
         F.min("band").cast("long").alias("band"), F.min("score").alias("score")

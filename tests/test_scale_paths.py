@@ -308,3 +308,23 @@ def test_gemm_pairs_blocking_and_split_invariance(spark):
     assert run(blk=16) == expected                # 44x44 tile grid
     assert run(blk=16, n_splits=3) == expected    # salted hot bucket
     assert run(n_splits=4) == expected            # salt alone
+
+
+def test_registered_banded_plan_split_invariance(spark, monkeypatch):
+    """End-to-end skew-split proof on the REGISTERED qid, not just the
+    kernel helper: j_sim_pairs_banded with SPARK_GRAFT_BANDED_SPLITS=3
+    (every (band, key) bucket salted into 6 co-grouped split-pair
+    tasks) must return the bit-identical relation to the unsalted run —
+    same pairs, same lowest-collision band, same scores. This is the
+    recipe SCALE.md §4n prescribes for hot buckets at 100 TB, executed
+    through the full plan: posexplode -> split replication ->
+    applyInPandas -> pair-dedup agg."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    monkeypatch.delenv("SPARK_GRAFT_BANDED_SPLITS", raising=False)
+    base = {tuple(r) for r in QUERIES["j_sim_pairs_banded"](spark, SF).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_BANDED_SPLITS", "3")
+    salted = {tuple(r) for r in QUERIES["j_sim_pairs_banded"](spark, SF).collect()}
+    assert len(base) > 100, "fixture too sparse to exercise the banded path"
+    assert salted == base
