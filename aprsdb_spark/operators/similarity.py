@@ -569,6 +569,83 @@ def kmeans_train_local(
     return [(cid, [float(x) for x in C[cid]]) for cid in range(k)]
 
 
+def pq_train_local(
+    sf_dir: str,
+    n_blocks: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    sample: int = 4096,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks trained DRIVER-SIDE: the embedding
+    space is split into ``n_blocks`` contiguous subspaces and a plain
+    (L2, non-spherical) k-means of ``k`` centroids is trained per
+    subspace on the same bounded deterministic sample as
+    kmeans_train_local. Returns one [(code, subvector)] list per block.
+
+    Same verifiability contract as the IVF quantizer: the codebooks are
+    k·dim floats of index METADATA embedded as literals in BOTH the
+    Spark plan and the DuckDB oracle, so the numpy training arithmetic
+    never needs cross-engine bit-matching — only the downstream
+    assignment folds do. Assignment uses the exact-L2 identity
+    argmin ||v-c||² == argmax (v·c − c·c/2): pure dot arithmetic on the
+    shared sequential fold, tie → smallest code.
+
+    Init = first k sample rows' subvectors; update = plain per-dim
+    mean; empty codes keep their centroid (mirrors kmeans_train_local).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    pairs = sorted(zip(tbl["vec_id"], tbl["embedding"]))[:sample]
+    X = np.array([[float(x) for x in v] for _, v in pairs], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible into {n_blocks} blocks")
+    d = dim // n_blocks
+    books: list[list[tuple[int, list[float]]]] = []
+    for b in range(n_blocks):
+        Xb = X[:, b * d : (b + 1) * d]
+        C = Xb[:k].copy()
+        for _ in range(iters):
+            # argmin L2 == argmax (dot - |c|²/2); first max = smallest code
+            scores = Xb @ C.T - 0.5 * (C * C).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for cid in range(k):
+                members = Xb[assign == cid]
+                if len(members):
+                    C[cid] = members.mean(axis=0)
+        books.append([(cid, [float(x) for x in C[cid]]) for cid in range(k)])
+    return books
+
+
+def best_code_expr(codebook: list, sub: Column) -> Column:
+    """struct<s: double, ncid: int> of the L2-nearest code for a
+    subvector column, via argmax (v·c − c·c/2) over the literal
+    codebook — _best_centroid generalized to non-unit centroids (the
+    −|c|²/2 correction makes max-dot equal min-L2). The c·c/2 halves
+    are driver-side left-fold literals, so the oracle subtracts the
+    IDENTICAL double. ncid negated for smallest-code tie-breaks."""
+    mat = _lit_matrix([[float(x) for x in vec] for _, vec in codebook])
+    halves = _lit_vector([0.5 * seq_dot(vec, vec) for _, vec in codebook])
+    ncids = F.expr(
+        "array(" + ",".join(str(-int(cid)) for cid, _ in codebook) + ")"
+    )
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(codebook))),
+            lambda i: F.struct(
+                (dot_expr(F.element_at(mat, i), sub) - F.element_at(halves, i)).alias(
+                    "s"
+                ),
+                F.element_at(ncids, i).alias("ncid"),
+            ),
+        )
+    )
+
+
 def kmeans_objective(emb: DataFrame, cents: list) -> float:
     """Mean best-dot over the corpus — the quantity Lloyd ascends
     (for L2-normalized data, max dot == min squared distance).

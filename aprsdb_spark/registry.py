@@ -150,7 +150,12 @@ DRIVER_ORDER: list[str] = [
 # runs) and is FIRST in line for the next rotation.
 # test_registry_order.py enforces that a never-scored qid is either in
 # the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = []
+NEXT_QUEUE: list[str] = [
+    # r9: product-quantization ANN (two-stage ADC shortlist + exact
+    # re-rank) and its registered recall measurement
+    "j_ann_pq",
+    "j_ann_pq_recall",
+]
 
 # Already-scored qids whose evidence is the oldest in the registry but
 # which did NOT fit this round's 50-slot window: scheduled FIRST for the

@@ -617,14 +617,18 @@ def test_ohlc_is_one_aggregate_no_window(spark):
     assert "HashAggregate" in p
 
 
-def test_token_budget_single_window_and_broadcast_budget(spark):
-    """One global-order window (the documented small-N lowering) and a
-    BROADCAST of the 1-row budget — a shuffled join here would move the
-    corpus to join against one row."""
+def test_token_budget_two_windows_and_broadcast_budget(spark):
+    """The r9 two-level lowering: exactly TWO window nodes (the
+    range-partitioned corpus window + the tiny offsets roll-up — see
+    test_token_budget_big_side_window_is_partitioned for which is
+    which), and BROADCASTs for both the range offsets and the 1-row
+    budget — a shuffled join on either would move the corpus to join
+    against metadata-sized relations."""
     df = QUERIES["j_token_budget"](spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("Window [") == 1, "cumulative sum must be ONE window node"
-    assert "BroadcastExchange" in p, "1-row budget side must broadcast"
+    assert p.count("Window [") == 2, "expected corpus window + offsets window"
+    assert "BroadcastExchange" in p, "offset/budget sides must broadcast"
+    assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
 
 

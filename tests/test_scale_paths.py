@@ -310,6 +310,18 @@ def test_gemm_pairs_blocking_and_split_invariance(spark):
     assert run(n_splits=4) == expected            # salt alone
 
 
+def test_pq_recall_floor(spark):
+    """PQ ADC shortlist + exact re-rank must keep recall@10 >= 0.6
+    (measured 1.0 / 1.0 / 0.8 at sf0.001/0.01/0.1) — codebook or
+    shortlist drift fails loudly, the same self-evaluation discipline
+    as the banded-LSH and IVF recall floors."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["j_ann_pq_recall"](spark, SF).collect()[0]
+    assert row.n_exact == 10 and row.recall >= 0.6, f"PQ recall regressed: {row}"
+
+
 def test_registered_banded_plan_split_invariance(spark, monkeypatch):
     """End-to-end skew-split proof on the REGISTERED qid, not just the
     kernel helper: j_sim_pairs_banded with SPARK_GRAFT_BANDED_SPLITS=3
