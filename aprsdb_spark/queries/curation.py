@@ -931,3 +931,181 @@ def j_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(raw) - F.length(clean)).cast("long").alias("n_removed"),
         F.size(F.split(clean, " ")).cast("long").alias("n_tokens"),
     )
+
+
+# Chunking: fixed token windows with overlap — the RAG / long-context
+# training prep that turns documents into model-sized pieces.
+_CHUNK_SIZE = 64    # tokens per chunk
+_CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+@query(
+    "j_chunk_documents",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    n AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n_tok,
+                 CAST(1 + GREATEST(0, (len(tok) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                                       // {_CHUNK_STRIDE}) AS BIGINT) AS n_chunks
+          FROM d),
+    c AS (SELECT doc_id, tok, n_tok, n_chunks,
+                 CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
+          FROM n),
+    s AS (SELECT doc_id, n_tok, n_chunks, chunk_id,
+                 chunk_id * {_CHUNK_STRIDE} AS start_tok,
+                 LEAST({_CHUNK_SIZE}, n_tok - chunk_id * {_CHUNK_STRIDE}) AS chunk_len,
+                 array_to_string(list_slice(tok, chunk_id * {_CHUNK_STRIDE} + 1,
+                     chunk_id * {_CHUNK_STRIDE}
+                       + LEAST({_CHUNK_SIZE}, n_tok - chunk_id * {_CHUNK_STRIDE})), ' ')
+                   AS chunk_text
+          FROM c)
+    SELECT doc_id, chunk_id, n_chunks,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(chunk_len AS BIGINT) AS chunk_len,
+           CAST('0x' || substr(md5(chunk_text), 1, 8) AS BIGINT) AS chunk_hash
+    FROM s
+    """,
+)
+def j_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — 64-token chunks on a 48-token
+    stride (16-token overlap), the standard RAG-indexing / long-context
+    training preparation. Chunk count is the exact integer form
+    1 + max(0, ceil((n_tok − C) / S)): every token is covered, the last
+    chunk may be short, and a doc shorter than one chunk still yields
+    exactly one. The per-chunk portable md5-word over the re-joined
+    token slice proves BOTH engines cut byte-identical chunks (the
+    j_pii_scrub hash-the-transform discipline), not just matching
+    counts. Integer-division portability: the ceil numerator can go
+    negative (short docs) where Spark's `div` truncates toward zero but
+    DuckDB's `//` floors — GREATEST(0, ·) clamps both to the same 0.
+
+    100 TB: one narrow map + posexplode, ZERO shuffle — chunking fuses
+    into the scan that feeds it, with ~n_tok/S output fan-out; at
+    write time chunks partition by hash(doc_id) so a doc's chunks
+    co-locate for sequence re-assembly."""
+    t = load(spark, sf_dir)
+    d = (
+        t.documents.select("doc_id", tokens_col("text").alias("tok"))
+        .withColumn("n_tok", F.size("tok").cast("long"))
+        .withColumn(
+            "n_chunks",
+            (
+                F.lit(1)
+                + F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr(
+                        f"(n_tok - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)"
+                        f" div {_CHUNK_STRIDE}"
+                    ),
+                )
+            ).cast("long"),
+        )
+    )
+    c = d.select(
+        "doc_id",
+        "tok",
+        "n_tok",
+        "n_chunks",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_STRIDE
+    clen = F.least(F.lit(_CHUNK_SIZE).cast("long"), F.col("n_tok") - start)
+    chunk_text = F.array_join(
+        F.slice(F.col("tok"), (start + 1).cast("int"), clen.cast("int")), " "
+    )
+    from ..operators.dedup import portable_hash32
+
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunks",
+        start.cast("long").alias("start_tok"),
+        clen.cast("long").alias("chunk_len"),
+        portable_hash32(chunk_text).alias("chunk_hash"),
+    )
+
+
+# Curriculum: phase assignment by global difficulty rank, without a
+# global sort — the ordered-training twin of j_token_budget's lowering.
+_CURR_PHASES = 4
+
+
+@query(
+    "j_curriculum_order",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      n_chars / CAST(len(string_split(text, ' ')) AS BIGINT)
+                        AS difficulty
+               FROM documents),
+    r AS (SELECT doc_id, lang, n_tok, difficulty,
+                 ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS rnk
+          FROM d),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT CAST((rnk - 1) * {_CURR_PHASES} // n AS BIGINT) AS phase, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(difficulty * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS diff_sum_scaled,
+           CAST(MIN(CAST(FLOOR(difficulty * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_diff_scaled,
+           CAST(MAX(CAST(FLOOR(difficulty * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_diff_scaled
+    FROM r CROSS JOIN t
+    GROUP BY 1, 2
+    """,
+)
+def j_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: documents ranked globally by a
+    deterministic difficulty proxy (avg chars per token — longer words
+    ≈ harder text; tie → doc_id) and cut into {p} equal-rank phases,
+    phase = (rank−1)·{p} div N — the easy-to-hard ordering
+    curriculum-learning schedules consume. The relation profiles each
+    (phase, lang) cell: doc/token mass plus scaled-BIGINT difficulty
+    stats (per-term floor to 1e-6 then exact integer sums — the
+    j_dsir_weights rule, so no engine-order last-ulp can flip a sum).
+
+    The global rank is NOT a global sort: it is the generalized
+    two-level distributed prefix sum (distributed_prefix_sum_ord)
+    counting ones along (difficulty, doc_id), bucketed by the monotone
+    range expression floor(difficulty·4) — corpus window
+    range-partitioned, one |ranges|-row roll-up, broadcast offsets —
+    exactly j_token_budget's r9 lowering. The 1-row N side broadcasts.
+
+    100 TB: two corpus-scans' worth of narrow work + one range-keyed
+    window exchange; at write time phase becomes the partition key so
+    each training stage reads its phase by pruning."""
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+        (F.col("n_chars") / F.size(tokens_col("text")).cast("long")).alias("difficulty"),
+    ).withColumn("one", F.lit(1).cast("long"))
+    ranked = distributed_prefix_sum_ord(
+        d,
+        [F.col("difficulty").asc(), F.col("doc_id").asc()],
+        "one",
+        F.floor(F.col("difficulty") * _CURR_PHASES).cast("long"),
+    ).withColumnRenamed("cum", "rnk")
+    total = d.agg(F.count("*").cast("long").alias("n"))
+    scaled = F.floor(F.col("difficulty") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(f"(rnk - 1) * {_CURR_PHASES} div n").alias("phase"),
+            "lang",
+            "n_tok",
+            scaled.alias("diff_scaled"),
+        )
+        .groupBy("phase", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("diff_scaled").cast("long").alias("diff_sum_scaled"),
+            F.min("diff_scaled").cast("long").alias("min_diff_scaled"),
+            F.max("diff_scaled").cast("long").alias("max_diff_scaled"),
+        )
+    )
+
+
+j_curriculum_order.__doc__ = j_curriculum_order.__doc__.replace("{p}", str(_CURR_PHASES))

@@ -437,3 +437,81 @@ def j_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_TOPK)
         .select("doc_id", "r_lex", "r_den", rnd(F.col("rrf"), 9).alias("rrf_score"))
     )
+
+
+# Co-occurrence: ordered token pairs within a ±2 window — word2vec /
+# GloVe-style context-matrix construction; top-K by support.
+_COOC_WINDOW = 2
+_COOC_TOPK = 50
+
+
+@query(
+    "j_cooccur_window",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    pos AS (SELECT doc_id, unnest(tok) AS w, generate_subscripts(tok, 1) AS i
+            FROM t),
+    pr AS (SELECT a.w AS a, b.w AS b, a.doc_id
+           FROM pos a JOIN pos b
+             ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {_COOC_WINDOW}),
+    g AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM pr GROUP BY a, b)
+    SELECT a, b, n, n_docs FROM g ORDER BY n DESC, a, b LIMIT {_COOC_TOPK}
+    """,
+)
+def j_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts: every ORDERED token pair (a
+    precedes b) within a ±{w}-token window, with pair frequency and
+    document support — the context-matrix statistic word2vec/GloVe-era
+    embedding training and phrase mining consume (j_pmi_bigrams is its
+    distance-1 normalized cousin).
+
+    Lowering: pair generation is PER-ROW array arithmetic — for each
+    offset d ≤ {w}, zip the token array against itself shifted by d
+    (transform over sequence(1, n−d)) — so no positional self-join ever
+    happens in Spark; the oracle states the same set relationally
+    (position join on b.i − a.i ∈ [1, {w}]). One explode (×{w}·n_tok
+    fan-out of small (a, b) structs) feeds ONE hash agg keyed on the
+    pair; distinct-doc support rides the same exchange. Top-{k} by
+    (n DESC, a, b) is a total order, so the LIMIT boundary is
+    engine-independent.
+
+    100 TB: shuffle carries (token, token, partial-count) triples —
+    digests of the corpus, not text; vocabulary² caps the group count
+    far below the row count, and map-side partials collapse the
+    explode fan-out before the exchange. TakeOrderedAndProject keeps
+    {k}."""
+    t = load(spark, sf_dir)
+
+    def pairs_expr(d: int) -> str:
+        return (
+            f"CASE WHEN size(tok) > {d} THEN transform(sequence(1, size(tok) - {d}),"
+            f" i -> struct(element_at(tok, i) AS a, element_at(tok, i + {d}) AS b))"
+            f" ELSE array() END"
+        )
+
+    exploded = (
+        t.documents.select("doc_id", tokens_col("text").alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    *[F.expr(pairs_expr(d)) for d in range(1, _COOC_WINDOW + 1)]
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    g = exploded.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return g.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc()).limit(
+        _COOC_TOPK
+    )
+
+
+j_cooccur_window.__doc__ = j_cooccur_window.__doc__.replace(
+    "{w}", str(_COOC_WINDOW)
+).replace("{k}", str(_COOC_TOPK))

@@ -155,6 +155,12 @@ NEXT_QUEUE: list[str] = [
     # re-rank) and its registered recall measurement
     "j_ann_pq",
     "j_ann_pq_recall",
+    # r9: corpus data ops — sliding-window chunking (RAG/long-context
+    # prep), curriculum phase assignment (global rank WITHOUT a global
+    # sort), windowed co-occurrence (context-matrix construction)
+    "j_chunk_documents",
+    "j_curriculum_order",
+    "j_cooccur_window",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
