@@ -939,10 +939,10 @@ _CHUNK_SIZE = 64    # tokens per chunk
 _CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
 
 
-@query(
-    "j_chunk_documents",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+# Shared chunk CTE chain (oracle side) — j_chunk_documents emits it
+# verbatim; j_dedup_chunks builds its repetition analysis on top.
+_CHUNK_CTES = f"""
+    d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
     n AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n_tok,
                  CAST(1 + GREATEST(0, (len(tok) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
                                        // {_CHUNK_STRIDE}) AS BIGINT) AS n_chunks
@@ -950,19 +950,27 @@ _CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
     c AS (SELECT doc_id, tok, n_tok, n_chunks,
                  CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
           FROM n),
-    s AS (SELECT doc_id, n_tok, n_chunks, chunk_id,
+    chunks AS (SELECT doc_id, n_tok, n_chunks, chunk_id,
                  chunk_id * {_CHUNK_STRIDE} AS start_tok,
                  LEAST({_CHUNK_SIZE}, n_tok - chunk_id * {_CHUNK_STRIDE}) AS chunk_len,
-                 array_to_string(list_slice(tok, chunk_id * {_CHUNK_STRIDE} + 1,
-                     chunk_id * {_CHUNK_STRIDE}
-                       + LEAST({_CHUNK_SIZE}, n_tok - chunk_id * {_CHUNK_STRIDE})), ' ')
-                   AS chunk_text
+                 CAST('0x' || substr(md5(
+                     array_to_string(list_slice(tok, chunk_id * {_CHUNK_STRIDE} + 1,
+                         chunk_id * {_CHUNK_STRIDE}
+                           + LEAST({_CHUNK_SIZE}, n_tok - chunk_id * {_CHUNK_STRIDE})), ' ')
+                 ), 1, 8) AS BIGINT) AS chunk_hash
           FROM c)
+"""
+
+
+@query(
+    "j_chunk_documents",
+    oracle=f"""
+    WITH {_CHUNK_CTES}
     SELECT doc_id, chunk_id, n_chunks,
            CAST(start_tok AS BIGINT) AS start_tok,
            CAST(chunk_len AS BIGINT) AS chunk_len,
-           CAST('0x' || substr(md5(chunk_text), 1, 8) AS BIGINT) AS chunk_hash
-    FROM s
+           chunk_hash
+    FROM chunks
     """,
 )
 def j_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,8 +991,16 @@ def j_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time chunks partition by hash(doc_id) so a doc's chunks
     co-locate for sequence re-assembly."""
     t = load(spark, sf_dir)
+    return chunk_frame(t.documents)
+
+
+def chunk_frame(docs: DataFrame) -> DataFrame:
+    """The sliding-window chunk relation (doc_id, chunk_id, n_chunks,
+    start_tok, chunk_len, chunk_hash) — shared by j_chunk_documents
+    (emits it) and j_dedup_chunks (analyzes hash repetition over it).
+    Mirrors the _CHUNK_CTES oracle chain expression-for-expression."""
     d = (
-        t.documents.select("doc_id", tokens_col("text").alias("tok"))
+        docs.select("doc_id", tokens_col("text").alias("tok"))
         .withColumn("n_tok", F.size("tok").cast("long"))
         .withColumn(
             "n_chunks",
@@ -1021,6 +1037,66 @@ def j_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("long").alias("start_tok"),
         clen.cast("long").alias("chunk_len"),
         portable_hash32(chunk_text).alias("chunk_hash"),
+    )
+
+
+@query(
+    "j_dedup_chunks",
+    oracle=f"""
+    WITH {_CHUNK_CTES},
+    rep AS (SELECT chunk_hash FROM chunks
+            GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (SELECT c.doc_id,
+                   MAX(c.n_chunks) AS n_chunks,
+                   CAST(COUNT(r.chunk_hash) AS BIGINT) AS n_boiler
+            FROM chunks c LEFT JOIN rep r USING (chunk_hash)
+            GROUP BY c.doc_id)
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, n_boiler,
+           FLOOR(n_boiler * 1.0 / n_chunks * 1000000 + 0.5) / 1000000
+             AS boiler_ratio,
+           (n_boiler * 1.0 / n_chunks < 0.5) AS keep
+    FROM per
+    """,
+)
+def j_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-chunk detection — chunk-granular dedup between the
+    line level (j_dedup_lines) and the whole-document level
+    (j_dedup_exact): a chunk whose hash appears in ≥2 DISTINCT
+    documents is boilerplate (headers, navigation, license blocks
+    repeating across a crawl); each document reports its boilerplate
+    chunk fraction and a keep verdict (< 50% repeated). Reuses
+    j_chunk_documents' chunk relation verbatim (chunk_frame /
+    _CHUNK_CTES), so the two qids can never disagree on what a chunk
+    is.
+
+    100 TB: the repetition profile is ONE hash agg keyed on the 8-byte
+    chunk_hash (digests shuffle, text never does); the flag-back is a
+    hash-keyed join on the same digest, then a doc_id rollup. All
+    exchanges carry fixed-width keys; the final ratio is a single
+    int/int division, identical IEEE on both engines."""
+    t = load(spark, sf_dir)
+    ch = chunk_frame(t.documents)
+    rep = (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chunk_hash", F.lit(1).alias("is_rep"))
+    )
+    per = (
+        ch.join(rep, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").cast("long").alias("n_chunks"),
+            F.count("is_rep").cast("long").alias("n_boiler"),
+        )
+    )
+    ratio = F.col("n_boiler") / F.col("n_chunks")
+    return per.select(
+        "doc_id",
+        "n_chunks",
+        "n_boiler",
+        rnd(ratio, 6).alias("boiler_ratio"),
+        (ratio < 0.5).alias("keep"),
     )
 
 

@@ -515,3 +515,89 @@ def j_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_cooccur_window.__doc__ = j_cooccur_window.__doc__.replace(
     "{w}", str(_COOC_WINDOW)
 ).replace("{k}", str(_COOC_TOPK))
+
+
+# Negative sampling: k deterministic negatives per document from the
+# frequency-ranked vocabulary — the contrastive-pair side of word2vec
+# prep (j_cooccur_window builds the positive side).
+_NEG_K = 4
+
+
+@query(
+    "j_negative_sampling",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+    rv AS (SELECT w, n,
+                  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rnk
+           FROM v),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM v),
+    s AS (SELECT doc_id, text, CAST(unnest(range(0, {_NEG_K})) AS BIGINT) AS slot
+          FROM documents),
+    h AS (SELECT doc_id, text, slot,
+                 CAST('0x' || substr(md5('neg' || CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(slot AS VARCHAR)), 9, 8) AS BIGINT) AS hw
+          FROM s)
+    SELECT h.doc_id, h.slot, rv.w AS neg_token, rv.n AS neg_count,
+           list_contains(string_split(h.text, ' '), rv.w) AS collision
+    FROM h CROSS JOIN c
+    JOIN rv ON rv.rnk = h.hw % c.vsz + 1
+    """,
+)
+def j_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: {k} negatives per document,
+    drawn uniformly from the frequency-ranked vocabulary by the
+    portable low-md5-word of (doc_id, slot) — the contrastive
+    counterpart to j_cooccur_window's positive pairs in word2vec-style
+    training prep. No RNG state: a sample is a pure function of stable
+    ids, so it survives retries, repartitioning, and engine swaps (the
+    j_split_train_val discipline). A drawn negative that actually
+    occurs in the document is FLAGGED (collision), not silently
+    resampled — rejection loops are non-deterministic under
+    distribution; the trainer drops flagged rows.
+
+    Plan: the vocabulary is one token hash agg; its frequency ranking
+    is a |V|-row window — index METADATA next to the corpus (if |V|
+    itself outgrows one task, the rank lowers to the
+    distributed_prefix_sum_ord count pattern unchanged). The draw is a
+    narrow md5 map over ×{k} exploded slots, an equi-join against the
+    BROADCAST vocabulary on the computed rank, and the 1-row |V| side
+    broadcasts into the modulus. Zero corpus-sized shuffles."""
+    t = load(spark, sf_dir)
+    tokw = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    v = tokw.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    rv = v.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
+        .cast("long"),
+    )
+    vsz = v.agg(F.count("*").cast("long").alias("vsz"))
+    s = t.documents.select(
+        "doc_id",
+        tokens_col("text").alias("tok"),
+        F.explode(F.expr(f"sequence(CAST(0 AS BIGINT), {_NEG_K - 1})")).alias("slot"),
+    )
+    key = F.concat(
+        F.lit("neg"),
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        F.col("slot").cast("string"),
+    )
+    hw = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    cand = (
+        s.withColumn("hw", hw)
+        .crossJoin(F.broadcast(vsz))
+        .withColumn("neg_rank", F.col("hw") % F.col("vsz") + 1)
+    )
+    return cand.join(F.broadcast(rv), cand.neg_rank == rv.rnk).select(
+        "doc_id",
+        "slot",
+        F.col("w").alias("neg_token"),
+        F.col("n").alias("neg_count"),
+        F.array_contains(F.col("tok"), F.col("w")).alias("collision"),
+    )
+
+
+j_negative_sampling.__doc__ = j_negative_sampling.__doc__.replace("{k}", str(_NEG_K))

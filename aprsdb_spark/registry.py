@@ -161,6 +161,10 @@ NEXT_QUEUE: list[str] = [
     "j_chunk_documents",
     "j_curriculum_order",
     "j_cooccur_window",
+    # r9 wave 2: boilerplate-chunk dedup over the shared chunk
+    # relation, deterministic word2vec negative sampling
+    "j_dedup_chunks",
+    "j_negative_sampling",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
