@@ -228,6 +228,9 @@ _EXPECTED_BNLJ = {
     "j_class_weights",  # 1-row broadcast (total, n_classes) onto |classes| rows
     "j_chi2_independence",  # 1-row broadcast grand total onto the <=35-cell table
     "j_token_budget",  # 1-row broadcast token-budget scalar onto the running sums
+    "j_curriculum_order",  # 1-row broadcast corpus-count N onto the ranked docs
+    "j_ann_pq_recall",  # 1-row broadcast hits x n_exact fuse (the j_ann_recall shape)
+    "j_negative_sampling",  # 1-row broadcast |V| modulus onto the exploded slots
     "j_bfs_distance",  # 1-row literal seed frontier: Catalyst folds the seed's
     # nk to a constant, the equi condition becomes a filter, and the round-1
     # broadcast join is left conditionless — build side is O(|V|) state
