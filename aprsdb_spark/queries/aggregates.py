@@ -680,3 +680,68 @@ def d_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", key).alias("bottom_order"),
         F.count_if(F.col("o_totalprice") > 150000).cast("long").alias("n_big"),
     )
+
+
+@query(
+    "d_transpose",
+    oracle="""
+    WITH g AS (SELECT lang,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                        AS sum_tokens
+               FROM documents GROUP BY lang)
+    SELECT 'n_docs' AS key,
+           MAX(CASE WHEN lang = 'de' THEN n_docs END) AS de,
+           MAX(CASE WHEN lang = 'en' THEN n_docs END) AS en,
+           MAX(CASE WHEN lang = 'es' THEN n_docs END) AS es,
+           MAX(CASE WHEN lang = 'fr' THEN n_docs END) AS fr,
+           MAX(CASE WHEN lang = 'zh' THEN n_docs END) AS zh
+    FROM g
+    UNION ALL
+    SELECT 'sum_chars',
+           MAX(CASE WHEN lang = 'de' THEN sum_chars END),
+           MAX(CASE WHEN lang = 'en' THEN sum_chars END),
+           MAX(CASE WHEN lang = 'es' THEN sum_chars END),
+           MAX(CASE WHEN lang = 'fr' THEN sum_chars END),
+           MAX(CASE WHEN lang = 'zh' THEN sum_chars END)
+    FROM g
+    UNION ALL
+    SELECT 'sum_tokens',
+           MAX(CASE WHEN lang = 'de' THEN sum_tokens END),
+           MAX(CASE WHEN lang = 'en' THEN sum_tokens END),
+           MAX(CASE WHEN lang = 'es' THEN sum_tokens END),
+           MAX(CASE WHEN lang = 'fr' THEN sum_tokens END),
+           MAX(CASE WHEN lang = 'zh' THEN sum_tokens END)
+    FROM g
+    """,
+)
+def d_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0, SPARK-47537): rows become
+    columns — the report-shaping dual of pivot (pivot turns a VALUE
+    domain into columns under aggregation; transpose flips an already-
+    aggregated frame so metrics become rows and group keys become
+    columns). Semantics pinned by the oracle: the index column's
+    values become column names in LEXICOGRAPHIC order, remaining rows
+    keep the original COLUMN order under a 'key' column, and all
+    non-index columns must share a least-common type (all BIGINT
+    here). The column set must be data-stable for the contract — the
+    5-language domain holds at every SF (tri-scale checked).
+
+    100 TB: transpose EXECUTES the frame to read the index domain
+    (column names are schema, schema is driver-side) — so it belongs
+    strictly AFTER aggregation, on k-row results like this 5-lang
+    rollup, never on a fact table. The aggregate underneath is one
+    map-side-partial shuffle on the 5-value lang key."""
+    from ..operators.dedup import tokens_col
+
+    t = load(spark, sf_dir)
+    g = (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.size(tokens_col("text"))).cast("long").alias("sum_tokens"),
+        )
+    )
+    return g.transpose()

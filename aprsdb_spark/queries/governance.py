@@ -510,3 +510,78 @@ def j_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "j_kanon_check",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS chars_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY 1, 2, 3),
+    ok0 AS (SELECT lang, source, chars_bucket, n_rows,
+                   0 AS gen_level, FALSE AS suppress
+            FROM cells WHERE n_rows >= {_KANON_K}),
+    viol AS (SELECT * FROM cells WHERE n_rows < {_KANON_K}),
+    lvl1 AS (SELECT lang, CAST(NULL AS VARCHAR) AS source, chars_bucket,
+                    CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                    1 AS gen_level,
+                    SUM(n_rows) < {_KANON_K} AS suppress
+             FROM viol GROUP BY lang, chars_bucket)
+    SELECT lang, source, chars_bucket, n_rows,
+           CAST(gen_level AS INT) AS gen_level, suppress
+    FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM lvl1)
+    """,
+)
+def j_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit with one generalization step (public Sweeney
+    2002 model): quasi-identifier cells (lang, source, n_chars div
+    100) below k={k} are GENERALIZED by dropping the most specific
+    attribute (source -> NULL) and re-counting; cells still below k
+    after generalization carry suppress=true — the rows a privacy-
+    gated release must drop. This is the governance gate that runs
+    BEFORE j_pii_scrub's content pass: scrubbing text fields does not
+    help if the metadata tuple itself identifies a user.
+
+    Plan: two hash aggregates — the cell count (map-side partials,
+    shuffle carries one row per cell, never documents), then the
+    violating-cells-only regroup, whose input is AT MOST |cells| rows
+    (metadata-sized). At 100 TB the quasi-identifier domain (~10^4
+    cells) is dashboard-sized regardless of corpus row count; the
+    suppress flags drive a broadcast semi-join back onto the corpus in
+    the release pipeline."""
+    t = load(spark, sf_dir)
+    cells = (
+        t.documents.groupBy(
+            "lang", "source", (F.col("n_chars") / 100).cast("long").alias("chars_bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    ok0 = cells.where(F.col("n_rows") >= _KANON_K).select(
+        "lang",
+        "source",
+        "chars_bucket",
+        "n_rows",
+        F.lit(0).cast("int").alias("gen_level"),
+        F.lit(False).alias("suppress"),
+    )
+    lvl1 = (
+        cells.where(F.col("n_rows") < _KANON_K)
+        .groupBy("lang", "chars_bucket")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        .select(
+            "lang",
+            F.lit(None).cast("string").alias("source"),
+            "chars_bucket",
+            "n_rows",
+            F.lit(1).cast("int").alias("gen_level"),
+            (F.col("n_rows") < _KANON_K).alias("suppress"),
+        )
+    )
+    return ok0.unionByName(lvl1)
+
+
+j_kanon_check.__doc__ = j_kanon_check.__doc__.replace("{k}", str(_KANON_K))

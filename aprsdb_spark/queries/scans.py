@@ -49,3 +49,54 @@ def a_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").alias("ship_date"),
         )
     )
+
+
+@query(
+    "a_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+             AS revenue_cents,
+           CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def a_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline telemetry via DataFrame.observe
+    (SPARK-34806): named aggregate metrics ride the SAME physical scan
+    as the production action — here the filtered lineitem pass runs to
+    a zero-cost noop sink, and row count / exact DECIMAL-cents revenue
+    / ship-date bounds are harvested from the Observation listener
+    with NO second scan. This is how a 100 TB curation job reports
+    "rows kept, value shipped, freshness window" for free: the
+    alternative (a separate .agg pass) doubles the I/O; observe adds a
+    per-partition accumulator merge instead. The returned relation is
+    the 1-row metrics record (driver-side k-row state, the
+    j_embed_centroid discipline); its oracle recomputes the same
+    aggregates relationally, pinning that listener-side accumulation
+    is value-identical to the declarative aggregate — integer cents,
+    so no accumulation-order ulp can differ."""
+    from pyspark.sql import Observation
+
+    t = load(spark, sf_dir)
+    obs = Observation("sg_scan_metrics")
+    piped = (
+        t.lineitem.where(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+            F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        )
+    )
+    piped.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["revenue_cents"], m["first_ship"], m["last_ship"])],
+        "n_rows long, revenue_cents long, first_ship date, last_ship date",
+    )

@@ -800,3 +800,52 @@ def c_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderstatus = sg_tgt
         GROUP BY o_orderpriority
     """)
+
+
+@query(
+    "c_sql_exec_immediate",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND CAST(o_totalprice AS DECIMAL(12,2)) > 150000.00
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def c_sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with named parameter markers (Spark 4.0,
+    SPARK-44840 / SPARK-44066): the query TEXT lives in a session
+    variable and its :cutoff / :floor_price markers bind via USING —
+    the SQL-standard form of safe dynamic SQL (markers bind as typed
+    values, never splice as text; the c_sql_variables IDENTIFIER twin
+    covers dynamic NAMES). The oracle inlines both parameters, pinning
+    that parameter binding changes nothing semantically: Catalyst
+    folds the bound literals into the same scan-filter-aggregate plan
+    as the inline form, so pushdown and partition pruning see the
+    VALUES, not opaque placeholders — at 100 TB a parameterized
+    o_orderdate cutoff still prunes date partitions exactly like a
+    literal one. Money follows the house DECIMAL rule."""
+    _views(spark, sf_dir, "orders")
+    spark.sql("""
+        DECLARE OR REPLACE VARIABLE sg_stmt STRING DEFAULT '
+          SELECT o_orderstatus,
+                 COUNT(*) AS n_orders,
+                 FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                            AS DOUBLE) * 100 + 0.5) / 100 AS total_value
+          FROM v_orders
+          WHERE o_orderdate >= :cutoff
+            AND CAST(o_totalprice AS DECIMAL(12,2)) > :floor_price
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus'
+    """)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE sg_stmt
+          USING TIMESTAMP '1997-01-01' AS cutoff,
+                CAST(150000.00 AS DECIMAL(12,2)) AS floor_price
+        """
+    )

@@ -165,6 +165,13 @@ NEXT_QUEUE: list[str] = [
     # relation, deterministic word2vec negative sampling
     "j_dedup_chunks",
     "j_negative_sampling",
+    # r9 wave 3: parameterized dynamic SQL (EXECUTE IMMEDIATE ...
+    # USING), DataFrame.transpose report shaping, single-pass observe
+    # telemetry, k-anonymity generalization audit
+    "c_sql_exec_immediate",
+    "d_transpose",
+    "a_observe_metrics",
+    "j_kanon_check",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
