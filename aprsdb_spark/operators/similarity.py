@@ -652,3 +652,52 @@ def kmeans_objective(emb: DataFrame, cents: list) -> float:
     One narrow map + a scalar avg: no explode, no per-vector shuffle."""
     best = emb.select(_best_centroid(cents)["s"].alias("best"))
     return best.agg(F.avg("best")).collect()[0][0]
+
+
+def pca_axis_local(
+    sf_dir: str, sample: int = 4096, iters: int = 20
+) -> tuple[list[float], list[float], float]:
+    """Principal axis of the embedding cloud, trained DRIVER-SIDE by
+    fixed-round power iteration on the covariance of a bounded
+    deterministic sample (first `sample` vectors by vec_id, straight
+    from parquet via pyarrow). Returns (mean, axis, offset) with
+    offset = axis . mean, all plain Python floats.
+
+    Same discipline as kmeans_train_local: the model is dim + dim + 1
+    floats of index METADATA entering BOTH engines as literals, so the
+    training arithmetic (numpy) never needs cross-engine bit-matching
+    — only the downstream per-row projection fold does. Deterministic
+    by construction: fixed init (uniform direction), fixed iteration
+    count, no RNG; the sign convention (first non-tiny component
+    positive) pins the axis orientation, which eigenvectors leave
+    free. 100 TB-safe because the sample is capped regardless of
+    corpus size; the distributed pass is projection, not training.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    pairs = sorted(zip(tbl["vec_id"], tbl["embedding"]))[:sample]
+    X = np.array([[float(x) for x in v] for _, v in pairs], dtype=np.float64)
+    mu = X.mean(axis=0)
+    xc = X - mu
+    cov = xc.T @ xc
+    v = np.ones(cov.shape[0]) / float(np.sqrt(cov.shape[0]))
+    for _ in range(iters):
+        v = cov @ v
+        norm = float(np.sqrt((v * v).sum()))
+        if norm <= 1e-30:  # degenerate cloud: keep the uniform direction
+            v = np.ones(cov.shape[0]) / float(np.sqrt(cov.shape[0]))
+            break
+        v = v / norm
+    for x in v:
+        if abs(float(x)) > 1e-9:
+            if float(x) < 0:
+                v = -v
+            break
+    axis = [float(a) for a in v]
+    mean = [float(m) for m in mu]
+    offset = float(np.dot(np.array(axis), np.array(mean)))
+    return mean, axis, offset

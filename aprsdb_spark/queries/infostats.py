@@ -601,3 +601,74 @@ def j_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_negative_sampling.__doc__ = j_negative_sampling.__doc__.replace("{k}", str(_NEG_K))
+
+
+_FH_DIM = 64
+
+
+@query(
+    "j_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    b AS (SELECT doc_id, w,
+                 CAST(('0x' || substr(md5(w), 9, 8))::BIGINT % {_FH_DIM}
+                      AS BIGINT) AS bucket
+          FROM tok),
+    wc AS (SELECT bucket, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY bucket, w)
+    SELECT b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS total_count,
+           CAST(COUNT(DISTINCT b.w) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
+           (SELECT MIN(w) FROM wc
+            WHERE wc.bucket = b.bucket
+              AND wc.c = (SELECT MAX(c) FROM wc w2 WHERE w2.bucket = b.bucket))
+             AS top_token
+    FROM b
+    GROUP BY b.bucket
+    """,
+)
+def j_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature space audit (Weinberger et al. 2009,
+    public): every token maps to one of {d} buckets by the portable
+    low-md5 word — the fixed-dimension, vocabulary-free featurization
+    bag-of-words models train on at corpus scale (no vocab dictionary
+    to build, broadcast, or version). The relation profiles each
+    bucket: total mass, DISTINCT tokens sharing it (the collision
+    count that dilutes the feature), documents touching it, and the
+    dominant token (max count, ties to the lexicographically smallest
+    — a deterministic argmax without packed keys since the domain is
+    strings). A skewed n_tokens column says the hash dimension is too
+    small; that diagnostic is the point.
+
+    Plan: explode -> one (bucket, token) hash agg -> one bucket-keyed
+    rollup; the shuffle carries digests and counts, never text bodies,
+    and the output is exactly {d} rows — dashboard-sized at any corpus
+    size. distinct-counts are exact here because the per-bucket token
+    domain is the unit being audited; at 10^10 docs swap
+    approx_count_distinct and keep the schema."""
+    from ..operators.dedup import portable_bucket
+
+    t = load(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    b = tok.select("doc_id", "w", portable_bucket(F.col("w"), _FH_DIM).alias("bucket"))
+    wc = b.groupBy("bucket", "w").agg(F.count("*").cast("long").alias("c"))
+    # deterministic argmax over strings: max (c, reversed-lex w) would
+    # need packing; min_by on (negated count, w) keeps it one hash agg.
+    top = wc.groupBy("bucket").agg(
+        F.min_by("w", F.struct((-F.col("c")).alias("nc"), F.col("w").alias("w"))).alias(
+            "top_token"
+        )
+    )
+    prof = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("total_count"),
+        F.countDistinct("w").cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return prof.join(top, "bucket").select(
+        "bucket", "total_count", "n_tokens", "n_docs", "top_token"
+    )
+
+
+j_feature_hashing.__doc__ = j_feature_hashing.__doc__.replace("{d}", str(_FH_DIM))

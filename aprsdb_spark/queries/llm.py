@@ -2075,3 +2075,81 @@ def j_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_ann_pq_recall.__doc__ = j_ann_pq_recall.__doc__.replace(
     "{short}", str(_PQ_SHORTLIST)
 ).replace("{k}", str(_PQ_TOPK))
+
+
+# ---------------------------------------------------------- PCA projection
+
+
+def _pca_oracle() -> str:
+    """DuckDB twin of j_embed_pca: the SAME literal (axis, offset) the
+    Spark plan embeds — training runs once driver-side (pca_axis_local)
+    on the canonical correctness SF; a training failure propagates (the
+    _centroid_values_sql rule)."""
+    import os
+
+    from ..operators.similarity import pca_axis_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    _, axis, offset = pca_axis_local(sf_dir)
+    alit = "[" + ", ".join(repr(x) for x in axis) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT label,
+                 CAST(FLOOR((list_dot_product(v, {alit})
+                             - CAST('{offset!r}' AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT) AS ps
+          FROM e)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ps) AS BIGINT) AS proj_sum_scaled,
+           CAST(MIN(ps) AS BIGINT) AS proj_min_scaled,
+           CAST(MAX(ps) AS BIGINT) AS proj_max_scaled,
+           CAST(SUM(ps * ps) AS BIGINT) AS proj_sq_sum_scaled
+    FROM p GROUP BY label
+    """
+
+
+@query("j_embed_pca", oracle=_pca_oracle())
+def j_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-axis projection profile of the embedding space: every
+    vector projects onto the top PCA component (power iteration on a
+    bounded driver-side sample — see pca_axis_local) and each label's
+    projection distribution is profiled (count, scaled-integer sum /
+    min / max / sum-of-squares, from which mean and variance derive
+    exactly). The 1-D shadow is the standard first look at embedding
+    health: labels whose projection ranges collapse onto each other
+    are inseparable along the dominant direction — the cheap
+    drift/clustering diagnostic before any ANN index is built.
+
+    Parity: the axis and its mean-offset enter BOTH engines as
+    literals; the per-row projection is the shared sequential fold
+    (dot_expr == list_dot_product), centered by subtracting the
+    literal offset (identical double on both sides), then floored to a
+    scaled BIGINT per ROW before summation — integer aggregation, so
+    no accumulation-order ulp exists (the j_dsir_weights rule).
+
+    100 TB: training cost is capped (sample-bounded, driver-side);
+    the distributed pass is one narrow zero-shuffle map + a hash agg
+    on the tiny label key with map-side partials. At scale the
+    projection lands as a write-time column and this profile becomes
+    the per-partition statistics a z-order / range-partition layout
+    consumes (j_zorder_stats' input)."""
+    from ..operators.similarity import _lit_vector, pca_axis_local
+
+    t = load(spark, sf_dir)
+    _, axis, offset = pca_axis_local(sf_dir)
+    proj = dot_expr(as_double("embedding"), _lit_vector(axis)) - F.expr(
+        f"CAST('{offset!r}' AS DOUBLE)"
+    )
+    ps = F.floor(proj * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        t.embeddings.select("label", ps.alias("ps"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ps").cast("long").alias("proj_sum_scaled"),
+            F.min("ps").cast("long").alias("proj_min_scaled"),
+            F.max("ps").cast("long").alias("proj_max_scaled"),
+            F.sum(F.col("ps") * F.col("ps")).cast("long").alias("proj_sq_sum_scaled"),
+        )
+    )

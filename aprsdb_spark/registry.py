@@ -172,6 +172,11 @@ NEXT_QUEUE: list[str] = [
     "d_transpose",
     "a_observe_metrics",
     "j_kanon_check",
+    # r9 wave 4: hashing-trick feature-space audit, literal-axis PCA
+    # projection profile (power iteration driver-side, the
+    # kmeans_train_local discipline)
+    "j_feature_hashing",
+    "j_embed_pca",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -470,3 +470,108 @@ def test_offset_page_is_the_right_slice(spark):
     assert [(r.o_orderkey, r.o_totalprice) for r in rows] == [
         (r.o_orderkey, r.o_totalprice) for r in want
     ]
+
+
+def test_exec_immediate_equals_inline(spark):
+    """Parameter binding must change nothing: EXECUTE IMMEDIATE with
+    USING == the same SQL with literals inlined."""
+    got = QUERIES["c_sql_exec_immediate"](spark, SF_SMALL).collect()
+    want = spark.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                          AS DOUBLE) * 100 + 0.5) / 100 AS total_value
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND CAST(o_totalprice AS DECIMAL(12,2)) > 150000.00
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_transpose_cells_match_direct_aggregate(spark):
+    """Each transposed cell (metric row x lang column) equals the
+    direct groupBy value; column order is lexicographic by contract."""
+    rows = {r.key: r for r in QUERIES["d_transpose"](spark, SF_SMALL).collect()}
+    direct = {
+        r.lang: r
+        for r in spark.read.parquet(SF_SMALL + "/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .collect()
+    }
+    assert set(rows) == {"n_docs", "sum_chars", "sum_tokens"}
+    for lang, d in direct.items():
+        assert rows["n_docs"][lang] == d.n_docs
+        assert rows["sum_chars"][lang] == d.sum_chars
+
+
+def test_observe_metrics_equal_second_pass_aggregate(spark):
+    """The listener-accumulated metrics must equal a plain .agg over
+    the same filter — observe is telemetry, not approximation."""
+    got = QUERIES["a_observe_metrics"](spark, SF_SMALL).collect()[0]
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    assert got.n_rows == want.n
+    assert got.revenue_cents == want.c
+
+
+def test_kanon_conserves_rows_and_flags_small_cells(spark):
+    """Row mass is conserved across generalization; every unsuppressed
+    cell satisfies k; level-0 survivors are exactly the >=k cells."""
+    rows = QUERIES["j_kanon_check"](spark, SF_SMALL).collect()
+    n_docs = spark.read.parquet(SF_SMALL + "/documents.parquet").count()
+    assert sum(r.n_rows for r in rows) == n_docs
+    for r in rows:
+        if not r.suppress:
+            assert r.n_rows >= 5
+        if r.gen_level == 0:
+            assert r.source is not None and r.n_rows >= 5
+        else:
+            assert r.source is None
+
+
+def test_feature_hashing_conserves_mass_and_buckets(spark):
+    """Bucket ids live in [0, 64); total_count sums to the corpus token
+    count; each top_token actually hashes to its bucket (recomputed
+    with Python's md5 — the portable-hash contract)."""
+    import hashlib
+
+    rows = QUERIES["j_feature_hashing"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    n_tokens = docs.select(F.explode(F.split("text", " "))).count()
+    assert sum(r.total_count for r in rows) == n_tokens
+    for r in rows:
+        assert 0 <= r.bucket < 64
+        h = hashlib.md5(r.top_token.encode()).hexdigest()
+        assert int(h[8:16], 16) % 64 == r.bucket
+
+
+def test_embed_pca_axis_is_dominant_direction(spark):
+    """At SF_SMALL the training sample covers the whole relation, so
+    the power-iterated axis is the top eigenvector of the full
+    covariance: variance along it must dominate variance along every
+    coordinate axis. Also pins unit norm and sign orientation."""
+    import numpy as np
+
+    from aprsdb_spark.operators.similarity import pca_axis_local
+
+    mean, axis, offset = pca_axis_local(SF_SMALL)
+    v = np.array(axis)
+    assert abs(float(v @ v) - 1.0) < 1e-9
+    nz = v[np.abs(v) > 1e-9]
+    assert len(nz) and float(nz[0]) > 0  # sign convention
+    emb = spark.read.parquet(SF_SMALL + "/embeddings.parquet").collect()
+    X = np.array([[float(x) for x in r.embedding] for r in emb])
+    Xc = X - X.mean(axis=0)
+    var_axis = float(((Xc @ v) ** 2).mean())
+    var_coords = (Xc**2).mean(axis=0)
+    assert var_axis >= float(var_coords.max()) - 1e-9
+    rows = QUERIES["j_embed_pca"](spark, SF_SMALL).collect()
+    assert sum(r.n for r in rows) == len(emb)
