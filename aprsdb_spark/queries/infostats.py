@@ -672,3 +672,71 @@ def j_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_feature_hashing.__doc__ = j_feature_hashing.__doc__.replace("{d}", str(_FH_DIM))
+
+
+@query(
+    "j_source_overlap",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT DISTINCT source, md5(s) AS h FROM (
+            SELECT source,
+                   unnest(list_transform(
+                     range(1, greatest(len(t) - 2, 0) + 1),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+            FROM toks)),
+    tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM g GROUP BY source),
+    pair AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM g a JOIN g b USING (h)
+             WHERE a.source <> b.source GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared,
+           FLOOR(n_shared * 1.0 / n_grams * 1000000 + 0.5) / 1000000
+             AS containment
+    FROM pair JOIN tot ON pair.source_a = tot.source
+    """,
+)
+def j_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram containment matrix: for every ordered source
+    pair, the fraction of a's distinct trigram vocabulary also present
+    in b — the SET-overlap companion to j_kl_sources' distribution
+    divergence (KL sees frequency shift; containment sees verbatim
+    shared phrasing, i.e. syndication and template reuse BETWEEN
+    corpus slices before any doc-level dedup pair exists). Asymmetric
+    by design: a small feed inside a big crawl scores high a->b and
+    low b->a.
+
+    Plan: one explode -> distinct on (source, digest) — the shuffle
+    carries 16-byte md5 digests, never gram text (the corpus.py
+    discipline) — then a digest-keyed self equi-join whose per-key
+    fan-out is bounded by |sources| (a gram contributes at most
+    20x19 pairs), a pair-keyed hash agg, and a broadcast 20-row
+    totals join. Output is |sources|^2-bounded metadata at any corpus
+    size; at 100 TB the distinct and the join bucket by digest and
+    the (lang,source)-blocked variant runs per language shard."""
+    from ..operators.dedup import shingle_rows
+
+    t = load(spark, sf_dir)
+    g = (
+        shingle_rows(t.documents, ["source"], "text", 3)
+        .select("source", F.md5("sh").alias("h"))
+        .distinct()
+    )
+    tot = g.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    pair = (
+        a.join(b, "h")
+        .where(F.col("a.source") != F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return pair.join(
+        F.broadcast(tot), pair.source_a == tot.source
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        rnd(F.col("n_shared") * 1.0 / F.col("n_grams"), 6).alias("containment"),
+    )

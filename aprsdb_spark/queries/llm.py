@@ -2153,3 +2153,87 @@ def j_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ps") * F.col("ps")).cast("long").alias("proj_sq_sum_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------- kNN evaluation
+
+
+@query(
+    "j_knn_confusion",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS true_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    s AS (SELECT q.qid, q.true_label, e.vec_id, e.label,
+                 FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv))
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+    nn AS (SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, vec_id) AS rk
+             FROM s) WHERE rk <= {_KNNB_K}),
+    votes AS (SELECT qid, true_label, label AS pred_label,
+                     COUNT(*) AS c
+              FROM nn GROUP BY qid, true_label, label),
+    pred AS (SELECT qid, true_label, pred_label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY c DESC, pred_label) AS vk
+               FROM votes) WHERE vk = 1)
+    SELECT true_label, pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) FILTER (WHERE true_label = pred_label) AS BIGINT)
+             AS n_correct
+    FROM pred GROUP BY true_label, pred_label
+    """,
+)
+def j_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier confusion matrix — the EVALUATION closing the
+    retrieval loop: each of the first {nq} vectors is classified by
+    majority vote of its k={k} exact nearest neighbors (ties -> count
+    desc then smallest label, so the vote is engine-deterministic) and
+    the (true, predicted) cells report how often retrieval agrees with
+    labels. High off-diagonal mass between two labels means their
+    embedding regions interleave — the per-class companion to
+    j_embed_pca's 1-D separability profile and the quality gate for
+    j_knn_label-style pseudo-labeling pipelines.
+
+    Plan: the same broadcast-query-set fan-out as j_knn_batch (one
+    window ranks all queries' candidates in parallel), then two
+    metadata-sized aggregations (votes are <= nq x k rows). At 100 TB
+    the candidate leg swaps in the ANN shortlist (j_ann_ivf/_pq) while
+    this exact form stays the audit baseline on sampled queries."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        as_double("embedding").alias("qv"),
+    )
+    s = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    nn = s.select("*", F.row_number().over(w).alias("rk")).where(F.col("rk") <= _KNNB_K)
+    votes = nn.groupBy("qid", "true_label", F.col("label").alias("pred_label")).agg(
+        F.count("*").alias("c")
+    )
+    vw = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("pred_label").asc())
+    pred = votes.select("*", F.row_number().over(vw).alias("vk")).where(F.col("vk") == 1)
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.count(F.when(F.col("true_label") == F.col("pred_label"), 1))
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
+j_knn_confusion.__doc__ = j_knn_confusion.__doc__.replace("{nq}", str(_KNNB_NQ)).replace(
+    "{k}", str(_KNNB_K)
+)

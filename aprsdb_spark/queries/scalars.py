@@ -843,3 +843,47 @@ def h_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.year(od), F.month(od), F.lit(1)).alias("month_start"),
         F.datediff(od, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since"),
     )
+
+
+@query(
+    "h_lateral_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           cents % 100 AS rem_cents,
+           (cents - rem_cents) // 100 AS dollars,
+           CASE WHEN dollars >= 300000 THEN 'high'
+                WHEN dollars >= 150000 THEN 'mid'
+                ELSE 'low' END AS band,
+           band || ':' || CAST(dollars // 100000 AS VARCHAR) AS shard_key
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+)
+def h_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4, SPARK-27561): a SELECT item
+    referencing an alias defined EARLIER IN THE SAME SELECT — the
+    four-deep chain cents -> rem_cents/dollars -> band -> shard_key
+    would classically need three nested subqueries (or repeated
+    expression text, which drifts). Catalyst resolves the chain by
+    inline substitution, so the physical plan is the SAME single
+    zero-shuffle projection as the hand-expanded form — sugar at parse
+    time, free at run time, and the idiom that keeps derived-column
+    pipelines (cents -> band -> shard key) single-sourced in 100 TB
+    ETL SQL. Arithmetic is exact-integer after the first FLOOR, so
+    both engines agree bit-for-bit; DuckDB resolves the identical
+    chain under its own lateral-alias rule, pinning the semantics."""
+    t = load(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               cents % 100 AS rem_cents,
+               (cents - rem_cents) DIV 100 AS dollars,
+               CASE WHEN dollars >= 300000 THEN 'high'
+                    WHEN dollars >= 150000 THEN 'mid'
+                    ELSE 'low' END AS band,
+               band || ':' || CAST(dollars DIV 100000 AS STRING) AS shard_key
+        FROM v_orders
+        WHERE o_orderkey % 5 = 0
+    """)

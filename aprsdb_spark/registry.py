@@ -177,6 +177,11 @@ NEXT_QUEUE: list[str] = [
     # kmeans_train_local discipline)
     "j_feature_hashing",
     "j_embed_pca",
+    # r9 wave 5: kNN confusion-matrix evaluation, cross-source n-gram
+    # containment matrix, lateral column alias chain (Spark 3.4 SQL)
+    "j_knn_confusion",
+    "j_source_overlap",
+    "h_lateral_alias",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -575,3 +575,48 @@ def test_embed_pca_axis_is_dominant_direction(spark):
     assert var_axis >= float(var_coords.max()) - 1e-9
     rows = QUERIES["j_embed_pca"](spark, SF_SMALL).collect()
     assert sum(r.n for r in rows) == len(emb)
+
+
+def test_knn_confusion_partitions_the_query_set(spark):
+    """Every query lands in exactly one confusion cell (cells sum to
+    nq=20); n_correct fills the diagonal and only the diagonal."""
+    rows = QUERIES["j_knn_confusion"](spark, SF_SMALL).collect()
+    assert sum(r.n_queries for r in rows) == 20
+    for r in rows:
+        if r.true_label == r.pred_label:
+            assert r.n_correct == r.n_queries
+        else:
+            assert r.n_correct == 0
+
+
+def test_source_overlap_is_a_full_asymmetric_matrix(spark):
+    """All 20x19 ordered pairs present; shared-gram counts are
+    symmetric while containment need not be; containment in [0,1]."""
+    rows = QUERIES["j_source_overlap"](spark, SF_SMALL).collect()
+    assert len(rows) == 380
+    shared = {(r.source_a, r.source_b): r.n_shared for r in rows}
+    for (a, b), n in shared.items():
+        assert shared[(b, a)] == n
+    assert all(0.0 <= r.containment <= 1.0 for r in rows)
+
+
+def test_lateral_alias_chain_equals_hand_expansion(spark):
+    """The alias chain must equal the same expressions expanded by
+    hand with DataFrame ops (no SQL sugar)."""
+    got = {r.o_orderkey: tuple(r) for r in QUERIES["h_lateral_alias"](spark, SF_SMALL).collect()}
+    o = spark.read.parquet(SF_SMALL + "/orders.parquet").where(F.col("o_orderkey") % 5 == 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    dollars = (cents - cents % 100) / F.lit(100)
+    band = (
+        F.when(dollars >= 300000, "high").when(dollars >= 150000, "mid").otherwise("low")
+    )
+    want = o.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        (cents % 100).alias("rem_cents"),
+        dollars.cast("long").alias("dollars"),
+        band.alias("band"),
+        F.concat(band, F.lit(":"), (dollars.cast("long") / 100000).cast("long").cast("string")).alias("shard_key"),
+    )
+    for r in want.collect():
+        assert got[r.o_orderkey] == tuple(r)
