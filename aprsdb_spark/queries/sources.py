@@ -413,3 +413,67 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.sum("o_orderkey").cast("long").alias("key_check"),
     )
+
+
+@query(
+    "a_sink_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_check
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def a_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed SINK + shuffle-FREE fact-fact join read-back: lineitem
+    and orders are saved as catalog tables bucketed (and sorted) 8 ways
+    on the join key, so the sort-merge join between them runs with NO
+    Exchange on either side — bucket i joins bucket i in place. This is
+    THE 100 TB fact-fact mechanism: the shuffle is paid ONCE at write
+    time (where it amortizes over every later join/agg on that key)
+    instead of per-query on petabytes. Plan pinned in test_plans
+    (no Exchange under the join) alongside the tmp-warehouse twin in
+    test_scale_paths; the oracle joins the raw parquet relationally,
+    proving the bucketed round trip loses nothing. Bucket metadata
+    lives in the catalog, so a fresh session (in-memory derby) rewrites
+    the tables once — catalog presence, not a path marker, is the
+    idempotence latch. At scale bucket counts follow data volume
+    (buckets ~ total_size / target_file_size, matched across co-joined
+    tables); 8 here mirrors the 8-way local parallelism."""
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"sg_bucket_{base}"
+    loc = os.path.join(_SCRATCH, base, "bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    t = load(spark, sf_dir)
+    # A fresh session has an empty (in-memory derby) catalog even when a
+    # previous process left table files behind; managed-table creation
+    # refuses a pre-existing location, so clear the stale directory and
+    # rewrite (the data is a deterministic function of the parquet).
+    import shutil
+
+    for name, src, key, cols in (
+        ("li_b", t.lineitem, "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+        ("ord_b", t.orders, "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+    ):
+        if not spark.catalog.tableExists(f"{db}.{name}"):
+            shutil.rmtree(os.path.join(loc, name), ignore_errors=True)
+            (
+                src.select(*cols)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(f"{db}.{name}")
+            )
+    li = spark.table(f"{db}.li_b")
+    od = spark.table(f"{db}.ord_b")
+    j = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.sum("l_orderkey").cast("long").alias("key_check"),
+    )

@@ -779,3 +779,108 @@ def j_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         hour_mean.alias("hour_mean"),
         ratio.alias("ratio_to_mean"),
     )
+
+
+@query(
+    "j_ts_changepoint",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+                      CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vs
+               FROM events),
+    m AS (SELECT event_type,
+                 CAST(SUM(vs) AS BIGINT) // COUNT(*) AS mu,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY event_type),
+    k AS (SELECT e.event_type, e.ts_ms, e.event_id, e.vs - m.mu AS d,
+                 CAST(SUM(abs(e.vs - m.mu)) OVER (PARTITION BY e.event_type)
+                      AS BIGINT) // MAX(m.n) OVER (PARTITION BY e.event_type)
+                   AS madev
+          FROM e JOIN m USING (event_type)),
+    c AS (SELECT event_type, ts_ms, event_id, madev,
+                 CAST(SUM(d - madev // 2) OVER w AS BIGINT) AS cum_hi,
+                 CAST(SUM(-d - madev // 2) OVER w AS BIGINT) AS cum_lo
+          FROM k
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT event_type, ts_ms, event_id, madev,
+                 cum_hi - LEAST(MIN(cum_hi) OVER w, 0) AS s_hi,
+                 cum_lo - LEAST(MIN(cum_lo) OVER w, 0) AS s_lo
+          FROM c
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(GREATEST(s_hi, s_lo)) AS BIGINT) AS max_score,
+           CAST(COUNT(*) FILTER (WHERE GREATEST(s_hi, s_lo) > 8 * madev)
+                AS BIGINT) AS n_alarm_points,
+           CAST(MIN(CASE WHEN GREATEST(s_hi, s_lo) > 8 * madev
+                         THEN ts_ms END) AS BIGINT) AS first_alarm_ms
+    FROM s GROUP BY event_type
+    """,
+)
+def j_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954, public) per
+    event-type series, ENTIRELY in exact integer arithmetic: values
+    floor to a 1e-6 grid, the per-type mean and mean-absolute-deviation
+    are integer divisions, the slack is madev/2, and the recursive
+    CUSUM S_i = max(0, S_{i-1} + d_i) lowers to the WINDOW-EXPRESSIBLE
+    identity S_i = cum_i - min(0, cum_1..i) (the virtual empty prefix
+    supplies the 0) — a running sum minus its
+    running minimum, two frames over ONE exchange, instead of an
+    unexpressible per-row recursion. Alarms fire where either side
+    exceeds 8x madev; the relation reports per-type alarm mass and
+    first-alarm time (bounded output at any series length).
+
+    100 TB: one shuffle keyed by the series id carries scaled BIGINTs;
+    per-series state is the window sort, so billions of independent
+    series parallelize perfectly (the skew risk is one giant series,
+    where the gapfill/range-bucket split applies). Integer end-to-end
+    means no accumulation-order ulp exists on either engine."""
+    t = load(spark, sf_dir)
+    vs = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    e = t.events.select(
+        "event_type", "ts_ms", "event_id", vs.alias("vs")
+    )
+    m = e.groupBy("event_type").agg(
+        F.expr("CAST(SUM(vs) AS BIGINT) div COUNT(*)").alias("mu"),
+        F.count("*").cast("long").alias("n"),
+    )
+    k = (
+        e.join(F.broadcast(m), "event_type")
+        .select("event_type", "ts_ms", "event_id", (F.col("vs") - F.col("mu")).alias("d"))
+    )
+    k = k.withColumn(
+        "madev",
+        F.expr(
+            "CAST(SUM(abs(d)) OVER (PARTITION BY event_type) AS BIGINT) div "
+            "COUNT(*) OVER (PARTITION BY event_type)"
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = k.select(
+        "event_type",
+        "ts_ms",
+        "event_id",
+        "madev",
+        F.sum(F.col("d") - F.expr("madev div 2")).over(w).cast("long").alias("cum_hi"),
+        F.sum(-F.col("d") - F.expr("madev div 2")).over(w).cast("long").alias("cum_lo"),
+    )
+    s = c.select(
+        "event_type",
+        "ts_ms",
+        "event_id",
+        "madev",
+        (F.col("cum_hi") - F.least(F.min("cum_hi").over(w), F.lit(0))).alias("s_hi"),
+        (F.col("cum_lo") - F.least(F.min("cum_lo").over(w), F.lit(0))).alias("s_lo"),
+    )
+    score = F.greatest(F.col("s_hi"), F.col("s_lo"))
+    alarm = score > 8 * F.col("madev")
+    return s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.max(score).cast("long").alias("max_score"),
+        F.count(F.when(alarm, 1)).cast("long").alias("n_alarm_points"),
+        F.min(F.when(alarm, F.col("ts_ms"))).cast("long").alias("first_alarm_ms"),
+    )

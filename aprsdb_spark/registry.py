@@ -182,6 +182,11 @@ NEXT_QUEUE: list[str] = [
     "j_knn_confusion",
     "j_source_overlap",
     "h_lateral_alias",
+    # r9 wave 6: bucketed sink with shuffle-free fact-fact join
+    # read-back (plan-pinned), integer-exact CUSUM changepoint
+    # detection via the cum-minus-running-min window lowering
+    "a_sink_bucketed",
+    "j_ts_changepoint",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -620,3 +620,54 @@ def test_lateral_alias_chain_equals_hand_expansion(spark):
     )
     for r in want.collect():
         assert got[r.o_orderkey] == tuple(r)
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    """The bucketed round trip must lose nothing: per-priority counts
+    equal the plain parquet join."""
+    got = {r.o_orderpriority: r.n_items for r in QUERIES["a_sink_bucketed"](spark, SF_SMALL).collect()}
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+    od = spark.read.parquet(SF_SMALL + "/orders.parquet")
+    want = {
+        r.o_orderpriority: r.n
+        for r in li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_changepoint_cusum_matches_python_reference(spark):
+    """The window lowering (cum - running-min) must equal the textbook
+    recursion S_i = max(0, S_{i-1} + d_i) computed in plain Python."""
+    rows = {r.event_type: r for r in QUERIES["j_ts_changepoint"](spark, SF_SMALL).collect()}
+    from aprsdb_spark.tables import load as _load
+
+    ev = sorted(
+        _load(spark, SF_SMALL).events.select("event_type", "ts_ms", "event_id", "value").collect(),
+        key=lambda r: (r.event_type, r.ts_ms, r.event_id),
+    )
+    from collections import defaultdict
+    series = defaultdict(list)
+    for r in ev:
+        series[r.event_type].append((r.ts_ms, int(r.value * 1_000_000 + 0.5)))
+    for et, pts in series.items():
+        mu = sum(v for _, v in pts) // len(pts)
+        madev = sum(abs(v - mu) for _, v in pts) // len(pts)
+        hi = lo = 0
+        max_score, n_alarm, first_ms = 0, 0, None
+        for ts, v in pts:
+            d = v - mu
+            hi = max(0, hi + d - madev // 2)
+            lo = max(0, lo - d - madev // 2)
+            sc = max(hi, lo)
+            max_score = max(max_score, sc)
+            if sc > 8 * madev:
+                n_alarm += 1
+                if first_ms is None:
+                    first_ms = ts
+        r = rows[et]
+        assert (r.n_points, r.max_score, r.n_alarm_points, r.first_alarm_ms) == (
+            len(pts), max_score, n_alarm, first_ms,
+        ), et

@@ -669,3 +669,17 @@ def test_sink_partitioned_prunes_partitions(spark):
     assert not any(
         "o_orderpriority" in l for l in p.splitlines() if "PushedFilters" in l
     ), "partition filter leaked into the data-file filter set"
+
+
+def test_sink_bucketed_join_has_no_exchange(spark):
+    """a_sink_bucketed's fact-fact SMJ must run on bucket co-location:
+    both scans Bucketed, no Exchange below the join (the only Exchange
+    allowed is the final 5-row priority rollup)."""
+    p = _plan(spark, "a_sink_bucketed")
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2, p[:2000]
+    join_subtree = p[p.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, (
+        "bucketed join still shuffles:\n" + join_subtree[:2000]
+    )
+    assert p.count("Exchange") == 1, "more exchanges than the final rollup"
