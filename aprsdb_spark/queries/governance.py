@@ -585,3 +585,59 @@ def j_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_kanon_check.__doc__ = j_kanon_check.__doc__.replace("{k}", str(_KANON_K))
+
+
+@query(
+    "j_dp_release",
+    oracle="""
+    WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang, source),
+    u AS (SELECT lang, source, n,
+                 (CAST('0x' || substr(md5('dp:' || lang || ':' || source), 1, 8)
+                       AS BIGINT) + 0.5) / 4294967296.0 AS uu
+          FROM g),
+    z AS (SELECT lang, source, n,
+                 -(CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(uu - 0.5)) AS noise
+          FROM u)
+    SELECT lang, source, n,
+           FLOOR((CAST(n AS DOUBLE) + noise) * 10000 + 0.5) / 10000
+             AS noisy_count,
+           1.0 AS epsilon
+    FROM z
+    """,
+)
+def j_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release mechanics for aggregate counts
+    (Dwork et al. 2006, public): per-(lang, source) cells get Laplace
+    (sensitivity 1 / epsilon=1) noise via the inverse-CDF transform
+    u -> -sign(u-1/2) * ln(1-2|u-1/2|) — exercising the exact plumbing
+    (cell aggregation, noise injection, post-processing grid) a
+    privacy-gated pipeline ships. The uniform u here is a HASH of the
+    cell key, NOT secret randomness: that makes the qid reproducible
+    and oracle-checkable, and is explicitly NOT private (a real
+    release swaps in a sealed per-release seed and drops the true n
+    column — the j_kanon_check suppressions compose in front). ln is
+    libm, so the noisy count rounds through the portable floor form
+    before leaving the query (the entropy/KL rule).
+
+    Plan: one map-side-partial hash agg to the ~|langs x sources| cell
+    relation, then narrow per-cell expressions — noise costs nothing
+    at any corpus size because it rides metadata, which is the actual
+    production argument for DP-at-aggregation over DP-at-row."""
+    t = load(spark, sf_dir)
+    g = t.documents.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    key = F.concat(F.lit("dp:"), F.col("lang"), F.lit(":"), F.col("source"))
+    uu = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = -F.when(uu >= 0.5, 1.0).otherwise(-1.0) * F.log(
+        F.lit(1.0) - 2.0 * F.abs(uu - 0.5)
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n",
+        rnd(F.col("n").cast("double") + noise, 4).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    )

@@ -2237,3 +2237,78 @@ def j_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_knn_confusion.__doc__ = j_knn_confusion.__doc__.replace("{nq}", str(_KNNB_NQ)).replace(
     "{k}", str(_KNNB_K)
 )
+
+
+@query(
+    "j_auc_rank",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT CAST(FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                            * 1000000 + 0.5) AS BIGINT) AS s6,
+                 CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS y
+          FROM embeddings e, q WHERE e.vec_id <> 0),
+    g AS (SELECT s6, CAST(SUM(y) AS BIGINT) AS np,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+          FROM s GROUP BY s6),
+    c AS (SELECT s6, np, nn,
+                 CAST(COALESCE(SUM(nn) OVER (ORDER BY s6
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS neg_below
+          FROM g),
+    t AS (SELECT CAST(SUM(np * (2 * neg_below + nn)) AS BIGINT) AS u2,
+                 CAST(SUM(np) AS BIGINT) AS n_pos,
+                 CAST(SUM(nn) AS BIGINT) AS n_neg
+          FROM c)
+    SELECT n_pos, n_neg, u2,
+           FLOOR(u2 * 1.0 / (2 * n_pos * n_neg) * 1000000 + 0.5) / 1000000
+             AS auc
+    FROM t
+    """,
+)
+def j_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval ROC-AUC by the Mann-Whitney rank identity: does
+    similarity to the query vector rank same-label vectors above the
+    rest? 2U = sum over score groups of np*(2*neg_below + nn) — ties
+    get the midrank automatically and the statistic stays a 64-bit
+    INTEGER until the single final division, so no accumulation-order
+    ulp exists (the statistic twin of j_ab_ttest for ranking quality;
+    the threshold-free complement to j_knn_confusion's hard votes).
+
+    Plan note — why there is NO global rank window: per-row ranking
+    over the corpus would be the Exchange-SinglePartition scale-killer
+    (the j_token_budget lesson). Instead scores pre-round to the 1e-6
+    grid (one narrow map), aggregate per DISTINCT score (map-side
+    partials), and the running negative-count rides a window over the
+    per-score relation — index metadata (<= |distinct scores| rows,
+    bounded by the score grid), not the corpus. At 100 TB the same
+    shape holds: the only data-sized pass is the scored scan."""
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding", "label").head()
+    from ..operators.similarity import _lit_vector
+
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    s6 = F.floor(dot_expr(as_double("embedding"), qlit) * 1000000 + F.lit(0.5)).cast("long")
+    s = t.embeddings.where(F.col("vec_id") != 0).select(
+        s6.alias("s6"),
+        (F.col("label") == F.lit(int(qrow.label))).cast("long").alias("y"),
+    )
+    g = s.groupBy("s6").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("s6").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long").alias("neg_below")
+    )
+    t2 = c.agg(
+        F.sum(F.col("np") * (2 * F.col("neg_below") + F.col("nn"))).cast("long").alias("u2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    return t2.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        rnd(F.col("u2") * 1.0 / (2 * F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+    )

@@ -884,3 +884,83 @@ def j_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(alarm, 1)).cast("long").alias("n_alarm_points"),
         F.min(F.when(alarm, F.col("ts_ms"))).cast("long").alias("first_alarm_ms"),
     )
+
+
+@query(
+    "j_ts_trend",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+               FROM events),
+    t0 AS (SELECT event_type, CAST(MIN(ts_ms) AS BIGINT) AS tmin
+           FROM e GROUP BY event_type),
+    xy AS (SELECT e.event_type, (e.ts_ms - t0.tmin) // 1000 AS x, e.y
+           FROM e JOIN t0 USING (event_type)),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM xy GROUP BY event_type)
+    SELECT event_type, n,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 86400 * 1000000 + 0.5) / 1000000 AS slope_cents_per_day,
+           FLOOR((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 100 + 0.5) / 100 AS intercept_cents
+    FROM s
+    """,
+)
+def j_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS linear trend (slope + intercept) with EXACT
+    integer sufficient statistics: time re-centers to seconds since
+    the series start, values floor to cents, and n/Sx/Sy/Sxy/Sxx are
+    BIGINT sums — so the five statistics are accumulation-order-free,
+    and the closed-form slope (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) is a
+    fixed sequence of IEEE double ops on identical operands in both
+    engines. The re-centering is what keeps x^2 sums in 64-bit range
+    (raw epoch-ms squared overflows); at 10^4x series length the
+    statistics upgrade to DECIMAL(38) sums, same shape.
+
+    Plan: one tiny min-per-type aggregate broadcast back, then ONE
+    map-side-partial hash agg — two corpus scans, zero windows, zero
+    sorts. The trend/intercept land as the drift features of
+    j_feature_snapshot-style training sets, and at 100 TB the same
+    two-pass shape holds per (series x day) partition."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        "ts_ms",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    t0 = e.groupBy("event_type").agg(F.min("ts_ms").cast("long").alias("tmin"))
+    xy = e.join(F.broadcast(t0), "event_type").select(
+        "event_type",
+        F.expr("(ts_ms - tmin) div 1000").alias("x"),
+        "y",
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    intercept = (syd - slope * sxd) / nd
+    return s.select(
+        "event_type",
+        "n",
+        rnd(slope * 86400, 6).alias("slope_cents_per_day"),
+        rnd(intercept, 2).alias("intercept_cents"),
+    )

@@ -187,6 +187,11 @@ NEXT_QUEUE: list[str] = [
     # detection via the cum-minus-running-min window lowering
     "a_sink_bucketed",
     "j_ts_changepoint",
+    # r9 wave 7: rank-identity ROC-AUC without a corpus window,
+    # exact-sufficient-statistics OLS trend, DP release mechanics
+    "j_auc_rank",
+    "j_ts_trend",
+    "j_dp_release",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

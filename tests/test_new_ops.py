@@ -671,3 +671,73 @@ def test_changepoint_cusum_matches_python_reference(spark):
         assert (r.n_points, r.max_score, r.n_alarm_points, r.first_alarm_ms) == (
             len(pts), max_score, n_alarm, first_ms,
         ), et
+
+
+def test_auc_rank_matches_python_midrank(spark):
+    """2U from the per-score lowering must equal the textbook midrank
+    Mann-Whitney computed in plain Python."""
+    r = QUERIES["j_auc_rank"](spark, SF_SMALL).collect()[0]
+    emb = spark.read.parquet(SF_SMALL + "/embeddings.parquet").collect()
+    q = next(e for e in emb if e.vec_id == 0)
+    qv = [float(x) for x in q.embedding]
+
+    def dot(v):
+        s = 0.0
+        for a, b in zip(v, qv):
+            s += a * b
+        return s
+
+    import math
+    pts = [
+        (math.floor(dot([float(x) for x in e.embedding]) * 1_000_000 + 0.5), e.label == q.label)
+        for e in emb
+        if e.vec_id != 0
+    ]
+    pts.sort()
+    # midrank 2U: for each positive, 2*(#neg strictly below) + (#neg tied)
+    from collections import Counter
+    neg_counts = Counter(s for s, y in pts if not y)
+    u2 = 0
+    below = 0
+    for s in sorted(neg_counts | Counter(s for s, y in pts if y)):
+        npos = sum(1 for t, y in pts if y and t == s)
+        u2 += npos * (2 * below + neg_counts.get(s, 0))
+        below += neg_counts.get(s, 0)
+    assert r.u2 == u2
+    assert r.n_pos + r.n_neg == len(pts)
+    assert 0.0 <= r.auc <= 1.0
+
+
+def test_ts_trend_matches_numpy_lstsq(spark):
+    """Slope/intercept from integer sufficient statistics must agree
+    with numpy's least squares on the same (x, y) points."""
+    import numpy as np
+
+    from aprsdb_spark.tables import load as _load
+
+    rows = {r.event_type: r for r in QUERIES["j_ts_trend"](spark, SF_SMALL).collect()}
+    ev = _load(spark, SF_SMALL).events.select("event_type", "ts_ms", "value").collect()
+    from collections import defaultdict
+    series = defaultdict(list)
+    for r in ev:
+        series[r.event_type].append((r.ts_ms, int(r.value * 100 + 0.5)))
+    for et, pts in series.items():
+        tmin = min(t for t, _ in pts)
+        x = np.array([(t - tmin) // 1000 for t, _ in pts], dtype=float)
+        y = np.array([v for _, v in pts], dtype=float)
+        A = np.vstack([x, np.ones_like(x)]).T
+        slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+        assert abs(rows[et].slope_cents_per_day - slope * 86400) < 1e-3, et
+        assert abs(rows[et].intercept_cents - intercept) < 0.05, et
+
+
+def test_dp_release_noise_is_bounded_and_reproducible(spark):
+    """Laplace noise from the 32-bit hash uniform is bounded by
+    ln(2^32)/eps ~ 22.18; two runs produce identical releases (the
+    documented determinism trade-off)."""
+    a = sorted(tuple(r) for r in QUERIES["j_dp_release"](spark, SF_SMALL).collect())
+    b = sorted(tuple(r) for r in QUERIES["j_dp_release"](spark, SF_SMALL).collect())
+    assert a == b
+    for lang, source, n, noisy, eps in a:
+        assert abs(noisy - n) <= 22.19
+        assert eps == 1.0
