@@ -25,7 +25,7 @@ RefinedWeb ones regardless of how the unit boundary is drawn.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rnd, sql_rnd
@@ -801,4 +801,69 @@ def j_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("novelty"),
         )
+    )
+
+
+@query(
+    "j_topp_vocab",
+    oracle="""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY lang, tok),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab
+          FROM c GROUP BY lang),
+    w AS (SELECT c.lang, c.tok, c.n, t.total, t.n_vocab,
+                 CAST(COALESCE(SUM(c.n) OVER (PARTITION BY c.lang
+                        ORDER BY c.n DESC, c.tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS mass_before
+          FROM c JOIN t USING (lang))
+    SELECT lang, n_vocab, total AS total_mass,
+           CAST(COUNT(*) FILTER (WHERE mass_before * 10 < total * 9)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(n) FILTER (WHERE mass_before * 10 < total * 9)
+                AS BIGINT) AS mass_kept
+    FROM w GROUP BY lang, n_vocab, total
+    """,
+)
+def j_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary truncation per language: the smallest
+    frequency-ranked prefix whose cumulative mass reaches p=0.9 of the
+    language's token mass — the vocabulary-sizing statistic behind
+    tokenizer budgets and frequency-truncated softmax layers. A token
+    is kept iff the mass BEFORE it is still under p*total; the
+    comparison is mass_before*10 < total*9, exact 64-bit integers on
+    both engines — no float p ever multiplies.
+
+    Plan: one explode -> (lang, token) hash agg (map-side partials),
+    a 5-row totals join, and a cumulative window over the per-language
+    VOCABULARY relation — index metadata, not the corpus (the
+    j_auc_rank rule; if one language's vocab outgrows a task, the
+    distributed_prefix_sum_ord lowering applies unchanged). Output is
+    one row per language at any corpus size."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select("lang", F.explode(tokens_col("text")).alias("tok"))
+    c = tok.groupBy("lang", "tok").agg(F.count("*").cast("long").alias("n"))
+    tot = c.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total"), F.count("*").cast("long").alias("n_vocab")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = c.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "tok",
+        "n",
+        "total",
+        "n_vocab",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("mass_before"),
+    )
+    kept = F.col("mass_before") * 10 < F.col("total") * 9
+    return joined.groupBy("lang", "n_vocab", F.col("total").alias("total_mass")).agg(
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n"))).cast("long").alias("mass_kept"),
     )

@@ -2312,3 +2312,68 @@ def j_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u2",
         rnd(F.col("u2") * 1.0 / (2 * F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
     )
+
+
+@query(
+    "j_retrieval_mrr",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    s AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                 FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv))
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+    r AS (SELECT qid, qlabel, label,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rk
+          FROM s)
+    SELECT qid, qlabel AS true_label,
+           CAST(MIN(CASE WHEN label = qlabel THEN rk END) AS BIGINT)
+             AS first_rel_rank,
+           FLOOR(1.0 / MIN(CASE WHEN label = qlabel THEN rk END)
+                 * 1000000 + 0.5) / 1000000 AS rr,
+           MIN(CASE WHEN label = qlabel THEN rk END) <= 10 AS hit_at_10
+    FROM r GROUP BY qid, qlabel
+    """,
+)
+def j_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank retrieval evaluation per query: the rank of the
+    FIRST same-label candidate, its reciprocal (the MRR contribution),
+    and a hit@10 flag — the ranked-list companion to j_knn_confusion's
+    hard votes and j_auc_rank's threshold-free separability; together
+    the three are the standard retrieval scorecard. RR is 1/rank of an
+    integer rank, so the only float is one division on identical
+    operands.
+
+    Plan: identical fan-out to j_knn_batch — the {nq}-row query set
+    broadcasts onto the candidate scan, ONE qid-partitioned window
+    ranks all queries in parallel (never a global window), and the
+    min-over-relevant collapses each query to one row. At 100 TB the
+    candidate leg is the ANN shortlist; this exact form audits it on
+    sampled queries (j_ann_recall's protocol)."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double("embedding").alias("qv"),
+    )
+    s = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    r = s.select("qid", "qlabel", "label", F.row_number().over(w).alias("rk"))
+    rel_rk = F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rk")))
+    return r.groupBy("qid", F.col("qlabel").alias("true_label")).agg(
+        rel_rk.cast("long").alias("first_rel_rank"),
+        rnd(F.lit(1.0) / rel_rk, 6).alias("rr"),
+        (rel_rk <= 10).alias("hit_at_10"),
+    )

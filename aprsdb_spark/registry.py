@@ -192,6 +192,10 @@ NEXT_QUEUE: list[str] = [
     "j_auc_rank",
     "j_ts_trend",
     "j_dp_release",
+    # r9 wave 8: reciprocal-rank retrieval scorecard, top-p (nucleus)
+    # vocabulary truncation with exact-integer mass comparison
+    "j_retrieval_mrr",
+    "j_topp_vocab",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

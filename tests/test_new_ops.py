@@ -741,3 +741,44 @@ def test_dp_release_noise_is_bounded_and_reproducible(spark):
     for lang, source, n, noisy, eps in a:
         assert abs(noisy - n) <= 22.19
         assert eps == 1.0
+
+
+def test_retrieval_mrr_first_rank_is_consistent(spark):
+    """Each query yields one row; rr == 1/first_rel_rank; hit@10 agrees
+    with the rank; a relevant candidate always exists (every label has
+    >=2 members at SF_SMALL)."""
+    rows = QUERIES["j_retrieval_mrr"](spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.first_rel_rank >= 1
+        assert abs(r.rr - round(1.0 / r.first_rel_rank, 6)) < 2e-6
+        assert r.hit_at_10 == (r.first_rel_rank <= 10)
+
+
+def test_topp_vocab_is_the_minimal_nucleus(spark):
+    """Per lang: kept mass reaches p=0.9 of total, and dropping the
+    last kept token would fall below it (minimality) — recomputed from
+    the raw corpus in plain Python."""
+    rows = {r.lang: r for r in QUERIES["j_topp_vocab"](spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").collect()
+    from collections import Counter, defaultdict
+    by_lang = defaultdict(Counter)
+    for d in docs:
+        by_lang[d.lang].update(d.text.split(" "))
+    for lang, cnt in by_lang.items():
+        total = sum(cnt.values())
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        mass, kept = 0, 0
+        for tok, n in ordered:
+            if mass * 10 < total * 9:
+                kept += 1
+                mass += n
+            else:
+                break
+        r = rows[lang]
+        assert (r.n_vocab, r.total_mass, r.n_kept, r.mass_kept) == (
+            len(cnt), total, kept, mass,
+        ), lang
+        assert mass * 10 >= total * 9  # reached the nucleus
+        prev = mass - ordered[kept - 1][1]
+        assert prev * 10 < total * 9  # minimal prefix
