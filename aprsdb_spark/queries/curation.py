@@ -1185,3 +1185,144 @@ def j_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_curriculum_order.__doc__ = j_curriculum_order.__doc__.replace("{p}", str(_CURR_PHASES))
+
+
+@query(
+    "j_span_corruption",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    b AS (SELECT doc_id, toks, n,
+                 range(0, CAST(ceil(n / 5.0) AS BIGINT)) AS blocks
+          FROM t),
+    f AS (SELECT doc_id, toks, n, blocks,
+                 list_transform(blocks, i ->
+                   (i * 5 + 3 <= n) AND
+                   (CAST('0x' || substr(md5(doc_id || ':sp:' || i), 9, 8)
+                         AS BIGINT) % 2 = 0)) AS mflag
+          FROM b),
+    parts AS (SELECT doc_id, n,
+                 CAST(len(blocks) AS BIGINT) AS n_blocks,
+                 CAST(len(list_filter(blocks, j -> mflag[j + 1])) AS BIGINT)
+                   AS n_masked_blocks,
+                 array_to_string(list_transform(blocks, i ->
+                   CASE WHEN mflag[i + 1]
+                        THEN '<X' || len(list_filter(blocks,
+                                         j -> j < i AND mflag[j + 1])) || '>'
+                             || CASE WHEN len(array_slice(toks, i*5+4,
+                                                least(i*5+5, n))) > 0
+                                     THEN ' ' || array_to_string(
+                                            array_slice(toks, i*5+4,
+                                              least(i*5+5, n)), ' ')
+                                     ELSE '' END
+                        ELSE array_to_string(
+                               array_slice(toks, i*5+1, least(i*5+5, n)), ' ')
+                   END), ' ') AS corrupted,
+                 COALESCE(array_to_string(list_transform(
+                   list_filter(blocks, i -> mflag[i + 1]), i ->
+                     '<X' || len(list_filter(blocks,
+                                  j -> j < i AND mflag[j + 1])) || '> '
+                     || array_to_string(array_slice(toks, i*5+1, i*5+3), ' ')),
+                   ' '), '') AS targets
+              FROM f)
+    SELECT doc_id, n AS n_tokens, n_blocks, n_masked_blocks,
+           md5(corrupted) AS corrupted_md5,
+           md5(targets) AS targets_md5
+    FROM parts
+    """,
+)
+def j_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption prep (Raffel et al. 2020, public),
+    DETERMINISTIC: token positions group into 5-token blocks; a block
+    is masked iff the portable low-md5 word of (doc_id, block) is even
+    (~50% of blocks, 3 of 5 tokens each -> ~30% mask rate); the
+    corrupted text replaces each masked span with an ordinal sentinel
+    <Xk> and the target sequence pairs each sentinel with its hidden
+    tokens. Block alignment is what makes the span set NON-OVERLAPPING
+    without the sequential greedy scan the original algorithm uses —
+    the recursion-free form a distributed engine wants (the
+    j_negative_sampling retry-determinism rule: masks are pure
+    functions of stable ids). Both reconstructed strings are checked
+    at the BYTE level via md5 (the multimodal discipline).
+
+    Plan: pure per-row array expressions — ZERO shuffles, whole-stage
+    codegen end to end; the k²-looking sentinel numbering is a
+    filter-count over the <=~25-element block list, constant work per
+    row. At 100 TB this is the map stage of the tokenize-and-pack
+    pipeline feeding j_pack_sequences."""
+    t = load(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id", tokens_col("text").alias("toks"), F.size(tokens_col("text")).cast("long").alias("n")
+    )
+    base = base.withColumn("blocks", F.sequence(F.lit(0).cast("long"), F.ceil(F.col("n") / 5.0).cast("long") - 1))
+    mask = lambda i: (i * 5 + 3 <= F.col("n")) & (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sp:"), i.cast("string"))),
+                9,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    f = base.withColumn("mflag", F.transform("blocks", mask))
+
+    def sent_k(i):
+        return F.size(
+            F.filter(
+                F.col("blocks"),
+                lambda j: (j < i) & F.element_at(F.col("mflag"), j.cast("int") + 1),
+            )
+        )
+
+    def kept_tail(i):
+        return F.slice(F.col("toks"), (i * 5 + 4).cast("int"), 2)
+
+    def corrupted_part(i):
+        sentinel = F.concat(F.lit("<X"), sent_k(i).cast("string"), F.lit(">"))
+        tail = kept_tail(i)
+        masked = F.when(
+            F.size(tail) > 0,
+            F.concat(sentinel, F.lit(" "), F.array_join(tail, " ")),
+        ).otherwise(sentinel)
+        return F.when(
+            F.element_at(F.col("mflag"), i.cast("int") + 1),
+            masked,
+        ).otherwise(F.array_join(F.slice(F.col("toks"), (i * 5 + 1).cast("int"), 5), " "))
+
+    def target_part(i):
+        return F.concat(
+            F.lit("<X"),
+            sent_k(i).cast("string"),
+            F.lit("> "),
+            F.array_join(F.slice(F.col("toks"), (i * 5 + 1).cast("int"), 3), " "),
+        )
+
+    out = f.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.size("blocks").cast("long").alias("n_blocks"),
+        F.size(
+            F.filter(F.col("blocks"), lambda j: F.element_at(F.col("mflag"), j.cast("int") + 1))
+        )
+        .cast("long")
+        .alias("n_masked_blocks"),
+        F.md5(F.array_join(F.transform("blocks", corrupted_part), " ")).alias("corrupted_md5"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.col("blocks"),
+                        lambda i: F.element_at(F.col("mflag"), i.cast("int") + 1),
+                    ),
+                    target_part,
+                ),
+                " ",
+            )
+        ).alias("targets_md5"),
+    )
+    return out

@@ -196,6 +196,9 @@ NEXT_QUEUE: list[str] = [
     # vocabulary truncation with exact-integer mass comparison
     "j_retrieval_mrr",
     "j_topp_vocab",
+    # r9 wave 9: deterministic T5-style span corruption (block-aligned
+    # masks, byte-exact md5 oracle over corrupted + target strings)
+    "j_span_corruption",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

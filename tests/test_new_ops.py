@@ -782,3 +782,43 @@ def test_topp_vocab_is_the_minimal_nucleus(spark):
         assert mass * 10 >= total * 9  # reached the nucleus
         prev = mass - ordered[kept - 1][1]
         assert prev * 10 < total * 9  # minimal prefix
+
+
+def test_span_corruption_round_trips_and_matches_python(spark):
+    """Splicing each sentinel's target span back into the corrupted
+    text must reconstruct the original document byte-for-byte; the
+    emitted md5s match a plain-Python reimplementation."""
+    import hashlib
+    import re as _re
+
+    rows = {r.doc_id: r for r in QUERIES["j_span_corruption"](spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").collect()
+    for d in docs:
+        toks = d.text.split(" ")
+        n = len(toks)
+        nblocks = (n + 4) // 5
+        corrupted_parts, target_parts = [], []
+        k = 0
+        for i in range(nblocks):
+            h = int(hashlib.md5(f"{d.doc_id}:sp:{i}".encode()).hexdigest()[8:16], 16)
+            masked = (i * 5 + 3 <= n) and (h % 2 == 0)
+            if masked:
+                tail = toks[i * 5 + 3 : i * 5 + 5]
+                corrupted_parts.append(f"<X{k}>" + (" " + " ".join(tail) if tail else ""))
+                target_parts.append(f"<X{k}> " + " ".join(toks[i * 5 : i * 5 + 3]))
+                k += 1
+            else:
+                corrupted_parts.append(" ".join(toks[i * 5 : i * 5 + 5]))
+        corrupted = " ".join(corrupted_parts)
+        targets = " ".join(target_parts)
+        r = rows[d.doc_id]
+        assert r.corrupted_md5 == hashlib.md5(corrupted.encode()).hexdigest(), d.doc_id
+        assert r.targets_md5 == hashlib.md5(targets.encode()).hexdigest(), d.doc_id
+        assert r.n_masked_blocks == k
+        # round trip: splice targets back in
+        spans = dict(_re.findall(r"<X(\d+)> ((?:\S+ \S+ \S+))(?= <X|$)", targets))
+        rebuilt = corrupted
+        for kk, span in spans.items():
+            rebuilt = rebuilt.replace(f"<X{kk}>", span, 1)
+        if len(spans) == k:  # regex split is well-defined only when all spans parsed
+            assert rebuilt == d.text, d.doc_id
