@@ -745,3 +745,44 @@ def d_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return g.transpose()
+
+
+@query(
+    "d_crosstab",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS VARCHAR) AS dow
+               FROM events)
+    SELECT event_type AS event_type_dow,
+           CAST(count_if(dow = '0') AS BIGINT) AS "0",
+           CAST(count_if(dow = '1') AS BIGINT) AS "1",
+           CAST(count_if(dow = '2') AS BIGINT) AS "2",
+           CAST(count_if(dow = '3') AS BIGINT) AS "3",
+           CAST(count_if(dow = '4') AS BIGINT) AS "4",
+           CAST(count_if(dow = '5') AS BIGINT) AS "5",
+           CAST(count_if(dow = '6') AS BIGINT) AS "6"
+    FROM e GROUP BY event_type
+    """,
+)
+def d_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via DataFrame.stat.crosstab (SPARK-7982): the
+    pairwise-frequency EDA surface — one call pivots exact counts of
+    (event_type x weekday-class) with zero-filled empty cells and the
+    column domain SORTED (pinned by the oracle's hardcoded 0..6).
+    The weekday class is (epoch_day + 4) % 7, the engine-portable form
+    (dayofweek() origins differ across engines — the house rule).
+
+    100 TB: crosstab is sugar over groupBy(c1).pivot(c2).count() — one
+    map-side-partial shuffle on the row key; its contract requires the
+    COLUMN domain be small (it becomes schema, collected at the
+    driver), which the 7-class weekday satisfies by construction.
+    Unlike pivot, crosstab string-ifies values and zero-fills — the
+    quick-look tool, with d_agg_pivot as the typed production form."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        ((F.expr("ts_ms div 86400000") + 4) % 7).cast("string").alias("dow"),
+    )
+    ct = e.stat.crosstab("event_type", "dow")
+    cols = ["event_type_dow"] + [str(i) for i in range(7)]
+    return ct.select(*[F.col(f"`{c}`").alias(c) if c != "event_type_dow" else F.col(c) for c in cols])

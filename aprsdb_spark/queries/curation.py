@@ -1326,3 +1326,101 @@ def j_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("targets_md5"),
     )
     return out
+
+
+@query(
+    "j_fim_transform",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                      text
+               FROM documents),
+    c AS (SELECT doc_id, toks, n, text,
+                 n >= 3 AS applied,
+                 CASE WHEN n >= 3 THEN
+                   1 + CAST('0x' || substr(md5(doc_id || ':fim1'), 9, 8)
+                            AS BIGINT) % (n - 2)
+                 END AS a
+          FROM t),
+    c2 AS (SELECT doc_id, toks, n, text, applied, a,
+                  CASE WHEN applied THEN
+                    a + 1 + CAST('0x' || substr(md5(doc_id || ':fim2'), 9, 8)
+                                 AS BIGINT) % (n - 1 - a)
+                  END AS b
+           FROM c)
+    SELECT doc_id, n AS n_tokens, applied,
+           CAST(COALESCE(a, 0) AS BIGINT) AS prefix_len,
+           CAST(COALESCE(b - a, 0) AS BIGINT) AS middle_len,
+           md5(CASE WHEN applied THEN
+                 '<PRE> ' || array_to_string(array_slice(toks, 1, a), ' ')
+                 || ' <SUF> ' || array_to_string(array_slice(toks, b + 1, n), ' ')
+                 || ' <MID> ' || array_to_string(array_slice(toks, a + 1, b), ' ')
+               ELSE text END) AS psm_md5
+    FROM c2
+    """,
+)
+def j_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, public), the
+    code-LLM twin of j_span_corruption: each document splits into
+    non-empty (prefix, middle, suffix) at two hash-derived cut points
+    and re-serializes in PSM order '<PRE> p <SUF> s <MID> m' — the
+    document-level rearrangement FIM training consumes (span
+    corruption hides many small spans; FIM relocates ONE contiguous
+    middle). Cuts are pure functions of doc_id (the retry-determinism
+    rule); docs under 3 tokens pass through with applied=false. The
+    serialized string is byte-checked via md5.
+
+    Plan: zero-shuffle per-row expressions (two md5s, three slices,
+    one concat) — whole-stage codegen; at 100 TB this rides the same
+    tokenize-map stage as j_span_corruption with a deterministic
+    PSM/SPM choice hash-able per doc the same way."""
+    t = load(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        "text",
+        tokens_col("text").alias("toks"),
+        F.size(tokens_col("text")).cast("long").alias("n"),
+    )
+
+    def hword(tag):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 9, 8),
+            16,
+            10,
+        ).cast("long")
+
+    applied = F.col("n") >= 3
+    a = F.when(applied, 1 + hword(":fim1") % (F.col("n") - 2))
+    base = base.withColumn("applied", applied).withColumn("a", a)
+    b = F.when(F.col("applied"), F.col("a") + 1 + hword(":fim2") % (F.col("n") - 1 - F.col("a")))
+    base = base.withColumn("b", b)
+    psm = F.concat(
+        F.lit("<PRE> "),
+        F.array_join(F.slice(F.col("toks"), 1, F.col("a").cast("int")), " "),
+        F.lit(" <SUF> "),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("b") + 1).cast("int"),
+                (F.col("n") - F.col("b")).cast("int"),
+            ),
+            " ",
+        ),
+        F.lit(" <MID> "),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("a") + 1).cast("int"),
+                (F.col("b") - F.col("a")).cast("int"),
+            ),
+            " ",
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "applied",
+        F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("prefix_len"),
+        F.coalesce(F.col("b") - F.col("a"), F.lit(0)).cast("long").alias("middle_len"),
+        F.md5(F.when(F.col("applied"), psm).otherwise(F.col("text"))).alias("psm_md5"),
+    )

@@ -199,6 +199,10 @@ NEXT_QUEUE: list[str] = [
     # r9 wave 9: deterministic T5-style span corruption (block-aligned
     # masks, byte-exact md5 oracle over corrupted + target strings)
     "j_span_corruption",
+    # r9 wave 10: fill-in-the-middle transform (PSM serialization,
+    # byte-exact), crosstab contingency surface
+    "j_fim_transform",
+    "d_crosstab",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

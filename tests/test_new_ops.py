@@ -822,3 +822,51 @@ def test_span_corruption_round_trips_and_matches_python(spark):
             rebuilt = rebuilt.replace(f"<X{kk}>", span, 1)
         if len(spans) == k:  # regex split is well-defined only when all spans parsed
             assert rebuilt == d.text, d.doc_id
+
+
+def test_fim_partition_is_nonempty_and_reconstructible(spark):
+    """prefix/middle/suffix are all non-empty whenever applied, and the
+    PSM md5 matches a plain-Python re-serialization (which also proves
+    the three slices partition the document)."""
+    import hashlib
+
+    rows = {r.doc_id: r for r in QUERIES["j_fim_transform"](spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").collect()
+    for d in docs:
+        toks = d.text.split(" ")
+        n = len(toks)
+        r = rows[d.doc_id]
+        if n < 3:
+            assert not r.applied
+            continue
+        h1 = int(hashlib.md5(f"{d.doc_id}:fim1".encode()).hexdigest()[8:16], 16)
+        a = 1 + h1 % (n - 2)
+        h2 = int(hashlib.md5(f"{d.doc_id}:fim2".encode()).hexdigest()[8:16], 16)
+        b = a + 1 + h2 % (n - 1 - a)
+        assert 1 <= a < b <= n - 1
+        psm = (
+            "<PRE> " + " ".join(toks[:a])
+            + " <SUF> " + " ".join(toks[b:])
+            + " <MID> " + " ".join(toks[a:b])
+        )
+        assert r.psm_md5 == hashlib.md5(psm.encode()).hexdigest(), d.doc_id
+        assert (r.prefix_len, r.middle_len) == (a, b - a)
+
+
+def test_crosstab_cells_match_direct_counts(spark):
+    """Every crosstab cell equals the direct (event_type, dow) count;
+    row sums conserve the event count."""
+    from aprsdb_spark.tables import load as _load
+
+    rows = QUERIES["d_crosstab"](spark, SF_SMALL).collect()
+    ev = _load(spark, SF_SMALL).events.select(
+        "event_type", ((F.expr("ts_ms div 86400000") + 4) % 7).alias("dow")
+    ).collect()
+    from collections import Counter
+    want = Counter((e.event_type, str(e.dow)) for e in ev)
+    total = 0
+    for r in rows:
+        for d in map(str, range(7)):
+            assert r[d] == want.get((r.event_type_dow, d), 0)
+            total += r[d]
+    assert total == len(ev)
