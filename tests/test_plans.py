@@ -687,3 +687,41 @@ def test_sink_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in join_subtree, (
         "bucketed join still shuffles:\n" + join_subtree[:2000]
     )
+
+
+# Shuffle budgets: ceilings measured when each plan was reviewed. A
+# regression here means an operator silently grew an Exchange (lost a
+# broadcast, lost partial aggregation, lost bucket co-location) — the
+# class of performance bug correctness tests cannot see. Budgets are
+# UPPER bounds; lowering a plan should lower the budget too.
+_SHUFFLE_BUDGETS = {
+    "c_sql_q1": 2,          # agg + sort, no join shuffle
+    "c_sql_q9": 6,          # 8-table shape: fact shuffles, dims broadcast
+    "c_sql_q21": 6,         # EXISTS/NOT EXISTS share the l_orderkey exchange
+    "j_dedup_near": 6,      # signatures + band join + verify
+    "j_sim_pairs_banded": 2,  # (band,key) bucketing is THE shuffle
+    "j_pack_sequences": 4,  # range window + |ranges|-row rollup
+    "j_token_budget": 7,    # two-level prefix sum, no SinglePartition corpus sort
+    "j_curriculum_order": 7,
+    "j_auc_rank": 2,        # scored scan agg + metadata window
+    "j_topp_vocab": 5,
+    "j_ts_changepoint": 3,  # ONE series-keyed exchange + mean/rollup
+    "j_ts_trend": 3,
+    "j_source_overlap": 7,
+    "j_feature_hashing": 5,
+    "j_span_corruption": 0,  # pure map — zero-shuffle contract
+    "j_fim_transform": 0,    # pure map — zero-shuffle contract
+    "j_knn_confusion": 3,
+    "j_retrieval_mrr": 2,
+    "d_crosstab": 2,
+}
+
+
+def test_shuffle_budgets_hold(spark):
+    over = []
+    for qid, budget in sorted(_SHUFFLE_BUDGETS.items()):
+        p = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        n = p.count("Exchange")
+        if n > budget:
+            over.append(f"{qid}: {n} > {budget}")
+    assert not over, over
