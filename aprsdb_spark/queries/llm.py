@@ -2377,3 +2377,75 @@ def j_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.lit(1.0) / rel_rk, 6).alias("rr"),
         (rel_rk <= 10).alias("hit_at_10"),
     )
+
+
+def _margin_oracle() -> str:
+    """DuckDB twin of j_active_margin: same literal centroids, scores
+    floored to scaled BIGINTs so the margin is exact integer math."""
+    rows = _centroid_values_sql()
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {rows}),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    s AS (SELECT e.vec_id, e.label, c.cid,
+                 CAST(FLOOR(list_dot_product(e.v, c.cv) * 1000000 + 0.5)
+                      AS BIGINT) AS sc
+          FROM e CROSS JOIN cents c),
+    r AS (SELECT vec_id, label, cid, sc,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sc DESC, cid) AS rk
+          FROM s),
+    m AS (SELECT a.vec_id, a.label,
+                 CAST(a.cid AS BIGINT) AS best_cid,
+                 a.sc AS s1_scaled, b.sc AS s2_scaled,
+                 a.sc - b.sc AS margin_scaled
+          FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2)
+    SELECT vec_id, label, best_cid, s1_scaled, s2_scaled, margin_scaled
+    FROM m ORDER BY margin_scaled, vec_id LIMIT 20
+    """
+
+
+@query("j_active_margin", oracle=_margin_oracle())
+def j_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling by centroid margin (the active-learning /
+    data-selection loop): each vector scores against the literal
+    16-centroid quantizer, and the 20 vectors whose top-2 centroid
+    scores are CLOSEST (smallest margin) are the ones a labeling or
+    curation pass should look at first — points near cluster
+    boundaries, the selection dual of j_hard_negatives (which picks
+    near-miss NEGATIVES for contrastive training). Scores floor to the
+    1e-6 grid per centroid, so the margin is exact BIGINT subtraction
+    and the top-20 order (margin, vec_id) is engine-stable.
+
+    Plan: one HOF over the broadcast-free literal matrix per row (the
+    _best_centroid discipline — constant-folded, k-independent
+    expression tree), zero shuffles for scoring, then ONE
+    TakeOrderedAndProject for the global top-20 (no full sort). At
+    100 TB margins land as a write-time column and this query is
+    partition-pruned to the freshest slice."""
+    from ..operators.similarity import _lit_matrix, kmeans_train_local
+
+    t = load(spark, sf_dir)
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    mat = _lit_matrix([[float(x) for x in vec] for _, vec in cents])
+    ncids = F.expr("array(" + ",".join(str(-int(cid)) for cid, _ in cents) + ")")
+    e = t.embeddings.select("vec_id", "label", as_double("embedding").alias("v"))
+    scored = e.withColumn(
+        "pairs",
+        F.zip_with(
+            F.transform(mat, lambda c: F.floor(dot_expr(c, F.col("v")) * 1000000 + F.lit(0.5)).cast("long")),
+            ncids,
+            lambda sc, nc: F.struct(sc.alias("sc"), nc.alias("ncid")),
+        ),
+    )
+    best = F.array_max(F.col("pairs"))
+    second = F.array_max(F.filter(F.col("pairs"), lambda p: p["ncid"] != best["ncid"]))
+    out = scored.select(
+        "vec_id",
+        "label",
+        (-best["ncid"]).cast("long").alias("best_cid"),
+        best["sc"].alias("s1_scaled"),
+        second["sc"].alias("s2_scaled"),
+        (best["sc"] - second["sc"]).alias("margin_scaled"),
+    )
+    return out.orderBy(F.col("margin_scaled").asc(), F.col("vec_id").asc()).limit(20)

@@ -12,7 +12,7 @@ distance to the label centroid, not vector norm).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rnd
@@ -533,3 +533,67 @@ def j_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_winnow_pairs.__doc__ = j_winnow_pairs.__doc__.replace(
     "{m}", str(_WINNOW_MIN_SHARED)
 ).replace("{cap}", str(_WINNOW_DF_CAP))
+
+
+@query(
+    "j_head_template",
+    oracle="""
+    WITH h AS (SELECT source,
+                      md5(array_to_string(
+                        array_slice(string_split(text, ' '), 1, 8), ' '))
+                        AS head_md5
+               FROM documents),
+    c AS (SELECT source, head_md5, CAST(COUNT(*) AS BIGINT) AS n
+          FROM h GROUP BY source, head_md5),
+    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_templates
+          FROM c GROUP BY source),
+    top AS (SELECT source, head_md5 AS top_head_md5, n AS n_top FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY n DESC, head_md5) AS rk
+              FROM c) WHERE rk = 1)
+    SELECT t.source, n_docs, n_templates, top_head_md5, n_top,
+           FLOOR(n_top * 1.0 / n_docs * 1000000 + 0.5) / 1000000
+             AS top_share
+    FROM t JOIN top USING (source)
+    """,
+)
+def j_head_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-template boilerplate detector: the md5 of each document's
+    first 8 tokens groups documents that open identically — the
+    page-header / navigation / license-preamble signature that
+    doc-level dedup misses (bodies differ) and line-level dedup
+    over-segments. Per source: distinct head count, the dominant head,
+    and its share; a share spike says the source needs a
+    template-strip pass (j_dedup_chunks at chunk granularity, or
+    j_span-style skipping at tokenize time).
+
+    Plan: one zero-explode scan (slice + join + md5 per row), a
+    (source, digest) hash agg whose shuffle carries 16-byte digests,
+    a |sources|-row totals agg, and a per-source top-1 window over the
+    digest-count relation (metadata-sized). Output = one row per
+    source at any corpus size."""
+    t = load(spark, sf_dir)
+    h = t.documents.select(
+        "source",
+        F.md5(F.array_join(F.slice(tokens_col("text"), 1, 8), " ")).alias("head_md5"),
+    )
+    c = h.groupBy("source", "head_md5").agg(F.count("*").cast("long").alias("n"))
+    tot = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_templates"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("head_md5").asc())
+    top = (
+        c.select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("head_md5").alias("top_head_md5"), F.col("n").alias("n_top"))
+    )
+    return tot.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_templates",
+        "top_head_md5",
+        "n_top",
+        rnd(F.col("n_top") * 1.0 / F.col("n_docs"), 6).alias("top_share"),
+    )

@@ -206,6 +206,10 @@ NEXT_QUEUE: list[str] = [
     # byte-exact), crosstab contingency surface
     "j_fim_transform",
     "d_crosstab",
+    # r9 wave 11: margin-based uncertainty sampling (active-learning
+    # selection), head-template boilerplate detector
+    "j_active_margin",
+    "j_head_template",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -870,3 +870,50 @@ def test_crosstab_cells_match_direct_counts(spark):
             assert r[d] == want.get((r.event_type_dow, d), 0)
             total += r[d]
     assert total == len(ev)
+
+
+def test_active_margin_picks_boundary_points(spark):
+    """Margins are non-negative, sorted ascending, and each selected
+    vector's best centroid truly maximizes its scaled dot (recomputed
+    in Python against the trained centroids)."""
+    import math
+
+    from aprsdb_spark.operators.similarity import kmeans_train_local
+
+    rows = QUERIES["j_active_margin"](spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    margins = [r.margin_scaled for r in rows]
+    assert margins == sorted(margins) and all(m >= 0 for m in margins)
+    cents = kmeans_train_local(SF_SMALL, k=16, iters=2)
+    emb = {e.vec_id: [float(x) for x in e.embedding]
+           for e in spark.read.parquet(SF_SMALL + "/embeddings.parquet").collect()}
+    for r in rows:
+        scores = []
+        for cid, cv in cents:
+            s = 0.0
+            for a, b in zip(emb[r.vec_id], cv):
+                s += a * b
+            scores.append((math.floor(s * 1_000_000 + 0.5), -cid))
+        scores.sort(reverse=True)
+        assert (-scores[0][1]) == r.best_cid
+        assert scores[0][0] - scores[1][0] == r.margin_scaled
+
+
+def test_head_template_share_bounds_and_majority(spark):
+    """top_share in (0,1]; n_top is the true modal head count
+    (recomputed in Python); template count <= doc count."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    rows = {r.source: r for r in QUERIES["j_head_template"](spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").collect()
+    heads = defaultdict(Counter)
+    for d in docs:
+        head = " ".join(d.text.split(" ")[:8])
+        heads[d.source][hashlib.md5(head.encode()).hexdigest()] += 1
+    for source, cnt in heads.items():
+        r = rows[source]
+        assert r.n_docs == sum(cnt.values())
+        assert r.n_templates == len(cnt)
+        assert r.n_top == max(cnt.values())
+        assert 0.0 < r.top_share <= 1.0
