@@ -2449,3 +2449,132 @@ def j_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (best["sc"] - second["sc"]).alias("margin_scaled"),
     )
     return out.orderBy(F.col("margin_scaled").asc(), F.col("vec_id").asc()).limit(20)
+
+
+@query(
+    "j_lang_confusion",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+    prof AS (SELECT lang, term, COUNT(*) AS cnt
+             FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+             GROUP BY lang, term),
+    totals AS (SELECT lang, SUM(cnt) AS tot FROM prof GROUP BY lang),
+    scores AS (
+      SELECT tok.doc_id, langs.lang AS cand,
+             FLOOR((SUM(ln((COALESCE(prof.cnt, 0) + 1.0) / (totals.tot + vocab.v))))
+                   * 10000 + 0.5) / 10000 AS score
+      FROM tok CROSS JOIN langs CROSS JOIN vocab
+      LEFT JOIN prof ON prof.lang = langs.lang AND prof.term = tok.term
+      JOIN totals ON totals.lang = langs.lang
+      GROUP BY tok.doc_id, langs.lang, vocab.v),
+    pred AS (SELECT doc_id, cand AS pred_lang FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, cand) AS rk
+               FROM scores) WHERE rk = 1)
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred_lang
+    """,
+)
+def j_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the registered j_lang_id
+    classifier's predictions against the labeled lang column — the
+    per-class audit every classifier in this registry now carries
+    (j_knn_confusion for retrieval, this for lang-id). Off-diagonal
+    mass localizes WHICH language pairs the unigram profiles conflate,
+    which decides whether the production fix is more profile data or a
+    char-n-gram upgrade.
+
+    Plan: reuses the registered j_lang_id plan verbatim (broadcast
+    profiles, one doc-keyed agg), joins the doc-keyed prediction back
+    to the labels on the table's natural key, and collapses to <=
+    |langs|^2 cells. The join is doc_id-equi so at 100 TB it co-
+    partitions with the prediction shuffle; output is metadata."""
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    pred = QUERIES["j_lang_id"](spark, sf_dir).select("doc_id", "pred_lang")
+    truth = t.documents.select("doc_id", F.col("lang").alias("true_lang"))
+    return truth.join(pred, "doc_id").groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def _purity_oracle() -> str:
+    """DuckDB twin of j_cluster_purity: the IVF assignment CTE with the
+    shared literal centroids, then per-cluster majority-label purity."""
+    rows = _centroid_values_sql()
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {rows}),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, e.label, c.cid,
+                      list_dot_product(e.v, cv) AS s
+               FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, label, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    votes AS (SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+              FROM assigned GROUP BY cluster_id, label),
+    tot AS (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS n_vecs,
+                   CAST(COUNT(*) AS BIGINT) AS n_labels
+            FROM votes GROUP BY cluster_id),
+    top AS (SELECT cluster_id, label AS major_label, n AS n_major FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                           ORDER BY n DESC, label) AS rk
+              FROM votes) WHERE rk = 1)
+    SELECT CAST(t.cluster_id AS BIGINT) AS cluster_id, n_vecs, n_labels,
+           CAST(major_label AS BIGINT) AS major_label, n_major,
+           FLOOR(n_major * 1.0 / n_vecs * 1000000 + 0.5) / 1000000 AS purity
+    FROM tot t JOIN top USING (cluster_id)
+    """
+
+
+@query("j_cluster_purity", oracle=_purity_oracle())
+def j_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label purity of the IVF quantizer: per cluster, the
+    majority label's share of members — the unsupervised-quality audit
+    for the SAME literal centroids j_ann_ivf/j_ann_pq route queries
+    through (low purity on a hot cluster predicts poor ANN label
+    locality, which j_knn_confusion then shows from the query side;
+    the three close the index-health loop). Majority ties break to the
+    smallest label; purity is one rounded division of exact counts.
+
+    Plan: assignment is the zero-shuffle literal-matrix HOF map
+    (ivf_assign), then two metadata-sized aggs (votes <= k x |labels|
+    rows) and a top-1 window over them. At 100 TB assignment is the
+    write-time partition key, so this audit reads counts per
+    partition — effectively free."""
+    from ..operators.similarity import ivf_assign, kmeans_train_local
+
+    t = load(spark, sf_dir)
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    assigned, _ = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
+    votes = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = votes.groupBy("cluster_id").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("n_labels"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = (
+        votes.select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").cast("long").alias("major_label"),
+            F.col("n").alias("n_major"),
+        )
+    )
+    return tot.join(top, "cluster_id").select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_vecs",
+        "n_labels",
+        "major_label",
+        "n_major",
+        rnd(F.col("n_major") * 1.0 / F.col("n_vecs"), 6).alias("purity"),
+    )

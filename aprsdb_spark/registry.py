@@ -210,6 +210,10 @@ NEXT_QUEUE: list[str] = [
     # selection), head-template boilerplate detector
     "j_active_margin",
     "j_head_template",
+    # r9 wave 12: language-ID confusion matrix, IVF cluster-vs-label
+    # purity (closing the index-health audit loop)
+    "j_lang_confusion",
+    "j_cluster_purity",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

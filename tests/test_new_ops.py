@@ -917,3 +917,29 @@ def test_head_template_share_bounds_and_majority(spark):
         assert r.n_templates == len(cnt)
         assert r.n_top == max(cnt.values())
         assert 0.0 < r.top_share <= 1.0
+
+
+def test_lang_confusion_conserves_documents(spark):
+    """Confusion cells sum to |documents|; every true lang row-sum
+    equals that language's document count."""
+    rows = QUERIES["j_lang_confusion"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    per_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    from collections import Counter
+    got = Counter()
+    for r in rows:
+        got[r.true_lang] += r.n_docs
+    assert dict(got) == per_lang
+
+
+def test_cluster_purity_bounds_and_conservation(spark):
+    """Purity in (0,1]; members sum to the vector count; n_major is
+    consistent with purity and never exceeds n_vecs."""
+    rows = QUERIES["j_cluster_purity"](spark, SF_SMALL).collect()
+    n_vectors = spark.read.parquet(SF_SMALL + "/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n_vectors
+    for r in rows:
+        assert 0 < r.n_major <= r.n_vecs
+        assert abs(r.purity - round(r.n_major / r.n_vecs, 6)) < 2e-6
+        assert 0.0 < r.purity <= 1.0
