@@ -2578,3 +2578,222 @@ def j_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_major",
         rnd(F.col("n_major") * 1.0 / F.col("n_vecs"), 6).alias("purity"),
     )
+
+
+def _pq_distortion_oracle() -> str:
+    """DuckDB twin of j_pq_distortion: same literal codebooks and the
+    same fixed double sequence err = (vv - 2*(s + half)) + cc."""
+    books, _q, halves, _adc = _pq_model()
+    from ..operators.similarity import seq_dot
+
+    d = _PQ_SUBDIM
+    rows = ", ".join(
+        f"({b}, {cid}, [{', '.join(repr(x) for x in cv)}], "
+        f"CAST('{halves[b][cid]!r}' AS DOUBLE), "
+        f"CAST('{seq_dot(cv, cv)!r}' AS DOUBLE))"
+        for b, book in enumerate(books)
+        for cid, cv in book
+    )
+    return f"""
+    WITH cents(b, cid, cv, half, cc) AS (VALUES {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, c.b, c.cid, c.half, c.cc,
+                      list_dot_product(
+                          list_slice(e.v, c.b * {d} + 1, c.b * {d} + {d}), c.cv)
+                        - c.half AS s,
+                      list_dot_product(
+                          list_slice(e.v, c.b * {d} + 1, c.b * {d} + {d}),
+                          list_slice(e.v, c.b * {d} + 1, c.b * {d} + {d})) AS vv
+               FROM e CROSS JOIN cents c),
+    codes AS (SELECT vec_id, b, cid, half, cc, s, vv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    err AS (SELECT b, cid,
+                   CAST(FLOOR(((vv - 2 * (s + half)) + cc) * 1000000000 + 0.5)
+                        AS BIGINT) AS e9
+            FROM codes)
+    SELECT CAST(b AS BIGINT) AS block,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_codes_used,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(e9) AS BIGINT) AS err_sum_scaled,
+           CAST(MAX(e9) AS BIGINT) AS err_max_scaled
+    FROM err GROUP BY b
+    """
+
+
+@query("j_pq_distortion", oracle=_pq_distortion_oracle())
+def j_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-distortion audit per subspace block: the exact
+    L2 error ||v_b − c_b||² of every vector's assigned code, from the
+    identity (|v|² − 2·v·c) + |c|² evaluated as the SAME fixed double
+    sequence in both engines (the winning v·c comes back from the
+    assignment fold as s + half; |c|² is a driver literal), floored to
+    a 1e-9 scaled BIGINT per row before the integer sum. Codebook
+    health in one relation: per-block total/max distortion and how
+    many of the 32 codes are actually used — a block with high error
+    or collapsed code usage is where the ~51× compression is paying
+    with recall (j_ann_pq_recall measures the end-to-end effect; this
+    localizes WHICH subspace causes it).
+
+    Plan: the assignment HOF map is zero-shuffle (literal codebooks);
+    the only exchange is the 8-row block rollup with map-side
+    partials. At 100 TB this is the write-time audit that decides
+    when codebooks need retraining on fresher data."""
+    from ..operators.similarity import best_code_expr, pq_train_local, seq_dot
+
+    t = load(spark, sf_dir)
+    books = pq_train_local(sf_dir, n_blocks=_PQ_BLOCKS, k=_PQ_K, iters=_PQ_ITERS)
+    d = _PQ_SUBDIM
+    cols = []
+    for b in range(_PQ_BLOCKS):
+        sub = F.slice(as_double("embedding"), b * d + 1, d)
+        best = best_code_expr(books[b], sub)
+        halves = {cid: 0.5 * seq_dot(cv, cv) for cid, cv in books[b]}
+        ccs = {cid: seq_dot(cv, cv) for cid, cv in books[b]}
+        half_lit = F.element_at(
+            F.expr(
+                "array("
+                + ",".join(f"CAST('{halves[cid]!r}' AS DOUBLE)" for cid, _ in books[b])
+                + ")"
+            ),
+            (-best["ncid"] + 1).cast("int"),
+        )
+        cc_lit = F.element_at(
+            F.expr(
+                "array("
+                + ",".join(f"CAST('{ccs[cid]!r}' AS DOUBLE)" for cid, _ in books[b])
+                + ")"
+            ),
+            (-best["ncid"] + 1).cast("int"),
+        )
+        vv = dot_expr(sub, sub)
+        err = (vv - 2 * (best["s"] + half_lit)) + cc_lit
+        cols.append(
+            F.struct(
+                F.lit(b).cast("long").alias("block"),
+                (-best["ncid"]).cast("long").alias("cid"),
+                F.floor(err * 1000000000 + F.lit(0.5)).cast("long").alias("e9"),
+            )
+        )
+    flat = t.embeddings.select(F.explode(F.array(*cols)).alias("x")).select("x.*")
+    return flat.groupBy("block").agg(
+        F.countDistinct("cid").cast("long").alias("n_codes_used"),
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("e9").cast("long").alias("err_sum_scaled"),
+        F.max("e9").cast("long").alias("err_max_scaled"),
+    )
+
+
+_JACCARD_CURVE_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+            FROM documents)),
+    pj AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                AND a.lang = b.lang AND a.source = b.source),
+    p1 AS (SELECT jac, ((jac * jac) * jac) * jac AS s4 FROM pj),
+    p2 AS (SELECT jac, CAST(1 AS DOUBLE) - s4 AS u FROM p1),
+    p3 AS (SELECT jac, u * u AS u2 FROM p2),
+    p4 AS (SELECT jac, u2 * u2 AS u4 FROM p3),
+    p5 AS (SELECT jac, u4 * u4 AS u8 FROM p4),
+    p6 AS (SELECT jac, u8 * u8 AS u16 FROM p5),
+    p7 AS (SELECT jac, CAST(1 AS DOUBLE) - (u16 * u16) AS p FROM p6),
+    bkt AS (SELECT CAST(FLOOR(jac * 20) AS BIGINT) AS c,
+                   CAST(FLOOR(p * 1000000000 + 0.5) AS BIGINT) AS e9 FROM p7),
+    g AS (SELECT c, COUNT(*) AS n_b, SUM(e9) AS s_b FROM bkt GROUP BY c),
+    cum AS (SELECT c,
+                   CAST(SUM(n_b) OVER win AS BIGINT) AS n_pairs_ge,
+                   CAST(SUM(s_b) OVER win AS BIGINT) AS exp_caught_scaled
+            FROM g WINDOW win AS (ORDER BY c DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT c * 5 AS tau_centi, n_pairs_ge, exp_caught_scaled,
+           FLOOR(((CAST(exp_caught_scaled AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+                  / CAST(n_pairs_ge AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS exp_recall
+    FROM cum
+"""
+
+
+@query("j_jaccard_threshold_curve", oracle=_JACCARD_CURVE_ORACLE)
+def j_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH tuning curve from ONE exact pass: every
+    (lang, source)-blocked pair's 3-gram Jaccard is binned at 0.05
+    granularity, and each 0.05 edge's row reports (a) how many pairs
+    sit at-or-above that bin and (b) the expected number/fraction the
+    registered 32-band x 4-row MinHash banding would catch there —
+    Sum 1-(1-s^4)^32 over those pairs, the S-curve that decides b and r
+    BEFORE paying for a full LSH job. The probability is evaluated as a
+    FIXED IEEE sequence (s^4 as ((s*s)*s)*s, (1-s^4)^32 as five
+    squarings) so Spark and DuckDB produce bit-identical doubles with
+    no pow() in either engine, then floored to a 1e-9-scaled BIGINT
+    per pair before the integer suffix sum.
+
+    Plan: the quadratic leg is the SAME deliberately-blocked
+    ground-truth pass j_dedup_ngram runs (at 100 TB: on a sampled
+    stratum); everything after it is one ~21-row hash aggregate and a
+    window over that aggregate — the curve costs nothing beyond the
+    exact pass it audits. Tuning loop closed by j_lsh_recall_banded,
+    which measures the banding's ACTUAL recall at tau=0.3."""
+    t = load(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.transform(
+                shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)
+            ).alias("s"),
+        )
+        .persist()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.s", "b.s")).cast("double")
+        / F.size(F.array_union("a.s", "b.s")).cast("double")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(jac.alias("jac"))
+    j = F.col("jac")
+    s4 = ((j * j) * j) * j
+    u = F.lit(1.0) - s4
+    u2 = u * u
+    u4 = u2 * u2
+    u8 = u4 * u4
+    u16 = u8 * u8
+    p = F.lit(1.0) - (u16 * u16)
+    binned = pairs.select(
+        F.floor(j * 20).cast("long").alias("c"),
+        F.floor(p * 1000000000 + F.lit(0.5)).cast("long").alias("e9"),
+    ).groupBy("c").agg(F.count("*").alias("n_b"), F.sum("e9").alias("s_b"))
+    # suffix-cumulative over the <=21-row bucket AGGREGATE — the
+    # unpartitioned window runs on index metadata, never on the corpus
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        (F.col("c") * 5).cast("long").alias("tau_centi"),
+        F.sum("n_b").over(w).cast("long").alias("n_pairs_ge"),
+        F.sum("s_b").over(w).cast("long").alias("exp_caught_scaled"),
+    )
+    return cum.select(
+        "tau_centi",
+        "n_pairs_ge",
+        "exp_caught_scaled",
+        rnd(
+            (F.col("exp_caught_scaled").cast("double") / F.lit(1000000000).cast("double"))
+            / F.col("n_pairs_ge").cast("double"),
+            6,
+        ).alias("exp_recall"),
+    )

@@ -214,6 +214,11 @@ NEXT_QUEUE: list[str] = [
     # purity (closing the index-health audit loop)
     "j_lang_confusion",
     "j_cluster_purity",
+    # r9 wave 13: PQ reconstruction-distortion audit (per-subspace
+    # codebook health), banded-LSH threshold tuning curve from one
+    # exact pass
+    "j_pq_distortion",
+    "j_jaccard_threshold_curve",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -209,6 +209,7 @@ _EXPECTED_BNLJ = {
     "c_join_cross",   # cartesian of two tiny dims
     "c_join_theta",   # pure non-equi join
     "j_knn_label", "j_lang_id", "j_multimodal_sim", "j_sim_topk",  # 1-row/tiny broadcast query side
+    "j_lang_confusion",  # reuses the registered j_lang_id plan verbatim (same fan-outs)
     "j_rank_fusion",  # dense leg: same 1-row broadcast query-vector cross-join
     "j_knn_batch",  # the batch query set (20 rows) broadcasts onto the candidate scan
     "j_knn_confusion", "j_retrieval_mrr",  # same 20-row broadcast query fan-out
