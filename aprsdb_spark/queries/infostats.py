@@ -740,3 +740,286 @@ def j_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         rnd(F.col("n_shared") * 1.0 / F.col("n_grams"), 6).alias("containment"),
     )
+
+
+@query(
+    "j_gini_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    vc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, w),
+    rk AS (SELECT source, c,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY c, w) AS BIGINT) AS rnk
+           FROM vc),
+    agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(rnk * c) AS BIGINT) AS t
+            FROM rk GROUP BY source)
+    SELECT source, vocab_size, n_tokens,
+           {sql_rnd("(2 * t - (vocab_size + 1) * n_tokens) * 1.0"
+                    " / (vocab_size * n_tokens)", 6)} AS gini
+    FROM agg
+    """,
+)
+def j_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of the token-frequency distribution —
+    the vocabulary-concentration statistic (0 = every token equally
+    frequent, →1 = a handful of tokens carry all the mass). The
+    corpus-health companion to j_entropy (per-document) and
+    j_kl_sources (cross-source shift): a source whose Gini spikes after
+    a crawl refresh usually picked up boilerplate.
+
+    Exact-integer identity: with per-source frequencies ranked
+    ascending c_1 ≤ … ≤ c_V (ties broken by token — Σ rnk·c is
+    invariant to permutation within a tie block, so the rank order is
+    engine-independent), Gini = (2·Σ i·c_i − (V+1)·Σ c_i) / (V·Σ c_i).
+    Every sum is BIGINT; the only float op is the final division, the
+    same single IEEE op on both engines (rounded 1e-6 for the habit,
+    not the need).
+
+    Plan: one explode → (source, token) hash agg, a PER-SOURCE rank
+    window (partition = one source's vocabulary — Heaps'-law bounded
+    index metadata, never corpus rows), and a source-keyed rollup.
+    Shuffles carry (source, token, count) digests only."""
+    t = load(spark, sf_dir)
+    vc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rk = vc.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("c").asc(), F.col("w").asc()))
+        .cast("long")
+        .alias("rnk"),
+    )
+    agg = rk.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("rnk") * F.col("c")).cast("long").alias("t"),
+    )
+    gini = (
+        (2 * F.col("t") - (F.col("vocab_size") + 1) * F.col("n_tokens"))
+        * 1.0
+        / (F.col("vocab_size") * F.col("n_tokens"))
+    )
+    return agg.select("source", "vocab_size", "n_tokens", rnd(gini, 6).alias("gini"))
+
+
+# Context-length audit: the packing-efficiency question asked before
+# any training run — at which sequence length does this corpus waste
+# the least (truncation loss vs padding waste, one doc per sequence)?
+_CTX_LENGTHS = (32, 64, 128, 256)
+
+
+@query(
+    "j_context_fit",
+    oracle=f"""
+    WITH dl AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents),
+    x AS (SELECT n, CAST(unnest([{", ".join(map(str, _CTX_LENGTHS))}]) AS BIGINT)
+                        AS ctx_len
+          FROM dl)
+    SELECT ctx_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n <= ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+           CAST(SUM(least(n, ctx_len)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_truncated,
+           CAST(SUM(greatest(ctx_len - n, 0)) AS BIGINT) AS pad_waste,
+           {sql_rnd("SUM(least(n, ctx_len)) * 1.0 / (COUNT(*) * ctx_len)", 6)}
+             AS utilization
+    FROM x GROUP BY ctx_len
+    """,
+)
+def j_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length fit audit: for each candidate training sequence
+    length L, how the corpus splits into kept / truncated / padded
+    token mass under the naive one-document-per-sequence layout —
+    n_fit (docs that fit whole), tokens_kept = Σ min(n, L),
+    tokens_truncated = Σ max(n−L, 0), pad_waste = Σ max(L−n, 0), and
+    utilization = kept / (n_docs·L). The measurement that decides
+    whether j_pack_sequences' bin-packing is worth running and which
+    L to pack toward; every term is an exact BIGINT sum (utilization
+    is the one division).
+
+    Plan: token counts are a NARROW map over the scan (size(split) —
+    no explode, text never leaves the map stage), the ×{k} candidate
+    lengths come from exploding a literal array, and the whole audit
+    is ONE hash agg keyed on ctx_len with map-side partials — output
+    is exactly {k} rows at any corpus size."""
+    t = load(spark, sf_dir)
+    n = F.col("n")
+    ctx = F.col("ctx_len")
+    x = t.documents.select(
+        F.size(tokens_col("text")).cast("long").alias("n")
+    ).select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(c).cast("long") for c in _CTX_LENGTHS])
+        ).alias("ctx_len"),
+    )
+    return x.groupBy("ctx_len").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(n <= ctx, 1).otherwise(0)).cast("long").alias("n_fit"),
+        F.sum(F.least(n, ctx)).cast("long").alias("tokens_kept"),
+        F.sum(F.greatest(n - ctx, F.lit(0))).cast("long").alias("tokens_truncated"),
+        F.sum(F.greatest(ctx - n, F.lit(0))).cast("long").alias("pad_waste"),
+        rnd(F.sum(F.least(n, ctx)) * 1.0 / (F.count("*") * ctx), 6).alias(
+            "utilization"
+        ),
+    )
+
+
+j_context_fit.__doc__ = j_context_fit.__doc__.replace("{k}", str(len(_CTX_LENGTHS)))
+
+
+# Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for
+# Massive Data Streams", public): each document contributes an
+# independent Poisson(1) weight per replica, so a replica is computable
+# in ONE pass without sampling n rows out of n. Weights are drawn by
+# inverse-CDF on the portable md5 uniform; the cumulative-probability
+# thresholds are spelled as full-precision literals so both engines
+# compare against the identical double (exp(-1) is never evaluated at
+# query time).
+_BOOT_B = 64
+# cumulative Poisson(1) CDF at k = 0..4; weights cap at 5.
+_BOOT_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+)
+# rank-based 95% CI bounds for B=64 replica means: ceil(0.025·64)=2,
+# B+1-2=63 (symmetric order statistics, no interpolation — rank picks
+# are engine-stable where interpolated quantiles are not).
+_BOOT_LO_RANK = 2
+_BOOT_HI_RANK = _BOOT_B + 1 - _BOOT_LO_RANK
+
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    + " ELSE 5 END"
+)
+
+
+@query(
+    "j_bootstrap_ci",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, n_chars,
+                      CAST(unnest(range(0, {_BOOT_B})) AS BIGINT) AS rep
+               FROM documents),
+    h AS (SELECT rep, n_chars,
+                 CAST('0x' || substr(md5('boot' || CAST(doc_id AS VARCHAR)
+                     || ':' || CAST(rep AS VARCHAR)), 9, 8) AS BIGINT)
+                   / 4294967296.0 AS u
+          FROM s),
+    w AS (SELECT rep, n_chars, {_BOOT_W_SQL} AS w FROM h),
+    r AS (SELECT rep, CAST(SUM(w) AS BIGINT) AS sw,
+                 CAST(SUM(w * n_chars) AS BIGINT) AS swl
+          FROM w GROUP BY rep),
+    m AS (SELECT rep, swl * 1.0 / sw AS mean_r FROM r),
+    rk AS (SELECT mean_r,
+                  CAST(ROW_NUMBER() OVER (ORDER BY mean_r, rep) AS BIGINT) AS rnk
+           FROM m),
+    ci AS (SELECT MAX(CASE WHEN rnk = {_BOOT_LO_RANK} THEN mean_r END) AS lo,
+                  MAX(CASE WHEN rnk = {_BOOT_HI_RANK} THEN mean_r END) AS hi
+           FROM rk),
+    pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  SUM(n_chars) * 1.0 / COUNT(*) AS mean
+           FROM documents)
+    SELECT pt.n_docs, CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           {sql_rnd("pt.mean", 6)} AS point_mean,
+           {sql_rnd("ci.lo", 6)} AS ci_lo,
+           {sql_rnd("ci.hi", 6)} AS ci_hi
+    FROM pt CROSS JOIN ci
+    """,
+)
+def j_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap 95% CI for the mean document
+    length (n_chars): {b} replicas, each document contributing an
+    independent Poisson(1) weight per replica drawn by inverse-CDF on
+    the portable low-md5-word of (doc_id, replica) — the resampling
+    scheme that makes bootstrap uncertainty computable in one
+    distributed pass (Chamandy et al. 2012, public), and the statistic
+    a data-quality dashboard attaches to every corpus-mean it reports.
+    No RNG state: a replica is a pure function of stable ids (the
+    j_split_train_val discipline), so the CI survives retries,
+    repartitioning, and engine swaps. CI bounds are ORDER STATISTICS
+    of the replica means (ranks {lo}/{hi} of {b}), not interpolated
+    quantiles — rank picks compare exactly across engines.
+
+    Float discipline: per-replica sums are BIGINT (weights 0–5 ×
+    integer lengths); each replica mean is ONE division of two
+    BIGINTs — bit-identical on both engines — and the CDF thresholds
+    are full-precision literals compared against u = hw / 2^32, an
+    exact dyadic rational. Only the final display columns round.
+
+    Plan: the ×{b} replica fan-out is a narrow explode of a literal
+    sequence (no shuffle); the per-replica reduction is ONE hash agg
+    keyed on rep with map-side partials ({b} groups at any corpus
+    size); the rank window and CI pick run over a {b}-row metadata
+    frame (the j_pack_sequences single-partition argument); the point
+    estimate is a 1-row broadcast cross-joined in (allowlisted BNLJ)."""
+    t = load(spark, sf_dir)
+    s = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr(f"sequence(CAST(0 AS BIGINT), CAST({_BOOT_B - 1} AS BIGINT))")
+        ).alias("rep"),
+    )
+    key = F.concat(
+        F.lit("boot"),
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        F.col("rep").cast("string"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long") / 4294967296.0
+    ).alias("u")
+    h = s.select("rep", "n_chars", u)
+    w = F.when(F.col("u") < float(_BOOT_CDF[0]), 0)
+    for k, c in enumerate(_BOOT_CDF[1:], start=1):
+        w = w.when(F.col("u") < float(c), k)
+    w = w.otherwise(5)
+    r = h.select("rep", "n_chars", w.alias("w")).groupBy("rep").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("swl"),
+    )
+    m = r.select("rep", (F.col("swl") * 1.0 / F.col("sw")).alias("mean_r"))
+    rk = m.select(
+        "mean_r",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_r").asc(), F.col("rep").asc()))
+        .cast("long")
+        .alias("rnk"),
+    )
+    ci = rk.agg(
+        F.max(F.when(F.col("rnk") == _BOOT_LO_RANK, F.col("mean_r"))).alias("lo"),
+        F.max(F.when(F.col("rnk") == _BOOT_HI_RANK, F.col("mean_r"))).alias("hi"),
+    )
+    pt = t.documents.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("n_chars") * 1.0 / F.count("*")).alias("mean"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_docs",
+        F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        rnd(F.col("mean"), 6).alias("point_mean"),
+        rnd(F.col("lo"), 6).alias("ci_lo"),
+        rnd(F.col("hi"), 6).alias("ci_hi"),
+    )
+
+
+j_bootstrap_ci.__doc__ = (
+    j_bootstrap_ci.__doc__.replace("{b}", str(_BOOT_B))
+    .replace("{lo}", str(_BOOT_LO_RANK))
+    .replace("{hi}", str(_BOOT_HI_RANK))
+)

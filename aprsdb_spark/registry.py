@@ -219,6 +219,12 @@ NEXT_QUEUE: list[str] = [
     # exact pass
     "j_pq_distortion",
     "j_jaccard_threshold_curve",
+    # r9 wave 14: exact-integer Gini vocabulary concentration,
+    # context-length fit audit (truncation vs padding mass),
+    # deterministic Poisson-bootstrap CI (Chamandy et al. 2012)
+    "j_gini_tokens",
+    "j_context_fit",
+    "j_bootstrap_ci",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -233,6 +233,7 @@ _EXPECTED_BNLJ = {
     "j_curriculum_order",  # 1-row broadcast corpus-count N onto the ranked docs
     "j_ann_pq_recall",  # 1-row broadcast hits x n_exact fuse (the j_ann_recall shape)
     "j_negative_sampling",  # 1-row broadcast |V| modulus onto the exploded slots
+    "j_bootstrap_ci",  # 1-row broadcast CI bounds onto the 1-row point estimate
     "j_bfs_distance",  # 1-row literal seed frontier: Catalyst folds the seed's
     # nk to a constant, the equi condition becomes a filter, and the round-1
     # broadcast join is left conditionless — build side is O(|V|) state
@@ -715,6 +716,9 @@ _SHUFFLE_BUDGETS = {
     "j_knn_confusion": 3,
     "j_retrieval_mrr": 2,
     "d_crosstab": 2,
+    "j_gini_tokens": 2,     # (source,token) agg + per-source rank window
+    "j_context_fit": 1,     # narrow map + ONE ctx_len-keyed hash agg
+    "j_bootstrap_ci": 4,    # rep-keyed agg + 64-row metadata window + point agg
 }
 
 
