@@ -1023,3 +1023,285 @@ j_bootstrap_ci.__doc__ = (
     .replace("{lo}", str(_BOOT_LO_RANK))
     .replace("{hi}", str(_BOOT_HI_RANK))
 )
+
+
+# Zipf fit: OLS of ln(freq) on ln(rank) over each source's top-N
+# tokens. Natural language sits near slope -1; template/boilerplate
+# text flattens the head, gibberish steepens it.
+_ZIPF_TOPN = 50
+
+
+@query(
+    "j_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    vc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, w),
+    rk AS (SELECT source, c,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY c DESC, w) AS BIGINT) AS r
+           FROM vc),
+    top AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                   ln(CAST(c AS DOUBLE)) AS y
+            FROM rk WHERE r <= {_ZIPF_TOPN}),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM top GROUP BY source)
+    SELECT source, n,
+           {sql_rnd("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)}
+             AS zipf_slope,
+           {sql_rnd("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n",
+                    6)} AS ln_c0
+    FROM s
+    """,
+)
+def j_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf's-law fit: OLS slope of ln(freq) on ln(rank)
+    over the top-{n} ranked tokens (plus the intercept, ln of the
+    implied rank-1 frequency). Natural text sits near slope −1
+    (Zipf 1949, public); a flattened head means template/boilerplate
+    mass, a steep one means degenerate vocabulary — the distributional
+    companion to j_gini_tokens' concentration scalar, and the
+    j_ts_trend exact-sufficient-statistics pattern applied to rank
+    space.
+
+    Determinism: ranks are row_number over (count desc, token) — a
+    total order — and x = ln(rank), y = ln(count) are single libm
+    calls on identical integers, bit-identical per row on both
+    engines. The five sufficient statistics are {n}-term sums whose
+    accumulation order may differ, so both output columns round at
+    1e-6 (the j_entropy rule; boundary odds ~1e-10/source).
+
+    Plan: one explode → (source, token) hash agg, a per-source rank
+    window over Heaps'-bounded vocabulary metadata, an r ≤ {n} filter
+    that keeps {n} rows per source, and ONE source-keyed rollup. The
+    slope lands as a per-source quality feature next to gini/entropy
+    in mixture design."""
+    t = load(spark, sf_dir)
+    vc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rk = vc.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("w")))
+        .cast("long")
+        .alias("r"),
+    )
+    top = rk.where(F.col("r") <= _ZIPF_TOPN).select(
+        "source",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = top.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return s.select(
+        "source",
+        "n",
+        rnd(slope, 6).alias("zipf_slope"),
+        rnd((sy - slope * sx) / n, 6).alias("ln_c0"),
+    )
+
+
+j_zipf_fit.__doc__ = j_zipf_fit.__doc__.replace("{n}", str(_ZIPF_TOPN))
+
+
+@query(
+    "j_ks_lengths",
+    oracle="""
+    WITH dl AS (SELECT source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents),
+    cl AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM dl GROUP BY n),
+    ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS nc FROM cl),
+    ccum AS (SELECT n, CAST(SUM(c) OVER (ORDER BY n) AS BIGINT) AS cc FROM cl),
+    sl AS (SELECT source, n, CAST(COUNT(*) AS BIGINT) AS c
+           FROM dl GROUP BY source, n),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+             FROM sl GROUP BY source),
+    grid AS (SELECT st.source, st.ns, cc.n, cc.cc, COALESCE(sl.c, 0) AS c
+             FROM stot st CROSS JOIN ccum cc
+             LEFT JOIN sl ON sl.source = st.source AND sl.n = cc.n),
+    cum AS (SELECT source, ns, n, cc,
+                   CAST(SUM(c) OVER (PARTITION BY source ORDER BY n)
+                        AS BIGINT) AS cs
+            FROM grid),
+    d AS (SELECT source, ns, n,
+                 abs(cs * ct.nc - cc * ns) AS dnum
+          FROM cum CROSS JOIN ctot ct),
+    mx AS (SELECT source, ns, CAST(MAX(dnum) AS BIGINT) AS ks_num,
+                  CAST(MIN(CASE WHEN dnum = (SELECT MAX(dnum) FROM d d2
+                                             WHERE d2.source = d.source)
+                                THEN n END) AS BIGINT) AS at_length
+           FROM d GROUP BY source, ns)
+    SELECT source, ns AS n_docs, ks_num, at_length,
+           FLOOR(ks_num * 1.0 / (ns * ct.nc) * 1000000 + 0.5) / 1000000
+             AS ks_stat
+    FROM mx CROSS JOIN ctot ct
+    """,
+)
+def j_ks_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between each source's
+    document-length distribution and the whole corpus — max over x of
+    |ECDF_source(x) − ECDF_corpus(x)| plus the length where the max
+    occurs — the distribution-drift alarm a curation pipeline runs per
+    ingest batch (KL sees token-frequency shift; KS sees length-shape
+    shift, e.g. a source that silently started truncating).
+
+    EXACT integer arithmetic end-to-end: both ECDFs are count ratios,
+    so the gap cross-multiplies to |cs·N − cc·n_s| — a BIGINT — and
+    the max, its argmax (min length on ties, a total order), and the
+    comparison all happen in integers; the only float op is the final
+    display division. Both step functions jump only at corpus-distinct
+    lengths, so evaluating on that grid is exhaustive, not sampled.
+
+    Plan: one narrow map (size(split), text never leaves the scan) →
+    two hash aggs; the distinct-length grid is METADATA (bounded by
+    the length domain, not the corpus), so the sources × lengths
+    cross product, both cumulative windows, and the argmax all run on
+    broadcast-scale frames. The corpus total is a 1-row broadcast."""
+    t = load(spark, sf_dir)
+    dl = t.documents.select(
+        "source", F.size(tokens_col("text")).cast("long").alias("n")
+    )
+    cl = dl.groupBy("n").agg(F.count("*").cast("long").alias("c"))
+    ccum = cl.select(
+        "n",
+        F.sum("c").over(Window.orderBy("n")).cast("long").alias("cc"),
+    )
+    nc = cl.agg(F.sum("c").cast("long").alias("nc"))
+    sl = dl.groupBy("source", "n").agg(F.count("*").cast("long").alias("c"))
+    stot = sl.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    grid = (
+        stot.crossJoin(F.broadcast(ccum))
+        .join(sl, ["source", "n"], "left")
+        .select("source", "ns", "n", "cc", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    cum = grid.select(
+        "source",
+        "ns",
+        "n",
+        "cc",
+        F.sum("c")
+        .over(Window.partitionBy("source").orderBy("n"))
+        .cast("long")
+        .alias("cs"),
+    )
+    d = cum.crossJoin(F.broadcast(nc)).select(
+        "source",
+        "ns",
+        "n",
+        F.abs(F.col("cs") * F.col("nc") - F.col("cc") * F.col("ns")).alias("dnum"),
+    )
+    mx = d.groupBy("source", "ns").agg(
+        F.max("dnum").cast("long").alias("ks_num"),
+        F.min_by(
+            "n", F.struct((-F.col("dnum")).alias("d"), F.col("n").alias("n"))
+        )
+        .cast("long")
+        .alias("at_length"),
+    )
+    return mx.crossJoin(F.broadcast(nc)).select(
+        "source",
+        F.col("ns").alias("n_docs"),
+        "ks_num",
+        "at_length",
+        rnd(F.col("ks_num") * 1.0 / (F.col("ns") * F.col("nc")), 6).alias("ks_stat"),
+    )
+
+
+@query(
+    "j_mutual_info",
+    oracle=f"""
+    WITH jc AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY lang, source),
+    lm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM jc GROUP BY lang),
+    sm AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM jc GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM jc),
+    term AS (SELECT (jc.c * 1.0 / t.n)
+                      * ln((jc.c * 1.0 / t.n)
+                           / ((lm.cl * 1.0 / t.n) * (sm.cs * 1.0 / t.n)))
+                      AS mi_t,
+                    (jc.c * 1.0 / t.n) * ln(lm.cl * 1.0 / t.n) AS hl_t,
+                    (jc.c * 1.0 / t.n) * ln(sm.cs * 1.0 / t.n) AS hs_t
+             FROM jc JOIN lm USING (lang) JOIN sm USING (source)
+             CROSS JOIN tot t),
+    mi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(mi_t) AS mi,
+                  -SUM(hl_t) AS h_lang, -SUM(hs_t) AS h_source
+           FROM term)
+    SELECT n_cells, {sql_rnd("mi", 6)} AS mi_nats,
+           {sql_rnd("h_lang", 6)} AS h_lang,
+           {sql_rnd("h_source", 6)} AS h_source,
+           {sql_rnd("CASE WHEN least(h_lang, h_source) > 0"
+                    " THEN mi / least(h_lang, h_source)"
+                    " ELSE 0.0 END", 6)} AS nmi
+    FROM mi
+    """,
+)
+def j_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the lang and source labels —
+    I(L;S) = Σ p(l,s)·ln(p(l,s)/(p(l)·p(s))) in nats, with both
+    marginal entropies and the normalized form min-entropy NMI — the
+    mixture-design audit that says whether languages are concentrated
+    in particular sources (high NMI = dropping a source silently drops
+    a language; NMI ≈ 0 = the two axes can be rebalanced
+    independently, j_domain_mix's implicit assumption).
+
+    Determinism: every probability is a ratio of BIGINT counts; the
+    ln terms sum over the |langs|×|sources| CELL table (metadata, not
+    corpus rows), and the three sums round at 1e-6 (the j_kl_sources
+    rule). Both entropies come from the SAME cell sum via
+    H(L) = −Σ_cells p(l,s)·ln p(l) (marginalization is exact, and one
+    summation shape covers all three statistics), so the whole query
+    is ONE corpus hash agg on (lang, source) — map-side partial,
+    digest-only shuffle — plus broadcast-scale marginal joins and a
+    single-row final rollup; the 1-row total cross-joins in
+    (allowlisted BNLJ). Output is a single audit row at any corpus
+    size."""
+    t = load(spark, sf_dir)
+    jc = t.documents.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    jc.persist()  # consumers: both marginals, total, term table
+    lm = jc.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    sm = jc.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    tot = jc.agg(F.sum("c").cast("long").alias("n"))
+    pj = F.col("c") * 1.0 / F.col("n")
+    pl = F.col("cl") * 1.0 / F.col("n")
+    ps = F.col("cs") * 1.0 / F.col("n")
+    term = (
+        jc.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (pj * F.log(pj / (pl * ps))).alias("mi_t"),
+            (pj * F.log(pl)).alias("hl_t"),
+            (pj * F.log(ps)).alias("hs_t"),
+        )
+    )
+    mi = term.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("mi_t").alias("mi"),
+        (-F.sum("hl_t")).alias("h_lang"),
+        (-F.sum("hs_t")).alias("h_source"),
+    )
+    hmin = F.least(F.col("h_lang"), F.col("h_source"))
+    return mi.select(
+        "n_cells",
+        rnd(F.col("mi"), 6).alias("mi_nats"),
+        rnd(F.col("h_lang"), 6).alias("h_lang"),
+        rnd(F.col("h_source"), 6).alias("h_source"),
+        rnd(F.when(hmin > 0, F.col("mi") / hmin).otherwise(0.0), 6).alias("nmi"),
+    )

@@ -225,6 +225,12 @@ NEXT_QUEUE: list[str] = [
     "j_gini_tokens",
     "j_context_fit",
     "j_bootstrap_ci",
+    # r9 wave 15: Zipf's-law OLS fit over rank space, exact-integer
+    # two-sample KS length-distribution drift, lang x source mutual
+    # information (mixture-design audit)
+    "j_zipf_fit",
+    "j_ks_lengths",
+    "j_mutual_info",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

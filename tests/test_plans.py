@@ -234,6 +234,8 @@ _EXPECTED_BNLJ = {
     "j_ann_pq_recall",  # 1-row broadcast hits x n_exact fuse (the j_ann_recall shape)
     "j_negative_sampling",  # 1-row broadcast |V| modulus onto the exploded slots
     "j_bootstrap_ci",  # 1-row broadcast CI bounds onto the 1-row point estimate
+    "j_ks_lengths",  # sources x length-grid metadata cross + 1-row corpus total
+    "j_mutual_info",  # 1-row broadcast totals/entropies onto the cell table
     "j_bfs_distance",  # 1-row literal seed frontier: Catalyst folds the seed's
     # nk to a constant, the equi condition becomes a filter, and the round-1
     # broadcast join is left conditionless — build side is O(|V|) state
@@ -719,10 +721,18 @@ _SHUFFLE_BUDGETS = {
     "j_gini_tokens": 2,     # (source,token) agg + per-source rank window
     "j_context_fit": 1,     # narrow map + ONE ctx_len-keyed hash agg
     "j_bootstrap_ci": 4,    # rep-keyed agg + 64-row metadata window + point agg
+    "j_zipf_fit": 2,        # (source,token) agg + per-source rank window
+    "j_ks_lengths": 13,     # 2 corpus aggs; rest metadata-grid windows/broadcasts
+    "j_mutual_info": 11,    # ONE corpus (lang,source) agg; rest broadcast-scale
 }
 
 
 def test_shuffle_budgets_hold(spark):
+    # Budgets are defined on the COLD plan: a frame persisted by an
+    # earlier test in this shared session embeds its InMemoryRelation's
+    # cached child plan (with its own Exchange) in the toString and
+    # inflates the count by test order (j_dedup_near: 6 -> 7).
+    spark.catalog.clearCache()
     over = []
     for qid, budget in sorted(_SHUFFLE_BUDGETS.items()):
         p = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
