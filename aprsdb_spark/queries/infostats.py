@@ -1119,6 +1119,58 @@ j_zipf_fit.__doc__ = j_zipf_fit.__doc__.replace("{n}", str(_ZIPF_TOPN))
 
 
 @query(
+    "j_simpson_diversity",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    vc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, w),
+    agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+            FROM vc GROUP BY source)
+    SELECT source, vocab_size, n_tokens, coll,
+           {sql_rnd("1.0 - coll * 1.0 / (n_tokens * (n_tokens - 1))", 6)}
+             AS simpson
+    FROM agg
+    """,
+)
+def j_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson diversity index 1 − Σ c·(c−1) / (n·(n−1)) —
+    the probability that two tokens drawn without replacement differ
+    (Simpson 1949, public). The collision-probability view of lexical
+    diversity: where j_gini_tokens measures rank-inequality and
+    j_entropy information content, Simpson is what a dedup/quality
+    gate actually experiences — the chance a random token pair
+    repeats. The unrounded collision sum Σ c·(c−1) is emitted for the
+    audit trail.
+
+    EXACT end to end: counts, the collision sum, and n·(n−1) are all
+    BIGINT (c·(c−1) caps at n² — DECIMAL(38) upgrade documented for
+    10^10-token sources); the index is ONE division. Plan: one
+    explode → (source, token) hash agg → source-keyed rollup — the
+    j_gini_tokens shape minus its rank window (no ordering needed at
+    all), so shuffles carry only (source, token, count) digests."""
+    t = load(spark, sf_dir)
+    vc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = vc.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+    )
+    simpson = 1.0 - F.col("coll") * 1.0 / (
+        F.col("n_tokens") * (F.col("n_tokens") - 1)
+    )
+    return agg.select(
+        "source", "vocab_size", "n_tokens", "coll", rnd(simpson, 6).alias("simpson")
+    )
+
+
+@query(
     "j_ks_lengths",
     oracle="""
     WITH dl AS (SELECT source,

@@ -2451,9 +2451,9 @@ def j_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("margin_scaled").asc(), F.col("vec_id").asc()).limit(20)
 
 
-@query(
-    "j_lang_confusion",
-    oracle="""
+# Shared by the j_lang_confusion oracle and (as a subquery) the
+# j_cohen_kappa oracle — the full lang-ID prediction + label join.
+_LANG_CONFUSION_SQL = """
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
     langs AS (SELECT DISTINCT lang FROM documents),
     vocab AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
@@ -2477,8 +2477,10 @@ def j_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM documents d JOIN pred p USING (doc_id)
     GROUP BY d.lang, p.pred_lang
-    """,
-)
+    """
+
+
+@query("j_lang_confusion", oracle=_LANG_CONFUSION_SQL)
 def j_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: the registered j_lang_id
     classifier's predictions against the labeled lang column — the
@@ -2500,6 +2502,89 @@ def j_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = t.documents.select("doc_id", F.col("lang").alias("true_lang"))
     return truth.join(pred, "doc_id").groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("long").alias("n_docs")
+    )
+
+
+@query(
+    "j_cohen_kappa",
+    oracle=f"""
+    WITH conf AS ({_LANG_CONFUSION_SQL}),
+    n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM conf),
+    ag AS (SELECT CAST(SUM(CASE WHEN true_lang = pred_lang
+                                THEN n_docs ELSE 0 END) AS BIGINT) AS n_agree
+           FROM conf),
+    rm AS (SELECT true_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS r
+           FROM conf GROUP BY true_lang),
+    cm AS (SELECT pred_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS c
+           FROM conf GROUP BY pred_lang),
+    e AS (SELECT CAST(SUM(rm.r * cm.c) AS BIGINT) AS e_sum
+          FROM rm JOIN cm USING (lang))
+    SELECT n.n AS n_docs, ag.n_agree, e.e_sum,
+           FLOOR(ag.n_agree * 1.0 / n.n * 1000000 + 0.5) / 1000000 AS p_o,
+           FLOOR(e.e_sum * 1.0 / (n.n * n.n) * 1000000 + 0.5) / 1000000 AS p_e,
+           FLOOR((n.n * ag.n_agree - e.e_sum) * 1.0
+                 / (n.n * n.n - e.e_sum) * 1000000 + 0.5) / 1000000 AS kappa
+    FROM n CROSS JOIN ag CROSS JOIN e
+    """,
+)
+def j_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the lang-ID classifier against the labeled
+    lang column — chance-corrected agreement (Cohen 1960, public): raw
+    accuracy p_o overstates a classifier on imbalanced label mixes,
+    and kappa = (p_o − p_e)/(1 − p_e) subtracts the agreement two
+    independent raters with these marginals would reach by luck. The
+    scalar roll-up of j_lang_confusion's cell matrix, and the number a
+    model-selection loop actually thresholds on.
+
+    EXACT integer arithmetic: kappa cross-multiplies to
+    (N·n_agree − Σ r_l·c_l) / (N² − Σ r_l·c_l), all BIGINT (at 10^10
+    docs N² needs DECIMAL(38) — documented upgrade, same shape); the
+    three display ratios are each ONE division of exact integers. The
+    raw numerator/denominator terms (n_agree, e_sum) are emitted
+    unrounded so the decision grid is auditable.
+
+    Plan: reuses the registered j_lang_confusion cells (≤ |langs|²
+    metadata); marginals, the diagonal, and the expected-agreement sum
+    are aggregates OVER that cell table — zero additional corpus
+    passes; the three 1-row frames cross-join in (allowlisted BNLJ)."""
+    from ..registry import QUERIES
+
+    conf = QUERIES["j_lang_confusion"](spark, sf_dir)
+    conf.persist()  # consumers: total+diagonal agg, both marginals
+    n = conf.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n_docs")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rm = conf.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("r")
+    )
+    cm = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("c")
+    )
+    e = (
+        rm.join(cm, "lang")
+        .agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("e_sum"))
+    )
+    nn = F.col("n") * F.col("n")
+    return (
+        n.crossJoin(F.broadcast(e))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_agree",
+            "e_sum",
+            rnd(F.col("n_agree") * 1.0 / F.col("n"), 6).alias("p_o"),
+            rnd(F.col("e_sum") * 1.0 / nn, 6).alias("p_e"),
+            rnd(
+                (F.col("n") * F.col("n_agree") - F.col("e_sum"))
+                * 1.0
+                / (nn - F.col("e_sum")),
+                6,
+            ).alias("kappa"),
+        )
     )
 
 

@@ -231,6 +231,11 @@ NEXT_QUEUE: list[str] = [
     "j_zipf_fit",
     "j_ks_lengths",
     "j_mutual_info",
+    # r9 wave 16: chance-corrected lang-ID agreement (exact-integer
+    # Cohen's kappa over the registered confusion cells), per-source
+    # Simpson diversity (exact collision-probability view)
+    "j_cohen_kappa",
+    "j_simpson_diversity",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -236,6 +236,8 @@ _EXPECTED_BNLJ = {
     "j_bootstrap_ci",  # 1-row broadcast CI bounds onto the 1-row point estimate
     "j_ks_lengths",  # sources x length-grid metadata cross + 1-row corpus total
     "j_mutual_info",  # 1-row broadcast totals/entropies onto the cell table
+    "j_cohen_kappa",  # three 1-row frames over the confusion cells cross-join
+    # (plus j_lang_confusion's own broadcast fan-outs, reused verbatim)
     "j_bfs_distance",  # 1-row literal seed frontier: Catalyst folds the seed's
     # nk to a constant, the equi condition becomes a filter, and the round-1
     # broadcast join is left conditionless — build side is O(|V|) state
