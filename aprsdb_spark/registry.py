@@ -71,14 +71,13 @@ def load_all() -> None:
 # and two sibling k_* qids already sit in this window exercising the
 # same Arrow/UDTF machinery, so they are the lowest-risk deferral.
 # The two harness-breakage canaries a_scan_parquet / e_win_lastpos stay.
-# r10 plan (capacity arithmetic, updated for the r9 additions): the 26
-# never-scored NEXT_QUEUE qids go first, then the 5 REFRESH_QUEUE k_*
-# (r4-scored, the oldest evidence), then 2 canaries = 33; the remaining
-# 17 slots take the oldest of the 47 r5-scored qids, and the ~30 r5
-# qids that do not fit move to REFRESH_QUEUE for r11. The staleness
-# invariant's bound is derived from registry size in
-# tests/test_registry_order.py, so this schedule is checked, not
-# promised.
+# r10 plan (capacity arithmetic, final r9 count): the 40 never-scored
+# NEXT_QUEUE qids go first, then the 5 REFRESH_QUEUE k_* (r4-scored,
+# the oldest evidence), then 2 canaries = 47; the remaining 3 slots
+# take the oldest of the 47 r5-scored qids, and the r5 qids that do
+# not fit move to REFRESH_QUEUE for r11. The staleness invariant's
+# bound is derived from registry size in tests/test_registry_order.py,
+# so this schedule is checked, not promised.
 DRIVER_ORDER: list[str] = [
     # canary: a_scan_parquet (trivial scan — breaks only if the harness does)
     "a_scan_parquet",
