@@ -779,28 +779,46 @@ def j_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single IEEE op on both engines (rounded 1e-6 for the habit,
     not the need).
 
-    Plan: one explode → (source, token) hash agg, a PER-SOURCE rank
-    window (partition = one source's vocabulary — Heaps'-law bounded
-    index metadata, never corpus rows), and a source-keyed rollup.
-    Shuffles carry (source, token, count) digests only."""
+    Tie-block lowering (the 100-TB form — r9 verdict asked for the
+    per-source full-vocabulary rank window to be bounded): because a
+    tie block of b tokens sharing count c occupies the consecutive
+    rank run (a, a+b] (a = tokens with strictly smaller count), its
+    Σ rnk·c collapses to c·(b·(2a+b+1) div 2) — an exact BIGINT
+    triangular-run identity (b·(2a+b+1) is always even). So ranks are
+    never materialized: the only window runs over the per-source
+    HISTOGRAM OF DISTINCT COUNTS, whose size is ≤ √(2·n_tokens) rows
+    (Σ of k distinct counts ≥ k²/2), i.e. ~1.4M rows for a 10^12-token
+    source — actual metadata, vs the O(10^8)-row vocabulary the
+    previous row_number form sorted in one task. The oracle keeps the
+    literal rank formulation, so the compare also proves the identity.
+
+    Plan: one explode → (source, token) hash agg → (source, count)
+    hash agg (the histogram), an exclusive per-source prefix sum over
+    that histogram, and a source-keyed rollup. Shuffles carry
+    (source, token, count) then (source, count, b) — never text."""
     t = load(spark, sf_dir)
     vc = (
         t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
         .groupBy("source", "w")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    rk = vc.select(
+    hist = vc.groupBy("source", "c").agg(F.count("*").cast("long").alias("b"))
+    w_excl = (
+        Window.partitionBy("source")
+        .orderBy(F.col("c").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = hist.select(
         "source",
         "c",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy(F.col("c").asc(), F.col("w").asc()))
-        .cast("long")
-        .alias("rnk"),
+        "b",
+        F.coalesce(F.sum("b").over(w_excl), F.lit(0)).cast("long").alias("a"),
     )
-    agg = rk.groupBy("source").agg(
-        F.count("*").cast("long").alias("vocab_size"),
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.sum(F.col("rnk") * F.col("c")).cast("long").alias("t"),
+    t_block = F.col("c") * F.expr("(b * (2 * a + b + 1)) div 2")
+    agg = blocks.groupBy("source").agg(
+        F.sum("b").cast("long").alias("vocab_size"),
+        F.sum(F.col("c") * F.col("b")).cast("long").alias("n_tokens"),
+        F.sum(t_block).cast("long").alias("t"),
     )
     gini = (
         (2 * F.col("t") - (F.col("vocab_size") + 1) * F.col("n_tokens"))
@@ -1074,11 +1092,15 @@ def j_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation order may differ, so both output columns round at
     1e-6 (the j_entropy rule; boundary odds ~1e-10/source).
 
-    Plan: one explode → (source, token) hash agg, a per-source rank
-    window over Heaps'-bounded vocabulary metadata, an r ≤ {n} filter
-    that keeps {n} rows per source, and ONE source-keyed rollup. The
-    slope lands as a per-source quality feature next to gini/entropy
-    in mixture design."""
+    Plan: one explode → (source, token) hash agg, a per-source
+    top-{n} rank, and ONE source-keyed rollup. The r ≤ {n} filter
+    sits directly on the row_number window, so Catalyst's
+    InferWindowGroupLimit inserts a PARTIAL WindowGroupLimit on the
+    map side: every task keeps at most {n} rows per source BEFORE the
+    source-keyed exchange, and no task ever sorts a full source
+    vocabulary (plan-pinned, tests/test_plans.py) — the bound the r9
+    verdict asked for. The slope lands as a per-source quality
+    feature next to gini/entropy in mixture design."""
     t = load(spark, sf_dir)
     vc = (
         t.documents.select("source", F.explode(tokens_col("text")).alias("w"))

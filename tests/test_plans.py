@@ -695,6 +695,37 @@ def test_sink_bucketed_join_has_no_exchange(spark):
     )
 
 
+def test_zipf_topn_is_window_group_limited(spark):
+    """j_zipf_fit's r <= 50 filter must lower to WindowGroupLimit with
+    a PARTIAL (map-side) stage: every task keeps at most 50 rows per
+    source BEFORE the source exchange, so no task ever sorts a full
+    source vocabulary (the r9-verdict bound). Losing the Partial node
+    (e.g. by separating the filter from the window) re-creates the
+    single-task full-vocab sort this pin exists to prevent."""
+    df = QUERIES["j_zipf_fit"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("WindowGroupLimit") == 2, p[:2000]
+    assert "Partial" in p[p.rindex("WindowGroupLimit"):], (
+        "map-side (Partial) WindowGroupLimit missing — full per-source "
+        "vocabulary reaches the sort:\n" + p[:2000]
+    )
+
+
+def test_gini_never_materializes_ranks(spark):
+    """j_gini_tokens must use the tie-block triangular-run identity:
+    no row_number over the vocabulary, and the ONLY window in the plan
+    runs over the (source, count) histogram (<= sqrt(2N) rows/source),
+    never the (source, token) relation."""
+    df = QUERIES["j_gini_tokens"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in p, "vocabulary rank window re-appeared"
+    assert p.count("Window [") == 1, p[:2000]
+    win_input = p[p.index("Window ["):]
+    assert "w#" not in win_input.split("HashAggregate")[1], (
+        "window input still carries the token column"
+    )
+
+
 # Shuffle budgets: ceilings measured when each plan was reviewed. A
 # regression here means an operator silently grew an Exchange (lost a
 # broadcast, lost partial aggregation, lost bucket co-location) — the
@@ -720,7 +751,7 @@ _SHUFFLE_BUDGETS = {
     "j_knn_confusion": 3,
     "j_retrieval_mrr": 2,
     "d_crosstab": 2,
-    "j_gini_tokens": 2,     # (source,token) agg + per-source rank window
+    "j_gini_tokens": 3,     # token agg + distinct-count histogram agg + source rollup
     "j_context_fit": 1,     # narrow map + ONE ctx_len-keyed hash agg
     "j_bootstrap_ci": 4,    # rep-keyed agg + 64-row metadata window + point agg
     "j_zipf_fit": 2,        # (source,token) agg + per-source rank window
