@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -525,6 +527,12 @@ def _kmeans_iterate(emb: DataFrame, k: int, iters: int) -> list:
     return cents
 
 
+# The three trainers below are memoized per (sf_dir, hyperparams): a
+# model is deterministic given its args, several oracle builders and
+# queries share one, and retraining on every call/import was measured
+# driver-side constant (r9 ADVICE). Contract: callers treat the
+# returned lists/tuples as READ-ONLY — they are shared cache objects.
+@functools.lru_cache(maxsize=None)
 def kmeans_train_local(
     sf_dir: str, k: int = 16, iters: int = 2, sample: int = 4096
 ) -> list:
@@ -569,6 +577,7 @@ def kmeans_train_local(
     return [(cid, [float(x) for x in C[cid]]) for cid in range(k)]
 
 
+@functools.lru_cache(maxsize=None)
 def pq_train_local(
     sf_dir: str,
     n_blocks: int = 4,
@@ -654,6 +663,7 @@ def kmeans_objective(emb: DataFrame, cents: list) -> float:
     return best.agg(F.avg("best")).collect()[0][0]
 
 
+@functools.lru_cache(maxsize=None)
 def pca_axis_local(
     sf_dir: str, sample: int = 4096, iters: int = 20
 ) -> tuple[list[float], list[float], float]:

@@ -755,6 +755,7 @@ _SHUFFLE_BUDGETS = {
     "j_context_fit": 1,     # narrow map + ONE ctx_len-keyed hash agg
     "j_bootstrap_ci": 4,    # rep-keyed agg + 64-row metadata window + point agg
     "j_zipf_fit": 2,        # (source,token) agg + per-source rank window
+    "j_pq_distortion": 2,   # Arrow-map partials + 8-row distinct-cid rollup
     "j_ks_lengths": 13,     # 2 corpus aggs; rest metadata-grid windows/broadcasts
     "j_mutual_info": 11,    # ONE corpus (lang,source) agg; rest broadcast-scale
 }
