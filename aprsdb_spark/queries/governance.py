@@ -546,6 +546,12 @@ def j_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE j_pii_scrub's content pass: scrubbing text fields does not
     help if the metadata tuple itself identifies a user.
 
+    Parity precondition (r9 ADVICE): chars_bucket is Spark
+    `(n_chars / 100) cast long` (truncation toward zero) vs the
+    oracle's `n_chars // 100` (floor) — identical ONLY because
+    n_chars ≥ 0 (a length; FIXTURES.md). A signed bucketing key must
+    use a shared sign-safe floor form on both engines.
+
     Plan: two hash aggregates — the cell count (map-side partials,
     shuffle carries one row per cell, never documents), then the
     violating-cells-only regroup, whose input is AT MOST |cells| rows

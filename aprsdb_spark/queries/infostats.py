@@ -557,6 +557,13 @@ def j_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampled — rejection loops are non-deterministic under
     distribution; the trainer drops flagged rows.
 
+    "Uniform" carries the standard hash-mod caveat (r9 ADVICE): the
+    draw maps a 32-bit hash word by `hw % |V|`, so when |V| does not
+    divide 2^32 the first 2^32 mod |V| ranks are selected with excess
+    probability |V|/2^32 (< 10^-5 at any realistic vocabulary) —
+    negligible by design, and parity-neutral since both engines share
+    the identical expression.
+
     Plan: the vocabulary is one token hash agg; its frequency ranking
     is a |V|-row window — index METADATA next to the corpus (if |V|
     itself outgrows one task, the rank lowers to the

@@ -95,6 +95,17 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReuseExchange across aliases — without the cache the shingle chain
     # runs twice (-17% measured at sf0.1; same rationale as the LSH
     # banded frame in operators/dedup.py).
+    # HOUSE RULE for every .persist() inside a query function (this is
+    # the canonical statement; sibling sites just call .persist()):
+    # the consuming action happens OUTSIDE the function (the driver
+    # collects the returned frame), so an in-function unpersist is
+    # impossible — these frames are deliberately left to Spark's LRU
+    # storage eviction (MEMORY_AND_DISK deserialized, evictable per
+    # block). Across a full registry sweep the residue is bounded:
+    # every persisted frame here is digest/metadata-sized, never raw
+    # corpus text, and the sweep harness clearCache()s between plan
+    # audits. Helpers that DO consume internally (kmeans_objective,
+    # similarity.py) unpersist after their action instead.
     sh = t.documents.select(
         "doc_id", "lang", "source", tokens_col("text").alias("_toks")
     ).select(

@@ -830,6 +830,13 @@ def j_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds 8x madev; the relation reports per-type alarm mass and
     first-alarm time (bounded output at any series length).
 
+    Parity precondition (r9 ADVICE): the integer divisions use Spark
+    `div` (truncation toward zero) while the oracle uses DuckDB `//`
+    (floor) — identical ONLY for non-negative numerators. SUM(vs) ≥ 0
+    holds because FIXTURES.md pins events.value in (0, ~500); feeding
+    a series with negative values requires switching both engines to
+    a shared sign-safe floor form (the j_gini_tokens discipline).
+
     100 TB: one shuffle keyed by the series id carries scaled BIGINTs;
     per-series state is the window sort, so billions of independent
     series parallelize perfectly (the skew risk is one giant series,
