@@ -758,6 +758,61 @@ _SHUFFLE_BUDGETS = {
     "j_pq_distortion": 2,   # Arrow-map partials + 8-row distinct-cid rollup
     "j_ks_lengths": 13,     # 2 corpus aggs; rest metadata-grid windows/broadcasts
     "j_mutual_info": 11,    # ONE corpus (lang,source) agg; rest broadcast-scale
+    # --- r10 expansion: the r9 batch's remaining qids + everything the
+    # r10 window rescores. Ceilings measured on the cold sf0.01 plan at
+    # review time. NOTE on persisted sub-plans: a query that persists an
+    # internally-reused frame (kappa's confusion cells, dedup_cluster's
+    # per-round labels) reprints the cached child plan once PER
+    # InMemoryTableScan in toString, so its count is references x
+    # child-exchanges, not runtime shuffles — still a valid regression
+    # ceiling (a lost broadcast grows it), just not a shuffle tally.
+    "j_ann_pq": 1,          # zero-shuffle ADC map; one top-k exchange
+    "j_ann_pq_recall": 3,   # exact leg + PQ leg + 1-row join
+    "j_chunk_documents": 0,  # pure per-row array map — zero-shuffle contract
+    "j_cooccur_window": 2,
+    "j_dedup_chunks": 4,
+    "j_negative_sampling": 6,
+    "c_sql_exec_immediate": 2,
+    "d_transpose": 0,       # collect-based transpose of a pre-aggregated frame
+    "a_observe_metrics": 0,  # single-pass telemetry — zero second scan
+    "j_kanon_check": 3,
+    "j_embed_pca": 1,       # literal-axis projection + 1 histogram agg
+    "h_lateral_alias": 0,
+    "a_sink_bucketed": 1,   # bucket co-located SMJ; only the rollup shuffles
+    "j_dp_release": 1,
+    "j_active_margin": 0,   # broadcast top-2 margin, no corpus shuffle
+    "j_head_template": 5,
+    "j_lang_confusion": 16,  # the full lang-id scoring pipeline + cell agg
+    "j_cluster_purity": 5,
+    "j_jaccard_threshold_curve": 3,
+    "j_cohen_kappa": 53,    # 3 refs x persisted 16-exchange confusion child
+    "j_simpson_diversity": 2,
+    "k_pandas_scalar": 0,
+    "k_pandas_grouped_agg": 1,
+    "k_apply_in_pandas": 1,
+    "k_udtf": 0,
+    "k_sql_udf": 0,
+    "a_scan_pruned": 0,     # pruned scan must stay exchange-free
+    "b_filter_pred": 0,
+    "b_filter_like": 0,
+    "a_scan_parquet": 0,
+    "e_win_lastpos": 1,
+    "j_lang_id": 14,        # profile build + broadcast score + doc agg
+    "j_tfidf": 7,
+    "j_multimodal": 0,      # Arrow map over binary column, no shuffle
+    "j_knn_label": 1,
+    "j_text_stats": 1,
+    "j_fingerprint": 1,
+    "j_embed_centroid": 1,
+    "j_dedup_cluster": 60,  # fixed-round label propagation, persisted per round
+    "j_split_train_val": 0,
+    "j_quality_score": 0,
+    "j_token_count": 0,
+    "h_map": 0,
+    "h_json": 0,
+    "h_hash": 2,
+    "h_geo_range": 0,
+    "h_geo_pairs": 1,
 }
 
 
