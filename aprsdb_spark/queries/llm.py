@@ -2088,6 +2088,90 @@ j_ann_pq_recall.__doc__ = j_ann_pq_recall.__doc__.replace(
 ).replace("{k}", str(_PQ_TOPK))
 
 
+@query("j_ann_pq_sink", oracle=_pq_oracle())
+def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index WRITE-PATH twin (r9 verdict item 5): j_ann_pq assigns
+    codes inside the query plan; at 100 TB codes are computed ONCE at
+    write time and persisted, and every later search reads the ~5-byte
+    code column, never the 256-byte float vector. This qid proves that
+    split end-to-end: (1) the write leg snaps every vector to its
+    8 per-block codes and saves them as a catalog table bucketed 8
+    ways on vec_id (the a_sink_bucketed mechanism — bucket metadata in
+    the catalog, idempotence latched on table existence, so the
+    assignment cost is paid once per session/SF, exactly the
+    write-once contract); (2) the search leg ADC-scores the CODE TABLE
+    ONLY (8 broadcast-literal lookups + 7 adds per row), TakeOrdered
+    keeps the {short}-candidate shortlist, and the float column is
+    touched solely by the {short}-row broadcast re-rank join.
+    Plan-pinned in tests/test_plans.py: the shortlist subtree's scan
+    reads struct<vec_id,c0..c7> — no `embedding` anywhere below the
+    re-rank join. Result is byte-identical to j_ann_pq (same oracle):
+    persisting the index loses nothing. vec_id bucketing co-locates
+    the code table with any future (vec_id-keyed) delta appends —
+    s_ann_ingest maintains the streaming twin of this table."""
+    import os
+    import shutil
+
+    from ..operators.similarity import _lit_vector, best_code_expr, pq_train_local, seq_dot
+    from .sources import _SCRATCH
+
+    t = load(spark, sf_dir)
+    books = pq_train_local(sf_dir, n_blocks=_PQ_BLOCKS, k=_PQ_K, iters=_PQ_ITERS)
+    d = _PQ_SUBDIM
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"sg_pqidx_{base}"
+    loc = os.path.join(_SCRATCH, base, "pqdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    if not spark.catalog.tableExists(f"{db}.pq_codes"):
+        shutil.rmtree(os.path.join(loc, "pq_codes"), ignore_errors=True)
+        codes = t.embeddings.select(
+            "vec_id",
+            *[
+                (-best_code_expr(
+                    books[b], F.slice(as_double("embedding"), b * d + 1, d)
+                )["ncid"]).cast("int").alias(f"c{b}")
+                for b in range(_PQ_BLOCKS)
+            ],
+        )
+        (
+            codes.write.bucketBy(8, "vec_id")
+            .sortBy("vec_id")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.pq_codes")
+        )
+    ct = spark.table(f"{db}.pq_codes")
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow.embedding]
+    adc_lits = [
+        _lit_vector([seq_dot(q[b * d : (b + 1) * d], cv) for _, cv in books[b]])
+        for b in range(_PQ_BLOCKS)
+    ]
+    adc = None
+    for b in range(_PQ_BLOCKS):
+        term = F.element_at(adc_lits[b], (F.col(f"c{b}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    short = (
+        ct.where(F.col("vec_id") != 0)
+        .select("vec_id", rnd(adc, 6).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_SHORTLIST)
+    )
+    qlit = _lit_vector(q)
+    return (
+        t.embeddings.join(F.broadcast(short), "vec_id")
+        .select(
+            "vec_id",
+            "adc_score",
+            rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_TOPK)
+    )
+
+
+j_ann_pq_sink.__doc__ = j_ann_pq_sink.__doc__.replace("{short}", str(_PQ_SHORTLIST))
+
+
 # ---------------------------------------------------------- PCA projection
 
 

@@ -140,7 +140,11 @@ DRIVER_ORDER: list[str] = [
 # runs) and is FIRST in line for the next rotation.
 # test_registry_order.py enforces that a never-scored qid is either in
 # the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = []
+NEXT_QUEUE: list[str] = [
+    # r10: PQ index write-path twin — codes persisted once via the
+    # bucketed catalog sink, ADC search reads the code table only
+    "j_ann_pq_sink",
+]
 
 # Already-scored qids whose evidence is the oldest in the registry but
 # which did NOT fit this round's 50-slot window: scheduled FIRST for the

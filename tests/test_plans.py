@@ -7,6 +7,8 @@ then falls over at scale; these tests make the plan part of the spec.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from aprsdb_spark.registry import QUERIES, load_all
@@ -695,6 +697,32 @@ def test_sink_bucketed_join_has_no_exchange(spark):
     )
 
 
+def test_pq_sink_search_leg_reads_codes_only(spark):
+    """j_ann_pq_sink's write-once/search-many contract: the ADC
+    shortlist subtree scans the persisted code table (vec_id + c0..c7,
+    ~5 B/row) and the 256 B float vector appears ONLY in the
+    {shortlist}-row re-rank probe scan. The code table must carry the
+    8-way vec_id bucket spec in the catalog (paid once at write time,
+    co-locating future vec_id-keyed appends)."""
+    df = QUERIES["j_ann_pq_sink"](spark, SF_DIR)  # latches the table
+    p = df._jdf.queryExecution().executedPlan().toString()
+    code_scans = [l for l in p.splitlines() if "FileScan" in l and "pq_codes" in l]
+    assert code_scans, "persisted code-table scan missing from the search plan"
+    assert all("embedding" not in l for l in code_scans), (
+        "ADC leg reads the float column — the ÷50 memory-traffic win is lost"
+    )
+    assert any(
+        "FileScan" in l and "embedding" in l for l in p.splitlines()
+    ), "re-rank leg lost its float scan"
+    base = os.path.basename(os.path.normpath(SF_DIR)).replace(".", "_")
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED sg_pqidx_{base}.pq_codes").collect()
+    }
+    assert desc.get("Num Buckets") == "8", desc
+    assert desc.get("Bucket Columns") == "[`vec_id`]", desc
+
+
 def test_zipf_topn_is_window_group_limited(spark):
     """j_zipf_fit's r <= 50 filter must lower to WindowGroupLimit with
     a PARTIAL (map-side) stage: every task keeps at most 50 rows per
@@ -767,6 +795,7 @@ _SHUFFLE_BUDGETS = {
     # child-exchanges, not runtime shuffles — still a valid regression
     # ceiling (a lost broadcast grows it), just not a shuffle tally.
     "j_ann_pq": 1,          # zero-shuffle ADC map; one top-k exchange
+    "j_ann_pq_sink": 1,     # code-table TakeOrdered + ONE broadcast re-rank
     "j_ann_pq_recall": 3,   # exact leg + PQ leg + 1-row join
     "j_chunk_documents": 0,  # pure per-row array map — zero-shuffle contract
     "j_cooccur_window": 2,
