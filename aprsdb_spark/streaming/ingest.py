@@ -539,3 +539,67 @@ def dedup_ingest_sink(
     novel.write.mode("append").parquet(store_dir)
     if run_key is not None:
         _record_applied_batch(store_dir, run_key, batch_id)
+
+
+def ann_ingest_sink(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    books: list,
+    run_key: str | None = None,
+) -> None:
+    """foreachBatch similarity-INDEX maintenance — the streaming twin
+    of j_ann_pq_sink's write leg, completing the §2.I sink-template
+    set (dedup store, CDC snapshot, IVM rollup, and now the ANN code
+    table). Each micro-batch of (vec_id, embedding) rows snaps to PQ
+    codes against the SAME driver-literal codebooks the batch sink
+    uses (best_code_expr — argmax (v·c − |c|²/2), tie → smallest
+    code), and ONLY novel vec_ids append to the code store:
+    first-seen wins, because an index row is immutable once written —
+    re-coding an existing vector would silently fork the index from
+    the vectors already served from it. tests/test_streaming.py pins
+    multi-micro-batch replay ≡ the one-shot batch assignment.
+
+    Scale shape (the dedup_ingest_sink discipline): the batch
+    collapses to one candidate per vec_id BEFORE probing (duplicate
+    ties broken by the embedding digest, not arrival order, so replay
+    is deterministic even for conflicting duplicates); the probe is a
+    vec_id anti equi-join against the store; the write is APPEND-only
+    — the store grows by |novel| ~5-byte code rows per batch, nothing
+    rewrites, and at 10^10 vectors the store is the vec_id-bucketed
+    table j_ann_pq_sink writes, making the anti join exchange-free on
+    the store side. Same (run_key, batch_id) sidecar replay guard —
+    append without it double-ingests under at-least-once delivery."""
+    from ..operators.similarity import as_double, best_code_expr
+
+    if run_key is not None and batch_id <= _last_applied_batch(index_dir, run_key):
+        return
+    spark = batch.sparkSession
+    d = len(books[0][0][1])
+    cand = (
+        batch.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("embedding"), F.md5(F.col("embedding").cast("string"))
+            ).alias("first")
+        )
+        .select("vec_id", F.col("first.embedding").alias("embedding"))
+    )
+    codes = cand.select(
+        "vec_id",
+        *[
+            (-best_code_expr(
+                books[b], F.slice(as_double("embedding"), b * d + 1, d)
+            )["ncid"]).cast("int").alias(f"c{b}")
+            for b in range(len(books))
+        ],
+    )
+    existing = _read_state_or_none(spark, index_dir)
+    novel = (
+        codes.join(existing.select("vec_id"), "vec_id", "left_anti")
+        if existing is not None
+        else codes
+    )
+    novel.write.mode("append").parquet(index_dir)
+    if run_key is not None:
+        _record_applied_batch(index_dir, run_key, batch_id)

@@ -540,6 +540,68 @@ def test_dedup_ingest_sink_matches_exact_dedup(spark, tmp_path):
     assert spark.read.parquet(store).groupBy("h").count().where("count > 1").count() == 0
 
 
+def test_ann_ingest_sink_matches_batch_assignment(spark, tmp_path):
+    """Streaming ANN-index maintenance (§2.I): replaying the embedding
+    table in TWO ordered micro-batches through ann_ingest_sink must
+    leave EXACTLY the one-shot batch PQ assignment (same literal
+    codebooks, same argmax fold), with cross-batch duplicates rejected
+    at the store and the append-only replay guard holding."""
+    from aprsdb_spark.operators.similarity import (
+        as_double,
+        best_code_expr,
+        pq_train_local,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet").select("vec_id", "embedding")
+    books = pq_train_local(sf, n_blocks=8, k=32, iters=4)
+    d = len(books[0][0][1])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # overlap: batch 1 re-delivers vec_ids 200-249 — the store must
+    # reject them as already-indexed, not re-code them
+    emb.where(F.col("vec_id") < 250).coalesce(1).write.parquet(str(in_dir / "b0"))
+    index = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema(emb.schema).parquet(str(in_dir) + "/*")
+
+    def drain():
+        q = (
+            stream.writeStream.option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .foreachBatch(
+                lambda b, i: S.ann_ingest_sink(b, i, index, books, run_key=ck)
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_after_b0 = spark.read.parquet(index).count()
+    emb.where(F.col("vec_id") >= 200).coalesce(1).write.parquet(str(in_dir / "b1"))
+    drain()
+    # manual re-apply of an already-applied batch_id must be a no-op
+    S.ann_ingest_sink(emb.limit(50), 1, index, books, run_key=ck)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(index).collect())
+    want_df = emb.select(
+        "vec_id",
+        *[
+            (-best_code_expr(
+                books[b], F.slice(as_double("embedding"), b * d + 1, d)
+            )["ncid"]).cast("int").alias(f"c{b}")
+            for b in range(8)
+        ],
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want, "streamed code store diverged from batch assignment"
+    assert n_after_b0 == 250 and len(got) == 500
+    assert (
+        spark.read.parquet(index).groupBy("vec_id").count().where("count > 1").count()
+        == 0
+    ), "duplicate index rows — first-seen-wins violated"
+
+
 def test_replay_guard_survives_lost_sidecar(spark, tmp_path):
     """The r7 ADVICE double-apply window: a crash AFTER the state swap
     but BEFORE the sidecar marker write used to make the retried
