@@ -173,19 +173,19 @@ def _trade_edges(t) -> DataFrame:
     deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
     n AS (SELECT n_nationkey AS nk FROM nation),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM n),
-    it0 AS (SELECT nk, FLOOR(1.0 / cnt * 1e9 + 0.5) / 1e9 AS pr
+    it0 AS (SELECT nk, 1000000000 // cnt AS pr9
             FROM n CROSS JOIN nn),
     {','.join(f'''
     it{k} AS (SELECT n.nk,
-                     FLOOR(({1 - _PR_DAMP} / nn.cnt
-                            + {_PR_DAMP} * COALESCE(c.s, 0)) * 1e9 + 0.5) / 1e9
-                         AS pr
+                     CAST(150000000 // nn.cnt
+                          + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS pr9
               FROM n CROSS JOIN nn
-              LEFT JOIN (SELECT e.dst AS nk, SUM(p.pr / deg.d) AS s
+              LEFT JOIN (SELECT e.dst AS nk,
+                                CAST(SUM(p.pr9 // deg.d) AS BIGINT) AS s
                          FROM e JOIN it{k - 1} p ON e.src = p.nk
                          JOIN deg ON deg.src = e.src
                          GROUP BY e.dst) c ON c.nk = n.nk)''' for k in range(1, _PR_ITERS + 1))}
-    SELECT nat.n_nationkey, nat.n_name, itf.pr AS pagerank
+    SELECT nat.n_nationkey, nat.n_name, itf.pr9 / 1000000000.0 AS pagerank
     FROM it{_PR_ITERS} itf JOIN nation nat ON nat.n_nationkey = itf.nk
     """,
 )
@@ -197,12 +197,20 @@ def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out cap keeps the graph sparse and the ranks informative).
     The one ITERATIVE fixpoint algorithm in the registry with a full
     value-level oracle: each Spark iteration is mirrored by an unrolled
-    CTE in the DuckDB SQL, and ranks round to 1e-9 after EVERY
-    iteration on both engines, so the order-dependent float sums can
-    never drift apart across rounds (the j_dedup_cluster fixed-round
-    philosophy applied to a numeric fixpoint). Dangling nodes keep
-    their teleport mass and contribute nothing (documented variant —
-    no dangling redistribution).
+    CTE in the DuckDB SQL, and every rank is an EXACT BIGINT
+    "nanorank" (1e-9 units): per-edge contributions are pr9 div d,
+    damping is (17·s) div 20, teleport is 150000000 div |V| — all
+    non-negative integer floor-divisions, so iteration k is a pure
+    function of iteration k−1 REGARDLESS of accumulation order. The
+    first form kept doubles and re-floored each round to a 1e-9 grid;
+    summing grid-valued terms lands on ×1e9+0.5 boundaries often
+    enough that the order-dependent last ulp flipped a rank between
+    runs (observed r10, NATION_3 at 0.065756096|97 — exactly the
+    pre-rounded-sum trap the repo's integer discipline exists for).
+    The integer form loses ≤1e-9 mass per edge per round
+    (deterministically) and the display value is one exact division.
+    Dangling nodes keep their teleport mass and contribute nothing
+    (documented variant — no dangling redistribution).
 
     Scale shape: the edge list is built once (flow agg on two int keys
     — the shuffle carries 2 ints and a count — then a top-3 window per
@@ -224,13 +232,13 @@ def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = t.nation.select(F.col("n_nationkey").alias("nk"))
     nn = nodes.agg(F.count("*").cast("long").alias("cnt"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "nk", "cnt", rnd(F.lit(1.0) / F.col("cnt"), 9).alias("pr")
+        "nk", "cnt", F.expr("1000000000 div cnt").alias("pr9")
     )
     for _ in range(_PR_ITERS):
         contrib = (
-            ed.join(F.broadcast(ranks.select("nk", "pr")), ed.src == F.col("nk"))
+            ed.join(F.broadcast(ranks.select("nk", "pr9")), ed.src == F.col("nk"))
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("d")).alias("s"))
+            .agg(F.sum(F.expr("pr9 div d")).cast("long").alias("s"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
@@ -238,16 +246,20 @@ def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "nk",
                 "cnt",
-                rnd(
-                    F.lit(1 - _PR_DAMP) / F.col("cnt")
-                    + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)),
-                    9,
-                ).alias("pr"),
+                F.expr(
+                    "150000000 div cnt + (17 * COALESCE(s, CAST(0 AS BIGINT))) div 20"
+                )
+                .cast("long")
+                .alias("pr9"),
             )
         )
     return ranks.join(
         F.broadcast(t.nation), F.col("nk") == F.col("n_nationkey")
-    ).select("n_nationkey", "n_name", F.col("pr").alias("pagerank"))
+    ).select(
+        "n_nationkey",
+        "n_name",
+        (F.col("pr9") / F.lit(1000000000.0)).alias("pagerank"),
+    )
 
 
 @query(

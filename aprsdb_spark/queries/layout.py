@@ -15,7 +15,7 @@ tooling at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rnd, sql_rnd
@@ -437,3 +437,76 @@ def j_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_compaction_plan.__doc__ = j_compaction_plan.__doc__.replace(
     "{D}", str(_COMPACT_FILE_DIV)
 )
+
+
+@query(
+    "j_length_deciles",
+    oracle=f"""
+    WITH hist AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY n_chars),
+    cum AS (SELECT n_chars, n,
+                   CAST(SUM(n) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+            FROM hist),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM hist),
+    grid AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile, nn,
+                    (CAST(unnest(range(1, 10)) AS BIGINT) * nn + 9) // 10
+                      AS target_rank
+             FROM tot),
+    hit AS (SELECT g.decile, g.nn, g.target_rank,
+                   MIN(cum.n_chars) AS boundary, MIN(cum.c) AS n_le
+            FROM grid g JOIN cum ON cum.c >= g.target_rank
+            GROUP BY g.decile, g.nn, g.target_rank)
+    SELECT decile, target_rank, boundary, n_le,
+           {sql_rnd("n_le * 1.0 / nn", 6)} AS frac_le
+    FROM hit
+    """,
+)
+def j_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete deciles of documents.n_chars WITHOUT a global
+    sort — the scalable form of percentile_disc: the boundary for
+    quantile q is the smallest value whose cumulative count reaches
+    ceil(q·N/10), read off a VALUE HISTOGRAM instead of ranked rows.
+    Where j_histogram_equi interpolates (percentile_cont — a
+    non-mergeable exact aggregate), this is the type-1/lower quantile
+    on exact BIGINT counts, and it distributes: the histogram is one
+    hash agg with map-side partials, and the only window runs over
+    DISTINCT VALUES (≤ max doc length rows — actual metadata at any
+    corpus size), the j_gini_tokens tie-block discipline applied to
+    quantile selection. No task ever sees ranked corpus rows.
+
+    Exactness: target ranks are ceil via (q·N + 9) div 10 on BIGINTs
+    (non-negative, so `div`/`//` agree — the documented sign
+    precondition); boundary/n_le are MINs over the monotone cum
+    relation; the single float op is the display fraction (rnd 1e-6).
+
+    Plan: corpus-touching work is ONE (n_chars) hash agg; the
+    cumulative window, the 9-row grid theta-join and the final rollup
+    are all histogram-sized."""
+    t = load(spark, sf_dir)
+    hist = t.documents.groupBy("n_chars").agg(F.count("*").cast("long").alias("n"))
+    # single-partition window over DISTINCT LENGTHS only (metadata) —
+    # the same deliberate shape as the jaccard/selective curves
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("n_chars", "n", F.sum("n").over(w).cast("long").alias("c"))
+    tot = hist.agg(F.sum("n").cast("long").alias("nn"))
+    grid = tot.select(
+        "nn",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 10)])).alias(
+            "decile"
+        ),
+    ).select("decile", "nn", F.expr("(decile * nn + 9) div 10").alias("target_rank"))
+    hit = (
+        F.broadcast(grid)
+        .join(cum, F.col("c") >= F.col("target_rank"))
+        .groupBy("decile", "nn", "target_rank")
+        .agg(F.min("n_chars").alias("boundary"), F.min("c").alias("n_le"))
+    )
+    return hit.select(
+        "decile",
+        "target_rank",
+        "boundary",
+        "n_le",
+        rnd(F.col("n_le") * 1.0 / F.col("nn"), 6).alias("frac_le"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import rnd
+from ..functions import rnd, sql_rnd
 from ..operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
@@ -823,6 +823,49 @@ def j_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_scores(t) -> DataFrame:
+    """The full (doc_id, cand, score) naive-Bayes score relation behind
+    j_lang_id — extracted so the selective-prediction audit can see the
+    runner-up score; j_lang_id composes rk=1 on top unchanged."""
+    tok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    langs = t.documents.select("lang").distinct()
+    # Vocabulary size as a broadcast 1-row aggregate (the oracle's
+    # `CROSS JOIN vocab`) — not an eager distinct().count(), which at
+    # 100 TB would be a full shuffle executed during plan construction.
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
+    prof = (
+        t.documents.select("lang", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = prof.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    prof_t = F.broadcast(
+        prof.join(totals, "lang").select(
+            F.col("lang").alias("cand"), "term", "cnt", "tot"
+        )
+    )
+    totals_b = F.broadcast(totals.select(F.col("lang").alias("cand"), "tot"))
+    return (
+        tok.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
+        .join(prof_t, ["cand", "term"], "left")
+        .drop("tot")
+        .join(totals_b, "cand")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "cand")
+        .agg(
+            rnd(
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+
+
+
 @query(
     "j_lang_id",
     oracle="""
@@ -853,42 +896,7 @@ def j_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a stopword whitelist cannot discriminate — the operator shape is
     what's under test). Scale: profile is vocab x langs — broadcast."""
     t = load(spark, sf_dir)
-    tok = t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-    langs = t.documents.select("lang").distinct()
-    # Vocabulary size as a broadcast 1-row aggregate (the oracle's
-    # `CROSS JOIN vocab`) — not an eager distinct().count(), which at
-    # 100 TB would be a full shuffle executed during plan construction.
-    vocab = tok.agg(F.countDistinct("term").alias("v"))
-    prof = (
-        t.documents.select("lang", F.explode(tokens_col("text")).alias("term"))
-        .groupBy("lang", "term")
-        .agg(F.count("*").alias("cnt"))
-    )
-    totals = prof.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    prof_t = F.broadcast(
-        prof.join(totals, "lang").select(
-            F.col("lang").alias("cand"), "term", "cnt", "tot"
-        )
-    )
-    totals_b = F.broadcast(totals.select(F.col("lang").alias("cand"), "tot"))
-    scores = (
-        tok.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
-        .join(prof_t, ["cand", "term"], "left")
-        .drop("tot")
-        .join(totals_b, "cand")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id", "cand")
-        .agg(
-            rnd(
-                F.sum(
-                    F.log(
-                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot") + F.col("v"))
-                    )
-                ),
-                4,
-            ).alias("score")
-        )
-    )
+    scores = _lang_scores(t)
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
     return (
         scores.withColumn("rk", F.row_number().over(w))
@@ -2680,6 +2688,272 @@ def j_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("kappa"),
         )
+    )
+
+
+@query(
+    "j_f1_macro",
+    oracle=f"""
+    WITH conf AS ({_LANG_CONFUSION_SQL}),
+    classes AS (SELECT DISTINCT lang FROM documents),
+    rowm AS (SELECT true_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS row_n,
+                    CAST(SUM(CASE WHEN true_lang = pred_lang
+                                  THEN n_docs ELSE 0 END) AS BIGINT) AS tp
+             FROM conf GROUP BY true_lang),
+    colm AS (SELECT pred_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS col_n
+             FROM conf GROUP BY pred_lang),
+    per AS (SELECT c.lang,
+                   COALESCE(rowm.tp, 0) AS tp,
+                   COALESCE(colm.col_n, 0) - COALESCE(rowm.tp, 0) AS fp,
+                   COALESCE(rowm.row_n, 0) - COALESCE(rowm.tp, 0) AS fn
+            FROM classes c LEFT JOIN rowm USING (lang)
+                           LEFT JOIN colm USING (lang)),
+    sc AS (SELECT lang, tp, fp, fn,
+                  CASE WHEN tp + fp = 0 THEN 0
+                       ELSE (tp * 1000000) // (tp + fp) END AS p6,
+                  CASE WHEN tp + fn = 0 THEN 0
+                       ELSE (tp * 1000000) // (tp + fn) END AS r6,
+                  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                       ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f6
+           FROM per),
+    mic AS (SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+                   CAST(SUM(fn) AS BIGINT) AS fn
+            FROM sc),
+    mics AS (SELECT '(micro)' AS lang, tp, fp, fn,
+                    CASE WHEN tp + fp = 0 THEN 0
+                         ELSE (tp * 1000000) // (tp + fp) END AS p6,
+                    CASE WHEN tp + fn = 0 THEN 0
+                         ELSE (tp * 1000000) // (tp + fn) END AS r6,
+                    CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                         ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f6
+             FROM mic),
+    macs AS (SELECT '(macro)' AS lang, CAST(NULL AS BIGINT) AS tp,
+                    CAST(NULL AS BIGINT) AS fp, CAST(NULL AS BIGINT) AS fn,
+                    CAST(CAST(SUM(p6) AS BIGINT) // COUNT(*) AS BIGINT) AS p6,
+                    CAST(CAST(SUM(r6) AS BIGINT) // COUNT(*) AS BIGINT) AS r6,
+                    CAST(CAST(SUM(f6) AS BIGINT) // COUNT(*) AS BIGINT) AS f6
+             FROM sc),
+    u AS (SELECT * FROM sc UNION ALL SELECT * FROM mics
+          UNION ALL SELECT * FROM macs)
+    SELECT lang, tp, fp, fn,
+           p6 / 1000000.0 AS prec, r6 / 1000000.0 AS rec, f6 / 1000000.0 AS f1
+    FROM u
+    """,
+)
+def j_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 plus the micro and macro rollups
+    for the lang-ID classifier — the scalar grid model selection reads
+    after j_lang_confusion localizes the errors and j_cohen_kappa
+    chance-corrects the total (van Rijsbergen 1979, public). Macro
+    weights classes equally (the low-resource-language guard in corpus
+    mixture design); micro re-derives accuracy from pooled counts.
+
+    EXACT integer arithmetic end-to-end: per class, precision, recall
+    and F1 lower to single integer floor-divisions on 1e-6-scaled
+    BIGINTs — F1 via the sufficient form 2·tp/(2·tp+fp+fn), never
+    p·r composition, so there is NO float accumulation anywhere; the
+    macro averages are integer sums of those scaled values divided by
+    the class count. All numerators non-negative, so Spark `div` ==
+    DuckDB `//` (the sign precondition documented per the r9 ADVICE
+    discipline). The display columns are each scaled-int / 1e6 — one
+    identical IEEE op per engine.
+
+    Plan: everything after the persisted ≤|langs|² confusion cells is
+    metadata-sized — two cell rollups, a |langs|-row join, and three
+    1-row frames unioned in. Zero additional corpus passes."""
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    conf = QUERIES["j_lang_confusion"](spark, sf_dir)
+    conf.persist()  # consumers: row marginals + tp diagonal, col marginals
+    classes = t.documents.select("lang").distinct()
+    rowm = conf.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("row_n"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n_docs")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    colm = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("col_n")
+    )
+    per = (
+        classes.join(rowm, "lang", "left")
+        .join(colm, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("col_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("row_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+
+    def scaled(df):
+        return df.select(
+            "lang",
+            "tp",
+            "fp",
+            "fn",
+            F.when(F.col("tp") + F.col("fp") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(tp * 1000000) div (tp + fp)"))
+            .alias("p6"),
+            F.when(F.col("tp") + F.col("fn") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(tp * 1000000) div (tp + fn)"))
+            .alias("r6"),
+            F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(2 * tp * 1000000) div (2 * tp + fp + fn)"))
+            .alias("f6"),
+        )
+
+    sc = scaled(per)
+    sc.persist()  # consumers: per-class rows, micro sums, macro average
+    mic = scaled(
+        sc.agg(
+            F.lit("(micro)").alias("lang"),
+            F.sum("tp").cast("long").alias("tp"),
+            F.sum("fp").cast("long").alias("fp"),
+            F.sum("fn").cast("long").alias("fn"),
+        )
+    )
+    mac = sc.agg(
+        F.lit("(macro)").alias("lang"),
+        F.lit(None).cast("long").alias("tp"),
+        F.lit(None).cast("long").alias("fp"),
+        F.lit(None).cast("long").alias("fn"),
+        F.expr("CAST(SUM(p6) AS BIGINT) div COUNT(*)").alias("p6"),
+        F.expr("CAST(SUM(r6) AS BIGINT) div COUNT(*)").alias("r6"),
+        F.expr("CAST(SUM(f6) AS BIGINT) div COUNT(*)").alias("f6"),
+    )
+    u = sc.unionByName(mic).unionByName(mac)
+    return u.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("p6") / F.lit(1000000.0)).alias("prec"),
+        (F.col("r6") / F.lit(1000000.0)).alias("rec"),
+        (F.col("f6") / F.lit(1000000.0)).alias("f1"),
+    )
+
+
+_LANG_SCORES_CTES = """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+    prof AS (SELECT lang, term, COUNT(*) AS cnt
+             FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+             GROUP BY lang, term),
+    totals AS (SELECT lang, SUM(cnt) AS tot FROM prof GROUP BY lang),
+    scores AS (
+      SELECT tok.doc_id, langs.lang AS cand,
+             FLOOR((SUM(ln((COALESCE(prof.cnt, 0) + 1.0) / (totals.tot + vocab.v))))
+                   * 10000 + 0.5) / 10000 AS score
+      FROM tok CROSS JOIN langs CROSS JOIN vocab
+      LEFT JOIN prof ON prof.lang = langs.lang AND prof.term = tok.term
+      JOIN totals ON totals.lang = langs.lang
+      GROUP BY tok.doc_id, langs.lang, vocab.v)"""
+
+
+@query(
+    "j_selective_accuracy",
+    oracle=f"""
+    WITH {_LANG_SCORES_CTES},
+    top2 AS (SELECT doc_id,
+                    MAX(CASE WHEN rk = 1 THEN cand END) AS pred_lang,
+                    MAX(CASE WHEN rk = 1 THEN score END) AS s1,
+                    MAX(CASE WHEN rk = 2 THEN score END) AS s2
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, cand) AS rk
+                   FROM scores)
+             WHERE rk <= 2 GROUP BY doc_id),
+    m AS (SELECT CAST(FLOOR((t.s1 - t.s2) * 10) AS BIGINT) AS margin_deci,
+                 CASE WHEN t.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+          FROM top2 t JOIN documents d USING (doc_id)),
+    g AS (SELECT margin_deci, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(ok) AS BIGINT) AS n_correct
+          FROM m GROUP BY margin_deci),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM g),
+    cum AS (SELECT margin_deci, n_docs, n_correct,
+                   CAST(SUM(n_docs) OVER win AS BIGINT) AS n_ge,
+                   CAST(SUM(n_correct) OVER win AS BIGINT) AS correct_ge
+            FROM g WINDOW win AS (ORDER BY margin_deci DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT margin_deci, n_docs, n_correct, n_ge, correct_ge,
+           {sql_rnd("n_ge * 1.0 / nn", 6)} AS coverage,
+           {sql_rnd("correct_ge * 1.0 / n_ge", 6)} AS sel_accuracy
+    FROM cum CROSS JOIN tot
+    """,
+)
+def j_selective_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk–coverage curve for the lang-ID classifier (selective
+    prediction, Geifman & El-Yaniv 2017, public): docs bucket by the
+    top-1 vs top-2 log-odds margin (0.1-nat buckets), and each bucket
+    row reports the coverage and accuracy of predicting ONLY docs at
+    or above that margin. The operational output is the margin
+    threshold at which accuracy clears the routing bar — above it
+    auto-label, below it route to human review / a bigger model; the
+    j_active_margin companion for CLASSIFIER confidence rather than
+    kNN neighborhood ambiguity.
+
+    Determinism: s1, s2 are the registered 1e-4-rounded scores, so the
+    margin is ONE subtraction of identical doubles and the ×10 floor
+    bucket is engine-independent (margin ≥ 0 by rank construction —
+    the div/floor sign precondition holds). Counts are exact BIGINTs;
+    coverage/accuracy are single divisions rounded 1e-6.
+
+    Plan: reuses _lang_scores (the j_lang_id pipeline verbatim), one
+    doc-keyed top-2 window co-partitioned with the score agg, a
+    doc_id-equi join to the labels, and then ONE hash agg to ≤ a few
+    hundred margin buckets — the cumulative window runs over bucket
+    METADATA (the j_jaccard_threshold_curve shape), never corpus
+    rows."""
+    t = load(spark, sf_dir)
+    scores = _lang_scores(t)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    top2 = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cand"))).alias("pred_lang"),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("score"))).alias("s2"),
+        )
+    )
+    truth = t.documents.select("doc_id", "lang")
+    m = top2.join(truth, "doc_id").select(
+        F.floor((F.col("s1") - F.col("s2")) * 10).cast("long").alias("margin_deci"),
+        F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0).alias("ok"),
+    )
+    g = m.groupBy("margin_deci").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_correct"),
+    )
+    wc = (
+        Window.orderBy(F.col("margin_deci").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "margin_deci",
+        "n_docs",
+        "n_correct",
+        F.sum("n_docs").over(wc).cast("long").alias("n_ge"),
+        F.sum("n_correct").over(wc).cast("long").alias("correct_ge"),
+    )
+    tot = g.agg(F.sum("n_docs").cast("long").alias("nn"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "margin_deci",
+        "n_docs",
+        "n_correct",
+        "n_ge",
+        "correct_ge",
+        rnd(F.col("n_ge") * 1.0 / F.col("nn"), 6).alias("coverage"),
+        rnd(F.col("correct_ge") * 1.0 / F.col("n_ge"), 6).alias("sel_accuracy"),
     )
 
 

@@ -258,3 +258,133 @@ def j_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_hll_portable.__doc__ = j_hll_portable.__doc__.replace("{p}", str(_HLL_P)).replace(
     "{m}", str(_HLL_M)
 )
+
+
+_HLL_FINAL_SQL = f"""
+      CASE WHEN raw_est <= 2.5 * {_HLL_M} AND hit < {_HLL_M}
+           THEN FLOOR({_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - hit))
+                      * 10000 + 0.5) / 10000
+           ELSE FLOOR(raw_est * 10000 + 0.5) / 10000 END"""
+
+
+@query(
+    "j_hll_merge",
+    oracle=f"""
+    WITH x AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events),
+    rho AS (SELECT event_type, h // 16777216 AS reg,
+                   CASE WHEN h % 16777216 = 0 THEN 25
+                        ELSE 25 - length(bin(h % 16777216)) END AS rho
+            FROM x),
+    regs_t AS (SELECT event_type, reg, MAX(rho) AS r
+               FROM rho GROUP BY event_type, reg),
+    merged AS (SELECT '(merged)' AS scope, reg, MAX(r) AS r
+               FROM regs_t GROUP BY reg),
+    allr AS (SELECT event_type AS scope, reg, r FROM regs_t
+             UNION ALL SELECT scope, reg, r FROM merged),
+    s AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS hit,
+                 SUM(1.0 / (1 << r)) AS harm
+          FROM allr GROUP BY scope),
+    raw AS (SELECT scope, hit,
+                   (CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M})
+                   / (harm + ({_HLL_M} - hit)) AS raw_est
+            FROM s),
+    fin AS (SELECT scope, hit, {_HLL_FINAL_SQL} AS est FROM raw),
+    truth AS (SELECT event_type AS scope,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT '(merged)', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              FROM events)
+    SELECT f.scope, t.n_true, f.hit AS n_registers_hit, f.est,
+           FLOOR(abs(f.est - t.n_true) / t.n_true * 10000 + 0.5) / 10000
+             AS rel_err
+    FROM fin f JOIN truth t USING (scope)
+    """,
+)
+def j_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY, register by register: one portable sketch per
+    event_type plus the '(merged)' row built purely by max() over the
+    per-type register tables — never re-touching the raw stream. The
+    merged registers are IDENTICAL to a direct global sketch (max of
+    per-group maxes over a partitioned distinct == global max), which
+    is the whole reason HLL state distributes: per-partition partials
+    at 100 TB combine with the same {m}-row max the '(merged)' row
+    exercises here, and sketches persisted per day/source roll up to
+    any ad-hoc scope without a corpus pass. The oracle value-checks
+    every per-type estimate AND the merged one against exact distinct
+    counts.
+
+    Same float discipline as j_hll_portable: dyadic 2^-rho harmonic
+    terms are order-exact; ln only at the display boundary (rnd 1e-4).
+    Plan: ONE (event_type, hash) distinct; register tables and
+    everything after are (|types|+1)·{m}-row metadata."""
+    t = load(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    x = t.events.select("event_type", h.alias("h")).distinct()
+    rho = x.select(
+        "event_type",
+        F.expr("h div 16777216").alias("reg"),
+        F.when(F.col("h") % 16777216 == 0, 25)
+        .otherwise(25 - F.length(F.bin(F.col("h") % 16777216)))
+        .alias("rho"),
+    )
+    regs_t = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("r"))
+    regs_t.persist()  # consumers: per-type rows + the merged max
+    merged = (
+        regs_t.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("(merged)").alias("scope"), "reg", "r")
+    )
+    allr = regs_t.select(
+        F.col("event_type").alias("scope"), "reg", "r"
+    ).unionByName(merged)
+    s = allr.groupBy("scope").agg(
+        F.count("*").cast("long").alias("hit"),
+        F.sum(F.expr("CAST(1.0 AS DOUBLE) / shiftleft(1, r)")).alias("harm"),
+    )
+    raw = s.select(
+        "scope",
+        "hit",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (F.col("harm") + (_HLL_M - F.col("hit")))
+        ).alias("raw_est"),
+    )
+    fin = raw.select(
+        "scope",
+        "hit",
+        F.when(
+            (F.col("raw_est") <= 2.5 * _HLL_M) & (F.col("hit") < _HLL_M),
+            rnd(F.lit(_HLL_M) * F.log(_HLL_M * 1.0 / (_HLL_M - F.col("hit"))), 4),
+        )
+        .otherwise(rnd(F.col("raw_est"), 4))
+        .alias("est"),
+    )
+    truth = (
+        t.events.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+        .unionByName(
+            t.events.agg(
+                F.lit("(merged)").alias("scope"),
+                F.countDistinct("user_id").cast("long").alias("n_true"),
+            )
+        )
+    )
+    return fin.join(truth, "scope").select(
+        "scope",
+        "n_true",
+        F.col("hit").alias("n_registers_hit"),
+        "est",
+        rnd(F.abs(F.col("est") - F.col("n_true")) / F.col("n_true"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+j_hll_merge.__doc__ = j_hll_merge.__doc__.replace("{m}", str(_HLL_M))

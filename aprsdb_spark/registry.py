@@ -144,6 +144,16 @@ NEXT_QUEUE: list[str] = [
     # r10: PQ index write-path twin — codes persisted once via the
     # bucketed catalog sink, ADC search reads the code table only
     "j_ann_pq_sink",
+    # r10 wave 2: classifier evaluation closure — per-class/micro/macro
+    # F1 on exact scaled integers; selective-prediction risk-coverage
+    # curve from the top-1 vs top-2 log-odds margin
+    "j_f1_macro",
+    "j_selective_accuracy",
+    # r10 wave 3: HLL register-max mergeability (per-type sketches →
+    # '(merged)' ≡ global), sort-free exact discrete deciles from the
+    # value histogram (the gini tie-block discipline for quantiles)
+    "j_hll_merge",
+    "j_length_deciles",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
