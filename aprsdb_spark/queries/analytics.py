@@ -329,6 +329,100 @@ def j_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_clustering_coeff",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e WHERE src != dst),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (SELECT a AS nk FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+    cnt AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY nk),
+    ends AS (SELECT u AS nk FROM und UNION ALL SELECT v FROM und),
+    deg AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM ends GROUP BY nk),
+    base AS (SELECT n.n_nationkey, n.n_name,
+                    COALESCE(deg.degree, 0) AS degree,
+                    COALESCE(cnt.n_triangles, 0) AS n_triangles
+             FROM nation n LEFT JOIN deg ON deg.nk = n.n_nationkey
+                           LEFT JOIN cnt ON cnt.nk = n.n_nationkey)
+    SELECT n_nationkey, n_name, degree, n_triangles,
+           CASE WHEN degree < 2 THEN 0.0
+                ELSE CAST((2 * n_triangles * 1000000)
+                          // (degree * (degree - 1)) AS BIGINT) / 1000000.0
+           END AS clustering_coeff
+    FROM base
+    """,
+)
+def j_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected trade
+    graph — C(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of a
+    node's neighbor pairs that are themselves connected (Watts &
+    Strogatz 1998, public). The triangle count's DENOMINATOR: a hub
+    with many triangles can still be a loose star, and the coefficient
+    is what community/quality analyses actually threshold on.
+
+    Exact arithmetic: T(v) and deg(v) come from the same canonical
+    u<v edge relation as j_triangle_count (triangles via the two-path
+    join closed by the third-edge probe — each counted once), and the
+    coefficient lowers to ONE integer floor-division on a 1e-6-scaled
+    BIGINT (non-negative, so Spark `div` == DuckDB `//`), displayed by
+    one exact /1e6. Zero-degree and degree-1 nodes define C = 0.
+
+    Scale shape: identical to the triangle plan — the expensive part
+    is the shared flow aggregation; degrees are a |V|-row agg over the
+    broadcast edge list and everything after is node-table metadata."""
+    t = load(spark, sf_dir)
+    e = _trade_edges(t)
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    und.persist()  # consumers: 3 triangle legs + both degree endpoints
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("nk"))
+        .unionAll(tri.select(F.col("b").alias("nk")))
+        .unionAll(tri.select(F.col("c").alias("nk")))
+    )
+    cnt = corners.groupBy("nk").agg(F.count("*").cast("long").alias("n_triangles"))
+    ends = und.select(F.col("u").alias("nk")).unionAll(
+        und.select(F.col("v").alias("nk"))
+    )
+    deg = ends.groupBy("nk").agg(F.count("*").cast("long").alias("degree"))
+    base = (
+        t.nation.join(F.broadcast(deg), F.col("n_nationkey") == deg.nk, "left")
+        .drop("nk")
+        .join(F.broadcast(cnt), F.col("n_nationkey") == cnt.nk, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+    coeff = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))")
+        / F.lit(1000000.0)
+    )
+    return base.select(
+        "n_nationkey", "n_name", "degree", "n_triangles",
+        coeff.alias("clustering_coeff"),
+    )
+
+
 # Welch two-sample test: |t| beyond this flags a significant difference
 # (two-sided 5% on the normal approximation — per-type daily n >= ~400).
 _TTEST_CRIT = 1.96

@@ -1386,3 +1386,142 @@ def j_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("h_source"), 6).alias("h_source"),
         rnd(F.when(hmin > 0, F.col("mi") / hmin).otherwise(0.0), 6).alias("nmi"),
     )
+
+
+# Bigram conditional entropy: the sequential-structure companion to
+# j_entropy's unigram (bag-of-words) rate. Public formulation: Shannon
+# 1951's entropy-rate estimate from n-gram statistics.
+_BIGRAM_SQL = """
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS g
+    FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@query(
+    "j_entropy_rate",
+    oracle=f"""
+    WITH bg AS ({_BIGRAM_SQL}),
+    c12 AS (SELECT source, g, split_part(g, ' ', 1) AS w1,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY source, g),
+    c1 AS (SELECT source, w1, CAST(SUM(c) AS BIGINT) AS cp
+           FROM c12 GROUP BY source, w1),
+    agg AS (SELECT c12.source,
+                   CAST(SUM(c12.c) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+                   SUM(c12.c * (ln(CAST(c1.cp AS DOUBLE))
+                                - ln(CAST(c12.c AS DOUBLE)))) AS h_num
+            FROM c12 JOIN c1 ON c1.source = c12.source AND c1.w1 = c12.w1
+            GROUP BY c12.source),
+    pfx AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS distinct_prefixes
+            FROM c1 GROUP BY source)
+    SELECT a.source, a.n_bigrams, a.distinct_bigrams, p.distinct_prefixes,
+           {sql_rnd("a.h_num / a.n_bigrams", 6)} AS cond_entropy
+    FROM agg a JOIN pfx p USING (source)
+    """,
+)
+def j_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram conditional entropy H(w₂|w₁) in nats — the
+    entropy-RATE estimate (Shannon 1951, public): how predictable the
+    next token is given the current one. Template/boilerplate text
+    scores far below its unigram entropy (j_entropy) because the
+    sequences repeat even when the vocabulary doesn't — the gap
+    H(w) − H(w₂|w₁) is the repetition signal n-gram novelty audits
+    threshold on, computed here from counts alone.
+
+    Identity: H = Σ c₁₂·(ln c₁ − ln c₁₂) / N over bigram types, where
+    c₁ is the count of w₁ as a bigram prefix — all counts exact
+    BIGINTs; ln evaluates on identical integers in both engines (the
+    j_zipf_fit precedent) and the term sum is of UNROUNDED libm values
+    (order-boundary odds ~1e-10/row — the documented convention),
+    rounded 1e-6 only at display.
+
+    Plan: one bigram explode → (source, bigram) hash agg, a prefix
+    re-agg (the gini histogram discipline — shuffles carry counts,
+    never text beyond the gram keys), one (source, w1)-keyed join, and
+    a source rollup. No windows, no corpus sort."""
+    t = load(spark, sf_dir)
+    bg = t.documents.select(
+        "source", F.explode(ngrams_col("text", 2)).alias("g")
+    )
+    c12 = (
+        bg.groupBy("source", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select("source", F.substring_index("g", " ", 1).alias("w1"), "c")
+    )
+    c1 = c12.groupBy("source", "w1").agg(F.sum("c").cast("long").alias("cp"))
+    agg = (
+        c12.join(c1, ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("distinct_bigrams"),
+            F.sum(
+                F.col("c")
+                * (F.log(F.col("cp").cast("double")) - F.log(F.col("c").cast("double")))
+            ).alias("h_num"),
+        )
+    )
+    pfx = c1.groupBy("source").agg(F.count("*").cast("long").alias("distinct_prefixes"))
+    return agg.join(pfx, "source").select(
+        "source",
+        "n_bigrams",
+        "distinct_bigrams",
+        "distinct_prefixes",
+        rnd(F.col("h_num") / F.col("n_bigrams"), 6).alias("cond_entropy"),
+    )
+
+
+@query(
+    "j_fertility_audit",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
+           {sql_rnd("SUM(n_chars) * 1.0 / SUM(len(string_split(text, ' ')))", 6)}
+             AS chars_per_token,
+           {sql_rnd("SUM(octet_length(CAST(text AS BLOB))) * 1.0"
+                    " / SUM(len(string_split(text, ' ')))", 6)} AS bytes_per_token,
+           {sql_rnd("SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*)", 6)}
+             AS tokens_per_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def j_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility audit: chars/token, bytes/token
+    (UTF-8 octets — the number a byte-level BPE actually pays) and
+    tokens/doc. THE pre-training budget table: sequence-length and
+    cost planning happen in tokens, storage and network in bytes, and
+    the ratio between them varies by language — a lang whose
+    bytes/token drifts up after a crawl refresh is accumulating
+    multi-byte or concatenated junk. Exact BIGINT sums (token counts
+    via size(split) — no explode, text never leaves the map stage);
+    each display ratio is ONE division of exact integers (rnd 1e-6),
+    so there is no accumulation-order exposure anywhere.
+
+    Plan: a narrow map over the documents scan and ONE |langs|-row
+    hash agg with map-side partials — the cheapest possible shape."""
+    t = load(spark, sf_dir)
+    n_tok = F.size(tokens_col("text")).cast("long")
+    return (
+        t.documents.select(
+            "lang",
+            n_tok.alias("nt"),
+            F.col("n_chars").cast("long").alias("nc"),
+            F.octet_length("text").cast("long").alias("nb"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("sum_chars"),
+            F.sum("nb").cast("long").alias("sum_bytes"),
+            rnd(F.sum("nc") * 1.0 / F.sum("nt"), 6).alias("chars_per_token"),
+            rnd(F.sum("nb") * 1.0 / F.sum("nt"), 6).alias("bytes_per_token"),
+            rnd(F.sum("nt") * 1.0 / F.count("*"), 6).alias("tokens_per_doc"),
+        )
+    )

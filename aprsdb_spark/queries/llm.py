@@ -2180,6 +2180,101 @@ def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_ann_pq_sink.__doc__ = j_ann_pq_sink.__doc__.replace("{short}", str(_PQ_SHORTLIST))
 
 
+def _recall_curve_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (SELECT vec_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS re
+              FROM (SELECT vec_id,
+                           FLOOR(list_dot_product(v, qv) * 1000000 + 0.5) / 1000000
+                             AS score
+                    FROM e, q WHERE vec_id <> 0
+                    ORDER BY score DESC, vec_id LIMIT {_PQ_TOPK}) x),
+    approx AS (SELECT vec_id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS ra
+               FROM ({ORACLE["j_ann_pq"]}) y),
+    pairs AS (SELECT e2.re, a.ra
+              FROM exact e2 JOIN approx a ON e2.vec_id = a.vec_id),
+    grid AS (SELECT CAST(unnest(range(1, {_PQ_TOPK} + 1)) AS BIGINT) AS k),
+    hits AS (SELECT g.k,
+                    CAST(COALESCE(SUM(CASE WHEN p.re <= g.k AND p.ra <= g.k
+                                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+                      AS n_hits
+             FROM grid g LEFT JOIN pairs p ON TRUE GROUP BY g.k)
+    SELECT k, n_hits,
+           FLOOR(n_hits * 1.0 / k * 1000000 + 0.5) / 1000000 AS recall
+    FROM hits
+    """
+
+
+@query("j_recall_curve", oracle=_recall_curve_oracle())
+def j_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE (k = 1..{k}) of the PQ ADC search against the
+    exact top-{k} — where j_ann_pq_recall reports the single recall@{k}
+    scalar, the curve shows WHERE the approximate ranking diverges:
+    head-heavy loss (recall@1 low) means the re-rank shortlist is too
+    small or a subspace codebook is degenerate (j_pq_distortion says
+    which); tail-only loss is the normal ADC noise the shortlist
+    absorbs. The k-sweep costs nothing extra — both rankings are
+    already ≤{k}-row relations, so the curve is a metadata join
+    against a literal k-grid, the j_jaccard_threshold_curve principle
+    applied to ANN evaluation.
+
+    Determinism: both ranks order by (rounded score desc, vec_id) —
+    total orders on both engines; counts are exact and recall is one
+    division per k (rnd 1e-6).
+
+    Plan: the exact leg is one scored scan + TakeOrdered; the approx
+    leg reuses the registered j_ann_pq plan verbatim; everything after
+    is ≤{k}·{k} rows."""
+    from ..operators.similarity import _lit_vector
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    exact = (
+        t.embeddings.where(F.col("vec_id") != 0)
+        .select("vec_id", rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_TOPK)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    ex = exact.select("vec_id", F.row_number().over(w).cast("long").alias("re"))
+    ap = (
+        QUERIES["j_ann_pq"](spark, sf_dir)
+        .select("vec_id", "score")
+        .select("vec_id", F.row_number().over(w).cast("long").alias("ra"))
+    )
+    pairs = ex.join(ap, "vec_id").select("re", "ra")
+    grid = spark.range(1, _PQ_TOPK + 1).select(F.col("id").cast("long").alias("k"))
+    hits = (
+        F.broadcast(grid)
+        .join(pairs, F.lit(True), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("re") <= F.col("k")) & (F.col("ra") <= F.col("k")), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    return hits.select(
+        "k", "n_hits", rnd(F.col("n_hits") * 1.0 / F.col("k"), 6).alias("recall")
+    )
+
+
+j_recall_curve.__doc__ = j_recall_curve.__doc__.replace("{k}", str(_PQ_TOPK))
+
+
 # ---------------------------------------------------------- PCA projection
 
 

@@ -154,6 +154,14 @@ NEXT_QUEUE: list[str] = [
     # value histogram (the gini tie-block discipline for quantiles)
     "j_hll_merge",
     "j_length_deciles",
+    # r10 wave 4: bigram conditional entropy rate (sequential-structure
+    # audit), per-lang tokenizer fertility budget table
+    "j_entropy_rate",
+    "j_fertility_audit",
+    # r10 wave 5: per-node clustering coefficient (triangle denominator),
+    # recall@k curve for the PQ search (head-vs-tail loss localization)
+    "j_clustering_coeff",
+    "j_recall_curve",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
