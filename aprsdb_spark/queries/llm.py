@@ -3389,3 +3389,255 @@ def j_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exp_recall"),
     )
+
+
+_CHARGRAM_SPARK = (
+    "CASE WHEN length(text) >= 3 "
+    "THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+    "ELSE array() END"
+)
+_CHARGRAM_DUCK = (
+    "list_transform(range(1, greatest(length(text) - 2, 0) + 1),"
+    " i -> substr(text, i, 3))"
+)
+
+
+@query(
+    "j_chargram_confusion",
+    oracle=f"""
+    WITH cg AS (SELECT doc_id, unnest({_CHARGRAM_DUCK}) AS term FROM documents),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM cg),
+    prof AS (SELECT lang, term, COUNT(*) AS cnt
+             FROM (SELECT lang, unnest({_CHARGRAM_DUCK}) AS term FROM documents)
+             GROUP BY lang, term),
+    totals AS (SELECT lang, SUM(cnt) AS tot FROM prof GROUP BY lang),
+    scores AS (
+      SELECT cg.doc_id, langs.lang AS cand,
+             FLOOR((SUM(ln((COALESCE(prof.cnt, 0) + 1.0) / (totals.tot + vocab.v))))
+                   * 10000 + 0.5) / 10000 AS score
+      FROM cg CROSS JOIN langs CROSS JOIN vocab
+      LEFT JOIN prof ON prof.lang = langs.lang AND prof.term = cg.term
+      JOIN totals ON totals.lang = langs.lang
+      GROUP BY cg.doc_id, langs.lang, vocab.v),
+    pred AS (SELECT doc_id, cand AS pred_lang FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, cand) AS rk
+               FROM scores) WHERE rk = 1)
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred_lang
+    """,
+)
+def j_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-TRIGRAM naive-Bayes lang-ID confusion matrix — the
+    "char-n-gram upgrade" j_lang_confusion's docstring names as the
+    production fix when word-unigram profiles conflate language pairs
+    (Cavnar & Trenkle 1994, public: char n-grams survive tokenizer
+    damage, code-switching and short inputs). Same add-one-smoothed
+    scoring shape as j_lang_id with term = sliding 3-char window of
+    the RAW text (punctuation and whitespace carry signal), so the two
+    confusion matrices are directly comparable cell by cell — the
+    model-selection diff is one join away.
+
+    Determinism: both engines enumerate trigrams by absolute character
+    position (empty below 3 chars), scores round 1e-4 before the
+    total-order (score desc, cand) argmax — the j_lang_id parity
+    contract verbatim.
+
+    Plan: trigram explode ≈ n_chars rows/doc (~6× the token explode);
+    the profile stays |langs|·|trigram vocab| — SMALLER than the word
+    profile (char-trigram space saturates) and broadcast; one
+    doc-keyed score agg; ≤|langs|² output cells."""
+    t = load(spark, sf_dir)
+    cg = t.documents.select(
+        "doc_id", F.explode(F.expr(_CHARGRAM_SPARK)).alias("term")
+    )
+    langs = t.documents.select("lang").distinct()
+    vocab = cg.agg(F.countDistinct("term").alias("v"))
+    prof = (
+        t.documents.select("lang", F.explode(F.expr(_CHARGRAM_SPARK)).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = prof.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    prof_t = F.broadcast(
+        prof.join(totals, "lang").select(
+            F.col("lang").alias("cand"), "term", "cnt", "tot"
+        )
+    )
+    totals_b = F.broadcast(totals.select(F.col("lang").alias("cand"), "tot"))
+    scores = (
+        cg.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
+        .join(prof_t, ["cand", "term"], "left")
+        .drop("tot")
+        .join(totals_b, "cand")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "cand")
+        .agg(
+            rnd(
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                        / (F.col("tot") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"))
+    )
+    truth = t.documents.select("doc_id", F.col("lang").alias("true_lang"))
+    return truth.join(pred, "doc_id").groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_BLEU_PAIR_BIGRAMS = """
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS term
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@query(
+    "j_bleu_precision",
+    oracle=f"""
+    WITH pairs AS (SELECT cand_doc, ref_doc FROM (
+              SELECT doc_id AS cand_doc,
+                     LEAD(doc_id) OVER (PARTITION BY lang, source
+                                        ORDER BY doc_id) AS ref_doc
+              FROM documents) x WHERE ref_doc IS NOT NULL),
+    u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    uc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM u GROUP BY doc_id, term),
+    bg AS ({_BLEU_PAIR_BIGRAMS}),
+    bc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY doc_id, term),
+    t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM uc GROUP BY doc_id),
+    t2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY doc_id),
+    clip1 AS (SELECT p.cand_doc,
+                     CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+              FROM pairs p
+              JOIN uc a ON a.doc_id = p.cand_doc
+              JOIN uc b ON b.doc_id = p.ref_doc AND b.term = a.term
+              GROUP BY p.cand_doc),
+    clip2 AS (SELECT p.cand_doc,
+                     CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+              FROM pairs p
+              JOIN bc a ON a.doc_id = p.cand_doc
+              JOIN bc b ON b.doc_id = p.ref_doc AND b.term = a.term
+              GROUP BY p.cand_doc)
+    SELECT p.cand_doc, p.ref_doc,
+           t1.n AS n1, COALESCE(clip1.clip, 0) AS clip1,
+           t2.n AS n2, COALESCE(clip2.clip, 0) AS clip2,
+           CASE WHEN t1.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(clip1.clip, 0) * 1000000 // t1.n AS BIGINT)
+                     / 1000000.0 END AS p1,
+           CASE WHEN t2.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(clip2.clip, 0) * 1000000 // t2.n AS BIGINT)
+                     / 1000000.0 END AS p2
+    FROM pairs p
+    JOIN t1 ON t1.doc_id = p.cand_doc
+    JOIN t2 ON t2.doc_id = p.cand_doc
+    LEFT JOIN clip1 ON clip1.cand_doc = p.cand_doc
+    LEFT JOIN clip2 ON clip2.cand_doc = p.cand_doc
+    """,
+)
+def j_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified (clipped) n-gram precision between adjacent same-slice
+    documents — BLEU's p₁/p₂ core (Papineni et al. 2002, public)
+    repurposed as a paraphrase/boilerplate-similarity score: each doc
+    scores against the NEXT doc_id in its (lang, source) slice (LEAD
+    over the slice order — a deterministic stand-in for any candidate
+    pairing), p_n = Σ_g min(c_cand(g), c_ref(g)) / Σ_g c_cand(g).
+    MULTISET semantics — where j_dedup_containment compares distinct
+    shingle SETS, clipping counts repeated phrases the way templated
+    spam actually repeats them; high p2 with moderate p1 is the
+    reordered-boilerplate signature. (Brevity penalty omitted: exp()
+    at query time is the libm parity risk the conventions ban; p1/p2
+    plus both lengths carry the same information.)
+
+    Exactness: all counts BIGINT; each precision is ONE non-negative
+    scaled floor-division (`div` == `//`) displayed by an exact /1e6.
+
+    Plan: the pairing is one LEAD window over the slim (doc_id, lang,
+    source) projection, partition-bounded per slice; per-doc n-gram
+    counts shuffle once keyed (doc_id, term) and each clip is a
+    (doc-pair, term) equi-join feeding a cand-keyed agg — every key is
+    bounded by one document's gram set.
+    At 100 TB the neighbor pairing generalizes to any (cand, ref)
+    candidate relation (e.g. j_dedup_near's survivors) unchanged."""
+    from .quality import ngrams_col
+
+    t = load(spark, sf_dir)
+    wp = Window.partitionBy("lang", "source").orderBy("doc_id")
+    pairs = (
+        t.documents.select(
+            F.col("doc_id").alias("cand_doc"),
+            F.lead("doc_id").over(wp).alias("ref_doc"),
+        )
+        .where(F.col("ref_doc").isNotNull())
+    )
+    uc = (
+        t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bc = (
+        t.documents.select("doc_id", F.explode(ngrams_col("text", 2)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+    def clip(counts):
+        ca, cb = counts.alias("ca"), counts.alias("cb")
+        return (
+            pairs.join(ca, F.col("ca.doc_id") == F.col("cand_doc"))
+            .join(
+                cb,
+                (F.col("cb.doc_id") == F.col("ref_doc"))
+                & (F.col("cb.term") == F.col("ca.term")),
+            )
+            .groupBy("cand_doc")
+            .agg(F.sum(F.least(F.col("ca.c"), F.col("cb.c"))).cast("long").alias("clip"))
+        )
+
+    t1 = uc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n1"))
+    t2 = bc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n2"))
+    out = (
+        pairs.join(t1, F.col("doc_id") == F.col("cand_doc"))
+        .drop("doc_id")
+        .join(t2, F.col("doc_id") == F.col("cand_doc"))
+        .drop("doc_id")
+        .join(clip(uc).withColumnRenamed("clip", "clip1"), "cand_doc", "left")
+        .join(clip(bc).withColumnRenamed("clip", "clip2"), "cand_doc", "left")
+        .select(
+            "cand_doc",
+            "ref_doc",
+            "n1",
+            F.coalesce("clip1", F.lit(0)).cast("long").alias("clip1"),
+            "n2",
+            F.coalesce("clip2", F.lit(0)).cast("long").alias("clip2"),
+            F.when(F.col("n1") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr("COALESCE(clip1, CAST(0 AS BIGINT)) * 1000000 div n1")
+                / F.lit(1000000.0)
+            )
+            .alias("p1"),
+            F.when(F.col("n2") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr("COALESCE(clip2, CAST(0 AS BIGINT)) * 1000000 div n2")
+                / F.lit(1000000.0)
+            )
+            .alias("p2"),
+        )
+    )
+    return out

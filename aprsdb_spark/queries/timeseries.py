@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import rnd
+from ..functions import rnd, sql_rnd
 from ..registry import query
 from ..tables import load
 
@@ -970,4 +970,67 @@ def j_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rnd(slope * 86400, 6).alias("slope_cents_per_day"),
         rnd(intercept, 2).alias("intercept_cents"),
+    )
+
+
+@query(
+    "j_burstiness",
+    oracle=f"""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(n) AS BIGINT) AS s1,
+                 CAST(SUM(n * n) AS BIGINT) AS s2
+          FROM daily GROUP BY event_type)
+    SELECT event_type, n_days, s1 AS n_events,
+           {sql_rnd("s1 * 1.0 / n_days", 6)} AS mean_daily,
+           CAST((n_days * s2 - s1 * s1) * 1000000
+                // (n_days * s1) AS BIGINT) / 1000000.0 AS fano
+    FROM s
+    """,
+)
+def j_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type traffic burstiness: the Fano factor Var/Mean of the
+    daily event count (Fano 1947, public; index-of-dispersion in queue
+    audits). Poisson arrivals sit at 1.0; bot storms and batch
+    replays push it far above — the load-shape statistic capacity
+    planning and anomaly thresholds start from, complementing
+    j_ts_anomaly's pointwise z-scores with one per-series scalar.
+
+    Exact-integer identity: with D observed days, S1 = Σn, S2 = Σn²,
+    Fano = (D·S2 − S1²)/(D·S1) — the numerator is ≥ 0 by
+    Cauchy–Schwarz, so the single scaled floor-division is sign-safe
+    (`div` == `//`), and S1/S2 are BIGINT sums a map-side partial agg
+    computes exactly at any order. Days with zero events are outside
+    the observed-day frame by construction (documented: this is the
+    conditional-on-activity Fano; a zero-padded variant would join
+    the j_gapfill day spine first).
+
+    Plan: two hash aggs — (type, day) then type — both with map-side
+    partials; output is |types| rows at any scale."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        rnd(F.col("s1") * 1.0 / F.col("n_days"), 6).alias("mean_daily"),
+        (
+            F.expr("(n_days * s2 - s1 * s1) * 1000000 div (n_days * s1)")
+            / F.lit(1000000.0)
+        ).alias("fano"),
     )

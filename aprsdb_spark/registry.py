@@ -162,6 +162,13 @@ NEXT_QUEUE: list[str] = [
     # recall@k curve for the PQ search (head-vs-tail loss localization)
     "j_clustering_coeff",
     "j_recall_curve",
+    # r10 wave 6: Fano-factor traffic burstiness, char-trigram lang-ID
+    # confusion (the documented n-gram upgrade, directly comparable to
+    # j_lang_confusion), clipped n-gram precision (BLEU p1/p2 multiset
+    # semantics vs the set-based containment family)
+    "j_burstiness",
+    "j_chargram_confusion",
+    "j_bleu_precision",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
