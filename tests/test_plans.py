@@ -842,6 +842,22 @@ _SHUFFLE_BUDGETS = {
     "h_hash": 2,
     "h_geo_range": 0,
     "h_geo_pairs": 1,
+    # --- r10 additions (reprint caveat above applies to the persisted
+    # multi-reference plans: f1_macro = 2 refs x confusion child + 3 refs
+    # x scaled frame; clustering_coeff = 5 refs x persisted edge child;
+    # pagerank = 5 unrolled iterations over the persisted edge list)
+    "j_f1_macro": 107,
+    "j_selective_accuracy": 35,  # identical score subtrees ReuseExchange at run
+    "j_hll_merge": 9,
+    "j_length_deciles": 5,
+    "j_entropy_rate": 8,
+    "j_fertility_audit": 1,     # narrow map + ONE lang-keyed agg
+    "j_clustering_coeff": 76,
+    "j_recall_curve": 4,
+    "j_burstiness": 2,
+    "j_chargram_confusion": 16,
+    "j_bleu_precision": 20,
+    "j_pagerank": 83,
 }
 
 
