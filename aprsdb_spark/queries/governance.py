@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import rnd
+from ..functions import rnd, sql_rnd
 from ..registry import query
 from ..tables import load
 
@@ -646,4 +646,43 @@ def j_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rnd(F.col("n").cast("double") + noise, 4).alias("noisy_count"),
         F.lit(1.0).alias("epsilon"),
+    )
+
+
+@query(
+    "j_dup_rate",
+    oracle=f"""
+    WITH g AS (SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c
+               FROM documents GROUP BY source, md5(text))
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup,
+           CAST(MAX(c) AS BIGINT) AS max_cluster,
+           {sql_rnd("(SUM(c) - COUNT(*)) * 1.0 / SUM(c)", 6)} AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def j_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate MASS audit — the dashboard number a
+    crawl operator reads before anyone runs a dedup job: how much of
+    each source is verbatim repeats (n_docs − distinct texts), and how
+    big the worst cluster is (one viral page syndicated 10⁵× is a
+    different problem from 10⁵ pages duplicated twice). j_dedup_exact
+    decides WHICH rows survive; this measures HOW MUCH there is to
+    remove, per slice, so ingestion alerts fire before storage is
+    paid. Exact BIGINT counts; dup_rate is one division (rnd 1e-6).
+
+    Plan: one (source, md5) hash agg — the 16-byte digest shuffles,
+    never text — then a |sources|-row rollup with map-side partials."""
+    t = load(spark, sf_dir)
+    g = t.documents.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (F.sum("c") - F.count("*")).cast("long").alias("n_dup"),
+        F.max("c").cast("long").alias("max_cluster"),
+        rnd((F.sum("c") - F.count("*")) * 1.0 / F.sum("c"), 6).alias("dup_rate"),
     )

@@ -393,3 +393,60 @@ def k_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, f.* FROM _udtf_docs d, LATERAL first_tokens(d.text, 3) f"
     )
+
+
+@query(
+    "k_apply_in_arrow",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_s6,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def k_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow (Spark 4.0, SPARK-40307): whole groups
+    stream into the Python worker as RAW Arrow tables — the grouped
+    sibling of k_map_in_arrow, skipping pandas conversion entirely
+    (no index materialization, no object boxing; the right boundary
+    when the kernel is numpy over columnar buffers). Per event_type
+    the kernel emits exact stats: the value sum is floored PER ELEMENT
+    to a 1e-6 BIGINT grid and summed in int64 — order-independent by
+    construction, so the Python-side arithmetic needs no float-parity
+    argument at all (the j_pq_distortion discipline).
+
+    Scale note: applyInArrow materializes EACH GROUP in one worker
+    (documented Spark constraint) — correct here because groups are
+    |event_type| slices of bounded stats state; an unbounded-group
+    variant belongs in mapInArrow with partial aggregation like
+    j_pq_distortion's."""
+    import pyarrow as pa
+
+    def _stats(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        et = tbl.column("event_type")[0].as_py()
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        ids = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        s6 = int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
+        return pa.table(
+            {
+                "event_type": [et],
+                "n": [len(v)],
+                "sum_s6": [s6],
+                "min_id": [int(ids.min())],
+                "max_id": [int(ids.max())],
+            }
+        )
+
+    t = load(spark, sf_dir)
+    return (
+        t.events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(
+            _stats, "event_type string, n long, sum_s6 long, min_id long, max_id long"
+        )
+    )

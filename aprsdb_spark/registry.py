@@ -169,6 +169,11 @@ NEXT_QUEUE: list[str] = [
     "j_burstiness",
     "j_chargram_confusion",
     "j_bleu_precision",
+    # r10 wave 7: grouped raw-Arrow UDF surface (applyInArrow, the
+    # pandas-free sibling of k_apply_in_pandas), per-source exact
+    # duplicate-mass dashboard (how much there is to dedup, per slice)
+    "k_apply_in_arrow",
+    "j_dup_rate",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
