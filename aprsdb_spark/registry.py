@@ -183,12 +183,48 @@ NEXT_QUEUE: list[str] = [
 # queue membership as "scheduled", and a sibling test pins that only
 # already-scored qids may sit here (never-scored ones belong on
 # NEXT_QUEUE, where the tri-scale-verification contract applies).
-# Filled at end-of-round once the final r10 NEXT_QUEUE size is known:
-# capacity is len(NEXT_QUEUE) + len(REFRESH_QUEUE) <= 48, and the
-# 44 r5-scored qids not in this round's window become stale-bound at
-# r12, so the oldest of them (registration order) take the remaining
-# queue capacity here.
-REFRESH_QUEUE: list[str] = []
+# r11 plan (final r10 queue arithmetic): the 14 NEXT_QUEUE r10
+# additions go first, then these 34 r5-scored qids (oldest driver
+# evidence after the r10 window lands, registration order), then the
+# 2 canaries = 50 exactly. The 10 r5 qids that do not fit
+# (j_pipeline_release .. c_sql_q10 block tail) hit the capacity-derived
+# staleness bound during r12 and move onto the r11 REFRESH_QUEUE then.
+REFRESH_QUEUE: list[str] = [
+    "b_filter_null",
+    "b_project_expr",
+    "c_join_inner",
+    "c_join_bcast",
+    "c_join_smj",
+    "c_join_outer",
+    "c_join_semi",
+    "c_join_anti",
+    "c_join_theta",
+    "c_join_interval",
+    "c_join_asof",
+    "c_join_self",
+    "c_join_cross",
+    "c_sql_q3",
+    "c_sql_q10",
+    "c_sql_q5",
+    "d_agg_basic",
+    "d_agg_approx",
+    "d_agg_rollup",
+    "d_agg_filtered",
+    "d_agg_stats",
+    "d_agg_cube",
+    "d_agg_grouping_sets",
+    "d_agg_mode",
+    "d_agg_approx_quantile",
+    "e_win_rank",
+    "e_win_sessionize",
+    "s_dedup_30s_batch",
+    "j_semdedup",
+    "j_pii_scrub",
+    "j_sample_stratified",
+    "j_contamination",
+    "j_dedup_containment",
+    "j_embed_quantize",
+]
 
 
 def driver_ordered(d: dict) -> dict:

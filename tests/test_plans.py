@@ -858,6 +858,8 @@ _SHUFFLE_BUDGETS = {
     "j_chargram_confusion": 16,
     "j_bleu_precision": 20,
     "j_pagerank": 83,
+    "k_apply_in_arrow": 1,
+    "j_dup_rate": 2,        # digest agg + source rollup
 }
 
 
