@@ -243,6 +243,12 @@ _EXPECTED_BNLJ = {
     "j_bfs_distance",  # 1-row literal seed frontier: Catalyst folds the seed's
     # nk to a constant, the equi condition becomes a filter, and the round-1
     # broadcast join is left conditionless — build side is O(|V|) state
+    # --- r10 additions, all metadata-scale build sides by design:
+    "j_chargram_confusion",  # the j_lang_id langs/vocab broadcast fan-out
+    "j_f1_macro",  # reuses the confusion cells (j_lang_id fan-out) + 1-row unions
+    "j_selective_accuracy",  # _lang_scores fan-out + 1-row broadcast total
+    "j_length_deciles",  # 9-row broadcast decile grid theta-joined (c >= target)
+    "j_recall_curve",  # 10-row k-grid x <=10 matched-rank pairs
 }
 _EXPECTED_ROW_PYTHON = {
     # the documented slow-path escape hatches; UDTFs (incl. the Spark-4
