@@ -729,6 +729,19 @@ def test_pq_sink_search_leg_reads_codes_only(spark):
     assert desc.get("Bucket Columns") == "[`vec_id`]", desc
 
 
+def test_histogram_statistics_never_globally_sort(spark):
+    """The r10 histogram-discipline qids replace ranked-row scans with
+    value histograms: none of their plans may contain a range-partition
+    exchange (the global-sort shuffle) — the only acceptable orderings
+    are metadata-window sorts after the histogram agg. A
+    rangepartitioning Exchange appearing here means corpus rows are
+    being totally ordered again."""
+    for qid in ("j_length_deciles", "j_gini_tokens", "j_burstiness",
+                "j_simpson_diversity"):
+        p = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in p, f"{qid} grew a global sort:\n{p[:1500]}"
+
+
 def test_zipf_topn_is_window_group_limited(spark):
     """j_zipf_fit's r <= 50 filter must lower to WindowGroupLimit with
     a PARTIAL (map-side) stage: every task keeps at most 50 rows per
