@@ -3406,6 +3406,8 @@ _CHARGRAM_DUCK = (
     "j_chargram_confusion",
     oracle=f"""
     WITH cg AS (SELECT doc_id, unnest({_CHARGRAM_DUCK}) AS term FROM documents),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM cg GROUP BY doc_id, term),
     langs AS (SELECT DISTINCT lang FROM documents),
     vocab AS (SELECT COUNT(DISTINCT term) AS v FROM cg),
     prof AS (SELECT lang, term, COUNT(*) AS cnt
@@ -3413,13 +3415,14 @@ _CHARGRAM_DUCK = (
              GROUP BY lang, term),
     totals AS (SELECT lang, SUM(cnt) AS tot FROM prof GROUP BY lang),
     scores AS (
-      SELECT cg.doc_id, langs.lang AS cand,
-             FLOOR((SUM(ln((COALESCE(prof.cnt, 0) + 1.0) / (totals.tot + vocab.v))))
+      SELECT dtf.doc_id, langs.lang AS cand,
+             FLOOR((SUM(dtf.tf * ln((COALESCE(prof.cnt, 0) + 1.0)
+                                    / (totals.tot + vocab.v))))
                    * 10000 + 0.5) / 10000 AS score
-      FROM cg CROSS JOIN langs CROSS JOIN vocab
-      LEFT JOIN prof ON prof.lang = langs.lang AND prof.term = cg.term
+      FROM dtf CROSS JOIN langs CROSS JOIN vocab
+      LEFT JOIN prof ON prof.lang = langs.lang AND prof.term = dtf.term
       JOIN totals ON totals.lang = langs.lang
-      GROUP BY cg.doc_id, langs.lang, vocab.v),
+      GROUP BY dtf.doc_id, langs.lang, vocab.v),
     pred AS (SELECT doc_id, cand AS pred_lang FROM (
                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                             ORDER BY score DESC, cand) AS rk
@@ -3442,18 +3445,23 @@ def j_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-selection diff is one join away.
 
     Determinism: both engines enumerate trigrams by absolute character
-    position (empty below 3 chars), scores round 1e-4 before the
-    total-order (score desc, cand) argmax — the j_lang_id parity
-    contract verbatim.
+    position (empty below 3 chars); the score is the TF-WEIGHTED type
+    sum Σ tf·ln(p) — a repeated trigram contributes one multiply, not
+    tf additions, and both engines share the identical expression —
+    rounded 1e-4 before the total-order (score desc, cand) argmax.
 
-    Plan: trigram explode ≈ n_chars rows/doc (~6× the token explode);
-    the profile stays |langs|·|trigram vocab| — SMALLER than the word
-    profile (char-trigram space saturates) and broadcast; one
+    Plan: trigram explode ≈ n_chars rows/doc, immediately collapsed by
+    a (doc, trigram) hash agg with map-side partials, so the ×|langs|
+    fan-out and the profile join run over TYPE rows, not occurrence
+    rows (~2-3× fewer; the tf weighting is what makes that collapse
+    exact). Profile stays |langs|·|trigram vocab| — SMALLER than the
+    word profile (char-trigram space saturates) and broadcast; one
     doc-keyed score agg; ≤|langs|² output cells."""
     t = load(spark, sf_dir)
     cg = t.documents.select(
         "doc_id", F.explode(F.expr(_CHARGRAM_SPARK)).alias("term")
     )
+    dtf = cg.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     langs = t.documents.select("lang").distinct()
     vocab = cg.agg(F.countDistinct("term").alias("v"))
     prof = (
@@ -3469,7 +3477,7 @@ def j_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals_b = F.broadcast(totals.select(F.col("lang").alias("cand"), "tot"))
     scores = (
-        cg.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
+        dtf.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
         .join(prof_t, ["cand", "term"], "left")
         .drop("tot")
         .join(totals_b, "cand")
@@ -3478,7 +3486,8 @@ def j_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             rnd(
                 F.sum(
-                    F.log(
+                    F.col("tf")
+                    * F.log(
                         (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
                         / (F.col("tot") + F.col("v"))
                     )
