@@ -340,3 +340,27 @@ def test_registered_banded_plan_split_invariance(spark, monkeypatch):
     salted = {tuple(r) for r in QUERIES["j_sim_pairs_banded"](spark, SF).collect()}
     assert len(base) > 100, "fixture too sparse to exercise the banded path"
     assert salted == base
+
+
+def test_chargram_upgrade_beats_word_model(spark):
+    """The registry's evaluation loop, closing on itself: the
+    char-trigram lang-ID (j_chargram_confusion — the upgrade
+    j_lang_confusion's docstring prescribes for conflated language
+    pairs) must score STRICTLY higher diagonal accuracy than the
+    word-unigram model on the same labels, with an absolute floor.
+    Measured at review time: 0.552 (trigram) vs 0.364 (word) at
+    sf0.01 — if either drops below its bound, a scoring or profile
+    regression slipped in."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    def acc(qid):
+        rows = QUERIES[qid](spark, SF).collect()
+        tot = sum(r.n_docs for r in rows)
+        diag = sum(r.n_docs for r in rows if r.true_lang == r.pred_lang)
+        return diag / tot
+
+    word, tri = acc("j_lang_confusion"), acc("j_chargram_confusion")
+    assert tri > word, f"char-trigram ({tri:.3f}) no longer beats word ({word:.3f})"
+    assert tri >= 0.45, f"char-trigram accuracy collapsed: {tri:.3f}"
