@@ -602,6 +602,44 @@ def test_ann_ingest_sink_matches_batch_assignment(spark, tmp_path):
     ), "duplicate index rows — first-seen-wins violated"
 
 
+def test_ann_ingest_survives_lost_sidecar_and_orders_conflicts(spark, tmp_path):
+    """Two ann_ingest_sink edge windows: (1) a crash AFTER the append
+    but BEFORE the sidecar marker write — the re-delivered batch must
+    be a no-op because the vec_id anti-join rejects already-indexed
+    vectors (append sinks are naturally idempotent; the sidecar is an
+    optimization, not the only defense); (2) conflicting duplicates of
+    one vec_id INSIDE a batch must resolve by the embedding digest,
+    not arrival order — the same winner regardless of row order."""
+    from aprsdb_spark.operators.similarity import pq_train_local
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet").select("vec_id", "embedding")
+    books = pq_train_local(sf, n_blocks=8, k=32, iters=4)
+    index = str(tmp_path / "idx")
+    S.ann_ingest_sink(emb.limit(100), 0, index, books, run_key="ck")
+    before = sorted(tuple(r) for r in spark.read.parquet(index).collect())
+    # crash window: append done, sidecar lost
+    shutil.rmtree(index + "_meta")
+    S.ann_ingest_sink(emb.limit(100), 0, index, books, run_key="ck")
+    after = sorted(tuple(r) for r in spark.read.parquet(index).collect())
+    assert after == before, "lost sidecar re-apply duplicated index rows"
+    # in-batch conflict: same vec_id, two different embeddings, both orders
+    a = emb.where(F.col("vec_id") == 0).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding"
+    )
+    b = emb.where(F.col("vec_id") == 1).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding"
+    )
+    idx2 = str(tmp_path / "idx2")
+    S.ann_ingest_sink(a.unionAll(b), 0, idx2, books, run_key="c2")
+    won1 = sorted(tuple(r) for r in spark.read.parquet(idx2).collect())
+    idx3 = str(tmp_path / "idx3")
+    S.ann_ingest_sink(b.unionAll(a), 0, idx3, books, run_key="c3")
+    won2 = sorted(tuple(r) for r in spark.read.parquet(idx3).collect())
+    assert won1 == won2, "in-batch duplicate winner depends on arrival order"
+    assert len(won1) == 1
+
+
 def test_replay_guard_survives_lost_sidecar(spark, tmp_path):
     """The r7 ADVICE double-apply window: a crash AFTER the state swap
     but BEFORE the sidecar marker write used to make the retried
