@@ -2972,16 +2972,16 @@ _LANG_SCORES_CTES = """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS
     g AS (SELECT margin_deci, CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(SUM(ok) AS BIGINT) AS n_correct
           FROM m GROUP BY margin_deci),
-    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM g),
     cum AS (SELECT margin_deci, n_docs, n_correct,
                    CAST(SUM(n_docs) OVER win AS BIGINT) AS n_ge,
                    CAST(SUM(n_correct) OVER win AS BIGINT) AS correct_ge
             FROM g WINDOW win AS (ORDER BY margin_deci DESC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ct AS (SELECT *, CAST(MAX(n_ge) OVER () AS BIGINT) AS nn FROM cum)
     SELECT margin_deci, n_docs, n_correct, n_ge, correct_ge,
            {sql_rnd("n_ge * 1.0 / nn", 6)} AS coverage,
            {sql_rnd("correct_ge * 1.0 / n_ge", 6)} AS sel_accuracy
-    FROM cum CROSS JOIN tot
+    FROM ct
     """,
 )
 def j_selective_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3040,8 +3040,15 @@ def j_selective_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").over(wc).cast("long").alias("n_ge"),
         F.sum("n_correct").over(wc).cast("long").alias("correct_ge"),
     )
-    tot = g.agg(F.sum("n_docs").cast("long").alias("nn"))
-    return cum.crossJoin(F.broadcast(tot)).select(
+    # the grand total is the LAST cumulative value — max(n_ge) over the
+    # bucket-metadata frame — so the scoring pipeline is referenced
+    # exactly once (no second aggregate over g, no reliance on
+    # ReuseExchange to dedup it)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ct = cum.withColumn("nn", F.max("n_ge").over(w_all).cast("long"))
+    return ct.select(
         "margin_deci",
         "n_docs",
         "n_correct",

@@ -866,7 +866,7 @@ _SHUFFLE_BUDGETS = {
     # x scaled frame; clustering_coeff = 5 refs x persisted edge child;
     # pagerank = 5 unrolled iterations over the persisted edge list)
     "j_f1_macro": 107,
-    "j_selective_accuracy": 35,  # identical score subtrees ReuseExchange at run
+    "j_selective_accuracy": 17,  # scoring pipeline referenced exactly once
     "j_hll_merge": 9,
     "j_length_deciles": 5,
     "j_entropy_rate": 8,
