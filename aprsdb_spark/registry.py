@@ -186,9 +186,11 @@ NEXT_QUEUE: list[str] = [
 # r11 plan (final r10 queue arithmetic): the 14 NEXT_QUEUE r10
 # additions go first, then these 34 r5-scored qids (oldest driver
 # evidence after the r10 window lands, registration order), then the
-# 2 canaries = 50 exactly. The 10 r5 qids that do not fit
-# (j_pipeline_release .. c_sql_q10 block tail) hit the capacity-derived
-# staleness bound during r12 and move onto the r11 REFRESH_QUEUE then.
+# 2 canaries = 50 exactly. The 10 r5 qids that do not fit hit the
+# capacity-derived staleness bound (max(4, ceil(300/48)) = 7 rounds,
+# i.e. during the r13 build once CORRECTNESS_r12 exists) — schedule
+# them on the r11 REFRESH_QUEUE anyway so they rescore in r12, a round
+# ahead of the bound rather than at it.
 REFRESH_QUEUE: list[str] = [
     "b_filter_null",
     "b_project_expr",
