@@ -57,141 +57,41 @@ def load_all() -> None:
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
 # every CORRECTNESS_r{N}.json ends at registry position 50). DRIVER_ORDER
-# pins which qids occupy that scored window. Round-10 rotation, exactly
-# the arithmetic the r9 comment promised and the r9 verdict prescribed:
-# (1) ALL 40 never-scored r9 additions from the r9 NEXT_QUEUE — the PQ
-# family, training transforms, evaluation loop, statistics batch and
-# Spark-4 surfaces; (2) the 5 REFRESH_QUEUE §2.K pandas/UDTF qids whose
-# latest driver row (r4) is the oldest evidence in the registry; (3) the
-# two harness-breakage canaries a_scan_parquet / e_win_lastpos; (4) the
-# remaining 3 slots take the 3 oldest r5-scored qids in registration
-# order (a_scan_pruned, b_filter_pred, b_filter_like). 40+5+2+3 = 50.
-# When this window lands, every registered qid holds a driver-green
-# CORRECTNESS row at least once — full hard-signal coverage of the
-# registry for the first time.
-# r11 plan: NEXT_QUEUE (r10 additions, never-scored) goes first, then
-# REFRESH_QUEUE (the oldest of the remaining 44 r5-scored qids — they
-# hit the capacity-derived staleness bound at r12, so r11 must rescore
-# them), then the 2 canaries; any remaining slots take the next-oldest
-# r5 qids beyond the queue. The staleness bound is derived from
-# registry size in tests/test_registry_order.py, so this schedule is
-# checked, not promised.
+# pins which qids occupy that scored window. Round-11 rotation, exactly
+# the arithmetic the r10 comment promised and the r10 verdict prescribed:
+# (1) ALL 14 never-scored r10 additions from the r10 NEXT_QUEUE, in queue
+# order — the PQ write path, the evaluation-closure wave, the statistics
+# wave, the Arrow surface; (2) the 34 r5-scored REFRESH_QUEUE qids (the
+# oldest driver evidence once the r10 window landed, registration
+# order); (3) the two harness-breakage canaries a_scan_parquet /
+# e_win_lastpos. 14 + 34 + 2 = 50. When this window lands, every qid's
+# evidence is r6 or newer except the 10 r5 spillovers scheduled below.
+# r12 plan: NEXT_QUEUE (r11 additions, never-scored) goes first, then
+# REFRESH_QUEUE (the 10 r5-scored spillovers — one round ahead of the
+# capacity-derived staleness bound — then the oldest r6-scored qids in
+# registration order, sized so NEXT + REFRESH = 48), then the 2
+# canaries. The staleness bound is derived from registry size in
+# tests/test_registry_order.py, so this schedule is checked, not
+# promised.
 DRIVER_ORDER: list[str] = [
     # canary: a_scan_parquet (trivial scan — breaks only if the harness does)
     "a_scan_parquet",
-    # never-scored (r9): the full NEXT_QUEUE in its queue order
-    "j_ann_pq",
-    "j_ann_pq_recall",
-    "j_chunk_documents",
-    "j_curriculum_order",
-    "j_cooccur_window",
-    "j_dedup_chunks",
-    "j_negative_sampling",
-    "c_sql_exec_immediate",
-    "d_transpose",
-    "a_observe_metrics",
-    "j_kanon_check",
-    "j_feature_hashing",
-    "j_embed_pca",
-    "j_knn_confusion",
-    "j_source_overlap",
-    "h_lateral_alias",
-    "a_sink_bucketed",
-    "j_ts_changepoint",
-    "j_auc_rank",
-    "j_ts_trend",
-    "j_dp_release",
-    "j_retrieval_mrr",
-    "j_topp_vocab",
-    "j_span_corruption",
-    "j_fim_transform",
-    "d_crosstab",
-    "j_active_margin",
-    "j_head_template",
-    "j_lang_confusion",
-    "j_cluster_purity",
-    "j_pq_distortion",
-    "j_jaccard_threshold_curve",
-    "j_gini_tokens",
-    "j_context_fit",
-    "j_bootstrap_ci",
-    "j_zipf_fit",
-    "j_ks_lengths",
-    "j_mutual_info",
-    "j_cohen_kappa",
-    "j_simpson_diversity",
-    # oldest-evidence refresh (latest row r4): §2.K pandas/Arrow UDF surfaces
-    "k_pandas_scalar",
-    "k_pandas_grouped_agg",
-    "k_apply_in_pandas",
-    "k_udtf",
-    "k_sql_udf",
-    # oldest r5-scored qids, registration order (fill the window)
-    "a_scan_pruned",
-    "b_filter_pred",
-    "b_filter_like",
-    # canary: e_win_lastpos
-    "e_win_lastpos",
-]
-
-# qids added AFTER the current round's 50-slot window was frozen. Not
-# scoreable this round; everything here must be tri-scale-verified
-# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
-# runs) and is FIRST in line for the next rotation.
-# test_registry_order.py enforces that a never-scored qid is either in
-# the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = [
-    # r10: PQ index write-path twin — codes persisted once via the
-    # bucketed catalog sink, ADC search reads the code table only
+    # never-scored (r10): the full NEXT_QUEUE in its queue order
     "j_ann_pq_sink",
-    # r10 wave 2: classifier evaluation closure — per-class/micro/macro
-    # F1 on exact scaled integers; selective-prediction risk-coverage
-    # curve from the top-1 vs top-2 log-odds margin
     "j_f1_macro",
     "j_selective_accuracy",
-    # r10 wave 3: HLL register-max mergeability (per-type sketches →
-    # '(merged)' ≡ global), sort-free exact discrete deciles from the
-    # value histogram (the gini tie-block discipline for quantiles)
     "j_hll_merge",
     "j_length_deciles",
-    # r10 wave 4: bigram conditional entropy rate (sequential-structure
-    # audit), per-lang tokenizer fertility budget table
     "j_entropy_rate",
     "j_fertility_audit",
-    # r10 wave 5: per-node clustering coefficient (triangle denominator),
-    # recall@k curve for the PQ search (head-vs-tail loss localization)
     "j_clustering_coeff",
     "j_recall_curve",
-    # r10 wave 6: Fano-factor traffic burstiness, char-trigram lang-ID
-    # confusion (the documented n-gram upgrade, directly comparable to
-    # j_lang_confusion), clipped n-gram precision (BLEU p1/p2 multiset
-    # semantics vs the set-based containment family)
     "j_burstiness",
     "j_chargram_confusion",
     "j_bleu_precision",
-    # r10 wave 7: grouped raw-Arrow UDF surface (applyInArrow, the
-    # pandas-free sibling of k_apply_in_pandas), per-source exact
-    # duplicate-mass dashboard (how much there is to dedup, per slice)
     "k_apply_in_arrow",
     "j_dup_rate",
-]
-
-# Already-scored qids whose evidence is the oldest in the registry but
-# which did NOT fit this round's 50-slot window: scheduled FIRST for the
-# next rotation (after NEXT_QUEUE's never-scored entries). This is the
-# executable form of "deferred to r11" — test_registry_order.py accepts
-# queue membership as "scheduled", and a sibling test pins that only
-# already-scored qids may sit here (never-scored ones belong on
-# NEXT_QUEUE, where the tri-scale-verification contract applies).
-# r11 plan (final r10 queue arithmetic): the 14 NEXT_QUEUE r10
-# additions go first, then these 34 r5-scored qids (oldest driver
-# evidence after the r10 window lands, registration order), then the
-# 2 canaries = 50 exactly. The 10 r5 qids that do not fit hit the
-# capacity-derived staleness bound (max(4, ceil(300/48)) = 7 rounds,
-# i.e. during the r13 build once CORRECTNESS_r12 exists) — schedule
-# them on the r11 REFRESH_QUEUE anyway so they rescore in r12, a round
-# ahead of the bound rather than at it.
-REFRESH_QUEUE: list[str] = [
+    # oldest-evidence refresh (latest row r5): the r10 REFRESH_QUEUE
     "b_filter_null",
     "b_project_expr",
     "c_join_inner",
@@ -226,6 +126,69 @@ REFRESH_QUEUE: list[str] = [
     "j_contamination",
     "j_dedup_containment",
     "j_embed_quantize",
+    # canary: e_win_lastpos
+    "e_win_lastpos",
+]
+
+# qids added AFTER the current round's 50-slot window was frozen. Not
+# scoreable this round; everything here must be tri-scale-verified
+# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
+# runs) and is FIRST in line for the next rotation.
+# test_registry_order.py enforces that a never-scored qid is either in
+# the window or on this explicit queue — nothing waits silently.
+NEXT_QUEUE: list[str] = []
+
+# Already-scored qids whose evidence is the oldest in the registry but
+# which did NOT fit this round's 50-slot window: scheduled FIRST for the
+# next rotation (after NEXT_QUEUE's never-scored entries). This is the
+# executable form of "deferred to r12" — test_registry_order.py accepts
+# queue membership as "scheduled", and a sibling test pins that only
+# already-scored qids may sit here (never-scored ones belong on
+# NEXT_QUEUE, where the tri-scale-verification contract applies).
+# r12 plan: NEXT_QUEUE r11 additions first, then these — the 10
+# r5-scored spillovers the r10 rotation could not fit (they rescore in
+# r12, a round ahead of the capacity-derived staleness bound of
+# max(4, ceil(300/48)) = 7 rounds), then the 24 oldest r6-scored qids
+# in registration order. 10 + 24 = 34, leaving 14 slots for r11
+# additions; resize the r6 tail if the r11 NEXT_QUEUE lands elsewhere
+# (the ≤48 capacity test enforces the arithmetic either way).
+REFRESH_QUEUE: list[str] = [
+    # r5-scored spillovers from the r10 rotation
+    "j_pipeline_release",
+    "j_inverted_index",
+    "j_repetition",
+    "j_domain_mix",
+    "j_ngram_lm",
+    "j_lm_buckets",
+    "j_winnow_fingerprints",
+    "j_embed_outlier",
+    "j_retention_cohort",
+    "j_funnel_stages",
+    # oldest r6-scored qids, registration order
+    "c_sql_q18",
+    "d_agg_salted",
+    "j_dedup_simhash",
+    "j_ann_lsh",
+    "j_ann_ivf",
+    "j_lsh_recall",
+    "j_knn_batch",
+    "j_pack_sequences",
+    "j_shuffle_shards",
+    "j_reservoir_pergroup",
+    "j_dsir_weights",
+    "j_winnow_pairs",
+    "j_dedup_lines",
+    "j_dedup_substr",
+    "j_chunk_overlap",
+    "j_vocab_coverage",
+    "j_bloom_decontam",
+    "j_mix_temperature",
+    "j_bpe_train",
+    "j_bpe_encode",
+    "j_entropy",
+    "j_kl_sources",
+    "j_pmi_bigrams",
+    "j_bm25_topk",
 ]
 
 
