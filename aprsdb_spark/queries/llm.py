@@ -3463,7 +3463,17 @@ def j_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (~2-3× fewer; the tf weighting is what makes that collapse
     exact). Profile stays |langs|·|trigram vocab| — SMALLER than the
     word profile (char-trigram space saturates) and broadcast; one
-    doc-keyed score agg; ≤|langs|² output cells."""
+    doc-keyed score agg; ≤|langs|² output cells.
+
+    Why the corpus is deliberately exploded more than once (r11 A/B,
+    SCALE.md §4r): deriving profile+vocab from a persisted (doc, term,
+    tf) frame — one explode — measured 8.5-10.6 s vs 4.6-5.0 s for
+    this plan at sf0.1, and caching only the small profile measured
+    5.5 s. The explode passes are read-only streaming maps fused with
+    partial aggs (no added shuffle, no storage pressure); every cache
+    variant pays materialization plus, for the dtf route, a
+    corpus-wide doc_id shuffle for the doc→lang join. Re-reading the
+    columnar text beats materializing its derivative."""
     t = load(spark, sf_dir)
     cg = t.documents.select(
         "doc_id", F.explode(F.expr(_CHARGRAM_SPARK)).alias("term")
