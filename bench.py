@@ -120,6 +120,27 @@ def main() -> None:
     # Minima compare like with like across rounds; the JSON records the
     # regime so future gates can tell.
     n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
+
+    # Session-health canary: the same fixed trivial plan timed before and
+    # after the sweep. The r10 round recorded a diffuse +21% on the
+    # r2-shared qid set that the r11 re-run fully exonerated as host noise
+    # (SCALE.md §4r) — cache residue was already impossible (clearCache
+    # runs after every qid below). With start/end canary datapoints in the
+    # record, the next diffuse creep is attributable in one glance:
+    # canary drifted → session/host pressure; canary flat → real per-qid
+    # regressions worth chasing.
+    def _canary() -> float:
+        best = None
+        for _ in range(3):
+            start = time.perf_counter()
+            t.region.groupBy("r_name").count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = time.perf_counter() - start
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    canary_start = _canary()
     timings: dict[str, float] = {}
     for qid in sorted(QUERIES):
         fn = QUERIES[qid]
@@ -187,6 +208,8 @@ def main() -> None:
         "n": n,
         "warmed": True,  # table + codegen + UDF-worker warmup above
         "stat": "min" if n > 1 else "single",
+        "canary_start_sec": canary_start,
+        "canary_end_sec": _canary(),
     }
     print(json.dumps(record))
 
