@@ -530,8 +530,12 @@ def _kmeans_iterate(emb: DataFrame, k: int, iters: int) -> list:
 # The three trainers below are memoized per (sf_dir, hyperparams): a
 # model is deterministic given its args, several oracle builders and
 # queries share one, and retraining on every call/import was measured
-# driver-side constant (r9 ADVICE). Contract: callers treat the
-# returned lists/tuples as READ-ONLY — they are shared cache objects.
+# driver-side constant (r9 ADVICE). The cached objects are IMMUTABLE
+# nested tuples (r10 ADVICE: the earlier lists made the READ-ONLY
+# contract comment-only — one mutating caller would have poisoned
+# every consumer), and clear_trainer_caches() below is the hook for
+# anything that regenerates the parquet under a previously-trained
+# sf_dir within one process (fixture rebuilds, long-lived sessions).
 @functools.lru_cache(maxsize=None)
 def kmeans_train_local(
     sf_dir: str, k: int = 16, iters: int = 2, sample: int = 4096
@@ -574,7 +578,7 @@ def kmeans_train_local(
                 norm = float(np.sqrt((m * m).sum()))
                 if norm > 1e-12:
                     C[cid] = m / norm
-    return [(cid, [float(x) for x in C[cid]]) for cid in range(k)]
+    return tuple((cid, tuple(float(x) for x in C[cid])) for cid in range(k))
 
 
 @functools.lru_cache(maxsize=None)
@@ -626,8 +630,8 @@ def pq_train_local(
                 members = Xb[assign == cid]
                 if len(members):
                     C[cid] = members.mean(axis=0)
-        books.append([(cid, [float(x) for x in C[cid]]) for cid in range(k)])
-    return books
+        books.append(tuple((cid, tuple(float(x) for x in C[cid])) for cid in range(k)))
+    return tuple(books)
 
 
 def best_code_expr(codebook: list, sub: Column) -> Column:
@@ -707,7 +711,18 @@ def pca_axis_local(
             if float(x) < 0:
                 v = -v
             break
-    axis = [float(a) for a in v]
-    mean = [float(m) for m in mu]
+    axis = tuple(float(a) for a in v)
+    mean = tuple(float(m) for m in mu)
     offset = float(np.dot(np.array(axis), np.array(mean)))
     return mean, axis, offset
+
+
+def clear_trainer_caches() -> None:
+    """Drop every memoized trainer model. Call after regenerating the
+    parquet under an sf_dir that a trainer has already read in this
+    process — the lru_cache keys on (sf_dir, hyperparams), not file
+    content, so without this a rebuilt fixture is served stale models
+    (r10 ADVICE)."""
+    kmeans_train_local.cache_clear()
+    pq_train_local.cache_clear()
+    pca_axis_local.cache_clear()

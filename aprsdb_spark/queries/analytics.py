@@ -118,7 +118,18 @@ def funnel_counts(events: DataFrame, stages: list[tuple[str, str]]) -> DataFrame
 
 
 _PR_ITERS = 5
-_PR_DAMP = 0.85
+# Damping as an exact rational (17/20 = 0.85): the integer-nanorank
+# recurrence is built ONLY from integer floor-divisions, so the damping
+# factor must itself be a ratio of BIGINT literals. Every occurrence in
+# both engines' expressions derives from these two numbers (plus the
+# teleport mass below) — editing the ratio edits Spark and the oracle
+# alike, the drift the r10 ADVICE flagged when 0.85 lived beside
+# hardcoded 17/20/150000000 literals.
+_PR_DAMP_NUM = 17
+_PR_DAMP_DEN = 20
+# (1 - d) in nanorank units: 1e9 * 3/20 = 150_000_000, exact.
+_PR_TELEPORT9 = 1_000_000_000 * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
+assert 1_000_000_000 * (_PR_DAMP_DEN - _PR_DAMP_NUM) % _PR_DAMP_DEN == 0
 # The trade graph is near-complete on uniform TPC-H data (every nation
 # trades with every nation), which would make PageRank exactly uniform;
 # keeping each nation's top-3 partners by lineitem flow (deterministic
@@ -177,8 +188,8 @@ def _trade_edges(t) -> DataFrame:
             FROM n CROSS JOIN nn),
     {','.join(f'''
     it{k} AS (SELECT n.nk,
-                     CAST(150000000 // nn.cnt
-                          + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS pr9
+                     CAST({_PR_TELEPORT9} // nn.cnt
+                          + ({_PR_DAMP_NUM} * COALESCE(c.s, 0)) // {_PR_DAMP_DEN} AS BIGINT) AS pr9
               FROM n CROSS JOIN nn
               LEFT JOIN (SELECT e.dst AS nk,
                                 CAST(SUM(p.pr9 // deg.d) AS BIGINT) AS s
@@ -190,7 +201,8 @@ def _trade_edges(t) -> DataFrame:
     """,
 )
 def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-round PageRank (d=0.85, 5 iterations) over the TPC-H trade
+    """Fixed-round PageRank (d = _PR_DAMP_NUM/_PR_DAMP_DEN = 0.85,
+    _PR_ITERS = 5 iterations) over the TPC-H trade
     graph — a directed edge supplier-nation → customer-nation to each
     nation's top-3 trade partners by lineitem flow (uniform TPC-H data
     makes the full trade graph complete, i.e. PageRank-uniform; the
@@ -199,7 +211,7 @@ def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-level oracle: each Spark iteration is mirrored by an unrolled
     CTE in the DuckDB SQL, and every rank is an EXACT BIGINT
     "nanorank" (1e-9 units): per-edge contributions are pr9 div d,
-    damping is (17·s) div 20, teleport is 150000000 div |V| — all
+    damping is (num·s) div den, teleport is _PR_TELEPORT9 div |V| — all
     non-negative integer floor-divisions, so iteration k is a pure
     function of iteration k−1 REGARDLESS of accumulation order. The
     first form kept doubles and re-floored each round to a 1e-9 grid;
@@ -247,7 +259,8 @@ def j_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nk",
                 "cnt",
                 F.expr(
-                    "150000000 div cnt + (17 * COALESCE(s, CAST(0 AS BIGINT))) div 20"
+                    f"{_PR_TELEPORT9} div cnt + ({_PR_DAMP_NUM} * "
+                    f"COALESCE(s, CAST(0 AS BIGINT))) div {_PR_DAMP_DEN}"
                 )
                 .cast("long")
                 .alias("pr9"),

@@ -986,9 +986,13 @@ def j_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM daily GROUP BY event_type)
     SELECT event_type, n_days, s1 AS n_events,
            {sql_rnd("s1 * 1.0 / n_days", 6)} AS mean_daily,
-           CAST((n_days * s2 - s1 * s1) * 1000000
-                // (n_days * s1) AS BIGINT) / 1000000.0 AS fano
-    FROM s
+           CAST((num // den) * 1000000
+                + ((num % den) * 1000000) // den AS BIGINT) / 1000000.0 AS fano
+    FROM (SELECT *,
+                 CAST(n_days AS HUGEINT) * s2
+                   - CAST(s1 AS HUGEINT) * s1 AS num,
+                 CAST(n_days AS HUGEINT) * s1 AS den
+          FROM s)
     """,
 )
 def j_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,9 +1005,15 @@ def j_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-integer identity: with D observed days, S1 = Σn, S2 = Σn²,
     Fano = (D·S2 − S1²)/(D·S1) — the numerator is ≥ 0 by
-    Cauchy–Schwarz, so the single scaled floor-division is sign-safe
+    Cauchy–Schwarz, so the scaled floor-divisions are sign-safe
     (`div` == `//`), and S1/S2 are BIGINT sums a map-side partial agg
-    computes exactly at any order. Days with zero events are outside
+    computes exactly at any order. The products run in 128-bit space
+    (Spark DECIMAL(38,0), DuckDB HUGEINT — r10 ADVICE: BIGINT wrapped
+    silently once S1 ≈ 3e9), and the ×1e6 scaling is split into
+    integer + remainder parts, (num div den)·1e6 + (num mod den)·1e6
+    div den, so no intermediate exceeds ~1e25 — exact over the FULL
+    BIGINT domain of S1/S2 rather than up to a documented cliff.
+    Days with zero events are outside
     the observed-day frame by construction (documented: this is the
     conditional-on-activity Fano; a zero-padded variant would join
     the j_gapfill day spine first).
@@ -1024,13 +1034,22 @@ def j_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("s1"),
         F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
     )
-    return s.select(
+    nd = s.withColumns(
+        {
+            "num": F.expr(
+                "CAST(n_days AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+            ),
+            "den": F.expr("CAST(n_days AS DECIMAL(38,0)) * s1"),
+        }
+    )
+    return nd.select(
         "event_type",
         "n_days",
         F.col("s1").alias("n_events"),
         rnd(F.col("s1") * 1.0 / F.col("n_days"), 6).alias("mean_daily"),
         (
-            F.expr("(n_days * s2 - s1 * s1) * 1000000 div (n_days * s1)")
+            F.expr("(num div den) * 1000000 + ((num % den) * 1000000) div den")
+            .cast("long")
             / F.lit(1000000.0)
         ).alias("fano"),
     )

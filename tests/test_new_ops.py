@@ -943,3 +943,51 @@ def test_cluster_purity_bounds_and_conservation(spark):
         assert 0 < r.n_major <= r.n_vecs
         assert abs(r.purity - round(r.n_major / r.n_vecs, 6)) < 2e-6
         assert 0.0 < r.purity <= 1.0
+
+
+def test_burstiness_fano_is_exact_beyond_bigint(spark):
+    """The Fano scaled division must survive daily sums whose square
+    overflows BIGINT (the r10 ADVICE cliff at S1 ~ 3e9): the 128-bit
+    num/den split in j_burstiness — (num div den)*1e6 + (num mod
+    den)*1e6 div den over DECIMAL(38,0) / HUGEINT — is checked here
+    against exact Python integers on both engines, over counts the
+    old (D*S2 - S1^2)*1e6 BIGINT form silently wrapped on."""
+    import duckdb
+
+    # S2 = 9.0e18 still fits BIGINT (it is a BIGINT sum in the query),
+    # but S1 = 9.0e9 puts S1^2 at 8.1e19 — past the int64 cliff.
+    counts = [1_000_000_000] * 8 + [999_999_937]
+    d, s1 = len(counts), sum(counts)
+    s2 = sum(n * n for n in counts)
+    num, den = d * s2 - s1 * s1, d * s1
+    expect = ((num // den) * 1_000_000 + (num % den) * 1_000_000 // den) / 1_000_000.0
+
+    s = spark.createDataFrame(
+        [("t", d, s1, s2)], "event_type string, n_days long, s1 long, s2 long"
+    )
+    nd = s.withColumns(
+        {
+            "num": F.expr(
+                "CAST(n_days AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+            ),
+            "den": F.expr("CAST(n_days AS DECIMAL(38,0)) * s1"),
+        }
+    )
+    got_spark = nd.select(
+        (
+            F.expr("(num div den) * 1000000 + ((num % den) * 1000000) div den")
+            .cast("long")
+            / F.lit(1000000.0)
+        ).alias("fano")
+    ).collect()[0].fano
+    got_duck = duckdb.sql(
+        f"""
+        SELECT CAST((num // den) * 1000000
+                    + ((num % den) * 1000000) // den AS BIGINT) / 1000000.0 AS fano
+        FROM (SELECT CAST({d} AS HUGEINT) * {s2}
+                       - CAST({s1} AS HUGEINT) * {s1} AS num,
+                     CAST({d} AS HUGEINT) * {s1} AS den)
+        """
+    ).fetchone()[0]
+    assert got_spark == expect
+    assert float(got_duck) == expect
