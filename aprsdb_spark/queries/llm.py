@@ -2105,9 +2105,10 @@ def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     split end-to-end: (1) the write leg snaps every vector to its
     8 per-block codes and saves them as a catalog table bucketed 8
     ways on vec_id (the a_sink_bucketed mechanism — bucket metadata in
-    the catalog, idempotence latched on table existence, so the
-    assignment cost is paid once per session/SF, exactly the
-    write-once contract); (2) the search leg ADC-scores the CODE TABLE
+    the catalog, idempotence latched on a source-fingerprint table
+    property stamped after a successful write, so the assignment cost
+    is paid once per SF until the embeddings change underneath —
+    exactly the write-once contract, crash- and regeneration-safe); (2) the search leg ADC-scores the CODE TABLE
     ONLY (8 broadcast-literal lookups + 7 adds per row), TakeOrdered
     keeps the {short}-candidate shortlist, and the float column is
     touched solely by the {short}-row broadcast re-rank join.
@@ -2130,7 +2131,27 @@ def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = f"sg_pqidx_{base}"
     loc = os.path.join(_SCRATCH, base, "pqdb")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    if not spark.catalog.tableExists(f"{db}.pq_codes"):
+    # Write-once idempotence is latched on a SOURCE FINGERPRINT stamped
+    # into the table properties after a successful write, not on bare
+    # table existence (r10 ADVICE: same-basename regenerated embeddings,
+    # or a crash between saveAsTable and completion, would be served a
+    # stale/partial code table silently forever). size+mtime_ns of the
+    # source parquet is a free, scan-less fingerprint; the stamp lands
+    # strictly AFTER the data, so a crash mid-write leaves a missing/
+    # mismatched stamp and the next session rebuilds.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+
+    def _stamp_of() -> str | None:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {db}.pq_codes ('sg.src_stamp')"
+        ).collect()
+        v = rows[0].value if rows else None
+        return None if v is None or "does not have property" in str(v) else v
+
+    if not spark.catalog.tableExists(f"{db}.pq_codes") or _stamp_of() != stamp:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.pq_codes")
         shutil.rmtree(os.path.join(loc, "pq_codes"), ignore_errors=True)
         codes = t.embeddings.select(
             "vec_id",
@@ -2146,6 +2167,10 @@ def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortBy("vec_id")
             .mode("overwrite")
             .saveAsTable(f"{db}.pq_codes")
+        )
+        spark.sql(
+            f"ALTER TABLE {db}.pq_codes SET TBLPROPERTIES "
+            f"('sg.src_stamp' = '{stamp}')"
         )
     ct = spark.table(f"{db}.pq_codes")
     qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()

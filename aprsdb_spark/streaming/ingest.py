@@ -576,11 +576,18 @@ def ann_ingest_sink(
         return
     spark = batch.sparkSession
     d = len(books[0][0][1])
+    # In-batch duplicate vec_ids break on md5 of the JSON rendering of
+    # the vector, NOT md5(cast(embedding AS string)): array-to-string is
+    # a Spark-INTERNAL format free to change between releases, which
+    # would fork a replayed store from the historical one after an
+    # upgrade (r10 ADVICE). to_json is a public, spec-governed
+    # serialization — stable across versions for identical float values.
     cand = (
         batch.groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("embedding"), F.md5(F.col("embedding").cast("string"))
+                F.struct("embedding"),
+                F.md5(F.to_json(F.struct(F.col("embedding")))),
             ).alias("first")
         )
         .select("vec_id", F.col("first.embedding").alias("embedding"))

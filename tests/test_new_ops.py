@@ -991,3 +991,33 @@ def test_burstiness_fano_is_exact_beyond_bigint(spark):
     ).fetchone()[0]
     assert got_spark == expect
     assert float(got_duck) == expect
+
+
+def test_pq_sink_rebuilds_when_embeddings_regenerate(spark, tmp_path):
+    """j_ann_pq_sink's write-once latch keys on a source fingerprint,
+    not bare table existence: regenerating embeddings.parquet under the
+    SAME sf_dir basename must trigger a rebuild (new stamp), while a
+    repeat call with an untouched source must reuse the table (same
+    stamp) — the r10 ADVICE stale-index scenario, both directions."""
+    import shutil
+
+    sf = tmp_path / "sfstampcheck"
+    sf.mkdir()
+    src = SF_SMALL + "/embeddings.parquet"
+    shutil.copyfile(src, sf / "embeddings.parquet")
+    db = "sg_pqidx_sfstampcheck"
+    spark.sql(f"DROP TABLE IF EXISTS {db}.pq_codes")
+
+    QUERIES["j_ann_pq_sink"](spark, str(sf)).collect()
+    s1 = spark.sql(f"SHOW TBLPROPERTIES {db}.pq_codes ('sg.src_stamp')").collect()[0].value
+    QUERIES["j_ann_pq_sink"](spark, str(sf)).collect()
+    s2 = spark.sql(f"SHOW TBLPROPERTIES {db}.pq_codes ('sg.src_stamp')").collect()[0].value
+    assert s1 == s2, "untouched source must not rebuild"
+
+    shutil.copyfile(src, sf / "embeddings.parquet")  # same bytes, new mtime
+    from aprsdb_spark.operators.similarity import clear_trainer_caches
+
+    clear_trainer_caches()  # the paired hook: models keyed on sf_dir are stale too
+    QUERIES["j_ann_pq_sink"](spark, str(sf)).collect()
+    s3 = spark.sql(f"SHOW TBLPROPERTIES {db}.pq_codes ('sg.src_stamp')").collect()[0].value
+    assert s3 != s1, "regenerated source must rebuild the code table"
