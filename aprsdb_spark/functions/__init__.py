@@ -1,1 +1,1 @@
-from .exprs import rnd, scalarize, sql_rnd  # noqa: F401
+from .exprs import floordiv, rnd, scalarize, sql_floordiv, sql_rnd  # noqa: F401

@@ -63,3 +63,37 @@ def scalarize(df: "DataFrame") -> "DataFrame":  # noqa: F821 - hinted lazily
             c = F.hex(c)
         cols.append(c.alias(f.name))
     return df.select(*cols)
+
+
+def floordiv(col: Column | str, m: int) -> Column:
+    """Sign-safe integer FLOOR division, engine-portable by construction
+    (the canonical form the r9/r10 div-sign parity preconditions point
+    at): q = x div m, minus 1 when the remainder is negative. Measured
+    ground truth behind it: Spark `div` truncates toward zero, and
+    DuckDB 1.0.0's integer `//` ALSO truncates ((-5)//2 = -2) even
+    though its float `//` floors — exactly the kind of per-engine,
+    per-type fine print a bucketing key must not depend on. Both
+    twins apply the identical correction on top of truncation, so the
+    result is floor(x/m) for any sign of x, with no double-precision
+    detour and no subtraction that can overflow at LONG_MIN (the
+    residue-subtraction form fails there). Requires m > 0.
+    SQL twin: sql_floordiv().
+
+    Use this (not bare `div`, not `(x / m) cast long`) wherever a
+    bucketing key's column is not provably non-negative."""
+    if m <= 0:
+        raise ValueError(f"floordiv modulus must be positive, got {m}")
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.call_function("div", c, F.lit(m))
+    return F.when((c % m) < 0, q - 1).otherwise(q)
+
+
+def sql_floordiv(expr: str, m: int) -> str:
+    """DuckDB twin of floordiv() — same truncating-div-plus-correction
+    lowering, so the two engines cannot disagree on signed keys."""
+    if m <= 0:
+        raise ValueError(f"floordiv modulus must be positive, got {m}")
+    return (
+        f"(CASE WHEN (({expr}) % {m}) < 0 THEN (({expr}) // {m}) - 1 "
+        f"ELSE (({expr}) // {m}) END)"
+    )

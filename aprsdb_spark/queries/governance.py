@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import rnd, sql_rnd
+from ..functions import floordiv, rnd, sql_floordiv, sql_rnd
 from ..registry import query
 from ..tables import load
 
@@ -519,7 +519,7 @@ _KANON_K = 5
     "j_kanon_check",
     oracle=f"""
     WITH cells AS (
-      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS chars_bucket,
+      SELECT lang, source, CAST({sql_floordiv("n_chars", 100)} AS BIGINT) AS chars_bucket,
              CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM documents GROUP BY 1, 2, 3),
     ok0 AS (SELECT lang, source, chars_bucket, n_rows,
@@ -546,11 +546,12 @@ def j_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE j_pii_scrub's content pass: scrubbing text fields does not
     help if the metadata tuple itself identifies a user.
 
-    Parity precondition (r9 ADVICE): chars_bucket is Spark
-    `(n_chars / 100) cast long` (truncation toward zero) vs the
-    oracle's `n_chars // 100` (floor) — identical ONLY because
-    n_chars ≥ 0 (a length; FIXTURES.md). A signed bucketing key must
-    use a shared sign-safe floor form on both engines.
+    chars_bucket is lowered through the shared sign-safe floor form
+    floordiv()/sql_floordiv() (functions/exprs.py — the canonical
+    engine-portable lowering the r9/r10 ADVICE asked for): truncating
+    integer division plus a negative-remainder correction on BOTH
+    engines, so the bucketing stays correct even if a signed column
+    (a delta, an offset) is swapped in for the non-negative n_chars.
 
     Plan: two hash aggregates — the cell count (map-side partials,
     shuffle carries one row per cell, never documents), then the
@@ -562,7 +563,7 @@ def j_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     cells = (
         t.documents.groupBy(
-            "lang", "source", (F.col("n_chars") / 100).cast("long").alias("chars_bucket")
+            "lang", "source", floordiv("n_chars", 100).cast("long").alias("chars_bucket")
         )
         .agg(F.count("*").cast("long").alias("n_rows"))
     )

@@ -835,7 +835,8 @@ def j_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor) — identical ONLY for non-negative numerators. SUM(vs) ≥ 0
     holds because FIXTURES.md pins events.value in (0, ~500); feeding
     a series with negative values requires switching both engines to
-    a shared sign-safe floor form (the j_gini_tokens discipline).
+    the shared sign-safe floor form floordiv()/sql_floordiv()
+    (functions/exprs.py) — j_kanon_check is the lowered example.
 
     100 TB: one shuffle keyed by the series id carries scaled BIGINTs;
     per-series state is the window sort, so billions of independent

@@ -1021,3 +1021,27 @@ def test_pq_sink_rebuilds_when_embeddings_regenerate(spark, tmp_path):
     QUERIES["j_ann_pq_sink"](spark, str(sf)).collect()
     s3 = spark.sql(f"SHOW TBLPROPERTIES {db}.pq_codes ('sg.src_stamp')").collect()[0].value
     assert s3 != s1, "regenerated source must rebuild the code table"
+
+
+def test_floordiv_twins_match_python_floor_across_int64(spark):
+    """floordiv()/sql_floordiv() (the canonical sign-safe bucketing
+    form, functions/exprs.py) must equal Python's floor `//` on BOTH
+    engines across the full signed range including LONG_MIN/LONG_MAX —
+    the case the bare-div parity preconditions excluded by docstring.
+    Spark `div` and DuckDB 1.0.0 integer `//` both truncate, so a raw
+    lowering would disagree with floor on every negative non-multiple;
+    the helper's correction closes exactly that gap."""
+    import duckdb
+
+    from aprsdb_spark.functions import floordiv, sql_floordiv
+
+    vals = [-(2**63), -251, -250, -101, -100, -1, 0, 1, 99, 100, 251, 2**63 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    for m in (1, 7, 100):
+        got = {r.x: r.q for r in df.select("x", floordiv(F.col("x"), m).alias("q")).collect()}
+        for v in vals:
+            assert got[v] == v // m, ("spark", v, m, got[v])
+            duck = duckdb.sql(
+                "SELECT " + sql_floordiv(f"CAST({v} AS BIGINT)", m) + " AS q"
+            ).fetchone()[0]
+            assert duck == v // m, ("duckdb", v, m, duck)
