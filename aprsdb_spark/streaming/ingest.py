@@ -547,6 +547,7 @@ def ann_ingest_sink(
     index_dir: str,
     books: list,
     run_key: str | None = None,
+    store_table: str | None = None,
 ) -> None:
     """foreachBatch similarity-INDEX maintenance — the streaming twin
     of j_ann_pq_sink's write leg, completing the §2.I sink-template
@@ -566,10 +567,19 @@ def ann_ingest_sink(
     is deterministic even for conflicting duplicates); the probe is a
     vec_id anti equi-join against the store; the write is APPEND-only
     — the store grows by |novel| ~5-byte code rows per batch, nothing
-    rewrites, and at 10^10 vectors the store is the vec_id-bucketed
-    table j_ann_pq_sink writes, making the anti join exchange-free on
-    the store side. Same (run_key, batch_id) sidecar replay guard —
-    append without it double-ingests under at-least-once delivery."""
+    rewrites. With ``store_table`` set, the store IS the vec_id-
+    bucketed catalog table j_ann_pq_sink writes (created with the
+    same 8-bucket spec if absent): the probe anti-join reads the
+    bucketed table scan directly — ZERO Exchange on the store side,
+    only the micro-batch side shuffles to the bucket partitioning —
+    and each append lands as additional bucket files in the SAME
+    table the ADC search serves, so there is no separate compaction
+    step between "index maintained" and "index served".
+    tests/test_streaming.py pins both the plan (no store-side
+    Exchange) and replay ≡ batch-assignment equivalence in table
+    mode; ``index_dir`` then carries only the replay-guard sidecar.
+    Same (run_key, batch_id) sidecar replay guard — append without
+    it double-ingests under at-least-once delivery."""
     from ..operators.similarity import as_double, best_code_expr
 
     if run_key is not None and batch_id <= _last_applied_batch(index_dir, run_key):
@@ -601,12 +611,27 @@ def ann_ingest_sink(
             for b in range(len(books))
         ],
     )
-    existing = _read_state_or_none(spark, index_dir)
+    if store_table is not None:
+        existing = (
+            spark.table(store_table)
+            if spark.catalog.tableExists(store_table)
+            else None
+        )
+    else:
+        existing = _read_state_or_none(spark, index_dir)
     novel = (
         codes.join(existing.select("vec_id"), "vec_id", "left_anti")
         if existing is not None
         else codes
     )
-    novel.write.mode("append").parquet(index_dir)
+    if store_table is not None:
+        (
+            novel.write.mode("append")
+            .bucketBy(8, "vec_id")
+            .sortBy("vec_id")
+            .saveAsTable(store_table)
+        )
+    else:
+        novel.write.mode("append").parquet(index_dir)
     if run_key is not None:
         _record_applied_batch(index_dir, run_key, batch_id)

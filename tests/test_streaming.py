@@ -773,3 +773,87 @@ def test_pysource_stream_reader_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     drain()  # restart after exhaustion: no re-delivery
     assert spark.read.parquet(out_dir).count() == len(want)
+
+
+def test_ann_ingest_table_mode_is_exchange_free_on_the_store_side(spark, tmp_path):
+    """r10 verdict item 6: the streaming ANN append must land in the
+    SAME vec_id-bucketed catalog table the batch sink serves, and the
+    probe anti-join must read that bucketed store with NO Exchange on
+    the store side — the claim ingest.py makes is pinned here against
+    the executed plan, not prose. Also: two-batch table-mode replay
+    must equal the one-shot batch assignment exactly."""
+    from aprsdb_spark.operators.similarity import (
+        as_double,
+        best_code_expr,
+        pq_train_local,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet").select("vec_id", "embedding")
+    books = pq_train_local(sf, n_blocks=8, k=32, iters=4)
+    d = len(books[0][0][1])
+    db = "sg_ann_table_mode"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path / 'db'}'")
+    table = f"{db}.pq_codes"
+    meta = str(tmp_path / "meta")
+
+    S.ann_ingest_sink(emb.where(F.col("vec_id") < 250), 0, meta, books,
+                      run_key="ck", store_table=table)
+    # plan pin BEFORE the second append: probe side = fresh batch codes,
+    # store side = the bucketed table. The ONLY Exchange allowed is on
+    # the probe side; the table scan must be a bucketed read.
+    batch2 = emb.where(F.col("vec_id") >= 200)
+    codes2 = batch2.select(
+        "vec_id",
+        *[
+            (-best_code_expr(
+                books[b], F.slice(as_double("embedding"), b * d + 1, d)
+            )["ncid"]).cast("int").alias(f"c{b}")
+            for b in range(8)
+        ],
+    )
+    # At test scale AQE would broadcast the 250-row store (also
+    # exchange-free, but trivially); the 10^10-vector claim is the SMJ
+    # shape, so pin it with broadcast disabled.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = codes2.join(
+            spark.table(table).select("vec_id"), "vec_id", "left_anti"
+        )
+        p = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p and "LeftAnti" in p, p[:3000]
+    assert "Bucketed: true" in p, "store scan is not a bucketed read:\n" + p[:3000]
+    # exchange accounting: exactly ONE Exchange in the whole anti-join
+    # plan, and it sits on the probe side — the printout of the store
+    # subtree (everything from its FileScan up to the join) carries
+    # none, because the bucketed scan already provides the hash
+    # partitioning the SMJ requires on the store side.
+    assert p.count("Exchange") == 1, p[:3000]
+    store_scan_idx = p.index("FileScan parquet spark_catalog." + db)
+    assert p.index("Exchange") < store_scan_idx, (
+        "the single Exchange must belong to the probe side, above the "
+        "store scan in the printout:\n" + p[:3000]
+    )
+
+    S.ann_ingest_sink(batch2, 1, meta, books, run_key="ck", store_table=table)
+    # replayed batch_id: no-op via the sidecar
+    S.ann_ingest_sink(emb.limit(50), 1, meta, books, run_key="ck", store_table=table)
+
+    got = sorted(tuple(r) for r in spark.table(table).collect())
+    want_df = emb.select(
+        "vec_id",
+        *[
+            (-best_code_expr(
+                books[b], F.slice(as_double("embedding"), b * d + 1, d)
+            )["ncid"]).cast("int").alias(f"c{b}")
+            for b in range(8)
+        ],
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want, "table-mode streamed store diverged from batch assignment"
+    assert spark.table(table).groupBy("vec_id").count().where("count > 1").count() == 0
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
