@@ -879,6 +879,45 @@ _SHUFFLE_BUDGETS = {
     "j_pagerank": 83,
     "k_apply_in_arrow": 1,
     "j_dup_rate": 2,        # digest agg + source rollup
+    # --- r11 expansion: the full r11 REFRESH window (joins, agg
+    # shapes, the r5-era j_* set) so every qid the driver rescores this
+    # round carries a ceiling. Measured on the cold sf0.01 plan at
+    # review time; counts include BroadcastExchange (a lost broadcast
+    # REPLACES it with a bigger shuffle pair, still caught).
+    "b_filter_null": 0,
+    "b_project_expr": 0,
+    "c_join_inner": 1,
+    "c_join_bcast": 3,
+    "c_join_smj": 3,
+    "c_join_outer": 2,
+    "c_join_semi": 1,
+    "c_join_anti": 1,
+    "c_join_theta": 2,
+    "c_join_interval": 1,
+    "c_join_asof": 1,
+    "c_join_self": 2,
+    "c_join_cross": 1,
+    "c_sql_q3": 3,
+    "c_sql_q10": 4,
+    "c_sql_q5": 6,
+    "d_agg_basic": 1,
+    "d_agg_approx": 2,
+    "d_agg_rollup": 3,
+    "d_agg_filtered": 1,
+    "d_agg_stats": 1,
+    "d_agg_cube": 2,
+    "d_agg_grouping_sets": 2,
+    "d_agg_mode": 3,
+    "d_agg_approx_quantile": 1,
+    "e_win_rank": 1,
+    "e_win_sessionize": 1,
+    "s_dedup_30s_batch": 1,
+    "j_semdedup": 15,       # bucket-keyed windows; persisted-child reprints
+    "j_pii_scrub": 0,       # pure per-row scrub — zero-shuffle contract
+    "j_sample_stratified": 0,  # hash-deterministic per-row keep decision
+    "j_contamination": 4,
+    "j_dedup_containment": 10,
+    "j_embed_quantize": 0,  # literal-grid per-row quantization map
 }
 
 
