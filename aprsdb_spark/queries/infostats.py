@@ -1525,3 +1525,454 @@ def j_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("nt") * 1.0 / F.count("*"), 6).alias("tokens_per_doc"),
         )
     )
+
+
+@query(
+    "j_wasserstein_lengths",
+    oracle="""
+    WITH dl AS (SELECT source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents),
+    cl AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM dl GROUP BY n),
+    ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS nc FROM cl),
+    ccum AS (SELECT n, CAST(SUM(c) OVER (ORDER BY n) AS BIGINT) AS cc,
+                    LEAD(n) OVER (ORDER BY n) - n AS gap
+             FROM cl),
+    sl AS (SELECT source, n, CAST(COUNT(*) AS BIGINT) AS c
+           FROM dl GROUP BY source, n),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+             FROM sl GROUP BY source),
+    grid AS (SELECT st.source, st.ns, cc.n, cc.cc, cc.gap,
+                    COALESCE(sl.c, 0) AS c
+             FROM stot st CROSS JOIN ccum cc
+             LEFT JOIN sl ON sl.source = st.source AND sl.n = cc.n),
+    cum AS (SELECT source, ns, n, cc, gap,
+                   CAST(SUM(c) OVER (PARTITION BY source ORDER BY n)
+                        AS BIGINT) AS cs
+            FROM grid),
+    w AS (SELECT source, ns,
+                 CAST(SUM(abs(cs * ct.nc - cc * ns) * COALESCE(gap, 0))
+                      AS BIGINT) AS w1_num
+          FROM cum CROSS JOIN ctot ct GROUP BY source, ns)
+    SELECT source, ns AS n_docs, w1_num,
+           FLOOR(w1_num * 1.0 / (ns * ct.nc) * 1000000 + 0.5) / 1000000
+             AS w1_tokens
+    FROM w CROSS JOIN ctot ct
+    """,
+)
+def j_wasserstein_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between each source's
+    document-length distribution and the whole corpus, in TOKEN units —
+    the INTEGRAL twin of j_ks_lengths' max-gap: W1 = ∫|F_s − F_c| dx
+    over the length axis. KS fires on one sharp step (a truncation
+    cliff); W1 fires on broad mass displacement KS under-weights (a
+    source drifting 20 tokens longer everywhere moves W1 by ~20 while
+    KS barely moves) — drift dashboards want both numbers from the
+    same scan (Ramdas et al. 2017, public, for the CDF-integral form).
+
+    EXACT integer arithmetic end-to-end (the j_ks_lengths discipline):
+    both ECDFs cross-multiply to |cs·N − cc·n_s|, each grid step is
+    weighted by its gap to the next distinct length, and the weighted
+    BIGINT sum is order-free; the only float op is the final display
+    division by n_s·N. The step function is piecewise-constant between
+    corpus-distinct lengths, so the grid integral is the exact
+    integral, not a quadrature.
+
+    Plan: shares j_ks_lengths' shape — one narrow map (text never
+    leaves the scan), two hash aggs, then everything runs on the
+    METADATA-sized distinct-length grid (bounded by the length domain):
+    broadcast grid cross sources, one per-source cumulative window, a
+    per-source rollup. At extreme corpus counts the cs·N product
+    upgrades to DECIMAL(38,0), same shape."""
+    t = load(spark, sf_dir)
+    dl = t.documents.select(
+        "source", F.size(tokens_col("text")).cast("long").alias("n")
+    )
+    cl = dl.groupBy("n").agg(F.count("*").cast("long").alias("c"))
+    wn = Window.orderBy("n")
+    ccum = cl.select(
+        "n",
+        F.sum("c").over(wn).cast("long").alias("cc"),
+        (F.lead("n").over(wn) - F.col("n")).alias("gap"),
+    )
+    nc = cl.agg(F.sum("c").cast("long").alias("nc"))
+    sl = dl.groupBy("source", "n").agg(F.count("*").cast("long").alias("c"))
+    stot = sl.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    grid = (
+        stot.crossJoin(F.broadcast(ccum))
+        .join(sl, ["source", "n"], "left")
+        .select(
+            "source", "ns", "n", "cc", "gap", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    cum = grid.select(
+        "source",
+        "ns",
+        "n",
+        "cc",
+        "gap",
+        F.sum("c")
+        .over(Window.partitionBy("source").orderBy("n"))
+        .cast("long")
+        .alias("cs"),
+    )
+    w = (
+        cum.crossJoin(F.broadcast(nc))
+        .groupBy("source", "ns")
+        .agg(
+            F.sum(
+                F.abs(F.col("cs") * F.col("nc") - F.col("cc") * F.col("ns"))
+                * F.coalesce("gap", F.lit(0))
+            )
+            .cast("long")
+            .alias("w1_num")
+        )
+    )
+    return w.crossJoin(F.broadcast(nc)).select(
+        "source",
+        F.col("ns").alias("n_docs"),
+        "w1_num",
+        rnd(F.col("w1_num") * 1.0 / (F.col("ns") * F.col("nc")), 6).alias(
+            "w1_tokens"
+        ),
+    )
+
+
+@query(
+    "j_heaps_law",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    sv AS (SELECT source,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+           FROM tok GROUP BY source),
+    pts AS (SELECT source, n_tokens, n_types,
+                   ln(CAST(n_tokens AS DOUBLE)) AS x,
+                   ln(CAST(n_types AS DOUBLE)) AS y
+            FROM sv),
+    fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM pts)
+    SELECT p.source, p.n_tokens, p.n_types,
+           {sql_rnd("(f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx)", 6)}
+             AS heaps_beta,
+           {sql_rnd("(f.sy - (f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx) * f.sx) / f.n", 6)}
+             AS ln_k,
+           {sql_rnd("p.y - ((f.sy - (f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx) * f.sx) / f.n + (f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx) * p.x)", 6)}
+             AS resid
+    FROM pts p CROSS JOIN fit f
+    """,
+)
+def j_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ln(types) on
+    ln(tokens) across sources gives the growth exponent β (natural
+    text ~0.4-0.6; Heaps 1978, public) and ln K, plus each source's
+    RESIDUAL from the fitted line — the per-source audit number. A
+    source whose vocabulary grows too slowly for its token mass
+    (negative residual) is template/boilerplate-heavy; one above the
+    line is noisy/OCR-damaged — the growth-curve companion to
+    j_zipf_fit's rank-frequency slope, answering "is this source's
+    vocabulary SIZE consistent with its size" where zipf answers "is
+    its head shape natural".
+
+    Determinism (the j_zipf_fit rule): n_tokens/n_types are exact
+    BIGINTs, x/y are single libm calls on those integers —
+    bit-identical per row — and the |sources|-term sufficient sums
+    plus the final fold round at 1e-6 on both engines.
+
+    Plan: one explode feeding ONE (source, token) partial-agg pair —
+    count + distinct-count share the shuffle — then everything runs on
+    the |sources|-row metadata frame (1-row broadcast fit joined
+    back). The corpus explode happens once; text never leaves the
+    scan."""
+    t = load(spark, sf_dir)
+    sv = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("w").cast("long").alias("n_types"),
+        )
+    )
+    pts = sv.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("n_types").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = pts.crossJoin(F.broadcast(fit))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return j.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        rnd(slope, 6).alias("heaps_beta"),
+        rnd(intercept, 6).alias("ln_k"),
+        rnd(F.col("y") - (intercept + slope * F.col("x")), 6).alias("resid"),
+    )
+
+
+# Hill estimator: tail sample size (top-_HILL_K order statistics of the
+# token-frequency distribution, plus the (k+1)-th as the threshold).
+_HILL_K = 50
+
+
+@query(
+    "j_hill_tail",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    vc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, w),
+    rk AS (SELECT source, c,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY c DESC, w) AS BIGINT) AS r
+           FROM vc),
+    s AS (SELECT source,
+                 CAST(SUM(CASE WHEN r <= {_HILL_K} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS k_used,
+                 SUM(CASE WHEN r <= {_HILL_K} THEN ln(CAST(c AS DOUBLE)) END)
+                   AS sum_ln_top,
+                 MAX(CASE WHEN r = {_HILL_K} + 1 THEN ln(CAST(c AS DOUBLE)) END)
+                   AS ln_thresh
+          FROM rk WHERE r <= {_HILL_K} + 1 GROUP BY source)
+    SELECT source, k_used,
+           {sql_rnd("sum_ln_top / k_used - ln_thresh", 6)} AS hill_xi,
+           {sql_rnd("1.0 / (sum_ln_top / k_used - ln_thresh)", 6)} AS hill_alpha
+    FROM s WHERE ln_thresh IS NOT NULL
+    """,
+)
+def j_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the token-frequency tail index per source
+    (Hill 1975, public): ξ̂ = mean(ln c_(1..k)) − ln c_(k+1) over the
+    top-k frequency order statistics, α̂ = 1/ξ̂. Zipfian text has
+    α ≈ 1/zipf-slope; a COLLAPSED tail (α runs high) means the head
+    dominates — boilerplate mass — while heavy α < 1 signals
+    degenerate token inflation. This is the estimator drift monitors
+    prefer over the OLS zipf fit because it has a known asymptotic
+    variance (ξ²/k) to alarm against; sources without k+1 distinct
+    tokens drop out (the estimator is undefined there).
+
+    Determinism: counts rank by (c desc, token) — a total order — and
+    the estimator only consumes COUNT VALUES at rank positions, which
+    ties cannot perturb. ln runs per-row on identical BIGINTs; the
+    k-term sum and the final fold round at 1e-6 (the j_zipf_fit rule).
+
+    Plan: identical scale shape to j_zipf_fit — explode → (source,
+    token) hash agg, and the r ≤ k+1 filter sits directly on the
+    row_number window so the map side keeps ≤ k+1 rows per source
+    BEFORE the source exchange (partial WindowGroupLimit); the rollup
+    runs on ≤ (k+1)·|sources| metadata rows."""
+    t = load(spark, sf_dir)
+    vc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rk = vc.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("w")))
+        .cast("long")
+        .alias("r"),
+    )
+    lnc = F.log(F.col("c").cast("double"))
+    s = (
+        rk.where(F.col("r") <= _HILL_K + 1)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("r") <= _HILL_K, 1).otherwise(0))
+            .cast("long")
+            .alias("k_used"),
+            F.sum(F.when(F.col("r") <= _HILL_K, lnc)).alias("sum_ln_top"),
+            F.max(F.when(F.col("r") == _HILL_K + 1, lnc)).alias("ln_thresh"),
+        )
+    )
+    xi = F.col("sum_ln_top") / F.col("k_used") - F.col("ln_thresh")
+    return s.where(F.col("ln_thresh").isNotNull()).select(
+        "source",
+        "k_used",
+        rnd(xi, 6).alias("hill_xi"),
+        rnd(1.0 / xi, 6).alias("hill_alpha"),
+    )
+
+
+# Coverage curve: cumulative occurrence mass of the top-k bigram TYPES
+# at these literal k marks (the vocab-size sizing grid).
+_COVERAGE_GRID = (100, 300, 1000, 3000, 10000)
+
+
+@query(
+    "j_ngram_coverage",
+    oracle=f"""
+    WITH bg AS (SELECT unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS term
+                FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+    bc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM bc),
+    rk AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT)
+                       AS r
+           FROM bc),
+    cum AS (SELECT r, CAST(SUM(c) OVER (ORDER BY r) AS BIGINT) AS cc
+            FROM rk WHERE r <= {max(_COVERAGE_GRID)}),
+    grid AS (SELECT CAST(unnest(ARRAY{list(_COVERAGE_GRID)}) AS BIGINT) AS k)
+    SELECT g.k,
+           CAST(LEAST(g.k, t.v) AS BIGINT) AS n_types_used,
+           CAST(COALESCE(MAX(cum.cc), 0) AS BIGINT) AS covered,
+           t.n AS n_occurrences,
+           FLOOR(COALESCE(MAX(cum.cc), 0) * 1.0 / t.n * 1000000 + 0.5)
+             / 1000000 AS coverage
+    FROM grid g CROSS JOIN tot t
+    LEFT JOIN cum ON cum.r <= g.k
+    GROUP BY g.k, t.v, t.n
+    """,
+)
+def j_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: the fraction of all corpus bigram
+    OCCURRENCES covered by the top-k bigram TYPES, at a literal k
+    grid — the number that sizes a phrase vocabulary / merges budget
+    (the inverse question of j_topp_vocab, which asks how many types
+    a mass threshold needs; both read off the same ranked histogram).
+    The curve's knee is where enlarging the vocabulary stops paying.
+
+    EXACT integers end-to-end: coverage numerators are cumulative
+    BIGINT counts at rank positions of the (count desc, term) total
+    order; the single float op is the display ratio (1e-6 floor form).
+
+    Plan: ONE bigram explode collapsed by a type hash agg with
+    map-side partials; the rank window is unpartitioned BUT the
+    r ≤ max(grid) filter sits directly on it, so the map side keeps at
+    most {max(_COVERAGE_GRID)} rows per task before the single-
+    partition exchange (partial WindowGroupLimit — the j_zipf_fit
+    bound); the grid join and rollup run on ≤ {max(_COVERAGE_GRID)}
+    metadata rows. The |grid|-row output is dashboard-sized at any
+    corpus scale."""
+    t = load(spark, sf_dir)
+    bc = (
+        t.documents.select(F.explode(ngrams_col("text", 2)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = bc.agg(
+        F.sum("c").cast("long").alias("n"), F.count("*").cast("long").alias("v")
+    )
+    rk = bc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("term")))
+        .cast("long")
+        .alias("r"),
+    )
+    cum = rk.where(F.col("r") <= max(_COVERAGE_GRID)).select(
+        "r", F.sum("c").over(Window.orderBy("r")).cast("long").alias("cc")
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in _COVERAGE_GRID])
+        ).alias("k")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cum), F.col("r") <= F.col("k"), "left")
+        .groupBy("k", "v", "n")
+        .agg(F.coalesce(F.max("cc"), F.lit(0)).cast("long").alias("covered"))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("v")).cast("long").alias("n_types_used"),
+            "covered",
+            F.col("n").alias("n_occurrences"),
+            rnd(F.col("covered") * 1.0 / F.col("n"), 6).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "j_perplexity_eval",
+    oracle=f"""
+    WITH bg AS ({_BIGRAM_SQL}),
+    sb AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM bg GROUP BY source, g),
+    gb AS (SELECT g, CAST(SUM(tf) AS BIGINT) AS c FROM sb GROUP BY g),
+    gp AS (SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cp
+           FROM gb GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT split_part(g, ' ', 2)) AS BIGINT) AS v
+          FROM gb),
+    scored AS (SELECT sb.source, sb.tf,
+                      ln((gb.c + 1.0) / (gp.cp + v.v)) AS lp
+               FROM sb JOIN gb ON gb.g = sb.g
+               JOIN gp ON gp.w1 = split_part(sb.g, ' ', 1)
+               CROSS JOIN v)
+    SELECT source,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           {sql_rnd("-SUM(tf * lp) / SUM(tf)", 6)} AS cross_entropy,
+           {sql_rnd("exp(-SUM(tf * lp) / SUM(tf))", 6)} AS perplexity
+    FROM scored GROUP BY source
+    """,
+)
+def j_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity under the GLOBAL add-one-smoothed bigram
+    LM — the language-model FIT audit (Jelinek et al. 1977, public):
+    j_entropy_rate scores each source under its OWN bigram statistics;
+    this scores it under the corpus-wide model, so the spread across
+    sources is the mixture-design signal (a source the global model
+    predicts badly is out-of-domain mass — the sequential
+    complement of j_kl_sources' unigram divergence, and the number
+    data-mixing papers threshold on when down-weighting a domain).
+
+    Identity: H_s = −Σ tf·ln((c+1)/(c₁·+V)) / N_s over the source's
+    bigram TYPES (tf-weighted type sum — the j_chargram_confusion
+    collapse), PPL = exp(H). All counts exact BIGINTs; ln on identical
+    doubles both engines; the type sum rounds 1e-6 at display.
+
+    Plan: ONE bigram explode → (source, bigram) hash agg; the global
+    model derives from a RE-AGG of those type rows (no second corpus
+    pass — the sum of per-source tf IS the global count), then prefix
+    totals and vocab are metadata-scale re-aggs; scoring is an
+    equi-join on the gram key over type rows with map-side partials
+    into the source rollup."""
+    t = load(spark, sf_dir)
+    sb = (
+        t.documents.select("source", F.explode(ngrams_col("text", 2)).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    gb = sb.groupBy("g").agg(F.sum("tf").cast("long").alias("c"))
+    gp = (
+        gb.select(F.substring_index("g", " ", 1).alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").cast("long").alias("cp"))
+    )
+    v = gb.agg(
+        F.countDistinct(F.substring_index("g", " ", -1)).cast("long").alias("v")
+    )
+    scored = (
+        sb.join(gb, "g")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(gp, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            "tf",
+            F.log((F.col("c") + 1.0) / (F.col("cp") + F.col("v"))).alias("lp"),
+        )
+    )
+    h = -F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")
+    return scored.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        rnd(h, 6).alias("cross_entropy"),
+        rnd(F.exp(h), 6).alias("perplexity"),
+    )

@@ -136,7 +136,18 @@ DRIVER_ORDER: list[str] = [
 # runs) and is FIRST in line for the next rotation.
 # test_registry_order.py enforces that a never-scored qid is either in
 # the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = []
+NEXT_QUEUE: list[str] = [
+    # r11 wave 1: distribution-drift + vocabulary-growth statistics —
+    # the W1 integral twin of the KS max-gap, Heaps' growth exponent
+    # with per-source residuals, the Hill tail-index estimator, the
+    # top-k coverage curve, and per-source perplexity under the global
+    # bigram LM
+    "j_wasserstein_lengths",
+    "j_heaps_law",
+    "j_hill_tail",
+    "j_ngram_coverage",
+    "j_perplexity_eval",
+]
 
 # Already-scored qids whose evidence is the oldest in the registry but
 # which did NOT fit this round's 50-slot window: scheduled FIRST for the
