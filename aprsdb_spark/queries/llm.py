@@ -3692,3 +3692,341 @@ def j_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def _ndcg_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (SELECT vec_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS re
+              FROM (SELECT vec_id,
+                           FLOOR(list_dot_product(v, qv) * 1000000 + 0.5) / 1000000
+                             AS score
+                    FROM e, q WHERE vec_id <> 0
+                    ORDER BY score DESC, vec_id LIMIT {_PQ_TOPK}) x),
+    approx AS (SELECT vec_id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS ra
+               FROM ({ORACLE["j_ann_pq"]}) y),
+    gains AS (SELECT a.ra,
+                     COALESCE({_PQ_TOPK} + 1 - e2.re, 0) AS g
+              FROM approx a LEFT JOIN exact e2 ON e2.vec_id = a.vec_id),
+    grid AS (SELECT CAST(unnest(range(1, {_PQ_TOPK} + 1)) AS BIGINT) AS k),
+    dcg AS (SELECT g2.k,
+                   COALESCE(SUM(gains.g / ln(1.0 + gains.ra)), 0) AS dcg,
+                   CAST(COALESCE(SUM(gains.g), 0) AS BIGINT) AS gain_mass
+            FROM grid g2 LEFT JOIN gains ON gains.ra <= g2.k
+            GROUP BY g2.k),
+    ideal AS (SELECT g2.k,
+                     SUM(({_PQ_TOPK} + 1 - i.i) / ln(1.0 + i.i)) AS idcg
+              FROM grid g2
+              JOIN (SELECT CAST(unnest(range(1, {_PQ_TOPK} + 1)) AS BIGINT) AS i) i
+                ON i.i <= g2.k
+              GROUP BY g2.k)
+    SELECT d.k, d.gain_mass,
+           FLOOR(d.dcg / i.idcg * 1000000 + 0.5) / 1000000 AS ndcg
+    FROM dcg d JOIN ideal i USING (k)
+    """
+
+
+@query("j_ndcg", oracle=_ndcg_oracle())
+def j_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k curve (k = 1..{k}) of the PQ ADC ranking against graded
+    relevance DERIVED from the exact ranking (gain of the item at
+    exact rank r is {k}+1−r, 0 outside the exact top-{k}) — the
+    position-weighted companion to j_recall_curve: recall counts set
+    overlap per prefix; NDCG (Järvelin & Kekäläinen 2002, public)
+    additionally charges the approximate index for SHUFFLING the head
+    — a PQ ranking can hold recall@10 = 1.0 while NDCG@1 collapses,
+    which is exactly the "re-rank shortlist too small" signature.
+
+    Determinism: both rankings order by (rounded score desc, vec_id) —
+    total orders; gains are exact integers; 1/ln(1+i) evaluates on
+    identical small integers in both engines, and the ≤{k}-term DCG
+    sums round 1e-6 at display. Ideal DCG is a pure function of the
+    k-grid (the exact top-{k} has all {k} graded items by
+    construction), so ndcg ≤ 1 with equality iff the prefix order
+    agrees.
+
+    Plan: both legs are the registered ≤{k}-row relations
+    (j_recall_curve's construction — the exact TakeOrdered leg and the
+    j_ann_pq plan verbatim); every join after is metadata vs the
+    literal k-grid."""
+    from ..operators.similarity import _lit_vector
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    exact = (
+        t.embeddings.where(F.col("vec_id") != 0)
+        .select("vec_id", rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_TOPK)
+        .select("vec_id", F.row_number().over(w).cast("long").alias("re"))
+    )
+    ap = (
+        QUERIES["j_ann_pq"](spark, sf_dir)
+        .select("vec_id", "score")
+        .select("vec_id", F.row_number().over(w).cast("long").alias("ra"))
+    )
+    gains = ap.join(exact, "vec_id", "left").select(
+        "ra",
+        F.coalesce(F.lit(_PQ_TOPK) + 1 - F.col("re"), F.lit(0)).cast("long").alias("g"),
+    )
+    grid = spark.range(1, _PQ_TOPK + 1).select(F.col("id").cast("long").alias("k"))
+    dcg = (
+        F.broadcast(grid)
+        .join(gains, F.col("ra") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum(F.col("g") / F.log(1.0 + F.col("ra"))), F.lit(0.0)).alias(
+                "dcg"
+            ),
+            F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("gain_mass"),
+        )
+    )
+    igrid = spark.range(1, _PQ_TOPK + 1).select(F.col("id").cast("long").alias("i"))
+    ideal = (
+        F.broadcast(grid)
+        .join(igrid, F.col("i") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum((F.lit(_PQ_TOPK) + 1 - F.col("i")) / F.log(1.0 + F.col("i"))).alias(
+                "idcg"
+            )
+        )
+    )
+    return dcg.join(ideal, "k").select(
+        "k", "gain_mass", rnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
+    )
+
+
+j_ndcg.__doc__ = j_ndcg.__doc__.replace("{k}", str(_PQ_TOPK))
+
+
+# Calibration protocol: the first _ECE_NQ vectors query the rest; the
+# top-_ECE_K neighbor vote count IS the confidence bin (v/K), so the
+# reliability diagram needs no float binning at all.
+_ECE_NQ = 200
+_ECE_K = 10
+
+
+@query(
+    "j_ece_calibration",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_ECE_NQ}),
+    s AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                 FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id >= {_ECE_NQ}),
+    nn AS (SELECT qid, qlabel, label FROM (
+             SELECT qid, qlabel, label,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, vec_id) AS rk
+             FROM s) WHERE rk <= {_ECE_K}),
+    votes AS (SELECT qid, qlabel, label, CAST(COUNT(*) AS BIGINT) AS v
+              FROM nn GROUP BY qid, qlabel, label),
+    pred AS (SELECT qid, qlabel, label AS plabel, v FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY v DESC, label) AS rk
+               FROM votes) WHERE rk = 1)
+    SELECT v AS votes,
+           FLOOR(v * 1.0 / {_ECE_K} * 1000000 + 0.5) / 1000000 AS confidence,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           FLOOR(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS accuracy,
+           FLOOR(abs(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*) - v * 1.0 / {_ECE_K}) * COUNT(*)
+                 / {_ECE_NQ} * 1000000 + 0.5) / 1000000 AS ece_term
+    FROM pred GROUP BY v
+    """,
+)
+def j_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected-calibration-error terms for the
+    kNN label classifier (Naeini et al. 2015 for ECE, public): each of
+    the {nq} query vectors takes its top-{kk} neighbor majority vote;
+    the VOTE COUNT is the confidence bin (v/{kk} — no float binning,
+    the bins are exact integers by construction), and each bin reports
+    accuracy vs stated confidence plus its weighted ECE term
+    (Σ ece_term = the scalar ECE). An over-confident retrieval
+    classifier (acc ≪ conf at high v) means label noise or duplicate
+    leakage between query and candidate sets — the calibration
+    companion to j_knn_confusion (which classes confuse) and
+    j_selective_accuracy (where to abstain).
+
+    Determinism: neighbor rank is (rounded score desc, vec_id); the
+    majority vote breaks ties (v desc, label) — total orders; every
+    count is BIGINT; ratios round 1e-6 at display.
+
+    Plan: the {nq}-row query set broadcasts onto one candidate scan
+    (j_knn_batch's fan-out); the rk ≤ {kk} filter sits on the
+    qid-partitioned row_number so map tasks keep ≤{kk} rows per query
+    before the qid exchange; votes, argmax, and the ≤{kk}-bin rollup
+    are metadata-scale. At 100 TB the candidate leg is the ANN
+    shortlist and this exact form audits it on sampled queries."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _ECE_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double("embedding").alias("qv"),
+    )
+    s = (
+        t.embeddings.where(F.col("vec_id") >= _ECE_NQ)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    nn = (
+        s.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _ECE_K)
+        .select("qid", "qlabel", "label")
+    )
+    votes = nn.groupBy("qid", "qlabel", "label").agg(
+        F.count("*").cast("long").alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("v").desc(), F.col("label").asc())
+    pred = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("qid", "qlabel", F.col("label").alias("plabel"), "v")
+    )
+    correct = F.sum(F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0))
+    return pred.groupBy(F.col("v").alias("votes")).agg(
+        rnd(F.first("v") * 1.0 / _ECE_K, 6).alias("confidence"),
+        F.count("*").cast("long").alias("n_queries"),
+        correct.cast("long").alias("n_correct"),
+        rnd(correct * 1.0 / F.count("*"), 6).alias("accuracy"),
+        rnd(
+            F.abs(correct * 1.0 / F.count("*") - F.first("v") * 1.0 / _ECE_K)
+            * F.count("*")
+            / F.lit(_ECE_NQ),
+            6,
+        ).alias("ece_term"),
+    )
+
+
+j_ece_calibration.__doc__ = (
+    j_ece_calibration.__doc__.replace("{nq}", str(_ECE_NQ)).replace(
+        "{kk}", str(_ECE_K)
+    )
+)
+
+
+def _rank_tau_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (SELECT vec_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS re
+              FROM (SELECT vec_id,
+                           FLOOR(list_dot_product(v, qv) * 1000000 + 0.5) / 1000000
+                             AS score
+                    FROM e, q WHERE vec_id <> 0
+                    ORDER BY score DESC, vec_id LIMIT {_PQ_TOPK}) x),
+    approx AS (SELECT vec_id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS ra
+               FROM ({ORACLE["j_ann_pq"]}) y),
+    p AS (SELECT e2.re, a.ra FROM exact e2 JOIN approx a USING (vec_id)),
+    pairs AS (SELECT CAST(SUM(CASE WHEN (a.re - b.re) * (a.ra - b.ra) > 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                     CAST(SUM(CASE WHEN (a.re - b.re) * (a.ra - b.ra) < 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                     CAST(COUNT(*) AS BIGINT) AS npairs
+              FROM p a JOIN p b ON a.re < b.re),
+    sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM((re - ra) * (re - ra)) AS BIGINT) AS d2
+           FROM p)
+    SELECT sp.n AS n_common, pairs.conc AS concordant, pairs.disc AS discordant,
+           CASE WHEN sp.n < 2 THEN NULL
+                ELSE FLOOR((pairs.conc - pairs.disc) * 1.0 / pairs.npairs
+                           * 1000000 + 0.5) / 1000000 END AS kendall_tau,
+           CASE WHEN sp.n < 2 THEN NULL
+                ELSE FLOOR((1.0 - 6.0 * sp.d2 / (sp.n * (sp.n * sp.n - 1)))
+                           * 1000000 + 0.5) / 1000000 END AS spearman_rho
+    FROM sp CROSS JOIN pairs
+    """
+
+
+@query("j_rank_tau", oracle=_rank_tau_oracle())
+def j_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-correlation audit of the PQ ADC ranking against the exact
+    ranking over their COMMON top-{k} items: Kendall τ-a (concordant −
+    discordant over all pairs — every pair the approximate index
+    swaps costs 2/n(n−1)) and Spearman ρ (1 − 6Σd²/n(n²−1)) in one
+    row. j_recall_curve asks "are the right items present", j_ndcg
+    asks "is the head ordered"; τ/ρ ask "how scrambled is the whole
+    permutation" — the single-number agreement stat to trend per
+    index rebuild (Kendall 1938 / Spearman 1904, public).
+
+    EXACT integers end-to-end: both ranks are row_numbers over
+    (rounded score desc, vec_id) total orders; concordance signs,
+    pair counts, and Σd² are BIGINT; each statistic is ONE display
+    division (NULL below 2 common items, where neither is defined).
+
+    Plan: both legs are the registered ≤{k}-row relations; the pair
+    self-join is over ≤{k} metadata rows (≤45 pairs) — free at any
+    corpus scale."""
+    from ..operators.similarity import _lit_vector
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    exact = (
+        t.embeddings.where(F.col("vec_id") != 0)
+        .select("vec_id", rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_TOPK)
+        .select("vec_id", F.row_number().over(w).cast("long").alias("re"))
+    )
+    ap = (
+        QUERIES["j_ann_pq"](spark, sf_dir)
+        .select("vec_id", "score")
+        .select("vec_id", F.row_number().over(w).cast("long").alias("ra"))
+    )
+    p = exact.join(ap, "vec_id").select("re", "ra")
+    a, b = p.alias("a"), p.alias("b")
+    sgn = (F.col("a.re") - F.col("b.re")) * (F.col("a.ra") - F.col("b.ra"))
+    pairs = a.join(b, F.col("a.re") < F.col("b.re")).agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.count("*").cast("long").alias("npairs"),
+    )
+    sp = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("re") - F.col("ra")) * (F.col("re") - F.col("ra")))
+        .cast("long")
+        .alias("d2"),
+    )
+    n = F.col("n")
+    return sp.crossJoin(pairs).select(
+        n.alias("n_common"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(rnd((F.col("conc") - F.col("disc")) * 1.0 / F.col("npairs"), 6))
+        .alias("kendall_tau"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(rnd(1.0 - 6.0 * F.col("d2") / (n * (n * n - 1)), 6))
+        .alias("spearman_rho"),
+    )
+
+
+j_rank_tau.__doc__ = j_rank_tau.__doc__.replace("{k}", str(_PQ_TOPK))

@@ -147,6 +147,13 @@ NEXT_QUEUE: list[str] = [
     "j_hill_tail",
     "j_ngram_coverage",
     "j_perplexity_eval",
+    # r11 wave 2: retrieval/classifier evaluation closure — NDCG@k
+    # position-weighted curve, integer-binned reliability diagram +
+    # ECE terms for the kNN classifier, Kendall/Spearman agreement of
+    # the PQ permutation vs exact
+    "j_ndcg",
+    "j_ece_calibration",
+    "j_rank_tau",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
