@@ -726,3 +726,66 @@ def clear_trainer_caches() -> None:
     kmeans_train_local.cache_clear()
     pq_train_local.cache_clear()
     pca_axis_local.cache_clear()
+    logreg_train_local.cache_clear()
+
+
+@functools.lru_cache(maxsize=None)
+def logreg_train_local(
+    sf_dir: str, lr: float = 0.5, iters: int = 200, sample: int = 1024
+) -> tuple:
+    """Logistic-regression text classifier trained DRIVER-SIDE by
+    fixed-round full-batch gradient descent on a bounded deterministic
+    sample (first `sample` docs by doc_id, straight from parquet via
+    pyarrow): target y = (lang == 'en'), features
+    x1 = token count, x2 = distinct-token ratio, x3 = mean token
+    length (derived from char length under single-space joining).
+    Returns ((w0, w1, w2, w3), (m1, m2, m3), (s1, s2, s3)) — weights
+    over z-standardized features plus the standardization constants,
+    all plain floats.
+
+    Same verifiability contract as kmeans/pq/pca: the model is 10
+    floats of METADATA entering BOTH engines as literals, so the
+    numpy training arithmetic never needs cross-engine bit-matching —
+    only the downstream per-row score expression does (identical
+    op sequence in Spark and the DuckDB oracle). Deterministic by
+    construction: zero init, fixed lr and iteration count, no RNG,
+    no early stopping. 100 TB-safe because the sample is capped; the
+    distributed pass is scoring, not training."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pydict()
+    rows = sorted(zip(tbl["doc_id"], tbl["text"], tbl["lang"]))[:sample]
+    feats, ys = [], []
+    for _, text, lang in rows:
+        toks = text.split(" ")
+        nt = len(toks)
+        feats.append(
+            [
+                float(nt),
+                len(set(toks)) / nt,
+                (len(text) - (nt - 1)) / nt,
+            ]
+        )
+        ys.append(1.0 if lang == "en" else 0.0)
+    X = np.array(feats, dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    m = X.mean(axis=0)
+    s = X.std(axis=0)
+    s[s < 1e-12] = 1.0
+    Z = (X - m) / s
+    w = np.zeros(4, dtype=np.float64)  # bias + 3 weights
+    n = float(len(y))
+    for _ in range(iters):
+        z = w[0] + Z @ w[1:]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w[0] -= lr * float(g.mean())
+        w[1:] -= lr * (Z.T @ g) / n
+    return (
+        tuple(float(x) for x in w),
+        tuple(float(x) for x in m),
+        tuple(float(x) for x in s),
+    )

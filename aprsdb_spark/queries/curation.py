@@ -1424,3 +1424,68 @@ def j_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("b") - F.col("a"), F.lit(0)).cast("long").alias("middle_len"),
         F.md5(F.when(F.col("applied"), psm).otherwise(F.col("text"))).alias("psm_md5"),
     )
+
+
+_PREFIX_TOKENS = 16
+
+
+@query(
+    "j_dedup_prefix",
+    oracle=f"""
+    WITH p AS (SELECT doc_id,
+                      md5(array_to_string(list_slice(string_split(text, ' '),
+                                                     1, {_PREFIX_TOKENS}), ' '))
+                        AS ph,
+                      md5(text) AS fh
+               FROM documents)
+    SELECT ph AS prefix_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_distinct_full,
+           COUNT(DISTINCT fh) > 1 AS prefix_only
+    FROM p GROUP BY ph HAVING COUNT(*) > 1
+    """,
+)
+def j_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection: documents sharing their first
+    {n}-token prefix are grouped by a prefix hash — the boilerplate
+    signature of SEO templates, license headers, and crawler mirror
+    pages, which exact dedup misses (the bodies differ) and shingle
+    LSH dilutes (the shared mass is position-locked at the head, a
+    small Jaccard fraction of a long doc). Each group reports its
+    keeper (min doc_id — the family's first-seen rule), and
+    `prefix_only` separates true template families (distinct full
+    texts behind one prefix → route to a boilerplate-strip pass) from
+    plain exact duplicates j_dedup_exact already handles.
+
+    Determinism: prefix = the literal first {n} space-split tokens
+    (shorter docs hash their whole text); both engines hash the
+    identical reassembled string; all outputs are counts/min over
+    exact hashes.
+
+    Plan: one narrow map — slice+concat+md5, the text never leaves
+    the scan — then ONE hash agg keyed on the 16-byte prefix hash
+    with map-side partials; the HAVING filter drops singleton groups
+    before anything leaves the agg. Output is |duplicate families|
+    rows; at 100 TB this is the cheap first pass that runs BEFORE
+    MinHash (same discipline as j_dedup_exact, one hash different)."""
+    t = load(spark, sf_dir)
+    toks = tokens_col("text")
+    p = t.documents.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, _PREFIX_TOKENS))).alias("ph"),
+        F.md5("text").alias("fh"),
+    )
+    return (
+        p.groupBy(F.col("ph").alias("prefix_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.countDistinct("fh").cast("long").alias("n_distinct_full"),
+            (F.countDistinct("fh") > 1).alias("prefix_only"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+j_dedup_prefix.__doc__ = j_dedup_prefix.__doc__.replace("{n}", str(_PREFIX_TOKENS))

@@ -687,3 +687,4 @@ def j_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("long").alias("max_cluster"),
         rnd((F.sum("c") - F.count("*")) * 1.0 / F.sum("c"), 6).alias("dup_rate"),
     )
+

@@ -4030,3 +4030,181 @@ def j_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_rank_tau.__doc__ = j_rank_tau.__doc__.replace("{k}", str(_PQ_TOPK))
+
+
+def _norm_audit_oracle() -> str:
+    rows = _centroid_values_sql()
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, e.v, c.cid,
+                      list_dot_product(e.v, cv) AS s
+               FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, v, cid AS cluster_id, s FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    n AS (SELECT vec_id, cluster_id,
+                 sqrt(list_dot_product(v, v)) AS nrm, s
+          FROM assigned)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           FLOOR(AVG(nrm) * 1000000 + 0.5) / 1000000 AS mean_norm,
+           FLOOR(MIN(nrm) * 1000000 + 0.5) / 1000000 AS min_norm,
+           FLOOR(MAX(nrm) * 1000000 + 0.5) / 1000000 AS max_norm,
+           FLOOR(AVG(s / nrm) * 1000000 + 0.5) / 1000000 AS mean_cos,
+           CAST(SUM(CASE WHEN nrm < 0.5 OR nrm > 2.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outlier_norm
+    FROM n GROUP BY cluster_id
+    """
+
+
+@query("j_embed_norm_audit", oracle=_norm_audit_oracle())
+def j_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit per IVF cluster: member count, norm
+    statistics (mean/min/max + a count outside the [0.5, 2.0] sanity
+    band), and mean cosine to the assigned centroid — the table an
+    index operator checks when recall drifts. Near-zero or exploding
+    norms mean upstream encoder damage (dead inputs, fp16 overflow);
+    a cluster whose mean cosine sags is a diffuse cluster the
+    quantizer should split (the geometric companion to
+    j_cluster_purity's label view and j_pq_distortion's subspace
+    view — the three triangulate WHERE index quality leaks).
+
+    Determinism: assignment is the same argmax-dot / smallest-cid
+    total order as every IVF qid; norm = sqrt(dot(v,v)) and cos =
+    s/norm are per-row folds on identical doubles in both engines;
+    the per-cluster float aggs round 1e-6 at display and the outlier
+    band compares per-row bit-identical values against literal
+    thresholds.
+
+    Plan: zero-shuffle literal-matrix assignment map (text/vector
+    never reshuffles), ONE (cluster_id) hash agg with map-side
+    partials — ≤k output rows at any corpus scale; at 100 TB this
+    rides the same scan that writes the partition key."""
+    from ..operators.similarity import ivf_assign, kmeans_train_local
+
+    t = load(spark, sf_dir)
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    assigned, _ = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
+    v = as_double("embedding")
+    n = assigned.select(
+        "cluster_id",
+        F.sqrt(dot_expr(v, v)).alias("nrm"),
+        F.col("cscore").alias("s"),
+    )
+    return n.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        rnd(F.avg("nrm"), 6).alias("mean_norm"),
+        rnd(F.min("nrm"), 6).alias("min_norm"),
+        rnd(F.max("nrm"), 6).alias("max_norm"),
+        rnd(F.avg(F.col("s") / F.col("nrm")), 6).alias("mean_cos"),
+        F.sum(F.when((F.col("nrm") < 0.5) | (F.col("nrm") > 2.0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outlier_norm"),
+    )
+
+
+def _logreg_model():
+    import os
+
+    from ..operators.similarity import logreg_train_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    return logreg_train_local(sf_dir)
+
+
+def _logreg_score_sql(nt: str, dr: str, ml: str) -> str:
+    """The shared scoring expression: identical literal text rendered
+    into BOTH engines, so every float op runs in the same sequence on
+    the same doubles (the _lit_matrix repr/CAST discipline)."""
+    (w0, w1, w2, w3), (m1, m2, m3), (s1, s2, s3) = _logreg_model()
+
+    def d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    return (
+        f"({d(w0)} + {d(w1)} * (({nt}) - {d(m1)}) / {d(s1)}"
+        f" + {d(w2)} * (({dr}) - {d(m2)}) / {d(s2)}"
+        f" + {d(w3)} * (({ml}) - {d(m3)}) / {d(s3)})"
+    )
+
+
+def _logreg_oracle() -> str:
+    z = _logreg_score_sql(
+        "CAST(nt AS DOUBLE)", "CAST(nd AS DOUBLE) / nt",
+        "CAST(length(text) - (nt - 1) AS DOUBLE) / nt"
+    )
+    return f"""
+    WITH f AS (SELECT lang, text,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                      CAST(len(list_distinct(string_split(text, ' ')))
+                           AS BIGINT) AS nd
+               FROM documents),
+    p AS (SELECT lang,
+                 FLOOR((1.0 / (1.0 + exp(-{z}))) * 1000000 + 0.5) / 1000000
+                   AS p
+          FROM f)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(AVG(p) * 1000000 + 0.5) / 1000000 AS mean_score,
+           CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_en,
+           FLOOR(SUM(CASE WHEN (p >= 0.5) = (lang = 'en') THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM p GROUP BY lang
+    """
+
+
+@query("j_logreg_quality", oracle=_logreg_oracle())
+def j_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression text classifier scored over the corpus —
+    the trainer-discipline extended from retrieval models (kmeans /
+    PQ / PCA) to CLASSIFICATION: a 10-float model (weights +
+    standardization constants) trains driver-side by deterministic
+    fixed-round gradient descent on a bounded sample
+    (logreg_train_local), enters BOTH engines as repr/CAST literals,
+    and the distributed pass is pure scoring. Target here is
+    lang=='en' from three cheap text statistics (token count,
+    distinct-token ratio, mean token length) — the same shape as a
+    fastText-style quality filter (Joulin et al. 2016, public), whose
+    per-lang score/accuracy table this qid reports (weak features are
+    the point: the table SHOWS what the cheap model can and cannot
+    separate, per slice, before anyone trusts it as a filter).
+
+    Determinism: the scoring expression is ONE shared literal string
+    (identical op sequence both engines); features are exact
+    integers/ratios of them; p rounds 1e-6 BEFORE the 0.5 threshold
+    so the decision compares rounded values (the j_semdedup rule).
+
+    Plan: one narrow map (split/distinct per row — text never leaves
+    the scan) + ONE lang-keyed hash agg with map-side partials;
+    |langs| output rows at any corpus size. At 100 TB the score is
+    computed at write time as a quality column (j_quality_score's
+    deployment note)."""
+    t = load(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    f = t.documents.select(
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+    )
+    z = _logreg_score_sql(
+        "CAST(nt AS DOUBLE)",
+        "CAST(nd AS DOUBLE) / nt",
+        "CAST(length(text) - (nt - 1) AS DOUBLE) / nt",
+    )
+    p = f.select(
+        "lang", rnd(F.lit(1.0) / (F.lit(1.0) + F.expr(f"exp(-{z})")), 6).alias("p")
+    )
+    pred_en = F.col("p") >= 0.5
+    is_en = F.col("lang") == "en"
+    return p.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        rnd(F.avg("p"), 6).alias("mean_score"),
+        F.sum(F.when(pred_en, 1).otherwise(0)).cast("long").alias("n_pred_en"),
+        rnd(
+            F.sum(F.when(pred_en == is_en, 1).otherwise(0)) * 1.0 / F.count("*"), 6
+        ).alias("accuracy"),
+    )

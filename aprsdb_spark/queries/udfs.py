@@ -450,3 +450,100 @@ def k_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stats, "event_type string, n long, sum_s6 long, min_id long, max_id long"
         )
     )
+
+
+@query(
+    "k_cogrouped_pandas",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+               FROM orders WHERE o_orderkey < 2000),
+    l AS (SELECT l_orderkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS qty_c,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS ext_c
+          FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+    SELECT o.o_orderkey, o.o_custkey,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(l.qty_c, 0) AS qty_cents,
+           COALESCE(l.ext_c, 0) AS ext_cents,
+           o.total_c AS total_cents,
+           COALESCE(l.ext_c, 0) - o.total_c AS recon_diff_cents
+    FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def k_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas — the §2.K surface where TWO grouped
+    relations stream into one python function per key
+    (df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas): each
+    orderkey's orders row and its lineitem block arrive together as
+    pandas frames and the function emits an order-level reconciliation
+    row (line count, exact-cents quantity/extended-price masses, and
+    the diff against the order header's total) — the header-vs-detail
+    audit shape that genuinely needs BOTH sides of a key in one place
+    and is awkward as a join when the per-key logic grows imperative.
+
+    Determinism: all money floors to cents PER ROW before integer
+    summation (the repo's exact-cents rule), so the pandas sums are
+    order-free BIGINTs matching the SQL twin; orders without lines
+    emit zero masses (cogroup delivers left-only keys with an empty
+    right frame — pinned here by the LEFT JOIN oracle).
+
+    Plan: both sides hash-partition on the key (two Exchanges — the
+    cogroup contract), then ONE python stage; Arrow moves whole
+    groups. The o_orderkey < 2000 cut keeps the demonstration surface
+    honest at bench scale; at 100 TB this is the same two-shuffle
+    co-partitioned shape, and the header side would be bucketed."""
+
+    def _recon(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        qty_c = int(np.floor(ldf["l_quantity"] * 100 + 0.5).sum()) if len(ldf) else 0
+        ext_c = (
+            int(np.floor(ldf["l_extendedprice"] * 100 + 0.5).sum()) if len(ldf) else 0
+        )
+        out = []
+        for r in odf.itertuples():
+            total_c = int(np.floor(r.o_totalprice * 100 + 0.5))
+            out.append(
+                (
+                    int(key[0]),
+                    int(r.o_custkey),
+                    len(ldf),
+                    qty_c,
+                    ext_c,
+                    total_c,
+                    ext_c - total_c,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "n_lines",
+                "qty_cents",
+                "ext_cents",
+                "total_cents",
+                "recon_diff_cents",
+            ],
+        )
+
+    t = load(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = t.lineitem.where(F.col("l_orderkey") < 2000).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            _recon,
+            "o_orderkey long, o_custkey long, n_lines long, qty_cents long, "
+            "ext_cents long, total_cents long, recon_diff_cents long",
+        )
+    )

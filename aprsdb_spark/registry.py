@@ -154,6 +154,14 @@ NEXT_QUEUE: list[str] = [
     "j_ndcg",
     "j_ece_calibration",
     "j_rank_tau",
+    # r11 wave 3: prefix-duplicate families (the cheap boilerplate
+    # pass ahead of MinHash), per-cluster embedding-health norms, the
+    # trainer discipline extended to classification (driver-literal
+    # logistic scorer), and the cogrouped applyInPandas §2.K surface
+    "j_dedup_prefix",
+    "j_embed_norm_audit",
+    "j_logreg_quality",
+    "k_cogrouped_pandas",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
