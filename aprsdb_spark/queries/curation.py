@@ -1489,3 +1489,166 @@ def j_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_dedup_prefix.__doc__ = j_dedup_prefix.__doc__.replace("{n}", str(_PREFIX_TOKENS))
+
+
+# _SAMPLE_THRESH hex prefixes as exact integers out of 16^4 — the
+# Horvitz-Thompson inverse weights for j_sample_debias (zh keeps all).
+_SAMPLE_THRESH_INT = {"en": 0x4CCC, "de": 0x8000, "es": 0xB333, "fr": 0xE666}
+
+
+def _ht_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {v}"
+        for lang, v in _SAMPLE_THRESH_INT.items()
+    )
+    return f"CASE {cases} ELSE 65536 END"
+
+
+def _ht_hex_sql() -> str:
+    """Hex-prefix threshold CASE — 'gggg' (> any hex digit) is the
+    keep-all sentinel, matching j_sample_stratified exactly."""
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{hx}'" for lang, hx in _SAMPLE_THRESH.items()
+    )
+    return f"CASE {cases} ELSE 'gggg' END"
+
+
+@query(
+    "j_sample_debias",
+    oracle=f"""
+    WITH d AS (SELECT lang,
+                      CASE WHEN substr(md5('smp' || CAST(doc_id AS VARCHAR)),
+                                       1, 4) < {_ht_hex_sql()}
+                           THEN 1 ELSE 0 END AS kept,
+                      {_ht_rate_sql()} AS thresh
+               FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           FLOOR(thresh * 1.0 / 65536 * 1000000 + 0.5) / 1000000 AS keep_rate,
+           FLOOR(SUM(kept) * 65536.0 / thresh * 1000000 + 0.5) / 1000000
+             AS ht_estimate,
+           FLOOR((SUM(kept) * 65536.0 / thresh - COUNT(*)) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS rel_err
+    FROM d GROUP BY lang, thresh
+    """,
+)
+def j_sample_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson de-biasing audit of the stratified sampler:
+    every statistic computed on j_sample_stratified's kept rows must be
+    reweighted by 1/keep-rate before it speaks for the corpus, and
+    THIS table measures how well that works on the corpus itself —
+    per lang, the true count, the kept count, the exact keep rate
+    (the md5-prefix threshold over 16^4), the HT estimate
+    n_kept/rate, and its relative error (Horvitz & Thompson 1952,
+    public). The error column is the finite-sample bias a mixture
+    design inherits when it trusts sampled counts — measured, not
+    assumed (the j_kfold_assign balance-audit principle applied to
+    sampling weights).
+
+    Determinism: kept is the IDENTICAL hash-threshold predicate as
+    j_sample_stratified (pure function of doc_id); rates are exact
+    integer thresholds; the two ratios round 1e-6 at display.
+
+    Plan: one narrow map + ONE lang-keyed hash agg with map-side
+    partials — |langs| rows out at any corpus scale; the audit rides
+    the same scan that writes the sample."""
+    t = load(spark, sf_dir)
+    h = F.substring(
+        F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thresh_hex = F.lit("gggg")
+    thresh_int = F.lit(65536)
+    for lang, hx in _SAMPLE_THRESH.items():
+        thresh_hex = F.when(F.col("lang") == lang, hx).otherwise(thresh_hex)
+        thresh_int = F.when(
+            F.col("lang") == lang, _SAMPLE_THRESH_INT[lang]
+        ).otherwise(thresh_int)
+    d = t.documents.select(
+        "lang",
+        F.when(h < thresh_hex, 1).otherwise(0).alias("kept"),
+        thresh_int.alias("thresh"),
+    )
+    return d.groupBy("lang", "thresh").agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        rnd(F.first("thresh") * 1.0 / 65536, 6).alias("keep_rate"),
+        rnd(F.sum("kept") * 65536.0 / F.first("thresh"), 6).alias("ht_estimate"),
+        rnd(
+            (F.sum("kept") * 65536.0 / F.first("thresh") - F.count("*"))
+            / F.count("*"),
+            6,
+        ).alias("rel_err"),
+    ).drop("thresh")
+
+
+_SPLIT_CASE_SQL = """
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "j_split_leakage",
+    oracle=f"""
+    WITH d AS (SELECT md5(text) AS h, {_SPLIT_CASE_SQL} AS split
+               FROM documents),
+    hs AS (SELECT h, split, CAST(COUNT(*) AS BIGINT) AS n
+           FROM d GROUP BY h, split)
+    SELECT a.split AS split_a, b.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(a.n) AS BIGINT) AS n_docs_a,
+           CAST(SUM(b.n) AS BIGINT) AS n_docs_b
+    FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
+    GROUP BY a.split, b.split
+    """,
+)
+def j_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split duplicate leakage: exact-duplicate text groups that
+    span two different splits of the canonical j_split_train_val
+    assignment — every such group is an evaluation row whose answer
+    sits in the training set (the documented failure mode behind
+    inflated held-out numbers; j_contamination audits leakage against
+    an EXTERNAL benchmark, this audits the split against ITSELF —
+    hash-splitting by doc_id is stable but duplicate CONTENT still
+    crosses it, which is why dedup must run before splitting, and
+    this table is the proof it did). Per split pair: spanning group
+    count and the document mass on each side.
+
+    Determinism: text groups key on md5(text); the split is the
+    identical md5-prefix CASE as j_split_train_val; all outputs are
+    exact counts; pair orientation is the lexicographic split-name
+    order (a total order, so each unordered pair appears once).
+
+    Plan: one narrow map → (hash, split) hash agg with map-side
+    partials (shuffle carries 16-byte digests + counts, never text);
+    the self-join runs on the DEDUPED (hash, split) relation — ≤3
+    rows per hash — and the rollup emits ≤3 pair rows at any corpus
+    scale."""
+    t = load(spark, sf_dir)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cd", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    hs = (
+        t.documents.select(F.md5("text").alias("h"), split.alias("split"))
+        .groupBy("h", "split")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = hs.alias("a")
+    b = hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("a.n").cast("long").alias("n_docs_a"),
+            F.sum("b.n").cast("long").alias("n_docs_b"),
+        )
+    )

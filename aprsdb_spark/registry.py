@@ -162,6 +162,11 @@ NEXT_QUEUE: list[str] = [
     "j_embed_norm_audit",
     "j_logreg_quality",
     "k_cogrouped_pandas",
+    # r11 wave 4: sampling/split governance closure — Horvitz-Thompson
+    # de-biasing audit of the stratified sampler, and duplicate-content
+    # leakage across the canonical train/val/test split
+    "j_sample_debias",
+    "j_split_leakage",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
