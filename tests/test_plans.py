@@ -249,6 +249,14 @@ _EXPECTED_BNLJ = {
     "j_selective_accuracy",  # _lang_scores fan-out + 1-row broadcast total
     "j_length_deciles",  # 9-row broadcast decile grid theta-joined (c >= target)
     "j_recall_curve",  # 10-row k-grid x <=10 matched-rank pairs
+    # --- r11 additions, all metadata-scale build sides by design:
+    "j_wasserstein_lengths",  # sources x length-grid cross + 1-row total (the j_ks_lengths shape)
+    "j_heaps_law",  # 1-row broadcast OLS fit onto the |sources| scatter
+    "j_perplexity_eval",  # 1-row broadcast vocab size onto the scored types
+    "j_ngram_coverage",  # |grid|-row k marks theta-joined (r <= k) vs <=10k ranks
+    "j_ndcg",  # k-grid x <=10 graded ranks, twice (dcg + ideal)
+    "j_rank_tau",  # <=10-row rank-pair self-join (re < rb) + two 1-row frames
+    "j_ece_calibration",  # broadcast 200-row query set (the j_knn_batch fan-out)
 }
 _EXPECTED_ROW_PYTHON = {
     # the documented slow-path escape hatches; UDTFs (incl. the Spark-4
@@ -918,6 +926,23 @@ _SHUFFLE_BUDGETS = {
     "j_contamination": 4,
     "j_dedup_containment": 10,
     "j_embed_quantize": 0,  # literal-grid per-row quantization map
+    # --- r11 additions. Measured on the cold sf0.01 plan at review
+    # time (the wasserstein/perplexity counts include broadcast-subtree
+    # reprints of shared aggs, per the persisted-plan caveat above).
+    "j_wasserstein_lengths": 13,
+    "j_heaps_law": 6,
+    "j_hill_tail": 2,
+    "j_ngram_coverage": 7,
+    "j_perplexity_eval": 12,
+    "j_ndcg": 7,
+    "j_ece_calibration": 3,
+    "j_rank_tau": 8,
+    "j_dedup_prefix": 2,    # digest agg + HAVING rollup
+    "j_embed_norm_audit": 1,  # zero-shuffle assignment + ONE cluster agg
+    "j_logreg_quality": 1,  # narrow literal-model score + ONE lang agg
+    "k_cogrouped_pandas": 2,  # the cogroup contract: one Exchange per side
+    "j_sample_debias": 1,   # narrow hash-threshold map + ONE lang agg
+    "j_split_leakage": 4,
 }
 
 
