@@ -1045,3 +1045,283 @@ def test_floordiv_twins_match_python_floor_across_int64(spark):
                 "SELECT " + sql_floordiv(f"CAST({v} AS BIGINT)", m) + " AS q"
             ).fetchone()[0]
             assert duck == v // m, ("duckdb", v, m, duck)
+
+
+# ------------------------------------------------- r11 statistics wave
+
+
+def test_wasserstein_lengths_matches_python_brute(spark):
+    """W1 per source == brute-force ECDF integral over raw Python
+    lengths (grid = corpus-distinct lengths, step x gap weighting)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    lens = [(r.source, len(r.text.split(" "))) for r in docs]
+    all_n = sorted({n for _, n in lens})
+    N = len(lens)
+    out = {r.source: r for r in QUERIES["j_wasserstein_lengths"](spark, SF_SMALL).collect()}
+    for src in {s for s, _ in lens}:
+        mine = sorted(n for s, n in lens if s == src)
+        ns = len(mine)
+        w1 = 0
+        for i, x in enumerate(all_n[:-1]):
+            gap = all_n[i + 1] - x
+            cs = sum(1 for v in mine if v <= x)
+            cc = sum(1 for _, v in lens if v <= x)
+            w1 += abs(cs * N - cc * ns) * gap
+        r = out[src]
+        assert r.n_docs == ns and r.w1_num == w1, (src, w1, r.w1_num)
+        assert abs(r.w1_tokens - w1 / (ns * N)) < 2e-6
+
+
+def test_hill_tail_matches_python_brute(spark):
+    """Hill xi/alpha per source == brute order statistics of token
+    counts in plain Python (k=50, threshold = the 51st count)."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r.source, Counter()).update(r.text.split(" "))
+    import math
+
+    got = {r.source: r for r in QUERIES["j_hill_tail"](spark, SF_SMALL).collect()}
+    for src, cnt in by_src.items():
+        cs = sorted(cnt.values(), reverse=True)
+        if len(cs) <= 50:
+            assert src not in got, f"{src}: estimator undefined but emitted"
+            continue
+        xi = sum(math.log(c) for c in cs[:50]) / 50 - math.log(cs[50])
+        r = got[src]
+        assert r.k_used == 50
+        assert abs(r.hill_xi - xi) < 2e-6 and abs(r.hill_alpha - 1 / xi) < 2e-6
+
+
+def test_perplexity_eval_matches_python_brute(spark):
+    """Per-source cross-entropy under the global add-one bigram LM ==
+    a dict-based Python model over the same corpus."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    gb: Counter = Counter()
+    per_src: dict = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        gb.update(bgs)
+        per_src.setdefault(r.source, Counter()).update(bgs)
+    gp: Counter = Counter()
+    for g, c in gb.items():
+        gp[g.split(" ")[0]] += c
+    v = len({g.split(" ", 1)[1] for g in gb})
+    got = {r.source: r for r in QUERIES["j_perplexity_eval"](spark, SF_SMALL).collect()}
+    for src, cnt in per_src.items():
+        num = -sum(
+            tf * math.log((gb[g] + 1.0) / (gp[g.split(" ")[0]] + v))
+            for g, tf in cnt.items()
+        )
+        n = sum(cnt.values())
+        r = got[src]
+        assert r.n_bigrams == n
+        assert abs(r.cross_entropy - num / n) < 5e-6
+        assert abs(r.perplexity - math.exp(num / n)) < 5e-4
+
+
+def test_heaps_fit_residuals_sum_to_zero(spark):
+    """OLS identity: residuals of the fitted line sum to ~0 across
+    sources, and beta/ln_k match a plain-Python normal-equation fit."""
+    import math
+
+    rows = QUERIES["j_heaps_law"](spark, SF_SMALL).collect()
+    pts = [(math.log(r.n_tokens), math.log(r.n_types)) for r in rows]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy - beta * sx) / n
+    assert abs(sum(r.resid for r in rows)) < 1e-4
+    for r in rows:
+        assert abs(r.heaps_beta - beta) < 2e-6 and abs(r.ln_k - lnk) < 2e-6
+
+
+# ------------------------------------------------ r11 evaluation wave
+
+
+def test_ndcg_matches_python_brute(spark):
+    """NDCG@k against a brute Python DCG over the two rank lists pulled
+    from the same registered legs (exact leg re-derived in Python from
+    scores; approximate leg = the registered j_ann_pq output order)."""
+    import math
+
+    ap_rows = QUERIES["j_ann_pq"](spark, SF_SMALL).collect()
+    ap = [r.vec_id for r in sorted(ap_rows, key=lambda r: (-r.score, r.vec_id))]
+    emb = {r.vec_id: list(r.embedding) for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()}
+    q = emb[0]
+    scored = sorted(
+        (
+            (-round(sum(float(a) * float(b) for a, b in zip(v, q)), 6), vid)
+            for vid, v in emb.items()
+            if vid != 0
+        ),
+    )[:10]
+    ex = [vid for _, vid in scored]
+    gain = {vid: 10 - i for i, vid in enumerate(ex)}  # 10, 9, ... 1
+    got = {r.k: r for r in QUERIES["j_ndcg"](spark, SF_SMALL).collect()}
+    for k in range(1, 11):
+        dcg = sum(gain.get(vid, 0) / math.log(1 + i) for i, vid in enumerate(ap[:k], 1))
+        idcg = sum((11 - i) / math.log(1 + i) for i in range(1, k + 1))
+        assert abs(got[k].ndcg - dcg / idcg) < 5e-6, (k, got[k].ndcg, dcg / idcg)
+        assert got[k].ndcg <= 1.0 + 1e-9
+
+
+def test_ece_calibration_conserves_queries(spark):
+    """Bins partition the query set; per-bin identities hold; the
+    summed ece_term equals the direct ECE recomputation."""
+    rows = QUERIES["j_ece_calibration"](spark, SF_SMALL).collect()
+    n_total = sum(r.n_queries for r in rows)
+    assert n_total == 200
+    ece = 0.0
+    for r in rows:
+        assert 1 <= r.votes <= 10
+        assert 0 <= r.n_correct <= r.n_queries
+        assert abs(r.confidence - r.votes / 10) < 2e-6
+        assert abs(r.accuracy - round(r.n_correct / r.n_queries, 6)) < 2e-6
+        term = abs(r.n_correct / r.n_queries - r.votes / 10) * r.n_queries / 200
+        assert abs(r.ece_term - term) < 2e-6
+        ece += term
+    assert 0.0 <= ece < 1.0
+
+
+def test_rank_tau_matches_python_brute(spark):
+    """Kendall tau-a and Spearman rho against itertools over the common
+    rank pairs (re-derived exactly as the qid defines them)."""
+    import itertools
+    import math
+
+    emb = {r.vec_id: list(r.embedding) for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()}
+    q = emb[0]
+    scored = sorted(
+        ((-round(sum(float(a) * float(b) for a, b in zip(v, q)), 6), vid)
+         for vid, v in emb.items() if vid != 0)
+    )[:10]
+    ex = {vid: i + 1 for i, (_, vid) in enumerate(scored)}
+    ap_rows = QUERIES["j_ann_pq"](spark, SF_SMALL).collect()
+    ap = {r.vec_id: i + 1 for i, r in enumerate(sorted(ap_rows, key=lambda r: (-r.score, r.vec_id)))}
+    common = [(ex[v], ap[v]) for v in ex if v in ap]
+    n = len(common)
+    conc = disc = 0
+    for (a1, b1), (a2, b2) in itertools.combinations(common, 2):
+        s = (a1 - a2) * (b1 - b2)
+        conc += s > 0
+        disc += s < 0
+    d2 = sum((a - b) ** 2 for a, b in common)
+    r = QUERIES["j_rank_tau"](spark, SF_SMALL).collect()[0]
+    assert r.n_common == n and r.concordant == conc and r.discordant == disc
+    npairs = n * (n - 1) // 2
+    assert abs(r.kendall_tau - (conc - disc) / npairs) < 2e-6
+    assert abs(r.spearman_rho - (1 - 6 * d2 / (n * (n * n - 1)))) < 2e-6
+
+
+# ------------------------------------------------ r11 governance wave
+
+
+def test_dedup_prefix_matches_python_brute(spark):
+    """Prefix families == a dict over the literal first-16-token join."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    groups: dict = {}
+    for r in docs:
+        pfx = " ".join(r.text.split(" ")[:16])
+        groups.setdefault(pfx, []).append((r.doc_id, r.text))
+    want = {
+        pfx: g for pfx, g in groups.items() if len(g) > 1
+    }
+    got = QUERIES["j_dedup_prefix"](spark, SF_SMALL).collect()
+    assert len(got) == len(want)
+    by_keeper = {r.keeper_id: r for r in got}
+    for pfx, g in want.items():
+        keeper = min(d for d, _ in g)
+        r = by_keeper[keeper]
+        assert r.n_docs == len(g)
+        assert r.n_distinct_full == len({t for _, t in g})
+        assert r.prefix_only == (r.n_distinct_full > 1)
+
+
+def test_split_leakage_matches_python_brute(spark):
+    """Cross-split duplicate groups == a dict over (md5(text), split)."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+
+    def split_of(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if h < "cd" else ("val" if h < "e6" else "test")
+
+    per_hash: dict = {}
+    for r in docs:
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        per_hash.setdefault(h, {}).setdefault(split_of(r.doc_id), 0)
+        per_hash[h][split_of(r.doc_id)] += 1
+    want: dict = {}
+    for h, splits in per_hash.items():
+        for a in splits:
+            for b in splits:
+                if a < b:
+                    key = (a, b)
+                    g, na, nb = want.get(key, (0, 0, 0))
+                    want[key] = (g + 1, na + splits[a], nb + splits[b])
+    got = {(r.split_a, r.split_b): (r.n_groups, r.n_docs_a, r.n_docs_b)
+           for r in QUERIES["j_split_leakage"](spark, SF_SMALL).collect()}
+    assert got == want
+
+
+def test_sample_debias_identities(spark):
+    """HT estimate == n_kept/rate exactly; zh (keep-all) has zero
+    error; kept counts never exceed the stratum."""
+    rows = QUERIES["j_sample_debias"](spark, SF_SMALL).collect()
+    langs = {r.lang for r in rows}
+    assert "zh" in langs
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_true
+        assert abs(r.ht_estimate - round(r.n_kept / r.keep_rate, 4)) < 0.02
+        if r.lang == "zh":
+            assert r.keep_rate == 1.0 and r.n_kept == r.n_true and r.rel_err == 0.0
+
+
+def test_logreg_quality_scores_are_probabilities(spark):
+    """Scores are probabilities; per-lang doc counts conserve; the
+    accuracy column is consistent with n_pred_en for en vs non-en."""
+    rows = QUERIES["j_logreg_quality"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    per_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert {r.lang: r.n_docs for r in rows} == per_lang
+    for r in rows:
+        assert 0.0 <= r.mean_score <= 1.0
+        assert 0 <= r.n_pred_en <= r.n_docs
+        want_correct = r.n_pred_en if r.lang == "en" else r.n_docs - r.n_pred_en
+        assert abs(r.accuracy - round(want_correct / r.n_docs, 6)) < 2e-6
+
+
+def test_cogrouped_recon_matches_direct_join(spark):
+    """The cogrouped pandas reconciliation equals the pure-DataFrame
+    join-aggregate computed in the same session."""
+    from aprsdb_spark.tables import load
+
+    t = load(spark, SF_SMALL)
+    got = {r.o_orderkey: r for r in QUERIES["k_cogrouped_pandas"](spark, SF_SMALL).collect()}
+    o = t.orders.where(F.col("o_orderkey") < 2000)
+    li = (
+        t.lineitem.where(F.col("l_orderkey") < 2000)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias("qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias("ext_c"),
+        )
+    )
+    want = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left").collect()
+    assert len(want) == len(got)
+    for r in want:
+        g = got[r.o_orderkey]
+        assert g.n_lines == (r.n_lines or 0)
+        assert g.qty_cents == (r.qty_c or 0)
+        assert g.ext_cents == (r.ext_c or 0)
+        assert g.recon_diff_cents == g.ext_cents - g.total_cents
