@@ -1592,59 +1592,80 @@ _SPLIT_CASE_SQL = """
 @query(
     "j_split_leakage",
     oracle=f"""
-    WITH d AS (SELECT md5(text) AS h, {_SPLIT_CASE_SQL} AS split
+    WITH d AS (SELECT md5(text) AS h, 'exact' AS kind,
+                      {_SPLIT_CASE_SQL} AS split
+               FROM documents
+               UNION ALL
+               SELECT md5(array_to_string(
+                        list_slice(string_split(text, ' '), 1,
+                                   {_PREFIX_TOKENS}), ' ')) AS h,
+                      'prefix16' AS kind, {_SPLIT_CASE_SQL} AS split
                FROM documents),
-    hs AS (SELECT h, split, CAST(COUNT(*) AS BIGINT) AS n
-           FROM d GROUP BY h, split)
-    SELECT a.split AS split_a, b.split AS split_b,
+    hs AS (SELECT kind, h, split, CAST(COUNT(*) AS BIGINT) AS n
+           FROM d GROUP BY kind, h, split)
+    SELECT a.kind, a.split AS split_a, b.split AS split_b,
            CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(SUM(a.n) AS BIGINT) AS n_docs_a,
            CAST(SUM(b.n) AS BIGINT) AS n_docs_b
-    FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
-    GROUP BY a.split, b.split
+    FROM hs a JOIN hs b ON a.kind = b.kind AND a.h = b.h
+                       AND a.split < b.split
+    GROUP BY a.kind, a.split, b.split
     """,
 )
 def j_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-split duplicate leakage: exact-duplicate text groups that
-    span two different splits of the canonical j_split_train_val
+    """Cross-split duplicate leakage at TWO granularities: exact text
+    groups ('exact') and first-{n}-token prefix families ('prefix16')
+    that span two different splits of the canonical j_split_train_val
     assignment — every such group is an evaluation row whose answer
-    sits in the training set (the documented failure mode behind
-    inflated held-out numbers; j_contamination audits leakage against
-    an EXTERNAL benchmark, this audits the split against ITSELF —
-    hash-splitting by doc_id is stable but duplicate CONTENT still
-    crosses it, which is why dedup must run before splitting, and
-    this table is the proof it did). Per split pair: spanning group
-    count and the document mass on each side.
+    (verbatim, or up to shared boilerplate) sits in the training set,
+    the documented failure mode behind inflated held-out numbers.
+    j_contamination audits leakage against an EXTERNAL benchmark;
+    this audits the split against ITSELF — hash-splitting by doc_id
+    is stable but duplicate CONTENT still crosses it, which is why
+    dedup must run before splitting, and this table is the proof it
+    did (the prefix kind catches the template families j_dedup_prefix
+    groups, which exact dedup would miss entirely). Per (kind, split
+    pair): spanning group count and the document mass on each side.
 
-    Determinism: text groups key on md5(text); the split is the
-    identical md5-prefix CASE as j_split_train_val; all outputs are
-    exact counts; pair orientation is the lexicographic split-name
-    order (a total order, so each unordered pair appears once).
+    Determinism: groups key on md5 of the text / of the literal
+    first-{n}-token join; the split is the identical md5-prefix CASE
+    as j_split_train_val; all outputs are exact counts; pair
+    orientation is the lexicographic split-name order.
 
-    Plan: one narrow map → (hash, split) hash agg with map-side
-    partials (shuffle carries 16-byte digests + counts, never text);
-    the self-join runs on the DEDUPED (hash, split) relation — ≤3
-    rows per hash — and the rollup emits ≤3 pair rows at any corpus
-    scale."""
+    Plan: one narrow two-kind map (a union of two digest
+    projections) → (kind, hash, split) hash agg with map-side
+    partials (shuffles carry 16-byte digests + counts, never text);
+    the self-join runs on the DEDUPED relation — ≤3 rows per (kind,
+    hash) — and the rollup emits ≤6 pair rows at any corpus scale."""
     t = load(spark, sf_dir)
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
         F.when(prefix < "cd", "train").when(prefix < "e6", "val").otherwise("test")
     )
-    hs = (
-        t.documents.select(F.md5("text").alias("h"), split.alias("split"))
-        .groupBy("h", "split")
-        .agg(F.count("*").cast("long").alias("n"))
+    toks = tokens_col("text")
+    d = t.documents.select(
+        F.md5("text").alias("h"), F.lit("exact").alias("kind"), split.alias("split")
+    ).unionAll(
+        t.documents.select(
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, _PREFIX_TOKENS))).alias("h"),
+            F.lit("prefix16").alias("kind"),
+            split.alias("split"),
+        )
     )
+    hs = d.groupBy("kind", "h", "split").agg(F.count("*").cast("long").alias("n"))
     a = hs.alias("a")
     b = hs.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.split") < F.col("b.split")),
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.split") < F.col("b.split")),
         )
         .groupBy(
-            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+            F.col("a.kind").alias("kind"),
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
         )
         .agg(
             F.count("*").cast("long").alias("n_groups"),
@@ -1652,3 +1673,8 @@ def j_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b.n").cast("long").alias("n_docs_b"),
         )
     )
+
+
+j_split_leakage.__doc__ = j_split_leakage.__doc__.replace(
+    "{n}", str(_PREFIX_TOKENS)
+)

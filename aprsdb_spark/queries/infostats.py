@@ -1725,7 +1725,10 @@ def j_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Hill estimator: tail sample size (top-_HILL_K order statistics of the
 # token-frequency distribution, plus the (k+1)-th as the threshold).
-_HILL_K = 50
+# 20, not the zipf 50: the estimator needs k+1 DISTINCT token types per
+# source, and the fixture vocabulary is ~31 types/source at every SF —
+# k=50 made the relation empty-by-construction (verified tri-scale).
+_HILL_K = 20
 
 
 @query(

@@ -1074,7 +1074,9 @@ def test_wasserstein_lengths_matches_python_brute(spark):
 
 def test_hill_tail_matches_python_brute(spark):
     """Hill xi/alpha per source == brute order statistics of token
-    counts in plain Python (k=50, threshold = the 51st count)."""
+    counts in plain Python (k=_HILL_K, threshold = the (k+1)-th count),
+    and the relation must be NON-empty (the k=50 form was empty at
+    every SF because the fixture vocabulary is ~31 types/source)."""
     from collections import Counter
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
@@ -1083,15 +1085,18 @@ def test_hill_tail_matches_python_brute(spark):
         by_src.setdefault(r.source, Counter()).update(r.text.split(" "))
     import math
 
+    from aprsdb_spark.queries.infostats import _HILL_K
+
     got = {r.source: r for r in QUERIES["j_hill_tail"](spark, SF_SMALL).collect()}
+    assert got, "hill relation is empty — k exceeds the fixture vocabulary"
     for src, cnt in by_src.items():
         cs = sorted(cnt.values(), reverse=True)
-        if len(cs) <= 50:
+        if len(cs) <= _HILL_K:
             assert src not in got, f"{src}: estimator undefined but emitted"
             continue
-        xi = sum(math.log(c) for c in cs[:50]) / 50 - math.log(cs[50])
+        xi = sum(math.log(c) for c in cs[:_HILL_K]) / _HILL_K - math.log(cs[_HILL_K])
         r = got[src]
-        assert r.k_used == 50
+        assert r.k_used == _HILL_K
         assert abs(r.hill_xi - xi) < 2e-6 and abs(r.hill_alpha - 1 / xi) < 2e-6
 
 
@@ -1246,7 +1251,9 @@ def test_dedup_prefix_matches_python_brute(spark):
 
 
 def test_split_leakage_matches_python_brute(spark):
-    """Cross-split duplicate groups == a dict over (md5(text), split)."""
+    """Cross-split duplicate groups — both kinds — == dicts over
+    (md5(key), split); the prefix16 kind must be NON-empty (the
+    exact kind alone was empty at the small SFs)."""
     import hashlib
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
@@ -1255,22 +1262,27 @@ def test_split_leakage_matches_python_brute(spark):
         h = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
         return "train" if h < "cd" else ("val" if h < "e6" else "test")
 
-    per_hash: dict = {}
-    for r in docs:
-        h = hashlib.md5(r.text.encode()).hexdigest()
-        per_hash.setdefault(h, {}).setdefault(split_of(r.doc_id), 0)
-        per_hash[h][split_of(r.doc_id)] += 1
     want: dict = {}
-    for h, splits in per_hash.items():
-        for a in splits:
-            for b in splits:
-                if a < b:
-                    key = (a, b)
-                    g, na, nb = want.get(key, (0, 0, 0))
-                    want[key] = (g + 1, na + splits[a], nb + splits[b])
-    got = {(r.split_a, r.split_b): (r.n_groups, r.n_docs_a, r.n_docs_b)
+    for kind, keyfn in (
+        ("exact", lambda t: t),
+        ("prefix16", lambda t: " ".join(t.split(" ")[:16])),
+    ):
+        per_hash: dict = {}
+        for r in docs:
+            h = hashlib.md5(keyfn(r.text).encode()).hexdigest()
+            per_hash.setdefault(h, {}).setdefault(split_of(r.doc_id), 0)
+            per_hash[h][split_of(r.doc_id)] += 1
+        for h, splits in per_hash.items():
+            for a in splits:
+                for b in splits:
+                    if a < b:
+                        key = (kind, a, b)
+                        g, na, nb = want.get(key, (0, 0, 0))
+                        want[key] = (g + 1, na + splits[a], nb + splits[b])
+    got = {(r.kind, r.split_a, r.split_b): (r.n_groups, r.n_docs_a, r.n_docs_b)
            for r in QUERIES["j_split_leakage"](spark, SF_SMALL).collect()}
     assert got == want
+    assert any(k[0] == "prefix16" for k in got), "prefix16 kind empty"
 
 
 def test_sample_debias_identities(spark):
