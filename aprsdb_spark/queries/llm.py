@@ -3862,38 +3862,96 @@ def j_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to j_knn_confusion (which classes confuse) and
     j_selective_accuracy (where to abstain).
 
-    Determinism: neighbor rank is (rounded score desc, vec_id); the
-    majority vote breaks ties (v desc, label) — total orders; every
-    count is BIGINT; ratios round 1e-6 at display.
+    Determinism: neighbor rank is (1e-6-floored scaled score desc,
+    vec_id); the majority vote breaks ties (v desc, label) — total
+    orders; every count is BIGINT; ratios round 1e-6 at display.
 
-    Plan: the {nq}-row query set broadcasts onto one candidate scan
-    (j_knn_batch's fan-out); the rk ≤ {kk} filter sits on the
-    qid-partitioned row_number so map tasks keep ≤{kk} rows per query
-    before the qid exchange; votes, argmax, and the ≤{kk}-bin rollup
-    are metadata-scale. At 100 TB the candidate leg is the ANN
-    shortlist and this exact form audits it on sampled queries."""
+    Engine path (the j_pq_distortion boundary rule, SCALE.md §4q):
+    the {nq}×corpus scoring fan-out runs ~{nq}·N interpreted
+    Catalyst-HOF lambda steps per dim if written as the broadcast
+    crossJoin — past the ~10^6-step line at any real scale. It is
+    instead ONE Arrow-batched numpy kernel whose per-dim accumulation
+    replays the dot_expr LEFT-FOLD order (bit-identical doubles, so
+    the DuckDB oracle is UNCHANGED), and which emits only each
+    batch's per-query top-{kk} under the (s6 desc, vec_id) total
+    order — a sound partial top-k: a row outside its batch's top-{kk}
+    cannot be in the global top-{kk} under the same order. The
+    corpus never leaves the map stage; ≤ {nq}·{kk} rows per batch do.
+
+    Plan: narrow Arrow map (queries are a documented {nq}-row driver
+    collect of index metadata, shipped as a closure literal like
+    every trainer model) → ONE qid exchange over partial-top rows →
+    final top-{kk} window, votes, argmax, ≤{kk}-bin rollup — all
+    metadata-scale. At 100 TB the candidate leg is the ANN shortlist
+    and this exact form audits it on sampled queries."""
+    import pyarrow as pa
+
     t = load(spark, sf_dir)
-    q = t.embeddings.where(F.col("vec_id") < _ECE_NQ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        as_double("embedding").alias("qv"),
+    # documented k-row driver collect: the query panel is index
+    # metadata (200 x 64 floats), the same contract as the literal
+    # centroid/codebook models
+    qrows = (
+        t.embeddings.where(F.col("vec_id") < _ECE_NQ)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    s = (
+    qids_l = [int(r.vec_id) for r in qrows]
+    qlabels_l = [int(r.label) for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    k_top = _ECE_K
+
+    def score_batches(it):
+        import numpy as np
+
+        Q = np.array(qmat, dtype=np.float64)  # (nq, dim)
+        nq, dim = Q.shape
+        for batch in it:
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            n = len(offs) - 1
+            if not n:
+                continue
+            v = flat.reshape(n, dim)
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            labs = batch.column("label").to_numpy(zero_copy_only=False)
+            # left-fold dot: acc starts 0.0, += x_j*q_j per dim — the
+            # dot_expr IEEE sequence, vectorized across rows/queries
+            S = np.zeros((n, nq))
+            for j in range(dim):
+                S += v[:, j : j + 1] * Q[None, :, j]
+            s6 = np.floor(S * 1e6 + 0.5).astype(np.int64)
+            kk = min(k_top, n)
+            out_qid, out_vid, out_lab, out_s6 = [], [], [], []
+            for qi in range(nq):
+                order = np.lexsort((vids, -s6[:, qi]))[:kk]
+                out_qid.append(np.full(kk, qids_l[qi], dtype=np.int64))
+                out_vid.append(vids[order])
+                out_lab.append(labs[order])
+                out_s6.append(s6[order, qi])
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_qid)),
+                    pa.array(np.concatenate(out_vid)),
+                    pa.array(np.concatenate(out_lab).astype(np.int64)),
+                    pa.array(np.concatenate(out_s6)),
+                ],
+                names=["qid", "vec_id", "label", "s6"],
+            )
+
+    part = (
         t.embeddings.where(F.col("vec_id") >= _ECE_NQ)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "qid",
-            "qlabel",
-            "vec_id",
-            "label",
-            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
-        )
+        .select("vec_id", "label", "embedding")
+        .mapInArrow(score_batches, "qid long, vec_id long, label long, s6 long")
     )
-    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    qlab = F.create_map(
+        *[x for qid_, lab in zip(qids_l, qlabels_l) for x in (F.lit(qid_), F.lit(lab))]
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("s6").desc(), F.col("vec_id").asc())
     nn = (
-        s.withColumn("rk", F.row_number().over(wr))
+        part.withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= _ECE_K)
-        .select("qid", "qlabel", "label")
+        .select("qid", qlab[F.col("qid")].alias("qlabel"), "label")
     )
     votes = nn.groupBy("qid", "qlabel", "label").agg(
         F.count("*").cast("long").alias("v")

@@ -129,11 +129,16 @@ def main() -> None:
     # record, the next diffuse creep is attributable in one glance:
     # canary drifted → session/host pressure; canary flat → real per-qid
     # regressions worth chasing.
+    # bind the table handle NOW: the gate's retry loop below reuses the
+    # name `t` for per-qid timing floats, and a late _canary() call
+    # would otherwise close over that
+    canary_region = t.region
+
     def _canary() -> float:
         best = None
         for _ in range(3):
             start = time.perf_counter()
-            t.region.groupBy("r_name").count().write.format("noop").mode(
+            canary_region.groupBy("r_name").count().write.format("noop").mode(
                 "overwrite"
             ).save()
             el = time.perf_counter() - start

@@ -1315,13 +1315,14 @@ def test_logreg_quality_scores_are_probabilities(spark):
 def test_cogrouped_recon_matches_direct_join(spark):
     """The cogrouped pandas reconciliation equals the pure-DataFrame
     join-aggregate computed in the same session."""
+    from aprsdb_spark.queries.udfs import _COGROUP_CUT
     from aprsdb_spark.tables import load
 
     t = load(spark, SF_SMALL)
     got = {r.o_orderkey: r for r in QUERIES["k_cogrouped_pandas"](spark, SF_SMALL).collect()}
-    o = t.orders.where(F.col("o_orderkey") < 2000)
+    o = t.orders.where(F.col("o_orderkey") < _COGROUP_CUT)
     li = (
-        t.lineitem.where(F.col("l_orderkey") < 2000)
+        t.lineitem.where(F.col("l_orderkey") < _COGROUP_CUT)
         .groupBy("l_orderkey")
         .agg(
             F.count("*").alias("n_lines"),
