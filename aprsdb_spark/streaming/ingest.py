@@ -635,3 +635,83 @@ def ann_ingest_sink(
         novel.write.mode("append").parquet(index_dir)
     if run_key is not None:
         _record_applied_batch(index_dir, run_key, batch_id)
+
+
+def leakage_monitor_sink(
+    batch: DataFrame, batch_id: int, state_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch cross-split duplicate-leakage MONITOR — the
+    streaming twin of queries/curation.j_split_leakage's 'exact' kind:
+    as documents arrive, each batch's (md5(text), split) pairs merge
+    into a per-(hash, split) count store, and every arrival whose text
+    hash is ALREADY present under a DIFFERENT split appends an alert
+    row (h, arriving split, prior splits) — catching an eval-set
+    poisoning the moment it happens rather than at the next batch
+    audit. The split is the identical md5-prefix CASE as
+    j_split_train_val, so the monitor and the batch audit agree on
+    every document by construction (equivalence pinned in
+    tests/test_streaming.py: after any replay, the store equals the
+    one-shot batch (hash, split) counts and the alerted hash set
+    equals the batch audit's spanning groups).
+
+    Scale shape: the batch collapses to (h, split) partials BEFORE
+    touching state (shuffle carries 16-byte digests + counts, never
+    text); the store merge is the incremental_rollup read-merge-swap
+    with the same crash-recovery + (run_key, batch_id) replay guard
+    (counts double under at-least-once re-delivery without it);
+    alerts are APPEND-only and deduped per (h, split) by the anti
+    join against already-alerted pairs, so re-deliveries cannot
+    re-alert. Input schema: (doc_id, text)."""
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cd", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    part = (
+        batch.select(F.md5("text").alias("h"), split.alias("split"))
+        .groupBy("h", "split")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    existing = _read_state_or_none(spark, state_dir)
+    merged = (
+        existing.unionByName(part)
+        .groupBy("h", "split")
+        .agg(F.sum("n").cast("long").alias("n"))
+        if existing is not None
+        else part
+    )
+    # alerts: arriving (h, split) pairs whose hash exists under a
+    # DIFFERENT split in the prior store OR elsewhere in this same
+    # batch (a cross-split pair can arrive together — both sides
+    # alert, deterministically), minus pairs already alerted
+    alerts_dir = state_dir + "_alerts"
+    known = (
+        existing.select("h", "split").unionByName(part.select("h", "split"))
+        if existing is not None
+        else part.select("h", "split")
+    ).distinct()
+    crossed = (
+        part.alias("p")
+        .join(
+            known.alias("e"),
+            (F.col("p.h") == F.col("e.h"))
+            & (F.col("p.split") != F.col("e.split")),
+        )
+        .groupBy(F.col("p.h").alias("h"), F.col("p.split").alias("split"))
+        .agg(F.sort_array(F.collect_set("e.split")).alias("prior_splits"))
+    )
+    prior_alerts = _read_state_or_none(spark, alerts_dir)
+    if prior_alerts is not None:
+        crossed = crossed.join(
+            prior_alerts.select("h", "split"), ["h", "split"], "left_anti"
+        )
+    crossed.write.mode("append").parquet(alerts_dir)
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)

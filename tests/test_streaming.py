@@ -857,3 +857,80 @@ def test_ann_ingest_table_mode_is_exchange_free_on_the_store_side(spark, tmp_pat
     assert got == want, "table-mode streamed store diverged from batch assignment"
     assert spark.table(table).groupBy("vec_id").count().where("count > 1").count() == 0
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_leakage_monitor_matches_batch_audit(spark, tmp_path):
+    """Streaming cross-split leakage monitor (§2.I): replaying the
+    documents table in TWO micro-batches must leave (1) a store equal
+    to the one-shot batch (hash, split) counts, and (2) an alert set
+    whose hashes are EXACTLY the spanning groups of j_split_leakage's
+    'exact' kind — including a synthetic pair that arrives with both
+    splits in ONE batch. Replay of an applied batch is a no-op for
+    both counts and alerts."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+    # synthesize guaranteed cross-split duplicates: find two doc_ids in
+    # different splits and give them identical novel text
+    def split_of(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if h < "cd" else ("val" if h < "e6" else "test")
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    train_id = next(i for i in ids if split_of(i) == "train")
+    test_id = next(i for i in ids if split_of(i) == "test")
+    synth = spark.createDataFrame(
+        [(1000001 + train_id * 0, train_id, "leak canary text"),
+         (1000002 + test_id * 0, test_id, "leak canary text")],
+        "ignore long, doc_id long, text string",
+    ).select("doc_id", F.lit("leak canary text").alias("text"))
+
+    state = str(tmp_path / "state")
+    mid = 250
+    b0 = docs.where(F.col("doc_id") < mid)
+    # batch 1 carries the rest PLUS the synthetic in-batch pair
+    b1 = docs.where(F.col("doc_id") >= mid).unionByName(synth)
+    S.leakage_monitor_sink(b0, 0, state, run_key="ck")
+    S.leakage_monitor_sink(b1, 1, state, run_key="ck")
+    # replayed batch_id: counts and alerts must not change
+    n_alerts = spark.read.parquet(state + "_alerts").count()
+    S.leakage_monitor_sink(b1, 1, state, run_key="ck")
+    assert spark.read.parquet(state + "_alerts").count() == n_alerts
+
+    all_docs = docs.unionByName(synth)
+    want_counts = {
+        (r.h, r.split): r.n
+        for r in all_docs.select(
+            F.md5("text").alias("h"),
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+                "train",
+            )
+            .when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6",
+                "val",
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("h", "split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_counts = {
+        (r.h, r.split): r.n
+        for r in spark.read.parquet(state).drop("_run_key", "_batch_id").collect()
+    }
+    assert got_counts == want_counts
+    # alerted hashes == hashes spanning >1 split
+    spanning = {h for (h, _s) in want_counts} - {
+        h for (h, _s) in want_counts
+        if sum(1 for (h2, _s2) in want_counts if h2 == h) == 1
+    }
+    alerted = {r.h for r in spark.read.parquet(state + "_alerts").collect()}
+    assert alerted == spanning
+    # the synthetic in-batch pair alerted on BOTH sides
+    synth_h = spark.sql("SELECT md5('leak canary text') AS h").collect()[0].h
+    sides = [r for r in spark.read.parquet(state + "_alerts").collect() if r.h == synth_h]
+    assert len(sides) == 2 and {r.split for r in sides} == {"train", "test"}
