@@ -634,17 +634,34 @@ def pq_train_local(
     return tuple(books)
 
 
-def best_code_expr(codebook: list, sub: Column) -> Column:
+@functools.lru_cache(maxsize=None)
+def _code_model_cols(codebook: tuple):
+    """Memoized literal Columns for one codebook: the parsed literal
+    matrix / halves / ncids. Building these costs a py4j expr-parse
+    round-trip per literal array — measured ~1.4 s of pure DRIVER time
+    per PQ query build (8 blocks × 3 literals), paid by every member
+    of the PQ family (j_ann_pq, _recall, _sink, recall_curve, ndcg,
+    rank_tau, s_ann_ingest) on EVERY build. Column objects are
+    immutable unresolved expressions over literals only, so one parse
+    serves every query in the process; the cache key works because
+    trainer models are immutable nested tuples (r10 ADVICE)."""
+    mat = _lit_matrix([[float(x) for x in vec] for _, vec in codebook])
+    halves = _lit_vector([0.5 * seq_dot(vec, vec) for _, vec in codebook])
+    ncids = F.expr(
+        "array(" + ",".join(str(-int(cid)) for cid, _ in codebook) + ")"
+    )
+    return mat, halves, ncids
+
+
+def best_code_expr(codebook, sub: Column) -> Column:
     """struct<s: double, ncid: int> of the L2-nearest code for a
     subvector column, via argmax (v·c − c·c/2) over the literal
     codebook — _best_centroid generalized to non-unit centroids (the
     −|c|²/2 correction makes max-dot equal min-L2). The c·c/2 halves
     are driver-side left-fold literals, so the oracle subtracts the
     IDENTICAL double. ncid negated for smallest-code tie-breaks."""
-    mat = _lit_matrix([[float(x) for x in vec] for _, vec in codebook])
-    halves = _lit_vector([0.5 * seq_dot(vec, vec) for _, vec in codebook])
-    ncids = F.expr(
-        "array(" + ",".join(str(-int(cid)) for cid, _ in codebook) + ")"
+    mat, halves, ncids = _code_model_cols(
+        tuple((int(cid), tuple(float(x) for x in vec)) for cid, vec in codebook)
     )
     return F.array_max(
         F.transform(
@@ -788,4 +805,117 @@ def logreg_train_local(
         tuple(float(x) for x in w),
         tuple(float(x) for x in m),
         tuple(float(x) for x in s),
+    )
+
+
+def _books_payload(books):
+    """Plain-python closure payload for the Arrow PQ kernels: per block
+    the (k, d) code matrix in ascending-cid order plus the |c|²/2
+    halves — the same driver literals the expression form embeds."""
+    mats = [[list(cv) for _, cv in sorted(book)] for book in books]
+    halves = [[0.5 * seq_dot(cv, cv) for _, cv in sorted(book)] for book in books]
+    return mats, halves
+
+
+def pq_codes_arrow(emb: DataFrame, books) -> DataFrame:
+    """PQ code assignment as ONE Arrow-batched numpy pass — the
+    j_pq_distortion engine path (SCALE.md §4q) applied to the
+    assignment everybody shares: the argmax-(v·c − |c|²/2) fold runs
+    ~n·blocks·k·d interpreted Catalyst-HOF steps in the expression
+    form (best_code_expr), a measured ~1.4 s constant at sf0.1's 2k
+    vectors and linearly worse at scale. The kernel replays the
+    dot_expr LEFT-FOLD order per dim (acc starts 0.0; += x_j·c_j), so
+    every score double is bit-identical and np.argmax's first-max
+    matches the array_max(struct(s, −cid)) smallest-cid tie-break —
+    the expression form remains the registered reference (streaming
+    ingest, tests) and the two are interchangeable row-for-row.
+    Input: (vec_id, embedding); output: (vec_id, c0..c{B-1} int)."""
+    import pyarrow as pa
+
+    mats, halves = _books_payload(books)
+    n_blocks = len(mats)
+    d = len(mats[0][0])
+
+    def kern(it):
+        import numpy as np
+
+        C = [np.array(m, dtype=np.float64) for m in mats]
+        H = [np.array(h, dtype=np.float64) for h in halves]
+        for batch in it:
+            emb_col = batch.column("embedding")
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = emb_col.offsets.to_numpy(zero_copy_only=False)
+            n = len(offs) - 1
+            if not n:
+                continue
+            v = flat.reshape(n, n_blocks * d)
+            cols = [pa.array(batch.column("vec_id").to_numpy(zero_copy_only=False))]
+            for b in range(n_blocks):
+                sub = v[:, b * d : (b + 1) * d]
+                S = np.zeros((n, C[b].shape[0]))
+                for j in range(d):
+                    S += sub[:, j : j + 1] * C[b][None, :, j]
+                S -= H[b][None, :]
+                cols.append(pa.array(np.argmax(S, axis=1).astype(np.int32)))
+            yield pa.record_batch(
+                cols, names=["vec_id"] + [f"c{b}" for b in range(n_blocks)]
+            )
+
+    schema = "vec_id long, " + ", ".join(f"c{b} int" for b in range(n_blocks))
+    return emb.select("vec_id", "embedding").mapInArrow(kern, schema)
+
+
+def pq_adc_arrow(emb: DataFrame, books, q: list) -> DataFrame:
+    """Assignment + ADC scoring fused into ONE Arrow pass: codes snap
+    exactly as pq_codes_arrow, then the ADC value folds the per-block
+    lookup tables LEFT-TO-RIGHT (table_0[c0] + table_1[c1] + …) — the
+    identical IEEE sequence as the expression form's chained adds —
+    and rounds through the portable 1e-6 floor. Emits
+    (vec_id, adc_score double); the corpus' float vectors never leave
+    the map stage. The lookup tables are seq_dot driver floats, the
+    same doubles the _lit_vector literals carry."""
+    import pyarrow as pa
+
+    mats, halves = _books_payload(books)
+    n_blocks = len(mats)
+    d = len(mats[0][0])
+    tables = [
+        [seq_dot(q[b * d : (b + 1) * d], cv) for _, cv in sorted(book)]
+        for b, book in enumerate(books)
+    ]
+
+    def kern(it):
+        import numpy as np
+
+        C = [np.array(m, dtype=np.float64) for m in mats]
+        H = [np.array(h, dtype=np.float64) for h in halves]
+        T = [np.array(tb, dtype=np.float64) for tb in tables]
+        for batch in it:
+            emb_col = batch.column("embedding")
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = emb_col.offsets.to_numpy(zero_copy_only=False)
+            n = len(offs) - 1
+            if not n:
+                continue
+            v = flat.reshape(n, n_blocks * d)
+            adc = None
+            for b in range(n_blocks):
+                sub = v[:, b * d : (b + 1) * d]
+                S = np.zeros((n, C[b].shape[0]))
+                for j in range(d):
+                    S += sub[:, j : j + 1] * C[b][None, :, j]
+                S -= H[b][None, :]
+                term = T[b][np.argmax(S, axis=1)]
+                adc = term if adc is None else adc + term
+            score = np.floor(adc * 1e6 + 0.5) / 1e6
+            yield pa.record_batch(
+                [
+                    pa.array(batch.column("vec_id").to_numpy(zero_copy_only=False)),
+                    pa.array(score),
+                ],
+                names=["vec_id", "adc_score"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kern, "vec_id long, adc_score double"
     )

@@ -1982,33 +1982,18 @@ def j_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     {short} rows; the re-rank is a {short}-row broadcast semi-join
     back to the float column. Both wide ops are O(shortlist), not
     O(corpus)."""
-    from ..operators.similarity import _lit_vector, best_code_expr, pq_train_local, seq_dot
+    from ..operators.similarity import _lit_vector, pq_adc_arrow, pq_train_local
 
     t = load(spark, sf_dir)
     books = pq_train_local(sf_dir, n_blocks=_PQ_BLOCKS, k=_PQ_K, iters=_PQ_ITERS)
     qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
     q = [float(x) for x in qrow.embedding]
-    d = _PQ_SUBDIM
-    codes = t.embeddings.select(
-        "vec_id",
-        *[
-            (-best_code_expr(
-                books[b], F.slice(as_double("embedding"), b * d + 1, d)
-            )["ncid"]).cast("long").alias(f"c{b}")
-            for b in range(_PQ_BLOCKS)
-        ],
-    )
-    adc_lits = [
-        _lit_vector([seq_dot(q[b * d : (b + 1) * d], cv) for _, cv in books[b]])
-        for b in range(_PQ_BLOCKS)
-    ]
-    adc = None
-    for b in range(_PQ_BLOCKS):
-        term = F.element_at(adc_lits[b], (F.col(f"c{b}") + 1).cast("int"))
-        adc = term if adc is None else adc + term
+    # assignment + ADC fused in ONE Arrow pass (pq_adc_arrow — the
+    # j_pq_distortion engine path; bit-identical to the best_code_expr
+    # + chained element_at expression form, which remains the
+    # registered reference in the streaming ingest and the oracle)
     short = (
-        codes.where(F.col("vec_id") != 0)
-        .select("vec_id", rnd(adc, 6).alias("adc_score"))
+        pq_adc_arrow(t.embeddings.where(F.col("vec_id") != 0), books, q)
         .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
         .limit(_PQ_SHORTLIST)
     )
@@ -2121,7 +2106,7 @@ def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..operators.similarity import _lit_vector, best_code_expr, pq_train_local, seq_dot
+    from ..operators.similarity import _lit_vector, pq_codes_arrow, pq_train_local, seq_dot
     from .sources import _SCRATCH
 
     t = load(spark, sf_dir)
@@ -2153,15 +2138,9 @@ def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not spark.catalog.tableExists(f"{db}.pq_codes") or _stamp_of() != stamp:
         spark.sql(f"DROP TABLE IF EXISTS {db}.pq_codes")
         shutil.rmtree(os.path.join(loc, "pq_codes"), ignore_errors=True)
-        codes = t.embeddings.select(
-            "vec_id",
-            *[
-                (-best_code_expr(
-                    books[b], F.slice(as_double("embedding"), b * d + 1, d)
-                )["ncid"]).cast("int").alias(f"c{b}")
-                for b in range(_PQ_BLOCKS)
-            ],
-        )
+        # write-time assignment via the fused Arrow kernel — row-for-row
+        # identical to the best_code_expr form (pq_codes_arrow contract)
+        codes = pq_codes_arrow(t.embeddings, books)
         (
             codes.write.bucketBy(8, "vec_id")
             .sortBy("vec_id")

@@ -1338,3 +1338,65 @@ def test_cogrouped_recon_matches_direct_join(spark):
         assert g.qty_cents == (r.qty_c or 0)
         assert g.ext_cents == (r.ext_c or 0)
         assert g.recon_diff_cents == g.ext_cents - g.total_cents
+
+
+def test_pq_arrow_kernels_match_expression_form(spark):
+    """pq_codes_arrow / pq_adc_arrow must equal the best_code_expr +
+    chained-element_at expression form ROW FOR ROW (codes exactly,
+    ADC scores bitwise after the shared 1e-6 floor) — the contract
+    that lets the kernels serve the query path while the expression
+    form remains the registered reference in the streaming ingest."""
+    from aprsdb_spark.operators.similarity import (
+        _lit_vector,
+        as_double,
+        best_code_expr,
+        pq_adc_arrow,
+        pq_codes_arrow,
+        pq_train_local,
+        seq_dot,
+    )
+    from aprsdb_spark.tables import load
+
+    t = load(spark, SF_SMALL)
+    books = pq_train_local(SF_SMALL, n_blocks=8, k=32, iters=2)
+    d = len(books[0][0][1])
+    want_codes = {
+        r.vec_id: tuple(r)[1:]
+        for r in t.embeddings.select(
+            "vec_id",
+            *[
+                (-best_code_expr(
+                    books[b], F.slice(as_double("embedding"), b * d + 1, d)
+                )["ncid"]).cast("int").alias(f"c{b}")
+                for b in range(8)
+            ],
+        ).collect()
+    }
+    got_codes = {
+        r.vec_id: tuple(r)[1:]
+        for r in pq_codes_arrow(t.embeddings, books).collect()
+    }
+    assert got_codes == want_codes
+
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow.embedding]
+    adc_lits = [
+        _lit_vector([seq_dot(q[b * d : (b + 1) * d], cv) for _, cv in books[b]])
+        for b in range(8)
+    ]
+    adc = None
+    for b in range(8):
+        term = F.element_at(adc_lits[b], (F.lit(want_codes[0][b]) * 0 + F.col(f"c{b}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    codes_df = pq_codes_arrow(t.embeddings, books)
+    from aprsdb_spark.functions import rnd
+
+    want_adc = {
+        r.vec_id: r.s
+        for r in codes_df.select("vec_id", rnd(adc, 6).alias("s")).collect()
+    }
+    got_adc = {
+        r.vec_id: r.adc_score
+        for r in pq_adc_arrow(t.embeddings, books, q).collect()
+    }
+    assert got_adc == want_adc
