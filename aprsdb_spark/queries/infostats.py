@@ -1873,14 +1873,15 @@ def j_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = bc.agg(
         F.sum("c").cast("long").alias("n"), F.count("*").cast("long").alias("v")
     )
-    rk = bc.select(
+    top = bc.orderBy(F.col("c").desc(), F.col("term")).limit(max(_COVERAGE_GRID))
+    rk = top.select(
         "c",
         F.row_number()
         .over(Window.orderBy(F.col("c").desc(), F.col("term")))
         .cast("long")
         .alias("r"),
     )
-    cum = rk.where(F.col("r") <= max(_COVERAGE_GRID)).select(
+    cum = rk.select(
         "r", F.sum("c").over(Window.orderBy("r")).cast("long").alias("cc")
     )
     grid = spark.range(1).select(

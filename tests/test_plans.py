@@ -766,6 +766,17 @@ def test_zipf_topn_is_window_group_limited(spark):
     )
 
 
+def test_ngram_coverage_topk_is_heap_based(spark):
+    """The global top-k over the bigram-type histogram must lower to
+    TakeOrderedAndProject (per-partition heaps). InferWindowGroupLimit
+    does NOT fire for an unpartitioned rank window (measured r11), so
+    the filter-on-row_number form would single-partition-sort the
+    whole vocabulary — exactly the regression this pin catches."""
+    df = QUERIES["j_ngram_coverage"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p[:2000]
+
+
 def test_gini_never_materializes_ranks(spark):
     """j_gini_tokens must use the tie-block triangular-run identity:
     no row_number over the vocabulary, and the ONLY window in the plan
@@ -932,7 +943,7 @@ _SHUFFLE_BUDGETS = {
     "j_wasserstein_lengths": 13,
     "j_heaps_law": 6,
     "j_hill_tail": 2,
-    "j_ngram_coverage": 7,
+    "j_ngram_coverage": 6,  # TakeOrdered heaps, never a full vocab sort
     "j_perplexity_eval": 12,
     "j_ndcg": 7,
     "j_ece_calibration": 3,
