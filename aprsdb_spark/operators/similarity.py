@@ -919,3 +919,60 @@ def pq_adc_arrow(emb: DataFrame, books, q: list) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInArrow(
         kern, "vec_id long, adc_score double"
     )
+
+
+def topk_scores_arrow(emb: DataFrame, qmat: list, qids: list, k: int) -> DataFrame:
+    """Batch-partial top-k scoring against a literal query panel, as
+    ONE Arrow pass (the j_ece_calibration engine path): per Arrow
+    batch, score every (candidate, query) dot with the dot_expr
+    LEFT-FOLD dim order (bit-identical doubles), floor to the 1e-6
+    scaled BIGINT grid, and emit only the batch's per-query top-k
+    under the (s6 desc, vec_id asc) total order. SOUND partial top-k:
+    a row outside its batch's top-k cannot enter the global top-k
+    under the same total order, so a final per-qid window over the
+    ≤ |queries|·k·n_batches partials reproduces the exact global
+    ranking regardless of how rows are partitioned into batches
+    (pinned by test_topk_scores_arrow_is_partitioning_invariant).
+    Output: (qid, vec_id, label, s6)."""
+    import pyarrow as pa
+
+    def kern(it):
+        import numpy as np
+
+        Q = np.array(qmat, dtype=np.float64)
+        nq, dim = Q.shape
+        for batch in it:
+            emb_col = batch.column("embedding")
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = emb_col.offsets.to_numpy(zero_copy_only=False)
+            n = len(offs) - 1
+            if not n:
+                continue
+            v = flat.reshape(n, dim)
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            labs = batch.column("label").to_numpy(zero_copy_only=False)
+            S = np.zeros((n, nq))
+            for j in range(dim):
+                S += v[:, j : j + 1] * Q[None, :, j]
+            s6 = np.floor(S * 1e6 + 0.5).astype(np.int64)
+            kk = min(k, n)
+            out_qid, out_vid, out_lab, out_s6 = [], [], [], []
+            for qi in range(nq):
+                order = np.lexsort((vids, -s6[:, qi]))[:kk]
+                out_qid.append(np.full(kk, qids[qi], dtype=np.int64))
+                out_vid.append(vids[order])
+                out_lab.append(labs[order])
+                out_s6.append(s6[order, qi])
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_qid)),
+                    pa.array(np.concatenate(out_vid)),
+                    pa.array(np.concatenate(out_lab).astype(np.int64)),
+                    pa.array(np.concatenate(out_s6)),
+                ],
+                names=["qid", "vec_id", "label", "s6"],
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInArrow(
+        kern, "qid long, vec_id long, label long, s6 long"
+    )

@@ -3863,8 +3863,6 @@ def j_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-{kk} window, votes, argmax, ≤{kk}-bin rollup — all
     metadata-scale. At 100 TB the candidate leg is the ANN shortlist
     and this exact form audits it on sampled queries."""
-    import pyarrow as pa
-
     t = load(spark, sf_dir)
     # documented k-row driver collect: the query panel is index
     # metadata (200 x 64 floats), the same contract as the literal
@@ -3877,51 +3875,10 @@ def j_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids_l = [int(r.vec_id) for r in qrows]
     qlabels_l = [int(r.label) for r in qrows]
     qmat = [[float(x) for x in r.embedding] for r in qrows]
-    k_top = _ECE_K
+    from ..operators.similarity import topk_scores_arrow
 
-    def score_batches(it):
-        import numpy as np
-
-        Q = np.array(qmat, dtype=np.float64)  # (nq, dim)
-        nq, dim = Q.shape
-        for batch in it:
-            emb = batch.column("embedding")
-            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            offs = emb.offsets.to_numpy(zero_copy_only=False)
-            n = len(offs) - 1
-            if not n:
-                continue
-            v = flat.reshape(n, dim)
-            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            labs = batch.column("label").to_numpy(zero_copy_only=False)
-            # left-fold dot: acc starts 0.0, += x_j*q_j per dim — the
-            # dot_expr IEEE sequence, vectorized across rows/queries
-            S = np.zeros((n, nq))
-            for j in range(dim):
-                S += v[:, j : j + 1] * Q[None, :, j]
-            s6 = np.floor(S * 1e6 + 0.5).astype(np.int64)
-            kk = min(k_top, n)
-            out_qid, out_vid, out_lab, out_s6 = [], [], [], []
-            for qi in range(nq):
-                order = np.lexsort((vids, -s6[:, qi]))[:kk]
-                out_qid.append(np.full(kk, qids_l[qi], dtype=np.int64))
-                out_vid.append(vids[order])
-                out_lab.append(labs[order])
-                out_s6.append(s6[order, qi])
-            yield pa.record_batch(
-                [
-                    pa.array(np.concatenate(out_qid)),
-                    pa.array(np.concatenate(out_vid)),
-                    pa.array(np.concatenate(out_lab).astype(np.int64)),
-                    pa.array(np.concatenate(out_s6)),
-                ],
-                names=["qid", "vec_id", "label", "s6"],
-            )
-
-    part = (
-        t.embeddings.where(F.col("vec_id") >= _ECE_NQ)
-        .select("vec_id", "label", "embedding")
-        .mapInArrow(score_batches, "qid long, vec_id long, label long, s6 long")
+    part = topk_scores_arrow(
+        t.embeddings.where(F.col("vec_id") >= _ECE_NQ), qmat, qids_l, _ECE_K
     )
     qlab = F.create_map(
         *[x for qid_, lab in zip(qids_l, qlabels_l) for x in (F.lit(qid_), F.lit(lab))]

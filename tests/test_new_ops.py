@@ -1400,3 +1400,54 @@ def test_pq_arrow_kernels_match_expression_form(spark):
         for r in pq_adc_arrow(t.embeddings, books, q).collect()
     }
     assert got_adc == want_adc
+
+
+def test_topk_scores_arrow_is_partitioning_invariant(spark):
+    """The batch-partial top-k kernel must reproduce the exact global
+    top-k regardless of how candidates split into partitions/batches —
+    the soundness property j_ece_calibration's plan rests on. The
+    fixture's single parquet file arrives as ONE Arrow batch, so this
+    forces 7 partitions AND a tiny Arrow batch size, then compares the
+    final per-qid top-k against the single-partition run AND a plain
+    Python brute force."""
+    from aprsdb_spark.operators.similarity import topk_scores_arrow
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qrows = emb.where(F.col("vec_id") < 5).collect()
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    qids = [int(r.vec_id) for r in qrows]
+    cand = emb.where(F.col("vec_id") >= 5)
+
+    def final_topk(df):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(F.col("s6").desc(), F.col("vec_id").asc())
+        rows = (
+            topk_scores_arrow(df, qmat, qids, 10)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .collect()
+        )
+        return sorted((r.qid, r.rk, r.vec_id, r.s6) for r in rows)
+
+    one = final_topk(cand.coalesce(1))
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        many = final_topk(cand.repartition(7))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert one == many, "partial top-k merge is partitioning-dependent"
+
+    # python brute force for one query
+    import math
+
+    cands = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cand.collect()]
+    q0 = qmat[0]
+    scored = sorted(
+        ((-(math.floor(sum(a * b for a, b in zip(v, q0)) * 1e6 + 0.5))), vid)
+        for vid, v in cands
+    )[:10]
+    want0 = [(qids[0], i + 1, vid, -s) for i, (s, vid) in enumerate(scored)]
+    got0 = [t for t in one if t[0] == qids[0]]
+    assert got0 == sorted(want0)
