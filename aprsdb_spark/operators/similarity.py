@@ -744,6 +744,10 @@ def clear_trainer_caches() -> None:
     pq_train_local.cache_clear()
     pca_axis_local.cache_clear()
     logreg_train_local.cache_clear()
+    # parsed literal Columns hold py4j refs into the JVM: drop them
+    # with the models so a restarted context cannot be handed a stale
+    # expression handle
+    _code_model_cols.cache_clear()
 
 
 @functools.lru_cache(maxsize=None)
