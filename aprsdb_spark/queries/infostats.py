@@ -1980,3 +1980,124 @@ def j_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(h, 6).alias("cross_entropy"),
         rnd(F.exp(h), 6).alias("perplexity"),
     )
+
+
+@query(
+    "j_hapax_rate",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    vc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, w)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           {sql_rnd("SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6)}
+             AS hapax_type_rate,
+           {sql_rnd("SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / SUM(c)", 6)}
+             AS hapax_token_rate
+    FROM vc GROUP BY source
+    """,
+)
+def j_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon rate per source: the share of vocabulary TYPES
+    (and of token mass) that occurs exactly once — the classic OCR /
+    tokenizer-damage tripwire (clean prose runs ~40-60% hapax types
+    by Zipf; OCR noise and concatenation bugs push it far higher, and
+    template text far lower). The fourth corner of the distribution
+    panel: zipf = head slope, hill = tail index, heaps = growth,
+    hapax = the frequency-1 mass both tails meet at — all four read
+    off the SAME (source, token) count relation.
+
+    EXACT integers end-to-end: hapax counts are conditional BIGINT
+    sums over type counts; the two rates are one rounded division
+    each.
+
+    Plan: one explode → (source, token) hash agg with map-side
+    partials → ONE source rollup; |sources| output rows at any
+    corpus scale."""
+    t = load(spark, sf_dir)
+    vc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return vc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+        rnd(hapax * 1.0 / F.count("*"), 6).alias("hapax_type_rate"),
+        rnd(hapax * 1.0 / F.sum("c"), 6).alias("hapax_token_rate"),
+    )
+
+
+@query(
+    "j_vocab_jaccard_sources",
+    oracle="""
+    WITH sv AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM sv GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+              GROUP BY a.source, b.source)
+    SELECT i.src_a, i.src_b, za.v AS v_a, zb.v AS v_b, i.n_common,
+           FLOOR(i.n_common * 1.0 / (za.v + zb.v - i.n_common)
+                 * 1000000 + 0.5) / 1000000 AS vocab_jaccard
+    FROM inter i
+    JOIN sz za ON za.source = i.src_a
+    JOIN sz zb ON zb.source = i.src_b
+    """,
+)
+def j_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the source-level
+    similarity matrix mixture design reads before merging or
+    re-weighting domains (two sources with near-identical vocabularies
+    are one domain for sampling purposes; j_kl_sources compares each
+    source to the CORPUS, this compares sources to EACH OTHER). Exact
+    set semantics over the deduped (source, token) relation.
+
+    EXACT integers: intersection sizes are counts over an equi-join
+    of deduped type rows; |A∪B| = |A|+|B|−|A∩B|; one rounded division
+    per pair.
+
+    Plan: one explode collapsed by DISTINCT (source, token) — the
+    shuffle carries type rows, not occurrences — then a token-keyed
+    self-join whose per-token fan-out is ≤|sources|² (bounded by the
+    source count, not the corpus; a stop-word token contributes one
+    row per source pair, same as any other), and a |sources|²-row
+    rollup joined to the size table. At 100 TB token keys would hash
+    to 8-byte xxhash64 digests first (the Jaccard-join rule in
+    SCALE.md §4)."""
+    t = load(spark, sf_dir)
+    sv = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .distinct()
+    )
+    sz = sv.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            rnd(
+                F.col("n_common") * 1.0
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )

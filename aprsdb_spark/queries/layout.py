@@ -510,3 +510,94 @@ def j_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_le",
         rnd(F.col("n_le") * 1.0 / F.col("nn"), 6).alias("frac_le"),
     )
+
+
+@query(
+    "j_slice_deciles",
+    oracle=f"""
+    WITH hist AS (SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY lang, n_chars),
+    cum AS (SELECT lang, n_chars, n,
+                   CAST(SUM(n) OVER (PARTITION BY lang ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+            FROM hist),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nn FROM hist GROUP BY lang),
+    grid AS (SELECT lang, CAST(unnest(range(1, 10)) AS BIGINT) AS decile, nn,
+                    (CAST(unnest(range(1, 10)) AS BIGINT) * nn + 9) // 10
+                      AS target_rank
+             FROM tot),
+    hit AS (SELECT g.lang, g.decile, g.nn, g.target_rank,
+                   MIN(cum.n_chars) AS boundary, MIN(cum.c) AS n_le
+            FROM grid g JOIN cum ON cum.lang = g.lang
+                                AND cum.c >= g.target_rank
+            GROUP BY g.lang, g.decile, g.nn, g.target_rank)
+    SELECT lang, decile, target_rank, boundary, n_le,
+           {sql_rnd("n_le * 1.0 / nn", 6)} AS frac_le
+    FROM hit
+    """,
+)
+def j_slice_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANG exact discrete deciles of n_chars — j_length_deciles'
+    histogram discipline applied per slice, which is how a curation
+    dashboard actually consumes quantiles (a global decile table hides
+    that zh documents run half the length of en ones; per-slice
+    boundaries are what length filters and packing budgets should key
+    on). Same type-1/lower-quantile semantics: boundary(lang, q) =
+    smallest value whose per-lang cumulative count reaches
+    ceil(q·N_lang/10), all counts exact BIGINTs.
+
+    Plan: ONE (lang, n_chars) hash agg with map-side partials; the
+    cumulative window PARTITIONS BY lang over distinct values (so it
+    parallelizes across slices AND gets the map-side WindowGroupLimit
+    treatment unavailable to global windows — measured r11); the
+    9·|langs|-row grid theta-joins against the cum relation. Output
+    is 9·|langs| dashboard rows at any corpus scale."""
+    t = load(spark, sf_dir)
+    hist = t.documents.groupBy("lang", "n_chars").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "lang", "n_chars", "n", F.sum("n").over(w).cast("long").alias("c")
+    )
+    tot = hist.groupBy("lang").agg(F.sum("n").cast("long").alias("nn"))
+    grid = tot.select(
+        "lang",
+        "nn",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 10)])).alias(
+            "decile"
+        ),
+    ).select(
+        "lang",
+        "nn",
+        "decile",
+        ((F.col("decile") * F.col("nn") + 9) / 10).cast("long").alias("target_rank"),
+    )
+    g = grid.alias("g")
+    cm = cum.alias("cm")
+    hit = (
+        F.broadcast(g)
+        .join(
+            cm,
+            (F.col("g.lang") == F.col("cm.lang"))
+            & (F.col("cm.c") >= F.col("g.target_rank")),
+        )
+        .groupBy(F.col("g.lang").alias("lang"), "decile", "nn", "target_rank")
+        .agg(
+            F.min(F.col("cm.n_chars")).cast("long").alias("boundary"),
+            F.min(F.col("cm.c")).cast("long").alias("n_le"),
+        )
+    )
+    return hit.select(
+        "lang",
+        "decile",
+        "target_rank",
+        "boundary",
+        "n_le",
+        rnd(F.col("n_le") * 1.0 / F.col("nn"), 6).alias("frac_le"),
+    )

@@ -4202,3 +4202,94 @@ def j_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(pred_en == is_en, 1).otherwise(0)) * 1.0 / F.count("*"), 6
         ).alias("accuracy"),
     )
+
+
+@query(
+    "j_embed_mmd",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings),
+    mu AS (SELECT label, dim,
+                  CAST(FLOOR(AVG(x) * 1000000 + 0.5) AS BIGINT) AS m6,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM flat GROUP BY label, dim),
+    sz AS (SELECT label, CAST(MAX(n) AS BIGINT) AS n FROM mu GROUP BY label),
+    pair AS (SELECT a.label AS label_a, b.label AS label_b,
+                    CAST(SUM((a.m6 - b.m6) * (a.m6 - b.m6)) AS BIGINT)
+                      AS mmd2_s12
+             FROM mu a JOIN mu b ON a.dim = b.dim AND a.label < b.label
+             GROUP BY a.label, b.label)
+    SELECT p.label_a, p.label_b, za.n AS n_a, zb.n AS n_b, p.mmd2_s12,
+           FLOOR(p.mmd2_s12 / 1000000.0 + 0.5) / 1000000.0 AS mmd2
+    FROM pair p
+    JOIN sz za ON za.label = p.label_a
+    JOIN sz zb ON zb.label = p.label_b
+    """,
+)
+def j_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between every pair of
+    label groups in embedding space: MMD²_linear = ||μ_a − μ_b||²
+    (Gretton et al. 2012, public — for the linear kernel the witness
+    collapses to the mean difference), the two-sample drift statistic
+    for EMBEDDINGS that j_ks_lengths/j_wasserstein_lengths are for
+    scalar columns. A pair whose MMD² sits near zero is one merged
+    mode (labels the encoder cannot separate — j_knn_confusion will
+    show the symptom from the classifier side); the matrix is the
+    embedding-space companion to j_vocab_jaccard_sources' lexical
+    source similarity.
+
+    EXACT after the mean: per-(label, dim) means floor to the 1e-6
+    scaled-BIGINT grid FIRST (parallel float sums — the only rounding
+    point), then every squared difference and the 64-term sum are
+    exact integer arithmetic (≤ 64·(4e6)² ≈ 1e15, well inside
+    BIGINT), so the pairwise matrix cannot ulp-flip between engines;
+    mmd2 is one exact scaled division for display.
+
+    Plan: posexplode → ONE (label, dim) hash agg with map-side
+    partials (the j_embed_centroid shuffle: |labels|·dim rows per
+    partition, constant); the pairwise self-join and rollup run on
+    the |labels|·dim metadata relation — ≤|labels|² output rows at
+    any corpus scale."""
+    t = load(spark, sf_dir)
+    flat = t.embeddings.select(
+        "label", F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    mu = flat.groupBy("label", "dim").agg(
+        F.floor(F.avg("x") * 1000000 + F.lit(0.5)).cast("long").alias("m6"),
+        F.count("*").cast("long").alias("n"),
+    )
+    sz = mu.groupBy("label").agg(F.max("n").cast("long").alias("n"))
+    a, b = mu.alias("a"), mu.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(
+                (F.col("a.m6") - F.col("b.m6")) * (F.col("a.m6") - F.col("b.m6"))
+            )
+            .cast("long")
+            .alias("mmd2_s12")
+        )
+    )
+    za = sz.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(za), "label_a")
+        .join(F.broadcast(zb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            "mmd2_s12",
+            (F.floor(F.col("mmd2_s12") / F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "mmd2"
+            ),
+        )
+    )

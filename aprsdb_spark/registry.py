@@ -167,6 +167,13 @@ NEXT_QUEUE: list[str] = [
     # leakage across the canonical train/val/test split
     "j_sample_debias",
     "j_split_leakage",
+    # r11 wave 5: the distribution panel's fourth corner (hapax mass),
+    # source-vs-source lexical similarity, embedding-space MMD drift
+    # matrix, and per-slice exact deciles
+    "j_hapax_rate",
+    "j_vocab_jaccard_sources",
+    "j_embed_mmd",
+    "j_slice_deciles",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
@@ -176,13 +183,15 @@ NEXT_QUEUE: list[str] = [
 # queue membership as "scheduled", and a sibling test pins that only
 # already-scored qids may sit here (never-scored ones belong on
 # NEXT_QUEUE, where the tri-scale-verification contract applies).
-# r12 plan: NEXT_QUEUE r11 additions first, then these — the 10
+# r12 plan: NEXT_QUEUE r11 additions (18) first, then these — the 10
 # r5-scored spillovers the r10 rotation could not fit (they rescore in
 # r12, a round ahead of the capacity-derived staleness bound of
-# max(4, ceil(300/48)) = 7 rounds), then the 24 oldest r6-scored qids
-# in registration order. 10 + 24 = 34, leaving 14 slots for r11
-# additions; resize the r6 tail if the r11 NEXT_QUEUE lands elsewhere
-# (the ≤48 capacity test enforces the arithmetic either way).
+# max(4, ceil(318/48)) = 7 rounds), then the 20 oldest r6-scored qids
+# in registration order. 18 + 10 + 20 = 48 exactly; the 28 remaining
+# r6-scored qids hit the staleness bound during the r13 build (13−6 =
+# 7) and MUST head r13's REFRESH_QUEUE — write that into this comment
+# at the end of r12 exactly as this line was written at the end of
+# r11 (the ≤48 capacity test enforces the arithmetic either way).
 REFRESH_QUEUE: list[str] = [
     # r5-scored spillovers from the r10 rotation
     "j_pipeline_release",
@@ -216,10 +225,6 @@ REFRESH_QUEUE: list[str] = [
     "j_mix_temperature",
     "j_bpe_train",
     "j_bpe_encode",
-    "j_entropy",
-    "j_kl_sources",
-    "j_pmi_bigrams",
-    "j_bm25_topk",
 ]
 
 

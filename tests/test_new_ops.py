@@ -1451,3 +1451,87 @@ def test_topk_scores_arrow_is_partitioning_invariant(spark):
     want0 = [(qids[0], i + 1, vid, -s) for i, (s, vid) in enumerate(scored)]
     got0 = [t for t in one if t[0] == qids[0]]
     assert got0 == sorted(want0)
+
+
+def test_hapax_rate_matches_python_brute(spark):
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r.source, Counter()).update(r.text.split(" "))
+    got = {r.source: r for r in QUERIES["j_hapax_rate"](spark, SF_SMALL).collect()}
+    assert set(got) == set(by_src)
+    for src, cnt in by_src.items():
+        h = sum(1 for c in cnt.values() if c == 1)
+        r = got[src]
+        assert (r.n_tokens, r.n_types, r.n_hapax) == (
+            sum(cnt.values()), len(cnt), h,
+        )
+        assert abs(r.hapax_type_rate - round(h / len(cnt), 6)) < 2e-6
+
+
+def test_vocab_jaccard_matches_python_brute(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    vocab: dict = {}
+    for r in docs:
+        vocab.setdefault(r.source, set()).update(r.text.split(" "))
+    got = {(r.src_a, r.src_b): r for r in QUERIES["j_vocab_jaccard_sources"](spark, SF_SMALL).collect()}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert (r.v_a, r.v_b, r.n_common) == (len(vocab[a]), len(vocab[b]), inter)
+            jac = inter / len(vocab[a] | vocab[b])
+            assert abs(r.vocab_jaccard - round(jac, 6)) < 2e-6
+
+
+def test_embed_mmd_matches_python_brute(spark):
+    """MMD2 == exact integer arithmetic over 1e-6-floored per-dim
+    means, symmetric in construction, zero on identical groups."""
+    import math
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(int(r.label), []).append([float(x) for x in r.embedding])
+    mu6 = {
+        lab: [
+            math.floor(sum(v[j] for v in vs) / len(vs) * 1e6 + 0.5)
+            for j in range(len(vs[0]))
+        ]
+        for lab, vs in by_label.items()
+    }
+    got = {(r.label_a, r.label_b): r for r in QUERIES["j_embed_mmd"](spark, SF_SMALL).collect()}
+    labs = sorted(mu6)
+    assert len(got) == len(labs) * (len(labs) - 1) // 2
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            s12 = sum((x - y) ** 2 for x, y in zip(mu6[a], mu6[b]))
+            r = got[(a, b)]
+            assert r.mmd2_s12 == s12, (a, b)
+            assert (r.n_a, r.n_b) == (len(by_label[a]), len(by_label[b]))
+
+
+def test_slice_deciles_are_exact_per_lang_quantiles(spark):
+    """Per-lang boundaries equal plain-Python lower quantiles of the
+    raw length lists."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    by_lang: dict = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    got = {(r.lang, r.decile): r for r in QUERIES["j_slice_deciles"](spark, SF_SMALL).collect()}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        for d in range(1, 10):
+            target = (d * n + 9) // 10
+            want = vals[target - 1]
+            r = got[(lang, d)]
+            assert r.boundary == want, (lang, d, want, r.boundary)
+            assert r.target_rank == target
+            assert r.n_le >= target

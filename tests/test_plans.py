@@ -954,6 +954,11 @@ _SHUFFLE_BUDGETS = {
     "k_cogrouped_pandas": 2,  # the cogroup contract: one Exchange per side
     "j_sample_debias": 1,   # narrow hash-threshold map + ONE lang agg
     "j_split_leakage": 4,
+    # --- r11 wave 5
+    "j_hapax_rate": 2,      # (source,token) agg + source rollup
+    "j_vocab_jaccard_sources": 10,
+    "j_embed_mmd": 10,
+    "j_slice_deciles": 5,
 }
 
 
