@@ -256,7 +256,6 @@ _EXPECTED_BNLJ = {
     "j_ngram_coverage",  # |grid|-row k marks theta-joined (r <= k) vs <=10k ranks
     "j_ndcg",  # k-grid x <=10 graded ranks, twice (dcg + ideal)
     "j_rank_tau",  # <=10-row rank-pair self-join (re < rb) + two 1-row frames
-    "j_ece_calibration",  # broadcast 200-row query set (the j_knn_batch fan-out)
 }
 _EXPECTED_ROW_PYTHON = {
     # the documented slow-path escape hatches; UDTFs (incl. the Spark-4
