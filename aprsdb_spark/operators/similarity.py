@@ -634,8 +634,23 @@ def pq_train_local(
     return tuple(books)
 
 
+def _session_token() -> str:
+    """Identity of the live SparkContext behind parsed Column objects.
+    Unlike the trainer caches (plain floats, valid forever), a memoized
+    Column holds py4j expression handles into ONE JVM: after an
+    in-process session stop/restart a cached entry is a stale ref that
+    surfaces as opaque py4j errors (r11 ADVICE). Keying the memo on
+    applicationId (fresh per SparkContext) makes the cache
+    self-invalidating — no caller has to remember
+    clear_trainer_caches() across a restart."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    return s.sparkContext.applicationId if s is not None else ""
+
+
 @functools.lru_cache(maxsize=None)
-def _code_model_cols(codebook: tuple):
+def _code_model_cols(codebook: tuple, session_token: str = ""):
     """Memoized literal Columns for one codebook: the parsed literal
     matrix / halves / ncids. Building these costs a py4j expr-parse
     round-trip per literal array — measured ~1.4 s of pure DRIVER time
@@ -644,7 +659,9 @@ def _code_model_cols(codebook: tuple):
     rank_tau, s_ann_ingest) on EVERY build. Column objects are
     immutable unresolved expressions over literals only, so one parse
     serves every query in the process; the cache key works because
-    trainer models are immutable nested tuples (r10 ADVICE)."""
+    trainer models are immutable nested tuples (r10 ADVICE) AND the
+    key carries the SparkContext identity (r11 ADVICE — a JVM restart
+    must not serve stale py4j handles; see _session_token)."""
     mat = _lit_matrix([[float(x) for x in vec] for _, vec in codebook])
     halves = _lit_vector([0.5 * seq_dot(vec, vec) for _, vec in codebook])
     ncids = F.expr(
@@ -661,7 +678,8 @@ def best_code_expr(codebook, sub: Column) -> Column:
     are driver-side left-fold literals, so the oracle subtracts the
     IDENTICAL double. ncid negated for smallest-code tie-breaks."""
     mat, halves, ncids = _code_model_cols(
-        tuple((int(cid), tuple(float(x) for x in vec)) for cid, vec in codebook)
+        tuple((int(cid), tuple(float(x) for x in vec)) for cid, vec in codebook),
+        _session_token(),
     )
     return F.array_max(
         F.transform(
@@ -744,9 +762,11 @@ def clear_trainer_caches() -> None:
     pq_train_local.cache_clear()
     pca_axis_local.cache_clear()
     logreg_train_local.cache_clear()
-    # parsed literal Columns hold py4j refs into the JVM: drop them
-    # with the models so a restarted context cannot be handed a stale
-    # expression handle
+    # parsed literal Columns hold py4j refs into the JVM — their memo
+    # key already carries the SparkContext identity (so a restarted
+    # JVM can never be served a stale handle even without this call),
+    # but drop them with the models anyway: a regenerated fixture
+    # yields a new codebook, and the old entries are dead weight
     _code_model_cols.cache_clear()
 
 

@@ -1857,13 +1857,13 @@ def j_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; the single float op is the display ratio (1e-6 floor form).
 
     Plan: ONE bigram explode collapsed by a type hash agg with
-    map-side partials; the rank window is unpartitioned BUT the
-    r ≤ max(grid) filter sits directly on it, so the map side keeps at
-    most {max(_COVERAGE_GRID)} rows per task before the single-
-    partition exchange (partial WindowGroupLimit — the j_zipf_fit
-    bound); the grid join and rollup run on ≤ {max(_COVERAGE_GRID)}
-    metadata rows. The |grid|-row output is dashboard-sized at any
-    corpus scale."""
+    map-side partials; the top-{max(_COVERAGE_GRID)} selection is a
+    heap TakeOrderedAndProject (per-partition bounded heaps merged on
+    the driver — unpartitioned rank windows get NO WindowGroupLimit,
+    measured r11, so orderBy().limit() is the form that keeps the map
+    side bounded); the rank/cumsum windows, grid join, and rollup all
+    run AFTER it, on ≤ {max(_COVERAGE_GRID)} metadata rows. The
+    |grid|-row output is dashboard-sized at any corpus scale."""
     t = load(spark, sf_dir)
     bc = (
         t.documents.select(F.explode(ngrams_col("text", 2)).alias("term"))
@@ -1919,12 +1919,16 @@ def j_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ln((gb.c + 1.0) / (gp.cp + v.v)) AS lp
                FROM sb JOIN gb ON gb.g = sb.g
                JOIN gp ON gp.w1 = split_part(sb.g, ' ', 1)
-               CROSS JOIN v)
-    SELECT source,
-           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           {sql_rnd("-SUM(tf * lp) / SUM(tf)", 6)} AS cross_entropy,
-           {sql_rnd("exp(-SUM(tf * lp) / SUM(tf))", 6)} AS perplexity
-    FROM scored GROUP BY source
+               CROSS JOIN v),
+    agg AS (SELECT source,
+                   CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   CAST(FLOOR((-SUM(tf * lp) / SUM(tf)) * 1000000 + 0.5)
+                        AS BIGINT) AS ce6
+            FROM scored GROUP BY source)
+    SELECT source, n_bigrams,
+           ce6 / 1000000.0 AS cross_entropy,
+           {sql_rnd("exp(ce6 / 1000000.0)", 6)} AS perplexity
+    FROM agg
     """,
 )
 def j_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,8 +1943,13 @@ def j_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Identity: H_s = −Σ tf·ln((c+1)/(c₁·+V)) / N_s over the source's
     bigram TYPES (tf-weighted type sum — the j_chargram_confusion
-    collapse), PPL = exp(H). All counts exact BIGINTs; ln on identical
-    doubles both engines; the type sum rounds 1e-6 at display.
+    collapse), PPL = exp(H ROUNDED): the entropy sum floors to the
+    1e-6 scaled-BIGINT grid FIRST and exp() is applied to that grid
+    value — so the one query-time exp() in the registry receives an
+    IDENTICAL double on both engines instead of an order-dependent
+    float sum (the banned amplify-then-round shape: PPL·δH can cross
+    a 1e-6 boundary on a 1-ulp H difference). All counts exact
+    BIGINTs; ln on identical doubles both engines.
 
     Plan: ONE bigram explode → (source, bigram) hash agg; the global
     model derives from a RE-AGG of those type rows (no second corpus
@@ -1975,10 +1984,16 @@ def j_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = -F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")
-    return scored.groupBy("source").agg(
+    agg = scored.groupBy("source").agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
-        rnd(h, 6).alias("cross_entropy"),
-        rnd(F.exp(h), 6).alias("perplexity"),
+        F.floor(h * 1000000 + F.lit(0.5)).cast("long").alias("ce6"),
+    )
+    ce = F.col("ce6") / F.lit(1000000.0)
+    return agg.select(
+        "source",
+        "n_bigrams",
+        ce.alias("cross_entropy"),
+        rnd(F.exp(ce), 6).alias("perplexity"),
     )
 
 

@@ -576,7 +576,12 @@ def j_slice_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "nn",
         "decile",
-        ((F.col("decile") * F.col("nn") + 9) / 10).cast("long").alias("target_rank"),
+        # integer `div`, not double /: (decile*nn+9)/10 rounds through a
+        # double and can diverge from the exact integer result once
+        # decile*nn+9 exceeds 2^53 — the oracle and the sibling
+        # j_length_deciles both compute this in pure BIGINT arithmetic
+        # (operands are positive, so trunc-div == floor-div here).
+        F.expr("(decile * nn + 9) div 10").alias("target_rank"),
     )
     g = grid.alias("g")
     cm = cum.alias("cm")

@@ -4212,10 +4212,16 @@ def j_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_subscripts(embedding, 1) AS dim,
              unnest(CAST(embedding AS DOUBLE[])) AS x
       FROM embeddings),
-    mu AS (SELECT label, dim,
-                  CAST(FLOOR(AVG(x) * 1000000 + 0.5) AS BIGINT) AS m6,
-                  CAST(COUNT(*) AS BIGINT) AS n
-           FROM flat GROUP BY label, dim),
+    acc AS (SELECT label, dim,
+                   SUM(CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT)) AS s9,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM flat GROUP BY label, dim),
+    mu AS (SELECT label, dim, n,
+                  CAST(CASE WHEN ((2 * s9 + 1000 * n) % (2000 * n)) < 0
+                       THEN ((2 * s9 + 1000 * n) // (2000 * n)) - 1
+                       ELSE  (2 * s9 + 1000 * n) // (2000 * n)
+                       END AS BIGINT) AS m6
+           FROM acc),
     sz AS (SELECT label, CAST(MAX(n) AS BIGINT) AS n FROM mu GROUP BY label),
     pair AS (SELECT a.label AS label_a, b.label AS label_b,
                     CAST(SUM((a.m6 - b.m6) * (a.m6 - b.m6)) AS BIGINT)
@@ -4241,12 +4247,19 @@ def j_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space companion to j_vocab_jaccard_sources' lexical
     source similarity.
 
-    EXACT after the mean: per-(label, dim) means floor to the 1e-6
-    scaled-BIGINT grid FIRST (parallel float sums — the only rounding
-    point), then every squared difference and the 64-term sum are
-    exact integer arithmetic (≤ 64·(4e6)² ≈ 1e15, well inside
-    BIGINT), so the pairwise matrix cannot ulp-flip between engines;
-    mmd2 is one exact scaled division for display.
+    EXACT end to end, order-free: each ELEMENT quantizes to the 1e-9
+    scaled-BIGINT grid first (floor(x·1e9 + 0.5) — one deterministic
+    per-value double op, identical on both engines), the per-(label,
+    dim) sum s9 runs in exact integer arithmetic (DECIMAL(38,0) ↔
+    HUGEINT, overflow-free past 10^28 elements), and the 1e-6-grid
+    mean lowers to one sign-safe integer floor-div:
+    m6 = floor(s9/(1000·n) + 0.5) = floordiv(2·s9 + 1000·n, 2000·n).
+    Unlike FLOOR(AVG(x)·1e6 + 0.5) — whose AVG is an order-dependent
+    float sum that can flip the floor when a mean lands within an ulp
+    of a grid boundary — no step here depends on partition order or
+    engine summation, so the pairwise matrix cannot ulp-flip. Squared
+    differences and the 64-term sum stay exact BIGINTs (≤ 64·(4e6)² ≈
+    1e15); mmd2 is one exact scaled division for display.
 
     Plan: posexplode → ONE (label, dim) hash agg with map-side
     partials (the j_embed_centroid shuffle: |labels|·dim rows per
@@ -4257,9 +4270,20 @@ def j_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = t.embeddings.select(
         "label", F.posexplode(as_double("embedding")).alias("dim", "x")
     )
-    mu = flat.groupBy("label", "dim").agg(
-        F.floor(F.avg("x") * 1000000 + F.lit(0.5)).cast("long").alias("m6"),
+    acc = flat.groupBy("label", "dim").agg(
+        F.sum(
+            F.floor(F.col("x") * 1000000000 + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("s9"),
         F.count("*").cast("long").alias("n"),
+    )
+    num = 2 * F.col("s9") + 1000 * F.col("n")
+    den = 2000 * F.col("n")
+    q = F.call_function("div", num, den)
+    mu = acc.select(
+        "label",
+        "dim",
+        "n",
+        F.when((num % den) < 0, q - 1).otherwise(q).cast("long").alias("m6"),
     )
     sz = mu.groupBy("label").agg(F.max("n").cast("long").alias("n"))
     a, b = mu.alias("a"), mu.alias("b")

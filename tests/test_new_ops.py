@@ -1491,8 +1491,10 @@ def test_vocab_jaccard_matches_python_brute(spark):
 
 
 def test_embed_mmd_matches_python_brute(spark):
-    """MMD2 == exact integer arithmetic over 1e-6-floored per-dim
-    means, symmetric in construction, zero on identical groups."""
+    """MMD2 == exact integer arithmetic over per-dim means on the 1e-6
+    grid, where each element quantizes to the 1e-9 grid FIRST (so the
+    whole chain is order-free integers — this brute force replays the
+    exact definition, including the sign-safe floor-div)."""
     import math
 
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
@@ -1501,7 +1503,8 @@ def test_embed_mmd_matches_python_brute(spark):
         by_label.setdefault(int(r.label), []).append([float(x) for x in r.embedding])
     mu6 = {
         lab: [
-            math.floor(sum(v[j] for v in vs) / len(vs) * 1e6 + 0.5)
+            (2 * sum(math.floor(v[j] * 1e9 + 0.5) for v in vs) + 1000 * len(vs))
+            // (2000 * len(vs))
             for j in range(len(vs[0]))
         ]
         for lab, vs in by_label.items()
