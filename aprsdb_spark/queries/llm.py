@@ -332,21 +332,30 @@ def j_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the single-hop greedy keeper assignment of a semantic-dedup pass.
     EXACT ground-truth variant (label-keyed Σn_g² pairs — quadratic at
     100×); the registered production path is `j_dedup_embed_bucketed`
-    (hyperplane-sketch equi-key, same plan shape, candidate pairs per
-    bucket — plan-pinned). Keep this one as the oracle-exact recall
-    reference for the bucketed variant."""
+    (hyperplane-sketch equi-key, candidate pairs per bucket —
+    plan-pinned). Keep this one as the oracle-exact recall reference
+    for the bucketed variant.
+
+    Scored via the per-group blocked numpy kernel (label_gemm_pairs,
+    the j_sim_pairs r11 treatment — it was the registry's last
+    r3-era Σn_g² JVM join, 3.9 s at sf0.1): the quadratic candidate
+    space lives only inside blk×blk GEMM tiles, never as join rows;
+    each undirected surviving pair then mirrors into its two directed
+    rows for the per-vector neighbor rollup. The strict left-fold
+    accumulate keeps scores bit-identical to the declarative self-join
+    the DuckDB oracle still runs — pair SET equality is exactly what
+    the hash check asserts."""
     t = load(spark, sf_dir)
-    e1 = t.embeddings.alias("e1")
-    e2 = t.embeddings.alias("e2")
-    score = rnd(dot_expr(as_double(F.col("e1.embedding")), as_double(F.col("e2.embedding"))), 6)
-    pairs = (
-        e1.join(
-            e2,
-            (F.col("e1.label") == F.col("e2.label"))
-            & (F.col("e1.vec_id") != F.col("e2.vec_id")),
-        )
-        .where(score >= 0.3)
-        .select(F.col("e1.vec_id").alias("a"), F.col("e2.vec_id").alias("b"))
+    from ..operators.similarity import label_gemm_pairs
+
+    tagged = t.embeddings.select(
+        "vec_id", as_double("embedding").alias("v"), "label"
+    )
+    und = label_gemm_pairs(
+        tagged, tau=0.3, parallelism=spark.sparkContext.defaultParallelism
+    )
+    pairs = und.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionAll(
+        und.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
     )
     base = t.embeddings.select("vec_id", "label")
     keep = F.least(F.col("vec_id"), F.coalesce(F.min("b"), F.col("vec_id")))
