@@ -958,6 +958,45 @@ _SHUFFLE_BUDGETS = {
     "j_vocab_jaccard_sources": 10,
     "j_embed_mmd": 10,
     "j_slice_deciles": 5,
+    # --- r12 expansion: everything the r12 window rescores (the 10 r5
+    # spillovers + the 20 oldest r6 qids) plus the four label/bucket
+    # all-pairs variants. Ceilings measured on the cold sf0.01 plan at
+    # review time (clearCache() first — see the note above on persisted
+    # sub-plans).
+    "c_sql_q18": 5,         # top-100 big-customer 3-way: fact shuffles, HAVING agg
+    "d_agg_salted": 2,      # salted partial + de-salt final
+    "j_dedup_simhash": 1,   # sketch is a map; ONE digest-keyed agg
+    "j_ann_lsh": 0,         # literal planes: zero-shuffle bucket probe
+    "j_ann_ivf": 0,         # literal centroids: zero-shuffle probe
+    "j_lsh_recall": 5,      # both legs by construction (exact + LSH)
+    "j_knn_batch": 2,       # query panel broadcast; per-query top-k
+    "j_shuffle_shards": 1,  # ONE shard-keyed exchange IS the operator
+    "j_reservoir_pergroup": 1,  # group-keyed draw-rank agg
+    "j_dsir_weights": 6,
+    "j_winnow_pairs": 6,
+    "j_dedup_lines": 6,
+    "j_dedup_substr": 4,
+    "j_chunk_overlap": 0,   # pure map over chunk grid — zero-shuffle
+    "j_vocab_coverage": 4,
+    "j_bloom_decontam": 8,
+    "j_mix_temperature": 10,
+    "j_bpe_train": 0,       # driver-literal trainer: scoring is a map
+    "j_bpe_encode": 66,     # reprint-inflated: 64 InMemoryTableScans each
+                            # re-print the cached merge-table child (~2 real)
+    "j_pipeline_release": 2,
+    "j_inverted_index": 2,  # (term,doc) agg + per-term ranked lists
+    "j_repetition": 3,
+    "j_domain_mix": 4,
+    "j_ngram_lm": 6,
+    "j_lm_buckets": 14,     # LM fit + per-bucket rollup chain
+    "j_winnow_fingerprints": 0,  # per-doc rolling-hash windows: pure map
+    "j_embed_outlier": 8,
+    "j_retention_cohort": 4,
+    "j_funnel_stages": 2,
+    "j_sim_pairs": 1,       # GEMM kernel: label exchange only
+    "j_dedup_embed": 4,     # GEMM pairs + directed union + keeper agg
+    "j_sim_pairs_bucketed": 1,  # bucket equi-key IS the shuffle
+    "j_dedup_embed_bucketed": 3,
 }
 
 
