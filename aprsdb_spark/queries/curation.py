@@ -1491,6 +1491,82 @@ def j_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_dedup_prefix.__doc__ = j_dedup_prefix.__doc__.replace("{n}", str(_PREFIX_TOKENS))
 
 
+@query(
+    "j_dedup_keep_best",
+    oracle=f"""
+    WITH p AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      md5(array_to_string(list_slice(string_split(text, ' '),
+                                                     1, {_PREFIX_TOKENS}), ' '))
+                        AS ph
+               FROM documents),
+    r AS (SELECT doc_id, n_tok, ph,
+                 ROW_NUMBER() OVER (PARTITION BY ph
+                                    ORDER BY n_tok DESC, doc_id) AS rk,
+                 CAST(COUNT(*) OVER (PARTITION BY ph) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) OVER (PARTITION BY ph) AS BIGINT) AS tot_tok
+          FROM p)
+    SELECT ph AS prefix_md5, n_docs,
+           doc_id AS keep_id,
+           n_tok AS keep_n_tokens,
+           tot_tok - n_tok AS tokens_dropped
+    FROM r WHERE rk = 1 AND n_docs > 1
+    """,
+)
+def j_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election: within each prefix-duplicate
+    family (j_dedup_prefix's first-{_PREFIX_TOKENS}-token hash), keep
+    the member with the MOST tokens (tie → smallest doc_id) instead of
+    the blind first-seen min-id rule — the policy real curation
+    pipelines use, because among template mirrors the longest variant
+    is usually the superset page and min-id keeps whichever crawl
+    happened first. `tokens_dropped` totals the token mass the
+    election discards, the number a curation review sizes the pass by.
+
+    Determinism: election is a total order (n_tok DESC, doc_id) — no
+    engine-specific arg_max tie behavior; all outputs are exact
+    BIGINTs over that order.
+
+    Plan: one narrow map (token count + prefix hash — the text never
+    leaves the scan), then ONE hash-partition shuffle on the 16-byte
+    family key serving all three windows (rank, count, token sum share
+    the partitioning); keeper filter + singleton drop run map-side
+    after the windows. Output is |duplicate families| rows. Partition
+    by the family key gives the rank window the map-side
+    WindowGroupLimit treatment at 100 TB; no corpus-wide window
+    exists."""
+    t = load(spark, sf_dir)
+    toks = tokens_col("text")
+    p = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, _PREFIX_TOKENS))).alias("ph"),
+    )
+    fam = Window.partitionBy("ph")
+    r = p.select(
+        "doc_id",
+        "n_tok",
+        "ph",
+        F.row_number()
+        .over(fam.orderBy(F.col("n_tok").desc(), F.col("doc_id")))
+        .alias("rk"),
+        F.count("*").over(fam).cast("long").alias("n_docs"),
+        F.sum("n_tok").over(fam).cast("long").alias("tot_tok"),
+    )
+    return r.where((F.col("rk") == 1) & (F.col("n_docs") > 1)).select(
+        F.col("ph").alias("prefix_md5"),
+        "n_docs",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_tok").alias("keep_n_tokens"),
+        (F.col("tot_tok") - F.col("n_tok")).alias("tokens_dropped"),
+    )
+
+
+j_dedup_keep_best.__doc__ = j_dedup_keep_best.__doc__.replace(
+    "{_PREFIX_TOKENS}", str(_PREFIX_TOKENS)
+)
+
+
 # _SAMPLE_THRESH hex prefixes as exact integers out of 16^4 — the
 # Horvitz-Thompson inverse weights for j_sample_debias (zh keeps all).
 _SAMPLE_THRESH_INT = {"en": 0x4CCC, "de": 0x8000, "es": 0xB333, "fr": 0xE666}

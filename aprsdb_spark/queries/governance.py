@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import floordiv, rnd, sql_floordiv, sql_rnd
+from ..operators.dedup import tokens_col
 from ..registry import query
 from ..tables import load
 
@@ -688,3 +689,160 @@ def j_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd((F.sum("c") - F.count("*")) * 1.0 / F.sum("c"), 6).alias("dup_rate"),
     )
 
+
+
+# Wilson 95% interval: z² as the single shared literal; z itself is
+# derived as sqrt(z²) AT QUERY TIME on both engines — IEEE-754 requires
+# a correctly-rounded sqrt (unlike exp/ln/pow, which are
+# implementation-defined libm), so sqrt(3.8416) is the identical double
+# everywhere and no rounded-z literal has to be kept in sync.
+_WILSON_Z2 = "CAST(3.8416 AS DOUBLE)"
+
+# One shared defect predicate and one shared Wilson expression string,
+# interpolated into BOTH the Spark plan (F.expr) and the DuckDB oracle
+# — cross-engine parity by construction (x, n are exact BIGINTs; the
+# expression tree over them is identical, token for token). The z²
+# literal carries an explicit DOUBLE cast: a bare `3.8416` is DECIMAL
+# in Spark SQL but DOUBLE in DuckDB — the one way a shared string can
+# still diverge.
+_WILSON_CENTER = f"(x + {_WILSON_Z2} / 2) / (n + {_WILSON_Z2})"
+_WILSON_HALF = (
+    f"(sqrt({_WILSON_Z2}) / (n + {_WILSON_Z2})) * "
+    f"sqrt(CAST(x * (n - x) AS DOUBLE) / n + {_WILSON_Z2} / 4)"
+)
+
+
+@query(
+    "j_wilson_ci",
+    oracle=f"""
+    WITH d AS (SELECT source,
+                      CASE WHEN n_chars BETWEEN 100 AND 2000
+                            AND len(string_split(text, ' ')) >= 20
+                           THEN 0 ELSE 1 END AS defect
+               FROM documents),
+    a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(defect) AS BIGINT) AS x
+          FROM d GROUP BY source)
+    SELECT source, n AS n_docs, x AS n_defects,
+           {sql_rnd("x * 1.0 / n", 6)} AS defect_rate,
+           {sql_rnd(f"{_WILSON_CENTER} - {_WILSON_HALF}", 6)} AS ci_low,
+           {sql_rnd(f"{_WILSON_CENTER} + {_WILSON_HALF}", 6)} AS ci_high
+    FROM a
+    """,
+)
+def j_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source defect rate with a Wilson 95% score interval — the
+    governance number an ingestion gate thresholds on: a source with
+    8/40 defects and one with 200/1000 have the same point rate but
+    very different upper bounds, and Wilson (unlike the textbook Wald
+    interval) stays inside [0,1] and behaves at x=0 — exactly the
+    small-slice regime new crawl sources arrive in. Defect = the
+    complement of j_lang_quality's structural bounds (length window,
+    ≥20 tokens), so the gate and the filter agree by construction.
+
+    Parity: x and n are exact BIGINTs; ci bounds evaluate ONE shared
+    expression string on both engines (interpolated into F.expr and
+    the oracle SQL), with z = sqrt(z²) computed at query time — sqrt
+    is IEEE-correctly-rounded on both engines, unlike libm exp/ln, so
+    no rounded-z literal can drift. Display rounds 1e-6.
+
+    Plan: one narrow map (two comparisons + a token count on the scan)
+    into ONE |sources|-keyed hash agg with map-side partials; the CI
+    arithmetic runs on the |sources|-row result. Nothing but (source,
+    two BIGINTs) ever shuffles at any corpus scale."""
+    t = load(spark, sf_dir)
+    defect = (
+        F.when(
+            F.col("n_chars").between(100, 2000)
+            & (F.size(tokens_col("text")) >= 20),
+            0,
+        )
+        .otherwise(1)
+    )
+    a = (
+        t.documents.select("source", defect.alias("defect"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("defect").cast("long").alias("x"),
+        )
+    )
+    return a.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("x").alias("n_defects"),
+        rnd(F.col("x") * 1.0 / F.col("n"), 6).alias("defect_rate"),
+        rnd(F.expr(f"{_WILSON_CENTER} - {_WILSON_HALF}"), 6).alias("ci_low"),
+        rnd(F.expr(f"{_WILSON_CENTER} + {_WILSON_HALF}"), 6).alias("ci_high"),
+    )
+
+
+@query(
+    "j_data_card",
+    oracle=f"""
+    WITH doc AS (SELECT source,
+                        CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                        CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                          AS n_tokens,
+                        CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                          AS n_distinct_texts
+                 FROM documents GROUP BY source),
+    ty AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+           FROM (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY source)
+    SELECT doc.source, n_docs, n_langs, total_chars, n_tokens,
+           ty.n_types,
+           n_docs - n_distinct_texts AS n_exact_dups,
+           {sql_rnd("(n_docs - n_distinct_texts) * 1.0 / n_docs", 6)}
+             AS dup_rate,
+           {sql_rnd("total_chars * 1.0 / n_docs", 6)} AS mean_chars,
+           {sql_rnd("n_tokens * 1.0 / ty.n_types", 6)} AS type_token_ratio
+    FROM doc JOIN ty ON ty.source = doc.source
+    """,
+)
+def j_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the one-row-per-source summary a dataset
+    release publishes (docs, languages, char/token mass, vocabulary
+    size, exact-dup mass, mean length, inverse type-token ratio): the
+    operator that turns ten dashboard queries into one relation a
+    release pipeline snapshots per build. Every count is an exact
+    BIGINT; the three display ratios round 1e-6.
+
+    Plan: TWO corpus passes, each collapsing immediately — a doc-level
+    |sources|-keyed agg (counts, sums, two distinct-counts over
+    16-byte digests / lang codes), and a (source, token)-distinct agg
+    for vocabulary size; the join runs on |sources| rows. At 100 TB
+    the type count is the expensive leg (token-keyed exchange) — the
+    same relation j_hapax_rate/j_vocab_jaccard_sources already price;
+    nothing else shuffles more than (source, digest)."""
+    t = load(spark, sf_dir)
+    doc = t.documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+    )
+    ty = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_types"))
+    )
+    return doc.join(ty, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        "n_tokens",
+        "n_types",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+        rnd(
+            (F.col("n_docs") - F.col("n_distinct_texts")) * 1.0 / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        rnd(F.col("total_chars") * 1.0 / F.col("n_docs"), 6).alias("mean_chars"),
+        rnd(F.col("n_tokens") * 1.0 / F.col("n_types"), 6).alias("type_token_ratio"),
+    )

@@ -597,3 +597,108 @@ def j_head_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_top",
         rnd(F.col("n_top") * 1.0 / F.col("n_docs"), 6).alias("top_share"),
     )
+
+
+@query(
+    "j_feature_corr",
+    oracle="""
+    WITH f AS (SELECT source,
+                      CAST(n_chars AS BIGINT) AS x,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+               FROM documents),
+    m AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(x * x) AS sxx,
+                 SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy
+          FROM f GROUP BY source),
+    d AS (SELECT source, n, sx, sy,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          FROM m)
+    SELECT source, n AS n_docs, sx AS sum_chars, sy AS sum_tokens,
+           CAST(num AS DOUBLE) AS cov_num,
+           CASE WHEN d1 > 0 AND d2 > 0
+                THEN FLOOR(CAST(num AS DOUBLE)
+                           / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS pearson_r,
+           CASE WHEN d1 > 0
+                THEN FLOOR(CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE)
+                           * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS slope
+    FROM d
+    """,
+)
+def j_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation (and regression slope) between
+    document length in chars and in whitespace tokens — the metadata-
+    integrity audit behind every length filter: a source whose
+    char/token correlation collapses is mixing scripts or carrying
+    tokenizer-hostile content (CJK without spaces, minified code,
+    base64 blobs), and its char-keyed length filter silently measures
+    the wrong thing there. The slope is chars-per-token's regression
+    twin, robust to the intercept.
+
+    EXACT moments: all five sums accumulate in exact integer
+    arithmetic (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT for the three
+    product sums — n·Σx² style terms overflow BIGINT past ~10⁹ docs
+    per source), so num/d1/d2 are order-free integers; r and the
+    slope apply IEEE-correctly-rounded sqrt + one division to the
+    SAME integers on both engines, then floor 1e-6. Degenerate
+    sources (constant feature → d=0) yield NULL, not a div-by-zero.
+
+    Plan: one narrow map into ONE |sources|-keyed hash agg with
+    map-side partials; the correlation arithmetic runs on |sources|
+    rows. Only (source, six numbers) ever shuffles."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    f = t.documents.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens_col("text")).cast("long").alias("y"),
+    )
+    m = f.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    d1 = F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    d2 = F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    d = m.select("source", "n", "sx", "sy",
+                 num.alias("num"), d1.alias("d1"), d2.alias("d2"))
+    r = (
+        F.floor(
+            F.col("num").cast("double")
+            / (F.sqrt(F.col("d1").cast("double")) * F.sqrt(F.col("d2").cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    slope = (
+        F.floor(
+            F.col("num").cast("double") / F.col("d1").cast("double") * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return d.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("sx").alias("sum_chars"),
+        F.col("sy").alias("sum_tokens"),
+        # DOUBLE on purpose: a BIGINT display cast would wrap in Spark
+        # but raise in DuckDB once num passes 2^63; the double rounding
+        # is identical (round-to-nearest) on both engines at any scale.
+        F.col("num").cast("double").alias("cov_num"),
+        F.when((F.col("d1") > 0) & (F.col("d2") > 0), r).alias("pearson_r"),
+        F.when(F.col("d1") > 0, slope).alias("slope"),
+    )

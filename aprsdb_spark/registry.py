@@ -144,6 +144,14 @@ NEXT_QUEUE: list[str] = [
     # r12 additions land here as they are built (capacity: ≤ 20, since
     # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
     # 48-slot window).
+    # r12 wave 1: release-governance closure — quality-aware keeper
+    # election for prefix families, per-source defect rate with a
+    # Wilson 95% gate interval, the one-row-per-source data card, and
+    # the chars-vs-tokens metadata-integrity correlation
+    "j_dedup_keep_best",
+    "j_wilson_ci",
+    "j_data_card",
+    "j_feature_corr",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

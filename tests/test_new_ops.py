@@ -1538,3 +1538,99 @@ def test_slice_deciles_are_exact_per_lang_quantiles(spark):
             assert r.boundary == want, (lang, d, want, r.boundary)
             assert r.target_rank == target
             assert r.n_le >= target
+
+
+# ------------------------------------------------------------ r12 wave 1
+
+
+def test_dedup_keep_best_elects_longest_member(spark):
+    """Keeper = most tokens, tie -> min doc_id; tokens_dropped = family
+    token mass minus the keeper's — replayed in plain Python."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    import hashlib
+
+    fams: dict = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        ph = hashlib.md5(" ".join(toks[:16]).encode()).hexdigest()
+        fams.setdefault(ph, []).append((len(toks), r.doc_id))
+    got = {r.prefix_md5: r for r in QUERIES["j_dedup_keep_best"](spark, SF_SMALL).collect()}
+    want = {ph: ms for ph, ms in fams.items() if len(ms) > 1}
+    assert set(got) == set(want)
+    for ph, ms in want.items():
+        best = max(ms, key=lambda t: (t[0], -t[1]))
+        r = got[ph]
+        assert (r.keep_id, r.keep_n_tokens) == (best[1], best[0])
+        assert r.n_docs == len(ms)
+        assert r.tokens_dropped == sum(t[0] for t in ms) - best[0]
+
+
+def test_wilson_ci_matches_python_formula(spark):
+    """Wilson bounds == the closed form on exact (x, n), z = sqrt(3.8416);
+    interval contains the point estimate and sits inside [0, 1]."""
+    import math
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    agg: dict = {}
+    for r in docs:
+        n, x = agg.get(r.source, (0, 0))
+        defect = not (100 <= r.n_chars <= 2000 and len(r.text.split(" ")) >= 20)
+        agg[r.source] = (n + 1, x + int(defect))
+    z2 = 3.8416
+    z = math.sqrt(z2)
+    for row in QUERIES["j_wilson_ci"](spark, SF_SMALL).collect():
+        n, x = agg[row.source]
+        assert (row.n_docs, row.n_defects) == (n, x)
+        center = (x + z2 / 2) / (n + z2)
+        half = (z / (n + z2)) * math.sqrt(float(x * (n - x)) / n + z2 / 4)
+        assert abs(row.ci_low - (center - half)) < 2e-6
+        assert abs(row.ci_high - (center + half)) < 2e-6
+        assert 0.0 <= row.ci_low <= x / n <= row.ci_high <= 1.0
+
+
+def test_data_card_counts_match_python(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    per: dict = {}
+    for r in docs:
+        d = per.setdefault(
+            r.source,
+            {"n": 0, "langs": set(), "chars": 0, "toks": 0, "types": set(), "texts": set()},
+        )
+        d["n"] += 1
+        d["langs"].add(r.lang)
+        d["chars"] += r.n_chars
+        ws = r.text.split(" ")
+        d["toks"] += len(ws)
+        d["types"].update(ws)
+        d["texts"].add(r.text)
+    for row in QUERIES["j_data_card"](spark, SF_SMALL).collect():
+        d = per[row.source]
+        assert (row.n_docs, row.n_langs, row.total_chars) == (d["n"], len(d["langs"]), d["chars"])
+        assert (row.n_tokens, row.n_types) == (d["toks"], len(d["types"]))
+        assert row.n_exact_dups == d["n"] - len(d["texts"])
+
+
+def test_feature_corr_matches_python_pearson(spark):
+    import math
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    per: dict = {}
+    for r in docs:
+        per.setdefault(r.source, []).append((r.n_chars, len(r.text.split(" "))))
+    for row in QUERIES["j_feature_corr"](spark, SF_SMALL).collect():
+        pts = per[row.source]
+        n = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts); syy = sum(p[1] * p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        assert (row.n_docs, row.sum_chars, row.sum_tokens) == (n, sx, sy)
+        assert row.cov_num == float(num)
+        if d1 > 0 and d2 > 0:
+            want = num / (math.sqrt(d1) * math.sqrt(d2))
+            assert abs(row.pearson_r - want) < 2e-6
+            assert -1.0 - 1e-9 <= row.pearson_r <= 1.0 + 1e-9
+        else:
+            assert row.pearson_r is None
