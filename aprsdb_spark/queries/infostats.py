@@ -2116,3 +2116,94 @@ def j_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+def _gram_entropy_sql(n: int) -> str:
+    """One UNION leg of the n-gram entropy curve: DuckDB positional
+    n-grams via list_transform over the split-token range (the
+    ngrams_col twin), collapsed to type counts."""
+    if n == 1:
+        g = "unnest(string_split(text, ' '))"
+        return f"""
+    SELECT 1 AS n, {g} AS g FROM documents"""
+    joins = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return f"""
+    SELECT {n} AS n, unnest(list_transform(
+             range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+             i -> {joins})) AS g
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents)"""
+
+
+@query(
+    "j_ngram_entropy_curve",
+    oracle=f"""
+    WITH grams AS ({_gram_entropy_sql(1)} UNION ALL {_gram_entropy_sql(2)}
+                   UNION ALL {_gram_entropy_sql(3)}),
+    tc AS (SELECT n, g, CAST(COUNT(*) AS BIGINT) AS c
+           FROM grams GROUP BY n, g),
+    agg AS (SELECT n, CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   SUM(c * ln(c)) AS s
+            FROM tc GROUP BY n),
+    ent AS (SELECT n, n_grams, n_types,
+                   ln(n_grams) - s / n_grams AS h
+            FROM agg),
+    base AS (SELECT h AS h1 FROM ent WHERE n = 1)
+    SELECT ent.n, n_grams, n_types,
+           {sql_rnd('h', 6)} AS entropy,
+           {sql_rnd('h / ent.n', 6)} AS per_token_entropy,
+           {sql_rnd('1.0 - h / (ent.n * b.h1)', 6)} AS redundancy
+    FROM ent CROSS JOIN base b
+    """,
+)
+def j_ngram_entropy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram entropy curve for n = 1, 2, 3 — Shannon's
+    classic redundancy ladder (Shannon 1951, public): H_n/n falls as
+    context grows, and redundancy = 1 − H_n/(n·H_1) measures how much
+    of the corpus is predictable from short context. Template-heavy
+    or boilerplate corpora show redundancy jumping at n=2 (phrases
+    repeat verbatim); healthy prose climbs gently. The curve is the
+    corpus-level complement of j_entropy (per-doc) and the model-free
+    sibling of j_perplexity_eval's fitted-LM number.
+
+    Identity per n: H = ln(N) − (Σ c·ln c)/N over type counts — the
+    j_entropy discipline, rounded 1e-6 at display (ln on identical
+    BIGINTs; the type sum is the accepted unrounded-libm-term class).
+
+    Plan: three positional-gram explodes UNION ALL'd into ONE
+    (n, gram) hash agg with map-side partials (re-scanning the text
+    column per n beats caching a corpus-derivative — the measured
+    SCALE.md §4r cache rule), then a 3-row rollup; the redundancy
+    join is 3 rows × 1 row. Output is exactly three dashboard rows
+    at any corpus scale."""
+    t = load(spark, sf_dir)
+    legs = [
+        t.documents.select(
+            F.lit(n).alias("n"), F.explode(ngrams_col("text", n)).alias("g")
+        )
+        for n in (1, 2, 3)
+    ]
+    grams = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    tc = grams.groupBy("n", "g").agg(F.count("*").cast("long").alias("c"))
+    agg = tc.groupBy("n").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("s"),
+    )
+    ent = agg.select(
+        "n",
+        "n_grams",
+        "n_types",
+        (F.log("n_grams") - F.col("s") / F.col("n_grams")).alias("h"),
+    )
+    base = F.broadcast(ent.where(F.col("n") == 1).select(F.col("h").alias("h1")))
+    return ent.crossJoin(base).select(
+        "n",
+        "n_grams",
+        "n_types",
+        rnd(F.col("h"), 6).alias("entropy"),
+        rnd(F.col("h") / F.col("n"), 6).alias("per_token_entropy"),
+        rnd(F.lit(1.0) - F.col("h") / (F.col("n") * F.col("h1")), 6).alias(
+            "redundancy"
+        ),
+    )

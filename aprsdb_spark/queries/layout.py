@@ -606,3 +606,134 @@ def j_slice_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_le",
         rnd(F.col("n_le") * 1.0 / F.col("nn"), 6).alias("frac_le"),
     )
+
+
+def _gridleg_sql(col: str, alias: str) -> str:
+    """Boundary-array CTEs for one feature: exact type-1 deciles of
+    `col` collected into a 9-element sorted list (metadata-scale)."""
+    return f"""
+    {alias}_hist AS (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM feat GROUP BY {col}),
+    {alias}_cum AS (SELECT v, SUM(n) OVER (ORDER BY v) AS c FROM {alias}_hist),
+    {alias}_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM {alias}_hist),
+    {alias}_bnd AS (SELECT list(b ORDER BY b) AS barr FROM (
+        SELECT g.decile, MIN(cum.v) AS b
+        FROM (SELECT unnest(range(1, 10)) AS decile) g
+        CROSS JOIN {alias}_tot t
+        JOIN {alias}_cum cum ON cum.c >= (g.decile * t.nn + 9) // 10
+        GROUP BY g.decile))"""
+
+
+@query(
+    "j_decile_grid_2d",
+    oracle=f"""
+    WITH feat AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+                  FROM documents),
+    {_gridleg_sql('x', 'bx')},
+    {_gridleg_sql('y', 'by')},
+    assigned AS (SELECT 1 + len(list_filter(bx_bnd.barr, b -> x > b)) AS gx,
+                        1 + len(list_filter(by_bnd.barr, b -> y > b)) AS gy
+                 FROM feat CROSS JOIN bx_bnd CROSS JOIN by_bnd),
+    cell AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n
+             FROM assigned GROUP BY gx, gy),
+    rt AS (SELECT gx, CAST(SUM(n) AS BIGINT) AS row_tot FROM cell GROUP BY gx),
+    ct AS (SELECT gy, CAST(SUM(n) AS BIGINT) AS col_tot FROM cell GROUP BY gy),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cell)
+    SELECT cell.gx, cell.gy, cell.n, rt.row_tot, ct.col_tot,
+           {sql_rnd("rt.row_tot * 1.0 * ct.col_tot / tot.nn", 6)} AS expected,
+           {sql_rnd("cell.n * 1.0 * tot.nn / (rt.row_tot * 1.0 * ct.col_tot)", 6)}
+             AS lift
+    FROM cell JOIN rt USING (gx) JOIN ct USING (gy) CROSS JOIN tot
+    """,
+)
+def j_decile_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D decile occupancy grid: every document lands in a
+    (char-length decile × token-count decile) cell, with the
+    independence-expected count and the observed/expected lift — the
+    stratified-sampling DESIGN audit (a sampler stratifying on both
+    features needs to know which cells are empty or exploding before
+    it allocates quotas) and the 2-D generalization of
+    j_length_deciles' exact-quantile discipline. Off-diagonal mass is
+    the same metadata-integrity signal j_feature_corr scores as one
+    number, here localized to the offending cells.
+
+    EXACT: decile boundaries are type-1 lower quantiles from
+    cumulative BIGINT counts (the j_length_deciles identity, (q·N+9)
+    div 10 in pure integer arithmetic); cell assignment counts
+    boundaries strictly below the value against a collected 9-element
+    boundary array (exact comparisons); expected/lift are single
+    rounded display divisions over exact integers.
+
+    Plan: per feature, ONE distinct-value hash agg (value domains are
+    bounded — lengths, token counts) + a cumulative window over
+    distinct values + a 9-row boundary grid COLLECTED into one array
+    literal-like 1-row relation; assignment is a doubly-broadcast
+    crossJoin (two 1-row arrays) evaluated map-side on the scan, then
+    ONE ≤100-cell hash agg. Marginals and lift run on ≤100 rows. The
+    cumulative windows are unpartitioned but over |distinct values|
+    rows, not corpus rows — the j_length_deciles precedent."""
+    t = load(spark, sf_dir)
+    feat = t.documents.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens_col("text")).cast("long").alias("y"),
+    )
+
+    def boundaries(col: str):
+        hist = feat.groupBy(col).agg(F.count("*").cast("long").alias("n"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            F.col(col).alias("v"), F.sum("n").over(w).cast("long").alias("c")
+        )
+        tot = hist.agg(F.sum("n").cast("long").alias("nn"))
+        grid = tot.select(
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 10)])).alias(
+                "decile"
+            ),
+            "nn",
+        ).select("decile", F.expr("(decile * nn + 9) div 10").alias("tr"))
+        b = (
+            F.broadcast(grid)
+            .join(cum, F.col("c") >= F.col("tr"))
+            .groupBy("decile")
+            .agg(F.min("v").alias("b"))
+        )
+        return F.broadcast(b.agg(F.sort_array(F.collect_list("b")).alias("barr")))
+
+    bx = boundaries("x").select(F.col("barr").alias("bx"))
+    by = boundaries("y").select(F.col("barr").alias("by"))
+    assigned = (
+        feat.crossJoin(bx)
+        .crossJoin(by)
+        .select(
+            (
+                1 + F.size(F.filter("bx", lambda b: F.col("x") > b))
+            ).cast("long").alias("gx"),
+            (
+                1 + F.size(F.filter("by", lambda b: F.col("y") > b))
+            ).cast("long").alias("gy"),
+        )
+    )
+    cell = assigned.groupBy("gx", "gy").agg(F.count("*").cast("long").alias("n"))
+    rt = cell.groupBy("gx").agg(F.sum("n").cast("long").alias("row_tot"))
+    ct = cell.groupBy("gy").agg(F.sum("n").cast("long").alias("col_tot"))
+    tot = cell.agg(F.sum("n").cast("long").alias("nn"))
+    return (
+        cell.join(F.broadcast(rt), "gx")
+        .join(F.broadcast(ct), "gy")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gx",
+            "gy",
+            "n",
+            "row_tot",
+            "col_tot",
+            rnd(F.col("row_tot") * 1.0 * F.col("col_tot") / F.col("nn"), 6).alias(
+                "expected"
+            ),
+            rnd(
+                F.col("n") * 1.0 * F.col("nn") / (F.col("row_tot") * 1.0 * F.col("col_tot")),
+                6,
+            ).alias("lift"),
+        )
+    )

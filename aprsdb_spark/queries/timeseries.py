@@ -1054,3 +1054,166 @@ def j_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("fano"),
     )
+
+
+@query(
+    "j_drift_timeslices",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day_idx,
+                       CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v6
+                FROM events),
+    mm AS (SELECT CAST(MIN(v6) AS BIGINT) AS lo, CAST(MAX(v6) AS BIGINT) AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS big_n
+           FROM ev),
+    eb AS (SELECT day_idx,
+                  ((v6 - mm.lo) * 10) // (mm.hi - mm.lo + 1) AS bucket
+           FROM ev CROSS JOIN mm),
+    g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS gc FROM eb GROUP BY bucket),
+    dtot AS (SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS nd
+             FROM eb GROUP BY day_idx),
+    o AS (SELECT day_idx, bucket, CAST(COUNT(*) AS BIGINT) AS oc
+          FROM eb GROUP BY day_idx, bucket),
+    grid AS (SELECT d.day_idx, d.nd, g.bucket, g.gc, COALESCE(o.oc, 0) AS oc,
+                    mm.big_n
+             FROM dtot d CROSS JOIN g
+             LEFT JOIN o ON o.day_idx = d.day_idx AND o.bucket = g.bucket
+             CROSS JOIN mm),
+    terms AS (SELECT day_idx, nd, bucket, gc, oc, big_n,
+                     CAST(FLOOR(
+                       CAST((CAST(oc AS HUGEINT) * big_n - CAST(nd AS HUGEINT) * gc)
+                            * (CAST(oc AS HUGEINT) * big_n - CAST(nd AS HUGEINT) * gc)
+                            AS DOUBLE)
+                       / CAST(CAST(nd AS HUGEINT) * gc * big_n AS DOUBLE)
+                       * 1000000 + 0.5) AS BIGINT) AS term6,
+                     ABS(CAST(oc AS HUGEINT) * big_n - CAST(nd AS HUGEINT) * gc) AS dev
+              FROM grid),
+    ranked AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY day_idx
+                                         ORDER BY dev DESC, bucket) AS rk
+               FROM terms)
+    SELECT t.day_idx, t.nd AS n_events,
+           CAST(SUM(t.term6) AS BIGINT) / 1000000.0 AS chi2,
+           MIN(r.bucket) AS top_bucket,
+           {sql_rnd("MIN(ABS(r.oc * 1.0 / r.nd - r.gc * 1.0 / r.big_n))", 6)}
+             AS top_dev
+    FROM terms t
+    JOIN ranked r ON r.day_idx = t.day_idx AND r.rk = 1
+    GROUP BY t.day_idx, t.nd
+    """,
+)
+def j_drift_timeslices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distribution drift of the event `value` column against
+    the whole-corpus distribution — the ingestion-monitoring twin of
+    j_ks_lengths (which compares SOURCES): a day whose χ² spikes is a
+    collector change, an outage backfill, or an upstream schema shift,
+    caught before it contaminates a training snapshot. Bins are ten
+    global equi-WIDTH buckets over the 1e-6-quantized value grid (not
+    equi-depth: boundaries derive from MIN/MAX — two exact BIGINTs —
+    so no corpus-wide quantile window exists anywhere in the plan).
+
+    EXACT pipeline: per-value quantize → integer bucket assignment
+    (pure BIGINT floor-div; operands non-negative) → χ² per (day,
+    bucket) as (oN − n·g)²/(n·g·N) with the square in
+    DECIMAL(38,0)/HUGEINT (oN ~ 10²² at petabyte counts), each term
+    floored to the 1e-6 grid as a deterministic double, summed in
+    exact integer arithmetic (the order-free-sum convention), one
+    scaled division at display. `top_bucket` is the max-|deviation|
+    bucket under a total order (dev DESC, bucket) — no engine
+    arg_max tie behavior.
+
+    Plan: one narrow scan map (quantize + day index) + a broadcast
+    2-value MIN/MAX agg; bucket counts collapse map-side to ≤10 rows
+    per day per task; the day×bucket grid, χ² terms, and the ranked
+    deviation window all run on |days|·10 metadata rows. Nothing
+    wider than (day, bucket) ever shuffles."""
+    t = load(spark, sf_dir)
+    ev = t.events.select(
+        F.expr("ts_ms div 86400000").alias("day_idx"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    mm = F.broadcast(
+        ev.agg(
+            F.min("v6").alias("lo"),
+            F.max("v6").alias("hi"),
+            F.count("*").cast("long").alias("big_n"),
+        )
+    )
+    eb = ev.crossJoin(mm).select(
+        "day_idx",
+        F.expr("((v6 - lo) * 10) div (hi - lo + 1)").alias("bucket"),
+        "big_n",
+    )
+    g = F.broadcast(
+        eb.groupBy("bucket").agg(F.count("*").cast("long").alias("gc"))
+    )
+    dtot = eb.groupBy("day_idx", "big_n").agg(
+        F.count("*").cast("long").alias("nd")
+    )
+    o = eb.groupBy("day_idx", "bucket").agg(F.count("*").cast("long").alias("oc"))
+    grid = (
+        dtot.crossJoin(g)
+        .join(o, ["day_idx", "bucket"], "left")
+        .select(
+            "day_idx",
+            "nd",
+            "bucket",
+            "gc",
+            F.coalesce(F.col("oc"), F.lit(0)).cast("long").alias("oc"),
+            "big_n",
+        )
+    )
+    dec = "decimal(38,0)"
+    # widen BEFORE the multiply: oc*N overflows BIGINT past ~10^19 and
+    # Spark would wrap where DuckDB errors — the operands go to decimal
+    # first so both engines run the identical exact arithmetic
+    num = F.col("oc").cast(dec) * F.col("big_n") - F.col("nd").cast(dec) * F.col("gc")
+    terms = grid.select(
+        "day_idx",
+        "nd",
+        "bucket",
+        "gc",
+        "oc",
+        "big_n",
+        F.floor(
+            (num * num).cast("double")
+            / (F.col("nd").cast(dec) * F.col("gc") * F.col("big_n")).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("term6"),
+        F.abs(
+            F.col("oc").cast(dec) * F.col("big_n")
+            - F.col("nd").cast(dec) * F.col("gc")
+        ).alias("dev"),
+    )
+    ranked = terms.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("day_idx").orderBy(F.col("dev").desc(), F.col("bucket"))
+        )
+        .alias("rk"),
+    ).where(F.col("rk") == 1)
+    r = ranked.select(
+        F.col("day_idx").alias("r_day"),
+        F.col("bucket").alias("top_bucket"),
+        rnd(
+            F.abs(
+                F.col("oc") * 1.0 / F.col("nd") - F.col("gc") * 1.0 / F.col("big_n")
+            ),
+            6,
+        ).alias("top_dev"),
+    )
+    return (
+        terms.groupBy("day_idx", "nd")
+        .agg(F.sum("term6").cast("long").alias("s6"))
+        .join(r, F.col("day_idx") == F.col("r_day"))
+        .select(
+            "day_idx",
+            F.col("nd").alias("n_events"),
+            (F.col("s6") / F.lit(1000000.0)).alias("chi2"),
+            "top_bucket",
+            "top_dev",
+        )
+    )

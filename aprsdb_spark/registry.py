@@ -152,6 +152,13 @@ NEXT_QUEUE: list[str] = [
     "j_wilson_ci",
     "j_data_card",
     "j_feature_corr",
+    # r12 wave 2: distribution closure — per-day χ² drift of the event
+    # value distribution (equi-width exact-integer bins), the Shannon
+    # n-gram entropy/redundancy curve, and the 2-D decile occupancy
+    # grid with independence lift
+    "j_drift_timeslices",
+    "j_ngram_entropy_curve",
+    "j_decile_grid_2d",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1634,3 +1634,87 @@ def test_feature_corr_matches_python_pearson(spark):
             assert -1.0 - 1e-9 <= row.pearson_r <= 1.0 + 1e-9
         else:
             assert row.pearson_r is None
+
+
+# ------------------------------------------------------------ r12 wave 2
+
+
+def test_drift_timeslices_chi2_matches_python(spark):
+    """Chi-square per day == plain-Python replay of the exact pipeline
+    (quantize, equi-width bucket, per-term 1e-6 floor, integer sum)."""
+    import math
+    from collections import Counter
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    rows = []
+    for r in ev:
+        ms = int(r.ts.timestamp() * 1000) if hasattr(r.ts, "timestamp") else r.ts // 10**6
+        rows.append((ms // 86400000, math.floor(r.value * 1e6 + 0.5)))
+    lo = min(v for _, v in rows); hi = max(v for _, v in rows)
+    big_n = len(rows)
+    buck = [(d, ((v - lo) * 10) // (hi - lo + 1)) for d, v in rows]
+    g = Counter(b for _, b in buck)
+    nd = Counter(d for d, _ in buck)
+    oc = Counter(buck)
+    got = {r.day_idx: r for r in QUERIES["j_drift_timeslices"](spark, SF_SMALL).collect()}
+    assert set(got) == set(nd)
+    for d, n in nd.items():
+        s6 = 0
+        best = None
+        for b, gc in g.items():
+            o = oc.get((d, b), 0)
+            num = o * big_n - n * gc
+            s6 += math.floor(num * num / (n * gc * big_n) * 1e6 + 0.5)
+            key = (abs(num), -b)
+            if best is None or key > best[0]:
+                best = (key, b, o, gc)
+        r = got[d]
+        assert r.n_events == n
+        assert abs(r.chi2 - s6 / 1e6) < 1e-9
+        assert r.top_bucket == best[1]
+
+
+def test_ngram_entropy_curve_is_monotone_and_matches_python(spark):
+    """H_n/n falls with n (more context, less per-token surprise);
+    values match the plain-Python Shannon identity."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    got = {r.n: r for r in QUERIES["j_ngram_entropy_curve"](spark, SF_SMALL).collect()}
+    assert set(got) == {1, 2, 3}
+    hs = {}
+    for n in (1, 2, 3):
+        c = Counter()
+        for r in docs:
+            toks = r.text.split(" ")
+            for i in range(max(len(toks) - n + 1, 0)):
+                c[" ".join(toks[i : i + n])] += 1
+        big_n = sum(c.values())
+        h = math.log(big_n) - sum(v * math.log(v) for v in c.values()) / big_n
+        hs[n] = h
+        row = got[n]
+        assert (row.n_grams, row.n_types) == (big_n, len(c))
+        assert abs(row.entropy - h) < 2e-6
+        assert abs(row.per_token_entropy - h / n) < 2e-6
+        assert abs(row.redundancy - (1 - h / (n * hs[1]))) < 2e-6
+    assert got[1].per_token_entropy >= got[2].per_token_entropy >= got[3].per_token_entropy
+
+
+def test_decile_grid_2d_marginals_and_lift(spark):
+    """Cells partition the corpus; marginals are decile-balanced; lift
+    is observed/expected over exact integers."""
+    rows = QUERIES["j_decile_grid_2d"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r.n for r in rows) == docs
+    # row/col marginals consistent with the per-cell sums
+    from collections import defaultdict
+
+    rt = defaultdict(int); ct = defaultdict(int)
+    for r in rows:
+        rt[r.gx] += r.n; ct[r.gy] += r.n
+    for r in rows:
+        assert r.row_tot == rt[r.gx] and r.col_tot == ct[r.gy]
+        want = r.n * docs / (r.row_tot * r.col_tot)
+        assert abs(r.lift - want) < 2e-6
+        assert 1 <= r.gx <= 10 and 1 <= r.gy <= 10
