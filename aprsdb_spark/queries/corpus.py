@@ -867,3 +867,57 @@ def j_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
         F.sum(F.when(kept, F.col("n"))).cast("long").alias("mass_kept"),
     )
+
+
+@query(
+    "j_bpe_compression",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_ROUNDS)},
+    enc AS (SELECT word, CAST(len(s) AS BIGINT) AS n_sub FROM w{_BPE_ROUNDS}),
+    tok AS (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+    SELECT tok.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(tok.word)) AS BIGINT) AS n_word_chars,
+           CAST(SUM(enc.n_sub) AS BIGINT) AS n_subtokens,
+           {sql_rnd("SUM(enc.n_sub) * 1.0 / COUNT(*)", 6)} AS subtokens_per_word,
+           {sql_rnd("SUM(length(tok.word)) * 1.0 / SUM(enc.n_sub)", 6)}
+             AS chars_per_subtoken
+    FROM tok JOIN enc USING (word)
+    GROUP BY tok.source
+    """,
+)
+def j_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE tokenizer efficiency under the trained BPE merges:
+    sub-tokens per word and characters per sub-token — the
+    "bytes-per-token" figure LLM data budgeting actually quotes, and
+    the slice view that exposes WHERE a tokenizer underserves the mix
+    (a source whose chars/sub-token sits far below the corpus norm is
+    paying fertility tax — usually a script or domain the merges never
+    saw; j_bpe_encode gives the same number per document, this is the
+    mixture-design rollup). Counts exact BIGINTs; two rounded display
+    ratios.
+
+    Plan: the corpus token stream joins the Heaps-law-small trained
+    vocabulary BROADCAST (the j_bpe_encode shape), then ONE
+    |sources|-keyed hash agg with map-side partials — no added
+    shuffle beyond the rollup at any scale."""
+    t = load(spark, sf_dir)
+    _, wfinal = _bpe_frames(spark, t)
+    enc = wfinal.select("word", F.size("s").cast("long").alias("n_sub"))
+    tok = t.documents.select(
+        "source", F.explode(tokens_col("text")).alias("word")
+    )
+    return (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+            rnd(F.sum("n_sub") * 1.0 / F.count("*"), 6).alias("subtokens_per_word"),
+            rnd(F.sum(F.length("word")) * 1.0 / F.sum("n_sub"), 6).alias(
+                "chars_per_subtoken"
+            ),
+        )
+    )

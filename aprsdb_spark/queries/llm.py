@@ -797,6 +797,87 @@ def j_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_source_tfidf",
+    oracle="""
+    WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+    tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM st GROUP BY source, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             CAST(FLOOR((tf.tf * ln((ns.s + 1.0) / (df.df + 1.0)))
+                        * 1000000 + 0.5) AS BIGINT) AS score6
+      FROM tf JOIN df USING (term) CROSS JOIN ns),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY score6 DESC, term) AS rk
+               FROM scored)
+    SELECT source, term, tf, df,
+           score6 / 1000000.0 AS tfidf, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def j_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term profile per SOURCE: tf-idf where the "document"
+    is the source and df counts how many SOURCES contain the term —
+    the slice-characterization panel a mixture designer reads next to
+    j_kl_sources (this names WHICH terms make a source diverge, KL
+    only says how much) and the per-doc j_tfidf (whose df is
+    document-frequency; a term common in every doc of ONE source is
+    noise there but exactly the signal here).
+
+    Determinism: ranking runs on the 1e-6-FLOORED scaled score (exact
+    BIGINT), term tiebreak — ln on identical BIGINTs both engines,
+    one deterministic multiply per (source, term), so the rank
+    permutation cannot ulp-flip.
+
+    Plan: ONE (source, term) hash agg with map-side partials; df is a
+    RE-AGG of those type rows (no second corpus pass — the
+    j_perplexity_eval collapse); the source-count 1-row aggregate and
+    the vocab-sized df relation broadcast into the scoring join; the
+    rank window partitions by source (map-side WindowGroupLimit).
+    Output is 5·|sources| dashboard rows at any corpus scale."""
+    t = load(spark, sf_dir)
+    tf = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    ns = t.documents.agg(F.countDistinct("source").cast("long").alias("s"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf") * F.log((F.col("s") + 1.0) / (F.col("df") + 1.0)) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score6"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score6").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            (F.col("score6") / F.lit(1000000.0)).alias("tfidf"),
+            "rk",
+        )
+    )
+
+
+@query(
     "j_lang_quality",
     oracle="""
     SELECT doc_id, lang, n_chars,
@@ -3803,10 +3884,43 @@ _ECE_NQ = 200
 _ECE_K = 10
 
 
-@query(
-    "j_ece_calibration",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+def _ece_votes(t) -> DataFrame:
+    """Spark twin of _ECE_VOTES_CTES: the (qid, qlabel, label, v) kNN
+    vote distribution over the _ECE_NQ-query panel, via the Arrow
+    batch-partial top-k kernel (see j_ece_calibration's docstring for
+    the boundary argument; the panel collect is documented index
+    metadata, the literal-centroid contract)."""
+    qrows = (
+        t.embeddings.where(F.col("vec_id") < _ECE_NQ)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    qids_l = [int(r.vec_id) for r in qrows]
+    qlabels_l = [int(r.label) for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    from ..operators.similarity import topk_scores_arrow
+
+    part = topk_scores_arrow(
+        t.embeddings.where(F.col("vec_id") >= _ECE_NQ), qmat, qids_l, _ECE_K
+    )
+    qlab = F.create_map(
+        *[x for qid_, lab in zip(qids_l, qlabels_l) for x in (F.lit(qid_), F.lit(lab))]
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("s6").desc(), F.col("vec_id").asc())
+    nn = (
+        part.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _ECE_K)
+        .select("qid", qlab[F.col("qid")].alias("qlabel"), "label")
+    )
+    return nn.groupBy("qid", "qlabel", "label").agg(
+        F.count("*").cast("long").alias("v")
+    )
+
+
+# The kNN vote distribution per query — shared by j_ece_calibration
+# (reliability diagram over argmax confidence) and j_brier_score (the
+# proper-scoring-rule sum over the WHOLE distribution).
+_ECE_VOTES_CTES = f"""q AS (SELECT vec_id AS qid, label AS qlabel,
                       CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < {_ECE_NQ}),
     s AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
@@ -3819,7 +3933,13 @@ _ECE_K = 10
                                        ORDER BY score DESC, vec_id) AS rk
              FROM s) WHERE rk <= {_ECE_K}),
     votes AS (SELECT qid, qlabel, label, CAST(COUNT(*) AS BIGINT) AS v
-              FROM nn GROUP BY qid, qlabel, label),
+              FROM nn GROUP BY qid, qlabel, label)"""
+
+
+@query(
+    "j_ece_calibration",
+    oracle=f"""
+    WITH {_ECE_VOTES_CTES},
     pred AS (SELECT qid, qlabel, label AS plabel, v FROM (
                SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                             ORDER BY v DESC, label) AS rk
@@ -3873,34 +3993,7 @@ def j_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-scale. At 100 TB the candidate leg is the ANN shortlist
     and this exact form audits it on sampled queries."""
     t = load(spark, sf_dir)
-    # documented k-row driver collect: the query panel is index
-    # metadata (200 x 64 floats), the same contract as the literal
-    # centroid/codebook models
-    qrows = (
-        t.embeddings.where(F.col("vec_id") < _ECE_NQ)
-        .select("vec_id", "label", "embedding")
-        .collect()
-    )
-    qids_l = [int(r.vec_id) for r in qrows]
-    qlabels_l = [int(r.label) for r in qrows]
-    qmat = [[float(x) for x in r.embedding] for r in qrows]
-    from ..operators.similarity import topk_scores_arrow
-
-    part = topk_scores_arrow(
-        t.embeddings.where(F.col("vec_id") >= _ECE_NQ), qmat, qids_l, _ECE_K
-    )
-    qlab = F.create_map(
-        *[x for qid_, lab in zip(qids_l, qlabels_l) for x in (F.lit(qid_), F.lit(lab))]
-    )
-    wr = Window.partitionBy("qid").orderBy(F.col("s6").desc(), F.col("vec_id").asc())
-    nn = (
-        part.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") <= _ECE_K)
-        .select("qid", qlab[F.col("qid")].alias("qlabel"), "label")
-    )
-    votes = nn.groupBy("qid", "qlabel", "label").agg(
-        F.count("*").cast("long").alias("v")
-    )
+    votes = _ece_votes(t)
     wv = Window.partitionBy("qid").orderBy(F.col("v").desc(), F.col("label").asc())
     pred = (
         votes.withColumn("rk", F.row_number().over(wv))
@@ -3927,6 +4020,66 @@ j_ece_calibration.__doc__ = (
         "{kk}", str(_ECE_K)
     )
 )
+
+
+@query(
+    "j_brier_score",
+    oracle=f"""
+    WITH {_ECE_VOTES_CTES},
+    per AS (SELECT qid, qlabel,
+                   CAST(SUM(v * v) AS BIGINT) AS vsq,
+                   CAST(SUM(CASE WHEN label = qlabel THEN v ELSE 0 END)
+                        AS BIGINT) AS vt
+            FROM votes GROUP BY qid, qlabel),
+    b AS (SELECT qid, qlabel,
+                 vsq - 2 * {_ECE_K} * vt + {_ECE_K * _ECE_K} AS bq
+          FROM per)
+    SELECT qlabel AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(bq) AS BIGINT) AS brier_sum_scaled,
+           FLOOR(SUM(bq) * 1.0 / (COUNT(*) * {_ECE_K * _ECE_K})
+                 * 1000000 + 0.5) / 1000000 AS brier
+    FROM b GROUP BY qlabel
+    """,
+)
+def j_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Brier score of the kNN vote classifier, per true
+    label (Brier 1950, public — the PROPER scoring rule ECE is not):
+    ECE only sees the argmax confidence, so a classifier that spreads
+    wrong votes across labels scores the same as one that concentrates
+    them; Brier charges the whole vote distribution,
+    Σ_labels (p_l − [l = truth])². Per-label decomposition localizes
+    which classes the retrieval classifier is sharply wrong about —
+    the proper-scoring companion to j_ece_calibration (same panel,
+    same votes) and j_knn_confusion (which classes).
+
+    EXACT integers end-to-end: with p_l = v_l/K the per-query Brier
+    scales to K²·B = Σv² − 2·K·v_truth + K² — pure BIGINT arithmetic
+    over the vote counts (labels with no votes contribute only the
+    constant, absorbed by K²). The only float is the display division,
+    floored 1e-6.
+
+    Plan: reuses the _ece_votes Arrow batch-partial top-k pipeline
+    (corpus never leaves the map stage; ≤ nq·K rows shuffle); the
+    Brier rollup is two metadata-scale hash aggs over ≤ nq·|labels|
+    vote rows."""
+    t = load(spark, sf_dir)
+    votes = _ece_votes(t)
+    per = votes.groupBy("qid", "qlabel").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("vsq"),
+        F.sum(F.when(F.col("label") == F.col("qlabel"), F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("vt"),
+    )
+    bq = F.col("vsq") - 2 * _ECE_K * F.col("vt") + F.lit(_ECE_K * _ECE_K)
+    b = per.select("qid", "qlabel", bq.alias("bq"))
+    return b.groupBy(F.col("qlabel").alias("true_label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("bq").cast("long").alias("brier_sum_scaled"),
+        rnd(
+            F.sum("bq") * 1.0 / (F.count("*") * F.lit(_ECE_K * _ECE_K)), 6
+        ).alias("brier"),
+    )
 
 
 def _rank_tau_oracle() -> str:

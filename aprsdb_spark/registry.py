@@ -159,6 +159,13 @@ NEXT_QUEUE: list[str] = [
     "j_drift_timeslices",
     "j_ngram_entropy_curve",
     "j_decile_grid_2d",
+    # r12 wave 3: scoring/tokenizer closure — proper-scoring Brier per
+    # true label on the shared kNN vote panel, per-source BPE
+    # compression (the bytes-per-token budget number), and per-source
+    # distinctive terms (source-frequency tf-idf)
+    "j_brier_score",
+    "j_bpe_compression",
+    "j_source_tfidf",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1718,3 +1718,102 @@ def test_decile_grid_2d_marginals_and_lift(spark):
         want = r.n * docs / (r.row_tot * r.col_tot)
         assert abs(r.lift - want) < 2e-6
         assert 1 <= r.gx <= 10 and 1 <= r.gy <= 10
+
+
+# ------------------------------------------------------------ r12 wave 3
+
+
+def test_brier_score_matches_python_knn(spark):
+    """Per-label Brier == brute-force python kNN (k=10, ranked by the
+    1e-6-floored dot, vec_id tiebreak) with the exact-integer identity
+    K^2*B = sum(v^2) - 2*K*v_true + K^2."""
+    import math
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb}
+    labs = {int(r.vec_id): int(r.label) for r in emb}
+    NQ, K = 200, 10
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    per_label: dict = {}
+    for qid in [i for i in vecs if i < NQ]:
+        scored = sorted(
+            (
+                (-math.floor(dot(vecs[c], vecs[qid]) * 1e6 + 0.5), c)
+                for c in vecs
+                if c >= NQ
+            ),
+        )[:K]
+        votes = Counter(labs[c] for _, c in scored)
+        vt = votes.get(labs[qid], 0)
+        bq = sum(v * v for v in votes.values()) - 2 * K * vt + K * K
+        n, s = per_label.get(labs[qid], (0, 0))
+        per_label[labs[qid]] = (n + 1, s + bq)
+    got = {r.true_label: r for r in QUERIES["j_brier_score"](spark, SF_SMALL).collect()}
+    assert set(got) == set(per_label)
+    for lab, (n, s) in per_label.items():
+        r = got[lab]
+        assert (r.n_queries, r.brier_sum_scaled) == (n, s)
+        assert abs(r.brier - s / (n * K * K)) < 2e-6
+        assert 0.0 <= r.brier <= 2.0
+
+
+def test_bpe_compression_consistent_with_encode(spark):
+    """Per-source sums == the per-doc j_bpe_encode rollup grouped by the
+    documents' sources (the two qids must tell one story)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    src = {r.doc_id: r.source for r in docs}
+    enc = QUERIES["j_bpe_encode"](spark, SF_SMALL).collect()
+    agg: dict = {}
+    for r in enc:
+        a = agg.setdefault(src[r.doc_id], [0, 0])
+        a[0] += r.n_tokens_ws
+        a[1] += r.n_tokens_bpe
+    got = {r.source: r for r in QUERIES["j_bpe_compression"](spark, SF_SMALL).collect()}
+    assert set(got) == set(agg)
+    for s, (nw, nb) in agg.items():
+        assert (got[s].n_words, got[s].n_subtokens) == (nw, nb)
+        assert got[s].n_word_chars >= got[s].n_subtokens  # each subtoken >= 1 char
+
+
+def test_source_tfidf_ranks_by_floored_score(spark):
+    """Top-5 terms per source == plain-Python tf-idf with the floored
+    integer rank key."""
+    import math
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    tf: dict = {}
+    for r in docs:
+        for w in r.text.split(" "):
+            tf[(r.source, w)] = tf.get((r.source, w), 0) + 1
+    dfc = Counter(term for _, term in tf)
+    srcs = {s for s, _ in tf}
+    got: dict = {}
+    for r in QUERIES["j_source_tfidf"](spark, SF_SMALL).collect():
+        got.setdefault(r.source, []).append(r)
+    assert set(got) == srcs
+    for s in srcs:
+        scored = sorted(
+            (
+                (
+                    -math.floor(
+                        tf[(s, w)] * math.log((len(srcs) + 1.0) / (dfc[w] + 1.0)) * 1e6
+                        + 0.5
+                    ),
+                    w,
+                )
+                for (s2, w) in tf
+                if s2 == s
+            ),
+        )[:5]
+        rows = sorted(got[s], key=lambda r: r.rk)
+        assert len(rows) == min(5, len(scored))
+        for rk, ((negs6, w), row) in enumerate(zip(scored, rows), start=1):
+            assert (row.term, row.rk) == (w, rk), (s, rk)
+            assert abs(row.tfidf - (-negs6) / 1e6) < 1e-9
+            assert row.tf == tf[(s, w)] and row.df == dfc[w]
