@@ -1003,3 +1003,86 @@ def j_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((out_deg == 0) & (in_deg == 0)).alias("isolated"),
         )
     )
+
+
+@query(
+    "j_assortativity",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS xd FROM e GROUP BY src),
+    ind  AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS yd FROM e GROUP BY dst),
+    ed AS (SELECT o.xd AS x, i.yd AS y
+           FROM e JOIN outd o ON o.src = e.src
+                  JOIN ind  i ON i.dst = e.dst),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM ed)
+    SELECT n AS n_edges, sx AS sum_src_outdeg, sy AS sum_dst_indeg,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS assortativity
+    FROM m
+    """,
+)
+def j_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the capped trade graph (Newman 2002,
+    public): the Pearson correlation, over directed EDGES, between the
+    source's out-degree and the destination's in-degree — one number
+    that says whether hub nations trade with hubs (assortative > 0,
+    skew compounds under pagerank/BFS) or with the periphery
+    (disassortative < 0, frontier fan-out stays bounded). Shares
+    _trade_edges with j_pagerank/j_graph_degree, so the statistic
+    prices exactly the graph those operators run on — and it is the
+    one-row summary of j_graph_degree's full profile.
+
+    EXACT: degrees are BIGINT counts; the five moment sums are exact
+    integers over |E| edges (|V|-bounded degrees keep every term
+    small); the correlation applies IEEE sqrt + one division to
+    identical integers on both engines (the j_feature_corr recipe),
+    floored 1e-6. Degenerate regular graphs (zero variance) yield
+    NULL.
+
+    Plan: degree relations are |E|-row counts collapsing to |V| rows
+    map-side; both joins back to e broadcast the |V|-row degree
+    tables; the moment agg is ONE reduce to a single row. Nothing
+    wider than (src, dst) ever shuffles."""
+    t = load(spark, sf_dir)
+    e = _trade_edges(t)
+    outd = e.groupBy("src").agg(F.count("*").cast("long").alias("xd"))
+    ind = e.groupBy("dst").agg(F.count("*").cast("long").alias("yd"))
+    ed = (
+        e.join(F.broadcast(outd), "src")
+        .join(F.broadcast(ind), "dst")
+        .select(F.col("xd").alias("x"), F.col("yd").alias("y"))
+    )
+    m = ed.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (
+        F.floor(
+            num.cast("double") / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.col("sx").alias("sum_src_outdeg"),
+        F.col("sy").alias("sum_dst_indeg"),
+        F.when((d1 > 0) & (d2 > 0), r).alias("assortativity"),
+    )

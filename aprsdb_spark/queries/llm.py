@@ -209,6 +209,111 @@ def j_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_simhash_hamming",
+    oracle=f"""
+    WITH sig AS ({_simhash_oracle()}),
+    sh AS (SELECT d.doc_id, d.lang, d.source, sig.simhash,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                 FROM documents) d
+           JOIN sig ON sig.doc_id = d.doc_id),
+    pairs AS (SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+                     CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1.0
+                                / len(list_distinct(a.s || b.s))
+                                * 1000000 + 0.5) AS BIGINT) AS j6
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id),
+    agg AS (SELECT hamming // 8 AS hbucket, j6 >= 300000 AS is_near,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(MIN(hamming) AS BIGINT) AS min_hamming,
+                   CAST(MAX(hamming) AS BIGINT) AS max_hamming,
+                   CAST(SUM(j6) AS BIGINT) AS sj6
+            FROM pairs GROUP BY 1, 2)
+    SELECT hbucket, is_near, n_pairs, min_hamming, max_hamming,
+           ((2 * sj6 + n_pairs) // (2 * n_pairs)) / 1000000.0 AS mean_jaccard
+    FROM agg
+    """,
+)
+def j_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash separation audit: the Hamming-distance histogram of ALL
+    same-(lang, source) document pairs, split by whether the pair is a
+    TRUE 3-gram-Jaccard >= 0.3 near-duplicate — the measurement that
+    justifies (or indicts) a simhash chunk threshold before anyone
+    trusts j_dedup_simhash's blocking: if near pairs and far pairs
+    overlap in the same Hamming buckets, no threshold exists and the
+    sketch needs more bits; if they separate, the histogram names the
+    cut. The sketch-accuracy companion of j_lsh_recall (which audits
+    the MinHash bands the same way).
+
+    Determinism and exactness: signatures are the md5-derived
+    portable simhash (bit-identical in the oracle via the vote
+    reconstruction); hamming = bit_count(xor) on exact BIGINTs;
+    jaccard floors to the 1e-6 scaled grid BEFORE the flag and the
+    sum, so the near flag and the per-bucket mean derive from exact
+    integers (mean via the (2S+n) div 2n half-up identity — no float
+    sum anywhere).
+
+    Plan: ONE token-hash agg builds every signature (simhash_table);
+    the blocked self-join shuffles on the (lang, source) key exactly
+    like j_dedup_ngram (the deliberately block-bounded ground-truth
+    quadratic — candidate mass n²/|blocks| per key, the price of an
+    exact audit; the production dedup path stays LSH/banded); the
+    histogram is a ≤18-row rollup with map-side partials."""
+    t = load(spark, sf_dir)
+    from ..operators.dedup import shingles_from_toks, simhash_table
+
+    sigs = simhash_table(t.documents).select("doc_id", "simhash")
+    sh = (
+        t.documents.select(
+            "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias("s"),
+        )
+        .join(sigs, "doc_id")
+        .persist()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        .cast("long")
+        .alias("hamming"),
+        F.floor(jac * 1000000 + F.lit(0.5)).cast("long").alias("j6"),
+    )
+    agg = pairs.groupBy(
+        F.expr("hamming div 8").alias("hbucket"),
+        (F.col("j6") >= 300000).alias("is_near"),
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+        F.max("hamming").cast("long").alias("max_hamming"),
+        F.sum("j6").cast("long").alias("sj6"),
+    )
+    return agg.select(
+        "hbucket",
+        "is_near",
+        "n_pairs",
+        "min_hamming",
+        "max_hamming",
+        (
+            F.expr("(2 * sj6 + n_pairs) div (2 * n_pairs)") / F.lit(1000000.0)
+        ).alias("mean_jaccard"),
+    )
+
+
 # ------------------------------------------------------------ similarity
 
 _QVEC_SQL = "(SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"

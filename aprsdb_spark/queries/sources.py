@@ -477,3 +477,75 @@ def a_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.sum("l_orderkey").cast("long").alias("key_check"),
     )
+
+
+_CUST_SCHEMA = T.StructType(
+    [
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.LongType()),
+    ]
+)
+
+
+@query(
+    "a_scan_xml",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_bal,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_check,
+           CAST(SUM(CAST('0x' || substr(md5(c_name), 1, 8) AS BIGINT))
+                AS BIGINT) AS name_check,
+           CAST(SUM(c_nationkey) AS BIGINT) AS nation_check
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source connector (Spark 4's built-in `xml` format,
+    upstreamed from spark-xml): customer round-tripped parquet -> XML
+    rows -> DataFrame with an EXPLICIT schema (no inference pass over
+    the files), then aggregated. The oracle aggregates the parquet
+    table directly, so a hash match proves the XML path preserves
+    longs, doubles (shortest round-trip representation), and strings
+    through XML escaping (name_check sums the md5 word — any entity
+    mangling flips it). Same contract as a_scan_csv/json/orc.
+
+    100 TB: XML is an ingest-boundary format, not a storage format —
+    the qid documents the connector's fidelity so a pipeline can land
+    third-party XML feeds straight into the same derived-source
+    `_ensure` flow; schema-explicit reads keep the scan single-pass."""
+    path = _derived_path(sf_dir, "customer_xml")
+
+    def write(p: str) -> None:
+        (
+            load(spark, sf_dir)
+            .customer.coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "row")
+            .save(p)
+        )
+
+    _ensure(path, write)
+    df = (
+        spark.read.schema(_CUST_SCHEMA)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(path)
+    )
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        (
+            F.floor(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("sum_bal"),
+        F.sum("c_custkey").cast("long").alias("key_check"),
+        F.sum(portable_hash32(F.col("c_name"))).cast("long").alias("name_check"),
+        F.sum("c_nationkey").cast("long").alias("nation_check"),
+    )

@@ -166,6 +166,13 @@ NEXT_QUEUE: list[str] = [
     "j_brier_score",
     "j_bpe_compression",
     "j_source_tfidf",
+    # r12 wave 4: sketch/graph/source closure — the SimHash
+    # Hamming-separation audit against exact Jaccard ground truth,
+    # degree assortativity of the trade graph, and the native-XML
+    # source connector
+    "j_simhash_hamming",
+    "j_assortativity",
+    "a_scan_xml",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

