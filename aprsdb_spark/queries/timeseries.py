@@ -1132,27 +1132,31 @@ def j_drift_timeslices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
     )
     mm = F.broadcast(
-        ev.agg(
-            F.min("v6").alias("lo"),
-            F.max("v6").alias("hi"),
-            F.count("*").cast("long").alias("big_n"),
-        )
+        ev.agg(F.min("v6").alias("lo"), F.max("v6").alias("hi"))
     )
     eb = ev.crossJoin(mm).select(
         "day_idx",
         F.expr("((v6 - lo) * 10) div (hi - lo + 1)").alias("bucket"),
-        "big_n",
-    )
-    g = F.broadcast(
-        eb.groupBy("bucket").agg(F.count("*").cast("long").alias("gc"))
-    )
-    dtot = eb.groupBy("day_idx", "big_n").agg(
-        F.count("*").cast("long").alias("nd")
     )
     o = eb.groupBy("day_idx", "bucket").agg(F.count("*").cast("long").alias("oc"))
+    return drift_from_counts(o)
+
+
+def drift_from_counts(o: DataFrame) -> DataFrame:
+    """The j_drift_timeslices rollup from the (day_idx, bucket, oc)
+    count matrix — factored out so the streaming drift monitor
+    (streaming/ingest.drift_monitor_sink) can serve the IDENTICAL
+    relation from its accumulated state: global bucket masses, day
+    totals, and the corpus total are all re-aggs of the matrix, so
+    the streamed view and the batch audit share every line of the
+    chi-square arithmetic by construction."""
+    g = F.broadcast(o.groupBy("bucket").agg(F.sum("oc").cast("long").alias("gc")))
+    dtot = o.groupBy("day_idx").agg(F.sum("oc").cast("long").alias("nd"))
+    tot = F.broadcast(o.agg(F.sum("oc").cast("long").alias("big_n")))
     grid = (
         dtot.crossJoin(g)
         .join(o, ["day_idx", "bucket"], "left")
+        .crossJoin(tot)
         .select(
             "day_idx",
             "nd",

@@ -715,3 +715,83 @@ def leakage_monitor_sink(
     spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
     if run_key is not None:
         _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def drift_monitor_sink(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    lo: int,
+    hi: int,
+    run_key: str | None = None,
+) -> None:
+    """foreachBatch distribution-drift MONITOR — the streaming twin of
+    queries/timeseries.j_drift_timeslices: as events arrive, each
+    batch's values quantize to the 1e-6 grid and bucket against a
+    FROZEN ten-bin equi-width reference grid ([lo, hi] scaled BIGINTs
+    — in production frozen from a calibration snapshot; the batch
+    audit derives the same grid from its own MIN/MAX, so with lo/hi
+    taken from the corpus extrema the streamed state reproduces the
+    audit exactly, which is what the equivalence test pins). State is
+    the (day_idx, bucket) count matrix; drift_current_view() turns it
+    into the IDENTICAL output relation via the shared
+    drift_from_counts rollup.
+
+    Out-of-reference values (possible live, impossible in the frozen
+    test) clamp into the edge buckets rather than inventing new ones
+    — a drifted tail lands in bucket 0/9 and raises chi-square, which
+    is the correct alarm semantics for a frozen grid.
+
+    Scale shape: the batch collapses to ≤ |days|·10 (day, bucket)
+    partials BEFORE touching state (shuffle carries two small ints);
+    the merge is the incremental_rollup read-merge-swap with the same
+    crash recovery + (run_key, batch_id) replay guard (counts double
+    under at-least-once re-delivery without it). Input schema:
+    (ts_ms long, value double)."""
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    part = (
+        batch.select(
+            F.expr("ts_ms div 86400000").alias("day_idx"), v6.alias("v6")
+        )
+        .select(
+            "day_idx",
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"((v6 - {int(lo)}) * 10) div ({int(hi)} - {int(lo)} + 1)"),
+                ),
+            ).alias("bucket"),
+        )
+        .groupBy("day_idx", "bucket")
+        .agg(F.count("*").cast("long").alias("oc"))
+    )
+    existing = _read_state_or_none(spark, state_dir)
+    merged = (
+        existing.unionByName(part)
+        .groupBy("day_idx", "bucket")
+        .agg(F.sum("oc").cast("long").alias("oc"))
+        if existing is not None
+        else part
+    )
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def drift_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated drift state as the j_drift_timeslices relation
+    (day_idx, n_events, chi2, top_bucket, top_dev) — one shared rollup
+    (queries/timeseries.drift_from_counts), so streamed ≡ batch is an
+    identity over equal count matrices, not a reimplementation."""
+    from ..queries.timeseries import drift_from_counts
+
+    state = spark.read.parquet(state_dir).select("day_idx", "bucket", "oc")
+    return drift_from_counts(state)

@@ -934,3 +934,43 @@ def test_leakage_monitor_matches_batch_audit(spark, tmp_path):
     synth_h = spark.sql("SELECT md5('leak canary text') AS h").collect()[0].h
     sides = [r for r in spark.read.parquet(state + "_alerts").collect() if r.h == synth_h]
     assert len(sides) == 2 and {r.split for r in sides} == {"train", "test"}
+
+
+def test_drift_monitor_matches_batch_audit(spark, tmp_path):
+    """Streaming drift monitor (§2.I): replaying the events table in
+    THREE micro-batches against the grid frozen from the corpus
+    extrema must leave a state whose drift_current_view equals the
+    one-shot j_drift_timeslices relation row for row. Replay of an
+    applied batch is a no-op."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    from aprsdb_spark.tables import load as tload
+
+    ev = tload(spark, sf).events.select("ts_ms", "value", "event_id")
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    lo, hi = ev.select(F.min(v6), F.max(v6)).collect()[0]
+    state = str(tmp_path / "drift_state")
+    thirds = [
+        ev.where(F.col("event_id") % 3 == k).select("ts_ms", "value")
+        for k in range(3)
+    ]
+    for k, b in enumerate(thirds):
+        S.drift_monitor_sink(b, k, state, int(lo), int(hi), run_key="dk")
+    # replayed applied batch: state unchanged
+    before = sorted(
+        (r.day_idx, r.bucket, r.oc)
+        for r in spark.read.parquet(state).select("day_idx", "bucket", "oc").collect()
+    )
+    S.drift_monitor_sink(thirds[1], 1, state, int(lo), int(hi), run_key="dk")
+    after = sorted(
+        (r.day_idx, r.bucket, r.oc)
+        for r in spark.read.parquet(state).select("day_idx", "bucket", "oc").collect()
+    )
+    assert before == after
+    want = sorted(
+        tuple(r) for r in QUERIES["j_drift_timeslices"](spark, sf).collect()
+    )
+    got = sorted(tuple(r) for r in S.drift_current_view(spark, state).collect())
+    assert got == want
