@@ -846,3 +846,178 @@ def j_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("total_chars") * 1.0 / F.col("n_docs"), 6).alias("mean_chars"),
         rnd(F.col("n_tokens") * 1.0 / F.col("n_types"), 6).alias("type_token_ratio"),
     )
+
+
+@query(
+    "j_split_balance",
+    oracle="""
+    WITH d AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                           THEN 'train'
+                           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                           THEN 'val' ELSE 'test' END AS split,
+                      lang
+               FROM documents),
+    o AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS oc
+          FROM d GROUP BY split, lang),
+    g AS (SELECT lang, CAST(SUM(oc) AS BIGINT) AS gc FROM o GROUP BY lang),
+    st AS (SELECT split, CAST(SUM(oc) AS BIGINT) AS ns FROM o GROUP BY split),
+    tot AS (SELECT CAST(SUM(oc) AS BIGINT) AS big_n FROM o),
+    grid AS (SELECT st.split, st.ns, g.lang, g.gc, COALESCE(o.oc, 0) AS oc,
+                    tot.big_n
+             FROM st CROSS JOIN g
+             LEFT JOIN o ON o.split = st.split AND o.lang = g.lang
+             CROSS JOIN tot),
+    terms AS (SELECT split, ns, lang, gc, oc, big_n,
+                     CAST(FLOOR(
+                       CAST((CAST(oc AS HUGEINT) * big_n - CAST(ns AS HUGEINT) * gc)
+                            * (CAST(oc AS HUGEINT) * big_n - CAST(ns AS HUGEINT) * gc)
+                            AS DOUBLE)
+                       / CAST(CAST(ns AS HUGEINT) * gc * big_n AS DOUBLE)
+                       * 1000000 + 0.5) AS BIGINT) AS term6,
+                     ABS(CAST(oc AS HUGEINT) * big_n - CAST(ns AS HUGEINT) * gc)
+                       AS dev
+              FROM grid),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY split
+                                            ORDER BY dev DESC, lang) AS rk
+               FROM terms)
+    SELECT t.split, t.ns AS n_docs,
+           FLOOR(t.ns * 1.0 / t.big_n * 1000000 + 0.5) / 1000000 AS share,
+           CAST(SUM(t.term6) AS BIGINT) / 1000000.0 AS chi2,
+           MIN(r.lang) AS top_lang,
+           FLOOR(MIN(ABS(r.oc * 1.0 / r.ns - r.gc * 1.0 / r.big_n))
+                 * 1000000 + 0.5) / 1000000 AS top_dev
+    FROM terms t
+    JOIN ranked r ON r.split = t.split AND r.rk = 1
+    GROUP BY t.split, t.ns, t.big_n
+    """,
+)
+def j_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition balance of the canonical train/val/test split: per
+    split, its share of the corpus and the χ² of its LANGUAGE mix
+    against the global mix, plus the most-deviant language — the
+    statistical complement of j_split_leakage (that audits CONTENT
+    crossing splits; this audits whether the eval sets are even drawn
+    from the same distribution they claim to test — a val set that
+    under-represents a language silently mis-scores that slice). The
+    split is the identical md5-prefix CASE as j_split_train_val, so
+    the three split qids audit one assignment by construction.
+
+    χ² arithmetic is byte-for-byte the j_drift_timeslices discipline
+    (exact integer (oN − n·g)² / n·g·N terms, widened before the
+    multiply, 1e-6-floored then integer-summed); Spark serves it
+    through the SAME drift_from_counts rollup — shared code, not a
+    reimplementation.
+
+    Plan: one narrow map (md5 prefix CASE) into ONE (split, lang)
+    hash agg; everything after runs on ≤ 3·|langs| metadata rows."""
+    from .timeseries import drift_from_counts
+
+    t = load(spark, sf_dir)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cd", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    o = (
+        t.documents.select(split.alias("day_idx"), F.col("lang").alias("bucket"))
+        .groupBy("day_idx", "bucket")
+        .agg(F.count("*").cast("long").alias("oc"))
+    )
+    rolled = drift_from_counts(o)
+    tot = F.broadcast(o.agg(F.sum("oc").cast("long").alias("big_n")))
+    return rolled.crossJoin(tot).select(
+        F.col("day_idx").alias("split"),
+        F.col("n_events").alias("n_docs"),
+        rnd(F.col("n_events") * 1.0 / F.col("big_n"), 6).alias("share"),
+        "chi2",
+        F.col("top_bucket").alias("top_lang"),
+        "top_dev",
+    )
+
+
+# Neyman-allocation sample size (the literal K the allocation divides).
+_NEYMAN_K = 1000
+
+
+@query(
+    "j_neyman_allocation",
+    oracle=f"""
+    WITH m AS (SELECT source,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(n_chars) AS BIGINT) AS sx,
+                      SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+               FROM documents GROUP BY source),
+    d AS (SELECT source, n, sx,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                   AS dnum
+          FROM m),
+    s AS (SELECT source, n, dnum,
+                 CAST(FLOOR(sqrt(CAST(dnum AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                   AS s6
+          FROM d),
+    tot AS (SELECT CAST(SUM(s6) AS BIGINT) AS s6_tot FROM s)
+    SELECT s.source, s.n AS n_docs,
+           FLOOR(sqrt(CAST(s.dnum AS DOUBLE)) / s.n * 1000000 + 0.5) / 1000000
+             AS sigma,
+           FLOOR(s.s6 * 1.0 / t.s6_tot * 1000000 + 0.5) / 1000000 AS weight,
+           CAST((2 * {_NEYMAN_K} * s.s6 + t.s6_tot) // (2 * t.s6_tot) AS BIGINT)
+             AS alloc
+    FROM s CROSS JOIN tot t
+    """,
+)
+def j_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation across source strata (Neyman
+    1934, public): stratum c of a {k}-document quality-review sample
+    gets k_c ∝ N_c·σ_c — big AND internally-varied sources get more
+    reviewers, uniform template farms get few. This is the DESIGN step
+    j_sample_stratified executes with hand-set rates and
+    j_sample_debias audits after the fact; the identity
+    N_c·σ_c = sqrt(N_c·Σx² − (Σx)²) lets the whole allocation run on
+    the exact integer variance numerators.
+
+    EXACT: moments in BIGINT/HUGEINT; the ONLY float op per stratum is
+    one IEEE sqrt of an exact integer, immediately floored to the 1e-6
+    scaled grid, so the weight denominator is an exact integer sum and
+    the allocation k_c = (2·K·s6 + S6) div (2·S6) is pure integer
+    half-up arithmetic — no order-dependent float sum anywhere (the
+    j_embed_mmd convention).
+
+    Plan: ONE |sources|-keyed hash agg with map-side partials; the
+    allocation arithmetic runs on |sources| rows against a broadcast
+    1-row total."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    m = t.documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast(dec)).alias("sxx"),
+    )
+    dnum = F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    s = m.select(
+        "source",
+        "n",
+        dnum.alias("dnum"),
+        F.floor(F.sqrt(dnum.cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("s6"),
+    )
+    tot = F.broadcast(s.agg(F.sum("s6").cast("long").alias("s6_tot")))
+    return s.crossJoin(tot).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (
+            F.floor(
+                F.sqrt(F.col("dnum").cast("double")) / F.col("n") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("sigma"),
+        rnd(F.col("s6") * 1.0 / F.col("s6_tot"), 6).alias("weight"),
+        F.expr(f"(2 * {_NEYMAN_K} * s6 + s6_tot) div (2 * s6_tot)")
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+j_neyman_allocation.__doc__ = j_neyman_allocation.__doc__.replace(
+    "{k}", str(_NEYMAN_K)
+)

@@ -4584,3 +4584,282 @@ def j_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------- r12 wave 5 (llm)
+
+_KS_EMBED_GRID = 1000  # 1e-3 projection grid: bounded domain at any scale
+_MH_EST_K = 16  # portable minhash functions for the estimator audit
+
+
+def _ks_embed_oracle() -> str:
+    """DuckDB twin of j_ks_embed: the SAME literal (axis, offset) as
+    j_embed_pca (pca_axis_local on the canonical correctness SF)."""
+    import os
+
+    from ..operators.similarity import pca_axis_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    _, axis, offset = pca_axis_local(sf_dir)
+    alit = "[" + ", ".join(repr(x) for x in axis) + "]"
+    return f"""
+    WITH p AS (SELECT label,
+                      CAST(FLOOR((list_dot_product(CAST(embedding AS DOUBLE[]), {alit})
+                                  - CAST('{offset!r}' AS DOUBLE))
+                                 * {_KS_EMBED_GRID} + 0.5) AS BIGINT) AS p3
+               FROM embeddings),
+    cl AS (SELECT label, p3, CAST(COUNT(*) AS BIGINT) AS c
+           FROM p GROUP BY label, p3),
+    g AS (SELECT p3, CAST(SUM(c) AS BIGINT) AS cg FROM cl GROUP BY p3),
+    cg AS (SELECT p3, SUM(cg) OVER (ORDER BY p3) AS cumg FROM g),
+    labs AS (SELECT label, CAST(SUM(c) AS BIGINT) AS nl FROM cl GROUP BY label),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS big_n FROM cl),
+    mat AS (SELECT labs.label, labs.nl, cg.p3, cg.cumg,
+                   SUM(COALESCE(cl.c, 0)) OVER (PARTITION BY labs.label
+                                                ORDER BY cg.p3) AS cuml
+            FROM labs CROSS JOIN cg
+            LEFT JOIN cl ON cl.label = labs.label AND cl.p3 = cg.p3),
+    num AS (SELECT label, nl, p3,
+                   ABS(CAST(cuml AS HUGEINT) * (tot.big_n - nl)
+                       - CAST(cumg - cuml AS HUGEINT) * nl) AS d,
+                   tot.big_n
+            FROM mat CROSS JOIN tot),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                            ORDER BY d DESC, p3) AS rk
+               FROM num)
+    SELECT n.label, n.nl AS n_in, n.big_n - n.nl AS n_rest,
+           FLOOR(CAST(MAX(n.d) AS DOUBLE)
+                 / CAST(CAST(n.nl AS HUGEINT) * (n.big_n - n.nl) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS ks_stat,
+           MIN(r.p3) / {_KS_EMBED_GRID}.0 AS ks_at
+    FROM num n JOIN ranked r ON r.label = n.label AND r.rk = 1
+    GROUP BY n.label, n.nl, n.big_n
+    """
+
+
+@query("j_ks_embed", oracle=_ks_embed_oracle())
+def j_ks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest Kolmogorov–Smirnov statistic per label on the PCA
+    projection — the DISTRIBUTIONAL embedding-drift test that sees
+    what j_embed_mmd's linear kernel cannot (two groups with equal
+    means but different spread/shape have MMD²_linear ≈ 0 and a large
+    KS gap): D_l = max_v |F_l(v) − F_rest(v)| over the 1-D shadow
+    j_embed_pca profiles, with ks_at naming WHERE the CDFs diverge.
+
+    Scale-critical design choice: projections quantize to the 1e-3
+    grid FIRST, so the CDF support is bounded by the grid (a few
+    thousand cells for unit-norm embeddings) at ANY corpus size — the
+    cumulative windows run over grid×|labels| metadata rows, never
+    corpus rows (a raw-value KS would need a corpus-wide sort; this
+    is the j_ks_lengths bounded-domain trick made explicit). All
+    counts exact BIGINTs; D's numerator is exact integer arithmetic
+    (widened before the multiply); one floored display division.
+
+    Plan: one narrow map (literal-axis fold + floor) → ONE (label,
+    cell) hash agg; grid, label totals, and the CDF matrix are
+    re-aggs; both windows partition by label over grid rows."""
+    t = load(spark, sf_dir)
+    from ..operators.similarity import _lit_vector, pca_axis_local
+
+    _, axis, offset = pca_axis_local(sf_dir)
+    proj = dot_expr(_lit_vector(list(axis)), as_double("embedding")) - F.lit(offset)
+    p = t.embeddings.select(
+        "label",
+        F.floor(proj * _KS_EMBED_GRID + F.lit(0.5)).cast("long").alias("p3"),
+    )
+    cl = p.groupBy("label", "p3").agg(F.count("*").cast("long").alias("c"))
+    g = cl.groupBy("p3").agg(F.sum("c").cast("long").alias("cg"))
+    wg = Window.orderBy("p3").rowsBetween(Window.unboundedPreceding, 0)
+    cg = g.select("p3", F.sum("cg").over(wg).cast("long").alias("cumg"))
+    labs = cl.groupBy("label").agg(F.sum("c").cast("long").alias("nl"))
+    tot = F.broadcast(cl.agg(F.sum("c").cast("long").alias("big_n")))
+    wl = (
+        Window.partitionBy("label")
+        .orderBy("p3")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mat = (
+        F.broadcast(labs)
+        .crossJoin(cg)
+        .join(cl, ["label", "p3"], "left")
+        .select(
+            "label",
+            "nl",
+            "p3",
+            "cumg",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(wl)
+            .cast("long")
+            .alias("cuml"),
+        )
+    )
+    dec = "decimal(38,0)"
+    num = mat.crossJoin(tot).select(
+        "label",
+        "nl",
+        "p3",
+        "big_n",
+        F.abs(
+            F.col("cuml").cast(dec) * (F.col("big_n") - F.col("nl"))
+            - (F.col("cumg") - F.col("cuml")).cast(dec) * F.col("nl")
+        ).alias("d"),
+    )
+    ranked = num.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy(F.col("d").desc(), F.col("p3")))
+        .alias("rk"),
+    ).where(F.col("rk") == 1)
+    agg = num.groupBy("label", "nl", "big_n").agg(F.max("d").alias("dmax"))
+    return (
+        agg.join(
+            ranked.select(F.col("label").alias("r_label"), F.col("p3").alias("at3")),
+            F.col("label") == F.col("r_label"),
+        )
+        .select(
+            "label",
+            F.col("nl").alias("n_in"),
+            (F.col("big_n") - F.col("nl")).alias("n_rest"),
+            (
+                F.floor(
+                    F.col("dmax").cast("double")
+                    / (F.col("nl").cast(dec) * (F.col("big_n") - F.col("nl"))).cast(
+                        "double"
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("ks_stat"),
+            (F.col("at3") / F.lit(float(_KS_EMBED_GRID))).alias("ks_at"),
+        )
+    )
+
+
+def _mh_est_oracle() -> str:
+    """DuckDB twin of j_minhash_est_error: the identical 16-function
+    portable (md5-word) minhash family, reconstructed per shingle."""
+    mins = ",\n                  ".join(
+        f"list_min(list_transform(s, x -> CAST('0x' || substr(md5(x || '#{k}'), 1, 8)"
+        f" AS BIGINT))) AS mh{k}"
+        for k in range(_MH_EST_K)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END" for k in range(_MH_EST_K)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+            FROM documents)),
+    m AS (SELECT doc_id, lang, source, s,
+                  {mins}
+          FROM sh),
+    pairs AS (SELECT ({matches}) AS n_matches,
+                     CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1.0
+                                / len(list_distinct(a.s || b.s))
+                                * 1000000 + 0.5) AS BIGINT) AS j6
+              FROM m a JOIN m b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id),
+    agg AS (SELECT CAST(n_matches AS BIGINT) AS n_matches,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(j6) AS BIGINT) AS sj6,
+                   CAST(SUM(ABS(n_matches * 62500 - j6)) AS BIGINT) AS se6
+            FROM pairs GROUP BY n_matches)
+    SELECT n_matches,
+           n_matches * 62500 / 1000000.0 AS est_jaccard,
+           n_pairs,
+           ((2 * sj6 + n_pairs) // (2 * n_pairs)) / 1000000.0 AS mean_jaccard,
+           ((2 * se6 + n_pairs) // (2 * n_pairs)) / 1000000.0 AS mean_abs_err
+    FROM agg
+    """
+
+
+@query("j_minhash_est_error", oracle=_mh_est_oracle())
+def j_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every same-(lang, source)
+    pair, the {K}-function minhash Jaccard ESTIMATE (matching
+    signature positions / {K}) against the exact shingle Jaccard,
+    rolled up per match count — the measurement that tells you what
+    signature WIDTH buys before you pick b·r for LSH (j_lsh_recall
+    audits the banding; this audits the estimator the bands quantize;
+    E[matches]/{K} = J and the audit shows the spread around it).
+    Uses the PORTABLE md5-word hash family — unlike the production
+    xxhash64 signatures (j_dedup_near), every bit is recomputable in
+    the oracle engine, so the whole audit is hash-checked.
+
+    Exactness: match counts are integers; est6 = matches·62500 is
+    exact on the 1e-6 grid; per-pair |error| and the per-bucket means
+    run entirely in scaled BIGINTs ((2S+n) div 2n half-up — no float
+    sums). The jaccard leg floors per pair before aggregation.
+
+    Plan: ONE shingle explode → a {K}-min hash agg per doc (map-side
+    partials — the minhash_signatures shape, just portable and
+    narrower), joined back to the shingle arrays; the blocked
+    self-join shuffles on (lang, source) exactly like j_dedup_ngram
+    (the deliberate ground-truth quadratic); the rollup is ≤{K}+1
+    rows."""
+    t = load(spark, sf_dir)
+    from ..operators.dedup import portable_hash32, shingle_rows, shingles_from_toks
+
+    rows = shingle_rows(t.documents, ["doc_id", "lang", "source"])
+    mins = rows.groupBy("doc_id").agg(
+        *[
+            F.min(portable_hash32(F.concat(F.col("sh"), F.lit(f"#{k}"))))
+            .cast("long")
+            .alias(f"mh{k}")
+            for k in range(_MH_EST_K)
+        ]
+    )
+    arrs = t.documents.select(
+        "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias(
+            "s"
+        ),
+    )
+    d = arrs.join(mins, "doc_id").persist()
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    nm = sum(
+        F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
+        for k in range(_MH_EST_K)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        nm.cast("long").alias("n_matches"),
+        F.floor(jac * 1000000 + F.lit(0.5)).cast("long").alias("j6"),
+    )
+    agg = pairs.groupBy("n_matches").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("j6").cast("long").alias("sj6"),
+        F.sum(F.abs(F.col("n_matches") * 62500 - F.col("j6")))
+        .cast("long")
+        .alias("se6"),
+    )
+    return agg.select(
+        "n_matches",
+        (F.col("n_matches") * 62500 / F.lit(1000000.0)).alias("est_jaccard"),
+        "n_pairs",
+        (F.expr("(2 * sj6 + n_pairs) div (2 * n_pairs)") / F.lit(1000000.0)).alias(
+            "mean_jaccard"
+        ),
+        (F.expr("(2 * se6 + n_pairs) div (2 * n_pairs)") / F.lit(1000000.0)).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+j_minhash_est_error.__doc__ = j_minhash_est_error.__doc__.replace(
+    "{K}", str(_MH_EST_K)
+)

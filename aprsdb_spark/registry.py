@@ -173,6 +173,16 @@ NEXT_QUEUE: list[str] = [
     "j_simhash_hamming",
     "j_assortativity",
     "a_scan_xml",
+    # r12 wave 5: sampling-design closure — split composition balance
+    # (χ² over the shared drift rollup) and Neyman-optimal review
+    # allocation from exact integer variance numerators
+    "j_split_balance",
+    "j_neyman_allocation",
+    # r12 wave 6: estimator-calibration closure — one-vs-rest KS on the
+    # grid-bounded PCA projection (shape drift MMD's linear kernel
+    # cannot see) and the portable-minhash Jaccard-estimate error curve
+    "j_ks_embed",
+    "j_minhash_est_error",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

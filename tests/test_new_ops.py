@@ -1878,3 +1878,100 @@ def test_scan_xml_roundtrip_matches_parquet(spark):
     for seg, w in want.items():
         g = got[seg]
         assert (g.n_cust, g.key_check, g.name_check) == (w.n_cust, w.key_check, w.name_check)
+
+
+# ------------------------------------------------------------ r12 waves 5-6
+
+
+def test_split_balance_partitions_and_chi2_sign(spark):
+    """Splits partition the corpus with the 80/10/10 hash shares; chi2
+    is non-negative; shares sum to 1 on the 1e-6 grid."""
+    rows = QUERIES["j_split_balance"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows) == docs
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert abs(r.share - r.n_docs / docs) < 2e-6
+
+
+def test_neyman_allocation_matches_python(spark):
+    """Weights proportional to sqrt(n*sxx - sx^2); allocation is the
+    exact integer half-up split of K=1000."""
+    import math
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    per: dict = {}
+    for r in docs:
+        n, sx, sxx = per.get(r.source, (0, 0, 0))
+        per[r.source] = (n + 1, sx + r.n_chars, sxx + r.n_chars * r.n_chars)
+    s6 = {
+        s: math.floor(math.sqrt(n * sxx - sx * sx) * 1e6 + 0.5)
+        for s, (n, sx, sxx) in per.items()
+    }
+    s6_tot = sum(s6.values())
+    got = {r.source: r for r in QUERIES["j_neyman_allocation"](spark, SF_SMALL).collect()}
+    assert set(got) == set(per)
+    for s, r in got.items():
+        assert r.n_docs == per[s][0]
+        assert abs(r.weight - s6[s] / s6_tot) < 2e-6
+        assert r.alloc == (2 * 1000 * s6[s] + s6_tot) // (2 * s6_tot)
+    # allocations sum to ~K (half-up rounding drift < |strata|)
+    assert abs(sum(r.alloc for r in got.values()) - 1000) <= len(got)
+
+
+def test_ks_embed_matches_python_brute(spark):
+    """One-vs-rest KS on the 1e-3 projection grid == plain Python CDF
+    scan (same literal axis/offset)."""
+    import math
+
+    from aprsdb_spark.operators.similarity import pca_axis_local
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    _, axis, offset = pca_axis_local(SF_SMALL)
+
+    def proj(v):
+        s = 0.0
+        for x, a in zip(v, axis):
+            s += float(x) * a
+        return s - offset
+
+    pts = [(int(r.label), math.floor(proj(r.embedding) * 1000 + 0.5)) for r in emb]
+    grid = sorted({p for _, p in pts})
+    big_n = len(pts)
+    got = {r.label: r for r in QUERIES["j_ks_embed"](spark, SF_SMALL).collect()}
+    labels = {l for l, _ in pts}
+    assert set(got) == labels
+    for lab in labels:
+        nl = sum(1 for l, _ in pts if l == lab)
+        best = (-1, None)
+        cuml = cumg = 0
+        for v in grid:
+            cuml += sum(1 for l, p in pts if l == lab and p == v)
+            cumg += sum(1 for _, p in pts if p == v)
+            d = abs(cuml * (big_n - nl) - (cumg - cuml) * nl)
+            if d > best[0]:
+                best = (d, v)
+        r = got[lab]
+        assert (r.n_in, r.n_rest) == (nl, big_n - nl)
+        assert abs(r.ks_stat - best[0] / (nl * (big_n - nl))) < 2e-6
+        assert r.ks_at == best[1] / 1000.0
+
+
+def test_minhash_est_error_unbiased_shape(spark):
+    """Estimate buckets cover all block pairs; per-bucket mean exact
+    jaccard increases with the match count (the estimator is monotone
+    on average); the zero-match bucket sits near zero jaccard."""
+    rows = sorted(QUERIES["j_minhash_est_error"](spark, SF_SMALL).collect(),
+                  key=lambda r: r.n_matches)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    blocks = Counter((r.lang, r.source) for r in docs)
+    assert sum(r.n_pairs for r in rows) == sum(c * (c - 1) // 2 for c in blocks.values())
+    for r in rows:
+        assert 0 <= r.n_matches <= 16
+        assert abs(r.est_jaccard - r.n_matches / 16) < 1e-9
+        assert 0.0 <= r.mean_jaccard <= 1.0
+        assert r.mean_abs_err >= 0.0
+    if len(rows) >= 3:
+        lo, hi = rows[0], rows[-1]
+        assert lo.mean_jaccard < hi.mean_jaccard
