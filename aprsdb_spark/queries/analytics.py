@@ -1053,7 +1053,9 @@ def j_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; the moment agg is ONE reduce to a single row. Nothing
     wider than (src, dst) ever shuffles."""
     t = load(spark, sf_dir)
-    e = _trade_edges(t)
+    # the edge list feeds both degree aggs AND the join-back: |V|-fanout
+    # metadata behind three corpus joins — persist (SCALE.md 4r rule)
+    e = _trade_edges(t).persist()
     outd = e.groupBy("src").agg(F.count("*").cast("long").alias("xd"))
     ind = e.groupBy("dst").agg(F.count("*").cast("long").alias("yd"))
     ed = (

@@ -680,7 +680,9 @@ def j_decile_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def boundaries(col: str):
-        hist = feat.groupBy(col).agg(F.count("*").cast("long").alias("n"))
+        # distinct-value histogram: metadata-scale, shuffle-containing,
+        # referenced by cum/tot — persist per the SCALE.md 4r rule
+        hist = feat.groupBy(col).agg(F.count("*").cast("long").alias("n")).persist()
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
         cum = hist.select(
             F.col(col).alias("v"), F.sum("n").over(w).cast("long").alias("c")
@@ -714,7 +716,9 @@ def j_decile_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("gy"),
         )
     )
-    cell = assigned.groupBy("gx", "gy").agg(F.count("*").cast("long").alias("n"))
+    cell = assigned.groupBy("gx", "gy").agg(
+        F.count("*").cast("long").alias("n")
+    ).persist()  # <=100 rows, feeds rt/ct/tot and the final join
     rt = cell.groupBy("gx").agg(F.sum("n").cast("long").alias("row_tot"))
     ct = cell.groupBy("gy").agg(F.sum("n").cast("long").alias("col_tot"))
     tot = cell.agg(F.sum("n").cast("long").alias("nn"))

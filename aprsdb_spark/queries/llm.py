@@ -4667,7 +4667,9 @@ def j_ks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.floor(proj * _KS_EMBED_GRID + F.lit(0.5)).cast("long").alias("p3"),
     )
-    cl = p.groupBy("label", "p3").agg(F.count("*").cast("long").alias("c"))
+    # (label, cell) counts: grid-bounded metadata behind the corpus
+    # shuffle, re-aggregated four ways — persist (SCALE.md 4r rule)
+    cl = p.groupBy("label", "p3").agg(F.count("*").cast("long").alias("c")).persist()
     g = cl.groupBy("p3").agg(F.sum("c").cast("long").alias("cg"))
     wg = Window.orderBy("p3").rowsBetween(Window.unboundedPreceding, 0)
     cg = g.select("p3", F.sum("cg").over(wg).cast("long").alias("cumg"))

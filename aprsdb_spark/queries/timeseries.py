@@ -1150,6 +1150,10 @@ def drift_from_counts(o: DataFrame) -> DataFrame:
     totals, and the corpus total are all re-aggs of the matrix, so
     the streamed view and the batch audit share every line of the
     chi-square arithmetic by construction."""
+    # the count matrix feeds four re-aggs and the grid left-join; it is
+    # metadata-scale (|days|x10) and its subtree contains the corpus
+    # shuffle — exactly the SCALE.md 4r cache rule's persist case
+    o = o.persist()
     g = F.broadcast(o.groupBy("bucket").agg(F.sum("oc").cast("long").alias("gc")))
     dtot = o.groupBy("day_idx").agg(F.sum("oc").cast("long").alias("nd"))
     tot = F.broadcast(o.agg(F.sum("oc").cast("long").alias("big_n")))

@@ -256,6 +256,14 @@ _EXPECTED_BNLJ = {
     "j_ngram_coverage",  # |grid|-row k marks theta-joined (r <= k) vs <=10k ranks
     "j_ndcg",  # k-grid x <=10 graded ranks, twice (dcg + ideal)
     "j_rank_tau",  # <=10-row rank-pair self-join (re < rb) + two 1-row frames
+    # --- r12 additions, all metadata-scale build sides by design:
+    "j_drift_timeslices",  # 1-row broadcast MIN/MAX grid + 1-row total + <=10-row bucket masses
+    "j_ngram_entropy_curve",  # 1-row broadcast H1 onto the 3-row curve
+    "j_decile_grid_2d",  # two 1-row broadcast 9-element boundary arrays + 1-row total
+    "j_source_tfidf",  # 1-row broadcast source count onto the scored types
+    "j_neyman_allocation",  # 1-row broadcast allocation denominator
+    "j_split_balance",  # 1-row broadcast corpus total (the shared drift rollup's)
+    "j_ks_embed",  # |labels|-row broadcast x grid cells + 1-row total
 }
 _EXPECTED_ROW_PYTHON = {
     # the documented slow-path escape hatches; UDTFs (incl. the Spark-4
@@ -894,7 +902,8 @@ _SHUFFLE_BUDGETS = {
     "j_burstiness": 2,
     "j_chargram_confusion": 17,  # +1 (doc,term) tf pre-agg buys a ~2x leaner fan-out
     "j_bleu_precision": 20,
-    "j_pagerank": 83,
+    "j_pagerank": 88,  # reprint-inflated +5 by j_assortativity's persisted
+                    # _trade_edges (CacheManager aliases the identical subtree)
     "k_apply_in_arrow": 1,
     "j_dup_rate": 2,        # digest agg + source rollup
     # --- r11 expansion: the full r11 REFRESH window (joins, agg
@@ -997,6 +1006,27 @@ _SHUFFLE_BUDGETS = {
     "j_dedup_embed": 4,     # GEMM pairs + directed union + keeper agg
     "j_sim_pairs_bucketed": 1,  # bucket equi-key IS the shuffle
     "j_dedup_embed_bucketed": 3,
+    # --- r12 additions. Ceilings measured on the cold sf0.01 plan;
+    # persisted metadata relations (drift/grid/ks/assort/split) reprint
+    # their cached child per InMemoryTableScan, so those ceilings are
+    # reprint-inflated (real exchange counts are a small fraction).
+    "j_dedup_keep_best": 1,     # ONE family-key shuffle serves 3 windows
+    "j_wilson_ci": 1,
+    "j_data_card": 5,
+    "j_feature_corr": 1,
+    "j_drift_timeslices": 36,   # reprint-inflated (persisted count matrix)
+    "j_ngram_entropy_curve": 5,
+    "j_decile_grid_2d": 58,     # reprint-inflated (persisted hist + cell)
+    "j_brier_score": 2,         # Arrow top-k partials + vote rollups
+    "j_bpe_compression": 66,    # reprint-inflated (cached merge table)
+    "j_source_tfidf": 8,
+    "j_simhash_hamming": 6,
+    "j_assortativity": 20,      # reprint-inflated (persisted edge list)
+    "a_scan_xml": 1,
+    "j_split_balance": 23,      # reprint-inflated (shared drift rollup)
+    "j_neyman_allocation": 4,
+    "j_ks_embed": 24,           # reprint-inflated (persisted cell counts)
+    "j_minhash_est_error": 6,
 }
 
 
