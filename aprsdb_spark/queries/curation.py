@@ -1754,3 +1754,215 @@ def j_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_split_leakage.__doc__ = j_split_leakage.__doc__.replace(
     "{n}", str(_PREFIX_TOKENS)
 )
+
+
+@query(
+    "j_dedup_survivors",
+    oracle=f"""
+    WITH n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ex AS (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n FROM documents),
+    pf AS (SELECT CAST(COUNT(DISTINCT md5(array_to_string(
+                    list_slice(string_split(text, ' '), 1, {_PREFIX_TOKENS}),
+                    ' '))) AS BIGINT) AS n
+           FROM documents),
+    sh AS (SELECT doc_id, lang, source,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                 FROM documents)),
+    dropped AS (SELECT DISTINCT b.doc_id
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0
+                      / len(list_distinct(a.s || b.s)) >= 0.8),
+    nr AS (SELECT n0.n - CAST(COUNT(*) AS BIGINT) AS n
+           FROM dropped CROSS JOIN n0 GROUP BY n0.n),
+    stages AS (SELECT 0 AS stage, 'raw' AS strategy, n0.n AS n_survivors FROM n0
+        UNION ALL SELECT 1, 'exact_md5', ex.n FROM ex
+        UNION ALL SELECT 2, 'prefix{_PREFIX_TOKENS}', pf.n FROM pf
+        UNION ALL SELECT 3, 'near_jaccard08', nr.n FROM nr)
+    SELECT stage, strategy, n_survivors,
+           n0.n - n_survivors AS n_removed,
+           FLOOR((n0.n - n_survivors) * 1.0 / n0.n * 1000000 + 0.5) / 1000000
+             AS removal_rate
+    FROM stages CROSS JOIN n0
+    """,
+)
+def j_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts per dedup STRATEGY, side by side — the one-table
+    answer to "how much does each dedup pass actually buy on this
+    corpus": raw count, exact-text keepers (j_dedup_exact), prefix-
+    family keepers (j_dedup_prefix), and single-hop near-dup keepers
+    at Jaccard ≥ 0.8 within (lang, source) blocks (j_dedup_ngram's
+    pair set; a document is removed when any smaller-id partner
+    exists — the greedy min-id keeper rule of j_dedup_embed). Each
+    strategy measures independently from raw, so the table ranks
+    strategies rather than hiding them behind a pipeline order.
+
+    All counts exact BIGINTs over hash groups / the exact blocked pair
+    set; removal_rate is one rounded display division.
+
+    Plan: two digest distinct-counts (16-byte keys shuffle, never
+    text), the blocked ground-truth quadratic for the near leg (the
+    documented j_dedup_ngram price — the production path is LSH), and
+    a 4-row union; every broadcast side is a 1-row count."""
+    t = load(spark, sf_dir)
+    from ..operators.dedup import shingles_from_toks
+
+    toks = tokens_col("text")
+    n0 = t.documents.agg(F.count("*").cast("long").alias("n"))
+    ex = t.documents.agg(F.countDistinct(F.md5("text")).cast("long").alias("n"))
+    pf = t.documents.agg(
+        F.countDistinct(
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, _PREFIX_TOKENS)))
+        )
+        .cast("long")
+        .alias("n")
+    )
+    sh = t.documents.select(
+        "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias(
+            "s"
+        ),
+    ).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.8)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("nd"))
+    )
+    nr = dropped.crossJoin(F.broadcast(n0)).select(
+        (F.col("n") - F.col("nd")).alias("n")
+    )
+    stages = (
+        n0.select(F.lit(0).alias("stage"), F.lit("raw").alias("strategy"),
+                  F.col("n").alias("n_survivors"))
+        .unionAll(ex.select(F.lit(1), F.lit("exact_md5"), F.col("n")))
+        .unionAll(pf.select(F.lit(2), F.lit(f"prefix{_PREFIX_TOKENS}"), F.col("n")))
+        .unionAll(nr.select(F.lit(3), F.lit("near_jaccard08"), F.col("n")))
+    )
+    return stages.crossJoin(F.broadcast(n0)).select(
+        "stage",
+        "strategy",
+        "n_survivors",
+        (F.col("n") - F.col("n_survivors")).alias("n_removed"),
+        rnd((F.col("n") - F.col("n_survivors")) * 1.0 / F.col("n"), 6).alias(
+            "removal_rate"
+        ),
+    )
+
+
+@query(
+    "j_dup_transitivity",
+    oracle="""
+    WITH sh AS (SELECT doc_id, lang, source,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                      FROM documents)),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) * 1.0
+                / len(list_distinct(a.s || b.s)) >= 0.8),
+    adj AS (SELECT u AS m, v AS o FROM e UNION ALL SELECT v, u FROM e),
+    wedge AS (SELECT a1.o AS x, a2.o AS y
+              FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.o < a2.o),
+    closed AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM wedge JOIN e ON e.u = wedge.x AND e.v = wedge.y),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wedge),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+    SELECT ne.n AS n_edges, tot.n AS n_wedges, closed.n AS n_closed,
+           CASE WHEN tot.n > 0
+                THEN FLOOR(closed.n * 1.0 / tot.n * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS closure_rate
+    FROM ne CROSS JOIN tot CROSS JOIN closed
+    """,
+)
+def j_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity (wedge-closure rate) of the near-duplicate graph —
+    the measurement that justifies or indicts connected-component
+    cluster resolution (j_dedup_cluster): a closure rate near 1 means
+    near-dup clusters are cliques and CC keepers are safe; a low rate
+    means CC chains UNRELATED documents through middlemen and the
+    cluster pass over-merges (the classic transitive-closure dedup
+    failure). Same wedge/triangle identity as j_clustering_coeff, run
+    on the DEDUP pair set instead of the trade graph.
+
+    Exact: the edge set is the j_dedup_ngram grouped ground truth
+    (Jaccard ≥ 0.8 within (lang, source) blocks); wedges and closures
+    are exact BIGINT counts over integer id pairs; one rounded
+    display division.
+
+    Plan: the blocked ground-truth quadratic builds edges (the
+    documented exact-audit price); the wedge join is doc_id-keyed on
+    the EDGE relation (near-dup graphs are sparse — degrees bounded
+    by cluster sizes), and closure is one more equi-join on the pair
+    key. All counts are 1-row aggregates."""
+    t = load(spark, sf_dir)
+    from ..operators.dedup import shingles_from_toks
+
+    sh = t.documents.select(
+        "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias(
+            "s"
+        ),
+    ).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    e = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.8)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .persist()
+    )
+    adj = e.select(F.col("u").alias("m"), F.col("v").alias("o")).unionAll(
+        e.select(F.col("v").alias("m"), F.col("u").alias("o"))
+    )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedge = a1.join(
+        a2, (F.col("a1.m") == F.col("a2.m")) & (F.col("a1.o") < F.col("a2.o"))
+    ).select(F.col("a1.o").alias("x"), F.col("a2.o").alias("y"))
+    closed = wedge.join(
+        e, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+    ).agg(F.count("*").cast("long").alias("n_closed"))
+    tot = wedge.agg(F.count("*").cast("long").alias("n_wedges"))
+    ne = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        ne.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(closed))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_closed",
+            F.when(
+                F.col("n_wedges") > 0,
+                rnd(F.col("n_closed") * 1.0 / F.col("n_wedges"), 6),
+            ).alias("closure_rate"),
+        )
+    )

@@ -1225,3 +1225,86 @@ def drift_from_counts(o: DataFrame) -> DataFrame:
             "top_dev",
         )
     )
+
+
+@query(
+    "j_ts_autocorr",
+    oracle="""
+    WITH ev AS (SELECT event_type,
+                       CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS x,
+                       LEAD(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                         OVER (PARTITION BY event_type
+                               ORDER BY epoch_ms(ts), event_id) AS y
+                FROM events),
+    p AS (SELECT event_type, x, y FROM ev WHERE y IS NOT NULL),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM p GROUP BY event_type),
+    d AS (SELECT event_type, n,
+                 n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                 n * sxx - CAST(sx AS HUGEINT) * sx AS d1,
+                 n * syy - CAST(sy AS HUGEINT) * sy AS d2
+          FROM m)
+    SELECT event_type, n AS n_pairs,
+           CASE WHEN d1 > 0 AND d2 > 0
+                THEN FLOOR(CAST(num AS DOUBLE)
+                           / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS autocorr
+    FROM d
+    """,
+)
+def j_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the event value series per event_type —
+    the memory/whiteness diagnostic that decides whether j_ts_ewma's
+    smoothing and j_ts_anomaly's trailing windows are even meaningful
+    (white-noise values make both vacuous; high lag-1 memory makes the
+    anomaly thresholds too tight). Completes the correlation-recipe
+    family into time series: j_feature_corr correlates two FEATURES,
+    j_rolling_corr two SERIES, this a series with its own shifted
+    self.
+
+    EXACT: values quantize to the 1e-6 grid BEFORE pairing (order-free
+    integers from there); the lag pairing is a lead() over the
+    (ts_ms, event_id) total order; moments in DECIMAL(38,0)/HUGEINT
+    (n·Σx² passes 2^63 near 10⁹ events/type); r = IEEE sqrt + one
+    floored division on identical integers.
+
+    Plan: ONE event_type-keyed exchange serves the lead window AND the
+    moment agg (same partitioning); output is |event_types| rows."""
+    t = load(spark, sf_dir)
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    ev = t.events.select(
+        "event_type", v6.alias("x"), F.lead(v6).over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    dec = "decimal(38,0)"
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).alias("syy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    d1 = F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    d2 = F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    r = (
+        F.floor(
+            num.cast("double")
+            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.when((d1 > 0) & (d2 > 0), r).alias("autocorr"),
+    )

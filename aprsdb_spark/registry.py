@@ -183,6 +183,12 @@ NEXT_QUEUE: list[str] = [
     # cannot see) and the portable-minhash Jaccard-estimate error curve
     "j_ks_embed",
     "j_minhash_est_error",
+    # r12 wave 7: dedup-strategy economics — survivor counts per
+    # strategy, near-dup graph transitivity (the CC-resolution
+    # justification), and the lag-1 series memory diagnostic
+    "j_dedup_survivors",
+    "j_dup_transitivity",
+    "j_ts_autocorr",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1975,3 +1975,83 @@ def test_minhash_est_error_unbiased_shape(spark):
     if len(rows) >= 3:
         lo, hi = rows[0], rows[-1]
         assert lo.mean_jaccard < hi.mean_jaccard
+
+
+# ------------------------------------------------------------ r12 wave 7
+
+
+def test_dedup_survivors_ordering_and_python_counts(spark):
+    """Raw >= exact >= prefix keepers (hash groups only coarsen);
+    exact/prefix counts replayed in plain Python; near leg removes
+    exactly the larger ids of the >=0.8 blocked pair set."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    rows = {r.strategy: r for r in QUERIES["j_dedup_survivors"](spark, SF_SMALL).collect()}
+    n0 = rows["raw"].n_survivors
+    assert n0 == len(docs)
+    exact = len({hashlib.md5(r.text.encode()).hexdigest() for r in docs})
+    prefix = len({
+        hashlib.md5(" ".join(r.text.split(" ")[:16]).encode()).hexdigest()
+        for r in docs
+    })
+    assert rows["exact_md5"].n_survivors == exact
+    assert rows["prefix16"].n_survivors == prefix
+    assert n0 >= exact >= prefix
+    near = rows["near_jaccard08"]
+    dropped = {r.id_b for r in QUERIES["j_dedup_ngram"](spark, SF_SMALL).collect()}
+    assert near.n_survivors == n0 - len(dropped)
+    for r in rows.values():
+        assert r.n_removed == n0 - r.n_survivors
+
+
+def test_dup_transitivity_matches_python(spark):
+    """Edges/wedges/closures replayed in plain Python over the
+    registered >=0.8 pair set."""
+    pairs = {(r.id_a, r.id_b) for r in QUERIES["j_dedup_ngram"](spark, SF_SMALL).collect()}
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    wedges = closed = 0
+    for m, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, x in enumerate(ns):
+            for y in ns[i + 1:]:
+                wedges += 1
+                if (min(x, y), max(x, y)) in pairs:
+                    closed += 1
+    row = QUERIES["j_dup_transitivity"](spark, SF_SMALL).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_closed) == (len(pairs), wedges, closed)
+    if wedges:
+        assert abs(row.closure_rate - closed / wedges) < 2e-6
+
+
+def test_ts_autocorr_matches_python(spark):
+    """Per-type lag-1 Pearson == plain Python over the
+    (ts_ms, event_id)-ordered quantized series."""
+    import math
+
+    from aprsdb_spark.tables import load as tload
+
+    ev = tload(spark, SF_SMALL).events.select(
+        "event_type", "ts_ms", "event_id", "value"
+    ).collect()
+    series: dict = {}
+    for r in sorted(ev, key=lambda r: (r.ts_ms, r.event_id)):
+        series.setdefault(r.event_type, []).append(math.floor(r.value * 1e6 + 0.5))
+    got = {r.event_type: r for r in QUERIES["j_ts_autocorr"](spark, SF_SMALL).collect()}
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        pairs = list(zip(xs, xs[1:]))
+        n = len(pairs)
+        r = got[et]
+        assert r.n_pairs == n
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        d1 = n * sxx - sx * sx; d2 = n * syy - sy * sy
+        if d1 > 0 and d2 > 0:
+            want = (n * sxy - sx * sy) / (math.sqrt(d1) * math.sqrt(d2))
+            assert abs(r.autocorr - want) < 2e-6
+            assert -1.0 - 1e-9 <= r.autocorr <= 1.0 + 1e-9

@@ -263,6 +263,8 @@ _EXPECTED_BNLJ = {
     "j_source_tfidf",  # 1-row broadcast source count onto the scored types
     "j_neyman_allocation",  # 1-row broadcast allocation denominator
     "j_split_balance",  # 1-row broadcast corpus total (the shared drift rollup's)
+    "j_dedup_survivors",  # 1-row broadcast raw count onto the 4-row stage union
+    "j_dup_transitivity",  # three 1-row count frames cross-joined
     "j_ks_embed",  # |labels|-row broadcast x grid cells + 1-row total
 }
 _EXPECTED_ROW_PYTHON = {
@@ -1027,6 +1029,9 @@ _SHUFFLE_BUDGETS = {
     "j_neyman_allocation": 4,
     "j_ks_embed": 24,           # reprint-inflated (persisted cell counts)
     "j_minhash_est_error": 6,
+    "j_dedup_survivors": 12,    # reprint-inflated (persisted shingle frame)
+    "j_dup_transitivity": 21,   # reprint-inflated (persisted edges, 2 refs x wedge join)
+    "j_ts_autocorr": 1,         # ONE event_type exchange serves lead + moments
 }
 
 
