@@ -21,7 +21,7 @@ dedup and quality families:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import floordiv, rnd, sql_floordiv, sql_rnd
@@ -751,7 +751,22 @@ def j_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic runs on the |sources|-row result. Nothing but (source,
     two BIGINTs) ever shuffles at any corpus scale."""
     t = load(spark, sf_dir)
-    defect = (
+    a = (
+        t.documents.select("source", wilson_defect_col().alias("defect"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("defect").cast("long").alias("x"),
+        )
+    )
+    return wilson_from_counts(a)
+
+
+def wilson_defect_col() -> Column:
+    """The structural defect predicate (0/1) over (n_chars, text) —
+    j_lang_quality's bounds complemented, shared by the batch gate and
+    the streaming quality monitor so both audit ONE definition."""
+    return (
         F.when(
             F.col("n_chars").between(100, 2000)
             & (F.size(tokens_col("text")) >= 20),
@@ -759,14 +774,14 @@ def j_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(1)
     )
-    a = (
-        t.documents.select("source", defect.alias("defect"))
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("defect").cast("long").alias("x"),
-        )
-    )
+
+
+def wilson_from_counts(a: DataFrame) -> DataFrame:
+    """The j_wilson_ci rollup from the (source, n, x) count relation —
+    factored out so the streaming quality gate
+    (streaming/ingest.quality_gate_sink) serves the IDENTICAL relation
+    from its accumulated state: streamed ≡ batch is an identity over
+    equal counts (the drift_from_counts pattern)."""
     return a.select(
         "source",
         F.col("n").alias("n_docs"),

@@ -795,3 +795,66 @@ def drift_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
 
     state = spark.read.parquet(state_dir).select("day_idx", "bucket", "oc")
     return drift_from_counts(state)
+
+
+def quality_gate_sink(
+    batch: DataFrame, batch_id: int, state_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch per-source QUALITY-GATE monitor — the streaming
+    twin of queries/governance.j_wilson_ci: as documents arrive, each
+    batch collapses to per-source (count, defect-count) partials under
+    the SHARED structural defect predicate (wilson_defect_col — one
+    definition for the batch gate and the monitor), merged into state
+    by the read-merge-swap with the (run_key, batch_id) replay guard.
+    quality_gate_view() serves the accumulated state through the SAME
+    wilson_from_counts rollup as the batch audit, so streamed ≡ batch
+    after ordered replay is shared code, not a reimplementation — an
+    ingestion operator can threshold live on ci_low (the
+    small-slice-safe bound) instead of waiting for the nightly audit.
+
+    Scale shape: the batch collapses to |sources| rows of two BIGINTs
+    BEFORE touching state; counts double under at-least-once
+    re-delivery without the guard. Input schema: (source, n_chars,
+    text)."""
+    from ..queries.governance import wilson_defect_col
+
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    part = (
+        batch.select("source", wilson_defect_col().alias("defect"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("defect").cast("long").alias("x"),
+        )
+    )
+    existing = _read_state_or_none(spark, state_dir)
+    merged = (
+        existing.unionByName(part)
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("x"),
+        )
+        if existing is not None
+        else part
+    )
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def quality_gate_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated quality state as the j_wilson_ci relation
+    (source, n_docs, n_defects, defect_rate, ci_low, ci_high) — one
+    shared rollup (queries/governance.wilson_from_counts)."""
+    from ..queries.governance import wilson_from_counts
+
+    return wilson_from_counts(
+        spark.read.parquet(state_dir).select("source", "n", "x")
+    )

@@ -974,3 +974,37 @@ def test_drift_monitor_matches_batch_audit(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in S.drift_current_view(spark, state).collect())
     assert got == want
+
+
+def test_quality_gate_matches_batch_wilson(spark, tmp_path):
+    """Streaming quality gate (§2.I): replaying the documents table in
+    THREE micro-batches must leave a state whose quality_gate_view
+    equals the one-shot j_wilson_ci relation row for row. Replay of an
+    applied batch is a no-op."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    state = str(tmp_path / "qgate_state")
+    thirds = [
+        docs.where(F.col("doc_id") % 3 == k).select("source", "n_chars", "text")
+        for k in range(3)
+    ]
+    for k, b in enumerate(thirds):
+        S.quality_gate_sink(b, k, state, run_key="qk")
+    before = sorted(
+        (r.source, r.n, r.x)
+        for r in spark.read.parquet(state).select("source", "n", "x").collect()
+    )
+    S.quality_gate_sink(thirds[0], 0, state, run_key="qk")
+    after = sorted(
+        (r.source, r.n, r.x)
+        for r in spark.read.parquet(state).select("source", "n", "x").collect()
+    )
+    assert before == after
+    want = sorted(tuple(r) for r in QUERIES["j_wilson_ci"](spark, sf).collect())
+    got = sorted(tuple(r) for r in S.quality_gate_view(spark, state).collect())
+    assert got == want
