@@ -2055,3 +2055,72 @@ def test_ts_autocorr_matches_python(spark):
             want = (n * sxy - sx * sy) / (math.sqrt(d1) * math.sqrt(d2))
             assert abs(r.autocorr - want) < 2e-6
             assert -1.0 - 1e-9 <= r.autocorr <= 1.0 + 1e-9
+
+
+# --------------------------------------------- shared-rollup properties
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # day/key
+            st.integers(min_value=0, max_value=9),   # bucket
+            st.integers(min_value=1, max_value=500), # count
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_drift_from_counts_properties(spark, cells):
+    """The shared batch/stream χ² rollup on arbitrary count matrices:
+    chi2 >= 0, day totals reproduce the matrix, the named top bucket
+    carries the maximal |oN − n·g| deviation (tie -> smallest)."""
+    from aprsdb_spark.queries.timeseries import drift_from_counts
+
+    o = spark.createDataFrame(cells, "day_idx long, bucket long, oc long")
+    rows = drift_from_counts(o).collect()
+    tot = {}
+    for d, _b, c in cells:
+        tot[d] = tot.get(d, 0) + c
+    assert {r.day_idx for r in rows} == set(tot)
+    big_n = sum(tot.values())
+    g = {}
+    for _d, b, c in cells:
+        g[b] = g.get(b, 0) + c
+    byc = {(d, b): c for d, b, c in cells}
+    for r in rows:
+        assert r.n_events == tot[r.day_idx]
+        assert r.chi2 >= 0.0
+        devs = {
+            b: abs(byc.get((r.day_idx, b), 0) * big_n - tot[r.day_idx] * gc)
+            for b, gc in g.items()
+        }
+        best = min(sorted(devs), key=lambda b: (-devs[b], b))
+        assert r.top_bucket == best
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**9),  # n
+            st.integers(min_value=0, max_value=10**9),  # x <= n enforced below
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_wilson_from_counts_properties(spark, counts):
+    """The shared batch/stream Wilson rollup on arbitrary (n, x):
+    0 <= ci_low <= rate <= ci_high <= 1 (grid tolerance) for any
+    stratum size, including x=0 and x=n."""
+    from aprsdb_spark.queries.governance import wilson_from_counts
+
+    data = [(f"s{i}", n, min(x, n)) for i, (n, x) in enumerate(counts)]
+    a = spark.createDataFrame(data, "source string, n long, x long")
+    for r in wilson_from_counts(a).collect():
+        eps = 2e-6
+        assert -eps <= r.ci_low <= r.defect_rate + eps
+        assert r.defect_rate - eps <= r.ci_high <= 1.0 + eps
