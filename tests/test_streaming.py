@@ -1008,3 +1008,64 @@ def test_quality_gate_matches_batch_wilson(spark, tmp_path):
     want = sorted(tuple(r) for r in QUERIES["j_wilson_ci"](spark, sf).collect())
     got = sorted(tuple(r) for r in S.quality_gate_view(spark, state).collect())
     assert got == want
+
+
+def test_new_monitor_sinks_recover_crash_mid_swap(spark, tmp_path):
+    """Crash-mid-swap recovery for the two r12 sinks (drift monitor +
+    quality gate): after a completed batch, simulate a crash DURING the
+    _next -> main overwrite by deleting the main dir's _SUCCESS; the
+    next sink call must restore the full state from _next before
+    applying (no truncated-state freeze, no double count)."""
+    import os
+
+    from aprsdb_spark.tables import load as tload
+
+    sf = "/root/testdata/sf0.001"
+    # --- drift monitor
+    ev = tload(spark, sf).events.select("ts_ms", "value", "event_id")
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    lo, hi = ev.select(F.min(v6), F.max(v6)).collect()[0]
+    halves = [ev.where(F.col("event_id") % 2 == k).select("ts_ms", "value") for k in range(2)]
+    state = str(tmp_path / "drift")
+    S.drift_monitor_sink(halves[0], 0, state, int(lo), int(hi), run_key="ck")
+    os.remove(os.path.join(state, "_SUCCESS"))  # crash window mid-swap
+    S.drift_monitor_sink(halves[1], 1, state, int(lo), int(hi), run_key="ck")
+    got = {
+        (r.day_idx, r.bucket): r.oc
+        for r in spark.read.parquet(state).select("day_idx", "bucket", "oc").collect()
+    }
+    want = {
+        (r.day_idx, r.bucket): r.oc
+        for r in ev.select(
+            F.expr("ts_ms div 86400000").alias("day_idx"), v6.alias("v6")
+        )
+        .select(
+            "day_idx",
+            F.expr(f"((v6 - {int(lo)}) * 10) div ({int(hi)} - {int(lo)} + 1)").alias("bucket"),
+        )
+        .groupBy("day_idx", "bucket")
+        .agg(F.count("*").cast("long").alias("oc"))
+        .collect()
+    }
+    assert got == want
+    # --- quality gate
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "source", "n_chars", "text")
+    halves = [
+        docs.where(F.col("doc_id") % 2 == k).select("source", "n_chars", "text")
+        for k in range(2)
+    ]
+    qstate = str(tmp_path / "qgate")
+    S.quality_gate_sink(halves[0], 0, qstate, run_key="qk")
+    os.remove(os.path.join(qstate, "_SUCCESS"))
+    S.quality_gate_sink(halves[1], 1, qstate, run_key="qk")
+    per = {r.source: (r.n, r.x) for r in spark.read.parquet(qstate).select("source", "n", "x").collect()}
+    from aprsdb_spark.queries.governance import wilson_defect_col
+
+    want_q = {
+        r.source: (r.n, r.x)
+        for r in docs.select("source", wilson_defect_col().alias("d"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("d").cast("long").alias("x"))
+        .collect()
+    }
+    assert per == want_q
