@@ -834,32 +834,64 @@ def j_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     same relation j_hapax_rate/j_vocab_jaccard_sources already price;
     nothing else shuffles more than (source, digest)."""
     t = load(spark, sf_dir)
-    doc = t.documents.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.countDistinct("lang").cast("long").alias("n_langs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens"),
-        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+    a, b, c = data_card_parts(t.documents)
+    return data_card_from_parts(a, b, c)
+
+
+def data_card_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three ADDITIVE part relations every data-card column derives
+    from — (source, lang) counts, (source, text-digest) counts with
+    char/token mass, (source, token) counts. Each part merges across
+    micro-batches by plain summation, which is what lets the streaming
+    card monitor (streaming/ingest.card_monitor_sink) maintain the
+    SAME dashboard incrementally: distinct-counts become row counts of
+    a summed store, never re-scans."""
+    a = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("n"))
+    b = docs.groupBy("source", F.md5("text").alias("digest")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("sum_toks"),
     )
-    ty = (
-        t.documents.select("source", F.explode(tokens_col("text")).alias("w"))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_types"))
+    c = docs.select(
+        "source", F.explode(tokens_col("text")).alias("token")
+    ).groupBy("source", "token").agg(F.count("*").cast("long").alias("n"))
+    return a, b, c
+
+
+def data_card_from_parts(
+    a: DataFrame, b: DataFrame, c: DataFrame
+) -> DataFrame:
+    """The j_data_card rollup from the three part relations — shared
+    verbatim by the batch qid and the streaming monitor's view, so
+    streamed ≡ batch is an identity over equal parts."""
+    doc = b.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("sum_chars").cast("long").alias("total_chars"),
+        F.sum("sum_toks").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct_texts"),
     )
-    return doc.join(ty, "source").select(
-        "source",
-        "n_docs",
-        "n_langs",
-        "total_chars",
-        "n_tokens",
-        "n_types",
-        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
-        rnd(
-            (F.col("n_docs") - F.col("n_distinct_texts")) * 1.0 / F.col("n_docs"), 6
-        ).alias("dup_rate"),
-        rnd(F.col("total_chars") * 1.0 / F.col("n_docs"), 6).alias("mean_chars"),
-        rnd(F.col("n_tokens") * 1.0 / F.col("n_types"), 6).alias("type_token_ratio"),
+    langs = a.groupBy("source").agg(F.count("*").cast("long").alias("n_langs"))
+    ty = c.groupBy("source").agg(F.count("*").cast("long").alias("n_types"))
+    return (
+        doc.join(F.broadcast(langs), "source")
+        .join(ty, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            "n_tokens",
+            "n_types",
+            (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+            rnd(
+                (F.col("n_docs") - F.col("n_distinct_texts")) * 1.0 / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            rnd(F.col("total_chars") * 1.0 / F.col("n_docs"), 6).alias("mean_chars"),
+            rnd(F.col("n_tokens") * 1.0 / F.col("n_types"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
     )
 
 

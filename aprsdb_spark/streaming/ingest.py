@@ -858,3 +858,72 @@ def quality_gate_view(spark: SparkSession, state_dir: str) -> DataFrame:
     return wilson_from_counts(
         spark.read.parquet(state_dir).select("source", "n", "x")
     )
+
+
+def card_monitor_sink(
+    batch: DataFrame, batch_id: int, state_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch DATA-CARD maintenance — the streaming twin of
+    queries/governance.j_data_card, and the state-shape counterpart of
+    the additive monitors (drift/quality): a data card's distinct
+    counts (languages, distinct texts, vocabulary) cannot merge as
+    scalars, so the sink maintains the three ADDITIVE part stores from
+    data_card_parts — (source, lang), (source, text-digest,
+    char/token mass), (source, token) — each merged by plain summation
+    under one shared (run_key, batch_id) replay guard, and
+    card_current_view() derives the card through the SAME
+    data_card_from_parts rollup as the batch qid. Distinct-counts
+    become row counts of summed stores: the release dashboard updates
+    per micro-batch without ever re-scanning the corpus.
+
+    Scale shape: the lang store is |sources|·|langs| rows; the digest
+    store is one 16-byte row per DISTINCT text (the dedup_ingest store
+    scale argument — viable at 10^10 docs bucketed by digest); the
+    token store is Heaps-law-small. Each batch collapses to its
+    partials map-side before touching any store. The three stores swap
+    under separate dirs but ONE guard marker (the digest store's), so
+    a replayed batch is a no-op for all three. Input schema:
+    (source, n_chars, text)."""
+    from ..queries.governance import data_card_parts
+
+    spark = batch.sparkSession
+    parts = data_card_parts(batch)
+    dirs = [state_dir + "_lang", state_dir + "_digest", state_dir + "_token"]
+    keys = [["source", "lang"], ["source", "digest"], ["source", "token"]]
+    sums = [["n"], ["n", "sum_chars", "sum_toks"], ["n"]]
+    # each store carries its OWN full replay guard (embedded marker +
+    # sidecar): a crash between store swaps followed by at-least-once
+    # re-delivery must re-apply ONLY the stores that missed the batch —
+    # one shared guard would either double-count the early stores or
+    # freeze the late ones, depending on where it sat in the sequence
+    for part, d, key, cols in zip(parts, dirs, keys, sums):
+        _recover_incomplete_swap(spark, d)
+        if run_key is not None and batch_id <= _last_applied_batch(d, run_key):
+            continue
+        existing = _read_state_or_none(spark, d)
+        merged = (
+            existing.unionByName(part)
+            .groupBy(*key)
+            .agg(*[F.sum(cn).cast("long").alias(cn) for cn in cols])
+            if existing is not None
+            else part
+        )
+        _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+            d + "_next"
+        )
+        spark.read.parquet(d + "_next").write.mode("overwrite").parquet(d)
+        if run_key is not None:
+            _record_applied_batch(d, run_key, batch_id)
+
+
+def card_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated part stores as the j_data_card relation — one
+    shared rollup (queries/governance.data_card_from_parts)."""
+    from ..queries.governance import data_card_from_parts
+
+    a = spark.read.parquet(state_dir + "_lang").select("source", "lang", "n")
+    b = spark.read.parquet(state_dir + "_digest").select(
+        "source", "digest", "n", "sum_chars", "sum_toks"
+    )
+    c = spark.read.parquet(state_dir + "_token").select("source", "token", "n")
+    return data_card_from_parts(a, b, c)

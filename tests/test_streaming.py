@@ -1069,3 +1069,52 @@ def test_new_monitor_sinks_recover_crash_mid_swap(spark, tmp_path):
         .collect()
     }
     assert per == want_q
+
+
+def test_card_monitor_matches_batch_data_card(spark, tmp_path):
+    """Streaming data-card maintenance (§2.I): replaying the documents
+    table in THREE micro-batches must leave part stores whose
+    card_current_view equals the one-shot j_data_card relation row for
+    row; a fully re-delivered batch is a no-op; and a PARTIAL crash
+    (one store already carrying a batch the others missed — simulated
+    by pre-recording the batch on the lang store) re-applies exactly
+    the stores that missed it."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    state = str(tmp_path / "card")
+    thirds = [
+        docs.where(F.col("doc_id") % 3 == k).select("source", "lang", "n_chars", "text")
+        for k in range(3)
+    ]
+    S.card_monitor_sink(thirds[0], 0, state, run_key="ck")
+    # partial-crash simulation: a crashed delivery of batch 1 completed
+    # the LANG store (state + guard) but died before digest/token —
+    # replay must skip lang and apply the other two exactly once
+    from aprsdb_spark.queries.governance import data_card_parts
+
+    a1, _b1, _c1 = data_card_parts(thirds[1])
+    lang_dir = state + "_lang"
+    prior = spark.read.parquet(lang_dir)
+    merged = (
+        prior.drop("_run_key", "_batch_id")
+        .unionByName(a1)
+        .groupBy("source", "lang")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    S._with_marker(merged, "ck", 1).write.mode("overwrite").parquet(lang_dir + "_next")
+    spark.read.parquet(lang_dir + "_next").write.mode("overwrite").parquet(lang_dir)
+    S._record_applied_batch(lang_dir, "ck", 1)
+    S.card_monitor_sink(thirds[1], 1, state, run_key="ck")
+    S.card_monitor_sink(thirds[2], 2, state, run_key="ck")
+    # full re-delivery: every store skips
+    before = sorted(tuple(r) for r in S.card_current_view(spark, state).collect())
+    S.card_monitor_sink(thirds[2], 2, state, run_key="ck")
+    after = sorted(tuple(r) for r in S.card_current_view(spark, state).collect())
+    assert before == after
+    want = sorted(tuple(r) for r in QUERIES["j_data_card"](spark, sf).collect())
+    assert before == want
