@@ -1014,8 +1014,7 @@ _SHUFFLE_BUDGETS = {
     # reprint-inflated (real exchange counts are a small fraction).
     "j_dedup_keep_best": 1,     # ONE family-key shuffle serves 3 windows
     "j_wilson_ci": 1,
-    "j_data_card": 8,       # parts decomposition (shared with the streaming
-                            # card monitor): digest/lang/token stores + re-aggs
+    "j_data_card": 5,
     "j_feature_corr": 1,
     "j_drift_timeslices": 36,   # reprint-inflated (persisted count matrix)
     "j_ngram_entropy_curve": 5,
