@@ -2148,12 +2148,17 @@ def _gram_entropy_sql(n: int) -> str:
     ent AS (SELECT n, n_grams, n_types,
                    ln(n_grams) - s / n_grams AS h
             FROM agg),
-    base AS (SELECT h AS h1 FROM ent WHERE n = 1)
-    SELECT ent.n, n_grams, n_types,
-           {sql_rnd('h', 6)} AS entropy,
-           {sql_rnd('h / ent.n', 6)} AS per_token_entropy,
-           {sql_rnd('1.0 - h / (ent.n * b.h1)', 6)} AS redundancy
-    FROM ent CROSS JOIN base b
+    -- round ONCE onto the 1e-6 grid, then derive every display ratio
+    -- from the rounded value: IEEE divide/multiply of identical grid
+    -- doubles is correctly rounded, so no column divides two UNROUNDED
+    -- order-dependent libm sums (r12 verdict low)
+    ent6 AS (SELECT n, n_grams, n_types, {sql_rnd('h', 6)} AS e FROM ent),
+    base AS (SELECT e AS e1 FROM ent6 WHERE n = 1)
+    SELECT ent6.n, n_grams, n_types,
+           e AS entropy,
+           {sql_rnd('e / ent6.n', 6)} AS per_token_entropy,
+           {sql_rnd('1.0 - e / (ent6.n * b.e1)', 6)} AS redundancy
+    FROM ent6 CROSS JOIN base b
     """,
 )
 def j_ngram_entropy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2169,6 +2174,12 @@ def j_ngram_entropy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identity per n: H = ln(N) − (Σ c·ln c)/N over type counts — the
     j_entropy discipline, rounded 1e-6 at display (ln on identical
     BIGINTs; the type sum is the accepted unrounded-libm-term class).
+    per_token_entropy and redundancy are derived from the ALREADY
+    ROUNDED grid entropies (e/n and 1 − e_n/(n·e_1)): IEEE divide and
+    multiply of identical grid doubles are correctly rounded, so the
+    ratios carry exactly ONE accepted-class term each (e itself),
+    never a quotient of two unrounded order-dependent sums (r12
+    verdict low, same discipline that closed j_perplexity_eval).
 
     Plan: three positional-gram explodes UNION ALL'd into ONE
     (n, gram) hash agg with map-side partials (re-scanning the text
@@ -2190,20 +2201,22 @@ def j_ngram_entropy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_types"),
         F.sum(F.col("c") * F.log("c")).alias("s"),
     )
+    # round ONCE onto the 1e-6 grid, then derive the display ratios from
+    # the rounded value (the oracle does the same) — see docstring
     ent = agg.select(
         "n",
         "n_grams",
         "n_types",
-        (F.log("n_grams") - F.col("s") / F.col("n_grams")).alias("h"),
+        rnd(F.log("n_grams") - F.col("s") / F.col("n_grams"), 6).alias("e"),
     )
-    base = F.broadcast(ent.where(F.col("n") == 1).select(F.col("h").alias("h1")))
+    base = F.broadcast(ent.where(F.col("n") == 1).select(F.col("e").alias("e1")))
     return ent.crossJoin(base).select(
         "n",
         "n_grams",
         "n_types",
-        rnd(F.col("h"), 6).alias("entropy"),
-        rnd(F.col("h") / F.col("n"), 6).alias("per_token_entropy"),
-        rnd(F.lit(1.0) - F.col("h") / (F.col("n") * F.col("h1")), 6).alias(
+        F.col("e").alias("entropy"),
+        rnd(F.col("e") / F.col("n"), 6).alias("per_token_entropy"),
+        rnd(F.lit(1.0) - F.col("e") / (F.col("n") * F.col("e1")), 6).alias(
             "redundancy"
         ),
     )

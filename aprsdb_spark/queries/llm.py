@@ -933,9 +933,16 @@ def j_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise there but exactly the signal here).
 
     Determinism: ranking runs on the 1e-6-FLOORED scaled score (exact
-    BIGINT), term tiebreak — ln on identical BIGINTs both engines,
-    one deterministic multiply per (source, term), so the rank
-    permutation cannot ulp-flip.
+    BIGINT) with a term tiebreak. The flooring removes the
+    accumulation-order flake class, but the score itself contains ONE
+    ln((s+1)/(df+1)) libm term per (source, term) — ln is
+    implementation-defined (the repo's sqrt-safe / exp-ln-unsafe
+    convention), so a 1-ulp JVM-vs-DuckDB divergence CAN flip score6
+    on a 1e-6 grid boundary and with it the top-5 rank. Accepted
+    unrounded-libm-term class (same as j_ngram_entropy_curve's
+    entropy column); boundary odds are ~1e-10 per cell and the
+    tri-scale sweep has never hit one, but this is an accepted risk,
+    not a guarantee (r12 ADVICE).
 
     Plan: ONE (source, term) hash agg with map-side partials; df is a
     RE-AGG of those type rows (no second corpus pass — the
@@ -4755,7 +4762,14 @@ def _mh_est_oracle() -> str:
              list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
       FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
-            FROM documents)),
+            FROM documents)
+      -- sub-3-token docs have NO shingles: excluded EXPLICITLY here and
+      -- by the same len >= 3 predicate Spark-side, so both engines agree
+      -- on the pair universe (Spark's inner join to the signature agg
+      -- would drop them while this oracle would keep them with NULL
+      -- signatures and still emit their pairs — a latent row-count
+      -- divergence in the n_matches=0 bucket, r12 ADVICE)
+      WHERE len(toks) >= 3),
     m AS (SELECT doc_id, lang, source, s,
                   {mins}
           FROM sh),
@@ -4816,15 +4830,23 @@ def j_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_MH_EST_K)
         ]
     )
-    arrs = t.documents.select(
-        "doc_id", "lang", "source", tokens_col("text").alias("_toks")
-    ).select(
-        "doc_id",
-        "lang",
-        "source",
-        F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias(
-            "s"
-        ),
+    arrs = (
+        t.documents.select(
+            "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+        )
+        # sub-3-token docs have no shingles: the inner join to `mins`
+        # below would drop them implicitly, but the oracle's pair
+        # universe must agree BY CONSTRUCTION, so both engines filter
+        # on the same len >= 3 predicate (r12 ADVICE)
+        .where(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.transform(
+                shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)
+            ).alias("s"),
+        )
     )
     d = arrs.join(mins, "doc_id").persist()
     a, b = d.alias("a"), d.alias("b")

@@ -880,10 +880,12 @@ def card_monitor_sink(
     store is one 16-byte row per DISTINCT text (the dedup_ingest store
     scale argument — viable at 10^10 docs bucketed by digest); the
     token store is Heaps-law-small. Each batch collapses to its
-    partials map-side before touching any store. The three stores swap
-    under separate dirs but ONE guard marker (the digest store's), so
-    a replayed batch is a no-op for all three. Input schema:
-    (source, n_chars, text)."""
+    partials map-side before touching any store. Each of the three
+    stores carries its OWN replay guard (embedded marker + sidecar,
+    per-store dir): a replayed batch re-applies ONLY the stores that
+    missed it, so a crash between store swaps recovers without
+    double-counting the early stores or freezing the late ones. Input
+    schema: (source, n_chars, text)."""
     from ..queries.governance import data_card_parts
 
     spark = batch.sparkSession

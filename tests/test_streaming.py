@@ -976,6 +976,50 @@ def test_drift_monitor_matches_batch_audit(spark, tmp_path):
     assert got == want
 
 
+def test_drift_monitor_clamps_out_of_range_to_edge_buckets(spark, tmp_path):
+    """The one production-only branch of the drift monitor (r12 verdict
+    low): values OUTSIDE the frozen [lo, hi] reference grid must clamp
+    into edge buckets 0/9 — never invent bucket -1/10 — and a clamped
+    tail must RAISE chi-square vs the uniform baseline (the alarm
+    semantics a frozen grid exists for). The equivalence test above
+    freezes the grid from the corpus extrema, so the clamp never fires
+    there; this one freezes [0, 999999] (values 0..1) and feeds
+    -5.0 / +7.0."""
+    state = str(tmp_path / "clamp_state")
+    lo, hi = 0, 999999
+    day0, day1 = 1000, 86400000 + 1000  # ts inside day_idx 0 / 1
+    # both days uniform: per-day distribution == global -> chi2 == 0
+    # for every day (the rollup's expected count is nd*gc/N)
+    uniform = spark.createDataFrame(
+        [(d, (b + 0.5) / 10.0) for d in (day0, day1) for b in range(10)],
+        "ts_ms long, value double",
+    )
+    S.drift_monitor_sink(uniform, 0, state, lo, hi, run_key="ck")
+    base = {
+        (r.day_idx, r.bucket): r.oc
+        for r in spark.read.parquet(state).select("day_idx", "bucket", "oc").collect()
+    }
+    assert base == {(d, b): 1 for d in (0, 1) for b in range(10)}
+    assert all(r.chi2 == 0.0 for r in S.drift_current_view(spark, state).collect())
+    # drifted tail on day 1 only, entirely OUTSIDE the frozen grid
+    tail = spark.createDataFrame(
+        [(day1, -5.0), (day1, 7.0), (day1, 7.0), (day1, 7.0)],
+        "ts_ms long, value double",
+    )
+    S.drift_monitor_sink(tail, 1, state, lo, hi, run_key="ck")
+    got = {
+        (r.day_idx, r.bucket): r.oc
+        for r in spark.read.parquet(state).select("day_idx", "bucket", "oc").collect()
+    }
+    # every clamped value landed in an EDGE bucket: -5.0 -> 0, 7.0 -> 9
+    assert {b for (_d, b) in got} == set(range(10)), "clamp left the 0..9 grid"
+    assert got[(1, 0)] == 2 and got[(1, 9)] == 4
+    assert all(got[(1, b)] == 1 for b in range(1, 9))
+    assert all(got[(0, b)] == 1 for b in range(10))
+    view = {r.day_idx: r for r in S.drift_current_view(spark, state).collect()}
+    assert view[1].chi2 > 0.0 and view[1].top_bucket == 9
+
+
 def test_quality_gate_matches_batch_wilson(spark, tmp_path):
     """Streaming quality gate (§2.I): replaying the documents table in
     THREE micro-batches must leave a state whose quality_gate_view
