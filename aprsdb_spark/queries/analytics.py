@@ -1088,3 +1088,245 @@ def j_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").alias("sum_dst_indeg"),
         F.when((d1 > 0) & (d2 > 0), r).alias("assortativity"),
     )
+
+
+# Mann-Whitney U: the two compared sources (deterministic literals, the
+# j_ab_ttest arm-naming convention) and the z significance threshold.
+_MW_A, _MW_B = "src0", "src1"
+_MW_CRIT = 1.96
+
+
+@query(
+    "j_mannwhitney",
+    oracle=f"""
+    WITH d AS (SELECT source, n_chars AS v FROM documents
+               WHERE source IN ('{_MW_A}', '{_MW_B}')),
+    g AS (SELECT v,
+                 CAST(COUNT(*) FILTER (source = '{_MW_A}') AS BIGINT) AS ca,
+                 CAST(COUNT(*) FILTER (source = '{_MW_B}') AS BIGINT) AS cb
+          FROM d GROUP BY v),
+    w AS (SELECT v, ca, cb, ca + cb AS c,
+                 CAST(COALESCE(SUM(ca + cb) OVER (
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+          FROM g),
+    s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb,
+                 SUM(CAST(ca AS DECIMAL(38,0)) * (2 * cumb + c + 1)) AS r2a,
+                 SUM(CAST(c AS DECIMAL(38,0)) * c * c
+                     - CAST(c AS DECIMAL(38,0))) AS t3
+          FROM w),
+    f AS (SELECT na, nb, na + nb AS n,
+                 r2a - CAST(na AS DECIMAL(38,0)) * (na + 1) AS u2a, t3
+          FROM s)
+    SELECT '{_MW_A}' AS source_a, '{_MW_B}' AS source_b,
+           na AS n_a, nb AS n_b,
+           CAST(u2a AS DOUBLE) / 2 AS u_a,
+           FLOOR(CAST(u2a - CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)
+                 / (2 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     * (CAST(n + 1 AS DOUBLE)
+                        - CAST(t3 AS DOUBLE)
+                          / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
+                     / 12)) * 1000000 + 0.5) / 1000000 AS z,
+           abs(FLOOR(CAST(u2a - CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)
+                 / (2 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     * (CAST(n + 1 AS DOUBLE)
+                        - CAST(t3 AS DOUBLE)
+                          / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
+                     / 12)) * 1000000 + 0.5) / 1000000) > {_MW_CRIT} AS significant
+    FROM f
+    """,
+)
+def j_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum, public 1947 statistic)
+    between two sources on document length — the NONPARAMETRIC
+    counterpart of j_ab_ttest for the heavy-tailed, heavily-tied
+    length distributions where a t test's normality premise fails;
+    the distribution-shift gate j_ks_lengths' hypothesis-test sibling
+    (KS gives the max-gap location, U gives a tie-aware significance
+    number).
+
+    EXACT rank arithmetic: the corpus collapses to one row per
+    DISTINCT length with per-source counts; average-tie ranks enter
+    as 2·rank integers (2·avg_rank of a tie block = 2·cum_before +
+    c + 1 — always an integer), so the rank sum R2a, the tie term
+    T = Σ(c³−c), and 2·U are exact integers accumulated in
+    DECIMAL(38,0) ↔ HUGEINT (operands WIDENED BEFORE MULTIPLY — the
+    j_feature_corr overflow rule). The tie-corrected z applies one
+    fixed sequence of IEEE ops (divide, subtract, multiply, sqrt —
+    all correctly rounded) to those exact integers, then rounds 1e-6
+    BEFORE the significance compare, so the flag cannot flip between
+    engines.
+
+    Plan: one corpus filter+hash-agg to |distinct lengths| rows
+    (value-domain-bounded, the j_histogram_equi argument — document
+    lengths, not documents); the rank window runs UNPARTITIONED on
+    that bounded relation by design; the final fold is one row."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    d = t.documents.where(F.col("source").isin(_MW_A, _MW_B)).select(
+        "source", F.col("n_chars").alias("v")
+    )
+    g = d.groupBy("v").agg(
+        F.count(F.when(F.col("source") == _MW_A, 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("source") == _MW_B, 1)).cast("long").alias("cb"),
+    )
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w = g.select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(win), F.lit(0))
+        .cast("long")
+        .alias("cumb"),
+    )
+    s = w.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca").cast(dec) * (2 * F.col("cumb") + F.col("c") + 1))
+        .cast(dec)
+        .alias("r2a"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c").cast(dec)
+        )
+        .cast(dec)
+        .alias("t3"),
+    )
+    f = s.select(
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("n"),
+        (F.col("r2a") - F.col("na").cast(dec) * (F.col("na") + 1)).alias("u2a"),
+        "t3",
+    )
+    z = (
+        F.floor(
+            (F.col("u2a") - F.col("na").cast(dec) * F.col("nb")).cast("double")
+            / (
+                2
+                * F.sqrt(
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                    * (
+                        (F.col("n") + 1).cast("double")
+                        - F.col("t3").cast("double")
+                        / (F.col("n").cast(dec) * (F.col("n") - 1)).cast("double")
+                    )
+                    / 12
+                )
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return f.select(
+        F.lit(_MW_A).alias("source_a"),
+        F.lit(_MW_B).alias("source_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.col("u2a").cast("double") / 2).alias("u_a"),
+        z.alias("z"),
+        (F.abs(z) > _MW_CRIT).alias("significant"),
+    )
+
+
+# k-core peeling: threshold degree and fixed peel rounds (linear
+# lineage, the j_pagerank fixed-round convention).
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """DuckDB twin of j_kcore_peel: the symmetric distinct neighbor
+    relation over _TRADE_E_CTES, peeled {rounds} fixed rounds at
+    k = {k} via chained CTEs (u0 -> k1/u1 -> k2/u2 -> ...), one
+    (peel_round, n_nodes, n_edges) row per round."""
+    steps = []
+    prev = "u0"
+    selects = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""d{r} AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS dg
+            FROM {prev} GROUP BY a),
+    k{r} AS (SELECT a FROM d{r} WHERE dg >= {_KCORE_K}),
+    u{r} AS (SELECT u.a, u.b FROM {prev} u
+             JOIN k{r} x ON u.a = x.a JOIN k{r} y ON u.b = y.a)"""
+        )
+        selects.append(
+            f"""SELECT {r} AS peel_round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k{r}) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM u{r} WHERE a < b) AS n_edges"""
+        )
+        prev = f"u{r}"
+    return f"""
+    WITH {_TRADE_E_CTES},
+    u0 AS (SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b FROM e WHERE src <> dst)),
+    {','.join(steps)}
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@query("j_kcore_peel", oracle=_kcore_oracle())
+def j_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling of the capped trade graph (Seidman 1983,
+    public): {rounds} fixed rounds of "drop every vertex with fewer
+    than k = {k} distinct neighbors, then recount" over the SYMMETRIC
+    closure of _trade_edges — the degeneracy audit that says how much
+    of the graph survives when the periphery is stripped, read next
+    to j_graph_degree (raw degrees) and j_assortativity (who attaches
+    to whom). A shrinking survivor count across rounds means the core
+    is held up by peripheral degree; a fixed point means a genuine
+    cohesive core.
+
+    FIXED rounds, not iterate-to-fixpoint: like j_pagerank's literal
+    iteration count, the lineage is linear and both engines run the
+    IDENTICAL {rounds} peels (a convergence loop would put a
+    driver-side data-dependent branch in the plan). All arithmetic is
+    integer degree counts — nothing to round anywhere.
+
+    Plan: the symmetric edge relation is |V|-bounded (nations); each
+    round is one degree hash-agg plus two semi-join-shaped inner
+    joins against the |V|-row keep list (broadcast both ways); the
+    per-round summary rows are 1-row aggregates cross-joined. At
+    100 TB the corpus cost is _trade_edges' single build (shared and
+    capped); peeling itself never touches the fact tables again."""
+    t = load(spark, sf_dir)
+    e = _trade_edges(t).where(F.col("src") != F.col("dst"))
+    und = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    out = None
+    # each round's survivor edge set feeds the NEXT round three times
+    # (degree agg + both endpoint joins): plain lineage grows 3^rounds,
+    # so truncate per round with the lazy localCheckpoint — the
+    # cluster_labels_doubling lineage rule (curation.py:529)
+    cur = und.localCheckpoint(eager=False)
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy("a").agg(F.count("*").cast("long").alias("dg"))
+        keep = deg.where(F.col("dg") >= _KCORE_K).select("a")
+        cur = cur.join(F.broadcast(keep), "a").join(
+            F.broadcast(keep.withColumnRenamed("a", "b")), "b"
+        ).localCheckpoint(eager=False)
+        row = (
+            keep.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(
+                cur.where(F.col("a") < F.col("b")).agg(
+                    F.count("*").cast("long").alias("n_edges")
+                )
+            )
+            .select(F.lit(r).alias("peel_round"), "n_nodes", "n_edges")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+j_kcore_peel.__doc__ = j_kcore_peel.__doc__.replace(
+    "{rounds}", str(_KCORE_ROUNDS)
+).replace("{k}", str(_KCORE_K))

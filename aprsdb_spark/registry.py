@@ -151,6 +151,13 @@ NEXT_QUEUE: list[str] = [
     # r13 additions land here as they are built (capacity: <= 20, since
     # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
     # 48-slot window).
+    # r13 wave 1: nonparametric-statistics closure — tie-corrected
+    # Mann-Whitney rank-sum between sources (the j_ab_ttest twin for
+    # length-like heavy-tied metrics) and fixed-round k-core peeling
+    # of the trade graph (the degree-resilience audit next to
+    # j_graph_degree/j_assortativity)
+    "j_mannwhitney",
+    "j_kcore_peel",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

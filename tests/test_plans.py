@@ -1032,6 +1032,8 @@ _SHUFFLE_BUDGETS = {
     "j_dedup_survivors": 12,    # reprint-inflated (persisted shingle frame)
     "j_dup_transitivity": 21,   # reprint-inflated (persisted edges, 2 refs x wedge join)
     "j_ts_autocorr": 1,         # ONE event_type exchange serves lead + moments
+    "j_mannwhitney": 2,         # source filter agg + bounded rank window
+    "j_kcore_peel": 12,         # lazy-localCheckpoint-truncated peel rounds
 }
 
 
