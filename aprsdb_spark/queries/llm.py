@@ -4887,3 +4887,377 @@ def j_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_minhash_est_error.__doc__ = j_minhash_est_error.__doc__.replace(
     "{K}", str(_MH_EST_K)
 )
+
+
+# --------------------------------------------- r13: ANN/index audits
+
+def _ivf_balance_oracle() -> str:
+    """DuckDB twin of j_ivf_balance: the identical literal-centroid
+    assignment CTE as _ivf_oracle, rolled up to per-cell occupancy
+    over the full 16-cell spine (empty cells included)."""
+    rows = _centroid_values_sql()
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, cv) AS s
+               FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    occ AS (SELECT c.cid AS cluster_id,
+                   CAST(COUNT(a.vec_id) AS BIGINT) AS n_vecs
+            FROM cents c LEFT JOIN assigned a ON a.cluster_id = c.cid
+            GROUP BY c.cid),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS big_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells FROM occ)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n_vecs,
+           CAST((2000000 * CAST(n_vecs AS DECIMAL(38,0)) + big_n)
+                // (2 * CAST(big_n AS DECIMAL(38,0))) AS BIGINT)
+               / 1000000.0 AS share,
+           CAST((2000000 * CAST(n_vecs AS DECIMAL(38,0)) * n_cells + big_n)
+                // (2 * CAST(big_n AS DECIMAL(38,0))) AS BIGINT)
+               / 1000000.0 AS load_factor,
+           CAST(n_vecs AS DECIMAL(38,0)) * n_cells
+               > 2 * CAST(big_n AS DECIMAL(38,0)) AS is_hot
+    FROM occ CROSS JOIN tot
+    """
+
+
+@query("j_ivf_balance", oracle=_ivf_balance_oracle())
+def j_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy balance audit: rows per coarse-quantizer
+    cell over the FULL cell spine (empty cells included — an empty
+    cell is wasted nprobe budget, a hot cell is a scan hotspot), each
+    with its corpus share and load factor (occupancy / perfect-balance
+    occupancy) and an is_hot flag at 2x fair share. This is the
+    partition-skew number an ANN rollout reads BEFORE choosing nprobe
+    and cell count: j_ann_recall says how good the index is, this
+    says whether its shards are evenly loaded (at 100 TB cluster_id
+    is the write-time partition key, so cell skew IS storage skew).
+
+    EXACT: occupancy counts are BIGINTs; share and load_factor round
+    half-up on the 1e-6 grid via the (2S+n) div 2n integer idiom with
+    operands WIDENED to DECIMAL(38,0) BEFORE multiply (2e6·n·K
+    overflows BIGINT past N ~ 3e11); the is_hot flag compares exact
+    integers, so it can never flip between engines.
+
+    Plan: assignment is the j_ann_ivf literal-centroid map stage
+    (zero shuffles, zero training jobs at query time); occupancy is
+    ONE 16-row hash agg; the spine join and the 1-row total broadcast.
+    Output is exactly |cells| rows at any corpus scale."""
+    from ..operators.similarity import kmeans_train_local
+
+    t = load(spark, sf_dir)
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    assigned, cents = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
+    spine = spark.range(_IVF_K).select(F.col("id").cast("int").alias("cluster_id"))
+    occ = (
+        spine.join(
+            assigned.select("vec_id", "cluster_id"), "cluster_id", "left"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("vec_id").cast("long").alias("n_vecs"))
+    )
+    tot = occ.agg(
+        F.sum("n_vecs").cast("long").alias("big_n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_vecs",
+        (
+            F.expr(
+                "CAST((2000000 * CAST(n_vecs AS DECIMAL(38,0)) + big_n)"
+                " div (2 * CAST(big_n AS DECIMAL(38,0))) AS BIGINT)"
+            )
+            / 1000000.0
+        ).alias("share"),
+        (
+            F.expr(
+                "CAST((2000000 * CAST(n_vecs AS DECIMAL(38,0)) * n_cells + big_n)"
+                " div (2 * CAST(big_n AS DECIMAL(38,0))) AS BIGINT)"
+            )
+            / 1000000.0
+        ).alias("load_factor"),
+        F.expr(
+            "CAST(n_vecs AS DECIMAL(38,0)) * n_cells"
+            " > 2 * CAST(big_n AS DECIMAL(38,0))"
+        ).alias("is_hot"),
+    )
+
+
+# Portable-LSH banding geometry for the skew audit: 16 md5 minhash
+# functions (the j_minhash_est_error family) banded 4x4.
+_SKEW_R = 4
+_SKEW_B = 4
+
+
+def _lsh_skew_oracle() -> str:
+    """DuckDB twin of j_lsh_bucket_skew: identical portable minhash
+    family and 4x4 banding; the band key is the ':'-joined decimal
+    rendering of the band's minhashes (string-portable — no second
+    hash needed for a GROUP BY key)."""
+    mins = ",\n                  ".join(
+        f"list_min(list_transform(s, x -> CAST('0x' || substr(md5(x || '#{k}'), 1, 8)"
+        f" AS BIGINT))) AS mh{k}"
+        for k in range(_MH_EST_K)
+    )
+    legs = []
+    for b in range(_SKEW_B):
+        key = " || ':' || ".join(
+            f"CAST(mh{b * _SKEW_R + j} AS VARCHAR)" for j in range(_SKEW_R)
+        )
+        legs.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM m")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3),
+    m AS (SELECT doc_id, {mins} FROM sh),
+    bands AS ({' UNION ALL '.join(legs)}),
+    bk AS (SELECT band, key, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bands GROUP BY band, key)
+    SELECT CAST(band AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS singleton_buckets,
+           CAST(SUM((CAST(c AS DECIMAL(38,0)) * (c - 1)) // 2) AS BIGINT)
+               AS candidate_pairs
+    FROM bk GROUP BY band
+    """
+
+
+@query("j_lsh_bucket_skew", oracle=_lsh_skew_oracle())
+def j_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-skew audit: per band of the portable 4x4 minhash
+    banding, the bucket count, the LARGEST bucket, the singleton
+    share, and the candidate-pair mass sum(c·(c−1)/2) — the exact
+    row count the band's bucket self-join will produce. This is the
+    shuffle-skew number for the dedup join at 100 TB: the band key
+    IS the shuffle key, so max_bucket is the biggest reduce task and
+    candidate_pairs is the join's output cardinality, measured
+    before anyone runs the join (j_sim_pairs_banded/j_dedup_near pay
+    it; this prices it — a viral duplicate cluster shows up here as
+    one monster bucket, which is exactly when AQE skew-split or
+    in-bucket salting earns its keep).
+
+    EXACT: bucket sizes are integer counts; pair mass widens to
+    DECIMAL(38,0) BEFORE c·(c−1) (a 1e10-doc bucket squares past
+    BIGINT); the display cast to BIGINT is exact below 9.2e18 pairs.
+    The band key is the ':'-joined DECIMAL RENDERING of the band's
+    minhashes — string-identical across engines, no re-hash.
+
+    Plan: ONE shingle explode → the 16-min signature agg (map-side
+    partials, the minhash_signatures shape) → a 4-way band explode →
+    ONE (band, key) hash agg → a 4-row rollup. No self-join: the
+    audit prices the join without running it."""
+    from ..operators.dedup import portable_hash32, shingle_rows
+
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text").where(
+        F.size(tokens_col("text")) >= 3
+    )
+    rows = shingle_rows(docs, ["doc_id"])
+    mins = rows.groupBy("doc_id").agg(
+        *[
+            F.min(portable_hash32(F.concat(F.col("sh"), F.lit(f"#{k}"))))
+            .cast("long")
+            .alias(f"mh{k}")
+            for k in range(_MH_EST_K)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{b * _SKEW_R + j}").cast("string")
+                    for j in range(_SKEW_R)
+                ],
+            ).alias("key"),
+        )
+        for b in range(_SKEW_B)
+    ]
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select(F.col("x.band").alias("band"), F.col("x.key").alias("key"))
+    bk = bands.groupBy("band", "key").agg(F.count("*").cast("long").alias("c"))
+    return bk.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("singleton_buckets"),
+        F.sum(F.expr("(CAST(c AS DECIMAL(38,0)) * (c - 1)) div 2"))
+        .cast("long")
+        .alias("candidate_pairs"),
+    )
+
+
+# Candidate band plans for the analytic tuner: (rows_per_band, bands)
+# with r*b = 16 portable minhash functions.
+_BAND_PLANS = [(2, 8), (4, 4), (8, 2)]
+_BAND_TAU6 = 500000  # true-dup threshold on the 1e-6 Jaccard grid
+
+
+def _band_plan_oracle() -> str:
+    """DuckDB twin of j_lsh_band_plan: exact blocked pair Jaccard on
+    the 1e-6 grid, then the s-curve p = 1-(1-J^r)^b per plan built
+    from REPEATED SQUARING (x2=x*x, x4=x2*x2, ... — every step one
+    correctly-rounded IEEE multiply on grid-identical doubles, no
+    libm pow anywhere), rounded per pair to a scaled BIGINT and
+    integer-summed."""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3),
+    pairs AS (SELECT CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1.0
+                               / len(list_distinct(a.s || b.s))
+                               * 1000000 + 0.5) AS BIGINT) AS j6
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id),
+    px AS (SELECT j6 >= {_BAND_TAU6} AS is_dup,
+                  CAST(j6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS x
+           FROM pairs),
+    p2 AS (SELECT is_dup, x * x AS x2 FROM px),
+    p3 AS (SELECT is_dup, x2, x2 * x2 AS x4 FROM p2),
+    p4 AS (SELECT is_dup, x2, x4, x4 * x4 AS x8 FROM p3),
+    q0 AS (SELECT is_dup,
+                  CAST(1 AS DOUBLE) - x2 AS qa,
+                  CAST(1 AS DOUBLE) - x4 AS qb,
+                  CAST(1 AS DOUBLE) - x8 AS qc FROM p4),
+    q1 AS (SELECT is_dup, qa * qa AS qa2, qb * qb AS qb2, qc * qc AS qc2
+           FROM q0),
+    q2 AS (SELECT is_dup, qa2 * qa2 AS qa4, qb2 * qb2 AS qb4, qc2 FROM q1),
+    q3 AS (SELECT is_dup, qa4 * qa4 AS qa8, qb4, qc2 FROM q2),
+    p6 AS (SELECT is_dup,
+                  CAST(FLOOR((CAST(1 AS DOUBLE) - qa8) * 1000000 + 0.5)
+                       AS BIGINT) AS pa6,
+                  CAST(FLOOR((CAST(1 AS DOUBLE) - qb4) * 1000000 + 0.5)
+                       AS BIGINT) AS pb6,
+                  CAST(FLOOR((CAST(1 AS DOUBLE) - qc2) * 1000000 + 0.5)
+                       AS BIGINT) AS pc6
+           FROM q3),
+    agg AS (SELECT is_dup, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pa6) AS BIGINT) AS sa,
+                   CAST(SUM(pb6) AS BIGINT) AS sb,
+                   CAST(SUM(pc6) AS BIGINT) AS sc
+            FROM p6 GROUP BY is_dup)
+    SELECT 2 AS rows_per_band, 8 AS bands, is_dup, n AS n_pairs,
+           ((2 * sa + n) // (2 * n)) / 1000000.0 AS mean_detect_p
+    FROM agg
+    UNION ALL
+    SELECT 4, 4, is_dup, n, ((2 * sb + n) // (2 * n)) / 1000000.0 FROM agg
+    UNION ALL
+    SELECT 8, 2, is_dup, n, ((2 * sc + n) // (2 * n)) / 1000000.0 FROM agg
+    """
+
+
+@query("j_lsh_band_plan", oracle=_band_plan_oracle())
+def j_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic LSH band-plan tuner: for each candidate (r, b) split
+    of a 16-function minhash budget — (2,8), (4,4), (8,2) — the mean
+    detection probability p = 1−(1−J^r)^b over the EXACT pair-Jaccard
+    distribution, split into true dups (J ≥ 0.5) and non-dups. The
+    true-dup row is the plan's expected recall; the non-dup row is
+    its false-candidate rate — the two numbers that choose b·r
+    BEFORE building an index (j_minhash_est_error audits the
+    estimator's spread; this turns the measured J distribution into
+    the s-curve economics of every banding you could buy with it).
+
+    Determinism: J sits on the 1e-6 grid; every J^r and (1−J^r)^b is
+    REPEATED SQUARING — a fixed sequence of correctly-rounded IEEE
+    multiplies, no libm pow — so per-pair p is bit-identical across
+    engines; p rounds per pair to a scaled BIGINT and aggregates as
+    exact integers ((2S+n) div 2n half-up at display).
+
+    Plan: the pair source is the deliberate (lang, source)-blocked
+    ground-truth quadratic (the j_dedup_ngram audit contract); the
+    s-curve math is a pure map over pairs; the rollup is a 2-row agg
+    fanned to 6 dashboard rows. At 100 TB you run it on the audit
+    block sample, not the corpus — the qid prices plans, the banded
+    joins execute them."""
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    arrs = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)).alias(
+            "s"
+        ),
+    )
+    a, b = arrs.alias("a"), arrs.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.floor(jac * 1000000 + F.lit(0.5)).cast("long").alias("j6"))
+    px = pairs.select(
+        (F.col("j6") >= _BAND_TAU6).alias("is_dup"),
+        (F.col("j6").cast("double") / F.lit(1000000.0)).alias("x"),
+    )
+    p2 = px.select("is_dup", (F.col("x") * F.col("x")).alias("x2"))
+    p3 = p2.select("is_dup", "x2", (F.col("x2") * F.col("x2")).alias("x4"))
+    p4 = p3.select("is_dup", "x2", "x4", (F.col("x4") * F.col("x4")).alias("x8"))
+    one = F.lit(1.0)
+    q0 = p4.select(
+        "is_dup",
+        (one - F.col("x2")).alias("qa"),
+        (one - F.col("x4")).alias("qb"),
+        (one - F.col("x8")).alias("qc"),
+    )
+    q1 = q0.select(
+        "is_dup",
+        (F.col("qa") * F.col("qa")).alias("qa2"),
+        (F.col("qb") * F.col("qb")).alias("qb2"),
+        (F.col("qc") * F.col("qc")).alias("qc2"),
+    )
+    q2 = q1.select(
+        "is_dup", (F.col("qa2") * F.col("qa2")).alias("qa4"),
+        (F.col("qb2") * F.col("qb2")).alias("qb4"), "qc2",
+    )
+    q3 = q2.select(
+        "is_dup", (F.col("qa4") * F.col("qa4")).alias("qa8"), "qb4", "qc2"
+    )
+    p6 = q3.select(
+        "is_dup",
+        F.floor((one - F.col("qa8")) * 1000000 + F.lit(0.5)).cast("long").alias("pa6"),
+        F.floor((one - F.col("qb4")) * 1000000 + F.lit(0.5)).cast("long").alias("pb6"),
+        F.floor((one - F.col("qc2")) * 1000000 + F.lit(0.5)).cast("long").alias("pc6"),
+    )
+    agg = p6.groupBy("is_dup").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pa6").cast("long").alias("sa"),
+        F.sum("pb6").cast("long").alias("sb"),
+        F.sum("pc6").cast("long").alias("sc"),
+    )
+    # the 2-row aggregate is referenced by all three plan legs and its
+    # subtree contains the blocked quadratic — persist, or the pair
+    # join runs three times (SCALE.md 4r rule)
+    agg = agg.persist()
+    legs = []
+    for (r, bnd), s_col in zip(_BAND_PLANS, ("sa", "sb", "sc")):
+        legs.append(
+            agg.select(
+                F.lit(r).alias("rows_per_band"),
+                F.lit(bnd).alias("bands"),
+                "is_dup",
+                F.col("n").alias("n_pairs"),
+                (
+                    F.expr(f"(2 * {s_col} + n) div (2 * n)") / F.lit(1000000.0)
+                ).alias("mean_detect_p"),
+            )
+        )
+    return legs[0].unionAll(legs[1]).unionAll(legs[2])

@@ -158,6 +158,14 @@ NEXT_QUEUE: list[str] = [
     # j_graph_degree/j_assortativity)
     "j_mannwhitney",
     "j_kcore_peel",
+    # r13 wave 2: ANN/index economics closure — IVF cell-occupancy
+    # balance over the full spine (the storage-skew number), per-band
+    # LSH bucket skew (the shuffle-skew and join-cardinality price,
+    # measured without running the join), and the analytic (r, b)
+    # band-plan tuner over the exact pair-Jaccard distribution
+    "j_ivf_balance",
+    "j_lsh_bucket_skew",
+    "j_lsh_band_plan",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

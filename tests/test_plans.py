@@ -1034,6 +1034,9 @@ _SHUFFLE_BUDGETS = {
     "j_ts_autocorr": 1,         # ONE event_type exchange serves lead + moments
     "j_mannwhitney": 2,         # source filter agg + bounded rank window
     "j_kcore_peel": 12,         # lazy-localCheckpoint-truncated peel rounds
+    "j_ivf_balance": 6,         # literal-centroid map + 16-row occupancy agg
+    "j_lsh_bucket_skew": 3,     # signature agg + (band,key) agg + 4-row rollup
+    "j_lsh_band_plan": 6,       # blocked quadratic + 2-row agg fan-out
 }
 
 
