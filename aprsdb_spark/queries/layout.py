@@ -741,3 +741,108 @@ def j_decile_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "j_shard_skew",
+    oracle="""
+    WITH k AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS h
+               FROM documents),
+    s AS (SELECT CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) % 64 AS shard,
+                 n_tok
+          FROM k),
+    m AS (SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS toks
+          FROM s GROUP BY shard),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+                   CAST(SUM(toks) AS BIGINT) AS total_tokens,
+                   CAST(MIN(toks) AS BIGINT) AS min_tokens,
+                   CAST(MAX(toks) AS BIGINT) AS max_tokens,
+                   SUM(CAST(toks AS HUGEINT) * toks) AS q
+            FROM m)
+    SELECT n_shards, total_tokens, min_tokens, max_tokens,
+           CAST((2 * total_tokens + n_shards) // (2 * n_shards) AS BIGINT)
+               AS mean_tokens,
+           FLOOR(sqrt(CAST(n_shards * q
+                           - CAST(total_tokens AS HUGEINT) * total_tokens
+                           AS DOUBLE))
+                 / CAST(total_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS cov,
+           CAST((2000000 * CAST(max_tokens AS HUGEINT) * n_shards
+                 + total_tokens)
+                // (2 * CAST(total_tokens AS HUGEINT)) AS BIGINT)
+               / 1000000.0 AS straggler_factor
+    FROM agg
+    """,
+)
+def j_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-skew economics of the j_shard_manifest release layout in
+    ONE row: min/max/mean token mass across the 64 shards, the
+    coefficient of variation, and the straggler factor max/mean — the
+    number a data-parallel training run multiplies its wall-clock by,
+    since the epoch ends when the FATTEST shard does. Reads next to
+    j_shard_manifest (which fingerprints the shards) and
+    j_shuffle_shards (which assigns them): manifest says what's in
+    each shard, this says whether the assignment is load-balanced
+    enough to train on.
+
+    EXACT: shard masses are BIGINT sums; the second moment widens to
+    HUGEINT ↔ DECIMAL(38,0) BEFORE squaring; cov applies IEEE sqrt +
+    one division to exact integers (n·Q − S² is the exact variance
+    numerator — the j_assortativity recipe) and rounds 1e-6; mean and
+    straggler_factor are pure integer (2S+n) div 2n half-up (HUGEINT
+    in the oracle — DuckDB's // on DECIMAL is true division).
+
+    Plan: one corpus pass collapsing to 64 (shard, mass) rows
+    map-side, then a 1-row fold — the statistic costs one scan at any
+    corpus scale, and at 100 TB it reads the manifest's stored
+    per-shard masses instead of re-tokenizing."""
+    from ..operators.dedup import portable_bucket
+
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))
+    s = t.documents.select(
+        portable_bucket(key, 64).alias("shard"),
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    m = s.groupBy("shard").agg(F.sum("n_tok").cast("long").alias("toks"))
+    agg = m.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.min("toks").cast("long").alias("min_tokens"),
+        F.max("toks").cast("long").alias("max_tokens"),
+        F.sum(F.col("toks").cast(dec) * F.col("toks")).cast(dec).alias("q"),
+    )
+    return agg.select(
+        "n_shards",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.expr("(2 * total_tokens + n_shards) div (2 * n_shards)")
+        .cast("long")
+        .alias("mean_tokens"),
+        (
+            F.floor(
+                F.sqrt(
+                    (
+                        F.col("n_shards") * F.col("q")
+                        - F.col("total_tokens").cast(dec) * F.col("total_tokens")
+                    ).cast("double")
+                )
+                / F.col("total_tokens").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("cov"),
+        (
+            F.expr(
+                "CAST((2000000 * CAST(max_tokens AS DECIMAL(38,0)) * n_shards"
+                " + total_tokens)"
+                " div (2 * CAST(total_tokens AS DECIMAL(38,0))) AS BIGINT)"
+            )
+            / 1000000.0
+        ).alias("straggler_factor"),
+    )

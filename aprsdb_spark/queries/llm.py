@@ -4912,14 +4912,17 @@ def _ivf_balance_oracle() -> str:
     tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS big_n,
                    CAST(COUNT(*) AS BIGINT) AS n_cells FROM occ)
     SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n_vecs,
-           CAST((2000000 * CAST(n_vecs AS DECIMAL(38,0)) + big_n)
-                // (2 * CAST(big_n AS DECIMAL(38,0))) AS BIGINT)
+           -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL operands is
+           -- TRUE division (the BIGINT-cast then rounds); HUGEINT //
+           -- floors like Spark's div
+           CAST((2000000 * CAST(n_vecs AS HUGEINT) + big_n)
+                // (2 * CAST(big_n AS HUGEINT)) AS BIGINT)
                / 1000000.0 AS share,
-           CAST((2000000 * CAST(n_vecs AS DECIMAL(38,0)) * n_cells + big_n)
-                // (2 * CAST(big_n AS DECIMAL(38,0))) AS BIGINT)
+           CAST((2000000 * CAST(n_vecs AS HUGEINT) * n_cells + big_n)
+                // (2 * CAST(big_n AS HUGEINT)) AS BIGINT)
                / 1000000.0 AS load_factor,
-           CAST(n_vecs AS DECIMAL(38,0)) * n_cells
-               > 2 * CAST(big_n AS DECIMAL(38,0)) AS is_hot
+           CAST(n_vecs AS HUGEINT) * n_cells
+               > 2 * CAST(big_n AS HUGEINT) AS is_hot
     FROM occ CROSS JOIN tot
     """
 
@@ -5024,7 +5027,7 @@ def _lsh_skew_oracle() -> str:
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
            CAST(MAX(c) AS BIGINT) AS max_bucket,
            CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS singleton_buckets,
-           CAST(SUM((CAST(c AS DECIMAL(38,0)) * (c - 1)) // 2) AS BIGINT)
+           CAST(SUM((CAST(c AS HUGEINT) * (c - 1)) // 2) AS BIGINT)
                AS candidate_pairs
     FROM bk GROUP BY band
     """
@@ -5261,3 +5264,111 @@ def j_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return legs[0].unionAll(legs[1]).unionAll(legs[2])
+
+
+@query(
+    "j_pr_auc",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT CAST(FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                            * 1000000 + 0.5) AS BIGINT) AS s6,
+                 CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS y
+          FROM embeddings e, q WHERE e.vec_id <> 0),
+    g AS (SELECT s6, CAST(SUM(y) AS BIGINT) AS np,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+          FROM s GROUP BY s6),
+    c AS (SELECT s6, np, nn,
+                 CAST(SUM(np) OVER (ORDER BY s6 DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS tp,
+                 CAST(SUM(np + nn) OVER (ORDER BY s6 DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM g),
+    terms AS (SELECT np, nn, tp, cum,
+                     -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL
+                     -- operands ROUNDS (decimal division semantics)
+                     -- where HUGEINT // floors like Spark's div
+                     CAST((2000000 * CAST(np AS HUGEINT) * tp + cum)
+                          // (2 * CAST(cum AS HUGEINT)) AS BIGINT) AS t6
+              FROM c),
+    f AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                 CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+                 CAST(SUM(t6) AS BIGINT) AS ap6s
+          FROM terms)
+    SELECT n_pos, n_neg, n_thresholds,
+           ((2 * ap6s + n_pos) // (2 * n_pos)) / 1000000.0 AS avg_precision
+    FROM f
+    """,
+)
+def j_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall AUC (average precision, the sklearn
+    step-interpolation definition) of retrieval by similarity to
+    query vector 0: AP = (1/P)·Σ_thresholds np_t · TP_t/(TP_t+FP_t)
+    over DISTINCT score thresholds — the class-imbalance-honest
+    companion to j_auc_rank's ROC-AUC (ROC flatters a 1:15 positive
+    rate; the PR curve collapses when precision does, which is what a
+    retrieval gate actually experiences).
+
+    EXACT: scores pre-round to the 1e-6 grid, per-threshold positive
+    and negative counts aggregate per DISTINCT score; each threshold's
+    precision term rounds half-up to a scaled BIGINT via the
+    (2S+n) div 2n idiom with DECIMAL(38,0) WIDENED operands, the term
+    sum is exact integers, and AP is one final integer division —
+    no float accumulates anywhere (same discipline as j_auc_rank's
+    rank identity; the two qids share the grouped-score relation
+    shape).
+
+    Plan: one scored corpus scan collapsing to ≤ |distinct scores|
+    rows map-side (the j_auc_rank no-global-rank-window rule); the
+    cumulative window rides the grid-bounded score relation; the fold
+    is one row. At 100 TB only the scored scan touches data."""
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding", "label").head()
+    from ..operators.similarity import _lit_vector
+
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    s6 = F.floor(dot_expr(as_double("embedding"), qlit) * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    s = t.embeddings.where(F.col("vec_id") != 0).select(
+        s6.alias("s6"),
+        (F.col("label") == F.lit(int(qrow.label))).cast("long").alias("y"),
+    )
+    g = s.groupBy("s6").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy(F.col("s6").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "np",
+        "nn",
+        F.sum("np").over(w).cast("long").alias("tp"),
+        F.sum(F.col("np") + F.col("nn")).over(w).cast("long").alias("cum"),
+    )
+    terms = c.select(
+        "np",
+        "nn",
+        F.expr(
+            "CAST((2000000 * CAST(np AS DECIMAL(38,0)) * tp + cum)"
+            " div (2 * CAST(cum AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("t6"),
+    )
+    f = terms.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_thresholds"),
+        F.sum("t6").cast("long").alias("ap6s"),
+    )
+    return f.select(
+        "n_pos",
+        "n_neg",
+        "n_thresholds",
+        (F.expr("(2 * ap6s + n_pos) div (2 * n_pos)") / F.lit(1000000.0)).alias(
+            "avg_precision"
+        ),
+    )

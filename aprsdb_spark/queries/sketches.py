@@ -388,3 +388,161 @@ def j_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_hll_merge.__doc__ = j_hll_merge.__doc__.replace("{m}", str(_HLL_M))
+
+
+# Sketch-sizing curve: candidate widths at the shared depth. The token
+# vocabulary is Heaps-small, so the narrow widths FORCE collisions —
+# the curve's whole point is to show the error knee.
+_CMSW_WIDTHS = [8, 32, 256]
+
+
+def _cmsw_bucket_sql(d: int, w: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({d} || ':' || tok), 1, 4)) AS BIGINT)"
+        f" % {w}"
+    )
+
+
+def _cmsw_oracle() -> str:
+    """DuckDB twin of j_cms_width_curve: per candidate width, the same
+    depth-{d} md5 row hashes mod that width, and the point-query
+    overcount rollup (mean on the exact (2e6·S+n) div 2n grid)."""
+    legs = []
+    for w in _CMSW_WIDTHS:
+        cases = " ".join(
+            f"WHEN {d} THEN {_cmsw_bucket_sql(d, w)}" for d in range(1, _CMS_D + 1)
+        )
+        pcases = " ".join(
+            f"WHEN {d} THEN {_cmsw_bucket_sql(d, w).replace('tok', 'truth.tok')}"
+            for d in range(1, _CMS_D + 1)
+        )
+        legs.append(f"""
+    SELECT {w} AS width, n_tokens, mean_overcount, max_overcount, n_exact
+    FROM (
+      WITH cells_{w} AS (SELECT d.d, CASE d.d {cases} END AS bucket
+                 FROM tok CROSS JOIN dd d),
+      cms_{w} AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+              FROM cells_{w} GROUP BY d, bucket),
+      probes_{w} AS (SELECT truth.tok, truth.true_count, d.d,
+                    CASE d.d {pcases} END AS bucket
+                 FROM truth CROSS JOIN dd d),
+      est_{w} AS (SELECT probes_{w}.tok, probes_{w}.true_count,
+                    MIN(cms_{w}.c) AS cms_est
+              FROM probes_{w} JOIN cms_{w}
+                ON cms_{w}.d = probes_{w}.d AND cms_{w}.bucket = probes_{w}.bucket
+              GROUP BY probes_{w}.tok, probes_{w}.true_count)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST((2000000 * CAST(SUM(cms_est - true_count) AS HUGEINT)
+                   + COUNT(*))
+                  // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT)
+                 / 1000000.0 AS mean_overcount,
+             CAST(MAX(cms_est - true_count) AS BIGINT) AS max_overcount,
+             CAST(COUNT(*) FILTER (cms_est = true_count) AS BIGINT) AS n_exact
+      FROM est_{w})""")
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    dd AS (SELECT * FROM (VALUES {', '.join(f'({d})' for d in range(1, _CMS_D + 1))}) v(d)),
+    truth AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+              FROM tok GROUP BY tok)
+    {' UNION ALL '.join(legs)}
+    """
+
+
+def _cmsw_bucket_col(d: int, w: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("tok"))), 1, 4), 16, 10
+        ).cast("long")
+        % w
+    )
+
+
+@query("j_cms_width_curve", oracle=_cmsw_oracle())
+def j_cms_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min SIZING curve: the j_cms_sketch estimator re-run at
+    candidate widths {widths} (shared depth {d}, same md5 row-hash
+    family), each width summarized by its mean/max point-query
+    overcount and the fraction of exactly-answered tokens — the
+    bytes-vs-error table you read BEFORE provisioning the sketch
+    (j_cms_sketch proves the estimator at one geometry; this prices
+    the geometry choice, the j_lsh_band_plan of the counting world).
+    The narrow widths are chosen to FORCE collisions on the fixture
+    vocabulary so the error knee is visible in the output.
+
+    EXACT: counters and overcounts are integers end to end; the mean
+    rounds half-up via (2e6·S+n) div 2n in HUGEINT (DuckDB's // on
+    DECIMAL is true division — the r13 parity gotcha) and exact
+    integer sums — no float anywhere.
+
+    Plan: ONE persisted token explode feeds every width's cells AND
+    the shared truth relation; each width costs a {d}x|width| hash
+    agg (the sketch — constant size regardless of corpus) plus a
+    vocab-sized probe join against the BROADCAST sketch. The union
+    is |widths| rows. At 100 TB the explode is the only corpus pass,
+    amortized across the whole curve."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select(F.explode(tokens_col("text")).alias("tok"))
+    tok.persist()  # consumers: |widths| sketch builds + shared truth
+    truth = tok.groupBy("tok").agg(F.count("*").cast("long").alias("true_count"))
+    truth.persist()  # probed once per width
+    out = None
+    for w in _CMSW_WIDTHS:
+        cells = tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), _cmsw_bucket_col(d, w).alias("bucket")
+                        )
+                        for d in range(1, _CMS_D + 1)
+                    ]
+                )
+            ).alias("cell")
+        ).select("cell.d", "cell.bucket")
+        cms = cells.groupBy("d", "bucket").agg(F.count("*").cast("long").alias("c"))
+        probes = truth.select(
+            "tok",
+            "true_count",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), _cmsw_bucket_col(d, w).alias("bucket")
+                        )
+                        for d in range(1, _CMS_D + 1)
+                    ]
+                )
+            ).alias("cell"),
+        ).select("tok", "true_count", "cell.d", "cell.bucket")
+        est = (
+            probes.join(F.broadcast(cms), ["d", "bucket"])
+            .groupBy("tok", "true_count")
+            .agg(F.min("c").alias("cms_est"))
+        )
+        row = est.agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST((2000000 * CAST(SUM(cms_est - true_count) AS DECIMAL(38,0))"
+                " + COUNT(*))"
+                " div (2 * CAST(COUNT(*) AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("m6"),
+            F.max(F.col("cms_est") - F.col("true_count"))
+            .cast("long")
+            .alias("max_overcount"),
+            F.count(F.when(F.col("cms_est") == F.col("true_count"), 1))
+            .cast("long")
+            .alias("n_exact"),
+        ).select(
+            F.lit(w).alias("width"),
+            "n_tokens",
+            (F.col("m6") / 1000000.0).alias("mean_overcount"),
+            "max_overcount",
+            "n_exact",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+j_cms_width_curve.__doc__ = j_cms_width_curve.__doc__.replace(
+    "{widths}", str(_CMSW_WIDTHS)
+).replace("{d}", str(_CMS_D))

@@ -166,6 +166,13 @@ NEXT_QUEUE: list[str] = [
     "j_ivf_balance",
     "j_lsh_bucket_skew",
     "j_lsh_band_plan",
+    # r13 wave 3: evaluation/layout economics — average precision over
+    # exact threshold groups (the class-imbalance-honest ROC twin),
+    # the one-row shard straggler audit of the release layout, and the
+    # count-min width-vs-error sizing curve
+    "j_pr_auc",
+    "j_shard_skew",
+    "j_cms_width_curve",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

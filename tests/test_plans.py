@@ -1037,6 +1037,9 @@ _SHUFFLE_BUDGETS = {
     "j_ivf_balance": 6,         # literal-centroid map + 16-row occupancy agg
     "j_lsh_bucket_skew": 3,     # signature agg + (band,key) agg + 4-row rollup
     "j_lsh_band_plan": 6,       # blocked quadratic + 2-row agg fan-out
+    "j_pr_auc": 2,              # scored scan agg + grid-bounded window
+    "j_shard_skew": 2,          # 64-row shard agg + 1-row fold
+    "j_cms_width_curve": 15,    # reprint-inflated (persisted tok + truth x3 widths)
 }
 
 
