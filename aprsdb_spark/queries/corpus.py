@@ -921,3 +921,203 @@ def j_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Bloom sizing curve: candidate filter sizes in BITS (all powers of two
+# so position = hash mod m is cheap), k = 3 positions per key — the
+# j_bloom_decontam geometry at three budgets.
+_BFPR_MS = [4096, 16384, 131072]
+_BFPR_K = 3
+
+
+def _bfpr_pos_sql(j: int, m: int, col: str = "s") -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({j} || '|' || {col}), 1, 8)) AS BIGINT)"
+        f" % {m}"
+    )
+
+
+def _bfpr_oracle() -> str:
+    """DuckDB twin of j_bloom_fpr_curve: per filter size m, the same
+    3x md5 bit positions, the bit_or word bitmap, and the all-k-bits
+    probe over ground-truth NEGATIVES (corpus grams provably not in
+    the benchmark set) — measured FPR next to the load-based
+    (bits_set/m)^3 prediction, cubed by repeated multiply."""
+    legs = []
+    for m in _BFPR_MS:
+        pos_b = " UNION ALL ".join(
+            f"SELECT {_bfpr_pos_sql(j, m)} AS pos FROM bench" for j in range(1, _BFPR_K + 1)
+        )
+        pos_p = ", ".join(
+            f"{_bfpr_pos_sql(j, m)} AS pos{j}" for j in range(1, _BFPR_K + 1)
+        )
+        hit_all = " AND ".join(
+            f"COALESCE((w{j}.word >> CAST(pr.pos{j} % 32 AS INT)) & 1, 0) = 1"
+            for j in range(1, _BFPR_K + 1)
+        )
+        wjoins = " ".join(
+            f"LEFT JOIN words_{m} w{j} ON w{j}.widx = pr.pos{j} // 32"
+            for j in range(1, _BFPR_K + 1)
+        )
+        legs.append(f"""
+    SELECT {m} AS m_bits, n_keys, bits_set, n_probes, n_false_pos,
+           ((2000000 * CAST(n_false_pos AS HUGEINT) + n_probes)
+            // (2 * CAST(n_probes AS HUGEINT))) / 1000000.0 AS fpr,
+           FLOOR(((CAST(bits_set AS DOUBLE) / CAST({m} AS DOUBLE))
+                  * (CAST(bits_set AS DOUBLE) / CAST({m} AS DOUBLE)))
+                 * (CAST(bits_set AS DOUBLE) / CAST({m} AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS predicted_fpr
+    FROM (
+      WITH pos_{m} AS (SELECT DISTINCT pos FROM ({pos_b})),
+      words_{m} AS (SELECT pos // 32 AS widx,
+                       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+                FROM pos_{m} GROUP BY pos // 32),
+      probes_{m} AS (SELECT s, {pos_p} FROM neg),
+      fp_{m} AS (SELECT COUNT(*) AS n_fp FROM probes_{m} pr {wjoins}
+             WHERE {hit_all})
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bench) AS n_keys,
+             (SELECT CAST(SUM(bit_count(word)) AS BIGINT) FROM words_{m})
+                 AS bits_set,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM neg) AS n_probes,
+             (SELECT CAST(n_fp AS BIGINT) FROM fp_{m}) AS n_false_pos)""")
+    return f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(toks) - {_BLOOM_W - 1}, 0) + 1),
+                     i -> array_to_string(toks[i:i+{_BLOOM_W - 1}], ' '))) AS gs
+          FROM t),
+    bench AS (SELECT DISTINCT unnest(gs) AS s FROM g WHERE source = 'src0'),
+    corpus AS (SELECT DISTINCT unnest(gs) AS s FROM g WHERE source <> 'src0'),
+    neg AS (SELECT s FROM corpus WHERE s NOT IN (SELECT s FROM bench))
+    {' UNION ALL '.join(legs)}
+    """
+
+
+@query("j_bloom_fpr_curve", oracle=_bfpr_oracle())
+def j_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SIZING curve: the j_bloom_decontam bitmap built at
+    m = {ms} bits (k = {k} md5 positions per key), probed with
+    ground-truth NEGATIVES — corpus 8-token windows provably absent
+    from the benchmark set — so each row is a MEASURED false-positive
+    rate next to the load-based prediction (bits_set/m)^{k}. The
+    bits-vs-FPR table you read before sizing a decontamination
+    prefilter (FPs cost verify-join work downstream), completing the
+    sketch-sizing family: j_cms_width_curve (counts),
+    j_hll_precision_curve (distincts), this (membership).
+
+    Determinism: bit positions are portable md5 mod m; the bitmap is
+    integer bit_or words; bits_set is an exact popcount sum; measured
+    FPR rounds via (2S+n) div 2n in HUGEINT; the prediction is two
+    IEEE divides and two multiplies on exact integers (repeated
+    multiply, no libm pow), floored 1e-6.
+
+    Plan: ONE gram explode feeds the persisted bench/negative key
+    relations; per m the bitmap is a ≤ m/64-row bit_or agg that
+    BROADCASTS into the probe join (the j_bloom_decontam shape —
+    16 KB at any benchmark size); the probe is |negatives| rows x k
+    broadcast lookups. Output is |sizes| rows."""
+    t = load(spark, sf_dir)
+    g = t.documents.select(
+        "doc_id", "source", ngrams_col("text", _BLOOM_W).alias("gs")
+    )
+    bench = (
+        g.where(F.col("source") == "src0")
+        .select(F.explode("gs").alias("s"))
+        .distinct()
+    )
+    corpus = (
+        g.where(F.col("source") != "src0")
+        .select(F.explode("gs").alias("s"))
+        .distinct()
+    )
+    neg = corpus.join(bench, "s", "left_anti")
+    bench.persist()  # consumers: |sizes| bitmap builds + n_keys
+    neg.persist()  # consumers: |sizes| probe joins + n_probes
+    out = None
+    for m in _BFPR_MS:
+        def pos(j, col="s"):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}|"), F.col(col))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+
+        bpos = None
+        for j in range(1, _BFPR_K + 1):
+            leg = bench.select(pos(j).alias("pos"))
+            bpos = leg if bpos is None else bpos.unionAll(leg)
+        bpos = bpos.distinct()
+        words = bpos.groupBy(F.expr("pos div 32").alias("widx")).agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+            .alias("word")
+        )
+        probes = neg.select(
+            "s", *[pos(j).alias(f"pos{j}") for j in range(1, _BFPR_K + 1)]
+        )
+        pr = probes
+        conds = []
+        for j in range(1, _BFPR_K + 1):
+            wj = words.select(
+                F.col("widx").alias(f"widx{j}"), F.col("word").alias(f"word{j}")
+            )
+            pr = pr.join(
+                F.broadcast(wj),
+                F.expr(f"pos{j} div 32") == F.col(f"widx{j}"),
+                "left",
+            )
+            conds.append(
+                F.coalesce(
+                    F.expr(
+                        f"(word{j} >> CAST(pos{j} % 32 AS INT)) & 1"
+                    ),
+                    F.lit(0),
+                )
+                == 1
+            )
+        allhit = conds[0]
+        for c in conds[1:]:
+            allhit = allhit & c
+        fp = pr.where(allhit).agg(F.count("*").cast("long").alias("n_fp"))
+        nk = bench.agg(F.count("*").cast("long").alias("n_keys"))
+        bs = words.agg(
+            F.sum(F.bit_count("word")).cast("long").alias("bits_set")
+        )
+        npr = neg.agg(F.count("*").cast("long").alias("n_probes"))
+        load_frac = F.col("bits_set").cast("double") / F.lit(float(m))
+        row = (
+            nk.crossJoin(bs)
+            .crossJoin(npr)
+            .crossJoin(fp)
+            .select(
+                F.lit(m).alias("m_bits"),
+                "n_keys",
+                "bits_set",
+                "n_probes",
+                F.col("n_fp").alias("n_false_pos"),
+                (
+                    F.expr(
+                        "(2000000 * CAST(n_fp AS DECIMAL(38,0)) + n_probes)"
+                        " div (2 * CAST(n_probes AS DECIMAL(38,0)))"
+                    )
+                    / 1000000.0
+                ).alias("fpr"),
+                (
+                    F.floor((load_frac * load_frac) * load_frac * 1000000 + F.lit(0.5))
+                    / 1000000
+                ).alias("predicted_fpr"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+j_bloom_fpr_curve.__doc__ = j_bloom_fpr_curve.__doc__.replace(
+    "{ms}", str(_BFPR_MS)
+).replace("{k}", str(_BFPR_K))

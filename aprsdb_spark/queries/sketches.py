@@ -56,6 +56,71 @@ def _cms_bucket_col(d: int):
     )
 
 
+
+
+def cms_cells(tok: DataFrame) -> DataFrame:
+    """(d, bucket, c) — the depth-{d} x width-{w} counter matrix over a
+    token frame. Counters are plain sums, so partials from any split of
+    the stream MERGE BY ADDITION — the property the streaming
+    cms_monitor_sink's state store is built on (one definition here
+    serves the batch qid AND the monitor, the drift_from_counts
+    sharing rule)."""
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket_col(d).alias("bucket")
+                    )
+                    for d in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.d", "cell.bucket")
+    return cells.groupBy("d", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
+def cms_truth(tok: DataFrame) -> DataFrame:
+    """(tok, true_count) — exact token counts; additive across stream
+    splits for the same reason as cms_cells."""
+    return tok.groupBy("tok").agg(F.count("*").cast("long").alias("true_count"))
+
+
+def cms_relation(cms: DataFrame, truth: DataFrame) -> DataFrame:
+    """The j_cms_sketch output relation from a counter matrix and a
+    truth relation — shared verbatim by the batch qid and
+    streaming/ingest.cms_current_view, so streamed ≡ batch is an
+    identity over equal (matrix, truth) states."""
+    probes = truth.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket_col(d).alias("bucket")
+                    )
+                    for d in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "true_count", "cell.d", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).alias("overcount"),
+        (F.col("cms_est") >= F.col("true_count")).alias("never_undercounts"),
+    )
+
+
 @query(
     "j_cms_sketch",
     oracle=f"""
@@ -103,46 +168,9 @@ def j_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     tok = t.documents.select(F.explode(tokens_col("text")).alias("tok"))
     tok.persist()  # consumers: sketch build + truth
-    cells = tok.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"), _cms_bucket_col(d).alias("bucket")
-                    )
-                    for d in range(1, _CMS_D + 1)
-                ]
-            )
-        ).alias("cell")
-    ).select("cell.d", "cell.bucket")
-    cms = cells.groupBy("d", "bucket").agg(F.count("*").cast("long").alias("c"))
-    truth = tok.groupBy("tok").agg(F.count("*").cast("long").alias("true_count"))
-    probes = truth.select(
-        "tok",
-        "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"), _cms_bucket_col(d).alias("bucket")
-                    )
-                    for d in range(1, _CMS_D + 1)
-                ]
-            )
-        ).alias("cell"),
-    ).select("tok", "true_count", "cell.d", "cell.bucket")
-    est = (
-        probes.join(F.broadcast(cms), ["d", "bucket"])
-        .groupBy("tok", "true_count")
-        .agg(F.min("c").alias("cms_est"))
-    )
-    return est.select(
-        "tok",
-        "true_count",
-        "cms_est",
-        (F.col("cms_est") - F.col("true_count")).alias("overcount"),
-        (F.col("cms_est") >= F.col("true_count")).alias("never_undercounts"),
-    )
+    cms = cms_cells(tok)
+    truth = cms_truth(tok)
+    return cms_relation(cms, truth)
 
 
 j_cms_sketch.__doc__ = j_cms_sketch.__doc__.replace("{d}", str(_CMS_D)).replace(
@@ -202,10 +230,21 @@ def j_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     a {m}-row merge — max() is the HLL merge, which is why the sketch
     distributes), a {m}-row register agg, and 1-row finals."""
     t = load(spark, sf_dir)
+    regs = hll_registers(t.events)
+    truth = t.events.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    return hll_relation(regs, truth)
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """(reg, r) — the m=256-register HLL state over an event frame's
+    user_id stream. Registers MERGE BY MAX (max of maxes; duplicate
+    hashes cannot raise a max), so per-batch partials from any split
+    of the stream fold into the same state — the property the
+    streaming hll_monitor_sink's store is built on."""
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    x = t.events.select(h.alias("h")).distinct()
+    x = events.select(h.alias("h")).distinct()
     rr = x.select(
         F.expr("h div 16777216").alias("reg"),
         (F.col("h") % 16777216).alias("rest"),
@@ -216,7 +255,13 @@ def j_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(25 - F.length(F.bin("rest")))
         .alias("rho"),
     )
-    regs = rho.groupBy("reg").agg(F.max("rho").alias("r"))
+    return rho.groupBy("reg").agg(F.max("rho").alias("r"))
+
+
+def hll_relation(regs: DataFrame, truth: DataFrame) -> DataFrame:
+    """The j_hll_portable output relation from a register state and a
+    1-row exact-distinct truth — shared verbatim by the batch qid and
+    streaming/ingest.hll_current_view."""
     s = regs.agg(
         F.count("*").cast("long").alias("hit"),
         # CAST to DOUBLE first: a bare 1.0 literal parses as DECIMAL and
@@ -241,7 +286,6 @@ def j_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rnd(F.col("raw_est"), 4))
         .alias("est"),
     )
-    truth = t.events.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
     return fin.crossJoin(F.broadcast(truth)).select(
         "n_true",
         F.col("hit").alias("n_registers_hit"),
@@ -546,3 +590,142 @@ def j_cms_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_cms_width_curve.__doc__ = j_cms_width_curve.__doc__.replace(
     "{widths}", str(_CMSW_WIDTHS)
 ).replace("{d}", str(_CMS_D))
+
+
+# HLL sizing curve: candidate precisions. alpha_m per the HLL paper's
+# small-m table (0.673 / 0.709) and the general formula at m >= 128;
+# the SAME python-repr decimal literal is emitted into both engines.
+_HLLP_PS = [4, 6, 8]
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hllp_oracle() -> str:
+    """DuckDB twin of j_hll_precision_curve: per precision p, the same
+    md5 32-bit hash split into top-p register index and (32-p)-bit
+    rank field, the dyadic harmonic sum, and the paper's small-range
+    branch — the j_hll_portable arithmetic at three geometries."""
+    legs = []
+    for p in _HLLP_PS:
+        m = 1 << p
+        rest_bits = 32 - p
+        rest_mod = 1 << rest_bits
+        alpha = _hll_alpha(m)
+        legs.append(f"""
+    SELECT {p} AS p, {m} AS m, n_true, hit AS n_registers_hit,
+           CASE WHEN raw_est <= 2.5 * {m} AND hit < {m}
+                THEN FLOOR({m} * ln({m} * 1.0 / ({m} - hit)) * 10000 + 0.5)
+                     / 10000
+                ELSE FLOOR(raw_est * 10000 + 0.5) / 10000 END AS est
+    FROM (
+      SELECT n_true, hit,
+             (CAST({alpha!r} AS DOUBLE) * {m} * {m}) / (harm + ({m} - hit))
+                 AS raw_est
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS hit,
+               SUM(CAST(1 AS DOUBLE) / (1 << r)) AS harm
+        FROM (
+          SELECT reg, MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                               ELSE {rest_bits + 1} - length(bin(rest)) END)
+                     AS r
+          FROM (SELECT h // {rest_mod} AS reg, h % {rest_mod} AS rest FROM x)
+          GROUP BY reg)) CROSS JOIN truth)""")
+    return f"""
+    WITH x AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events),
+    truth AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+              FROM events)
+    {' UNION ALL '.join(legs)}
+    """
+
+
+@query("j_hll_precision_curve", oracle=_hllp_oracle())
+def j_hll_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog SIZING curve: the j_hll_portable estimator at
+    precisions p = {ps} (m = 16/64/256 registers) over the SAME
+    md5-hashed user stream — estimate and register occupancy per
+    geometry, next to the exact distinct count. The bytes-vs-error
+    table for distinct-count sketches, completing the sizing trilogy
+    with j_cms_width_curve (counting) and j_lsh_band_plan (pair
+    detection): the paper's 1.04/sqrt(m) error bound becomes three
+    measured rows.
+
+    Float discipline (the j_hll_portable argument per geometry): the
+    harmonic sum adds dyadic rationals 2^-rho — exact in IEEE doubles
+    at any accumulation order — and each alpha_m enters BOTH engines
+    as the same repr() decimal literal; only the ln-based output
+    rounds (1e-4).
+
+    Plan: ONE persisted distinct-hash relation (|users| rows) feeds
+    all three geometries — reg/rest splits are integer div/mod on the
+    same 32-bit hash, so the curve costs one corpus DISTINCT plus
+    three m-row register aggs. Output is |precisions| rows."""
+    t = load(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    x = t.events.select(h.alias("h")).distinct()
+    x.persist()  # consumers: the three register aggs
+    truth = t.events.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    truth.persist()
+    out = None
+    for p in _HLLP_PS:
+        m = 1 << p
+        rest_bits = 32 - p
+        rest_mod = 1 << rest_bits
+        alpha = _hll_alpha(m)
+        rr = x.select(
+            F.expr(f"h div {rest_mod}").alias("reg"),
+            (F.col("h") % rest_mod).alias("rest"),
+        )
+        rho = rr.select(
+            "reg",
+            F.when(F.col("rest") == 0, rest_bits + 1)
+            .otherwise((rest_bits + 1) - F.length(F.bin("rest")))
+            .alias("rho"),
+        )
+        regs = rho.groupBy("reg").agg(F.max("rho").alias("r"))
+        s = regs.agg(
+            F.count("*").cast("long").alias("hit"),
+            F.sum(F.expr("CAST(1.0 AS DOUBLE) / shiftleft(1, r)")).alias("harm"),
+        )
+        raw = s.select(
+            "hit",
+            (F.lit(alpha * m * m) / (F.col("harm") + (m - F.col("hit")))).alias(
+                "raw_est"
+            ),
+        )
+        fin = raw.select(
+            "hit",
+            F.when(
+                (F.col("raw_est") <= 2.5 * m) & (F.col("hit") < m),
+                rnd(F.lit(m) * F.log(m * 1.0 / (m - F.col("hit"))), 4),
+            )
+            .otherwise(rnd(F.col("raw_est"), 4))
+            .alias("est"),
+        )
+        row = fin.crossJoin(F.broadcast(truth)).select(
+            F.lit(p).alias("p"),
+            F.lit(m).alias("m"),
+            "n_true",
+            F.col("hit").alias("n_registers_hit"),
+            "est",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+j_hll_precision_curve.__doc__ = j_hll_precision_curve.__doc__.replace(
+    "{ps}", str(_HLLP_PS)
+)

@@ -173,6 +173,12 @@ NEXT_QUEUE: list[str] = [
     "j_pr_auc",
     "j_shard_skew",
     "j_cms_width_curve",
+    # r13 wave 4: sketch-sizing closure — the HLL precision curve and
+    # the Bloom bits-vs-FPR curve (measured against ground-truth
+    # negatives, next to the load-based prediction), completing the
+    # sizing family with j_cms_width_curve and j_lsh_band_plan
+    "j_hll_precision_curve",
+    "j_bloom_fpr_curve",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -929,3 +929,149 @@ def card_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
     )
     c = spark.read.parquet(state_dir + "_token").select("source", "token", "n")
     return data_card_from_parts(a, b, c)
+
+
+def cms_monitor_sink(
+    batch: DataFrame, batch_id: int, state_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch COUNT-MIN maintenance — the streaming twin of
+    queries/sketches.j_cms_sketch: each micro-batch of documents
+    collapses to its depth-4 x width-256 counter partials and exact
+    token-count partials through the SHARED cms_cells/cms_truth
+    builders, and both stores merge BY ADDITION (the CMS merge law —
+    counters of any stream split sum to the whole stream's counters).
+    cms_current_view() serves the accumulated state through the SAME
+    cms_relation rollup as the batch qid, so the live heavy-hitter
+    panel and the nightly audit are one definition.
+
+    Each of the two stores carries its OWN replay guard (embedded
+    marker + sidecar, per-store dir, the card_monitor_sink recovery
+    design): a crash between store swaps followed by at-least-once
+    re-delivery re-applies ONLY the store that missed the batch —
+    counts double otherwise.
+
+    Scale shape: the cells store is a CONSTANT 4x256 rows at any
+    corpus scale (the point of CMS); the truth store is vocab-sized
+    (Heaps-law-small) and exists so the view can audit the sketch
+    against exact counts — a pure-production deployment would keep
+    only the cells store. Input schema: (text)."""
+    from ..operators.dedup import tokens_col
+    from ..queries.sketches import cms_cells, cms_truth
+
+    spark = batch.sparkSession
+    tok = batch.select(F.explode(tokens_col("text")).alias("tok"))
+    tok.persist()  # consumers: cells partial + truth partial
+    parts = [cms_cells(tok), cms_truth(tok)]
+    dirs = [state_dir + "_cells", state_dir + "_truth"]
+    keys = [["d", "bucket"], ["tok"]]
+    sums = [["c"], ["true_count"]]
+    for part, d, key, cols in zip(parts, dirs, keys, sums):
+        _recover_incomplete_swap(spark, d)
+        if run_key is not None and batch_id <= _last_applied_batch(d, run_key):
+            continue
+        existing = _read_state_or_none(spark, d)
+        merged = (
+            existing.unionByName(part)
+            .groupBy(*key)
+            .agg(*[F.sum(cn).cast("long").alias(cn) for cn in cols])
+            if existing is not None
+            else part
+        )
+        _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+            d + "_next"
+        )
+        spark.read.parquet(d + "_next").write.mode("overwrite").parquet(d)
+        if run_key is not None:
+            _record_applied_batch(d, run_key, batch_id)
+    tok.unpersist()
+
+
+def cms_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated CMS state as the j_cms_sketch relation
+    (tok, true_count, cms_est, overcount, never_undercounts) — one
+    shared rollup (queries/sketches.cms_relation)."""
+    from ..queries.sketches import cms_relation
+
+    cms = spark.read.parquet(state_dir + "_cells").select("d", "bucket", "c")
+    truth = spark.read.parquet(state_dir + "_truth").select("tok", "true_count")
+    return cms_relation(cms, truth)
+
+
+def hll_monitor_sink(
+    batch: DataFrame, batch_id: int, state_dir: str, run_key: str | None = None
+) -> None:
+    """foreachBatch HYPERLOGLOG maintenance — the streaming twin of
+    queries/sketches.j_hll_portable: each micro-batch of events
+    collapses to its 256-register partials through the SHARED
+    hll_registers builder, and the register store merges BY MAX (the
+    HLL merge law — max of maxes; a re-seen user cannot raise a
+    register). hll_current_view() serves the state through the SAME
+    hll_relation rollup as the batch qid.
+
+    The register MAX-merge is IDEMPOTENT, so a replayed batch could
+    never corrupt the registers — the per-store replay guard here
+    skips redundant work and keeps the store-swap discipline uniform
+    with the additive monitors (an operator debugging recovery should
+    find ONE design, not one per merge law). The distinct-user truth
+    store (merged by DISTINCT union — also idempotent) exists so the
+    view can audit the estimate against the exact count; a
+    pure-production deployment keeps only the 256-row register store.
+    Input schema: (user_id)."""
+    from ..queries.sketches import hll_registers
+
+    spark = batch.sparkSession
+    regs_dir, users_dir = state_dir + "_regs", state_dir + "_users"
+
+    _recover_incomplete_swap(spark, regs_dir)
+    if not (
+        run_key is not None and batch_id <= _last_applied_batch(regs_dir, run_key)
+    ):
+        part = hll_registers(batch)
+        existing = _read_state_or_none(spark, regs_dir)
+        merged = (
+            existing.unionByName(part)
+            .groupBy("reg")
+            .agg(F.max("r").alias("r"))
+            if existing is not None
+            else part
+        )
+        _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+            regs_dir + "_next"
+        )
+        spark.read.parquet(regs_dir + "_next").write.mode("overwrite").parquet(
+            regs_dir
+        )
+        if run_key is not None:
+            _record_applied_batch(regs_dir, run_key, batch_id)
+
+    _recover_incomplete_swap(spark, users_dir)
+    if not (
+        run_key is not None and batch_id <= _last_applied_batch(users_dir, run_key)
+    ):
+        part = batch.select("user_id").distinct()
+        existing = _read_state_or_none(spark, users_dir)
+        merged = (
+            existing.unionByName(part).distinct() if existing is not None else part
+        )
+        _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+            users_dir + "_next"
+        )
+        spark.read.parquet(users_dir + "_next").write.mode("overwrite").parquet(
+            users_dir
+        )
+        if run_key is not None:
+            _record_applied_batch(users_dir, run_key, batch_id)
+
+
+def hll_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated HLL state as the j_hll_portable relation
+    (n_true, n_registers_hit, est, rel_err, within_bounds) — one
+    shared rollup (queries/sketches.hll_relation)."""
+    from ..queries.sketches import hll_relation
+
+    regs = spark.read.parquet(state_dir + "_regs").select("reg", "r")
+    truth = (
+        spark.read.parquet(state_dir + "_users")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    )
+    return hll_relation(regs, truth)

@@ -1040,6 +1040,8 @@ _SHUFFLE_BUDGETS = {
     "j_pr_auc": 2,              # scored scan agg + grid-bounded window
     "j_shard_skew": 2,          # 64-row shard agg + 1-row fold
     "j_cms_width_curve": 15,    # reprint-inflated (persisted tok + truth x3 widths)
+    "j_hll_precision_curve": 18,  # reprint-inflated (persisted hash set x3 geometries)
+    "j_bloom_fpr_curve": 100,   # reprint-inflated (persisted bench/neg x3 sizes x k refs)
 }
 
 

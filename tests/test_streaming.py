@@ -1162,3 +1162,73 @@ def test_card_monitor_matches_batch_data_card(spark, tmp_path):
     assert before == after
     want = sorted(tuple(r) for r in QUERIES["j_data_card"](spark, sf).collect())
     assert before == want
+
+
+def test_cms_monitor_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS monitor (§2.I): replaying the documents table in
+    THREE micro-batches must leave a state whose cms_current_view
+    equals the one-shot j_cms_sketch relation row for row (counter
+    ADDITION is the CMS merge law — shared cms_cells/cms_truth
+    builders make the equivalence an identity over equal states).
+    Replay of an applied batch is a no-op for both stores."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "cms_state")
+    thirds = [
+        docs.where(F.col("doc_id") % 3 == k).select("text") for k in range(3)
+    ]
+    for k, b in enumerate(thirds):
+        S.cms_monitor_sink(b, k, state, run_key="ck")
+    before = sorted(
+        (r.d, r.bucket, r.c)
+        for r in spark.read.parquet(state + "_cells")
+        .select("d", "bucket", "c")
+        .collect()
+    )
+    S.cms_monitor_sink(thirds[1], 1, state, run_key="ck")
+    after = sorted(
+        (r.d, r.bucket, r.c)
+        for r in spark.read.parquet(state + "_cells")
+        .select("d", "bucket", "c")
+        .collect()
+    )
+    assert before == after
+    want = sorted(tuple(r) for r in QUERIES["j_cms_sketch"](spark, sf).collect())
+    got = sorted(tuple(r) for r in S.cms_current_view(spark, state).collect())
+    assert got == want
+
+
+def test_hll_monitor_matches_batch_hll(spark, tmp_path):
+    """Streaming HLL monitor (§2.I): replaying the events table in
+    THREE micro-batches must leave a register state whose
+    hll_current_view equals the one-shot j_hll_portable relation
+    (register MAX is the HLL merge law). Replay of an applied batch
+    is a no-op."""
+    from aprsdb_spark.registry import QUERIES, load_all
+    from aprsdb_spark.tables import load as tload
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    ev = tload(spark, sf).events.select("event_id", "user_id")
+    state = str(tmp_path / "hll_state")
+    thirds = [
+        ev.where(F.col("event_id") % 3 == k).select("user_id") for k in range(3)
+    ]
+    for k, b in enumerate(thirds):
+        S.hll_monitor_sink(b, k, state, run_key="hk")
+    before = sorted(
+        (r.reg, r.r)
+        for r in spark.read.parquet(state + "_regs").select("reg", "r").collect()
+    )
+    S.hll_monitor_sink(thirds[2], 2, state, run_key="hk")
+    after = sorted(
+        (r.reg, r.r)
+        for r in spark.read.parquet(state + "_regs").select("reg", "r").collect()
+    )
+    assert before == after
+    want = sorted(tuple(r) for r in QUERIES["j_hll_portable"](spark, sf).collect())
+    got = sorted(tuple(r) for r in S.hll_current_view(spark, state).collect())
+    assert got == want
