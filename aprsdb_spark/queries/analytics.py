@@ -1330,3 +1330,172 @@ def j_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_kcore_peel.__doc__ = j_kcore_peel.__doc__.replace(
     "{rounds}", str(_KCORE_ROUNDS)
 ).replace("{k}", str(_KCORE_K))
+
+
+@query(
+    "j_graph_reciprocity",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    d AS (SELECT src, dst FROM e WHERE src <> dst),
+    r AS (SELECT d.src, d.dst FROM d
+          WHERE EXISTS (SELECT 1 FROM d d2
+                        WHERE d2.src = d.dst AND d2.dst = d.src))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_reciprocal,
+           ((2000000 * (SELECT CAST(COUNT(*) AS HUGEINT) FROM r)
+             + (SELECT COUNT(*) FROM d))
+            // (2 * (SELECT CAST(COUNT(*) AS HUGEINT) FROM d)))
+               / 1000000.0 AS reciprocity
+    """,
+)
+def j_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the capped trade graph (the classic
+    directed-graph mutuality statistic): the fraction of non-loop
+    directed edges whose REVERSE edge also exists — read next to
+    j_assortativity (who attaches to whom) and j_kcore_peel (what
+    survives peeling): high reciprocity says the top-partner relation
+    is mutual, so an undirected treatment (which k-core and triangle
+    counting apply) loses little; low reciprocity says direction
+    carries real information and undirected rollups overstate
+    cohesion.
+
+    EXACT: membership of the reverse edge is a semi-join on the
+    |V|-bounded edge list; the ratio is the (2S+n) div 2n half-up
+    integer idiom (HUGEINT in the oracle — DuckDB's // on DECIMAL is
+    true division).
+
+    Plan: _trade_edges builds once (the corpus cost, shared with the
+    whole graph family); the reciprocity check is a broadcast
+    self-semi-join of |V·fanout| rows and two 1-row counts."""
+    t = load(spark, sf_dir)
+    d = _trade_edges(t).where(F.col("src") != F.col("dst"))
+    d = d.persist()  # both sides of the semi-join + the count
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    r = d.join(F.broadcast(rev), ["src", "dst"], "left_semi")
+    ne = d.agg(F.count("*").cast("long").alias("n_edges"))
+    nr = r.agg(F.count("*").cast("long").alias("n_reciprocal"))
+    return ne.crossJoin(nr).select(
+        "n_edges",
+        "n_reciprocal",
+        (
+            F.expr(
+                "(2000000 * CAST(n_reciprocal AS DECIMAL(38,0)) + n_edges)"
+                " div (2 * CAST(n_edges AS DECIMAL(38,0)))"
+            )
+            / 1000000.0
+        ).alias("reciprocity"),
+    )
+
+
+# Stationary-distribution power iteration: fixed rounds, exact 1e-9
+# integer "nanoprob" mass (the j_pagerank discipline).
+_MSTAT_ITERS = 5
+
+
+def _mstat_oracle() -> str:
+    """DuckDB twin of j_markov_stationary: the j_markov_transitions
+    count matrix, then {iters} unrolled power-iteration CTEs — every
+    round is Σ_from (pi9·n) // n_from in pure BIGINT floor division,
+    so iteration k is a pure function of iteration k−1 regardless of
+    accumulation order."""
+    its = []
+    prev = "it0"
+    for k in range(1, _MSTAT_ITERS + 1):
+        its.append(f"""
+    it{k} AS (SELECT sp.t,
+                     CAST(COALESCE(SUM((pi.pi9 * p.n) // p.n_from), 0)
+                          AS BIGINT) AS pi9
+              FROM spine sp
+              LEFT JOIN p ON p.to_type = sp.t
+              LEFT JOIN {prev} pi ON pi.t = p.from_type
+              GROUP BY sp.t)""")
+        prev = f"it{k}"
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE next_type IS NOT NULL
+          GROUP BY 1, 2),
+    tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1),
+    p AS (SELECT c.from_type, c.to_type, c.n, tt.n_from
+          FROM c JOIN tt ON c.from_type = tt.from_type),
+    spine AS (SELECT DISTINCT event_type AS t FROM events),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM spine),
+    it0 AS (SELECT t, 1000000000 // cnt AS pi9 FROM spine CROSS JOIN nn),
+    {','.join(its)}
+    SELECT t AS event_type, pi9,
+           pi9 / 1000000000.0 AS pi
+    FROM {prev}
+    """
+
+
+@query("j_markov_stationary", oracle=_mstat_oracle())
+def j_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the j_markov_transitions chain by
+    {iters} fixed power iterations — where user behavior CONCENTRATES
+    if the observed dynamics run forever, the one-row-per-type
+    summary a session simulator or funnel designer reads next to the
+    full transition matrix. Fixed rounds, not convergence (the
+    j_pagerank/j_kcore_peel determinism rule).
+
+    EXACT integer mass: pi starts at 1e9 div |types| nanoprobs; each
+    round moves floor(pi9·n / n_from) along every transition edge —
+    non-negative BIGINT floor divisions, so round k is a pure
+    function of round k−1 at any accumulation order. Mass leaks
+    ≤ 1e-9 per edge per round (deterministically, both engines);
+    types never observed as a FROM state absorb-and-release nothing
+    (documented variant — no teleport, no dangling redistribution).
+
+    Plan: the count matrix is ONE user-keyed LEAD window + a
+    |types|²-row agg (the j_markov_transitions shape, shared
+    partitioning); each iteration joins the |types|-row pi relation
+    (broadcast) to the |types|²-row matrix — metadata-scale after
+    the one corpus pass. Lineage is linear in the fixed round
+    count."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    s = t.events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tt = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    p = c.join(F.broadcast(tt), "from_type")
+    p = p.persist()  # |types|^2 rows feeding every iteration
+    spine = t.events.select(F.col("event_type").alias("t")).distinct()
+    nn = spine.agg(F.count("*").cast("long").alias("cnt"))
+    pi = spine.crossJoin(F.broadcast(nn)).select(
+        "t", F.expr("1000000000 div cnt").cast("long").alias("pi9")
+    )
+    for _ in range(_MSTAT_ITERS):
+        contrib = p.join(
+            F.broadcast(pi), p.from_type == F.col("t"), "left"
+        ).select(
+            F.col("to_type"),
+            F.expr("(pi9 * n) div n_from").cast("long").alias("m"),
+        )
+        pi = (
+            spine.join(
+                contrib.groupBy("to_type").agg(
+                    F.sum("m").cast("long").alias("s")
+                ),
+                spine.t == F.col("to_type"),
+                "left",
+            )
+            .select("t", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("pi9"))
+        )
+    return pi.select(
+        F.col("t").alias("event_type"),
+        "pi9",
+        (F.col("pi9") / F.lit(1000000000.0)).alias("pi"),
+    )
+
+
+j_markov_stationary.__doc__ = j_markov_stationary.__doc__.replace(
+    "{iters}", str(_MSTAT_ITERS)
+)

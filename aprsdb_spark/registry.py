@@ -179,6 +179,12 @@ NEXT_QUEUE: list[str] = [
     # sizing family with j_cms_width_curve and j_lsh_band_plan
     "j_hll_precision_curve",
     "j_bloom_fpr_curve",
+    # r13 wave 5: graph/chain closure — edge reciprocity (does the
+    # undirected treatment the k-core/triangle family applies lose
+    # information?) and the stationary distribution of the event
+    # chain by fixed exact-integer power iterations
+    "j_graph_reciprocity",
+    "j_markov_stationary",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

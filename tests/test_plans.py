@@ -1042,6 +1042,8 @@ _SHUFFLE_BUDGETS = {
     "j_cms_width_curve": 15,    # reprint-inflated (persisted tok + truth x3 widths)
     "j_hll_precision_curve": 18,  # reprint-inflated (persisted hash set x3 geometries)
     "j_bloom_fpr_curve": 100,   # reprint-inflated (persisted bench/neg x3 sizes x k refs)
+    "j_graph_reciprocity": 20,  # reprint-inflated (persisted capped edge list)
+    "j_markov_stationary": 50,  # reprint-inflated (persisted matrix x5 iterations)
 }
 
 
