@@ -1499,3 +1499,143 @@ def j_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_markov_stationary.__doc__ = j_markov_stationary.__doc__.replace(
     "{iters}", str(_MSTAT_ITERS)
 )
+
+
+# Permutation test: replica count (odd, so the p-value denominator
+# B+1 is round) and the compared sources (the j_mannwhitney pair).
+_PERM_B = 199
+
+
+@query(
+    "j_permutation_test",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE source IN ('{_MW_A}', '{_MW_B}')),
+    obs AS (SELECT CAST(SUM(CASE WHEN source = '{_MW_A}' THEN n_chars END) AS BIGINT) AS sa,
+                   CAST(COUNT(CASE WHEN source = '{_MW_A}' THEN 1 END) AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN source = '{_MW_B}' THEN n_chars END) AS BIGINT) AS sb,
+                   CAST(COUNT(CASE WHEN source = '{_MW_B}' THEN 1 END) AS BIGINT) AS nb
+            FROM d),
+    reps AS (SELECT doc_id, n_chars,
+                    CAST(unnest(range(0, {_PERM_B})) AS BIGINT) AS rep
+             FROM d),
+    flip AS (SELECT rep, n_chars,
+                    CASE WHEN substr(md5('perm' || CAST(doc_id AS VARCHAR)
+                         || ':' || CAST(rep AS VARCHAR)), 1, 1) < '8'
+                         THEN 0 ELSE 1 END AS grp
+             FROM reps),
+    pr AS (SELECT rep,
+                  CAST(SUM(CASE WHEN grp = 0 THEN n_chars END) AS BIGINT) AS sa,
+                  CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS na,
+                  CAST(SUM(CASE WHEN grp = 1 THEN n_chars END) AS BIGINT) AS sb,
+                  CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS nb
+           FROM flip GROUP BY rep),
+    st AS (SELECT rep,
+                  abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) AS t
+           FROM pr WHERE na > 0 AND nb > 0),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ge
+            FROM st, obs
+            WHERE st.t >= abs(CAST(obs.sa AS DOUBLE) / obs.na
+                              - CAST(obs.sb AS DOUBLE) / obs.nb))
+    SELECT obs.na AS n_a, obs.nb AS n_b,
+           FLOOR(abs(CAST(obs.sa AS DOUBLE) / obs.na
+                     - CAST(obs.sb AS DOUBLE) / obs.nb) * 1000000 + 0.5)
+               / 1000000 AS obs_diff,
+           cnt.n_ge,
+           ((2000000 * CAST(cnt.n_ge + 1 AS HUGEINT) + ({_PERM_B} + 1))
+            // (2 * CAST({_PERM_B} + 1 AS HUGEINT))) / 1000000.0 AS p_value
+    FROM obs CROSS JOIN cnt
+    """,
+)
+def j_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test on mean document length between
+    the j_mannwhitney source pair: {b} label permutations, each a
+    PURE FUNCTION of (doc_id, replica) via the portable md5 parity
+    (the j_bootstrap_ci no-RNG-state discipline), statistic
+    |mean_A − mean_B|, p = (1 + #{{t_perm ≥ t_obs}}) / (B + 1) — the
+    assumption-free significance companion to j_ab_ttest (normality)
+    and j_mannwhitney (rank model): when the three agree, the
+    difference is real at any modeling taste.
+
+    Determinism: per-replica group sums and counts are exact
+    BIGINTs; each statistic is two BIGINT→DOUBLE divisions, one
+    subtraction, one abs — a fixed IEEE sequence on identical
+    operands, so the ≥-comparison against the observed statistic
+    (built by the SAME expression shape) cannot flip between
+    engines; the p-value is pure integer arithmetic on the exceed
+    count.
+
+    Plan: the two-source slice is tiny relative to the corpus; the
+    replica fan-out is a map-side explode ({b} ints per doc, no
+    shuffle growth — partials collapse per (rep, grp) before the
+    exchange); the rollup is B rows then one. At 100 TB you
+    permutation-test a sampled stratum — the operator shape is
+    already the one-pass Chamandy form."""
+    t = load(spark, sf_dir)
+    d = t.documents.where(F.col("source").isin(_MW_A, _MW_B)).select(
+        "doc_id", "source", "n_chars"
+    )
+    d = d.persist()  # consumers: observed stat + replica fan-out
+    a = F.col("source") == _MW_A
+    obs = d.agg(
+        F.sum(F.when(a, F.col("n_chars"))).cast("long").alias("sa"),
+        F.count(F.when(a, 1)).cast("long").alias("na"),
+        F.sum(F.when(~a, F.col("n_chars"))).cast("long").alias("sb"),
+        F.count(F.when(~a, 1)).cast("long").alias("nb"),
+    )
+    reps = d.select(
+        "doc_id", "n_chars", F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("rep")
+    )
+    grp = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("perm"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    flip = reps.select("rep", "n_chars", F.when(grp, 0).otherwise(1).alias("grp"))
+    pr = flip.groupBy("rep").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n_chars"))).cast("long").alias("sa"),
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_chars"))).cast("long").alias("sb"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("nb"),
+    )
+    st = pr.where((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        F.abs(
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb")
+        ).alias("t")
+    )
+    obs_t = F.abs(
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    cnt = (
+        st.crossJoin(F.broadcast(obs))
+        .where(F.col("t") >= obs_t)
+        .agg(F.count("*").cast("long").alias("n_ge"))
+    )
+    return obs.crossJoin(F.broadcast(cnt)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        rnd(obs_t, 6).alias("obs_diff"),
+        F.coalesce(F.col("n_ge"), F.lit(0)).cast("long").alias("n_ge"),
+        (
+            F.expr(
+                f"(2000000 * CAST(n_ge + 1 AS DECIMAL(38,0)) + ({_PERM_B} + 1))"
+                f" div (2 * CAST({_PERM_B} + 1 AS DECIMAL(38,0)))"
+            )
+            / 1000000.0
+        ).alias("p_value"),
+    )
+
+
+j_permutation_test.__doc__ = j_permutation_test.__doc__.replace("{b}", str(_PERM_B))

@@ -1966,3 +1966,114 @@ def j_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_rate"),
         )
     )
+
+
+# Yield-curve thresholds on the 1e-6 Jaccard grid.
+_YIELD_TAUS6 = [500000, 600000, 700000, 800000, 900000]
+
+
+@query(
+    "j_dedup_yield_curve",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3),
+    pairs AS (SELECT b.doc_id AS hi,
+                     CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1.0
+                                / len(list_distinct(a.s || b.s))
+                                * 1000000 + 0.5) AS BIGINT) AS j6
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id),
+    mj AS (SELECT hi AS doc_id, CAST(MAX(j6) AS BIGINT) AS mj6
+           FROM pairs GROUP BY hi),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh),
+    taus(t6) AS (VALUES {', '.join(f'({t})' for t in _YIELD_TAUS6)})
+    SELECT t6 / 1000000.0 AS tau, n_docs,
+           CAST(COALESCE((SELECT COUNT(*) FROM mj WHERE mj6 >= taus.t6), 0)
+                AS BIGINT) AS n_dropped,
+           n_docs - CAST(COALESCE((SELECT COUNT(*) FROM mj
+                                   WHERE mj6 >= taus.t6), 0) AS BIGINT)
+               AS n_survivors
+    FROM taus CROSS JOIN tot
+    """,
+)
+def j_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup YIELD curve: keeper-set size under min-id near-dup
+    dedup at thresholds tau = 0.5..0.9 — all five from ONE exact
+    blocked pair pass, because a doc is dropped at tau iff its
+    MAXIMUM Jaccard to any smaller-id partner clears tau: one
+    max-per-doc aggregate answers every threshold. This is the
+    corpus-economics side of the tuning pair — j_jaccard_threshold_
+    curve prices what the banding CATCHES per tau, this prices what
+    the corpus KEEPS — the two curves an operator overlays to pick
+    the dedup operating point (tokens saved vs recall risk).
+
+    EXACT: pair Jaccards floor to the 1e-6 grid (the j_dedup_ngram
+    contract, sub-3-token docs excluded symmetrically on both
+    engines); per-doc max and the per-tau counts are pure integers —
+    a threshold compare on grid BIGINTs can never flip between
+    engines.
+
+    Plan: the blocked ground-truth quadratic (audit-scale by intent,
+    the j_dedup_survivors contract) collapses to ONE |docs|-row max
+    aggregate; the five-threshold rollup is a broadcast VALUES cross
+    join over that metadata-scale relation. At 100 TB the pair
+    source swaps to the banded candidate set; the curve logic is
+    unchanged."""
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", "lang", "source", tokens_col("text").alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    arrs = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(
+            shingles_from_toks(F.col("_toks")), lambda x: F.xxhash64(x)
+        ).alias("s"),
+    )
+    a, b = arrs.alias("a"), arrs.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(
+        F.array_union("a.s", "b.s")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("b.doc_id").alias("hi"),
+        F.floor(jac * 1000000 + F.lit(0.5)).cast("long").alias("j6"),
+    )
+    mj = pairs.groupBy(F.col("hi").alias("doc_id")).agg(
+        F.max("j6").cast("long").alias("mj6")
+    )
+    mj = mj.persist()  # probed once per threshold leg
+    tot = arrs.agg(F.count("*").cast("long").alias("n_docs"))
+    taus = spark.createDataFrame(
+        [(t6,) for t6 in _YIELD_TAUS6], "t6 long"
+    )
+    dropped = (
+        taus.crossJoin(mj)
+        .where(F.col("mj6") >= F.col("t6"))
+        .groupBy("t6")
+        .agg(F.count("*").cast("long").alias("n_dropped"))
+    )
+    return (
+        taus.join(F.broadcast(dropped), "t6", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("t6") / F.lit(1000000.0)).alias("tau"),
+            "n_docs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.col("n_docs")
+                - F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long")
+            ).alias("n_survivors"),
+        )
+    )

@@ -2220,3 +2220,105 @@ def j_ngram_entropy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redundancy"
         ),
     )
+
+
+# Top-K stability: ranking depth compared across the two doc_id-parity
+# halves of the corpus.
+_TKS_K = 50
+
+
+@query(
+    "j_topk_stability",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id % 2 AS half,
+                        unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    c AS (SELECT half, term, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY half, term),
+    r AS (SELECT half, term, n,
+                 ROW_NUMBER() OVER (PARTITION BY half
+                                    ORDER BY n DESC, term) AS rk
+          FROM c),
+    t0 AS (SELECT term, rk FROM r WHERE half = 0 AND rk <= {_TKS_K}),
+    t1 AS (SELECT term, rk FROM r WHERE half = 1 AND rk <= {_TKS_K}),
+    iv AS (SELECT t0.term, t0.rk AS rk0, t1.rk AS rk1
+           FROM t0 JOIN t1 USING (term)),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+                 CAST(COALESCE(SUM(abs(rk0 - rk1)), 0) AS BIGINT) AS disp
+          FROM iv)
+    SELECT CAST({_TKS_K} AS BIGINT) AS k, n_common,
+           ((2000000 * CAST(n_common AS HUGEINT) + (2 * {_TKS_K} - n_common))
+            // (2 * CAST(2 * {_TKS_K} - n_common AS HUGEINT))) / 1000000.0
+               AS jaccard_at_k,
+           disp AS rank_displacement,
+           CASE WHEN n_common > 0
+                THEN ((2000000 * CAST(disp AS HUGEINT) + n_common)
+                      // (2 * CAST(n_common AS HUGEINT))) / 1000000.0
+                ELSE NULL END AS mean_displacement
+    FROM s
+    """,
+)
+def j_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} vocabulary STABILITY across the two doc_id-parity
+    halves of the corpus: overlap of the two top-{k} term rankings
+    (Jaccard@k) and the mean rank displacement of the shared terms —
+    the split-half reliability check for every frequency-derived
+    artifact in the registry (vocab truncation j_topp_vocab, BPE
+    merges, tf-idf, stopword lists): an unstable top-{k} means those
+    artifacts are sampling noise, a stable one licenses computing
+    them on a sample at 100 TB.
+
+    EXACT: per-half counts are integers; rankings tiebreak (count
+    DESC, term) — total orders, identical both engines; overlap and
+    displacement are integer joins/sums; the two display ratios use
+    the (2S+n) div 2n half-up idiom in HUGEINT. |A∪B| = 2k − |A∩B|
+    by construction.
+
+    Plan: ONE (half, term) hash agg over the corpus (the j_text_stats
+    shuffle with a 1-bit salt), a per-half rank window over the
+    vocab-sized count relation, and a {k}-row equi-join — everything
+    after the first agg is metadata-scale."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens_col("text")).alias("term"),
+    )
+    c = tok.groupBy("half", "term").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("half").orderBy(F.col("n").desc(), F.col("term"))
+    r = c.select("*", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= _TKS_K
+    )
+    r = r.persist()  # both halves sliced from one window pass
+    t0 = r.where(F.col("half") == 0).select("term", F.col("rk").alias("rk0"))
+    t1 = r.where(F.col("half") == 1).select("term", F.col("rk").alias("rk1"))
+    iv = t0.join(t1, "term")
+    s = iv.agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.coalesce(F.sum(F.abs(F.col("rk0") - F.col("rk1"))), F.lit(0))
+        .cast("long")
+        .alias("disp"),
+    )
+    return s.select(
+        F.lit(_TKS_K).cast("long").alias("k"),
+        "n_common",
+        (
+            F.expr(
+                f"(2000000 * CAST(n_common AS DECIMAL(38,0))"
+                f" + (2 * {_TKS_K} - n_common))"
+                f" div (2 * CAST(2 * {_TKS_K} - n_common AS DECIMAL(38,0)))"
+            )
+            / 1000000.0
+        ).alias("jaccard_at_k"),
+        F.col("disp").alias("rank_displacement"),
+        F.when(
+            F.col("n_common") > 0,
+            F.expr(
+                "(2000000 * CAST(disp AS DECIMAL(38,0)) + n_common)"
+                " div (2 * CAST(n_common AS DECIMAL(38,0)))"
+            )
+            / 1000000.0,
+        ).alias("mean_displacement"),
+    )
+
+
+j_topk_stability.__doc__ = j_topk_stability.__doc__.replace("{k}", str(_TKS_K))

@@ -185,6 +185,13 @@ NEXT_QUEUE: list[str] = [
     # chain by fixed exact-integer power iterations
     "j_graph_reciprocity",
     "j_markov_stationary",
+    # r13 wave 6: resampling/stability closure — the dedup yield curve
+    # (keeper-set size per threshold from one exact pass), the
+    # assumption-free permutation test (beside t-test and rank-sum),
+    # and split-half top-K vocabulary stability
+    "j_dedup_yield_curve",
+    "j_permutation_test",
+    "j_topk_stability",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

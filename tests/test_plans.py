@@ -1044,6 +1044,9 @@ _SHUFFLE_BUDGETS = {
     "j_bloom_fpr_curve": 100,   # reprint-inflated (persisted bench/neg x3 sizes x k refs)
     "j_graph_reciprocity": 20,  # reprint-inflated (persisted capped edge list)
     "j_markov_stationary": 50,  # reprint-inflated (persisted matrix x5 iterations)
+    "j_dedup_yield_curve": 6,   # blocked quadratic -> per-doc max -> 5-row rollup
+    "j_permutation_test": 6,    # two-source slice + replica explode agg
+    "j_topk_stability": 6,      # ONE (half,term) agg + bounded rank window
 }
 
 
