@@ -1035,31 +1035,45 @@ def j_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = corpus.join(bench, "s", "left_anti")
     bench.persist()  # consumers: |sizes| bitmap builds + n_keys
     neg.persist()  # consumers: |sizes| probe joins + n_probes
+    # positions are computed ONCE at the LARGEST m and derived for the
+    # smaller sizes by modulo: every _BFPR_MS entry divides the largest
+    # (all powers of two), so md5 % m_small == (md5 % m_big) % m_small —
+    # one hash pass serves the whole curve (measured: the r13 bench's
+    # per-m position rebuild was the curve's hot spot)
+    m_big = max(_BFPR_MS)
+    assert all(m_big % m == 0 for m in _BFPR_MS)
+
+    def pos_big(j, col="s"):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col(col))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m_big
+        )
+
+    bpos_big = None
+    for j in range(1, _BFPR_K + 1):
+        leg = bench.select(pos_big(j).alias("posb"))
+        bpos_big = leg if bpos_big is None else bpos_big.unionAll(leg)
+    bpos_big = bpos_big.distinct().persist()  # one build, |sizes| reads
+    probes_big = neg.select(
+        "s", *[pos_big(j).alias(f"posb{j}") for j in range(1, _BFPR_K + 1)]
+    ).persist()
     out = None
     for m in _BFPR_MS:
-        def pos(j, col="s"):
-            return (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{j}|"), F.col(col))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % m
-            )
-
-        bpos = None
-        for j in range(1, _BFPR_K + 1):
-            leg = bench.select(pos(j).alias("pos"))
-            bpos = leg if bpos is None else bpos.unionAll(leg)
-        bpos = bpos.distinct()
+        bpos = bpos_big.select((F.col("posb") % m).alias("pos")).distinct()
         words = bpos.groupBy(F.expr("pos div 32").alias("widx")).agg(
             F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
             .alias("word")
         )
-        probes = neg.select(
-            "s", *[pos(j).alias(f"pos{j}") for j in range(1, _BFPR_K + 1)]
+        probes = probes_big.select(
+            "s",
+            *[
+                (F.col(f"posb{j}") % m).alias(f"pos{j}")
+                for j in range(1, _BFPR_K + 1)
+            ],
         )
         pr = probes
         conds = []

@@ -5372,3 +5372,150 @@ def j_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_precision"
         ),
     )
+
+
+# nprobe tuning curve: candidate probe depths (max must stay <= _IVF_K).
+_NPROBE_CURVE = [1, 2, 4, 8]
+
+
+def _nprobe_curve_oracle() -> str:
+    """DuckDB twin of j_ivf_nprobe_curve: the _ann_recall_oracle IVF
+    batch search with a probe RANK, one approx/recall leg per probe
+    depth — same literal centroids, shared sequential-fold dot."""
+    from ..registry import ORACLE
+
+    rows = _centroid_values_sql()
+    legs = []
+    for np_ in _NPROBE_CURVE:
+        legs.append(f"""
+    SELECT {np_} AS nprobe, n_exact, n_hits,
+           FLOOR(n_hits * 1.0 / n_exact * 1000000 + 0.5) / 1000000 AS recall
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM exact e JOIN (
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, vec_id) AS rk
+              FROM cand WHERE prk <= {np_}) WHERE rk <= {_KNNB_K}) a
+            ON e.qid = a.qid AND e.vec_id = a.vec_id) h
+    CROSS JOIN nex""")
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, e.v, c.cid,
+                      list_dot_product(e.v, cv) AS s
+               FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rk
+        FROM scored) WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    probe AS (SELECT qid, cid, rk AS prk FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY list_dot_product(qv, cv) DESC, cid) AS rk
+        FROM q CROSS JOIN cents c) WHERE rk <= {max(_NPROBE_CURVE)}),
+    cand AS (SELECT q.qid, a.vec_id, p.prk,
+                    FLOOR(list_dot_product(a.v, q.qv) * 1000000 + 0.5)
+                      / 1000000 AS score
+             FROM assigned a
+             JOIN probe p ON a.cluster_id = p.cid
+             JOIN q ON q.qid = p.qid
+             WHERE a.vec_id <> q.qid),
+    exact AS (SELECT qid, vec_id FROM ({ORACLE["j_knn_batch"]}) x),
+    nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+    {' UNION ALL '.join(legs)}
+    """
+
+
+@query("j_ivf_nprobe_curve", oracle=_nprobe_curve_oracle())
+def j_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING curve: recall@{k} of the probed search at nprobe =
+    {curve} from ONE candidate pass — the scan-fraction-vs-recall
+    table that picks the operating point (j_ann_recall measures the
+    registered nprobe=4 config; this prices every depth you could
+    run, the j_lsh_band_plan of the IVF path, read beside
+    j_ivf_balance's occupancy skew: recall says what a probe buys,
+    balance says what it costs).
+
+    Determinism: a candidate carries the PROBE RANK of its cluster,
+    so "searched at nprobe = n" is a filter prk ≤ n over one shared
+    candidate relation; scores pre-round 1e-6; ranks tiebreak
+    (score DESC, vec_id); recall is one rounded division of exact
+    counts. Centroids are the driver-trained LITERALS both engines
+    share (the j_ann_ivf contract).
+
+    Plan: assignment is the zero-Exchange argmax map; the probe plan
+    is nq x max(nprobe) driver metadata broadcast into ONE candidate
+    join, persisted; each depth re-windows the candidate slice
+    (metadata-scale: ≤ nq·k·fanout rows) and joins the persisted
+    exact leg. At 100 TB the curve costs one probed scan at the
+    DEEPEST depth — shallower depths are free filters over it."""
+    from ..operators.similarity import ivf_assign, kmeans_train_local, seq_dot
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
+    assigned, cents = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
+    qrows = (
+        t.embeddings.where(F.col("vec_id") < _KNNB_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    max_np = max(_NPROBE_CURVE)
+    probe_pairs = []
+    for r in qrows:
+        qv = [float(x) for x in r.embedding]
+        order = sorted(((seq_dot(qv, v), -int(cid)) for cid, v in cents), reverse=True)
+        probe_pairs += [
+            (int(r.vec_id), -ncid, prk + 1)
+            for prk, (_, ncid) in enumerate(order[:max_np])
+        ]
+    probe = spark.createDataFrame(probe_pairs, "qid long, cid int, prk int")
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), assigned.cluster_id == probe.cid)
+        .join(F.broadcast(q), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "prk",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    cand = cand.persist()  # re-windowed once per probe depth
+    exact = QUERIES["j_knn_batch"](spark, sf_dir).select("qid", "vec_id")
+    exact = exact.persist()  # joined once per probe depth
+    nex = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    out = None
+    for np_ in _NPROBE_CURVE:
+        approx = (
+            cand.where(F.col("prk") <= np_)
+            .select("qid", "vec_id", F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= _KNNB_K)
+            .select("qid", "vec_id")
+        )
+        hits = exact.join(approx, ["qid", "vec_id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        row = (
+            hits.crossJoin(F.broadcast(nex))
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "n_exact",
+                "n_hits",
+                rnd(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+j_ivf_nprobe_curve.__doc__ = j_ivf_nprobe_curve.__doc__.replace(
+    "{curve}", str(_NPROBE_CURVE)
+).replace("{k}", str(_KNNB_K))

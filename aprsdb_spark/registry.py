@@ -192,6 +192,10 @@ NEXT_QUEUE: list[str] = [
     "j_dedup_yield_curve",
     "j_permutation_test",
     "j_topk_stability",
+    # r13 wave 7: the IVF operating-point curve — recall@k per probe
+    # depth from one candidate pass (scan fraction vs recall, read
+    # beside j_ivf_balance's occupancy skew)
+    "j_ivf_nprobe_curve",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1047,6 +1047,7 @@ _SHUFFLE_BUDGETS = {
     "j_dedup_yield_curve": 6,   # blocked quadratic -> per-doc max -> 5-row rollup
     "j_permutation_test": 6,    # two-source slice + replica explode agg
     "j_topk_stability": 6,      # ONE (half,term) agg + bounded rank window
+    "j_ivf_nprobe_curve": 48,   # reprint-inflated (persisted cand/exact x4 depths)
 }
 
 
