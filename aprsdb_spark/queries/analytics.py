@@ -1639,3 +1639,85 @@ def j_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_permutation_test.__doc__ = j_permutation_test.__doc__.replace("{b}", str(_PERM_B))
+
+
+# Power analysis constants: two-sided alpha=0.05 and 80% power normal
+# quantiles, emitted as the SAME repr literals into both engines.
+_PWR_ZA = 1.959964
+_PWR_ZB = 0.841621
+
+
+@query(
+    "j_power_analysis",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (grp = 'A') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (grp = 'B') AS BIGINT) AS n_b,
+             FLOOR(AVG(value) FILTER (grp = 'A') * 1000000 + 0.5) / 1000000 AS mean_a,
+             FLOOR(var_samp(value) FILTER (grp = 'A') * 1000000 + 0.5) / 1000000 AS var_a,
+             FLOOR(var_samp(value) FILTER (grp = 'B') * 1000000 + 0.5) / 1000000 AS var_b
+      FROM g GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           FLOOR(sqrt(var_a / n_a + var_b / n_b) * 1000000 + 0.5) / 1000000
+               AS std_err,
+           FLOOR((CAST({_PWR_ZA!r} AS DOUBLE) + CAST({_PWR_ZB!r} AS DOUBLE))
+                 * sqrt(var_a / n_a + var_b / n_b) * 1000000 + 0.5) / 1000000
+               AS mde,
+           FLOOR((CAST({_PWR_ZA!r} AS DOUBLE) + CAST({_PWR_ZB!r} AS DOUBLE))
+                 * sqrt(var_a / n_a + var_b / n_b) / mean_a
+                 * 1000000 + 0.5) / 1000000 AS mde_rel
+    FROM s
+    """,
+)
+def j_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the j_ab_ttest experiment, per
+    event_type: MDE = (z_{{0.975}} + z_{{0.80}})·sqrt(var_A/n_A +
+    var_B/n_B) — the experiment-DESIGN table read before launching a
+    test (j_ab_ttest reads out a finished one): an effect smaller
+    than the MDE at the current traffic cannot be detected at 5%
+    two-sided / 80% power, so the relative MDE column is the "how
+    long must this run" number.
+
+    Determinism: the arm moments are the REGISTERED j_ab_ttest
+    1e-6-rounded aggregates (same salted-md5 split, same FILTER
+    aggregate — one definition); the normal quantiles enter both
+    engines as the same repr literals; sqrt is IEEE-correctly-rounded
+    and every output re-rounds 1e-6 before display.
+
+    Plan: ONE hash agg on event_type with FILTER moments (the
+    j_ab_ttest pass verbatim) — |event_type| rows out of one
+    map-side-combined shuffle at any corpus scale."""
+    t = load(spark, sf_dir)
+    grp = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    g = t.events.select("event_type", "value", grp.alias("grp"))
+    a = F.col("grp") == "A"
+    b = F.col("grp") == "B"
+    s = g.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        rnd(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
+        rnd(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),
+        rnd(F.var_samp(F.when(b, F.col("value"))), 6).alias("var_b"),
+    )
+    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    zsum = F.lit(_PWR_ZA) + F.lit(_PWR_ZB)
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        rnd(se, 6).alias("std_err"),
+        rnd(zsum * se, 6).alias("mde"),
+        rnd(zsum * se / F.col("mean_a"), 6).alias("mde_rel"),
+    )

@@ -1135,3 +1135,118 @@ def j_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_bloom_fpr_curve.__doc__ = j_bloom_fpr_curve.__doc__.replace(
     "{ms}", str(_BFPR_MS)
 ).replace("{k}", str(_BFPR_K))
+
+
+# Epoch-plan budget: total training tokens as a multiple of the corpus.
+_EPOCH_MULT = 4
+
+
+@query(
+    "j_epoch_plan",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nd,
+                 CAST(SUM(n_tok) AS BIGINT) AS nt FROM c),
+    b AS (SELECT lang, n_tok, nt,
+                 FLOOR(pow(n_docs * 1.0 / nd, {_TAU}) * 1000000 + 0.5) AS q6raw
+          FROM c, t),
+    z AS (SELECT CAST(SUM(q6raw) AS BIGINT) AS zz FROM b),
+    w AS (SELECT lang, n_tok, nt,
+                 CAST((2 * 1000000 * CAST(q6raw AS HUGEINT) + zz)
+                      // (2 * CAST(zz AS HUGEINT)) AS BIGINT) AS q6
+          FROM b, z),
+    plan AS (SELECT lang, n_tok, q6,
+                    CAST((2 * {_EPOCH_MULT} * CAST(nt AS HUGEINT) * q6 + 1000000)
+                         // (2 * CAST(1000000 AS HUGEINT)) AS BIGINT)
+                        AS target_tokens
+             FROM w)
+    SELECT lang, n_tok AS source_tokens, q6 / 1000000.0 AS mix_share,
+           target_tokens,
+           CAST(target_tokens // n_tok AS BIGINT) AS full_epochs,
+           CAST((2000000 * CAST(target_tokens % n_tok AS HUGEINT) + n_tok)
+                // (2 * CAST(n_tok AS HUGEINT)) AS BIGINT) / 1000000.0
+               AS partial_epoch
+    FROM plan
+    """,
+)
+def j_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training MIX EXECUTION plan: the j_mix_temperature
+    shares (q ∝ p^τ, τ = 0.7, rounded to the 1e-6 grid on both
+    engines BEFORE normalization) applied to a token budget of
+    {mult}x the corpus — per language, the target token mass, the
+    number of FULL passes over that language's data, and the partial
+    final epoch. This is the table a training scheduler executes
+    (the LLaMA-style data-recipe form): j_mix_temperature says the
+    proportions, j_token_budget prices one pass, this turns both
+    into integer epochs per source.
+
+    Determinism: the ONE libm pow rounds to a scaled BIGINT per lang
+    before the normalizer sum (the j_mix_temperature discipline made
+    integer); shares, targets, and the epoch split are pure integer
+    (2S+n) div 2n / floordiv / modulo arithmetic — HUGEINT in the
+    oracle, DECIMAL(38,0) in Spark (operands widened BEFORE the
+    budget multiply: 4·corpus-tokens·q6 passes 2^63 near 2e12
+    tokens).
+
+    Plan: one lang hash agg (map-side partials), two 1-row broadcast
+    cross-joins (corpus totals, normalizer) — |langs| output rows at
+    any corpus scale."""
+    t = load(spark, sf_dir)
+    c = t.documents.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tok"),
+    )
+    tot = c.agg(
+        F.sum("n_docs").cast("long").alias("nd"),
+        F.sum("n_tok").cast("long").alias("nt"),
+    )
+    b = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tok",
+        "nt",
+        F.floor(
+            F.pow(F.col("n_docs") * 1.0 / F.col("nd"), F.lit(_TAU)) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q6raw"),
+    )
+    b = b.persist()  # normalizer + plan legs
+    z = b.agg(F.sum("q6raw").cast("long").alias("zz"))
+    w = b.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tok",
+        "nt",
+        F.expr(
+            "CAST((2 * 1000000 * CAST(q6raw AS DECIMAL(38,0)) + zz)"
+            " div (2 * CAST(zz AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("q6"),
+    )
+    plan = w.select(
+        "lang",
+        "n_tok",
+        "q6",
+        F.expr(
+            f"CAST((2 * {_EPOCH_MULT} * CAST(nt AS DECIMAL(38,0)) * q6 + 1000000)"
+            " div (2 * CAST(1000000 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("target_tokens"),
+    )
+    return plan.select(
+        "lang",
+        F.col("n_tok").alias("source_tokens"),
+        (F.col("q6") / F.lit(1000000.0)).alias("mix_share"),
+        "target_tokens",
+        F.expr("target_tokens div n_tok").cast("long").alias("full_epochs"),
+        (
+            F.expr(
+                "CAST((2000000 * CAST(target_tokens % n_tok AS DECIMAL(38,0)) + n_tok)"
+                " div (2 * CAST(n_tok AS DECIMAL(38,0))) AS BIGINT)"
+            )
+            / 1000000.0
+        ).alias("partial_epoch"),
+    )
+
+
+j_epoch_plan.__doc__ = j_epoch_plan.__doc__.replace("{mult}", str(_EPOCH_MULT))

@@ -2053,27 +2053,30 @@ def j_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mj = pairs.groupBy(F.col("hi").alias("doc_id")).agg(
         F.max("j6").cast("long").alias("mj6")
     )
-    mj = mj.persist()  # probed once per threshold leg
     tot = arrs.agg(F.count("*").cast("long").alias("n_docs"))
-    taus = spark.createDataFrame(
-        [(t6,) for t6 in _YIELD_TAUS6], "t6 long"
-    )
-    dropped = (
-        taus.crossJoin(mj)
-        .where(F.col("mj6") >= F.col("t6"))
-        .groupBy("t6")
-        .agg(F.count("*").cast("long").alias("n_dropped"))
-    )
-    return (
-        taus.join(F.broadcast(dropped), "t6", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            (F.col("t6") / F.lit(1000000.0)).alias("tau"),
+    # every threshold is a CONDITIONAL COUNT over the one per-doc max
+    # relation — no tau x docs join (a 5-row cross over |docs| rows is
+    # a CartesianProduct the plan audit rightly bans); the fan-out to
+    # five rows happens on the 1-row aggregate
+    drops = mj.agg(
+        *[
+            F.count(F.when(F.col("mj6") >= t6, 1))
+            .cast("long")
+            .alias(f"d{t6}")
+            for t6 in _YIELD_TAUS6
+        ]
+    ).crossJoin(F.broadcast(tot))
+    drops = drops.persist()  # 1 row fanned to |taus| output rows
+    legs = [
+        drops.select(
+            F.lit(t6 / 1000000.0).alias("tau"),
             "n_docs",
-            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
-            (
-                F.col("n_docs")
-                - F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long")
-            ).alias("n_survivors"),
+            F.col(f"d{t6}").alias("n_dropped"),
+            (F.col("n_docs") - F.col(f"d{t6}")).alias("n_survivors"),
         )
-    )
+        for t6 in _YIELD_TAUS6
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

@@ -1099,3 +1099,134 @@ def j_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_neyman_allocation.__doc__ = j_neyman_allocation.__doc__.replace(
     "{k}", str(_NEYMAN_K)
 )
+
+
+# Horvitz-Thompson audit: expected sample size of the PPS-Bernoulli
+# design (inclusion probability proportional to n_chars, capped at 1).
+_HT_K = 100
+
+
+@query(
+    "j_horvitz_thompson",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, n_chars,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                  FROM documents),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS sc,
+                   CAST(SUM(n_tok) AS BIGINT) AS true_total
+            FROM base),
+    p AS (SELECT doc_id, n_tok,
+                 least(1000000,
+                       CAST((2 * 1000000 * {_HT_K} * CAST(n_chars AS HUGEINT) + sc)
+                            // (2 * CAST(sc AS HUGEINT)) AS BIGINT)) AS p6,
+                 CAST('0x' || substr(md5('ht' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 1000000 AS u6
+          FROM base CROSS JOIN tot),
+    inc AS (SELECT doc_id, n_tok, p6 FROM p WHERE u6 < p6),
+    est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_included,
+                   CAST(SUM(CAST((2 * 1000000 * CAST(n_tok AS HUGEINT) + p6)
+                                 // (2 * CAST(p6 AS HUGEINT)) AS BIGINT))
+                        AS BIGINT) AS ht_total
+            FROM inc),
+    ev AS (SELECT CAST(SUM(p6) AS BIGINT) AS sum_p6 FROM p)
+    SELECT est.n_included,
+           FLOOR(ev.sum_p6 / 1000000.0 * 100 + 0.5) / 100 AS expected_n,
+           est.ht_total, tot.true_total,
+           FLOOR(abs(est.ht_total - tot.true_total) * 1.0 / tot.true_total
+                 * 1000000 + 0.5) / 1000000 AS rel_err
+    FROM est CROSS JOIN ev CROSS JOIN tot
+    """,
+)
+def j_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimator audit for PPS-Bernoulli sampling
+    (Horvitz & Thompson 1952, public): documents enter a sample
+    independently with probability proportional to n_chars (target
+    expected size {k}, capped at 1 on the exact 1e-6 grid); the HT
+    total Σ n_tok/p over the INCLUDED docs estimates the corpus token
+    total, and the row reports it against the true total. This is
+    the estimator-calibration audit for every weighted-sample
+    derivative in the registry (j_sample_weighted picks the docs,
+    j_dsir_weights reweights them; this measures whether
+    inverse-probability totals computed from such samples can be
+    trusted, and its rel_err is the number a sampled-metrics
+    dashboard quotes as its error bar).
+
+    Determinism: inclusion probabilities are scaled BIGINTs from the
+    (2S+n) div 2n half-up idiom (HUGEINT in the oracle); the draw
+    u6 < p6 compares integers derived from portable md5 (no RNG
+    state — the j_bootstrap_ci discipline); each HT term rounds
+    half-up to integer tokens BEFORE the exact BIGINT sum, so no
+    float accumulates.
+
+    Plan: one corpus pass for totals, one narrow map for (p6, u6),
+    one filtered agg — three metadata-scale rows join at the end. At
+    100 TB the design is one write-time column and the audit is one
+    scan."""
+    t = load(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    tot = base.agg(
+        F.sum("n_chars").cast("long").alias("sc"),
+        F.sum("n_tok").cast("long").alias("true_total"),
+    )
+    p = base.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tok",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                f"CAST((2 * 1000000 * {_HT_K} * CAST(n_chars AS DECIMAL(38,0)) + sc)"
+                " div (2 * CAST(sc AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        ).alias("p6"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ht"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("u6"),
+        "true_total",
+    )
+    p = p.persist()  # consumers: inclusion agg + expected-size agg
+    inc = p.where(F.col("u6") < F.col("p6"))
+    est = inc.agg(
+        F.count("*").cast("long").alias("n_included"),
+        F.sum(
+            F.expr(
+                "CAST((2 * 1000000 * CAST(n_tok AS DECIMAL(38,0)) + p6)"
+                " div (2 * CAST(p6 AS DECIMAL(38,0))) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("ht_total"),
+    )
+    ev = p.agg(F.sum("p6").cast("long").alias("sum_p6"))
+    return (
+        est.crossJoin(F.broadcast(ev))
+        .crossJoin(F.broadcast(tot.select("true_total")))
+        .select(
+            "n_included",
+            (F.floor(F.col("sum_p6") / F.lit(1000000.0) * 100 + F.lit(0.5)) / 100)
+            .alias("expected_n"),
+            "ht_total",
+            "true_total",
+            rnd(
+                F.abs(F.col("ht_total") - F.col("true_total"))
+                * 1.0
+                / F.col("true_total"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+j_horvitz_thompson.__doc__ = j_horvitz_thompson.__doc__.replace("{k}", str(_HT_K))

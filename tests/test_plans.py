@@ -263,6 +263,18 @@ _EXPECTED_BNLJ = {
     "j_source_tfidf",  # 1-row broadcast source count onto the scored types
     "j_neyman_allocation",  # 1-row broadcast allocation denominator
     "j_split_balance",  # 1-row broadcast corpus total (the shared drift rollup's)
+    # --- r13 additions, all metadata-scale build sides by design:
+    "j_kcore_peel",  # two 1-row aggregates (n_nodes x n_edges) per peel round
+    "j_ivf_balance",  # 1-row broadcast (big_n, n_cells) onto the 16-cell spine
+    "j_hll_precision_curve",  # 1-row broadcast exact truth per geometry row
+    "j_bloom_fpr_curve",  # four 1-row counts fused per size (keys/bits/probes/fp)
+    "j_graph_reciprocity",  # 1-row n_edges x 1-row n_reciprocal fuse
+    "j_markov_stationary",  # 1-row broadcast |types| into the it0 seed
+    "j_dedup_yield_curve",  # 1-row conditional-count aggregate x 1-row total
+    "j_permutation_test",  # 1-row broadcast observed moments onto B replica stats
+    "j_ivf_nprobe_curve",  # 1-row broadcast n_exact per depth row
+    "j_horvitz_thompson",  # three 1-row frames (estimate, expected size, truth)
+    "j_epoch_plan",  # two 1-row broadcast totals (corpus, normalizer Z)
     "j_dedup_survivors",  # 1-row broadcast raw count onto the 4-row stage union
     "j_dup_transitivity",  # three 1-row count frames cross-joined
     "j_ks_embed",  # |labels|-row broadcast x grid cells + 1-row total
@@ -1041,13 +1053,16 @@ _SHUFFLE_BUDGETS = {
     "j_shard_skew": 2,          # 64-row shard agg + 1-row fold
     "j_cms_width_curve": 15,    # reprint-inflated (persisted tok + truth x3 widths)
     "j_hll_precision_curve": 18,  # reprint-inflated (persisted hash set x3 geometries)
-    "j_bloom_fpr_curve": 100,   # reprint-inflated (persisted bench/neg x3 sizes x k refs)
+    "j_bloom_fpr_curve": 115,   # reprint-inflated (persisted bench/neg/positions x3 sizes x k refs)
     "j_graph_reciprocity": 20,  # reprint-inflated (persisted capped edge list)
     "j_markov_stationary": 50,  # reprint-inflated (persisted matrix x5 iterations)
     "j_dedup_yield_curve": 6,   # blocked quadratic -> per-doc max -> 5-row rollup
     "j_permutation_test": 6,    # two-source slice + replica explode agg
     "j_topk_stability": 6,      # ONE (half,term) agg + bounded rank window
     "j_ivf_nprobe_curve": 48,   # reprint-inflated (persisted cand/exact x4 depths)
+    "j_power_analysis": 1,      # ONE event_type FILTER-moment agg
+    "j_horvitz_thompson": 6,    # reprint-inflated (persisted (p6,u6) relation)
+    "j_epoch_plan": 4,          # reprint-inflated (persisted lang agg x2 totals)
 }
 
 
