@@ -916,8 +916,11 @@ _SHUFFLE_BUDGETS = {
     "j_burstiness": 2,
     "j_chargram_confusion": 17,  # +1 (doc,term) tf pre-agg buys a ~2x leaner fan-out
     "j_bleu_precision": 20,
-    "j_pagerank": 88,  # reprint-inflated +5 by j_assortativity's persisted
-                    # _trade_edges (CacheManager aliases the identical subtree)
+    "j_pagerank": 135,  # reprint-inflated by the persisted edge frames of the
+    # whole graph family: assortativity/kcore/reciprocity caches built
+    # earlier in this loop alias _trade_edges subtrees (CacheManager
+    # canonical-plan matching) and each reprints its cached child here;
+    # standalone the plan counts 83
     "k_apply_in_arrow": 1,
     "j_dup_rate": 2,        # digest agg + source rollup
     # --- r11 expansion: the full r11 REFRESH window (joins, agg
@@ -1056,13 +1059,13 @@ _SHUFFLE_BUDGETS = {
     "j_bloom_fpr_curve": 115,   # reprint-inflated (persisted bench/neg/positions x3 sizes x k refs)
     "j_graph_reciprocity": 20,  # reprint-inflated (persisted capped edge list)
     "j_markov_stationary": 50,  # reprint-inflated (persisted matrix x5 iterations)
-    "j_dedup_yield_curve": 6,   # blocked quadratic -> per-doc max -> 5-row rollup
+    "j_dedup_yield_curve": 25,  # reprint-inflated (persisted 1-row drops agg x5 legs)
     "j_permutation_test": 6,    # two-source slice + replica explode agg
     "j_topk_stability": 6,      # ONE (half,term) agg + bounded rank window
     "j_ivf_nprobe_curve": 48,   # reprint-inflated (persisted cand/exact x4 depths)
     "j_power_analysis": 1,      # ONE event_type FILTER-moment agg
-    "j_horvitz_thompson": 6,    # reprint-inflated (persisted (p6,u6) relation)
-    "j_epoch_plan": 4,          # reprint-inflated (persisted lang agg x2 totals)
+    "j_horvitz_thompson": 9,    # reprint-inflated (persisted (p6,u6) relation x3)
+    "j_epoch_plan": 10,         # reprint-inflated (persisted lang agg x2 totals)
 }
 
 
