@@ -1075,3 +1075,21 @@ def hll_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_true"))
     )
     return hll_relation(regs, truth)
+
+
+def cms_topk_view(spark: SparkSession, state_dir: str, k: int = 10) -> DataFrame:
+    """Live HEAVY-HITTERS panel over the CMS monitor state: the top-k
+    tokens by sketch estimate (tie -> token), with the exact count and
+    overcount beside each — the dashboard row a streaming ingest
+    watches for vocabulary takeover (one viral boilerplate string
+    dominating the stream shows up here batches before a nightly
+    audit). Deterministic: ranks on (cms_est DESC, tok) over the
+    cms_relation rollup, so the panel is a pure function of the
+    accumulated state. The plan is per-partition top-k heaps
+    (TakeOrderedAndProject) over the vocab-sized estimate relation —
+    never a global sort."""
+    return (
+        cms_current_view(spark, state_dir)
+        .orderBy(F.col("cms_est").desc(), F.col("tok"))
+        .limit(k)
+    )

@@ -1232,3 +1232,32 @@ def test_hll_monitor_matches_batch_hll(spark, tmp_path):
     want = sorted(tuple(r) for r in QUERIES["j_hll_portable"](spark, sf).collect())
     got = sorted(tuple(r) for r in S.hll_current_view(spark, state).collect())
     assert got == want
+
+
+def test_cms_topk_view_matches_batch_topk(spark, tmp_path):
+    """The heavy-hitters panel over streamed CMS state equals the
+    batch j_cms_sketch relation's top-k under the same deterministic
+    order — and its plan is a top-k heap, not a global sort."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "cmsk_state")
+    for k, b in enumerate(
+        docs.where(F.col("doc_id") % 2 == k).select("text") for k in range(2)
+    ):
+        S.cms_monitor_sink(b, k, state, run_key="tk")
+    got = [tuple(r) for r in S.cms_topk_view(spark, state, k=5).collect()]
+    want = sorted(
+        (tuple(r) for r in QUERIES["j_cms_sketch"](spark, sf).collect()),
+        key=lambda t: (-t[2], t[0]),
+    )[:5]
+    assert got == want
+    plan = (
+        S.cms_topk_view(spark, state, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
