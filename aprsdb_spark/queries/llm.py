@@ -5542,3 +5542,159 @@ def j_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_ivf_nprobe_curve.__doc__ = j_ivf_nprobe_curve.__doc__.replace(
     "{curve}", str(_NPROBE_CURVE)
 ).replace("{k}", str(_KNNB_K))
+
+
+@query(
+    "j_mcc_multiclass",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS true_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    s AS (SELECT q.qid, q.true_label, e.vec_id, e.label,
+                 FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv))
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+    nn AS (SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, vec_id) AS rk
+             FROM s) WHERE rk <= {_KNNB_K}),
+    votes AS (SELECT qid, true_label, label AS pred_label, COUNT(*) AS c
+              FROM nn GROUP BY qid, true_label, label),
+    pred AS (SELECT qid, true_label, pred_label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY c DESC, pred_label) AS vk
+               FROM votes) WHERE vk = 1),
+    cell AS (SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+             FROM pred GROUP BY true_label, pred_label),
+    tk AS (SELECT true_label AS k, CAST(SUM(n) AS BIGINT) AS t FROM cell
+           GROUP BY true_label),
+    pk AS (SELECT pred_label AS k, CAST(SUM(n) AS BIGINT) AS p FROM cell
+           GROUP BY pred_label),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS s_all,
+                   CAST(SUM(CASE WHEN true_label = pred_label THEN n
+                                 ELSE 0 END) AS BIGINT) AS c_all
+            FROM cell),
+    cross_ AS (SELECT CAST(COALESCE(SUM(CAST(tk.t AS HUGEINT) * pk.p), 0)
+                           AS HUGEINT) AS tp_dot,
+                      CAST(COALESCE((SELECT SUM(CAST(t AS HUGEINT) * t)
+                                     FROM tk), 0) AS HUGEINT) AS tt_dot,
+                      CAST(COALESCE((SELECT SUM(CAST(p AS HUGEINT) * p)
+                                     FROM pk), 0) AS HUGEINT) AS pp_dot
+               FROM tk JOIN pk ON tk.k = pk.k)
+    SELECT tot.s_all AS n_queries, tot.c_all AS n_correct,
+           CASE WHEN (CAST(tot.s_all AS HUGEINT) * tot.s_all - cross_.tt_dot) > 0
+                 AND (CAST(tot.s_all AS HUGEINT) * tot.s_all - cross_.pp_dot) > 0
+                THEN FLOOR(CAST(CAST(tot.c_all AS HUGEINT) * tot.s_all
+                                - cross_.tp_dot AS DOUBLE)
+                           / (sqrt(CAST(CAST(tot.s_all AS HUGEINT) * tot.s_all
+                                        - cross_.pp_dot AS DOUBLE))
+                              * sqrt(CAST(CAST(tot.s_all AS HUGEINT) * tot.s_all
+                                          - cross_.tt_dot AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS mcc
+    FROM tot CROSS JOIN cross_
+    """,
+)
+def j_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation (the Gorodkin 2004 R_K
+    statistic, public) of the kNN label-vote classifier:
+    MCC = (c·s − Σ_k t_k·p_k) / sqrt((s² − Σp_k²)(s² − Σt_k²)) over
+    the SAME confusion matrix j_knn_confusion registers — the one
+    chance-corrected single number that stays honest under class
+    imbalance where accuracy and even macro-F1 flatter (j_cohen_kappa
+    corrects against annotator-style chance; MCC is its
+    correlation-form sibling and the standard leaderboard statistic).
+
+    EXACT: every term is an integer dot product of class-marginal
+    counts, widened to HUGEINT ↔ DECIMAL(38,0) BEFORE multiply (s² at
+    1e10 queries passes 2^63); the statistic applies IEEE sqrt + one
+    division to those exact integers (the j_assortativity recipe) and
+    floors 1e-6. Degenerate single-class panels yield NULL.
+
+    Plan: reuses the j_knn_confusion vote pipeline verbatim (broadcast
+    query fan-out, one rank window, vote argmax); marginals and dot
+    products are re-aggs of the ≤|labels|² cell relation — everything
+    after the scored scan is metadata."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        as_double("embedding").alias("qv"),
+    )
+    s = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    nn = s.select("*", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= _KNNB_K
+    )
+    votes = nn.groupBy("qid", "true_label", F.col("label").alias("pred_label")).agg(
+        F.count("*").alias("c")
+    )
+    vw = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("pred_label").asc())
+    pred = votes.select("*", F.row_number().over(vw).alias("vk")).where(
+        F.col("vk") == 1
+    )
+    cell = pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    cell = cell.persist()  # marginals + totals + dot products
+    tk = cell.groupBy(F.col("true_label").alias("k")).agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    pk = cell.groupBy(F.col("pred_label").alias("k")).agg(
+        F.sum("n").cast("long").alias("p")
+    )
+    tot = cell.agg(
+        F.sum("n").cast("long").alias("s_all"),
+        F.sum(F.when(F.col("true_label") == F.col("pred_label"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("c_all"),
+    )
+    dots = (
+        tk.join(pk, "k")
+        .agg(
+            F.sum(F.col("t").cast(dec) * F.col("p")).cast(dec).alias("tp_dot"),
+        )
+        .crossJoin(
+            F.broadcast(
+                tk.agg(F.sum(F.col("t").cast(dec) * F.col("t")).cast(dec).alias("tt_dot"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                pk.agg(F.sum(F.col("p").cast(dec) * F.col("p")).cast(dec).alias("pp_dot"))
+            )
+        )
+        .select(
+            F.coalesce(F.col("tp_dot"), F.lit(0).cast(dec)).alias("tp_dot"),
+            "tt_dot",
+            "pp_dot",
+        )
+    )
+    num = F.col("c_all").cast(dec) * F.col("s_all") - F.col("tp_dot")
+    d1 = F.col("s_all").cast(dec) * F.col("s_all") - F.col("pp_dot")
+    d2 = F.col("s_all").cast(dec) * F.col("s_all") - F.col("tt_dot")
+    mcc = (
+        F.floor(
+            num.cast("double")
+            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return tot.crossJoin(F.broadcast(dots)).select(
+        F.col("s_all").alias("n_queries"),
+        F.col("c_all").alias("n_correct"),
+        F.when((d1 > 0) & (d2 > 0), mcc).alias("mcc"),
+    )

@@ -69,12 +69,12 @@ def load_all() -> None:
 # canaries a_scan_parquet / e_win_lastpos. 20 + 28 + 2 = 50. When this
 # window lands, every qid's evidence is r7 or newer, and the r7-scored
 # cohort (48 qids) becomes the oldest evidence in the registry.
-# r14 plan: NEXT_QUEUE (the 19 r13 additions, never-scored) goes
-# first, then REFRESH_QUEUE (the first 29 of the 48 r7-scored qids,
-# registration order — 19 + 29 + 2 canaries = 50 exactly), then the 2
-# canaries. The 19 r7-scored qids that do not fit the r14 window roll
+# r14 plan: NEXT_QUEUE (the 20 r13 additions, never-scored) goes
+# first, then REFRESH_QUEUE (the first 28 of the 48 r7-scored qids,
+# registration order — 20 + 28 + 2 canaries = 50 exactly), then the 2
+# canaries. The 20 r7-scored qids that do not fit the r14 window roll
 # to r15 — still comfortably ahead of the staleness bound
-# max(4, ceil(N/48)) >= 8 at N >= 357 (during the r15 build their age
+# max(4, ceil(N/48)) >= 8 at N >= 358 (during the r15 build their age
 # is 14 - 7 = 7 < 8). The bound is derived from registry size in
 # tests/test_registry_order.py, so this schedule is checked, not
 # promised.
@@ -206,6 +206,11 @@ NEXT_QUEUE: list[str] = [
     "j_power_analysis",
     "j_horvitz_thompson",
     "j_epoch_plan",
+    # r13 wave 9: chance-corrected classification quality — the
+    # multiclass Matthews correlation (Gorodkin R_K) over the shared
+    # kNN confusion matrix, the imbalance-honest single number beside
+    # f1_macro and kappa
+    "j_mcc_multiclass",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
@@ -215,14 +220,14 @@ NEXT_QUEUE: list[str] = [
 # queue membership as "scheduled", and a sibling test pins that only
 # already-scored qids may sit here (never-scored ones belong on
 # NEXT_QUEUE, where the tri-scale-verification contract applies).
-# r14 plan: NEXT_QUEUE r13 additions (19, never-scored) first, then
-# these — the first 29 of the 48 r7-scored qids, in registration order
-# (19 + 29 = 48 fills the window exactly: 19 + 29 + 2 canaries = 50).
-# The 19 r7-scored qids that do not fit roll to the r15 window, still
+# r14 plan: NEXT_QUEUE r13 additions (20, never-scored) first, then
+# these — the first 28 of the 48 r7-scored qids, in registration order
+# (20 + 28 = 48 fills the window exactly: 20 + 28 + 2 canaries = 50).
+# The 20 r7-scored qids that do not fit roll to the r15 window, still
 # ahead of the staleness bound (see the DRIVER_ORDER comment for the
 # arithmetic).
 REFRESH_QUEUE: list[str] = [
-    # the first 29 of the 48 r7-scored qids, registration order
+    # the first 28 of the 48 r7-scored qids, registration order
     "c_join_salted",
     "d_agg_distinct",
     "d_agg_percentile",
@@ -251,7 +256,6 @@ REFRESH_QUEUE: list[str] = [
     "h_array",
     "h_url",
     "j_multimodal_frames",
-    "j_multimodal_resize",
 ]
 
 def driver_ordered(d: dict) -> dict:

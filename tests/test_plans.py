@@ -275,6 +275,7 @@ _EXPECTED_BNLJ = {
     "j_ivf_nprobe_curve",  # 1-row broadcast n_exact per depth row
     "j_horvitz_thompson",  # three 1-row frames (estimate, expected size, truth)
     "j_epoch_plan",  # two 1-row broadcast totals (corpus, normalizer Z)
+    "j_mcc_multiclass",  # the j_knn_batch 20-row query fan-out + 1-row dot fuses
     "j_dedup_survivors",  # 1-row broadcast raw count onto the 4-row stage union
     "j_dup_transitivity",  # three 1-row count frames cross-joined
     "j_ks_embed",  # |labels|-row broadcast x grid cells + 1-row total
@@ -1064,6 +1065,7 @@ _SHUFFLE_BUDGETS = {
     "j_topk_stability": 6,      # ONE (half,term) agg + bounded rank window
     "j_ivf_nprobe_curve": 48,   # reprint-inflated (persisted cand/exact x4 depths)
     "j_power_analysis": 1,      # ONE event_type FILTER-moment agg
+    "j_mcc_multiclass": 26,     # reprint-inflated (persisted confusion cells x5 re-aggs)
     "j_horvitz_thompson": 9,    # reprint-inflated (persisted (p6,u6) relation x3)
     "j_epoch_plan": 10,         # reprint-inflated (persisted lang agg x2 totals)
 }
