@@ -4962,6 +4962,17 @@ def j_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count("vec_id").cast("long").alias("n_vecs"))
     )
+    return ivf_balance_from_occ(occ)
+
+
+def ivf_balance_from_occ(occ: DataFrame) -> DataFrame:
+    """The j_ivf_balance output relation from a spine-complete
+    (cluster_id, n_vecs) occupancy — factored out so the streaming
+    occupancy monitor (streaming/ingest.ivf_occupancy_sink) serves the
+    IDENTICAL relation from its accumulated counter state: occupancy
+    counts merge by plain ADDITION across micro-batches, so streamed ≡
+    batch is an identity over equal counts (the drift_from_counts
+    sharing rule)."""
     tot = occ.agg(
         F.sum("n_vecs").cast("long").alias("big_n"),
         F.count("*").cast("long").alias("n_cells"),

@@ -1093,3 +1093,68 @@ def cms_topk_view(spark: SparkSession, state_dir: str, k: int = 10) -> DataFrame
         .orderBy(F.col("cms_est").desc(), F.col("tok"))
         .limit(k)
     )
+
+
+def ivf_occupancy_sink(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    cents: list,
+    run_key: str | None = None,
+) -> None:
+    """foreachBatch IVF OCCUPANCY maintenance — the streaming twin of
+    queries/llm.j_ivf_balance: each micro-batch of vectors assigns to
+    the FROZEN literal quantizer (the same cents list the batch audit
+    trains; in production frozen from the index build, the
+    drift_monitor frozen-grid convention) via the zero-shuffle
+    ivf_assign map stage, collapses to per-cell count partials, and
+    merges BY ADDITION under the (run_key, batch_id) replay guard.
+    ivf_balance_view() serves the state through the SAME
+    ivf_balance_from_occ rollup, so an index operator watches cell
+    skew grow micro-batch by micro-batch — a hot cell shows up here
+    batches before the nightly audit or a straggling probe query
+    does. Input schema: (vec_id, label, embedding)."""
+    from ..operators.similarity import ivf_assign
+
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    assigned, _ = ivf_assign(batch, k_clusters=len(cents), cents=cents)
+    part = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    existing = _read_state_or_none(spark, state_dir)
+    merged = (
+        existing.unionByName(part)
+        .groupBy("cluster_id")
+        .agg(F.sum("n_vecs").cast("long").alias("n_vecs"))
+        if existing is not None
+        else part
+    )
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def ivf_balance_view(spark: SparkSession, state_dir: str, k: int) -> DataFrame:
+    """The accumulated occupancy state as the j_ivf_balance relation
+    (cluster_id, n_vecs, share, load_factor, is_hot) over the FULL
+    k-cell spine (cells no batch has touched yet read 0 — empty cells
+    are wasted nprobe budget and must stay visible) — one shared
+    rollup (queries/llm.ivf_balance_from_occ)."""
+    from ..queries.llm import ivf_balance_from_occ
+
+    spine = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
+    state = spark.read.parquet(state_dir).select("cluster_id", "n_vecs")
+    occ = (
+        spine.join(state, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+        )
+    )
+    return ivf_balance_from_occ(occ)

@@ -1261,3 +1261,36 @@ def test_cms_topk_view_matches_batch_topk(spark, tmp_path):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_occupancy_monitor_matches_batch_balance(spark, tmp_path):
+    """Streaming IVF occupancy monitor (§2.I): replaying the
+    embeddings table in THREE micro-batches against the FROZEN
+    quantizer (the same literal centroids the batch audit trains)
+    must leave a state whose ivf_balance_view equals the one-shot
+    j_ivf_balance relation row for row. Replay of an applied batch is
+    a no-op."""
+    from aprsdb_spark.operators.similarity import kmeans_train_local
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    cents = kmeans_train_local(sf, k=16, iters=2)
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    state = str(tmp_path / "ivf_occ_state")
+    thirds = [emb.where(F.col("vec_id") % 3 == k) for k in range(3)]
+    for k, b in enumerate(thirds):
+        S.ivf_occupancy_sink(b, k, state, cents, run_key="ok")
+    before = sorted(
+        (r.cluster_id, r.n_vecs)
+        for r in spark.read.parquet(state).select("cluster_id", "n_vecs").collect()
+    )
+    S.ivf_occupancy_sink(thirds[0], 0, state, cents, run_key="ok")
+    after = sorted(
+        (r.cluster_id, r.n_vecs)
+        for r in spark.read.parquet(state).select("cluster_id", "n_vecs").collect()
+    )
+    assert before == after
+    want = sorted(tuple(r) for r in QUERIES["j_ivf_balance"](spark, sf).collect())
+    got = sorted(tuple(r) for r in S.ivf_balance_view(spark, state, k=16).collect())
+    assert got == want
