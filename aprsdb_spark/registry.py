@@ -57,177 +57,55 @@ def load_all() -> None:
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
 # every CORRECTNESS_r{N}.json ends at registry position 50). DRIVER_ORDER
-# pins which qids occupy that scored window. Round-13 rotation, exactly
-# the arithmetic the r12 comment promised and the r12 verdict prescribed:
-# (1) ALL 20 never-scored r12 additions from the r12 NEXT_QUEUE, in queue
-# order — the release-governance closure, the distribution closure, the
-# scoring/tokenizer closure, the sketch/graph/source closure, the
-# sampling-design closure, the estimator-calibration closure, and the
-# dedup-strategy economics wave; (2) the 28 r12 REFRESH_QUEUE qids (the
-# remaining r6-scored cohort, registration order — rescored ahead of the
-# capacity-derived staleness bound); (3) the two harness-breakage
+# pins which qids occupy that scored window. Round-14 rotation, exactly
+# the arithmetic the r13 comment promised and the r13 verdict prescribed:
+# (1) ALL 20 never-scored r13 additions from the r13 NEXT_QUEUE, in
+# queue order — the nonparametric-statistics closure, the ANN/index
+# economics closure, the evaluation/layout economics wave, the
+# sketch-sizing closure, the graph/chain closure, the
+# resampling/stability closure, the IVF operating-point curve, the
+# design/estimation closure, and the chance-corrected classification
+# wave; (2) the 28 r13 REFRESH_QUEUE qids (the first 28 of the 48
+# r7-scored cohort, registration order); (3) the two harness-breakage
 # canaries a_scan_parquet / e_win_lastpos. 20 + 28 + 2 = 50. When this
-# window lands, every qid's evidence is r7 or newer, and the r7-scored
-# cohort (48 qids) becomes the oldest evidence in the registry.
-# r14 plan: NEXT_QUEUE (the 20 r13 additions, never-scored) goes
-# first, then REFRESH_QUEUE (the first 28 of the 48 r7-scored qids,
-# registration order — 20 + 28 + 2 canaries = 50 exactly), then the 2
-# canaries. The 20 r7-scored qids that do not fit the r14 window roll
-# to r15 — still comfortably ahead of the staleness bound
-# max(4, ceil(N/48)) >= 8 at N >= 358 (during the r15 build their age
-# is 14 - 7 = 7 < 8). The bound is derived from registry size in
+# window lands, the oldest evidence in the registry is the 20 remaining
+# r7-scored qids (on REFRESH_QUEUE below, first for r15).
+# r15 plan: NEXT_QUEUE (r14 additions, never-scored, capacity <= 20)
+# goes first, then REFRESH_QUEUE (the remaining 20 r7-scored qids plus
+# the first 8 r8-scored qids, registration order — 20 + 28 + 2
+# canaries = 50 exactly). The staleness bound max(4, ceil(N/48)) >= 8
+# at N >= 358 keeps both cohorts comfortably inside the window (r7
+# evidence is age 15 - 7 = 8 during the r15 build, exactly at the
+# bound — which is why ALL remaining r7 qids are queued, none left
+# over). The bound is derived from registry size in
 # tests/test_registry_order.py, so this schedule is checked, not
 # promised.
 DRIVER_ORDER: list[str] = [
     # canary: a_scan_parquet (trivial scan — breaks only if the harness does)
     "a_scan_parquet",
-    # never-scored (r12): the full r12 NEXT_QUEUE in its queue order.
-    # wave 1: release-governance closure
-    "j_dedup_keep_best",
-    "j_wilson_ci",
-    "j_data_card",
-    "j_feature_corr",
-    # wave 2: distribution closure
-    "j_drift_timeslices",
-    "j_ngram_entropy_curve",
-    "j_decile_grid_2d",
-    # wave 3: scoring/tokenizer closure
-    "j_brier_score",
-    "j_bpe_compression",
-    "j_source_tfidf",
-    # wave 4: sketch/graph/source closure
-    "j_simhash_hamming",
-    "j_assortativity",
-    "a_scan_xml",
-    # wave 5: sampling-design closure
-    "j_split_balance",
-    "j_neyman_allocation",
-    # wave 6: estimator-calibration closure
-    "j_ks_embed",
-    "j_minhash_est_error",
-    # wave 7: dedup-strategy economics
-    "j_dedup_survivors",
-    "j_dup_transitivity",
-    "j_ts_autocorr",
-    # oldest-evidence refresh: the 28 remaining r6-scored qids, in
-    # registration order (the full r12 REFRESH_QUEUE)
-    "j_entropy",
-    "j_kl_sources",
-    "j_pmi_bigrams",
-    "j_bm25_topk",
-    "j_rank_fusion",
-    "j_shard_manifest",
-    "j_zorder_stats",
-    "j_histogram_equi",
-    "j_profile_stats",
-    "j_pagerank",
-    "j_triangle_count",
-    "j_ab_ttest",
-    "j_winsorize",
-    "j_attribution",
-    "aprs_pipeline",
-    "k_arrow_udf",
-    "k_pandas_iter",
-    "j_gapfill",
-    "j_scd2_history",
-    "j_ts_anomaly",
-    "j_incremental_agg",
-    "j_upsert_merge",
-    "j_sample_weighted",
-    "j_group_split",
-    "j_dedup_edit",
-    "j_snapshot_diff",
-    "j_cms_sketch",
-    "j_hll_portable",
-    # canary: e_win_lastpos
-    "e_win_lastpos",
-]
-# qids added AFTER the current round's 50-slot window was frozen. Not
-# scoreable this round; everything here must be tri-scale-verified
-# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
-# runs) and is FIRST in line for the next rotation.
-# test_registry_order.py enforces that a never-scored qid is either in
-# the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = [
-    # r13 additions land here as they are built (capacity: <= 20, since
-    # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
-    # 48-slot window).
-    # r13 wave 1: nonparametric-statistics closure — tie-corrected
-    # Mann-Whitney rank-sum between sources (the j_ab_ttest twin for
-    # length-like heavy-tied metrics) and fixed-round k-core peeling
-    # of the trade graph (the degree-resilience audit next to
-    # j_graph_degree/j_assortativity)
+    # never-scored (r13): the full r13 NEXT_QUEUE in its queue order
     "j_mannwhitney",
     "j_kcore_peel",
-    # r13 wave 2: ANN/index economics closure — IVF cell-occupancy
-    # balance over the full spine (the storage-skew number), per-band
-    # LSH bucket skew (the shuffle-skew and join-cardinality price,
-    # measured without running the join), and the analytic (r, b)
-    # band-plan tuner over the exact pair-Jaccard distribution
     "j_ivf_balance",
     "j_lsh_bucket_skew",
     "j_lsh_band_plan",
-    # r13 wave 3: evaluation/layout economics — average precision over
-    # exact threshold groups (the class-imbalance-honest ROC twin),
-    # the one-row shard straggler audit of the release layout, and the
-    # count-min width-vs-error sizing curve
     "j_pr_auc",
     "j_shard_skew",
     "j_cms_width_curve",
-    # r13 wave 4: sketch-sizing closure — the HLL precision curve and
-    # the Bloom bits-vs-FPR curve (measured against ground-truth
-    # negatives, next to the load-based prediction), completing the
-    # sizing family with j_cms_width_curve and j_lsh_band_plan
     "j_hll_precision_curve",
     "j_bloom_fpr_curve",
-    # r13 wave 5: graph/chain closure — edge reciprocity (does the
-    # undirected treatment the k-core/triangle family applies lose
-    # information?) and the stationary distribution of the event
-    # chain by fixed exact-integer power iterations
     "j_graph_reciprocity",
     "j_markov_stationary",
-    # r13 wave 6: resampling/stability closure — the dedup yield curve
-    # (keeper-set size per threshold from one exact pass), the
-    # assumption-free permutation test (beside t-test and rank-sum),
-    # and split-half top-K vocabulary stability
     "j_dedup_yield_curve",
     "j_permutation_test",
     "j_topk_stability",
-    # r13 wave 7: the IVF operating-point curve — recall@k per probe
-    # depth from one candidate pass (scan fraction vs recall, read
-    # beside j_ivf_balance's occupancy skew)
     "j_ivf_nprobe_curve",
-    # r13 wave 8: design/estimation closure — minimum detectable
-    # effect per event_type (the experiment-DESIGN table j_ab_ttest
-    # reads out after the fact), the Horvitz-Thompson
-    # inverse-probability estimator audit for PPS sampling, and the
-    # multi-epoch mix execution plan (temperature shares x token
-    # budget -> integer epochs per language)
     "j_power_analysis",
     "j_horvitz_thompson",
     "j_epoch_plan",
-    # r13 wave 9: chance-corrected classification quality — the
-    # multiclass Matthews correlation (Gorodkin R_K) over the shared
-    # kNN confusion matrix, the imbalance-honest single number beside
-    # f1_macro and kappa
     "j_mcc_multiclass",
-]
-
-# Already-scored qids whose evidence is the oldest in the registry but
-# which did NOT fit this round's 50-slot window: scheduled FIRST for the
-# next rotation (after NEXT_QUEUE's never-scored entries). This is the
-# executable form of "deferred to r14" — test_registry_order.py accepts
-# queue membership as "scheduled", and a sibling test pins that only
-# already-scored qids may sit here (never-scored ones belong on
-# NEXT_QUEUE, where the tri-scale-verification contract applies).
-# r14 plan: NEXT_QUEUE r13 additions (20, never-scored) first, then
-# these — the first 28 of the 48 r7-scored qids, in registration order
-# (20 + 28 = 48 fills the window exactly: 20 + 28 + 2 canaries = 50).
-# The 20 r7-scored qids that do not fit roll to the r15 window, still
-# ahead of the staleness bound (see the DRIVER_ORDER comment for the
-# arithmetic).
-REFRESH_QUEUE: list[str] = [
-    # the first 28 of the 48 r7-scored qids, registration order
+    # oldest-evidence refresh: the first 28 of the 48 r7-scored qids,
+    # in registration order (the full r13 REFRESH_QUEUE)
     "c_join_salted",
     "d_agg_distinct",
     "d_agg_percentile",
@@ -256,6 +134,64 @@ REFRESH_QUEUE: list[str] = [
     "h_array",
     "h_url",
     "j_multimodal_frames",
+    # canary: e_win_lastpos
+    "e_win_lastpos",
+]
+# qids added AFTER the current round's 50-slot window was frozen. Not
+# scoreable this round; everything here must be tri-scale-verified
+# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
+# runs) and is FIRST in line for the next rotation.
+# test_registry_order.py enforces that a never-scored qid is either in
+# the window or on this explicit queue — nothing waits silently.
+NEXT_QUEUE: list[str] = [
+    # r14 additions land here as they are built (capacity: <= 20, since
+    # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
+    # 48-slot window).
+]
+
+# Already-scored qids whose evidence is the oldest in the registry but
+# which did NOT fit this round's 50-slot window: scheduled FIRST for the
+# next rotation (after NEXT_QUEUE's never-scored entries). This is the
+# executable form of "deferred to r15" — test_registry_order.py accepts
+# queue membership as "scheduled", and a sibling test pins that only
+# already-scored qids may sit here (never-scored ones belong on
+# NEXT_QUEUE, where the tri-scale-verification contract applies).
+# r15 plan: NEXT_QUEUE r14 additions (<= 20, never-scored) first, then
+# these — the remaining 20 r7-scored qids plus the first 8 r8-scored
+# qids, in registration order (the r8 pull-forward keeps the window
+# full at 50 even if r14 adds the full 20: 20 + 28 + 2 canaries = 50).
+REFRESH_QUEUE: list[str] = [
+    # the remaining 20 of the 48 r7-scored qids, registration order
+    "j_multimodal_resize",
+    "j_multimodal_decode",
+    "aprs_lastpos",
+    "aprs_msg_ack",
+    "aprs_wx",
+    "aprs_decode_udf",
+    "aprs_malformed",
+    "aprs_objects",
+    "aprs_telemetry_eng",
+    "c_sql_q4",
+    "c_sql_q13",
+    "c_sql_q14",
+    "c_sql_q15",
+    "c_sql_q17",
+    "c_sql_q19",
+    "c_sql_q21",
+    "c_sql_q22",
+    "a_scan_csv",
+    "a_scan_json",
+    "a_scan_evolve",
+    # the first 8 of the 48 r8-scored qids, registration order —
+    # pulled forward so r15's window is full at any r14 addition count
+    "c_join_lateral",
+    "c_join_asof_tol",
+    "c_join_shj",
+    "d_agg_bitwise",
+    "d_agg_listagg",
+    "d_agg_bitmap",
+    "h_variant",
+    "h_try_arith",
 ]
 
 def driver_ordered(d: dict) -> dict:
