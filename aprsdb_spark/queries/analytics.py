@@ -1669,9 +1669,11 @@ _PWR_ZB = 0.841621
            FLOOR((CAST({_PWR_ZA!r} AS DOUBLE) + CAST({_PWR_ZB!r} AS DOUBLE))
                  * sqrt(var_a / n_a + var_b / n_b) * 1000000 + 0.5) / 1000000
                AS mde,
-           FLOOR((CAST({_PWR_ZA!r} AS DOUBLE) + CAST({_PWR_ZB!r} AS DOUBLE))
-                 * sqrt(var_a / n_a + var_b / n_b) / mean_a
-                 * 1000000 + 0.5) / 1000000 AS mde_rel
+           CASE WHEN mean_a <> 0 THEN
+               FLOOR((CAST({_PWR_ZA!r} AS DOUBLE) + CAST({_PWR_ZB!r} AS DOUBLE))
+                     * sqrt(var_a / n_a + var_b / n_b) / mean_a
+                     * 1000000 + 0.5) / 1000000
+           END AS mde_rel
     FROM s
     """,
 )
@@ -1719,5 +1721,12 @@ def j_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         rnd(se, 6).alias("std_err"),
         rnd(zsum * se, 6).alias("mde"),
-        rnd(zsum * se / F.col("mean_a"), 6).alias("mde_rel"),
+        # NULL, not Infinity, on a zero (or 1e-6-rounded-to-zero) arm
+        # mean: Spark would emit Infinity while DuckDB's x/0 depends on
+        # ieee_floating_point_ops — the same degenerate-case NULLing the
+        # sibling estimators (j_mcc_multiclass) apply, mirrored by the
+        # oracle's CASE on the identically-rounded mean_a.
+        F.when(F.col("mean_a") != 0, rnd(zsum * se / F.col("mean_a"), 6)).alias(
+            "mde_rel"
+        ),
     )

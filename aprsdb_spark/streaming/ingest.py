@@ -961,29 +961,35 @@ def cms_monitor_sink(
     spark = batch.sparkSession
     tok = batch.select(F.explode(tokens_col("text")).alias("tok"))
     tok.persist()  # consumers: cells partial + truth partial
-    parts = [cms_cells(tok), cms_truth(tok)]
-    dirs = [state_dir + "_cells", state_dir + "_truth"]
-    keys = [["d", "bucket"], ["tok"]]
-    sums = [["c"], ["true_count"]]
-    for part, d, key, cols in zip(parts, dirs, keys, sums):
-        _recover_incomplete_swap(spark, d)
-        if run_key is not None and batch_id <= _last_applied_batch(d, run_key):
-            continue
-        existing = _read_state_or_none(spark, d)
-        merged = (
-            existing.unionByName(part)
-            .groupBy(*key)
-            .agg(*[F.sum(cn).cast("long").alias(cn) for cn in cols])
-            if existing is not None
-            else part
-        )
-        _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
-            d + "_next"
-        )
-        spark.read.parquet(d + "_next").write.mode("overwrite").parquet(d)
-        if run_key is not None:
-            _record_applied_batch(d, run_key, batch_id)
-    tok.unpersist()
+    # try/finally, not straight-line: foreachBatch retries re-enter this
+    # function after a store-write failure, and an unpersist skipped on
+    # the exception path would leak one cached token frame per retry
+    # into executor storage until the stream dies.
+    try:
+        parts = [cms_cells(tok), cms_truth(tok)]
+        dirs = [state_dir + "_cells", state_dir + "_truth"]
+        keys = [["d", "bucket"], ["tok"]]
+        sums = [["c"], ["true_count"]]
+        for part, d, key, cols in zip(parts, dirs, keys, sums):
+            _recover_incomplete_swap(spark, d)
+            if run_key is not None and batch_id <= _last_applied_batch(d, run_key):
+                continue
+            existing = _read_state_or_none(spark, d)
+            merged = (
+                existing.unionByName(part)
+                .groupBy(*key)
+                .agg(*[F.sum(cn).cast("long").alias(cn) for cn in cols])
+                if existing is not None
+                else part
+            )
+            _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+                d + "_next"
+            )
+            spark.read.parquet(d + "_next").write.mode("overwrite").parquet(d)
+            if run_key is not None:
+                _record_applied_batch(d, run_key, batch_id)
+    finally:
+        tok.unpersist()
 
 
 def cms_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -1150,6 +1156,16 @@ def ivf_balance_view(spark: SparkSession, state_dir: str, k: int) -> DataFrame:
 
     spine = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
     state = spark.read.parquet(state_dir).select("cluster_id", "n_vecs")
+    # A k smaller than the quantizer the sink actually used would DROP
+    # occupied cells in the left join below and silently renormalize
+    # share/load_factor over the truncated spine — fail instead. The
+    # check is a 1-row max over the (constant, k-sized) state frame.
+    top = state.agg(F.max("cluster_id").alias("m")).head()["m"]
+    if top is not None and top >= k:
+        raise ValueError(
+            f"ivf_balance_view: k={k} is smaller than the quantizer the "
+            f"sink used (stored max cluster_id={top}); pass the sink's k"
+        )
     occ = (
         spine.join(state, "cluster_id", "left")
         .select(

@@ -1084,3 +1084,24 @@ def test_shuffle_budgets_hold(spark):
         if n > budget:
             over.append(f"{qid}: {n} > {budget}")
     assert not over, over
+
+
+def test_pagerank_standalone_plan_stays_tight(spark):
+    """The _SHUFFLE_BUDGETS ceiling for j_pagerank (135) is
+    reprint-inflated: in suite order, sibling graph qids planned earlier
+    in the budget loop persist _trade_edges subtrees, and the
+    CacheManager aliases each cached child into j_pagerank's printed
+    plan. That loosened ceiling would absorb a genuine ~60% regression
+    of the standalone plan — so the TIGHT bound is pinned here against
+    an empty CacheManager, independent of sibling caches: clearCache()
+    immediately before planning ONLY this qid prints the true 5-unrolled-
+    iteration shape (measured: exactly 83 Exchanges cold)."""
+    spark.catalog.clearCache()
+    p = (
+        QUERIES["j_pagerank"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = p.count("Exchange")
+    assert n <= 83, f"standalone j_pagerank plan grew: {n} Exchanges > 83"

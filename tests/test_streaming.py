@@ -1294,3 +1294,110 @@ def test_ivf_occupancy_monitor_matches_batch_balance(spark, tmp_path):
     want = sorted(tuple(r) for r in QUERIES["j_ivf_balance"](spark, sf).collect())
     got = sorted(tuple(r) for r in S.ivf_balance_view(spark, state, k=16).collect())
     assert got == want
+
+
+def test_cms_monitor_unpersists_tokens_on_store_failure(spark, tmp_path):
+    """ADVICE r13: cms_monitor_sink persists the exploded token frame
+    for its two store passes; before the fix the unpersist sat on the
+    straight-line path only, so an exception during a store write/swap
+    leaked one cached frame into executor storage per foreachBatch
+    retry. Pin the try/finally: force a store failure and assert the
+    session's CacheManager is empty afterwards."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text")
+        .limit(50)
+    )
+    spark.catalog.clearCache()
+    # state_dir under a plain FILE: the parquet write of the first
+    # store's _next dir fails with a real IO error mid-loop, exactly
+    # the retry window the advice describes.
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    with pytest.raises(Exception):
+        S.cms_monitor_sink(docs, 0, str(blocker / "cms_state"), run_key="fk")
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "cms_monitor_sink leaked its persisted token frame on the "
+        "failure path"
+    )
+
+
+def test_ivf_balance_view_rejects_truncating_k(spark, tmp_path):
+    """ADVICE r13: ivf_balance_view builds the spine from the caller's
+    k; a k smaller than the quantizer the sink used silently DROPPED
+    occupied cells >= k and renormalized share/load_factor over the
+    truncated spine. Pin the guard: a too-small k must raise, and the
+    sink's true k must still serve the full relation."""
+    from aprsdb_spark.operators.similarity import kmeans_train_local
+
+    sf = "/root/testdata/sf0.001"
+    cents = kmeans_train_local(sf, k=16, iters=2)
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    state = str(tmp_path / "ivf_trunc")
+    S.ivf_occupancy_sink(emb, 0, state, cents, run_key="tk")
+    top = max(
+        r.cluster_id for r in spark.read.parquet(state).select("cluster_id").collect()
+    )
+    assert top >= 4, "fixture degenerated: need occupied cells above k=4"
+    with pytest.raises(ValueError, match="smaller than the quantizer"):
+        S.ivf_balance_view(spark, state, k=4).collect()
+    assert S.ivf_balance_view(spark, state, k=16).count() == 16
+
+
+def test_two_monitor_sinks_one_run_key_crash_between_swaps(spark, tmp_path):
+    """VERDICT r13 item 6: the monitors' recovery tests all run
+    single-stream, but a production foreachBatch typically fans one
+    micro-batch into SEVERAL sinks under one run_key — and a crash
+    BETWEEN their swaps leaves sink A at batch 1 and sink B at batch 0.
+    At-least-once restart re-delivers batch 1 to BOTH; the per-store
+    guards must no-op A and apply B, and a second crash DURING B's
+    swap (main-dir _SUCCESS lost) must recover from _next — both
+    states must equal the one-shot batch audits afterwards."""
+    import os
+
+    from aprsdb_spark.registry import QUERIES, load_all
+    from aprsdb_spark.tables import load as tload
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+    ev = tload(spark, sf).events.select("event_id", "user_id")
+    doc_halves = [
+        docs.where(F.col("doc_id") % 2 == k).select("text") for k in range(2)
+    ]
+    ev_halves = [
+        ev.where(F.col("event_id") % 2 == k).select("user_id") for k in range(2)
+    ]
+    cms_state = str(tmp_path / "pair_cms")
+    hll_state = str(tmp_path / "pair_hll")
+    run_key = "pair"
+    # batch 0: both sinks apply cleanly
+    S.cms_monitor_sink(doc_halves[0], 0, cms_state, run_key=run_key)
+    S.hll_monitor_sink(ev_halves[0], 0, hll_state, run_key=run_key)
+    # batch 1: cms swaps fully, then the driver dies BEFORE hll runs
+    S.cms_monitor_sink(doc_halves[1], 1, cms_state, run_key=run_key)
+    cms_before = sorted(
+        (r.d, r.bucket, r.c)
+        for r in spark.read.parquet(cms_state + "_cells")
+        .select("d", "bucket", "c")
+        .collect()
+    )
+    # restart: batch 1 re-delivered to BOTH sinks; additionally the hll
+    # swap itself crashes mid-overwrite (lost _SUCCESS) and is replayed
+    S.cms_monitor_sink(doc_halves[1], 1, cms_state, run_key=run_key)
+    S.hll_monitor_sink(ev_halves[1], 1, hll_state, run_key=run_key)
+    os.remove(os.path.join(hll_state + "_regs", "_SUCCESS"))
+    S.hll_monitor_sink(ev_halves[1], 1, hll_state, run_key=run_key)
+    cms_after = sorted(
+        (r.d, r.bucket, r.c)
+        for r in spark.read.parquet(cms_state + "_cells")
+        .select("d", "bucket", "c")
+        .collect()
+    )
+    assert cms_before == cms_after, "guard failed: cms double-applied batch 1"
+    want_cms = sorted(tuple(r) for r in QUERIES["j_cms_sketch"](spark, sf).collect())
+    got_cms = sorted(tuple(r) for r in S.cms_current_view(spark, cms_state).collect())
+    assert got_cms == want_cms
+    want_hll = sorted(tuple(r) for r in QUERIES["j_hll_portable"](spark, sf).collect())
+    got_hll = sorted(tuple(r) for r in S.hll_current_view(spark, hll_state).collect())
+    assert got_hll == want_hll
