@@ -4,7 +4,13 @@ Run from the repo root: python scripts/regen_coverage.py
 The prose header is preserved verbatim except for the count line.
 """
 
+import os
 import re
+import sys
+
+# runnable as `python scripts/regen_coverage.py` from anywhere: the
+# repo root (the script's parent's parent) must be importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import aprsdb_spark.registry as R
 
