@@ -846,3 +846,517 @@ def j_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("straggler_factor"),
     )
+
+
+# --- r14 additions: I/O-pruning and join-pricing economics -----------------
+
+# Zone-map audit: shard count and predicate-grid resolution. 64 shards
+# models one file per shard; 7 thresholds sweep the ship-day range.
+_MM_SHARDS = 64
+_MM_GRID = 8
+_DAY_MS = 86400000
+
+
+@query(
+    "j_minmax_prune",
+    oracle=f"""
+    WITH d AS (SELECT l_orderkey, epoch_ms(l_shipdate) // {_DAY_MS} AS day
+               FROM lineitem),
+    mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    sh AS (SELECT layout, shard, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(MAX(day) AS BIGINT) AS mx
+           FROM (SELECT day,
+                        'hash' AS layout, l_orderkey % {_MM_SHARDS} AS shard
+                 FROM d
+                 UNION ALL
+                 SELECT day, 'sorted' AS layout,
+                        ((day - mm.lo) * {_MM_SHARDS}) // (mm.hi - mm.lo + 1)
+                          AS shard
+                 FROM d, mm)
+           GROUP BY 1, 2),
+    th AS (SELECT i, mm.lo + ((mm.hi - mm.lo + 1) * i) // {_MM_GRID} AS t
+           FROM range(1, {_MM_GRID}) r(i), mm),
+    sk AS (SELECT layout, th.i AS q_idx, th.t AS threshold_day,
+                  CAST(SUM(CASE WHEN mx < th.t THEN 1 ELSE 0 END) AS BIGINT)
+                    AS shards_skipped,
+                  CAST(SUM(CASE WHEN mx < th.t THEN n ELSE 0 END) AS BIGINT)
+                    AS rows_skipped,
+                  CAST(SUM(n) AS BIGINT) AS total_rows
+           FROM sh CROSS JOIN th GROUP BY 1, 2, 3)
+    SELECT layout, CAST(q_idx AS BIGINT) AS q_idx, threshold_day,
+           shards_skipped, rows_skipped,
+           FLOOR((1.0 - rows_skipped * 1.0 / total_rows) * 1000000 + 0.5)
+             / 1000000 AS scan_frac
+    FROM sk
+    """,
+)
+def j_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) skip-fraction audit — the number
+    that decides whether a 100 TB scan with a date predicate reads
+    100 TB or 2: lay lineitem out {s} ways into {n} shards ( 'hash' =
+    orderkey mod {n}, the layout a hash-partitioned writer produces;
+    'sorted' = equal-width ship-day ranges, the layout OPTIMIZE/sort-
+    on-write produces), record each shard's max ship-day (the zone
+    map), and sweep `day >= T` predicates over a {g}-point grid: a
+    shard is skippable iff its max < T. The output is the scan-
+    fraction curve per layout — sorted decays linearly to ~1/{n},
+    hash stays pinned at 1.0, and the GAP is the measured value of
+    sort-on-write (the j_zorder_stats sibling for the 1-D case, and
+    the read-side twin of j_shard_manifest's writer audit).
+
+    EXACT throughout: ship-day is epoch-ms integer-div, both shard
+    keys are non-negative integer division (DuckDB `//` floors on
+    BIGINT — the SCALE.md 4t rule), thresholds are integer lattice
+    points, and skip counts are BIGINT sums; the only division is the
+    final 1e-6-rounded scan fraction.
+
+    Plan: ONE data-sized pass builds both layouts' zone maps (the
+    union doubles rows but collapses map-side to {n}x2 shard rows);
+    the min/max scalar broadcasts onto it (at 100 TB this comes free
+    from table statistics); the threshold sweep runs on the
+    {n}x2-row zone-map relation — metadata, never data. Real engines
+    read this exact relation from the parquet footers; the qid prices
+    the decision with the engine's own operators."""
+    t = load(spark, sf_dir)
+    d = t.lineitem.select(
+        "l_orderkey",
+        # l_shipdate is TIMESTAMP_NTZ; the session is tune()-pinned UTC,
+        # so the cast is the identity wall-clock -> epoch map DuckDB's
+        # epoch_ms applies
+        F.expr(f"unix_millis(cast(l_shipdate as timestamp)) div {_DAY_MS}").alias(
+            "day"
+        ),
+    )
+    mm = d.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    both = d.crossJoin(F.broadcast(mm)).select(
+        "day",
+        F.expr(
+            f"stack(2, 'hash', l_orderkey % {_MM_SHARDS},"
+            f" 'sorted', ((day - lo) * {_MM_SHARDS}) div (hi - lo + 1))"
+        ).alias("layout", "shard"),
+    )
+    sh = both.groupBy("layout", "shard").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("day").cast("long").alias("mx"),
+    )
+    th = (
+        spark.range(1, _MM_GRID)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "i",
+            F.expr(f"lo + ((hi - lo + 1) * i) div {_MM_GRID}").alias("t"),
+        )
+    )
+    sk = (
+        sh.crossJoin(F.broadcast(th))
+        .groupBy("layout", F.col("i").alias("q_idx"), F.col("t").alias("threshold_day"))
+        .agg(
+            F.sum(F.when(F.col("mx") < F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("shards_skipped"),
+            F.sum(F.when(F.col("mx") < F.col("t"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_skipped"),
+            F.sum("n").cast("long").alias("total_rows"),
+        )
+    )
+    return sk.select(
+        "layout",
+        F.col("q_idx").cast("long").alias("q_idx"),
+        "threshold_day",
+        "shards_skipped",
+        "rows_skipped",
+        rnd(1.0 - F.col("rows_skipped") * 1.0 / F.col("total_rows"), 6).alias(
+            "scan_frac"
+        ),
+    )
+
+
+j_minmax_prune.__doc__ = (
+    j_minmax_prune.__doc__
+    .replace("{s}", "2")
+    .replace("{n}", str(_MM_SHARDS))
+    .replace("{g}", str(_MM_GRID - 1))
+)
+
+
+@query(
+    "j_join_card_est",
+    oracle=f"""
+    WITH d AS (SELECT l_partkey, epoch_ms(l_shipdate) // {_DAY_MS} AS day
+               FROM lineitem),
+    mm AS (SELECT MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS split FROM d),
+    h1 AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM d, mm WHERE day < mm.split GROUP BY 1),
+    h2 AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM d, mm WHERE day >= mm.split GROUP BY 1),
+    j AS (SELECT h1.l_partkey, n1 * n2 AS p FROM h1 JOIN h2 USING (l_partkey)),
+    r AS (SELECT p, ROW_NUMBER() OVER (ORDER BY p DESC, l_partkey) AS rk
+          FROM j),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(p) AS BIGINT) AS est, CAST(MAX(p) AS BIGINT) AS mx
+          FROM j),
+    k AS (SELECT GREATEST(1, (s.n_keys + 99) // 100) AS kk FROM s),
+    tp AS (SELECT CAST(SUM(r.p) AS BIGINT) AS top_p FROM r, k
+           WHERE r.rk <= k.kk)
+    SELECT s.n_keys, s.est AS est_join_rows, s.mx AS max_key_product,
+           CAST(k.kk AS BIGINT) AS top1pct_keys,
+           FLOOR(tp.top_p * 1.0 / s.est * 1000000 + 0.5) / 1000000
+             AS top1pct_share
+    FROM s, k, tp
+    """,
+)
+def j_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pricing WITHOUT running the join: the
+    early-half x late-half lineitem self-join on l_partkey ("which
+    parts recur across the two halves of the shipping window" — the
+    recurrence shape of every dedup-candidate and feature-backfill
+    join) is priced from the two per-key COUNT HISTOGRAMS alone:
+    |R1 join R2| = sum over keys of n1(k)*n2(k), exactly. The output
+    is the estimated row count, the worst single key, and the share
+    of output owed to the top 1% of keys — the skew number that says
+    whether the shuffle needs salting (j_lsh_bucket_skew's sibling
+    for equi-joins; at 100 TB this histogram product is what a
+    cost-based optimizer reads, and computing it costs two metadata-
+    sized aggs instead of the join's full shuffle).
+
+    EXACT: day split and per-key counts are BIGINT; every product and
+    sum stays integer; the only division is the final 1e-6-rounded
+    top-share.
+
+    Plan: one scan feeds both half-histograms (two hash aggs that
+    AQE runs off one shuffle read of (partkey, day)); the histogram
+    join is |parts|-sized metadata co-partitioned on its own group
+    key, so no second data shuffle exists; the top-1% rank window
+    runs UNPARTITIONED on that bounded relation by design (the
+    j_histogram_equi argument — parts, not lineitems)."""
+    t = load(spark, sf_dir)
+    d = t.lineitem.select(
+        "l_partkey",
+        F.expr(f"unix_millis(cast(l_shipdate as timestamp)) div {_DAY_MS}").alias(
+            "day"
+        ),
+    )
+    mm = d.agg(
+        (F.min("day") + F.expr("(max(day) - min(day) + 1) div 2")).alias("split")
+    )
+    dd = d.crossJoin(F.broadcast(mm))
+    h1 = (
+        dd.where(F.col("day") < F.col("split"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n1"))
+    )
+    h2 = (
+        dd.where(F.col("day") >= F.col("split"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n2"))
+    )
+    # |parts|-row metadata with four consumers (rank window, the
+    # summary agg, the top-share agg) — persist (SCALE.md 4r rule)
+    j = (
+        h1.join(h2, "l_partkey")
+        .select("l_partkey", (F.col("n1") * F.col("n2")).alias("p"))
+        .persist()
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("p").desc(), F.col("l_partkey")))
+    r = j.select("p", rk.alias("rk"))
+    s = j.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("p").cast("long").alias("est"),
+        F.max("p").cast("long").alias("mx"),
+    )
+    k = s.select(F.greatest(F.lit(1), F.expr("(n_keys + 99) div 100")).alias("kk"))
+    tp = (
+        r.crossJoin(F.broadcast(k))
+        .where(F.col("rk") <= F.col("kk"))
+        .agg(F.sum("p").cast("long").alias("top_p"))
+    )
+    return (
+        s.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_keys",
+            F.col("est").alias("est_join_rows"),
+            F.col("mx").alias("max_key_product"),
+            F.col("kk").cast("long").alias("top1pct_keys"),
+            rnd(F.col("top_p") * 1.0 / F.col("est"), 6).alias("top1pct_share"),
+        )
+    )
+
+
+# AMS tug-of-war: 64 independent +/-1 estimators in 8 groups of 8
+# (median-of-means). Signs come from the parity of the LOW md5 word of
+# (partkey ':' estimator_id) — engine-portable, provably +/-1.
+_AMS_EST = 64
+_AMS_GRP = 8
+
+
+@query(
+    "j_ams_f2",
+    oracle=f"""
+    WITH h AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
+               FROM lineitem GROUP BY 1),
+    ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2, CAST(COUNT(*) AS BIGINT)
+             AS n_keys FROM h),
+    c AS (SELECT r.i,
+                 CAST(SUM(CASE WHEN CAST(concat('0x', substr(
+                          md5(CAST(l_partkey AS VARCHAR) || ':' ||
+                              CAST(r.i AS VARCHAR)), 9, 8)) AS BIGINT) % 2 = 1
+                          THEN f ELSE -f END) AS BIGINT) AS ci
+          FROM h CROSS JOIN range(0, {_AMS_EST}) r(i) GROUP BY 1),
+    g AS (SELECT i // {_AMS_GRP} AS grp, CAST(SUM(ci * ci) AS BIGINT) AS s8
+          FROM c GROUP BY 1),
+    m AS (SELECT CAST(SUM(s8) AS BIGINT) AS tot,
+                 CAST(SUM(CASE WHEN rk IN (4, 5) THEN s8 ELSE 0 END)
+                      AS BIGINT) AS med2
+          FROM (SELECT s8, ROW_NUMBER() OVER (ORDER BY s8, grp) AS rk FROM g))
+    SELECT ex.n_keys, ex.f2 AS f2_exact,
+           FLOOR(m.tot / ({_AMS_EST}.0) * 1000000 + 0.5) / 1000000
+             AS est_mean,
+           FLOOR(m.med2 / ({2 * _AMS_GRP}.0) * 1000000 + 0.5) / 1000000
+             AS est_medmeans,
+           FLOOR((m.tot / ({_AMS_EST}.0) - ex.f2) / ex.f2 * 1000000 + 0.5)
+             / 1000000 AS rel_err_mean,
+           FLOOR((m.med2 / ({2 * _AMS_GRP}.0) - ex.f2) / ex.f2 * 1000000
+                 + 0.5) / 1000000 AS rel_err_medmeans
+    FROM ex, m
+    """,
+)
+def j_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon-Matias-Szegedy 1996, public) of
+    the second frequency moment F2 = sum f_k^2 of l_partkey — which IS
+    the self-join size |lineitem join lineitem on partkey|, so this is
+    the SKETCHED twin of j_join_card_est's exact histogram pricing:
+    {e} independent +/-1-signed counters C_i = sum f_k*s_i(k), each
+    estimating F2 as C_i^2, read out as the plain mean and as the
+    median-of-{g}-means (the variance-then-tail reduction the paper
+    composes). Output includes exact F2 and both relative errors, so
+    the sizing family (j_cms_width_curve / j_hll_precision_curve /
+    j_bloom_fpr_curve) extends to join-size estimation: the error
+    column says how many counters a 100 TB join-size estimate needs.
+
+    EXACT: counters are BIGINT sums of +/-f with md5-parity signs
+    (engine-portable word, % 2 on a non-negative value); C^2 sums and
+    the rank-4/5 median pick stay integer; the four output divisions
+    round 1e-6.
+
+    Plan: ONE data-sized hash agg builds the key histogram; the {e}x
+    estimator fan-out runs on the |parts|-row HISTOGRAM, not the
+    corpus (the sketch matrix is |parts| x {e} products collapsing
+    map-side to {e} rows); the median picks from {g} rows. At 100 TB
+    the sketch would fold directly over the scan with the same
+    per-partition partials — fanning out the histogram here makes the
+    estimator-vs-truth audit one relation."""
+    t = load(spark, sf_dir)
+    h = t.lineitem.groupBy("l_partkey").agg(F.count("*").cast("long").alias("f"))
+    h = h.persist()  # consumers: exact F2 + the 64-estimator fan-out
+    ex = h.agg(
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    sign_bit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_partkey").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                9,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    c = (
+        h.select("l_partkey", "f", F.explode(F.sequence(F.lit(0), F.lit(_AMS_EST - 1))).alias("i"))
+        .select(
+            "i",
+            F.when(sign_bit == 1, F.col("f")).otherwise(-F.col("f")).alias("sf"),
+        )
+        .groupBy("i")
+        .agg(F.sum("sf").cast("long").alias("ci"))
+    )
+    g = c.groupBy(F.expr(f"i div {_AMS_GRP}").alias("grp")).agg(
+        F.sum(F.col("ci") * F.col("ci")).cast("long").alias("s8")
+    )
+    rk = F.row_number().over(Window.orderBy("s8", "grp"))
+    m = g.select("s8", rk.alias("rk")).agg(
+        F.sum("s8").cast("long").alias("tot"),
+        F.sum(F.when(F.col("rk").isin(4, 5), F.col("s8")).otherwise(0))
+        .cast("long")
+        .alias("med2"),
+    )
+    mean_est = F.col("tot") / float(_AMS_EST)
+    med_est = F.col("med2") / float(2 * _AMS_GRP)
+    return ex.crossJoin(F.broadcast(m)).select(
+        "n_keys",
+        F.col("f2").alias("f2_exact"),
+        rnd(mean_est, 6).alias("est_mean"),
+        rnd(med_est, 6).alias("est_medmeans"),
+        rnd((mean_est - F.col("f2")) / F.col("f2"), 6).alias("rel_err_mean"),
+        rnd((med_est - F.col("f2")) / F.col("f2"), 6).alias("rel_err_medmeans"),
+    )
+
+
+j_ams_f2.__doc__ = j_ams_f2.__doc__.replace("{e}", str(_AMS_EST)).replace(
+    "{g}", str(_AMS_GRP)
+)
+
+
+# Encoding audit: 64 shards model one file per shard; runs are counted
+# within a shard in (orderkey, linenumber) write order.
+_ENC_SHARDS = 64
+
+
+@query(
+    "j_encoding_audit",
+    oracle=f"""
+    WITH d AS (SELECT l_orderkey % {_ENC_SHARDS} AS shard,
+                      l_orderkey, l_linenumber,
+                      l_returnflag AS c_returnflag,
+                      l_linestatus AS c_linestatus,
+                      l_quantity AS c_quantity,
+                      epoch_ms(l_shipdate) // {_DAY_MS} AS c_shipday
+               FROM lineitem),
+    r AS (SELECT shard,
+                 CASE WHEN LAG(c_returnflag) OVER w IS NULL
+                        OR LAG(c_returnflag) OVER w <> c_returnflag
+                      THEN 1 ELSE 0 END AS r1,
+                 CASE WHEN LAG(c_linestatus) OVER w IS NULL
+                        OR LAG(c_linestatus) OVER w <> c_linestatus
+                      THEN 1 ELSE 0 END AS r2,
+                 CASE WHEN LAG(c_quantity) OVER w IS NULL
+                        OR LAG(c_quantity) OVER w <> c_quantity
+                      THEN 1 ELSE 0 END AS r3,
+                 CASE WHEN LAG(c_shipday) OVER w IS NULL
+                        OR LAG(c_shipday) OVER w <> c_shipday
+                      THEN 1 ELSE 0 END AS r4
+          FROM d
+          WINDOW w AS (PARTITION BY shard ORDER BY l_orderkey, l_linenumber,
+                       c_returnflag, c_linestatus, c_quantity, c_shipday)),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(r1) AS BIGINT) AS runs1,
+                 CAST(SUM(r2) AS BIGINT) AS runs2,
+                 CAST(SUM(r3) AS BIGINT) AS runs3,
+                 CAST(SUM(r4) AS BIGINT) AS runs4
+          FROM r),
+    dc AS (SELECT CAST(COUNT(DISTINCT c_returnflag) AS BIGINT) AS d1,
+                  CAST(COUNT(DISTINCT c_linestatus) AS BIGINT) AS d2,
+                  CAST(COUNT(DISTINCT c_quantity) AS BIGINT) AS d3,
+                  CAST(COUNT(DISTINCT c_shipday) AS BIGINT) AS d4
+           FROM d),
+    u AS (SELECT * FROM (VALUES
+            ('l_returnflag', 1), ('l_linestatus', 2),
+            ('l_quantity', 3), ('l_shipday', 4)) v(col_name, idx)),
+    f AS (SELECT u.col_name, s.n_rows,
+                 CASE u.idx WHEN 1 THEN dc.d1 WHEN 2 THEN dc.d2
+                            WHEN 3 THEN dc.d3 ELSE dc.d4 END AS n_distinct,
+                 CASE u.idx WHEN 1 THEN s.runs1 WHEN 2 THEN s.runs2
+                            WHEN 3 THEN s.runs3 ELSE s.runs4 END AS n_runs
+          FROM u, s, dc)
+    SELECT col_name, n_rows, n_distinct, n_runs,
+           FLOOR(n_rows * 1.0 / n_runs * 1000000 + 0.5) / 1000000
+             AS avg_run_len,
+           CAST(CASE WHEN n_distinct <= 1 THEN 0
+                     ELSE LENGTH(bin(n_distinct - 1)) END AS BIGINT)
+             AS dict_bits,
+           FLOOR((CASE WHEN n_distinct <= 1 THEN 0
+                       ELSE LENGTH(bin(n_distinct - 1)) END)
+                 * CAST(n_runs AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000
+             AS est_bits_per_value
+    FROM f
+    """,
+)
+def j_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding audit — "how well will this column compress
+    under parquet RLE+dictionary" read BEFORE the write: for four
+    lineitem columns, the distinct count (dictionary size), the run
+    count in write order within each of {n} shard-files, the average
+    run length, and the modelled bits/value = ceil(log2(distinct)) /
+    avg_run_len (one dictionary code per run under RLE). The writer-
+    side sibling of j_minmax_prune: that qid prices READ skipping
+    under a layout, this one prices STORAGE under the same layout —
+    together they are the two halves of the sort-on-write business
+    case (sorting by a column collapses its run count, and this
+    relation shows by how much).
+
+    EXACT: run flags are integer window compares within shards;
+    distinct/run/row counts are BIGINT; dict bits avoid log2's libm
+    boundary entirely via LENGTH(bin(d-1)) — exact on both engines —
+    and only the two final ratios round 1e-6.
+
+    Plan: ONE window pass keyed on shard (the write order a file
+    writer already holds — at 100 TB this audit folds into the write
+    task per file, no shuffle beyond the writer's own partitioning)
+    computes all four columns' run flags together; the distinct
+    counts are one multi-distinct agg Spark expands with map-side
+    partials. Output is 4 rows whatever the corpus size."""
+    t = load(spark, sf_dir)
+    d = t.lineitem.select(
+        (F.col("l_orderkey") % _ENC_SHARDS).alias("shard"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("c1"),
+        F.col("l_linestatus").alias("c2"),
+        F.col("l_quantity").alias("c3"),
+        F.expr(f"unix_millis(cast(l_shipdate as timestamp)) div {_DAY_MS}").alias(
+            "c4"
+        ),
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+    # the audited values themselves break the tie, which leaves run
+    # counts deterministic (fully identical rows are interchangeable)
+    w = Window.partitionBy("shard").orderBy(
+        "l_orderkey", "l_linenumber", "c1", "c2", "c3", "c4"
+    )
+    flags = d.select(
+        *[
+            F.when(
+                F.lag(f"c{i}").over(w).isNull()
+                | (F.lag(f"c{i}").over(w) != F.col(f"c{i}")),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"r{i}")
+            for i in range(1, 5)
+        ]
+    )
+    s = flags.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[F.sum(f"r{i}").cast("long").alias(f"runs{i}") for i in range(1, 5)],
+    )
+    dc = d.agg(
+        *[F.countDistinct(f"c{i}").cast("long").alias(f"d{i}") for i in range(1, 5)]
+    )
+    names = ["l_returnflag", "l_linestatus", "l_quantity", "l_shipday"]
+    stacked = s.crossJoin(F.broadcast(dc)).select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"'{names[i - 1]}', n_rows, d{i}, runs{i}" for i in range(1, 5)
+            )
+            + ")"
+        ).alias("col_name", "n_rows", "n_distinct", "n_runs")
+    )
+    bits = F.when(F.col("n_distinct") <= 1, 0).otherwise(
+        F.length(F.bin(F.col("n_distinct") - 1))
+    )
+    return stacked.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        rnd(F.col("n_rows") * 1.0 / F.col("n_runs"), 6).alias("avg_run_len"),
+        bits.cast("long").alias("dict_bits"),
+        rnd(bits * F.col("n_runs").cast("double") / F.col("n_rows"), 6).alias(
+            "est_bits_per_value"
+        ),
+    )

@@ -147,6 +147,15 @@ NEXT_QUEUE: list[str] = [
     # r14 additions land here as they are built (capacity: <= 20, since
     # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
     # 48-slot window).
+    # r14 wave 1: I/O-and-join pricing closure — the zone-map
+    # skip-fraction curve (sorted vs hashed layout), the histogram
+    # join-cardinality/skew price computed WITHOUT running the join,
+    # its AMS-sketched twin (join size from 64 counters), and the
+    # RLE+dictionary encodability audit of the write order
+    "j_minmax_prune",
+    "j_join_card_est",
+    "j_ams_f2",
+    "j_encoding_audit",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

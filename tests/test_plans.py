@@ -1068,6 +1068,12 @@ _SHUFFLE_BUDGETS = {
     "j_mcc_multiclass": 26,     # reprint-inflated (persisted confusion cells x5 re-aggs)
     "j_horvitz_thompson": 9,    # reprint-inflated (persisted (p6,u6) relation x3)
     "j_epoch_plan": 10,         # reprint-inflated (persisted lang agg x2 totals)
+    # --- r14 additions
+    "j_minmax_prune": 7,        # zone-map agg + threshold sweep on metadata
+    "j_join_card_est": 35,      # reprint-inflated (persisted |parts| histogram
+    # join referenced by rank window + summary + top-share aggs)
+    "j_ams_f2": 7,              # one histogram agg + 64-estimator fan-out
+    "j_encoding_audit": 5,      # one shard window pass + multi-distinct agg
 }
 
 
