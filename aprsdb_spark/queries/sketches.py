@@ -20,7 +20,7 @@ ln-based linear-counting output rounds (libm)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rnd
@@ -729,3 +729,93 @@ def j_hll_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_hll_precision_curve.__doc__ = j_hll_precision_curve.__doc__.replace(
     "{ps}", str(_HLLP_PS)
 )
+
+
+# KMV: k minimum hash values per group; 60-bit non-negative hash space
+# (15 hex chars of md5 — one conv, no sign handling on either engine).
+_KMV_K = 64
+_KMV_M = float(1 << 60)
+
+
+@query(
+    "j_kmv_distinct",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                      CAST(concat('0x', substr(
+                          md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM events),
+    r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 CAST(MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS BIGINT) AS hk
+          FROM r GROUP BY 1)
+    SELECT event_type, n_exact, CAST({_KMV_K} AS BIGINT) AS kmv_k,
+           FLOOR(CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                      ELSE ({_KMV_M!r} / CAST(hk AS DOUBLE)) * {_KMV_K - 1}
+                 END * 1000000 + 0.5) / 1000000 AS est,
+           FLOOR((CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                       ELSE ({_KMV_M!r} / CAST(hk AS DOUBLE)) * {_KMV_K - 1}
+                  END - n_exact) / n_exact * 1000000 + 0.5) / 1000000
+             AS rel_err
+    FROM s
+    """,
+)
+def j_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002,
+    public) per event type: hash each user into a 60-bit space, keep
+    the {k} smallest values, estimate |distinct| = (k-1)·M/h_(k) from
+    the k-th minimum alone — the ORDER-STATISTIC route to the same
+    answer HyperLogLog reaches via register maxima, so reading this
+    next to j_hll_portable (same stream, same hash family) shows the
+    two classical distinct-sketch designs against the same exact
+    truth; when a group holds fewer than k distinct hashes the sketch
+    IS the exact set (est = n_exact, the standard small-range branch,
+    exercised at sf0.001 where groups hold 15 users). Unlike HLL,
+    KMV also supports set INTERSECTION estimates, which is why
+    engines ship both.
+
+    EXACT: the hash is one conv of 15 md5 hex chars (non-negative on
+    both engines); the k-th min is an integer order statistic; the
+    estimate applies one fixed div-then-mul IEEE sequence to exact
+    integers (M = 2^60 is dyadic-exact; the BIGINT→DOUBLE cast of
+    h_k rounds identically on both engines) and rounds 1e-6.
+
+    Plan: DISTINCT collapses the stream to |users-per-type| rows
+    map-side; the rank window partitions by event_type over that
+    BOUNDED relation (users, not events — the j_mannwhitney
+    argument); output is |types| rows. At 100 TB the same shape
+    holds: a production KMV keeps a k-row heap per group in one
+    pass; this relational form is its audit twin sharing the driver
+    gate."""
+    t = load(spark, sf_dir)
+    h = (
+        t.events.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    rk = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    r = h.select("event_type", "h", rk.alias("rk"))
+    s = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).cast("long").alias("hk"),
+    )
+    est = F.when(
+        F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        (F.lit(_KMV_M) / F.col("hk").cast("double")) * F.lit(_KMV_K - 1)
+    )
+    return s.select(
+        "event_type",
+        "n_exact",
+        F.lit(_KMV_K).cast("long").alias("kmv_k"),
+        rnd(est, 6).alias("est"),
+        rnd((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+j_kmv_distinct.__doc__ = j_kmv_distinct.__doc__.replace("{k}", str(_KMV_K))

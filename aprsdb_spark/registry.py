@@ -156,6 +156,24 @@ NEXT_QUEUE: list[str] = [
     "j_join_card_est",
     "j_ams_f2",
     "j_encoding_audit",
+    # r14 wave 2: the order-statistic distinct sketch (KMV beside HLL,
+    # same stream, same hash family, same exact truth)
+    "j_kmv_distinct",
+    # r14 wave 3: classical-statistics closure — variance-homogeneity
+    # precondition (Levene), multiple-testing control (Benjamini-
+    # Hochberg over the t family), effect size (Cramér's V beside the
+    # chi-square), the monotone-trend rank correlation (Spearman), the
+    # one-pass grouped jackknife SE (the resampling member that fits a
+    # cluster), the assumption-free location test (Mood's median), and
+    # pairwise link prediction over the trade graph (common-neighbor /
+    # Jaccard)
+    "j_levene_test",
+    "j_fdr_bh",
+    "j_cramers_v",
+    "j_spearman_corr",
+    "j_jackknife_variance",
+    "j_median_test",
+    "j_common_neighbors",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

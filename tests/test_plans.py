@@ -1074,6 +1074,15 @@ _SHUFFLE_BUDGETS = {
     # join referenced by rank window + summary + top-share aggs)
     "j_ams_f2": 7,              # one histogram agg + 64-estimator fan-out
     "j_encoding_audit": 5,      # one shard window pass + multi-distinct agg
+    "j_kmv_distinct": 2,        # distinct collapse + bounded rank window
+    "j_levene_test": 2,         # one event_type shuffle: window + moment agg
+    "j_fdr_bh": 5,              # one moment agg + K-row p-value windows
+    "j_cramers_v": 15,          # reprint-inflated (persisted cells x margins/dims)
+    "j_spearman_corr": 7,       # one event_type shuffle reused by ranks+moments
+    "j_jackknife_variance": 14, # reprint-inflated (persisted shard partials x3)
+    "j_median_test": 16,        # histogram + median broadcast + cell agg reprints
+    "j_common_neighbors": 63,   # reprint-inflated (persisted und edge list x5
+    # refs, each embedding the _trade_edges flow agg); nation-bounded metadata
 }
 
 
