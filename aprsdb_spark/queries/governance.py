@@ -1230,3 +1230,54 @@ def j_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_horvitz_thompson.__doc__ = j_horvitz_thompson.__doc__.replace("{k}", str(_HT_K))
+
+
+# l-diversity: distinct-sensitive-value floor per quasi-identifier cell.
+_LDIV_L = 3
+
+
+@query(
+    "j_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, CAST({sql_floordiv("n_chars", 100)} AS BIGINT)
+               AS chars_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS l_distinct
+      FROM documents GROUP BY 1, 2)
+    SELECT lang, chars_bucket, n_rows, l_distinct,
+           l_distinct >= {_LDIV_L} AS diverse
+    FROM cells
+    """,
+)
+def j_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public) over
+    the (lang, chars-bucket) quasi-identifier cells with `source` as
+    the sensitive attribute — the attack j_kanon_check does NOT
+    cover: a cell can hold k >= 5 rows (k-anonymous) while every row
+    shares ONE source, so membership in the cell REVEALS the source
+    (the homogeneity attack). A release gate reads both relations:
+    kanon's suppress flags AND these diverse=false cells, whose rows
+    need source-generalization before publication.
+
+    EXACT: the bucket is the shared sign-safe floordiv lowering; the
+    cell counts and the distinct-sensitive count are BIGINT; the
+    flag compares integers — nothing floats.
+
+    Plan: ONE hash agg over documents to the quasi-identifier domain
+    (metadata-sized at any corpus scale — the j_kanon_check
+    argument); the distinct-count partials combine map-side."""
+    t = load(spark, sf_dir)
+    cells = t.documents.groupBy(
+        "lang", floordiv("n_chars", 100).cast("long").alias("chars_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("source").cast("long").alias("l_distinct"),
+    )
+    return cells.select(
+        "lang",
+        "chars_bucket",
+        "n_rows",
+        "l_distinct",
+        (F.col("l_distinct") >= _LDIV_L).alias("diverse"),
+    )

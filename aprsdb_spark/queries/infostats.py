@@ -2322,3 +2322,349 @@ def j_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_topk_stability.__doc__ = j_topk_stability.__doc__.replace("{k}", str(_TKS_K))
+
+
+# Good-Turing: smoothed estimates for the first _GT_RMAX frequency
+# classes (the classes above the tail threshold keep their raw counts
+# in practice; the readout stops where N_{r+1} data runs out).
+_GT_RMAX = 10
+
+
+@query(
+    "j_good_turing",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT unnest(list_transform(
+                range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+              AS tok
+            FROM t),
+    f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY 1),
+    nn AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM f GROUP BY 1),
+    tot AS (SELECT CAST(SUM(r * nr) AS BIGINT) AS n_tokens,
+                   CAST(SUM(nr) AS BIGINT) AS v_types
+            FROM nn),
+    o AS (SELECT a.r, a.nr, b.nr AS nr1
+          FROM nn a LEFT JOIN nn b ON b.r = a.r + 1
+          WHERE a.r <= {_GT_RMAX})
+    SELECT o.r, o.nr,
+           CASE WHEN o.nr1 IS NOT NULL THEN
+             FLOOR((o.r + 1) * CAST(o.nr1 AS DOUBLE) / o.nr
+                   * 1000000 + 0.5) / 1000000
+           END AS r_star,
+           FLOOR(o.r * CAST(o.nr AS DOUBLE) / t.n_tokens * 1000000 + 0.5)
+             / 1000000 AS raw_mass,
+           CASE WHEN o.nr1 IS NOT NULL THEN
+             FLOOR((o.r + 1) * CAST(o.nr1 AS DOUBLE) / t.n_tokens
+                   * 1000000 + 0.5) / 1000000
+           END AS gt_mass
+    FROM o, tot t
+    """,
+)
+def j_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing (public 1953 statistic) over
+    the corpus token-TRIGRAM counts (the n-gram LM count table — the
+    31-token fixture vocabulary saturates unigrams, while trigrams
+    keep a genuine low-frequency tail at every scale): the
+    count-of-counts table N_r for
+    r <= {rmax}, the smoothed count r* = (r+1)·N_(r+1)/N_r, and the
+    probability mass each class holds raw vs smoothed — row r=1's
+    raw_mass N_1/N is Turing's UNSEEN-TYPE estimate read directly:
+    how much probability the corpus owes to vocabulary it has never
+    seen, which is the number the n-gram LM
+    (j_ngram_lm, same trigram stream) needs for its backoff and the new-data view of
+    j_heaps_law's type-growth curve (both built on this same token
+    stream; j_hapax_rate IS N_1/V, one cell of this relation).
+
+    EXACT: token and count-of-count relations are BIGINT; every
+    output applies ONE multiply-divide IEEE sequence to exact
+    integers and rounds 1e-6; classes whose N_(r+1) is absent emit
+    NULL r*/gt_mass (no smoothing data) rather than a fabricated 0.
+
+    Plan: one explode-agg to the |trigram-vocab| histogram
+    (Heaps-law-small),
+    one agg to count-of-counts (<= max_r rows), a self-join on r+1
+    within that tiny relation. The corpus is touched once."""
+    from .quality import ngrams_col
+
+    t = load(spark, sf_dir)
+    tok = t.documents.select(F.explode(ngrams_col("text", 3)).alias("tok"))
+    f = tok.groupBy("tok").agg(F.count("*").cast("long").alias("r"))
+    nn = f.groupBy("r").agg(F.count("*").cast("long").alias("nr"))
+    nn = nn.persist()  # consumers: totals + the shifted self-join x2
+    tot = nn.agg(
+        F.sum(F.col("r") * F.col("nr")).cast("long").alias("n_tokens"),
+        F.sum("nr").cast("long").alias("v_types"),
+    )
+    b = nn.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr1"))
+    o = (
+        nn.where(F.col("r") <= _GT_RMAX)
+        .join(b, "r", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return o.select(
+        "r",
+        "nr",
+        F.when(
+            F.col("nr1").isNotNull(),
+            rnd((F.col("r") + 1) * F.col("nr1").cast("double") / F.col("nr"), 6),
+        ).alias("r_star"),
+        rnd(F.col("r") * F.col("nr").cast("double") / F.col("n_tokens"), 6).alias(
+            "raw_mass"
+        ),
+        F.when(
+            F.col("nr1").isNotNull(),
+            rnd(
+                (F.col("r") + 1) * F.col("nr1").cast("double") / F.col("n_tokens"),
+                6,
+            ),
+        ).alias("gt_mass"),
+    )
+
+
+j_good_turing.__doc__ = j_good_turing.__doc__.replace("{rmax}", str(_GT_RMAX))
+
+
+# Burrows's Delta: z-score panel over the top-M corpus tokens.
+_BD_TOPM = 30
+
+
+@query(
+    "j_burrows_delta",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM st GROUP BY 1),
+    top AS (SELECT tok FROM (
+              SELECT tok, SUM(c) AS tc FROM st GROUP BY 1
+              ORDER BY tc DESC, tok LIMIT {_BD_TOPM})),
+    spine AS (SELECT s.source, t.tok, s.tot,
+                     COALESCE(st.c, 0) AS c
+              FROM stot s CROSS JOIN top t
+              LEFT JOIN st ON st.source = s.source AND st.tok = t.tok),
+    fq AS (SELECT source, tok,
+                  (2 * c * 1000000 + tot) // (2 * tot) AS f6
+           FROM spine),
+    ts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(f6) AS BIGINT) AS s,
+                  CAST(SUM(f6 * f6) AS BIGINT) AS q
+           FROM fq GROUP BY 1),
+    z AS (SELECT fq.source, fq.tok,
+                 CASE WHEN ts.n * ts.q - ts.s * ts.s > 0 THEN
+                   CAST(FLOOR((ts.n * fq.f6 - ts.s)
+                        / sqrt(CAST(ts.n * ts.q - ts.s * ts.s AS DOUBLE)
+                               * ts.n / (ts.n - 1))
+                        * 1000000 + 0.5) AS BIGINT)
+                 END AS z6
+          FROM fq JOIN ts ON fq.tok = ts.tok),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(COUNT(*) FILTER (a.z6 IS NOT NULL
+                                           AND b.z6 IS NOT NULL) AS BIGINT)
+                       AS m_used,
+                     CAST(SUM(abs(a.z6 - b.z6)) AS BIGINT) AS sz
+              FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, m_used,
+           FLOOR(CAST(sz AS DOUBLE) / m_used / 1000000.0 * 1000000 + 0.5)
+             / 1000000 AS delta
+    FROM pairs
+    """,
+)
+def j_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows's Delta (public 2002 stylometry statistic) between
+    every source pair: z-score each source's relative frequency of
+    the {m} most frequent corpus tokens (the classical function-word
+    panel) against the cross-source mean and sd, then Delta = mean
+    |z_a - z_b| — the authorship/register distance that reads style,
+    not topic. The stylometric member of the source-similarity family
+    (j_vocab_jaccard_sources compares vocabularies, j_kl_sources
+    compares distributions, this compares DEVIATION PROFILES), and
+    in a training-data pipeline the signal for "these two crawls are
+    the same generator wearing different domains".
+
+    EXACT: relative frequencies land on the 1e-6 integer grid via
+    pure-integer round-half-up (2c*10^6 + tot) // (2 tot); per-token
+    moments are BIGINT; each z applies ONE div-sqrt IEEE sequence to
+    exact integers and re-rounds to an integer z6, so the pair sums
+    are exact integer arithmetic; zero-variance tokens yield NULL z
+    and drop from both sides' m_used. One rounded division at the
+    end.
+
+    Plan: one explode-agg to (source, token) counts; the top-{m}
+    pick is a heap TakeOrdered on the |vocab| relation (no global
+    sort); everything after runs on the |sources| x {m} spine —
+    hundreds of rows of metadata whatever the corpus size."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(tokens_col("text")).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    st = st.persist()  # consumers: source totals, top-M pick, spine join
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    top = (
+        st.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("tok"))
+        .limit(_BD_TOPM)
+        .select("tok")
+    )
+    spine = (
+        stot.crossJoin(F.broadcast(top))
+        .join(st, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            "tot",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    fq = spine.select(
+        "source",
+        "tok",
+        F.expr("(2 * c * 1000000 + tot) div (2 * tot)").alias("f6"),
+    )
+    fq = fq.persist()  # consumers: token stats + the z join
+    ts = fq.groupBy("tok").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f6").cast("long").alias("s"),
+        F.sum(F.col("f6") * F.col("f6")).cast("long").alias("q"),
+    )
+    varn = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = fq.join(F.broadcast(ts), "tok").select(
+        "source",
+        "tok",
+        F.when(
+            varn > 0,
+            F.floor(
+                (F.col("n") * F.col("f6") - F.col("s"))
+                / F.sqrt(
+                    varn.cast("double") * F.col("n") / (F.col("n") - 1)
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("z6"),
+    )
+    za = z.select(
+        F.col("source").alias("source_a"), "tok", F.col("z6").alias("za")
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"), "tok", F.col("z6").alias("zb")
+    )
+    pairs = (
+        za.join(zb, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(
+                F.when(F.col("za").isNotNull() & F.col("zb").isNotNull(), 1)
+            )
+            .cast("long")
+            .alias("m_used"),
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("long").alias("sz"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "m_used",
+        rnd(F.col("sz").cast("double") / F.col("m_used") / 1000000.0, 6).alias(
+            "delta"
+        ),
+    )
+
+
+j_burrows_delta.__doc__ = j_burrows_delta.__doc__.replace("{m}", str(_BD_TOPM))
+
+
+@query(
+    "j_capture_recapture",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    caught AS (SELECT tok,
+                      MAX(CASE WHEN CAST(concat('0x', substr(
+                            md5(CAST(doc_id AS VARCHAR) || ':cr1'), 9, 8))
+                            AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+                      MAX(CASE WHEN CAST(concat('0x', substr(
+                            md5(CAST(doc_id AS VARCHAR) || ':cr2'), 9, 8))
+                            AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS in_b
+               FROM tok GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_exact,
+                 CAST(SUM(in_a) AS BIGINT) AS n1,
+                 CAST(SUM(in_b) AS BIGINT) AS n2,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS m
+          FROM caught)
+    SELECT v_exact, n1, n2, m,
+           FLOOR((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1)
+                 * 1000000 + 0.5) / 1000000 AS chapman_est,
+           FLOOR(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1)
+                  - v_exact) / v_exact * 1000000 + 0.5) / 1000000
+             AS rel_err
+    FROM s
+    """,
+)
+def j_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture vocabulary estimation (Chapman's estimator,
+    public 1951 statistic): two INDEPENDENT half-corpus document
+    samples (disjoint salted md5 parities — the j_split_train_val
+    device, two salts) each "capture" the token types they contain;
+    the Chapman estimate (n1+1)(n2+1)/(m+1) - 1 reconstructs total
+    vocabulary from the two catch sizes and their overlap, read
+    against the exact count. The ecology-style member of the
+    species-estimation family: j_heaps_law fits growth, j_good_turing
+    prices unseen mass, this one estimates population size from TWO
+    SAMPLES ONLY — and its systematic UNDERSHOOT on text (rare types
+    violate equal-catchability; common types are caught twice) is the
+    documented readout, the same heterogeneity the other two
+    quantify.
+
+    EXACT: capture flags are md5-parity maxima per type (integer);
+    catch sizes and overlap are BIGINT; the estimator and its
+    relative error each apply one fixed IEEE sequence and round 1e-6.
+
+    Plan: one explode-agg to the |vocab| relation carrying two flag
+    maxima (map-side combine), one fold to a single row. The corpus
+    is touched once; both "samples" are computed ON THE FLY from the
+    doc_id hash — no data is ever duplicated or moved."""
+    t = load(spark, sf_dir)
+
+    def parity(salt: str) -> Column:
+        return F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+                    9,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            1,
+        ).otherwise(0)
+
+    tok = t.documents.select(
+        F.explode(tokens_col("text")).alias("tok"),
+        parity(":cr1").alias("pa"),
+        parity(":cr2").alias("pb"),
+    )
+    caught = tok.groupBy("tok").agg(
+        F.max("pa").alias("in_a"), F.max("pb").alias("in_b")
+    )
+    s = caught.agg(
+        F.count("*").cast("long").alias("v_exact"),
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+    )
+    est = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return s.select(
+        "v_exact",
+        "n1",
+        "n2",
+        "m",
+        rnd(est, 6).alias("chapman_est"),
+        rnd((est - F.col("v_exact")) / F.col("v_exact"), 6).alias("rel_err"),
+    )

@@ -5709,3 +5709,441 @@ def j_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_all").alias("n_correct"),
         F.when((d1 > 0) & (d2 > 0), mcc).alias("mcc"),
     )
+
+
+# --- r14 additions: retrieval-pathology and operating-point economics ------
+
+# Hubness: k-occurrence counts over the kNN lists of the first _HUB_NQ
+# query vectors at depth _HUB_K.
+_HUB_NQ = 200
+_HUB_K = 10
+
+
+@query(
+    "j_hubness",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_HUB_NQ}),
+    s AS (SELECT q.qid, e.vec_id,
+                 FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid),
+    r AS (SELECT qid, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score DESC, vec_id) AS rk
+            FROM s) WHERE rk <= {_HUB_K}),
+    occ AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occ FROM r
+            GROUP BY 1),
+    full_occ AS (SELECT e.vec_id, COALESCE(occ.k_occ, 0) AS k_occ
+                 FROM embeddings e LEFT JOIN occ USING (vec_id)),
+    h AS (SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM full_occ GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n FROM h)
+    SELECT h.k_occ, h.n_vecs,
+           FLOOR(h.n_vecs * 1.0 / t.n * 1000000 + 0.5) / 1000000 AS share
+    FROM h, t
+    """,
+)
+def j_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (Radovanović et al. 2010, public) of the
+    embedding space: how many of the {nq} query kNN lists (depth
+    {k}) each candidate appears in — the k-occurrence histogram,
+    INCLUDING the zero row (anti-hubs: vectors no query ever
+    retrieves). A heavy right tail here is the high-dimensional
+    pathology that silently degrades every retrieval operator this
+    repo ships (hubs dominate j_knn_label votes, stuff j_semdedup
+    buckets, and soak up j_retrieval_mrr ranks); the histogram is
+    the one-pass diagnosis, read beside j_embed_norm_audit (hubs
+    correlate with norm) and j_ivf_balance (hub cells go hot).
+
+    EXACT: scores pre-round to the 1e-6 grid with vec_id tie-break
+    (the j_knn_batch convention), occurrence counts and the spine
+    join are BIGINT; one rounded share division.
+
+    Plan: the {nq}-row query set broadcasts onto the candidate scan
+    (the deliberate batch-kNN fan-out, j_knn_batch's plan note); ONE
+    qid-partitioned rank window; the k-occurrence agg collapses to
+    <= {nq}x{k} rows map-side; the zero-row spine is a left join of
+    corpus ids against that metadata. At 100 TB the scored leg is
+    the ANN shortlist and this audit rides it unchanged."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _HUB_NQ).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
+    )
+    s = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    r = (
+        s.select("qid", "vec_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _HUB_K)
+    )
+    occ = r.groupBy("vec_id").agg(F.count("*").cast("long").alias("k_occ"))
+    full_occ = (
+        t.embeddings.select("vec_id")
+        .join(F.broadcast(occ), "vec_id", "left")
+        .select(F.coalesce(F.col("k_occ"), F.lit(0)).alias("k_occ"))
+    )
+    h = full_occ.groupBy("k_occ").agg(F.count("*").cast("long").alias("n_vecs"))
+    tt = h.agg(F.sum("n_vecs").cast("long").alias("n"))
+    return h.crossJoin(F.broadcast(tt)).select(
+        "k_occ",
+        "n_vecs",
+        rnd(F.col("n_vecs") * 1.0 / F.col("n"), 6).alias("share"),
+    )
+
+
+j_hubness.__doc__ = j_hubness.__doc__.replace("{nq}", str(_HUB_NQ)).replace(
+    "{k}", str(_HUB_K)
+)
+
+
+# Matryoshka truncation: recall@k of prefix-dimension search vs the
+# full-dimension exact top-k, per prefix width.
+_DIMC_DIMS = (8, 16, 32, 64)
+
+
+def _dim_trunc_oracle() -> str:
+    legs = []
+    for d in _DIMC_DIMS:
+        legs.append(f"""
+    SELECT {d} AS dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM (SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.qid
+                                      ORDER BY s.score DESC, s.vec_id) AS rk
+            FROM (SELECT q.qid, e.vec_id,
+                         FLOOR(list_dot_product(
+                             CAST(e.embedding AS DOUBLE[])[1:{d}],
+                             q.qv[1:{d}]) * 1000000 + 0.5) / 1000000 AS score
+                  FROM embeddings e CROSS JOIN
+                       (SELECT vec_id AS qid,
+                               CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id < {_KNNB_NQ}) q
+                  WHERE e.vec_id != q.qid) s) WHERE rk <= {_KNNB_K}) a
+    JOIN (SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.qid
+                                      ORDER BY s.score DESC, s.vec_id) AS rk
+            FROM (SELECT q.qid, e.vec_id,
+                         FLOOR(list_dot_product(
+                             CAST(e.embedding AS DOUBLE[]),
+                             q.qv) * 1000000 + 0.5) / 1000000 AS score
+                  FROM embeddings e CROSS JOIN
+                       (SELECT vec_id AS qid,
+                               CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id < {_KNNB_NQ}) q
+                  WHERE e.vec_id != q.qid) s) WHERE rk <= {_KNNB_K}) b
+      ON a.qid = b.qid AND a.vec_id = b.vec_id""")
+    return f"""
+    WITH hits AS ({' UNION ALL '.join(legs)})
+    SELECT dim, n_hits,
+           FLOOR(n_hits * 1.0 / ({_KNNB_NQ} * {_KNNB_K}) * 1000000 + 0.5)
+             / 1000000 AS recall
+    FROM hits
+    """
+
+
+@query("j_dim_truncation_curve", oracle=_dim_trunc_oracle())
+def j_dim_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/dimension-truncation operating curve (the MRL
+    reading of Kusupati et al. 2022, public): recall@{k} of exact
+    search run on only the FIRST d dimensions of each embedding,
+    for d in {dims}, against the full-width exact top-{k} over the
+    {nq}-query j_knn_batch panel. Prefix width is the third index
+    budget axis next to j_ivf_nprobe_curve (scan fraction) and
+    j_ann_pq_recall (code size): d/64-width vectors cost d/64 of
+    the RAM and dot-product FLOPs, and this curve prices what that
+    saves in recall BEFORE anyone re-indexes 100 TB of vectors —
+    the d=64 row is the recall=1.0 identity check.
+
+    EXACT: every leg pre-rounds scores to the 1e-6 grid with vec_id
+    tie-break (the shared kNN convention); hits are BIGINT joins of
+    the two rank relations; one rounded division per row.
+
+    Plan: per width, the same broadcast fan-out + ONE qid-keyed rank
+    window as j_knn_batch (widths run as a unioned four-leg plan —
+    each leg scans the slice it scores, so Tungsten never material-
+    izes a truncated copy of the corpus); the hit join runs on
+    {nq}x{k}-row metadata."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
+    )
+    base = t.embeddings.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+
+    def topk(dim: int | None) -> DataFrame:
+        emb = as_double("embedding")
+        qv = F.col("qv")
+        if dim is not None:
+            emb = F.slice(emb, 1, dim)
+            qv = F.slice(qv, 1, dim)
+        return (
+            base.select(
+                "qid", "vec_id", rnd(dot_expr(emb, qv), 6).alias("score")
+            )
+            .select("qid", "vec_id", F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= _KNNB_K)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(None).persist()  # joined by all four truncated legs
+    legs = []
+    for d in _DIMC_DIMS:
+        hits = (
+            topk(d)
+            .join(exact, ["qid", "vec_id"])
+            .agg(F.count("*").cast("long").alias("n_hits"))
+            .select(F.lit(d).cast("long").alias("dim"), "n_hits")
+        )
+        legs.append(hits)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        "dim",
+        "n_hits",
+        rnd(F.col("n_hits") * 1.0 / (_KNNB_NQ * _KNNB_K), 6).alias("recall"),
+    )
+
+
+j_dim_truncation_curve.__doc__ = (
+    j_dim_truncation_curve.__doc__
+    .replace("{k}", str(_KNNB_K))
+    .replace("{nq}", str(_KNNB_NQ))
+    .replace("{dims}", str(_DIMC_DIMS))
+)
+
+
+def _score_groups_sql() -> str:
+    """The j_auc_rank scored relation (query-0 similarity vs same-label
+    flag), collapsed to per-distinct-score positive/negative counts —
+    the shared CTE base of j_lift_gains / j_youden_threshold."""
+    return """
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+          FROM embeddings WHERE vec_id = 0),
+    sc AS (SELECT CAST(FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv) * 1000000 + 0.5)
+                   AS BIGINT) AS s6,
+                  CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS y
+           FROM embeddings e, q WHERE e.vec_id <> 0),
+    g AS (SELECT s6, CAST(SUM(y) AS BIGINT) AS np,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+          FROM sc GROUP BY s6),
+    c AS (SELECT s6, np, nn,
+                 CAST(COALESCE(SUM(np + nn) OVER (ORDER BY s6 DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_before,
+                 CAST(SUM(np) OVER (ORDER BY s6 DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_pos,
+                 CAST(SUM(nn) OVER (ORDER BY s6 DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_neg
+          FROM g),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS pos,
+                   CAST(SUM(nn) AS BIGINT) AS neg,
+                   CAST(SUM(np + nn) AS BIGINT) AS n
+            FROM g)
+    """
+
+
+def _score_groups(t):
+    """Spark twin of _score_groups_sql: (s6, np, nn, cum_before,
+    cum_pos, cum_neg) per distinct score, descending-cumulative."""
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding", "label").head()
+    from ..operators.similarity import _lit_vector
+
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    s6 = F.floor(dot_expr(as_double("embedding"), qlit) * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    sc = t.embeddings.where(F.col("vec_id") != 0).select(
+        s6.alias("s6"),
+        (F.col("label") == F.lit(int(qrow.label))).cast("long").alias("y"),
+    )
+    g = sc.groupBy("s6").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+    )
+    wb = Window.orderBy(F.col("s6").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wc = Window.orderBy(F.col("s6").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "s6",
+        "np",
+        "nn",
+        F.coalesce(F.sum(F.col("np") + F.col("nn")).over(wb), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("np").over(wc).cast("long").alias("cum_pos"),
+        F.sum("nn").over(wc).cast("long").alias("cum_neg"),
+    )
+
+
+@query(
+    "j_lift_gains",
+    oracle=f"""
+    WITH {_score_groups_sql()},
+    dec AS (SELECT (cum_before * 10) // tot.n AS decile,
+                   np, nn FROM c, tot),
+    d2 AS (SELECT decile, CAST(SUM(np) AS BIGINT) AS np,
+                  CAST(SUM(np + nn) AS BIGINT) AS nrows
+           FROM dec GROUP BY 1),
+    d3 AS (SELECT decile, np, nrows,
+                  CAST(SUM(np) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cpos,
+                  CAST(SUM(nrows) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS crows
+           FROM d2)
+    SELECT CAST(d3.decile AS BIGINT) AS decile, d3.nrows AS n_rows,
+           d3.np AS n_pos, d3.cpos AS cum_pos,
+           FLOOR(d3.cpos * 1.0 / tot.pos * 1000000 + 0.5) / 1000000 AS gain,
+           FLOOR(CAST(d3.cpos AS DOUBLE) * tot.n
+                 / (CAST(d3.crows AS DOUBLE) * tot.pos) * 1000000 + 0.5)
+             / 1000000 AS lift
+    FROM d3, tot
+    """,
+)
+def j_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table (the classic campaign-targeting
+    readout, public) for the query-0 retrieval scorer: rank all
+    candidates by similarity, cut into score-ordered DECILES, and per
+    decile report the positive count, cumulative gain (share of all
+    positives captured so far) and lift (gain / share of rows read).
+    The budgeted-READING view of the family: j_auc_rank scores
+    threshold-free separability, j_pr_auc scores it under imbalance,
+    j_recall_curve tracks depth — this one answers the operator's
+    question "if I can only afford to hand-review 20% of candidates,
+    what fraction of the duplicates/contaminants do I catch, and how
+    much better than random is that?".
+
+    EXACT: deciles derive from integer cumulative row counts on the
+    per-distinct-score relation ((cum_before*10) div N — a score
+    group belongs wholly to the decile of its first row, the
+    documented tie convention); positives/rows/cums are BIGINT; the
+    two output ratios round 1e-6.
+
+    Plan: one scored scan collapsing to |distinct scores| rows
+    map-side (the j_auc_rank no-global-rank-window rule); decile
+    windows ride the <= 10-row relation. At 100 TB the scored scan
+    is the only data pass."""
+    t = load(spark, sf_dir)
+    c = _score_groups(t)
+    tot = c.agg(
+        F.sum("np").cast("long").alias("pos"),
+        F.sum(F.col("np") + F.col("nn")).cast("long").alias("n"),
+    )
+    dec = c.crossJoin(F.broadcast(tot)).select(
+        F.expr("(cum_before * 10) div n").alias("decile"), "np", "nn"
+    )
+    d2 = dec.groupBy("decile").agg(
+        F.sum("np").cast("long").alias("np"),
+        F.sum(F.col("np") + F.col("nn")).cast("long").alias("nrows"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    d3 = d2.select(
+        "decile",
+        "np",
+        "nrows",
+        F.sum("np").over(wd).cast("long").alias("cpos"),
+        F.sum("nrows").over(wd).cast("long").alias("crows"),
+    )
+    return d3.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("nrows").alias("n_rows"),
+        F.col("np").alias("n_pos"),
+        F.col("cpos").alias("cum_pos"),
+        rnd(F.col("cpos") * 1.0 / F.col("pos"), 6).alias("gain"),
+        rnd(
+            F.col("cpos").cast("double")
+            * F.col("n")
+            / (F.col("crows").cast("double") * F.col("pos")),
+            6,
+        ).alias("lift"),
+    )
+
+
+@query(
+    "j_youden_threshold",
+    oracle=f"""
+    WITH {_score_groups_sql()},
+    j AS (SELECT c.s6, c.cum_pos AS tp, c.cum_neg AS fp,
+                 tot.pos - c.cum_pos AS fn, tot.neg - c.cum_neg AS tn,
+                 c.cum_pos * tot.neg - c.cum_neg * tot.pos AS jnum,
+                 tot.pos, tot.neg
+          FROM c, tot),
+    best AS (SELECT * FROM j ORDER BY jnum DESC, s6 DESC LIMIT 1)
+    SELECT s6 / 1000000.0 AS threshold, tp, fp, fn, tn,
+           FLOOR(tp * 1.0 / pos * 1000000 + 0.5) / 1000000 AS tpr,
+           FLOOR(fp * 1.0 / neg * 1000000 + 0.5) / 1000000 AS fpr,
+           FLOOR(CAST(jnum AS DOUBLE) / (CAST(pos AS DOUBLE) * neg)
+                 * 1000000 + 0.5) / 1000000 AS youden_j
+    FROM best
+    """,
+)
+def j_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J operating point (public 1950 statistic) for the
+    query-0 scorer: the score threshold maximizing TPR - FPR, with
+    its full confusion cell counts — the ANSWER the threshold-free
+    family defers: j_auc_rank says the scorer separates, j_pr_auc
+    says it survives imbalance, and this qid says WHERE to cut when
+    one number must be deployed (e.g. the j_semdedup/j_dedup_embed
+    similarity cutoffs, which were hand-literals until now have this
+    as their data-driven counterpart).
+
+    EXACT argmax: J's sign-structure maximizer tp*NEG - fp*POS is an
+    integer per distinct score (no division before the compare);
+    ties break to the HIGHEST threshold (the conservative cut,
+    documented); only the three display ratios round 1e-6.
+
+    Plan: the same |distinct scores| relation as j_lift_gains; the
+    argmax is a heap TakeOrdered(1) on that metadata — never a
+    global sort of candidates."""
+    t = load(spark, sf_dir)
+    c = _score_groups(t)
+    tot = c.agg(
+        F.sum("np").cast("long").alias("pos"),
+        F.sum("nn").cast("long").alias("neg"),
+    )
+    j = c.crossJoin(F.broadcast(tot)).select(
+        "s6",
+        F.col("cum_pos").alias("tp"),
+        F.col("cum_neg").alias("fp"),
+        (F.col("pos") - F.col("cum_pos")).alias("fn"),
+        (F.col("neg") - F.col("cum_neg")).alias("tn"),
+        (F.col("cum_pos") * F.col("neg") - F.col("cum_neg") * F.col("pos")).alias(
+            "jnum"
+        ),
+        "pos",
+        "neg",
+    )
+    best = j.orderBy(F.col("jnum").desc(), F.col("s6").desc()).limit(1)
+    return best.select(
+        (F.col("s6") / 1000000.0).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        rnd(F.col("tp") * 1.0 / F.col("pos"), 6).alias("tpr"),
+        rnd(F.col("fp") * 1.0 / F.col("neg"), 6).alias("fpr"),
+        rnd(
+            F.col("jnum").cast("double")
+            / (F.col("pos").cast("double") * F.col("neg")),
+            6,
+        ).alias("youden_j"),
+    )

@@ -174,6 +174,24 @@ NEXT_QUEUE: list[str] = [
     "j_jackknife_variance",
     "j_median_test",
     "j_common_neighbors",
+    # r14 wave 4: LM count-smoothing + stylometry — the Good-Turing
+    # count-of-counts table (unseen-mass estimate beside j_heaps_law /
+    # j_hapax_rate) and Burrows's Delta source-style distances
+    "j_good_turing",
+    "j_burrows_delta",
+    # r14 wave 5: retrieval-pathology and operating-point economics —
+    # the k-occurrence hubness histogram, the Matryoshka dimension-
+    # truncation recall curve (the third index budget axis), the
+    # cumulative gains/lift deciles, and the Youden-J operating point
+    "j_hubness",
+    "j_dim_truncation_curve",
+    "j_lift_gains",
+    "j_youden_threshold",
+    # r14 wave 6: governance + estimation closure — the l-diversity
+    # homogeneity-attack audit beside j_kanon_check, and Chapman
+    # capture-recapture vocabulary estimation from two salted samples
+    "j_l_diversity",
+    "j_capture_recapture",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

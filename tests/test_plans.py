@@ -1083,6 +1083,14 @@ _SHUFFLE_BUDGETS = {
     "j_median_test": 16,        # histogram + median broadcast + cell agg reprints
     "j_common_neighbors": 63,   # reprint-inflated (persisted und edge list x5
     # refs, each embedding the _trade_edges flow agg); nation-bounded metadata
+    "j_good_turing": 9,         # reprint-inflated (persisted count-of-counts x3)
+    "j_burrows_delta": 35,      # reprint-inflated (persisted st + f6 spine refs)
+    "j_hubness": 12,            # batch-kNN fan-out + occurrence spine join
+    "j_dim_truncation_curve": 28,  # four unioned kNN legs + persisted exact set
+    "j_lift_gains": 8,          # one scored agg + decile windows on metadata
+    "j_youden_threshold": 5,    # one scored agg + heap TakeOrdered(1)
+    "j_l_diversity": 2,         # one QI-cell hash agg (distinct expands)
+    "j_capture_recapture": 2,   # one vocab agg + single-row fold
 }
 
 
