@@ -223,6 +223,21 @@ _EXPECTED_BNLJ = {
     "j_kl_sources",  # 1-row broadcast corpus total
     "j_pmi_bigrams",  # two 1-row broadcast totals (bigram/unigram mass)
     "j_bm25_topk",  # 1-row broadcast corpus stats (N, avgdl)
+    # --- r14 additions, same 1-row/tiny broadcast build sides
+    "j_ams_f2",      # 1-row broadcast exact-F2 x median-of-means fold
+    "j_burrows_delta",  # |sources| x top-30 spine cross-join (both tiny)
+    "j_cramers_v",   # 1-row broadcast total + dims onto the cell relation
+    "j_dim_truncation_curve",  # the 20-row query panel broadcast (j_knn_batch shape)
+    "j_encoding_audit",  # 1-row broadcast distinct-counts onto the run sums
+    "j_fdr_bh",      # 1-row broadcast i* onto the K-row p-value relation
+    "j_minmax_prune",  # 1-row broadcast min/max day onto the scan + sweep
+    "j_join_card_est",  # 1-row broadcast split-day / top-k cut onto metadata
+    "j_good_turing",  # 1-row broadcast token total onto the N_r relation
+    "j_hubness",     # the 200-row query panel broadcast (j_knn_batch shape)
+    "j_jackknife_variance",  # 1-row broadcast totals/thbar onto 32 shard rows
+    "j_lift_gains",  # 1-row broadcast pos/n totals onto the decile relation
+    "j_median_test",  # 1-row broadcast grand median + margins onto cells
+    "j_youden_threshold",  # 1-row broadcast pos/neg totals onto score groups
     "j_pagerank",  # 1-row broadcast |V| into every iteration's teleport
     "j_histogram_equi",  # 1-row broadcast percentile-boundary array
     "j_hll_portable",  # 1-row broadcast exact-truth cross-join next to the estimate
