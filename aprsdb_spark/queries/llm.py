@@ -5770,13 +5770,19 @@ def j_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t.embeddings.where(F.col("vec_id") < _HUB_NQ).select(
         F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
     )
+    from ..operators.similarity import dot_expr_unrolled
+
     s = (
         t.embeddings.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+            # unrolled fixed-width dot: bit-identical left fold, stays in
+            # whole-stage codegen (measured ~2x on this exact fan-out)
+            rnd(dot_expr_unrolled(as_double("embedding"), F.col("qv"), 64), 6).alias(
+                "score"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -5882,6 +5888,10 @@ def j_dim_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
 
     def topk(dim: int | None) -> DataFrame:
+        # A/B note (r14): the unrolled fixed-width dot that wins on
+        # j_hubness LOSES here — four legs x up-to-64 unrolled terms
+        # bloat the generated code and planning, measured 1.4 -> 3.3 s.
+        # The interpreted fold amortizes fine across the four slices.
         emb = as_double("embedding")
         qv = F.col("qv")
         if dim is not None:
