@@ -168,3 +168,48 @@ def test_levene_single_row(spark):
     r = _rows(spark, "j_levene_test")[0]
     assert r.k_groups == 5
     assert r.w_stat >= 0.0
+
+
+def test_unrolled_dot_is_bit_identical_to_fold(spark):
+    """dot_expr_unrolled claims the SAME left-fold IEEE sequence as the
+    generic dot_expr (0.0 + x == x) — pin it with an exact equality
+    sweep over the real corpus fan-out, not a tolerance: one flipped
+    ulp here silently reorders kNN ranks downstream."""
+    from pyspark.sql import functions as F
+
+    from aprsdb_spark.operators.similarity import (
+        as_double,
+        dot_expr,
+        dot_expr_unrolled,
+    )
+    from aprsdb_spark.tables import load
+
+    t = load(spark, SF_DIR)
+    q = t.embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
+    )
+    both = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .select(
+            dot_expr(as_double("embedding"), F.col("qv")).alias("a"),
+            dot_expr_unrolled(as_double("embedding"), F.col("qv"), 64).alias("b"),
+        )
+    )
+    n_diff = both.where(F.col("a") != F.col("b")).count()
+    assert n_diff == 0, f"{n_diff} rows where unrolled dot != fold dot"
+
+
+def test_hubness_scoring_stays_out_of_interpreted_hof(spark):
+    """The r14 measured win (3.9 -> 2.7 s) is the scoring projection
+    living in whole-stage codegen instead of the interpreted
+    higher-order aggregate — pin the plan so a refactor back to
+    dot_expr on this fan-out goes red, not unnoticed."""
+    plan = (
+        QUERIES["j_hubness"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "aggregate(zip_with" not in plan, (
+        "j_hubness scoring fell back to the interpreted fold dot"
+    )
