@@ -96,3 +96,6 @@ def compare_query(spark, duck, qfn, sql, sf_dir=SF_DIR):
     assert not mismatches, (
         f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
     )
+    # row count back to the caller so test_oracle can reject vacuous
+    # empty-vs-empty passes (SCALE.md §4u)
+    return len(s_rows)
