@@ -1106,6 +1106,157 @@ _SHUFFLE_BUDGETS = {
     "j_youden_threshold": 5,    # one scored agg + heap TakeOrdered(1)
     "j_l_diversity": 2,         # one QI-cell hash agg (distinct expands)
     "j_capture_recapture": 2,   # one vocab agg + single-row fold
+    # --- r14 net completion: ceilings for every remaining registered
+    # qid, measured on the cold sf0.01 plan in the exact sorted-loop
+    # order this test runs (persisted-child reprints included, the
+    # same caveat as above) — the shuffle net now covers the FULL
+    # registry, so any operator that silently grows an Exchange
+    # goes red here, not in a 100x-scale incident.
+    "a_pysrc_replay": 1,
+    "a_scan_binary": 0,
+    "a_scan_csv": 1,
+    "a_scan_evolve": 1,
+    "a_scan_json": 1,
+    "a_scan_orc": 1,
+    "a_sink_partitioned": 1,
+    "aprs_decode_udf": 0,
+    "aprs_lastpos": 1,
+    "aprs_malformed": 0,
+    "aprs_msg_ack": 1,
+    "aprs_objects": 0,
+    "aprs_pipeline": 0,
+    "aprs_telemetry_eng": 2,
+    "aprs_wx": 0,
+    "c_join_asof_tol": 1,
+    "c_join_lateral": 2,
+    "c_join_nullsafe": 2,
+    "c_join_salted": 2,
+    "c_join_shj": 3,
+    "c_sql_pipe": 2,
+    "c_sql_q11": 17,
+    "c_sql_q12": 3,
+    "c_sql_q13": 4,
+    "c_sql_q14": 2,
+    "c_sql_q15": 5,
+    "c_sql_q16": 5,
+    "c_sql_q17": 4,
+    "c_sql_q19": 2,
+    "c_sql_q2": 12,
+    "c_sql_q20": 6,
+    "c_sql_q22": 8,
+    "c_sql_q4": 3,
+    "c_sql_q6": 1,
+    "c_sql_q7": 7,
+    "c_sql_q8": 9,
+    "c_sql_recursive": 1,
+    "c_sql_script": 0,
+    "c_sql_variables": 1,
+    "d_agg_argminmax": 1,
+    "d_agg_bitmap": 5,
+    "d_agg_bitwise": 1,
+    "d_agg_collect": 1,
+    "d_agg_distinct": 2,
+    "d_agg_groupall": 2,
+    "d_agg_listagg": 1,
+    "d_agg_percentile": 1,
+    "d_agg_pivot": 2,
+    "d_agg_unpivot": 2,
+    "e_win_analytic": 1,
+    "e_win_dist": 1,
+    "e_win_ignorenulls": 1,
+    "e_win_lag": 1,
+    "e_win_moving": 2,
+    "e_win_running": 2,
+    "f_offset": 0,
+    "f_sort_multi": 0,
+    "f_topk": 0,
+    "f_topk_group": 1,
+    "g_except": 2,
+    "g_except_all": 1,
+    "g_intersect": 2,
+    "g_intersect_all": 1,
+    "g_union": 1,
+    "g_union_all": 0,
+    "g_union_by_name": 0,
+    "h_array": 0,
+    "h_collate": 0,
+    "h_cond": 0,
+    "h_date": 0,
+    "h_encode": 0,
+    "h_interval": 0,
+    "h_mask": 0,
+    "h_math": 0,
+    "h_regexp": 0,
+    "h_str": 0,
+    "h_str_parse_phg": 0,
+    "h_str_parse_pos": 0,
+    "h_str_parse_tnc2": 0,
+    "h_struct": 0,
+    "h_try_arith": 1,
+    "h_url": 0,
+    "h_variant": 1,
+    "h_xml": 0,
+    "j_ab_ttest": 1,
+    "j_ann_recall": 12,
+    "j_attribution": 1,
+    "j_bfs_distance": 1,
+    "j_bm25_topk": 10,
+    "j_cdc_apply": 1,
+    "j_chi2_independence": 11,
+    "j_class_weights": 4,
+    "j_clean_text": 0,
+    "j_cms_sketch": 3,
+    "j_compaction_plan": 2,
+    "j_dedup_edit": 9,
+    "j_dedup_exact": 1,
+    "j_dedup_ngram": 1,
+    "j_dq_checks": 2,
+    "j_entropy": 2,
+    "j_feature_snapshot": 1,
+    "j_gapfill": 3,
+    "j_graph_degree": 13,
+    "j_group_split": 1,
+    "j_hard_negatives": 2,
+    "j_histogram_equi": 3,
+    "j_hll_portable": 6,
+    "j_incremental_agg": 2,
+    "j_interval_overlap": 7,
+    "j_kfold_assign": 1,
+    "j_kl_sources": 18,
+    "j_lang_quality": 0,
+    "j_lsh_recall_banded": 5,
+    "j_markov_transitions": 6,
+    "j_multimodal_decode": 0,
+    "j_multimodal_features": 0,
+    "j_multimodal_frames": 0,
+    "j_multimodal_resize": 0,
+    "j_multimodal_sim": 1,
+    "j_ngram_novelty": 3,
+    "j_outlier_mad": 7,
+    "j_pipeline_curate": 2,
+    "j_pmi_bigrams": 11,
+    "j_profile_stats": 2,
+    "j_rank_fusion": 11,
+    "j_rolling_corr": 2,
+    "j_sample_weighted": 0,
+    "j_scd2_history": 1,
+    "j_shard_manifest": 1,
+    "j_sim_topk": 1,
+    "j_skew_stats": 4,
+    "j_snapshot_diff": 2,
+    "j_triangle_count": 62,
+    "j_ts_anomaly": 2,
+    "j_ts_ewma": 1,
+    "j_ts_ohlc": 1,
+    "j_ts_seasonality": 4,
+    "j_upsert_merge": 1,
+    "j_winsorize": 2,
+    "j_zorder_stats": 1,
+    "k_arrow_udf": 0,
+    "k_map_in_arrow": 0,
+    "k_pandas_iter": 0,
+    "k_udtf_analyze": 0,
+    "k_udtf_table": 1,
 }
 
 
@@ -1143,3 +1294,14 @@ def test_pagerank_standalone_plan_stays_tight(spark):
     )
     n = p.count("Exchange")
     assert n <= 83, f"standalone j_pagerank plan grew: {n} Exchanges > 83"
+
+
+def test_shuffle_budget_net_is_complete():
+    """r14 closed the net: EVERY registered qid carries an Exchange
+    ceiling (378/378; it was 213/358 at r13). Keep it closed — a new
+    qid without a measured budget is a scale regression waiting to
+    happen unobserved."""
+    missing = sorted(set(QUERIES) - set(_SHUFFLE_BUDGETS))
+    assert not missing, f"registered qids without an Exchange ceiling: {missing}"
+    stale = sorted(set(_SHUFFLE_BUDGETS) - set(QUERIES))
+    assert not stale, f"budgets for unregistered qids: {stale}"

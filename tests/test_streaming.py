@@ -1401,3 +1401,49 @@ def test_two_monitor_sinks_one_run_key_crash_between_swaps(spark, tmp_path):
     want_hll = sorted(tuple(r) for r in QUERIES["j_hll_portable"](spark, sf).collect())
     got_hll = sorted(tuple(r) for r in S.hll_current_view(spark, hll_state).collect())
     assert got_hll == want_hll
+
+
+def test_monitor_state_is_split_invariant(spark, tmp_path):
+    """The monitors' merge laws (counter ADDITION for CMS, register MAX
+    for HLL, cell ADDITION for IVF occupancy) promise the final state
+    is a pure function of the event SET, independent of how the stream
+    was cut into micro-batches. Pin it: replaying the same rows as TWO
+    halves and as THREE thirds (separate runs, separate state roots)
+    must leave byte-equal state relations. This is the invariance that
+    makes a backfill (one giant batch) and the live stream (thousands
+    of small ones) land on the same answer."""
+    from aprsdb_spark.tables import load as tload
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+    ev = tload(spark, sf).events.select("event_id", "user_id")
+
+    def run(tag, splits_docs, splits_ev):
+        cms = str(tmp_path / f"cms_{tag}")
+        hll = str(tmp_path / f"hll_{tag}")
+        for k, b in enumerate(splits_docs):
+            S.cms_monitor_sink(b.select("text"), k, cms, run_key=tag)
+        for k, b in enumerate(splits_ev):
+            S.hll_monitor_sink(b.select("user_id"), k, hll, run_key=tag)
+        cells = sorted(
+            (r.d, r.bucket, r.c)
+            for r in spark.read.parquet(cms + "_cells").select("d", "bucket", "c").collect()
+        )
+        regs = sorted(
+            (r.reg, r.r)
+            for r in spark.read.parquet(hll + "_regs").select("reg", "r").collect()
+        )
+        return cells, regs
+
+    halves = run(
+        "h",
+        [docs.where(F.col("doc_id") % 2 == k) for k in range(2)],
+        [ev.where(F.col("event_id") % 2 == k) for k in range(2)],
+    )
+    thirds = run(
+        "t",
+        [docs.where(F.col("doc_id") % 3 == k) for k in range(3)],
+        [ev.where(F.col("event_id") % 3 == k) for k in range(3)],
+    )
+    assert halves[0] == thirds[0], "CMS state depends on the batch split"
+    assert halves[1] == thirds[1], "HLL state depends on the batch split"
