@@ -57,116 +57,32 @@ def load_all() -> None:
 # The driver's correctness gate scores exactly the FIRST 50 entries of
 # __spark_entry__.queries() in insertion order, then stops (observed:
 # every CORRECTNESS_r{N}.json ends at registry position 50). DRIVER_ORDER
-# pins which qids occupy that scored window. Round-14 rotation, exactly
-# the arithmetic the r13 comment promised and the r13 verdict prescribed:
-# (1) ALL 20 never-scored r13 additions from the r13 NEXT_QUEUE, in
-# queue order — the nonparametric-statistics closure, the ANN/index
-# economics closure, the evaluation/layout economics wave, the
-# sketch-sizing closure, the graph/chain closure, the
-# resampling/stability closure, the IVF operating-point curve, the
-# design/estimation closure, and the chance-corrected classification
-# wave; (2) the 28 r13 REFRESH_QUEUE qids (the first 28 of the 48
-# r7-scored cohort, registration order); (3) the two harness-breakage
+# pins which qids occupy that scored window. Round-15 rotation, exactly
+# the arithmetic the r14 comment promised and the r14 verdict prescribed:
+# (1) ALL 20 never-scored r14 additions from the r14 NEXT_QUEUE, in
+# queue order — the I/O-and-join pricing closure, the KMV distinct
+# sketch, the classical-statistics closure, the LM-smoothing +
+# stylometry wave, the retrieval-pathology / operating-point wave, and
+# the governance/estimation closure; (2) the 28 r14 REFRESH_QUEUE qids
+# (the remaining 20 of the r7-scored cohort + the first 8 of the
+# r8-scored cohort, registration order); (3) the two harness-breakage
 # canaries a_scan_parquet / e_win_lastpos. 20 + 28 + 2 = 50. When this
-# window lands, the oldest evidence in the registry is the 20 remaining
-# r7-scored qids (on REFRESH_QUEUE below, first for r15).
-# r15 plan: NEXT_QUEUE (r14 additions, never-scored, capacity <= 20)
-# goes first, then REFRESH_QUEUE (the remaining 20 r7-scored qids plus
-# the first 8 r8-scored qids, registration order — 20 + 28 + 2
-# canaries = 50 exactly). The staleness bound max(4, ceil(N/48)) >= 8
-# at N >= 358 keeps both cohorts comfortably inside the window (r7
-# evidence is age 15 - 7 = 8 during the r15 build, exactly at the
-# bound — which is why ALL remaining r7 qids are queued, none left
-# over). The bound is derived from registry size in
-# tests/test_registry_order.py, so this schedule is checked, not
+# window lands, every registered qid's driver evidence is r8 or newer,
+# and the oldest cohort is the 40 remaining r8-scored qids (the first
+# 28 on REFRESH_QUEUE below, first for r16; the last 12 wait one extra
+# round, age 16 - 8 = 8 < bound 9 at N >= 385).
+# The staleness bound max(4, ceil(N/48)) is derived from registry size
+# in tests/test_registry_order.py, so this schedule is checked, not
 # promised.
 DRIVER_ORDER: list[str] = [
     # canary: a_scan_parquet (trivial scan — breaks only if the harness does)
     "a_scan_parquet",
-    # never-scored (r13): the full r13 NEXT_QUEUE in its queue order
-    "j_mannwhitney",
-    "j_kcore_peel",
-    "j_ivf_balance",
-    "j_lsh_bucket_skew",
-    "j_lsh_band_plan",
-    "j_pr_auc",
-    "j_shard_skew",
-    "j_cms_width_curve",
-    "j_hll_precision_curve",
-    "j_bloom_fpr_curve",
-    "j_graph_reciprocity",
-    "j_markov_stationary",
-    "j_dedup_yield_curve",
-    "j_permutation_test",
-    "j_topk_stability",
-    "j_ivf_nprobe_curve",
-    "j_power_analysis",
-    "j_horvitz_thompson",
-    "j_epoch_plan",
-    "j_mcc_multiclass",
-    # oldest-evidence refresh: the first 28 of the 48 r7-scored qids,
-    # in registration order (the full r13 REFRESH_QUEUE)
-    "c_join_salted",
-    "d_agg_distinct",
-    "d_agg_percentile",
-    "d_agg_collect",
-    "d_agg_pivot",
-    "d_agg_unpivot",
-    "e_win_lag",
-    "e_win_running",
-    "e_win_moving",
-    "e_win_analytic",
-    "e_win_dist",
-    "f_sort_multi",
-    "f_topk",
-    "f_topk_group",
-    "g_union",
-    "g_union_all",
-    "g_intersect",
-    "g_intersect_all",
-    "g_except",
-    "g_except_all",
-    "g_union_by_name",
-    "h_str",
-    "h_date",
-    "h_math",
-    "h_cond",
-    "h_array",
-    "h_url",
-    "j_multimodal_frames",
-    # canary: e_win_lastpos
-    "e_win_lastpos",
-]
-# qids added AFTER the current round's 50-slot window was frozen. Not
-# scoreable this round; everything here must be tri-scale-verified
-# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
-# runs) and is FIRST in line for the next rotation.
-# test_registry_order.py enforces that a never-scored qid is either in
-# the window or on this explicit queue — nothing waits silently.
-NEXT_QUEUE: list[str] = [
-    # r14 additions land here as they are built (capacity: <= 20, since
-    # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
-    # 48-slot window).
-    # r14 wave 1: I/O-and-join pricing closure — the zone-map
-    # skip-fraction curve (sorted vs hashed layout), the histogram
-    # join-cardinality/skew price computed WITHOUT running the join,
-    # its AMS-sketched twin (join size from 64 counters), and the
-    # RLE+dictionary encodability audit of the write order
+    # never-scored (r14): the full r14 NEXT_QUEUE in its queue order
     "j_minmax_prune",
     "j_join_card_est",
     "j_ams_f2",
     "j_encoding_audit",
-    # r14 wave 2: the order-statistic distinct sketch (KMV beside HLL,
-    # same stream, same hash family, same exact truth)
     "j_kmv_distinct",
-    # r14 wave 3: classical-statistics closure — variance-homogeneity
-    # precondition (Levene), multiple-testing control (Benjamini-
-    # Hochberg over the t family), effect size (Cramér's V beside the
-    # chi-square), the monotone-trend rank correlation (Spearman), the
-    # one-pass grouped jackknife SE (the resampling member that fits a
-    # cluster), the assumption-free location test (Mood's median), and
-    # pairwise link prediction over the trade graph (common-neighbor /
-    # Jaccard)
     "j_levene_test",
     "j_fdr_bh",
     "j_cramers_v",
@@ -174,39 +90,17 @@ NEXT_QUEUE: list[str] = [
     "j_jackknife_variance",
     "j_median_test",
     "j_common_neighbors",
-    # r14 wave 4: LM count-smoothing + stylometry — the Good-Turing
-    # count-of-counts table (unseen-mass estimate beside j_heaps_law /
-    # j_hapax_rate) and Burrows's Delta source-style distances
     "j_good_turing",
     "j_burrows_delta",
-    # r14 wave 5: retrieval-pathology and operating-point economics —
-    # the k-occurrence hubness histogram, the Matryoshka dimension-
-    # truncation recall curve (the third index budget axis), the
-    # cumulative gains/lift deciles, and the Youden-J operating point
     "j_hubness",
     "j_dim_truncation_curve",
     "j_lift_gains",
     "j_youden_threshold",
-    # r14 wave 6: governance + estimation closure — the l-diversity
-    # homogeneity-attack audit beside j_kanon_check, and Chapman
-    # capture-recapture vocabulary estimation from two salted samples
     "j_l_diversity",
     "j_capture_recapture",
-]
-
-# Already-scored qids whose evidence is the oldest in the registry but
-# which did NOT fit this round's 50-slot window: scheduled FIRST for the
-# next rotation (after NEXT_QUEUE's never-scored entries). This is the
-# executable form of "deferred to r15" — test_registry_order.py accepts
-# queue membership as "scheduled", and a sibling test pins that only
-# already-scored qids may sit here (never-scored ones belong on
-# NEXT_QUEUE, where the tri-scale-verification contract applies).
-# r15 plan: NEXT_QUEUE r14 additions (<= 20, never-scored) first, then
-# these — the remaining 20 r7-scored qids plus the first 8 r8-scored
-# qids, in registration order (the r8 pull-forward keeps the window
-# full at 50 even if r14 adds the full 20: 20 + 28 + 2 canaries = 50).
-REFRESH_QUEUE: list[str] = [
-    # the remaining 20 of the 48 r7-scored qids, registration order
+    # oldest-evidence refresh: the remaining 20 r7-scored qids + the
+    # first 8 r8-scored qids, registration order (the full r14
+    # REFRESH_QUEUE)
     "j_multimodal_resize",
     "j_multimodal_decode",
     "aprs_lastpos",
@@ -227,8 +121,6 @@ REFRESH_QUEUE: list[str] = [
     "a_scan_csv",
     "a_scan_json",
     "a_scan_evolve",
-    # the first 8 of the 48 r8-scored qids, registration order —
-    # pulled forward so r15's window is full at any r14 addition count
     "c_join_lateral",
     "c_join_asof_tol",
     "c_join_shj",
@@ -237,6 +129,65 @@ REFRESH_QUEUE: list[str] = [
     "d_agg_bitmap",
     "h_variant",
     "h_try_arith",
+    # canary: e_win_lastpos
+    "e_win_lastpos",
+]
+# qids added AFTER the current round's 50-slot window was frozen. Not
+# scoreable this round; everything here must be tri-scale-verified
+# locally (sf0.001/0.01/0.1 vs DuckDB, the same compare the driver
+# runs) and is FIRST in line for the next rotation.
+# test_registry_order.py enforces that a never-scored qid is either in
+# the window or on this explicit queue — nothing waits silently.
+NEXT_QUEUE: list[str] = [
+    # r15 additions land here as they are built (capacity: <= 20, since
+    # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
+    # 48-slot window).
+]
+
+# Already-scored qids whose evidence is the oldest in the registry but
+# which did NOT fit this round's 50-slot window: scheduled FIRST for the
+# next rotation (after NEXT_QUEUE's never-scored entries). This is the
+# executable form of "deferred to r15" — test_registry_order.py accepts
+# queue membership as "scheduled", and a sibling test pins that only
+# already-scored qids may sit here (never-scored ones belong on
+# NEXT_QUEUE, where the tri-scale-verification contract applies).
+# r16 plan: NEXT_QUEUE r15 additions (<= 20, never-scored) first, then
+# these — the first 28 of the 40 remaining r8-scored qids, in
+# registration order (20 + 28 + 2 canaries = 50 exactly if r15 adds
+# the full 20). The 12 r8-scored qids left off the queue
+# (c_sql_q1/q2/q6/q7/q8/q9/q11/q12/q16/q20, a_scan_orc,
+# a_pysrc_replay) are age 16 - 8 = 8 < bound 9 at N >= 385 during the
+# r16 build, inside the staleness invariant; they lead the r17 queue.
+REFRESH_QUEUE: list[str] = [
+    # the first 28 of the 40 remaining r8-scored qids, registration order
+    "j_dedup_exact",
+    "j_dedup_ngram",
+    "j_dedup_near",
+    "j_sim_topk",
+    "j_sim_pairs",
+    "j_dedup_embed",
+    "j_sim_pairs_bucketed",
+    "j_dedup_embed_bucketed",
+    "j_sim_pairs_banded",
+    "j_lsh_recall_banded",
+    "j_ann_recall",
+    "j_hard_negatives",
+    "j_class_weights",
+    "j_ngram_novelty",
+    "j_skew_stats",
+    "j_compaction_plan",
+    "j_markov_transitions",
+    "j_bfs_distance",
+    "c_sql_recursive",
+    "j_chi2_independence",
+    "j_outlier_mad",
+    "k_map_in_arrow",
+    "j_ts_ewma",
+    "j_interval_overlap",
+    "j_rolling_corr",
+    "j_feature_snapshot",
+    "j_cdc_apply",
+    "j_dq_checks",
 ]
 
 def driver_ordered(d: dict) -> dict:

@@ -1154,23 +1154,28 @@ def ivf_balance_view(spark: SparkSession, state_dir: str, k: int) -> DataFrame:
     rollup (queries/llm.ivf_balance_from_occ)."""
     from ..queries.llm import ivf_balance_from_occ
 
-    spine = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
-    state = spark.read.parquet(state_dir).select("cluster_id", "n_vecs")
+    # The state frame is metadata-sized BY CONSTRUCTION (<= k rows, one
+    # per occupied cell — the sink pre-aggregates per batch), so collect
+    # it ONCE and serve both the truncation guard and the returned plan
+    # from that snapshot. The pre-r15 shape ran an eager max() job for
+    # the guard and re-scanned the state directory when the returned
+    # view was collected — a polling monitor paid two directory reads
+    # per refresh, and the two scans could straddle a sink swap
+    # (ADVICE r14). A snapshot is also the right monitor semantics: the
+    # guard and the served rows describe the same state version.
+    stored = spark.read.parquet(state_dir).select("cluster_id", "n_vecs").collect()
     # A k smaller than the quantizer the sink actually used would DROP
-    # occupied cells in the left join below and silently renormalize
-    # share/load_factor over the truncated spine — fail instead. The
-    # check is a 1-row max over the (constant, k-sized) state frame.
-    top = state.agg(F.max("cluster_id").alias("m")).head()["m"]
+    # occupied cells in the spine join below and silently renormalize
+    # share/load_factor over the truncated spine — fail instead.
+    top = max((r["cluster_id"] for r in stored), default=None)
     if top is not None and top >= k:
         raise ValueError(
             f"ivf_balance_view: k={k} is smaller than the quantizer the "
             f"sink used (stored max cluster_id={top}); pass the sink's k"
         )
-    occ = (
-        spine.join(state, "cluster_id", "left")
-        .select(
-            "cluster_id",
-            F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
-        )
+    counts = {r["cluster_id"]: r["n_vecs"] for r in stored}
+    occ = spark.createDataFrame(
+        [(c, int(counts.get(c, 0))) for c in range(k)],
+        "cluster_id int, n_vecs long",
     )
     return ivf_balance_from_occ(occ)

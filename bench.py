@@ -19,15 +19,23 @@ import time
 
 def _reference() -> dict[str, float]:
     """Per-qid datapoints merged across ALL recorded driver rounds
-    (BENCH_r{N}.json), newest round winning per qid. Driver bench files
-    store the output line either parsed (a "queries" dict) or as a
+    (BENCH_r{N}.json): each qid's reference is the MIN over its newest 3
+    rounds' datapoints. Newest-wins (the pre-r15 rule) let one
+    host-noisy round LOOSEN the gate for a whole round: r14's capture
+    recorded j_entropy_rate at 1.26s (vs the healthy 0.607s) purely from
+    session pressure — the r14 verdict adjudicated it host drift — and
+    under newest-wins a real 2x regression on top of that would have
+    sailed through r15. Min-of-newest-3 keeps the healthy datapoint in
+    force while still tracking genuine persistent slowdowns (after 3
+    rounds at a new steady state the reference follows it). Driver bench
+    files store the output line either parsed (a "queries" dict) or as a
     head-truncated "tail" string; every round so far is tail-truncated
     (r4's tail carries only 81 of 114 qids), so reading only the newest
-    round silently dropped ~33 a/b/c/d qids from the gate — merging keeps
-    each qid's most recent surviving datapoint. Tail extraction is regex
-    over the surviving key/value pairs; the truncated first key and the
-    trailing "sf" are dropped explicitly, and error datapoints (-1.0)
-    never match the non-negative pattern."""
+    round silently dropped ~33 a/b/c/d qids from the gate — merging
+    keeps each qid's most recent surviving datapoints. Tail extraction
+    is regex over the surviving key/value pairs; the truncated first key
+    and the trailing "sf" are dropped explicitly, and error datapoints
+    (-1.0) never match the non-negative pattern."""
     here = os.path.dirname(os.path.abspath(__file__))
     # BENCH_full_r{N}.json (complete per-qid data, written by main() since
     # r6) is preferred over the driver's BENCH_r{N}.json whose captured
@@ -60,8 +68,13 @@ def _reference() -> dict[str, float]:
         ),
         key=lambda f: (int(re.search(r"\d+", f).group()), "_full_" in f),
     )
-    ref: dict[str, float] = {}
-    for fname in reversed(rounds):  # newest first; existing (newer) keys win
+    # Per qid: newest-first list of per-round datapoints (one per round;
+    # within a round the full file wins over the truncated tail). The
+    # reference is min over each qid's newest 3 rounds.
+    per_qid: dict[str, list[float]] = {}
+    taken: set[tuple[str, int]] = set()
+    for fname in reversed(rounds):  # newest first; full before tail per round
+        rnd_no = int(re.search(r"\d+", fname).group())
         try:
             with open(os.path.join(here, fname)) as f:
                 data = json.load(f)
@@ -81,8 +94,12 @@ def _reference() -> dict[str, float]:
                 for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', data.get("tail", ""))
                 if m.group(1) != "sf"
             }
-        ref = {**extracted, **ref}
-    return ref
+        for k, v in extracted.items():
+            if (k, rnd_no) in taken:
+                continue
+            taken.add((k, rnd_no))
+            per_qid.setdefault(k, []).append(v)
+    return {k: min(vals[:3]) for k, vals in per_qid.items()}
 
 
 def main() -> None:

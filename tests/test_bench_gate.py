@@ -1,6 +1,8 @@
 """The bench regression gate must merge per-qid datapoints across ALL
-recorded driver rounds (newest round wins per qid) and survive both
-on-disk formats (parsed "queries" dict vs head-truncated "tail" string).
+recorded driver rounds (per-qid MIN over the newest 3 rounds, so one
+host-noisy round can neither loosen nor permanently tighten the gate)
+and survive both on-disk formats (parsed "queries" dict vs
+head-truncated "tail" string).
 Every recorded round so far is tail-truncated — r4's tail carries only
 81 of 114 qids — so a newest-round-only reference silently dropped the
 a/b/c/d block from the gate (the r4 verdict's one red test)."""
@@ -32,11 +34,12 @@ def test_reference_merges_all_recorded_rounds():
     assert "j_dedup_near" in ref
 
 
-def test_reference_newest_round_wins_per_qid(tmp_path, monkeypatch):
+def test_reference_is_min_over_newest_three_rounds(tmp_path, monkeypatch):
     b = _bench_module()
     # r98 (tail format) has old_qid + shared_qid; r99 (parsed) has
-    # new_qid + a newer shared_qid. Merge keeps all three, r99's value
-    # winning for shared_qid; errors (-1) and the "sf" pair are dropped.
+    # new_qid + a newer shared_qid. Merge keeps all three; shared_qid's
+    # reference is min over its newest rounds (2.0 < 5.0); errors (-1)
+    # and the "sf" pair are dropped.
     (tmp_path / "BENCH_r98.json").write_text(
         json.dumps({"tail": '"old_qid": 9.9, "shared_qid": 5.0, "sf": 0.1'})
     )
@@ -48,6 +51,47 @@ def test_reference_newest_round_wins_per_qid(tmp_path, monkeypatch):
     monkeypatch.setattr(b.os.path, "dirname", lambda _: str(tmp_path))
     ref = b._reference()
     assert ref == {"old_qid": 9.9, "shared_qid": 2.0, "new_qid": 1.5}, ref
+
+
+def test_noisy_newest_round_cannot_loosen_the_gate(tmp_path, monkeypatch):
+    """The r14 incident, pinned: one host-noisy round recording a 2x-
+    inflated datapoint (j_entropy_rate 1.26s vs the healthy 0.607s) must
+    NOT become the gate reference — min over the newest 3 rounds keeps
+    the healthy value in force. Conversely a qid that has been slow for
+    3 consecutive rounds IS the new steady state and the reference
+    follows it (the gate tracks persistent change, not one bad host)."""
+    b = _bench_module()
+    for rnd, q_val, steady_val in [
+        (96, 0.62, 4.0),
+        (97, 0.60, 4.1),
+        (98, 0.61, 4.2),
+        (99, 1.26, 4.0),  # newest round: q inflated 2x by host noise
+    ]:
+        (tmp_path / f"BENCH_r{rnd}.json").write_text(
+            json.dumps({"queries": {"q": q_val, "steady": steady_val}})
+        )
+    monkeypatch.setattr(b.os.path, "dirname", lambda _: str(tmp_path))
+    ref = b._reference()
+    # q: min(1.26, 0.61, 0.60) over newest 3 — the healthy 0.60 holds
+    assert ref["q"] == 0.60, ref
+    # steady: the r96 fast datapoint aged out of the 3-round window
+    assert ref["steady"] == 4.0, ref
+
+
+def test_full_file_wins_over_tail_within_a_round(tmp_path, monkeypatch):
+    """One datapoint per (qid, round): when both the driver's truncated
+    tail capture and the committed full record exist for the same round,
+    the full file's value is the round's datapoint — the tail must not
+    contribute a second value to the min window."""
+    b = _bench_module()
+    (tmp_path / "BENCH_r99.json").write_text(
+        json.dumps({"tail": '"q": 0.1, "sf": 0.1'})  # bogus-fast tail
+    )
+    (tmp_path / "BENCH_full_r99.json").write_text(
+        json.dumps({"queries": {"q": 1.0}})
+    )
+    monkeypatch.setattr(b.os.path, "dirname", lambda _: str(tmp_path))
+    assert b._reference() == {"q": 1.0}
 
 
 def test_reference_ignores_current_rounds_own_full_file(tmp_path, monkeypatch):

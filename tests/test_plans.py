@@ -3,6 +3,14 @@ these properties — filter pushdown reaching the parquet scan, column
 pruning, dimension broadcasts, top-k without a global sort. A code
 change that silently breaks one of these passes correctness tests and
 then falls over at scale; these tests make the plan part of the spec.
+
+PINNED SPARK VERSION: these tests assert against Spark 4.1.x physical-
+plan STRINGS (exact Exchange counts, codegen substrings like
+'aggregate(zip_with'). A Spark minor-version bump or an AQE default
+change can flip dozens of them at once with zero real regression —
+test_pinned_spark_version below fails FIRST in that event, so a mass
+failure is immediately attributable to the version, not to plan
+regressions (ADVICE r14).
 """
 
 from __future__ import annotations
@@ -15,6 +23,18 @@ from aprsdb_spark.registry import QUERIES, load_all
 from tests.conftest import SF_DIR
 
 load_all()
+
+
+def test_pinned_spark_version():
+    """Plan-string pins in this module were measured on Spark 4.1.x. If
+    this fails, re-measure the Exchange ceilings and codegen substrings
+    under the new version before trusting any other failure here."""
+    import pyspark
+
+    assert pyspark.__version__.startswith("4.1."), (
+        f"plan pins were measured on Spark 4.1.x; running "
+        f"{pyspark.__version__} — re-baseline this module's plan strings"
+    )
 
 
 def _plan(spark, qid: str) -> str:

@@ -7,6 +7,8 @@ plus one structural invariant per qid.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from aprsdb_spark.registry import QUERIES, load_all
@@ -14,7 +16,11 @@ from tests.conftest import SF_DIR
 
 load_all()
 
-SF1 = "/root/testdata/sf0.001"
+# Derive the sf0.001 fixture from the same root as conftest's SF_DIR so
+# a relocated fixture tree (SPARK_GRAFT_TEST_SF_DIR override) moves both
+# (ADVICE r14 — the hard-coded path passed the oracle tests but failed
+# every property test on a missing sibling).
+SF1 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
 
 
 def _rows(spark, qid, sf=SF1):
