@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import rnd
+from ..functions import rnd, sql_rnd
 from ..operators.dedup import tokens_col
 from ..registry import query
 from ..tables import load
@@ -819,3 +819,293 @@ def j_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_kmv_distinct.__doc__ = j_kmv_distinct.__doc__.replace("{k}", str(_KMV_K))
+
+
+# Quantile sketch sizing curve: the deterministic hash-coin Bernoulli
+# sampler that fronts a KLL sketch (Karnin-Lang-Liberty 2016, public),
+# at three geometries (keep rates 2^-1, 2^-2, 2^-3 via 60-bit md5 hash
+# thresholds). Level 0 (rate 1) is the exact truth computed through the
+# IDENTICAL pipeline, so the curve measures ONLY sampling error.
+_QSK_LEVELS = 3
+_QSK_M = 1 << 60
+
+
+@query(
+    "j_quantile_sketch_curve",
+    oracle=f"""
+    WITH h AS (SELECT n_chars,
+                      CAST(concat('0x', substr(
+                          md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM documents),
+    lv AS (SELECT l.lvl, h.n_chars
+           FROM h, (SELECT CAST(unnest(range(0, {_QSK_LEVELS + 1})) AS BIGINT)
+                        AS lvl) l
+           WHERE h.h < ({_QSK_M} >> l.lvl)),
+    hist AS (SELECT lvl, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+             FROM lv GROUP BY 1, 2),
+    cum AS (SELECT lvl, n_chars, n,
+                   CAST(SUM(n) OVER (PARTITION BY lvl ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+            FROM hist),
+    tot AS (SELECT lvl, CAST(SUM(n) AS BIGINT) AS nn FROM hist GROUP BY 1),
+    grid AS (SELECT lvl, nn, CAST(unnest(range(1, 10)) AS BIGINT) AS decile
+             FROM tot),
+    g2 AS (SELECT lvl, nn, decile, (decile * nn + 9) // 10 AS target_rank
+           FROM grid),
+    hit AS (SELECT g.lvl, g.decile, g.nn, MIN(c.n_chars) AS boundary
+            FROM g2 g JOIN cum c ON c.lvl = g.lvl AND c.c >= g.target_rank
+            GROUP BY 1, 2, 3),
+    wb AS (SELECT lvl, nn, boundary,
+                  MAX(CASE WHEN lvl = 0 THEN boundary END)
+                      OVER (PARTITION BY decile) AS b0
+           FROM hit),
+    er AS (SELECT lvl, nn, ABS(boundary - b0) AS err FROM wb WHERE lvl > 0)
+    SELECT lvl, CAST(1 << lvl AS BIGINT) AS rate_denom,
+           nn AS n_sample,
+           CAST(MAX(err) AS BIGINT) AS max_abs_err,
+           {sql_rnd("SUM(err) / 9.0", 6)} AS mean_abs_err
+    FROM er GROUP BY lvl, nn
+    """,
+)
+def j_quantile_sketch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch sizing curve: the deterministic hash-coin
+    Bernoulli sampler that fronts a KLL sketch (Karnin-Lang-Liberty
+    2016, public — level-l items survive with probability 2^-l), run at
+    three geometries (keep rates 1/2, 1/4, 1/8 via a 60-bit md5
+    threshold on doc_id) against the EXACT decile truth of
+    documents.n_chars. Level 0 (rate 1) is that truth, computed through
+    the IDENTICAL histogram-rank pipeline as the samples
+    (j_length_deciles' discipline: boundary for decile d = smallest
+    value whose cumulative count reaches ceil(d*n/10)), so the reported
+    errors isolate SAMPLING error — exactly the number a 100 TB
+    percentile dashboard needs to size its sketch: one row per level
+    with the sample size and the max/mean absolute decile-boundary
+    error. Completes the sketch-sizing family next to j_cms_width_curve
+    / j_hll_precision_curve / j_bloom_fpr_curve (same shape: geometry ->
+    measured error vs exact truth, one pass).
+
+    EXACT: the hash threshold is an integer compare in a dyadic 2^60
+    space (the j_kmv_distinct hash family); boundaries and errors are
+    BIGINTs; the only float op is the display mean (sum/9.0, rnd 1e-6).
+
+    Plan: corpus-touching work is ONE hash agg over (level, n_chars) —
+    4x the j_length_deciles histogram, still bounded by 4*|distinct
+    lengths| rows (metadata at any corpus size); the cumulative window
+    partitions BY LEVEL over that bounded relation, and the decile grid
+    join is a 36-row broadcast. At 100 TB the identical shape holds —
+    the sampler is a stateless filter, the histogram has map-side
+    partials, and nothing ever sorts corpus rows."""
+    t = load(spark, sf_dir)
+    h = t.documents.select(
+        "n_chars",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    lv = (
+        h.select(
+            "n_chars",
+            "h",
+            F.explode(
+                F.array(*[F.lit(l).cast("long") for l in range(_QSK_LEVELS + 1)])
+            ).alias("lvl"),
+        )
+        .where(
+            F.col("h")
+            < F.expr(f"shiftright(CAST({_QSK_M} AS BIGINT), CAST(lvl AS INT))")
+        )
+    )
+    hist = lv.groupBy("lvl", "n_chars").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lvl").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("lvl", "n_chars", F.sum("n").over(w).cast("long").alias("c"))
+    tot = hist.groupBy("lvl").agg(F.sum("n").cast("long").alias("nn"))
+    grid = tot.select(
+        "lvl",
+        "nn",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 10)])).alias(
+            "decile"
+        ),
+    ).select(
+        "lvl", "nn", "decile", F.expr("(decile * nn + 9) div 10").alias("target_rank")
+    )
+    hit = (
+        F.broadcast(grid.withColumnRenamed("lvl", "glvl"))
+        .join(cum, (F.col("glvl") == F.col("lvl")) & (F.col("c") >= F.col("target_rank")))
+        .groupBy("glvl", "decile", "nn")
+        .agg(F.min("n_chars").alias("boundary"))
+        .withColumnRenamed("glvl", "lvl")
+    )
+    # b0 via a window over the 36-row hit relation instead of a
+    # filter+self-join: a fork at `hit` would recompute the corpus scan
+    # + histogram once per branch (2x I/O at any scale)
+    b0 = F.max(F.when(F.col("lvl") == 0, F.col("boundary"))).over(
+        Window.partitionBy("decile")
+    )
+    er = (
+        hit.withColumn("b0", b0)
+        .where(F.col("lvl") > 0)
+        .select("lvl", "nn", F.abs(F.col("boundary") - F.col("b0")).alias("err"))
+    )
+    return er.groupBy("lvl", "nn").agg(
+        F.max("err").cast("long").alias("max_abs_err"),
+        rnd(F.sum("err") / 9.0, 6).alias("mean_abs_err"),
+    ).select(
+        "lvl",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT)) AS BIGINT)").alias(
+            "rate_denom"
+        ),
+        F.col("nn").alias("n_sample"),
+        "max_abs_err",
+        "mean_abs_err",
+    )
+
+
+# KMV set-intersection: the capability j_kmv_distinct's docstring
+# promises over HLL, measured. Panel of 6 suppliers -> 15 unordered
+# pairs; universe = each supplier's distinct part set (genuinely
+# partial overlaps at every scale, unlike the saturated user/vocab
+# sets); k = 64 minimum hash values of the pair UNION.
+_KMVJ_K = 64
+_KMVJ_SUPPS = 6
+
+
+@query(
+    "j_kmv_jaccard",
+    oracle=f"""
+    WITH pairs AS (SELECT a.s AS supp_a, b.s AS supp_b
+                   FROM (SELECT CAST(unnest(range(1, {_KMVJ_SUPPS + 1}))
+                             AS BIGINT) AS s) a,
+                        (SELECT CAST(unnest(range(1, {_KMVJ_SUPPS + 1}))
+                             AS BIGINT) AS s) b
+                   WHERE a.s < b.s),
+    h AS (SELECT DISTINCT l_suppkey AS supp,
+                 CAST(concat('0x', substr(
+                     md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM lineitem WHERE l_suppkey <= {_KMVJ_SUPPS}),
+    mem AS (SELECT p.supp_a, p.supp_b, h.h,
+                   CAST(MAX(CASE WHEN h.supp = p.supp_a THEN 1 ELSE 0 END)
+                       AS BIGINT) AS in_a,
+                   CAST(MAX(CASE WHEN h.supp = p.supp_b THEN 1 ELSE 0 END)
+                       AS BIGINT) AS in_b
+            FROM pairs p JOIN h ON h.supp = p.supp_a OR h.supp = p.supp_b
+            GROUP BY 1, 2, 3),
+    rk AS (SELECT supp_a, supp_b, in_a, in_b,
+                  ROW_NUMBER() OVER (PARTITION BY supp_a, supp_b ORDER BY h)
+                      AS rk
+           FROM mem),
+    agg AS (SELECT supp_a, supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_union_exact,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_both_exact,
+                   CAST(SUM(CASE WHEN rk <= {_KMVJ_K} THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_union_k,
+                   CAST(SUM(CASE WHEN rk <= {_KMVJ_K} THEN in_a * in_b
+                            ELSE 0 END) AS BIGINT) AS n_both_k
+            FROM rk GROUP BY 1, 2)
+    SELECT supp_a, supp_b, CAST({_KMVJ_K} AS BIGINT) AS kmv_k,
+           n_union_exact,
+           {sql_rnd("n_both_exact * 1.0 / n_union_exact", 6)}
+               AS exact_jaccard,
+           {sql_rnd("n_both_k * 1.0 / n_union_k", 6)} AS est_jaccard,
+           {sql_rnd(
+               "ABS(n_both_k * 1.0 / n_union_k"
+               " - n_both_exact * 1.0 / n_union_exact)", 6)}
+               AS abs_err
+    FROM agg
+    """,
+)
+def j_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimation (Beyer et al. 2007, public) —
+    the capability j_kmv_distinct's docstring promises over HLL,
+    measured against exact truth: for each of the 15 unordered pairs
+    of panel suppliers 1..{S}, estimate the Jaccard similarity of
+    their distinct PART sets from the k = {k} smallest hash values of
+    the pair UNION (est = |both-flagged among the union's k minima| /
+    |union's k minima|; when the union holds fewer than k hashes the
+    sketch IS the exact set and est = exact). Part sets per supplier
+    overlap PARTIALLY at every scale — unlike the fixture's user or
+    vocab sets, which saturate to Jaccard 1 — so the measured abs_err
+    column carries real signal for the sketch-sizing family
+    (j_cms_width_curve / j_hll_precision_curve /
+    j_quantile_sketch_curve: geometry -> error vs exact, one pass).
+
+    EXACT: membership flags and counts are BIGINTs over the
+    j_kmv_distinct 60-bit md5 hash space; the three ratios are single
+    int/int divisions rounded 1e-6, and abs_err applies the identical
+    raw-ratio expression on both engines before its own rounding.
+
+    Plan: the scan keeps only panel suppliers (predicate pushed to the
+    parquet scan), DISTINCT collapses to parts-per-supplier map-side,
+    the 15-row pair grid broadcasts into a theta-join, and the rank
+    window partitions by pair over pair-union relations bounded by
+    2x|parts per supplier| — the fixed-panel audit convention
+    (j_hubness), linear in panel size, never all-pairs over
+    suppliers."""
+    t = load(spark, sf_dir)
+    s = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(1, _KMVJ_SUPPS + 1)])
+    )
+    one = spark.range(1).select(F.lit(1).alias("one"))
+    panel = one.select(s.alias("s"))
+    pairs = (
+        panel.select(F.col("s").alias("supp_a"))
+        .crossJoin(panel.select(F.col("s").alias("supp_b")))
+        .where(F.col("supp_a") < F.col("supp_b"))
+    )
+    h = (
+        t.lineitem.where(F.col("l_suppkey") <= _KMVJ_SUPPS)
+        .select(
+            F.col("l_suppkey").cast("long").alias("supp"),
+            F.conv(
+                F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    mem = (
+        F.broadcast(pairs)
+        .join(h, (F.col("supp") == F.col("supp_a")) | (F.col("supp") == F.col("supp_b")))
+        .groupBy("supp_a", "supp_b", "h")
+        .agg(
+            F.max((F.col("supp") == F.col("supp_a")).cast("long")).alias("in_a"),
+            F.max((F.col("supp") == F.col("supp_b")).cast("long")).alias("in_b"),
+        )
+    )
+    rk = mem.select(
+        "supp_a",
+        "supp_b",
+        "in_a",
+        "in_b",
+        F.row_number()
+        .over(Window.partitionBy("supp_a", "supp_b").orderBy("h"))
+        .alias("rk"),
+    )
+    # ONE conditional aggregation computes sketch and exact counts
+    # together — a mem -> (ex, sk) fork would rescan lineitem per branch
+    kin = (F.col("rk") <= _KMVJ_K).cast("long")
+    agg = rk.groupBy("supp_a", "supp_b").agg(
+        F.count("*").cast("long").alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both_exact"),
+        F.sum(kin).cast("long").alias("n_union_k"),
+        F.sum(F.col("in_a") * F.col("in_b") * kin).cast("long").alias("n_both_k"),
+    )
+    exact_j = F.col("n_both_exact") * 1.0 / F.col("n_union_exact")
+    est_j = F.col("n_both_k") * 1.0 / F.col("n_union_k")
+    return agg.select(
+        "supp_a",
+        "supp_b",
+        F.lit(_KMVJ_K).cast("long").alias("kmv_k"),
+        "n_union_exact",
+        rnd(exact_j, 6).alias("exact_jaccard"),
+        rnd(est_j, 6).alias("est_jaccard"),
+        rnd(F.abs(est_j - exact_j), 6).alias("abs_err"),
+    )
+
+
+j_kmv_jaccard.__doc__ = j_kmv_jaccard.__doc__.replace("{S}", str(_KMVJ_SUPPS)).replace(
+    "{k}", str(_KMVJ_K)
+)

@@ -142,6 +142,14 @@ NEXT_QUEUE: list[str] = [
     # r15 additions land here as they are built (capacity: <= 20, since
     # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
     # 48-slot window).
+    # r15 wave 1: sketch-family closure — the quantile-sketch sizing
+    # curve (the KLL hash-coin sampler at 3 geometries vs the exact
+    # j_length_deciles truth; the structure a 100 TB percentile
+    # dashboard lacked) and KMV set-intersection (the capability
+    # j_kmv_distinct's docstring promises over HLL, measured against
+    # exact pairwise Jaccard on partially-overlapping part sets)
+    "j_quantile_sketch_curve",
+    "j_kmv_jaccard",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1126,6 +1126,11 @@ _SHUFFLE_BUDGETS = {
     "j_youden_threshold": 5,    # one scored agg + heap TakeOrdered(1)
     "j_l_diversity": 2,         # one QI-cell hash agg (distinct expands)
     "j_capture_recapture": 2,   # one vocab agg + single-row fold
+    # --- r15 additions ---
+    "j_quantile_sketch_curve": 7,  # ONE corpus histogram agg (no hit fork);
+                                   # rest is 36-row metadata windows/grids
+    "j_kmv_jaccard": 5,         # panel scan + distinct + pair window +
+                                # single conditional agg (no mem fork)
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the
