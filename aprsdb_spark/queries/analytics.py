@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import rnd
+from ..functions import rnd, sql_rnd
 from ..registry import query
 from ..tables import load
 
@@ -2568,4 +2568,356 @@ def j_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
         F.coalesce(F.col("adjacent"), F.lit(False)).alias("adjacent"),
+    )
+
+
+# One-way ANOVA F critical value at alpha = 0.05, df1 = 4 (the fixture's
+# 5 event types), df2 -> large: same convention as _LEV_CRIT (Levene's W
+# is itself an ANOVA F on deviations, so the literal is shared).
+_ANOVA_CRIT = 2.372
+
+
+@query(
+    "j_anova_oneway",
+    oracle=f"""
+    WITH v AS (SELECT event_type,
+                      CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v6
+               FROM events),
+    p AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(v6) AS BIGINT) AS sv,
+                 CAST(SUM(CAST(v6 AS HUGEINT) * v6) AS HUGEINT) AS svv
+          FROM v GROUP BY 1),
+    t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(SUM(ng) AS BIGINT) AS n,
+                  CAST(SUM(sv) AS BIGINT) AS sv_tot,
+                  CAST(SUM(svv) AS HUGEINT) AS svv_tot,
+                  SUM(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / ng) AS bsum
+           FROM p)
+    SELECT k AS k_groups, n AS n_total,
+           {sql_rnd(
+               "(CAST(n AS DOUBLE) - k) / (k - 1)"
+               " * (bsum - CAST(sv_tot AS DOUBLE) * CAST(sv_tot AS DOUBLE) / n)"
+               " / (CAST(svv_tot AS DOUBLE) - bsum)", 6)} AS f_stat,
+           {sql_rnd(
+               "(bsum - CAST(sv_tot AS DOUBLE) * CAST(sv_tot AS DOUBLE) / n)"
+               " / (CAST(svv_tot AS DOUBLE)"
+               "    - CAST(sv_tot AS DOUBLE) * CAST(sv_tot AS DOUBLE) / n)", 6)}
+               AS eta_sq,
+           {sql_rnd(
+               "(CAST(n AS DOUBLE) - k) / (k - 1)"
+               " * (bsum - CAST(sv_tot AS DOUBLE) * CAST(sv_tot AS DOUBLE) / n)"
+               " / (CAST(svv_tot AS DOUBLE) - bsum)", 6)} > {_ANOVA_CRIT}
+               AS significant
+    FROM t2
+    """,
+)
+def j_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event types on `value` (public 1920s
+    Fisher statistic) — THE test j_levene_test exists to guard: Levene
+    checks the equal-variance precondition, this is the equal-MEANS
+    test that reading is for, with eta-squared (between-group share of
+    total variance) as the effect size a 100 TB dashboard actually
+    acts on. Same fixed critical value discipline as _LEV_CRIT (df1 =
+    4, df2 large), same grid: F is scale-invariant, so computing it on
+    the 1e-6-rounded v6 integers equals computing it on the raw values
+    up to the documented grid rounding.
+
+    EXACT: per-group moments are BIGINT / HUGEINT integers (v6 squared
+    widened BEFORE multiply, the j_feature_corr rule); the
+    between-group sum adds K = 5 double terms (the accepted Levene
+    floor-boundary odds); F and eta_sq round 1e-6 BEFORE the
+    significance compare so the flag cannot flip between engines.
+
+    Plan: ONE event_type hash agg with map-side partials (no window —
+    unlike Levene, plain ANOVA needs no per-row centering), then a
+    5-row fold. Nothing wider than (type, v6) ever shuffles."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    v = t.events.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    p = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("v6").cast("long").alias("sv"),
+        F.sum(F.col("v6").cast(dec) * F.col("v6")).cast(dec).alias("svv"),
+    )
+    t2 = p.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sv").cast("long").alias("sv_tot"),
+        F.sum("svv").cast(dec).alias("svv_tot"),
+        F.sum(
+            F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("ng")
+        ).alias("bsum"),
+    )
+    between = (
+        F.col("bsum")
+        - F.col("sv_tot").cast("double") * F.col("sv_tot").cast("double") / F.col("n")
+    )
+    f_stat = rnd(
+        (F.col("n").cast("double") - F.col("k"))
+        / (F.col("k") - 1)
+        * between
+        / (F.col("svv_tot").cast("double") - F.col("bsum")),
+        6,
+    )
+    eta = rnd(
+        between
+        / (
+            F.col("svv_tot").cast("double")
+            - F.col("sv_tot").cast("double")
+            * F.col("sv_tot").cast("double")
+            / F.col("n")
+        ),
+        6,
+    )
+    return t2.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        f_stat.alias("f_stat"),
+        eta.alias("eta_sq"),
+        (f_stat > _ANOVA_CRIT).alias("significant"),
+    )
+
+
+# Kruskal-Wallis: chi-square critical value at alpha = 0.05, df = 4
+# (the fixture's 5 languages).
+_KW_CRIT = 9.4877
+
+
+@query(
+    "j_kruskal_wallis",
+    oracle=f"""
+    WITH cells AS (SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM documents GROUP BY 1, 2),
+    w AS (SELECT lang, v, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY v) AS BIGINT) AS nv,
+                 CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cumb,
+                 ROW_NUMBER() OVER (PARTITION BY v ORDER BY lang) AS rn
+          FROM cells),
+    g AS (SELECT lang,
+                 CAST(SUM(cnt) AS BIGINT) AS ng,
+                 CAST(SUM(CAST(cnt AS HUGEINT) * (2 * cumb + nv + 1))
+                     AS HUGEINT) AS r2g,
+                 CAST(SUM(CASE WHEN rn = 1
+                          THEN CAST(nv AS HUGEINT) * nv * nv - nv
+                          ELSE 0 END) AS HUGEINT) AS tpart
+          FROM w GROUP BY 1),
+    t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(SUM(ng) AS BIGINT) AS n,
+                  CAST(SUM(tpart) AS HUGEINT) AS tie3,
+                  SUM(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) / ng) AS b
+           FROM g),
+    h AS (SELECT k, n, tie3,
+                 3.0 * b / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)
+                     AS h_raw,
+                 1.0 - CAST(tie3 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * n - n) AS c
+          FROM t2)
+    SELECT k AS k_groups, n AS n_total,
+           {sql_rnd("h_raw", 6)} AS h_stat,
+           {sql_rnd("c", 6)} AS tie_correction,
+           {sql_rnd("h_raw / c", 6)} AS h_corrected,
+           {sql_rnd("h_raw / c", 6)} > {_KW_CRIT} AS significant
+    FROM h
+    """,
+)
+def j_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test (public 1952 statistic) across the 5
+    languages on document length — the k-group generalization of
+    j_mannwhitney and the nonparametric twin of j_anova_oneway, for
+    exactly the heavy-tailed heavily-tied length distributions where
+    the F test's normality premise fails. Tie-corrected:
+    H' = H / (1 - SUM(t^3 - t)/(N^3 - N)).
+
+    EXACT rank arithmetic (the j_mannwhitney doubled-midrank device):
+    the corpus collapses to one row per (lang, distinct length); the
+    doubled midrank of a tie block is the integer 2*cum_before + n_v +
+    1, so every group rank sum R2_g and the tie term are exact
+    HUGEINT/DECIMAL integers (widened BEFORE multiply). In doubled
+    ranks, H = 3*SUM(R2_g^2/n_g)/(N(N+1)) - 3(N+1) — the /4 of
+    squared halves cancels against 12 -> 3. The K = 5 double terms of
+    the between sum are the accepted Levene device; H rounds 1e-6
+    BEFORE the significance compare.
+
+    Plan: one (lang, n_chars) hash agg bounds everything downstream by
+    |langs x distinct lengths| (value-domain metadata); the midrank
+    windows run UNPARTITIONED over that bounded relation by design
+    (the j_mannwhitney argument — lengths, not documents); the
+    per-lang rollup is 5 rows and the fold is one."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    cells = t.documents.groupBy(
+        F.col("lang"), F.col("n_chars").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.partitionBy("v")
+    wr = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    w = cells.select(
+        "lang",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wv).cast("long").alias("nv"),
+        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).cast("long").alias("cumb"),
+        F.row_number().over(Window.partitionBy("v").orderBy("lang")).alias("rn"),
+    )
+    g = w.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("ng"),
+        F.sum(F.col("cnt").cast(dec) * (2 * F.col("cumb") + F.col("nv") + 1))
+        .cast(dec)
+        .alias("r2g"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                F.col("nv").cast(dec) * F.col("nv") * F.col("nv") - F.col("nv"),
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .cast(dec)
+        .alias("tpart"),
+    )
+    t2 = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("tpart").cast(dec).alias("tie3"),
+        F.sum(
+            F.col("r2g").cast("double") * F.col("r2g").cast("double") / F.col("ng")
+        ).alias("b"),
+    )
+    h_raw = (
+        F.lit(3.0) * F.col("b") / (F.col("n").cast("double") * (F.col("n") + 1))
+        - F.lit(3.0) * (F.col("n") + 1)
+    )
+    c = F.lit(1.0) - F.col("tie3").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    hc = rnd(h_raw / c, 6)
+    return t2.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        rnd(h_raw, 6).alias("h_stat"),
+        rnd(c, 6).alias("tie_correction"),
+        hc.alias("h_corrected"),
+        (hc > _KW_CRIT).alias("significant"),
+    )
+
+
+# Fleiss' kappa raters: three deterministic keep/drop quality
+# heuristics (length floor, whitespace-structure band, type-token
+# diversity), thresholds picked at the fixture medians so every rater
+# casts MIXED votes at every scale (a constant rater makes kappa
+# vacuous). r = 3 raters, 2 categories.
+_FK_LEN = 300
+_FK_SPACE_NUM = 178  # space ratio >= 0.178 (per-mille, integer compare)
+
+
+@query(
+    "j_fleiss_kappa",
+    oracle=f"""
+    WITH r AS (SELECT
+                 (CASE WHEN n_chars >= {_FK_LEN} THEN 1 ELSE 0 END
+                + CASE WHEN (length(text) - length(replace(text, ' ', '')))
+                            * 1000 >= {_FK_SPACE_NUM} * length(text)
+                       THEN 1 ELSE 0 END
+                + CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                            >= len(string_split(text, ' '))
+                       THEN 1 ELSE 0 END) AS ki,
+                 CASE WHEN n_chars >= {_FK_LEN} THEN 1 ELSE 0 END AS k1,
+                 CASE WHEN (length(text) - length(replace(text, ' ', '')))
+                           * 1000 >= {_FK_SPACE_NUM} * length(text)
+                      THEN 1 ELSE 0 END AS k2,
+                 CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                           >= len(string_split(text, ' '))
+                      THEN 1 ELSE 0 END AS k3
+               FROM documents),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ki) AS BIGINT) AS kk,
+                 CAST(SUM(CAST(ki AS HUGEINT) * ki
+                          + (3 - CAST(ki AS HUGEINT)) * (3 - ki))
+                     AS HUGEINT) AS sq,
+                 CAST(SUM(k1) AS BIGINT) AS r1_keeps,
+                 CAST(SUM(k2) AS BIGINT) AS r2_keeps,
+                 CAST(SUM(k3) AS BIGINT) AS r3_keeps
+          FROM r),
+    f AS (SELECT n, r1_keeps, r2_keeps, r3_keeps,
+                 (CAST(sq AS DOUBLE) - 3.0 * n) / (6.0 * n) AS p_o,
+                 (CAST(kk AS DOUBLE) * kk
+                  + (3.0 * n - kk) * (3.0 * n - kk)) / (9.0 * n * n) AS p_e
+          FROM s)
+    SELECT n AS n_docs, CAST(3 AS BIGINT) AS n_raters,
+           r1_keeps, r2_keeps, r3_keeps,
+           {sql_rnd("p_o", 6)} AS p_observed,
+           {sql_rnd("p_e", 6)} AS p_expected,
+           {sql_rnd("(p_o - p_e) / (1.0 - p_e)", 6)} AS kappa
+    FROM f
+    """,
+)
+def j_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (public 1971 statistic) over THREE deterministic
+    quality raters — length floor, whitespace-structure band,
+    type-token diversity — each voting keep/drop per document: the
+    inter-annotator-agreement audit a curation pipeline runs before
+    trusting an ensemble of quality filters (j_quality_score gives one
+    blended number; kappa says whether its components AGREE beyond
+    chance, the j_cohen_kappa two-rater story generalized to r = 3).
+    With 2 categories the per-subject agreement reduces to integers:
+    sum_j n_ij^2 = k_i^2 + (3-k_i)^2 where k_i = keep votes, so
+    P_o = (SUM(k^2+(3-k)^2) - 3n)/(6n) and
+    P_e = (K^2 + (3n-K)^2)/(9n^2) with K = SUM k_i.
+
+    EXACT: every rater is an integer-compare indicator (the space
+    threshold enters as a per-mille integer, the diversity threshold
+    as 2*distinct >= total — no division anywhere); moments are
+    BIGINT/HUGEINT; P_o, P_e, kappa apply one fixed IEEE sequence to
+    those integers and round 1e-6.
+
+    Plan: ONE narrow projection over the corpus scan (the only array
+    work is the per-doc distinct-token count, same cost class as
+    j_text_stats) folding to a single row — map-side partials, zero
+    joins, zero windows, scan-speed at 100 TB."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    toks = F.split(F.col("text"), " ")
+    k1 = (F.col("n_chars") >= _FK_LEN).cast("long")
+    k2 = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        * 1000
+        >= _FK_SPACE_NUM * F.length("text")
+    ).cast("long")
+    k3 = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
+    r = t.documents.select(
+        (k1 + k2 + k3).alias("ki"),
+        k1.alias("k1"),
+        k2.alias("k2"),
+        k3.alias("k3"),
+    )
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ki").cast("long").alias("kk"),
+        F.sum(
+            F.col("ki").cast(dec) * F.col("ki")
+            + (3 - F.col("ki").cast(dec)) * (3 - F.col("ki"))
+        )
+        .cast(dec)
+        .alias("sq"),
+        F.sum("k1").cast("long").alias("r1_keeps"),
+        F.sum("k2").cast("long").alias("r2_keeps"),
+        F.sum("k3").cast("long").alias("r3_keeps"),
+    )
+    p_o = (F.col("sq").cast("double") - 3.0 * F.col("n")) / (6.0 * F.col("n"))
+    p_e = (
+        F.col("kk").cast("double") * F.col("kk")
+        + (3.0 * F.col("n") - F.col("kk")) * (3.0 * F.col("n") - F.col("kk"))
+    ) / (9.0 * F.col("n") * F.col("n"))
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.lit(3).cast("long").alias("n_raters"),
+        "r1_keeps",
+        "r2_keeps",
+        "r3_keeps",
+        rnd(p_o, 6).alias("p_observed"),
+        rnd(p_e, 6).alias("p_expected"),
+        rnd((p_o - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
     )

@@ -1250,3 +1250,72 @@ def j_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_epoch_plan.__doc__ = j_epoch_plan.__doc__.replace("{mult}", str(_EPOCH_MULT))
+
+
+@query(
+    "j_bpe_roundtrip",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_ROUNDS)},
+    enc AS (SELECT word, CAST(len(s) AS BIGINT) AS n_sub,
+                   CASE WHEN md5(array_to_string(s, '')) = md5(word)
+                        THEN 1 ELSE 0 END AS ok
+            FROM w{_BPE_ROUNDS}),
+    tok AS (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+    SELECT tok.source,
+           CAST(COUNT(*) AS BIGINT) AS n_word_occurrences,
+           CAST(COUNT(DISTINCT tok.word) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(enc.n_sub) AS BIGINT) AS n_subtokens,
+           CAST(SUM(1 - enc.ok) AS BIGINT) AS n_roundtrip_fail,
+           {sql_rnd("SUM(enc.ok) * 1.0 / COUNT(*)", 6)} AS fidelity,
+           {sql_rnd("SUM(enc.n_sub) * 1.0 / COUNT(*)", 6)}
+               AS subtokens_per_word
+    FROM tok JOIN enc USING (word)
+    GROUP BY tok.source
+    """,
+)
+def j_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode -> decode ROUND-TRIP fidelity over the trained merges
+    (the tokenizer-integrity audit the r14 verdict queued): decode is
+    separator-free concatenation of each word's final segmentation, and
+    the proof is BYTE-LEVEL — md5(concat(subtokens)) == md5(word),
+    checked per vocabulary word and rolled up occurrence-weighted per
+    source. Lossless segmentation is a THEOREM of correct BPE (merges
+    only ever join adjacent symbols), so n_roundtrip_fail > 0 is always
+    a tokenizer-implementation bug — the tripwire a training pipeline
+    wants between tokenizer training and corpus billing; the live
+    columns (occurrence/vocab/subtoken counts, fan-out ratio) carry the
+    per-source billing signal alongside.
+
+    EXACT: md5 equality and counts are integers end-to-end; the two
+    ratios are single int/int divisions rounded 1e-6.
+
+    Plan: the merge table is trained once (j_bpe_train's collected
+    1-row-per-round argmax discipline — corpus scanned once, linear
+    lineage); the audit itself is a BROADCAST join of the corpus token
+    stream against the Heaps-law-small vocabulary segmentation carrying
+    (n_sub, ok) and ONE per-source hash agg. Zero extra shuffles beyond
+    j_bpe_encode's shape; at 100 TB the md5 proof rides the same scan
+    the billing numbers already pay for."""
+    t = load(spark, sf_dir)
+    _, wfinal = _bpe_frames(spark, t)
+    enc = wfinal.select(
+        "word",
+        F.size("s").cast("long").alias("n_sub"),
+        (F.md5(F.array_join("s", "")) == F.md5(F.col("word")))
+        .cast("long")
+        .alias("ok"),
+    )
+    tok = t.documents.select("source", F.explode(tokens_col("text")).alias("word"))
+    return (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_word_occurrences"),
+            F.countDistinct("word").cast("long").alias("n_distinct_words"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+            F.sum(1 - F.col("ok")).cast("long").alias("n_roundtrip_fail"),
+            rnd(F.sum("ok") * 1.0 / F.count("*"), 6).alias("fidelity"),
+            rnd(F.sum("n_sub") * 1.0 / F.count("*"), 6).alias("subtokens_per_word"),
+        )
+    )

@@ -1281,3 +1281,110 @@ def j_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_distinct",
         (F.col("l_distinct") >= _LDIV_L).alias("diverse"),
     )
+
+
+# t-closeness threshold t <= 0.2 as the exact integer compare
+# 5 * num <= 2 * n_cell * N (num is the 2*n*N-scaled variational
+# distance), so the flag can never float-flip between engines.
+_TCLOSE_NUM, _TCLOSE_DEN = 1, 5  # t = 0.2
+
+
+@query(
+    "j_t_closeness",
+    oracle=f"""
+    WITH cells AS (SELECT lang,
+                          CAST({sql_floordiv("n_chars", 100)} AS BIGINT)
+                              AS chars_bucket,
+                          source, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2, 3),
+    glob AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS g FROM documents
+             GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    j AS (SELECT cells.lang, cells.chars_bucket, cells.c, glob.g, tot.nn
+          FROM cells JOIN glob USING (source) CROSS JOIN tot),
+    w AS (SELECT lang, chars_bucket, c, g, nn,
+                 CAST(SUM(c) OVER (PARTITION BY lang, chars_bucket)
+                     AS HUGEINT) AS ncell
+          FROM j),
+    r AS (SELECT lang, chars_bucket, MAX(nn) AS nn,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(SUM(ABS(CAST(c AS HUGEINT) * nn - ncell * g)
+                          - ncell * g) AS HUGEINT) AS adj
+          FROM w GROUP BY lang, chars_bucket)
+    SELECT lang, chars_bucket, n_rows,
+           {sql_rnd(
+               "(CAST(adj AS DOUBLE) + CAST(n_rows AS DOUBLE) * nn)"
+               " / (2.0 * n_rows * nn)", 6)} AS t_closeness,
+           {_TCLOSE_DEN} * (adj + CAST(n_rows AS HUGEINT) * nn)
+               <= 2 * {_TCLOSE_NUM} * CAST(n_rows AS HUGEINT) * nn AS close
+    FROM r
+    """,
+)
+def j_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007, public) over the SAME
+    (lang, chars-bucket) quasi-identifier cells as j_kanon_check /
+    j_l_diversity, with `source` as the categorical sensitive
+    attribute — the attack l-diversity does NOT cover: a cell can hold
+    l >= 3 distinct sources (diverse) while its source DISTRIBUTION is
+    wildly skewed vs the corpus, so membership still shifts an
+    attacker's posterior (the skewness attack). For a categorical
+    attribute the EMD of the t-closeness definition reduces to total
+    variation distance t = (1/2) SUM_j |p_j - q_j|; the release gate
+    is the closure of the governance triptych: k bounds cell size, l
+    bounds sensitive cardinality, t bounds distributional leak.
+
+    EXACT: the scaled numerator SUM_j |c_j N - n g_j| is computed over
+    PRESENT sources only via the absent-mass identity
+    SUM_absent n g_j = n N - SUM_present n g_j (so missing (cell,
+    source) combos never need materializing); every term is
+    HUGEINT/DECIMAL (widened before multiply); t is ONE display
+    division and the `close` flag is the pure-integer compare
+    {DEN} num <= 2 {NUM_}*... (t <= 0.2) that cannot float-flip.
+
+    Plan: ONE (lang, bucket, source) hash agg over the corpus
+    (quasi-identifier x sensitive domain — metadata at any scale), a
+    20-row broadcast of global source counts, and a per-cell rollup.
+    Same shuffle shape as j_l_diversity plus the broadcast."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    cells = t.documents.groupBy(
+        "lang",
+        floordiv("n_chars", 100).cast("long").alias("chars_bucket"),
+        "source",
+    ).agg(F.count("*").cast("long").alias("c"))
+    glob = t.documents.groupBy("source").agg(F.count("*").cast("long").alias("g"))
+    tot = t.documents.agg(F.count("*").cast("long").alias("nn"))
+    j = cells.join(F.broadcast(glob), "source").crossJoin(F.broadcast(tot))
+    wcell = Window.partitionBy("lang", "chars_bucket")
+    ncell = F.sum("c").over(wcell).cast(dec)
+    term = F.abs(F.col("c").cast(dec) * F.col("nn") - ncell * F.col("g")) - (
+        ncell * F.col("g")
+    )
+    r = j.select(
+        "lang", "chars_bucket", "c", "nn", term.alias("term")
+    ).groupBy("lang", "chars_bucket").agg(
+        F.max("nn").cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum("term").cast(dec).alias("adj"),
+    )
+    num = F.col("adj") + F.col("n_rows").cast(dec) * F.col("nn")
+    return r.select(
+        "lang",
+        "chars_bucket",
+        "n_rows",
+        rnd(
+            (F.col("adj").cast("double") + F.col("n_rows").cast("double") * F.col("nn"))
+            / (2.0 * F.col("n_rows") * F.col("nn")),
+            6,
+        ).alias("t_closeness"),
+        (
+            F.lit(_TCLOSE_DEN).cast(dec) * num
+            <= F.lit(2 * _TCLOSE_NUM).cast(dec)
+            * (F.col("n_rows").cast(dec) * F.col("nn"))
+        ).alias("close"),
+    )
+
+
+j_t_closeness.__doc__ = j_t_closeness.__doc__.replace(
+    "{DEN}", str(_TCLOSE_DEN)
+).replace("{NUM_}*...", f"{_TCLOSE_NUM} n N")

@@ -6157,3 +6157,248 @@ def j_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("youden_j"),
     )
+
+
+# RBO geometry: top-weighting p = 1/2 (dyadic — every weight 2^-i is
+# IEEE-exact, dodging the libm pow() parity ban) at the PQ audit depth.
+_RBO_SCALE = 10**12
+
+
+def _rbo_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (SELECT vec_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS re
+              FROM (SELECT vec_id,
+                           FLOOR(list_dot_product(v, qv) * 1000000 + 0.5) / 1000000
+                             AS score
+                    FROM e, q WHERE vec_id <> 0
+                    ORDER BY score DESC, vec_id LIMIT {_PQ_TOPK}) x),
+    approx AS (SELECT vec_id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS ra
+               FROM ({ORACLE["j_ann_pq"]}) y),
+    m AS (SELECT CAST(GREATEST(e2.re, a.ra) AS BIGINT) AS m
+          FROM exact e2 JOIN approx a USING (vec_id)),
+    grid AS (SELECT CAST(unnest(range(1, {_PQ_TOPK + 1})) AS BIGINT) AS i),
+    c AS (SELECT g.i,
+                 CAST(COUNT(m.m) AS BIGINT) AS ci
+          FROM grid g LEFT JOIN m ON m.m <= g.i GROUP BY g.i),
+    terms AS (SELECT i, ci,
+                     (2 * ci * {_RBO_SCALE} + i * (1::BIGINT << i))
+                       // (2 * i * (1::BIGINT << i)) AS term
+              FROM c)
+    SELECT CAST({_PQ_TOPK} AS BIGINT) AS depth,
+           CAST(0.5 AS DOUBLE) AS p,
+           CAST(MAX(CASE WHEN i = {_PQ_TOPK} THEN ci END) AS BIGINT)
+               AS n_common,
+           {sql_rnd(f"MAX(CASE WHEN i = {_PQ_TOPK} THEN ci END) * 1.0 / {_PQ_TOPK}", 6)}
+               AS overlap_at_depth,
+           {sql_rnd(f"SUM(term) * 1.0 / {_RBO_SCALE}", 6)} AS rbo
+    FROM terms
+    """
+
+
+@query("j_rbo_overlap", oracle=_rbo_oracle())
+def j_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010, public) between the
+    exact and PQ-approximate top-{k} rankings — the third axis of the
+    index-quality triptych: j_recall_curve asks "are the right items
+    present", j_rank_tau asks "how scrambled are the COMMON items",
+    RBO handles what tau cannot — NON-CONJOINT lists (an item the
+    approximate index missed entirely still costs weight at every
+    depth it should have occupied) with explicit top-weighting:
+    rbo = SUM_i (1-p) p^(i-1) |A_1..i INTERSECT B_1..i| / i, truncated
+    at depth {k}. p = 1/2, so every weight (1-p)p^(i-1) = 2^-i is a
+    dyadic rational — IEEE-exact by construction, dodging the
+    libm-pow parity ban that a textbook p = 0.9 would hit.
+
+    EXACT: intersection sizes come from the integer device
+    c_i = |{{max(rank_exact, rank_approx) <= i}}|; each weighted term
+    is the pure-integer round-half-up (2 c_i S + i 2^i) div (2 i 2^i)
+    at S = 1e12, summed exactly — the display value is ONE division of
+    that integer sum (the j_dsir_weights scaled-BIGINT convention).
+
+    Plan: both rankings are the registered <={k}-row audit relations;
+    the depth grid is {k} rows broadcast against a <={k}-row m
+    relation — everything after the two index legs is free at any
+    corpus scale."""
+    from ..operators.similarity import _lit_vector
+    from ..registry import QUERIES
+
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    exact = (
+        t.embeddings.where(F.col("vec_id") != 0)
+        .select("vec_id", rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_TOPK)
+        .select("vec_id", F.row_number().over(w).cast("long").alias("re"))
+    )
+    ap = (
+        QUERIES["j_ann_pq"](spark, sf_dir)
+        .select("vec_id", "score")
+        .select("vec_id", F.row_number().over(w).cast("long").alias("ra"))
+    )
+    m = exact.join(ap, "vec_id").select(
+        F.greatest(F.col("re"), F.col("ra")).cast("long").alias("m")
+    )
+    grid = spark.range(1, _PQ_TOPK + 1).select(F.col("id").cast("long").alias("i"))
+    c = (
+        F.broadcast(grid)
+        .join(m, F.col("m") <= F.col("i"), "left")
+        .groupBy("i")
+        .agg(F.count("m").cast("long").alias("ci"))
+    )
+    terms = c.select(
+        "i",
+        "ci",
+        F.expr(
+            f"(2 * ci * {_RBO_SCALE} + i * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)))"
+            f" div (2 * i * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)))"
+        ).alias("term"),
+    )
+    at_depth = F.max(F.when(F.col("i") == _PQ_TOPK, F.col("ci")))
+    return terms.agg(
+        F.lit(_PQ_TOPK).cast("long").alias("depth"),
+        F.lit(0.5).alias("p"),
+        at_depth.cast("long").alias("n_common"),
+        rnd(at_depth * 1.0 / _PQ_TOPK, 6).alias("overlap_at_depth"),
+        rnd(F.sum("term") * 1.0 / _RBO_SCALE, 6).alias("rbo"),
+    )
+
+
+j_rbo_overlap.__doc__ = j_rbo_overlap.__doc__.replace("{k}", str(_PQ_TOPK))
+
+
+@query(
+    "j_rouge_recall",
+    oracle=f"""
+    WITH pairs AS (SELECT cand_doc, ref_doc FROM (
+              SELECT doc_id AS cand_doc,
+                     LEAD(doc_id) OVER (PARTITION BY lang, source
+                                        ORDER BY doc_id) AS ref_doc
+              FROM documents) x WHERE ref_doc IS NOT NULL),
+    u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    uc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM u GROUP BY doc_id, term),
+    bg AS ({_BLEU_PAIR_BIGRAMS}),
+    bc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY doc_id, term),
+    t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM uc GROUP BY doc_id),
+    t2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY doc_id),
+    clip1 AS (SELECT p.cand_doc,
+                     CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+              FROM pairs p
+              JOIN uc a ON a.doc_id = p.cand_doc
+              JOIN uc b ON b.doc_id = p.ref_doc AND b.term = a.term
+              GROUP BY p.cand_doc),
+    clip2 AS (SELECT p.cand_doc,
+                     CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+              FROM pairs p
+              JOIN bc a ON a.doc_id = p.cand_doc
+              JOIN bc b ON b.doc_id = p.ref_doc AND b.term = a.term
+              GROUP BY p.cand_doc)
+    SELECT p.cand_doc, p.ref_doc,
+           t1.n AS ref_n1, COALESCE(clip1.clip, 0) AS clip1,
+           t2.n AS ref_n2, COALESCE(clip2.clip, 0) AS clip2,
+           CASE WHEN t1.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(clip1.clip, 0) * 1000000 // t1.n AS BIGINT)
+                     / 1000000.0 END AS r1,
+           CASE WHEN t2.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(clip2.clip, 0) * 1000000 // t2.n AS BIGINT)
+                     / 1000000.0 END AS r2
+    FROM pairs p
+    JOIN t1 ON t1.doc_id = p.ref_doc
+    JOIN t2 ON t2.doc_id = p.ref_doc
+    LEFT JOIN clip1 ON clip1.cand_doc = p.cand_doc
+    LEFT JOIN clip2 ON clip2.cand_doc = p.cand_doc
+    """,
+)
+def j_rouge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 RECALL between the same adjacent same-slice
+    document pairs as j_bleu_precision (Lin 2004, public) — the recall
+    twin: the clipped overlap divided by the REFERENCE's gram total
+    instead of the candidate's. Precision asks "how much of the
+    candidate is copied"; recall asks "how much of the reference is
+    covered" — a templated header stuffed into a long document scores
+    high r_n with low p_n, the opposite signature from boilerplate
+    padding, so curation dashboards read the two relations as one
+    precision/recall plane per pair.
+
+    Exactness and plan identical to j_bleu_precision (the same clip
+    joins and BIGINT floor-division discipline; the only change is
+    which side's total is the denominator), so the pair of qids shares
+    every shuffle shape: (doc_id, term)-keyed counts, (pair,
+    term)-bounded clip joins, LEAD pairing over the slim slice
+    projection."""
+    from .quality import ngrams_col
+
+    t = load(spark, sf_dir)
+    wp = Window.partitionBy("lang", "source").orderBy("doc_id")
+    pairs = (
+        t.documents.select(
+            F.col("doc_id").alias("cand_doc"),
+            F.lead("doc_id").over(wp).alias("ref_doc"),
+        )
+        .where(F.col("ref_doc").isNotNull())
+    )
+    uc = (
+        t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bc = (
+        t.documents.select("doc_id", F.explode(ngrams_col("text", 2)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+    def clip(counts):
+        ca, cb = counts.alias("ca"), counts.alias("cb")
+        return (
+            pairs.join(ca, F.col("ca.doc_id") == F.col("cand_doc"))
+            .join(
+                cb,
+                (F.col("cb.doc_id") == F.col("ref_doc"))
+                & (F.col("cb.term") == F.col("ca.term")),
+            )
+            .groupBy("cand_doc")
+            .agg(F.sum(F.least(F.col("ca.c"), F.col("cb.c"))).cast("long").alias("clip"))
+        )
+
+    t1 = uc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("ref_n1"))
+    t2 = bc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("ref_n2"))
+    out = (
+        pairs.join(t1, F.col("doc_id") == F.col("ref_doc"))
+        .drop("doc_id")
+        .join(t2, F.col("doc_id") == F.col("ref_doc"))
+        .drop("doc_id")
+        .join(clip(uc).withColumnRenamed("clip", "clip1"), "cand_doc", "left")
+        .join(clip(bc).withColumnRenamed("clip", "clip2"), "cand_doc", "left")
+        .select(
+            "cand_doc",
+            "ref_doc",
+            "ref_n1",
+            F.coalesce("clip1", F.lit(0)).cast("long").alias("clip1"),
+            "ref_n2",
+            F.coalesce("clip2", F.lit(0)).cast("long").alias("clip2"),
+            F.when(F.col("ref_n1") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr("CAST(coalesce(clip1, 0) * 1000000 div ref_n1 AS BIGINT)")
+                / 1000000.0
+            )
+            .alias("r1"),
+            F.when(F.col("ref_n2") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr("CAST(coalesce(clip2, 0) * 1000000 div ref_n2 AS BIGINT)")
+                / 1000000.0
+            )
+            .alias("r2"),
+        )
+    )
+    return out

@@ -702,3 +702,118 @@ def j_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("d1") > 0) & (F.col("d2") > 0), r).alias("pearson_r"),
         F.when(F.col("d1") > 0, slope).alias("slope"),
     )
+
+
+# Text-integrity tripwires (r15): the byte-level corruption classes an
+# ingestion pipeline must catch BEFORE tokenization — classic
+# UTF-8-read-as-Latin-1 mojibake digraphs, the U+FFFD replacement char
+# a lossy decode leaves behind, and raw control bytes. The fixture
+# corpus is clean ASCII, so the tripwire columns read 0 here BY DESIGN
+# (the oracle verifies the same detectors compute the same zeros); the
+# detectors themselves are proven to fire on crafted dirty rows in
+# tests/test_r15_props.py.
+_TI_CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+@query(
+    "j_text_integrity",
+    oracle=f"""
+    WITH d AS (SELECT source,
+                      CASE WHEN regexp_matches(text, '{_TI_CTRL}')
+                           THEN 1 ELSE 0 END AS is_ctrl,
+                      CASE WHEN contains(text, chr(65533))
+                           THEN 1 ELSE 0 END AS is_repl,
+                      CASE WHEN contains(text, chr(195))
+                             OR contains(text, chr(226) || chr(8364))
+                           THEN 1 ELSE 0 END AS is_moji,
+                      CASE WHEN strlen(text) <> length(text)
+                           THEN 1 ELSE 0 END AS is_nonascii,
+                      length(regexp_replace(text, '[^a-z]', '', 'g'))
+                          AS letters,
+                      length(text) - length(replace(text, ' ', ''))
+                          AS spaces,
+                      length(text) AS chars
+               FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_ctrl) AS BIGINT) AS ctrl_docs,
+           CAST(SUM(is_repl) AS BIGINT) AS repl_docs,
+           CAST(SUM(is_moji) AS BIGINT) AS moji_docs,
+           CAST(SUM(is_nonascii) AS BIGINT) AS non_ascii_docs,
+           FLOOR((COUNT(*) - SUM(is_nonascii)) * 1.0 / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS ascii_share,
+           CAST(SUM(letters) AS BIGINT) AS letter_chars,
+           CAST(SUM(spaces) AS BIGINT) AS space_chars,
+           FLOOR(SUM(chars) * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000
+               AS mean_chars
+    FROM d GROUP BY source
+    """,
+)
+def j_text_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-INTEGRITY audit — the encoding-level tripwires
+    upstream of every token-level quality score (j_quality_score /
+    j_clean_text assume their input already decoded cleanly; this
+    relation is what PROVES it): documents carrying raw control bytes,
+    the U+FFFD replacement character (the scar a lossy UTF-8 decode
+    leaves), and the classic UTF-8-read-as-Latin-1 mojibake digraphs
+    ('Ã', 'â€'), beside the byte-vs-char length disagreement that
+    flags any non-ASCII content at all — plus the character-class
+    composition (letters / spaces / mean length) that carries live
+    signal on every corpus. On this clean-ASCII fixture the tripwires
+    read zero BY DESIGN and the oracle pins that the two engines'
+    detectors agree on those zeros; the detectors fire on dirty rows
+    (proven in tests/test_r15_props.py on crafted strings).
+
+    EXACT: every detector is an integer indicator (regexp/contains/
+    length compares — no float until the two display ratios, rnd 1e-6).
+    The replacement char and mojibake literals enter DuckDB as chr()
+    codepoints and Spark as Python unicode escapes, so no non-ASCII
+    bytes live in SQL text.
+
+    Plan: ONE narrow projection over the corpus scan (every detector is
+    a stateless map — WholeStageCodegen keeps it in one pass) feeding
+    ONE per-source hash agg with map-side partials. Zero joins, zero
+    windows; at 100 TB this is scan-speed."""
+    t = load(spark, sf_dir)
+    text = F.col("text")
+    d = t.documents.select(
+        "source",
+        text.rlike(_TI_CTRL).cast("long").alias("is_ctrl"),
+        text.contains(F.lit("\ufffd")).cast("long").alias("is_repl"),
+        (text.contains(F.lit("\u00c3")) | text.contains(F.lit("\u00e2\u20ac")))
+        .cast("long")
+        .alias("is_moji"),
+        (F.octet_length(text) != F.length(text)).cast("long").alias("is_nonascii"),
+        F.length(F.regexp_replace(text, "[^a-z]", "")).cast("long").alias("letters"),
+        (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("spaces"),
+        F.length(text).cast("long").alias("chars"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_ctrl").cast("long").alias("ctrl_docs"),
+        F.sum("is_repl").cast("long").alias("repl_docs"),
+        F.sum("is_moji").cast("long").alias("moji_docs"),
+        F.sum("is_nonascii").cast("long").alias("non_ascii_docs"),
+        rnd((F.count("*") - F.sum("is_nonascii")) * 1.0 / F.count("*"), 6).alias(
+            "ascii_share"
+        ),
+        F.sum("letters").cast("long").alias("letter_chars"),
+        F.sum("spaces").cast("long").alias("space_chars"),
+        rnd(F.sum("chars") * 1.0 / F.count("*"), 6).alias("mean_chars"),
+    )
+
+
+def text_integrity_flags(text: Column) -> list[Column]:
+    """The three tripwire detectors as reusable columns (ctrl, repl,
+    moji) — exported so tests can prove they FIRE on dirty strings (the
+    fixture corpus is clean, so the qid's zeros alone would be a
+    vacuous detector)."""
+    return [
+        text.rlike(_TI_CTRL).cast("long"),
+        text.contains(F.lit("\ufffd")).cast("long"),
+        (text.contains(F.lit("\u00c3")) | text.contains(F.lit("\u00e2\u20ac"))).cast(
+            "long"
+        ),
+    ]

@@ -1308,3 +1308,106 @@ def j_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.when((d1 > 0) & (d2 > 0), r).alias("autocorr"),
     )
+
+
+# Cross-correlation lags 0..L days (click leads, view trails).
+_XC_LAGS = 7
+_XC_MIN = 5
+
+
+@query(
+    "j_ts_crosscorr",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS x,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    lg AS (SELECT CAST(unnest(range(0, {_XC_LAGS + 1})) AS BIGINT) AS lag),
+    p AS (SELECT lg.lag, a.x, b.y
+          FROM lg, d a JOIN d b ON b.day = a.day - lg.lag),
+    s AS (SELECT lag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY lag)
+    SELECT lag, n,
+           CASE WHEN n >= {_XC_MIN}
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN FLOOR((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * 1.0
+                                  * (n * syy - sy * sy))
+                           * 1000000 + 0.5) / 1000000
+           END AS xcorr
+    FROM s
+    """,
+)
+def j_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag CROSS-correlation between the click and view daily
+    series at lags 0..{L} days (corr(x_t, y_(t-lag)) — does view
+    volume LEAD click volume, and by how many days?) — the
+    j_rolling_corr sibling along the other axis: rolling corr trends
+    co-movement at lag 0 through time; this relation scans the lag
+    axis once over the whole span, which is how pipeline monitors
+    locate ingestion lag and cause->effect offsets between metric
+    streams (public textbook cross-correlation function, e.g. Box &
+    Jenkins).
+
+    EXACT: the same five BIGINT sufficient statistics as
+    j_rolling_corr, per lag; the lagged pairing is an exact DATE
+    equi-join (day - lag), so gapped calendars pair correctly instead
+    of sliding over missing rows; ONE sqrt + ONE division on exact
+    integers per lag, floored 1e-6; degenerate lags (< {M} pairs or
+    zero variance) yield NULL.
+
+    Plan: one (day) hash agg collapses events to |days| rows,
+    PERSISTED across its two join legs (the j_cms_sketch two-consumer
+    rule — without it each leg re-scans events); the lag grid is
+    {L}+1 broadcast rows and every join key is calendar-sized. At
+    100 TB the only corpus-touching work is the single day agg."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("x"),
+            F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("y"),
+        )
+    )
+    d.persist()  # two consumers below: the x leg and the lagged y leg
+    lg = spark.range(0, _XC_LAGS + 1).select(F.col("id").cast("long").alias("lag"))
+    a = F.broadcast(lg).crossJoin(
+        d.select(F.col("day").alias("day_a"), "x")
+    )
+    p = a.join(
+        d.select(F.col("day").alias("day_b"), "y"),
+        F.col("day_b") == F.date_sub(F.col("day_a"), F.col("lag").cast("int")),
+    )
+    s = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.floor(num / F.sqrt(vx * 1.0 * vy) * 1000000 + F.lit(0.5)) / 1000000
+    return s.select(
+        "lag",
+        "n",
+        F.when((F.col("n") >= _XC_MIN) & (vx > 0) & (vy > 0), corr).alias("xcorr"),
+    )
+
+
+j_ts_crosscorr.__doc__ = j_ts_crosscorr.__doc__.replace("{L}", str(_XC_LAGS)).replace(
+    "{M}", str(_XC_MIN)
+)

@@ -56,3 +56,155 @@ def test_kmv_jaccard_estimates_are_bounded_and_consistent(spark):
                 assert r["est_jaccard"] == r["exact_jaccard"]
         # the panel must carry real signal, not saturated overlap
         assert any(0.0 < r["exact_jaccard"] < 1.0 for r in rows)
+
+
+def test_text_integrity_tripwires_are_zero_but_armed(spark):
+    from pyspark.sql import functions as F
+
+    from aprsdb_spark.queries.quality import text_integrity_flags
+
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_text_integrity", sf)
+        assert len(rows) == 20  # one per source
+        for r in rows:
+            # clean-ASCII fixture: tripwires read zero BY DESIGN...
+            assert r["ctrl_docs"] == r["repl_docs"] == r["moji_docs"] == 0
+            assert r["non_ascii_docs"] == 0 and r["ascii_share"] == 1.0
+            # ...while the live composition columns carry real signal
+            assert r["letter_chars"] > 0 and r["space_chars"] > 0
+            assert r["mean_chars"] > 0
+    # ...and the DETECTORS fire on crafted dirty strings (a zero from a
+    # detector that can never fire would be vacuous)
+    dirty = spark.createDataFrame(
+        [
+            ("a\x07bell",),          # control byte
+            ("lossy � here",),  # replacement char
+            ("cafÃ© moji",),  # UTF-8-as-Latin-1 'Ã©'
+            ("clean ascii text",),
+        ],
+        "text string",
+    )
+    ctrl, repl, moji = text_integrity_flags(F.col("text"))
+    got = dirty.select(
+        ctrl.alias("c"), repl.alias("r"), moji.alias("m")
+    ).collect()
+    assert [r["c"] for r in got] == [1, 0, 0, 0]
+    assert [r["r"] for r in got] == [0, 1, 0, 0]
+    assert [r["m"] for r in got] == [0, 0, 1, 0]
+
+
+def test_bpe_roundtrip_is_lossless_with_live_billing(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_bpe_roundtrip", sf)
+        assert len(rows) == 20
+        for r in rows:
+            # losslessness is a THEOREM of correct BPE — any failure is
+            # an implementation bug, which is what the tripwire is for
+            assert r["n_roundtrip_fail"] == 0 and r["fidelity"] == 1.0
+            assert r["n_word_occurrences"] > 0 and r["n_distinct_words"] > 0
+            # merges actually fired: fewer subtokens than characters,
+            # more than whitespace words
+            assert r["n_subtokens"] >= r["n_word_occurrences"]
+            assert r["subtokens_per_word"] >= 1.0
+
+
+def test_anova_and_kruskal_agree_on_group_structure(spark):
+    for sf in (SF1, SF_DIR):
+        (a,) = _rows(spark, "j_anova_oneway", sf)
+        assert a["k_groups"] == 5 and a["n_total"] > 0
+        assert a["f_stat"] >= 0.0
+        assert 0.0 <= a["eta_sq"] <= 1.0
+        (k,) = _rows(spark, "j_kruskal_wallis", sf)
+        assert k["k_groups"] == 5 and k["n_total"] > 0
+        assert k["h_stat"] >= 0.0
+        assert 0.0 < k["tie_correction"] <= 1.0
+        # the tie correction can only GROW H
+        assert k["h_corrected"] >= k["h_stat"] - 1e-9
+
+
+def test_fleiss_kappa_is_well_formed(spark):
+    for sf in (SF1, SF_DIR):
+        (r,) = _rows(spark, "j_fleiss_kappa", sf)
+        assert r["n_raters"] == 3 and r["n_docs"] > 0
+        # every rater casts MIXED votes (a constant rater makes kappa
+        # read agreement that is really prevalence)
+        for c in ("r1_keeps", "r2_keeps", "r3_keeps"):
+            assert 0 < r[c] < r["n_docs"], (c, r[c], r["n_docs"])
+        assert 0.0 <= r["p_observed"] <= 1.0
+        assert 0.0 <= r["p_expected"] <= 1.0
+        assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_rbo_overlap_bounds_and_identity(spark):
+    for sf in (SF1, SF_DIR):
+        (r,) = _rows(spark, "j_rbo_overlap", sf)
+        assert r["depth"] == 10 and r["p"] == 0.5
+        assert 0 <= r["n_common"] <= r["depth"]
+        assert 0.0 <= r["overlap_at_depth"] <= 1.0
+        assert 0.0 <= r["rbo"] <= 1.0
+        # truncated RBO can never exceed the depth-capped weight mass
+        # and identical-ranking RBO at p=.5 depth 10 would be ~0.999;
+        # overlap at depth lower-bounds nothing, but rbo <= 1 - 2^-D + eps
+        assert r["rbo"] <= 1.0
+
+
+def test_rouge_recall_mirrors_bleu_pairing(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_rouge_recall", sf)
+        bleu = QUERIES["j_bleu_precision"](spark, sf).collect()
+        # identical (cand, ref) pairing by construction
+        assert {(r["cand_doc"], r["ref_doc"]) for r in rows} == {
+            (b["cand_doc"], b["ref_doc"]) for b in bleu
+        }
+        for r in rows:
+            assert 0.0 <= r["r1"] <= 1.0 and 0.0 <= r["r2"] <= 1.0
+            assert r["clip1"] <= r["ref_n1"] and r["clip2"] <= r["ref_n2"]
+        # unigram recall dominates bigram recall in aggregate
+        assert sum(r["r1"] for r in rows) >= sum(r["r2"] for r in rows)
+
+
+def test_t_closeness_closes_the_governance_triptych(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_t_closeness", sf)
+        ldiv = {
+            (r["lang"], r["chars_bucket"]): r
+            for r in QUERIES["j_l_diversity"](spark, sf).collect()
+        }
+        # same quasi-identifier cells as l-diversity, same row counts
+        assert {(r["lang"], r["chars_bucket"]) for r in rows} == set(ldiv)
+        for r in rows:
+            assert r["n_rows"] == ldiv[(r["lang"], r["chars_bucket"])]["n_rows"]
+            assert 0.0 <= r["t_closeness"] <= 1.0
+            assert r["close"] == (r["t_closeness"] <= 0.2 + 1e-9)
+        # signal: the fixture is skewed enough that both flags occur
+        assert any(r["close"] for r in rows) and any(not r["close"] for r in rows)
+
+
+def test_ts_crosscorr_lag_zero_matches_plain_corr(spark):
+    for sf in (SF1, SF_DIR):
+        rows = {r["lag"]: r for r in _rows(spark, "j_ts_crosscorr", sf)}
+        assert sorted(rows) == list(range(8))
+        # lag 0 is plain Pearson over the full span — recompute it
+        # driver-side from the daily series
+        from pyspark.sql import functions as F
+
+        from aprsdb_spark.tables import load
+
+        t = load(spark, sf)
+        d = (
+            t.events.select(
+                F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+                "event_type",
+            )
+            .groupBy("day")
+            .agg(
+                F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+                F.count(F.when(F.col("event_type") == "view", 1)).alias("y"),
+            )
+        )
+        got = d.agg(F.corr("x", "y")).head()[0]
+        if rows[0]["xcorr"] is not None and got is not None:
+            assert abs(rows[0]["xcorr"] - got) < 1e-4
+        for r in rows.values():
+            if r["xcorr"] is not None:
+                assert -1.0 <= r["xcorr"] <= 1.0
