@@ -150,6 +150,37 @@ NEXT_QUEUE: list[str] = [
     # exact pairwise Jaccard on partially-overlapping part sets)
     "j_quantile_sketch_curve",
     "j_kmv_jaccard",
+    # r15 wave 2: tokenizer/text-integrity audits (the r14 verdict's
+    # queued candidate) — encoding-level corruption tripwires per
+    # source (control bytes / U+FFFD / mojibake digraphs, armed by
+    # crafted-dirty-row tests) and the byte-level md5 proof that BPE
+    # encode -> decode is lossless over the trained merges
+    "j_text_integrity",
+    "j_bpe_roundtrip",
+    # r15 wave 3: the inference closure around j_levene_test — the
+    # equal-means F test Levene guards (with eta-squared effect size),
+    # its rank-based twin over the heavy-tied length distributions
+    # (tie-corrected Kruskal-Wallis via doubled midranks), and
+    # multi-rater agreement of three deterministic quality heuristics
+    # (Fleiss' kappa; j_cohen_kappa generalized to r = 3)
+    "j_anova_oneway",
+    "j_kruskal_wallis",
+    "j_fleiss_kappa",
+    # r15 wave 4: retrieval-evaluation closure — Rank-Biased Overlap
+    # between exact and PQ rankings (non-conjoint lists, dyadic p=1/2
+    # top-weighting; the axis j_rank_tau's common-items view misses)
+    # and ROUGE recall (the recall twin of j_bleu_precision, same
+    # pairing, reference-side denominator)
+    "j_rbo_overlap",
+    "j_rouge_recall",
+    # r15 wave 5: governance closure — t-closeness (the skewness
+    # attack l-diversity misses; categorical EMD = total variation,
+    # exact-integer numerator with the absent-mass identity)
+    "j_t_closeness",
+    # r15 wave 6: time-series closure — lead-lag cross-correlation
+    # (the lag axis j_rolling_corr's lag-0 trend misses; exact DATE
+    # equi-join pairing over gapped calendars)
+    "j_ts_crosscorr",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1131,6 +1131,16 @@ _SHUFFLE_BUDGETS = {
                                    # rest is 36-row metadata windows/grids
     "j_kmv_jaccard": 5,         # panel scan + distinct + pair window +
                                 # single conditional agg (no mem fork)
+    "j_text_integrity": 1,      # stateless detectors + ONE source agg
+    "j_bpe_roundtrip": 67,      # reprint-inflated like j_bpe_encode (66):
+                                # cached merge-table scans + 1 distinct agg
+    "j_anova_oneway": 2,        # one event_type moment agg + 5-row fold
+    "j_kruskal_wallis": 2,      # one (lang,len) agg; midrank windows on it
+    "j_fleiss_kappa": 1,        # stateless raters + single-row fold
+    "j_rbo_overlap": 5,         # two <=10-row index legs + 10-row grid
+    "j_rouge_recall": 20,       # j_bleu_precision's exact shuffle shape
+    "j_t_closeness": 6,         # QI-cell agg + 20-row broadcast + rollup
+    "j_ts_crosscorr": 5,        # one day agg (persisted) + lag-grid joins
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the
