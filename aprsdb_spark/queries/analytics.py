@@ -2813,6 +2813,36 @@ _FK_LEN = 300
 _FK_SPACE_NUM = 178  # space ratio >= 0.178 (per-mille, integer compare)
 
 
+def quality_rater_cols() -> tuple[Column, Column, Column]:
+    """The three deterministic keep/drop quality raters shared by
+    j_fleiss_kappa / j_mcnemar_test / j_cochran_q — one definition so
+    the agreement (kappa), the paired marginal test (McNemar), and the
+    k-sample marginal test (Cochran's Q) all judge the SAME panel."""
+    toks = F.split(F.col("text"), " ")
+    k1 = (F.col("n_chars") >= _FK_LEN).cast("long")
+    k2 = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        * 1000
+        >= _FK_SPACE_NUM * F.length("text")
+    ).cast("long")
+    k3 = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
+    return k1, k2, k3
+
+
+# The same three raters as DuckDB SQL fragments (kept textually beside
+# the column forms above — a drift between the two breaks the oracle
+# compare loudly, which is the test).
+_R1_SQL = f"CASE WHEN n_chars >= {_FK_LEN} THEN 1 ELSE 0 END"
+_R2_SQL = (
+    "CASE WHEN (length(text) - length(replace(text, ' ', ''))) * 1000"
+    f" >= {_FK_SPACE_NUM} * length(text) THEN 1 ELSE 0 END"
+)
+_R3_SQL = (
+    "CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))"
+    " >= len(string_split(text, ' ')) THEN 1 ELSE 0 END"
+)
+
+
 @query(
     "j_fleiss_kappa",
     oracle=f"""
@@ -2879,14 +2909,7 @@ def j_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, zero windows, scan-speed at 100 TB."""
     t = load(spark, sf_dir)
     dec = "decimal(38,0)"
-    toks = F.split(F.col("text"), " ")
-    k1 = (F.col("n_chars") >= _FK_LEN).cast("long")
-    k2 = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
-        * 1000
-        >= _FK_SPACE_NUM * F.length("text")
-    ).cast("long")
-    k3 = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
+    k1, k2, k3 = quality_rater_cols()
     r = t.documents.select(
         (k1 + k2 + k3).alias("ki"),
         k1.alias("k1"),
@@ -2920,4 +2943,239 @@ def j_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(p_o, 6).alias("p_observed"),
         rnd(p_e, 6).alias("p_expected"),
         rnd((p_o - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
+    )
+
+
+# McNemar / Cochran's Q critical values at alpha = 0.05:
+# chi-square df = 1 and df = 2 (3 raters).
+_MCN_CRIT = 3.8415
+_CQ_CRIT = 5.9915
+
+
+@query(
+    "j_mcnemar_test",
+    oracle=f"""
+    WITH r AS (SELECT {_R1_SQL} AS k1, {_R3_SQL} AS k3 FROM documents),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN k1 = 1 AND k3 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN k1 = 0 AND k3 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c
+          FROM r)
+    SELECT n AS n_docs, b AS len_only, c AS div_only,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE {sql_rnd(
+                    "(ABS(CAST(b AS DOUBLE) - c) - 1.0)"
+                    " * (ABS(CAST(b AS DOUBLE) - c) - 1.0) / (b + c)", 6)}
+           END AS mcnemar_chi2,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE {sql_rnd(
+                    "(ABS(CAST(b AS DOUBLE) - c) - 1.0)"
+                    " * (ABS(CAST(b AS DOUBLE) - c) - 1.0) / (b + c)", 6)}
+                     > {_MCN_CRIT}
+           END AS significant
+    FROM s
+    """,
+)
+def j_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (public 1947 statistic, continuity-
+    corrected form) between the length rater and the diversity rater
+    of the j_fleiss_kappa panel, on the SAME documents — the marginal-
+    homogeneity question kappa does not answer: kappa says whether two
+    filters AGREE; McNemar says whether they keep DIFFERENT AMOUNTS
+    (one systematically stricter), read off the discordant cells only
+    (b = length-keeps-diversity-drops, c = the reverse):
+    chi2 = (|b - c| - 1)^2 / (b + c). Swapping a filter implementation
+    in a curation pipeline is exactly a paired comparison — same
+    corpus, two labelers.
+
+    EXACT: b and c are integer cell counts from ONE agg; the statistic
+    is one fixed IEEE sequence on them, rounded 1e-6 BEFORE the
+    critical-value compare; NULL when b + c = 0 (the statistic is
+    undefined, not zero).
+
+    Plan: one narrow projection + single-row fold — scan-speed, zero
+    shuffles beyond the 1-row aggregate."""
+    t = load(spark, sf_dir)
+    k1, _, k3 = quality_rater_cols()
+    s = t.documents.select(k1.alias("k1"), k3.alias("k3")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("k1") == 1) & (F.col("k3") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("k1") == 0) & (F.col("k3") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    d = F.abs(F.col("b").cast("double") - F.col("c")) - 1.0
+    stat = rnd(d * d / (F.col("b") + F.col("c")), 6)
+    und = (F.col("b") + F.col("c")) == 0
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("b").alias("len_only"),
+        F.col("c").alias("div_only"),
+        F.when(und, F.lit(None).cast("double")).otherwise(stat).alias("mcnemar_chi2"),
+        F.when(und, F.lit(None).cast("boolean"))
+        .otherwise(stat > _MCN_CRIT)
+        .alias("significant"),
+    )
+
+
+@query(
+    "j_cochran_q",
+    oracle=f"""
+    WITH r AS (SELECT {_R1_SQL} AS k1, {_R2_SQL} AS k2, {_R3_SQL} AS k3
+               FROM documents),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k1) AS BIGINT) AS c1,
+                 CAST(SUM(k2) AS BIGINT) AS c2,
+                 CAST(SUM(k3) AS BIGINT) AS c3,
+                 CAST(SUM(k1 + k2 + k3) AS BIGINT) AS sr,
+                 CAST(SUM(CAST(k1 + k2 + k3 AS HUGEINT)
+                          * (k1 + k2 + k3)) AS HUGEINT) AS sr2
+          FROM r)
+    SELECT n AS n_docs, c1 AS r1_keeps, c2 AS r2_keeps, c3 AS r3_keeps,
+           CASE WHEN 3 * sr - sr2 = 0 THEN NULL
+                ELSE {sql_rnd(
+                    "2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1"
+                    " + CAST(c2 AS DOUBLE) * c2 + CAST(c3 AS DOUBLE) * c3)"
+                    " - CAST(sr AS DOUBLE) * sr)"
+                    " / (3.0 * sr - CAST(sr2 AS DOUBLE))", 6)}
+           END AS cochran_q,
+           CASE WHEN 3 * sr - sr2 = 0 THEN NULL
+                ELSE {sql_rnd(
+                    "2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1"
+                    " + CAST(c2 AS DOUBLE) * c2 + CAST(c3 AS DOUBLE) * c3)"
+                    " - CAST(sr AS DOUBLE) * sr)"
+                    " / (3.0 * sr - CAST(sr2 AS DOUBLE))", 6)} > {_CQ_CRIT}
+           END AS significant
+    FROM s
+    """,
+)
+def j_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (public 1950 statistic) across ALL THREE
+    j_fleiss_kappa raters — the k-sample generalization of
+    j_mcnemar_test (Q reduces to McNemar's uncorrected chi2 at k = 2):
+    do the three quality filters keep the same PROPORTION of the
+    corpus, or is at least one systematically stricter? With binary
+    votes, Q = (k-1)[k SUM(Cj^2) - (SUM Cj)^2] / [k SUM(Ri) -
+    SUM(Ri^2)] needs only the per-rater keep totals Cj and the
+    per-document keep counts Ri — the SAME integer moments the kappa
+    already aggregates, so the two relations together read agreement
+    AND marginal homogeneity off one panel.
+
+    EXACT: all moments are BIGINT/HUGEINT from ONE agg (Ri^2 widened
+    before multiply); Q is one fixed IEEE sequence rounded 1e-6 BEFORE
+    the chi-square(df=2) compare; NULL when every document gets a
+    unanimous vote (denominator zero — Q undefined).
+
+    Plan: one narrow projection + single-row fold, the j_fleiss_kappa
+    shape exactly — scan-speed at 100 TB."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    k1, k2, k3 = quality_rater_cols()
+    ki = F.col("k1") + F.col("k2") + F.col("k3")
+    s = t.documents.select(
+        k1.alias("k1"), k2.alias("k2"), k3.alias("k3")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k1").cast("long").alias("c1"),
+        F.sum("k2").cast("long").alias("c2"),
+        F.sum("k3").cast("long").alias("c3"),
+        F.sum(ki).cast("long").alias("sr"),
+        F.sum(ki.cast(dec) * ki).cast(dec).alias("sr2"),
+    )
+    num = F.lit(3.0) * (
+        F.col("c1").cast("double") * F.col("c1")
+        + F.col("c2").cast("double") * F.col("c2")
+        + F.col("c3").cast("double") * F.col("c3")
+    ) - F.col("sr").cast("double") * F.col("sr")
+    den = F.lit(3.0) * F.col("sr") - F.col("sr2").cast("double")
+    q = rnd(F.lit(2.0) * num / den, 6)
+    und = (3 * F.col("sr") - F.col("sr2")) == 0
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("c1").alias("r1_keeps"),
+        F.col("c2").alias("r2_keeps"),
+        F.col("c3").alias("r3_keeps"),
+        F.when(und, F.lit(None).cast("double")).otherwise(q).alias("cochran_q"),
+        F.when(und, F.lit(None).cast("boolean"))
+        .otherwise(q > _CQ_CRIT)
+        .alias("significant"),
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), emitted as the SAME
+# repr literals into both engines (no query-time log10 — the libm ban).
+import math as _math
+
+_BENFORD_E = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+@query(
+    "j_benford_digits",
+    oracle=f"""
+    WITH c AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents
+               FROM lineitem),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit
+          FROM c),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+    SELECT digit, n,
+           {sql_rnd("n * 1.0 / tot", 6)} AS share,
+           CASE digit {' '.join(
+               f'WHEN {d + 1} THEN CAST({e!r} AS DOUBLE)'
+               for d, e in enumerate(_BENFORD_E))} END AS benford_expected,
+           {sql_rnd(
+               "ABS(n * 1.0 / tot - CASE digit " + ' '.join(
+                   f'WHEN {d + 1} THEN CAST({e!r} AS DOUBLE)'
+                   for d, e in enumerate(_BENFORD_E)) + " END)", 6)}
+               AS abs_dev
+    FROM g CROSS JOIN t
+    """,
+)
+def j_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit (public 1938 law) over
+    lineitem extended prices — the numeric-forensics tripwire a data
+    platform runs on money columns: fabricated or truncated numeric
+    feeds drift from the log10(1+1/d) curve, and the per-digit
+    absolute deviation is the number an anomaly dashboard trends.
+    (TPC-H prices are price-book multiples, NOT Benford-distributed —
+    the audit MEASURES that deviation rather than asserting the law,
+    which is exactly its production use: the baseline deviation of a
+    known-clean feed is what a corrupted refresh gets compared to.)
+
+    EXACT: cents are one exact DECIMAL(12,2)*100 -> BIGINT; the first
+    digit is a SUBSTRING of the integer's decimal text (no log10 at
+    query time — the expectations enter both engines as identical repr
+    literals); counts are BIGINT, shares/deviations single divisions
+    rounded 1e-6.
+
+    Plan: one narrow projection + 9-group hash agg with map-side
+    partials + a 1-row total broadcast — scan-speed at any corpus
+    size."""
+    t = load(spark, sf_dir)
+    d = t.lineitem.select(
+        F.substring(
+            (F.col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    # total via an unpartitioned window over the 9-row digit relation —
+    # a g -> (g, tot) fork would rescan lineitem once per branch
+    g = g.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy(F.lit(1))).cast("long")
+    )
+    exp_arr = F.array(*[F.lit(e).cast("double") for e in _BENFORD_E])
+    expected = F.element_at(exp_arr, F.col("digit").cast("int"))
+    share_raw = F.col("n") * 1.0 / F.col("tot")
+    return g.select(
+        "digit",
+        "n",
+        rnd(share_raw, 6).alias("share"),
+        expected.alias("benford_expected"),
+        rnd(F.abs(share_raw - expected), 6).alias("abs_dev"),
     )

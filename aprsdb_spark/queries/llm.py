@@ -6402,3 +6402,151 @@ def j_rouge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# MMR re-ranking: lambda = 0.7, select 5 from the exact top-10
+# shortlist; sims and scores round 1e-6 BEFORE every argmax so the
+# selection can never float-flip between engines.
+_MMR_SELECT = 5
+_MMR_POOL = 10
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled DuckDB CTE chain m1..m{R}, s1..s{R} (the _bpe_ctes
+    discipline): round k computes every remaining candidate's rounded
+    max-similarity to the k-1 picks, then takes the (mmr desc, vec_id)
+    argmax."""
+    lam, com = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    ctes = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT vec_id,
+                    FLOOR(list_dot_product(v, qv) * 1000000 + 0.5) / 1000000
+                        AS rel6, v
+             FROM e, q WHERE vec_id <> 0
+             ORDER BY rel6 DESC, vec_id LIMIT {_MMR_POOL})"""
+    ]
+    for k in range(1, _MMR_SELECT + 1):
+        if k == 1:
+            ctes.append(
+                "m1 AS (SELECT vec_id, rel6, v, CAST(0.0 AS DOUBLE) AS ms FROM cand)"
+            )
+        else:
+            sims = ", ".join(
+                f"FLOOR(list_dot_product(c.v, s{j}.v) * 1000000 + 0.5) / 1000000"
+                for j in range(1, k)
+            )
+            ms = sims if k == 2 else f"GREATEST({sims})"
+            notin = ", ".join(f"s{j}.vec_id" for j in range(1, k))
+            froms = ", ".join(f"s{j}" for j in range(1, k))
+            ctes.append(
+                f"""m{k} AS (SELECT c.vec_id, c.rel6, c.v, {ms} AS ms
+           FROM cand c, {froms}
+           WHERE c.vec_id NOT IN ({notin}))"""
+            )
+        ctes.append(
+            f"""s{k} AS (SELECT * FROM (
+        SELECT vec_id, rel6, v, ms,
+               FLOOR(({lam} * rel6 - {com} * ms) * 1000000 + 0.5) / 1000000
+                   AS mmr
+        FROM m{k}) ORDER BY mmr DESC, vec_id LIMIT 1)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, vec_id, rel6 AS relevance,"
+        f" ms AS max_sim, mmr AS mmr_score FROM s{k}"
+        for k in range(1, _MMR_SELECT + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n    {finals}"
+
+
+@query("j_mmr_diversity", oracle=_mmr_oracle())
+def j_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public) of the exact top-{P} shortlist for the standard
+    query (vec_id 0): pick {R} results greedily by
+    mmr = {L} * relevance - {C} * max_sim_to_already_picked — the
+    retrieval-side DIVERSITY operator that complements the dedup
+    family (j_semdedup removes near-duplicates from the corpus; MMR
+    removes them from a RESULT LIST at serve time, the standard RAG
+    context-packing trick). The returned relation is the audit: each
+    pick's relevance, its similarity to the prior picks at selection
+    time, and the blended score — rank 1 is pure relevance (empty-set
+    max_sim defined as 0 on both engines), later ranks trade
+    relevance for novelty.
+
+    EXACT: every dot product rounds 1e-6 (the pinned dot_expr ≡
+    list_dot_product bit-identity), the blend applies one fixed IEEE
+    sequence to rounded operands and rounds again BEFORE the argmax,
+    and every argmax tie-breaks on vec_id — so the greedy trajectory
+    is engine-deterministic by construction. The oracle unrolls the
+    {R} rounds as CTEs (the _bpe_ctes discipline).
+
+    Plan: corpus-touching work is ONE scored scan + TakeOrdered({P})
+    (the production brute-force / index shortlist leg); the greedy
+    loop runs {R} tiny jobs over the PERSISTED {P}-row shortlist with
+    each pick collected driver-side (1 row x {R} rounds of bounded
+    model state — the kmeans/BPE argmax discipline; lazy 1-row frames
+    would grow the lineage 2^R). At 100 TB the shortlist leg swaps
+    for any registered ANN index; the MMR stage is O({P}*{R}) always."""
+    from ..operators.similarity import _lit_vector
+
+    t = load(spark, sf_dir)
+    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
+    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    cand = (
+        t.embeddings.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            rnd(dot_expr(as_double("embedding"), qlit), 6).alias("rel6"),
+            as_double("embedding").alias("v"),
+        )
+        .orderBy(F.col("rel6").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+    )
+    cand.persist()  # R+1 consumers: one tiny job per greedy round
+    picked: list = []
+    out_rows: list[tuple] = []
+    for k in range(1, _MMR_SELECT + 1):
+        if picked:
+            sims = [
+                rnd(dot_expr(F.col("v"), _lit_vector([float(x) for x in s.v])), 6)
+                for s in picked
+            ]
+            ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            rem = cand.where(~F.col("vec_id").isin([s.vec_id for s in picked]))
+        else:
+            ms = F.lit(0.0)
+            rem = cand
+        pick = (
+            rem.select(
+                "vec_id",
+                "rel6",
+                "v",
+                ms.alias("ms"),
+                rnd(
+                    F.lit(_MMR_LAM) * F.col("rel6")
+                    - F.lit(1.0 - _MMR_LAM) * ms,
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .head()
+        )
+        picked.append(pick)
+        out_rows.append(
+            (k, pick.vec_id, float(pick.rel6), float(pick.ms), float(pick.mmr))
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "rank long, vec_id long, relevance double, max_sim double, mmr_score double",
+    )
+
+
+j_mmr_diversity.__doc__ = (
+    j_mmr_diversity.__doc__.replace("{P}", str(_MMR_POOL))
+    .replace("{R}", str(_MMR_SELECT))
+    .replace("{L}", str(_MMR_LAM))
+    .replace("{C}", str(round(1.0 - _MMR_LAM, 10)))
+)

@@ -181,6 +181,21 @@ NEXT_QUEUE: list[str] = [
     # (the lag axis j_rolling_corr's lag-0 trend misses; exact DATE
     # equi-join pairing over gapped calendars)
     "j_ts_crosscorr",
+    # r15 wave 7: marginal-homogeneity closure of the rater panel —
+    # McNemar's paired test (do two filters keep different AMOUNTS,
+    # the question kappa doesn't answer) and Cochran's Q (its k-sample
+    # generalization over all three raters)
+    "j_mcnemar_test",
+    "j_cochran_q",
+    # r15 wave 8: numeric forensics — Benford first-digit audit of the
+    # money column (string-derived digits, literal log10 expectations,
+    # no query-time libm)
+    "j_benford_digits",
+    # r15 wave 9: retrieval diversity — MMR re-ranking of the exact
+    # shortlist (greedy argmax unrolled as CTEs in the oracle, the
+    # BPE-round discipline; serve-time dedup beside j_semdedup's
+    # corpus-side dedup)
+    "j_mmr_diversity",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1141,6 +1141,12 @@ _SHUFFLE_BUDGETS = {
     "j_rouge_recall": 20,       # j_bleu_precision's exact shuffle shape
     "j_t_closeness": 6,         # QI-cell agg + 20-row broadcast + rollup
     "j_ts_crosscorr": 5,        # one day agg (persisted) + lag-grid joins
+    "j_mcnemar_test": 1,        # stateless raters + single-row fold
+    "j_cochran_q": 1,           # stateless raters + single-row fold
+    "j_benford_digits": 2,      # 9-digit agg + 9-row total window
+    "j_mmr_diversity": 0,       # createDataFrame of the driver-collected
+                                # greedy picks (shortlist leg runs inside
+                                # the loop, persisted)
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

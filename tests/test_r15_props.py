@@ -212,3 +212,50 @@ def test_ts_crosscorr_lag_zero_matches_plain_corr(spark):
         for r in rows.values():
             if r["xcorr"] is not None:
                 assert -1.0 <= r["xcorr"] <= 1.0
+
+
+def test_mcnemar_and_cochran_share_the_kappa_panel(spark):
+    for sf in (SF1, SF_DIR):
+        (m,) = _rows(spark, "j_mcnemar_test", sf)
+        (q,) = _rows(spark, "j_cochran_q", sf)
+        (k,) = _rows(spark, "j_fleiss_kappa", sf)
+        assert m["n_docs"] == q["n_docs"] == k["n_docs"] > 0
+        # the Q totals ARE the kappa keep totals — one panel
+        assert (q["r1_keeps"], q["r2_keeps"], q["r3_keeps"]) == (
+            k["r1_keeps"],
+            k["r2_keeps"],
+            k["r3_keeps"],
+        )
+        # discordant cells are live (the statistic is defined)
+        assert m["len_only"] + m["div_only"] > 0
+        assert m["mcnemar_chi2"] is not None and m["mcnemar_chi2"] >= 0.0
+        assert q["cochran_q"] is not None and q["cochran_q"] >= 0.0
+
+
+def test_benford_digits_is_a_complete_distribution(spark):
+    import math
+
+    for sf in (SF1, SF_DIR):
+        rows = {r["digit"]: r for r in _rows(spark, "j_benford_digits", sf)}
+        assert sorted(rows) == list(range(1, 10))
+        assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-4
+        for d, r in rows.items():
+            assert r["n"] > 0
+            assert abs(r["benford_expected"] - math.log10(1 + 1 / d)) < 1e-12
+            assert abs(r["abs_dev"] - abs(r["share"] - r["benford_expected"])) < 2e-6
+
+
+def test_mmr_trades_relevance_for_novelty(spark):
+    for sf in (SF1, SF_DIR):
+        rows = sorted(_rows(spark, "j_mmr_diversity", sf), key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert len({r["vec_id"] for r in rows}) == 5  # no repeats
+        # rank 1 is pure relevance: max_sim defined 0, mmr = 0.7*rel
+        assert rows[0]["max_sim"] == 0.0
+        assert abs(rows[0]["mmr_score"] - 0.7 * rows[0]["relevance"]) < 2e-6
+        # greedy argmax: blended score is non-increasing... NOT guaranteed
+        # for MMR in general (max_sim grows as picks accumulate), but the
+        # FIRST pick must dominate every later blended score
+        assert all(rows[0]["mmr_score"] >= r["mmr_score"] - 1e-9 for r in rows[1:])
+        # later picks actually saw similarity pressure
+        assert any(r["max_sim"] > 0.0 for r in rows[1:])
