@@ -1179,3 +1179,128 @@ def ivf_balance_view(spark: SparkSession, state_dir: str, k: int) -> DataFrame:
         "cluster_id int, n_vecs long",
     )
     return ivf_balance_from_occ(occ)
+
+
+def lateness_monitor_sink(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    delay_ms: int = 600_000,
+    window_ms: int = 3_600_000,
+    run_key: str | None = None,
+) -> None:
+    """foreachBatch WATERMARK-LATENESS panel (the r14 verdict's queued
+    observability item): per event-time window, how many rows were
+    ADMITTED vs DROPPED-LATE by the watermark — the number Spark's own
+    watermarked aggregations silently eat (a late row never reaches
+    foreachBatch, so the drop is invisible to any downstream monitor;
+    this sink receives the PRE-aggregation stream and applies the
+    watermark rule itself, making the drops a relation).
+
+    Semantics mirror Spark's: a row is late iff its event time is
+    older than the watermark PERSISTED from prior batches (max event
+    time seen - delay); the watermark then advances monotonically.
+    Both admitted and dropped counts attribute to the row's own
+    window, so admitted + dropped per window EQUALS the batch twin's
+    unwatermarked per-window counts — the conservation law the
+    equivalence test pins.
+
+    Store-swap ORDER is load-bearing: the panel store swaps FIRST, the
+    watermark store SECOND. A crash between the two followed by
+    at-least-once re-delivery re-applies only the watermark (a pure
+    monotone MAX — idempotent and classification-free); the reverse
+    order would re-classify the batch against a watermark its own rows
+    advanced, double-dropping borderline rows. Each store carries the
+    standard replay guard (embedded marker + sidecar, per-store dir).
+
+    Scale shape: the panel is |windows| rows (calendar-sized), the
+    watermark store is 1 row, and the per-batch work is one narrow
+    classification map + one window_start hash agg with map-side
+    partials. Input schema: (ts_ms BIGINT)."""
+    spark = batch.sparkSession
+    wm_dir, panel_dir = state_dir + "_wm", state_dir + "_panel"
+    _recover_incomplete_swap(spark, wm_dir)
+    _recover_incomplete_swap(spark, panel_dir)
+    stored = _read_state_or_none(spark, wm_dir)
+    wm = None
+    if stored is not None:
+        row = stored.agg(F.max("wm_ms").alias("w")).head()
+        wm = row["w"]
+    # panel FIRST (see docstring)
+    if run_key is None or batch_id > _last_applied_batch(panel_dir, run_key):
+        late = (
+            F.col("ts_ms") < F.lit(wm) if wm is not None else F.lit(False)
+        )
+        part = (
+            batch.select(
+                (F.floor(F.col("ts_ms") / window_ms).cast("long") * window_ms).alias(
+                    "window_start_ms"
+                ),
+                late.cast("long").alias("is_late"),
+            )
+            .groupBy("window_start_ms")
+            .agg(
+                F.sum(1 - F.col("is_late")).cast("long").alias("admitted"),
+                F.sum("is_late").cast("long").alias("dropped_late"),
+            )
+        )
+        existing = _read_state_or_none(spark, panel_dir)
+        merged = (
+            existing.unionByName(part)
+            .groupBy("window_start_ms")
+            .agg(
+                F.sum("admitted").cast("long").alias("admitted"),
+                F.sum("dropped_late").cast("long").alias("dropped_late"),
+            )
+            if existing is not None
+            else part
+        )
+        _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+            panel_dir + "_next"
+        )
+        spark.read.parquet(panel_dir + "_next").write.mode("overwrite").parquet(
+            panel_dir
+        )
+        if run_key is not None:
+            _record_applied_batch(panel_dir, run_key, batch_id)
+    # watermark SECOND: monotone max(stored, batch max - delay)
+    if run_key is None or batch_id > _last_applied_batch(wm_dir, run_key):
+        mx = batch.agg(F.max("ts_ms").alias("m")).head()["m"]
+        cand = [v for v in (wm, (mx - delay_ms) if mx is not None else None)
+                if v is not None]
+        new_wm = max(cand) if cand else None
+        if new_wm is not None:
+            _with_marker(
+                spark.createDataFrame([(int(new_wm),)], "wm_ms long"),
+                run_key,
+                batch_id,
+            ).write.mode("overwrite").parquet(wm_dir + "_next")
+            spark.read.parquet(wm_dir + "_next").write.mode("overwrite").parquet(
+                wm_dir
+            )
+        if run_key is not None:
+            _record_applied_batch(wm_dir, run_key, batch_id)
+
+
+def lateness_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated lateness panel: (window_start, admitted,
+    dropped_late, late_share) ordered facts plus the current watermark
+    as a column — one glance says which windows are losing data and
+    whether the delay budget is sized right."""
+    panel = spark.read.parquet(state_dir + "_panel").select(
+        "window_start_ms", "admitted", "dropped_late"
+    )
+    wm = spark.read.parquet(state_dir + "_wm").agg(
+        F.max("wm_ms").alias("watermark_ms")
+    )
+    return panel.crossJoin(F.broadcast(wm)).select(
+        "window_start_ms",
+        "admitted",
+        "dropped_late",
+        (
+            F.col("dropped_late")
+            * 1.0
+            / (F.col("admitted") + F.col("dropped_late"))
+        ).alias("late_share"),
+        "watermark_ms",
+    )

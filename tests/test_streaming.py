@@ -1447,3 +1447,66 @@ def test_monitor_state_is_split_invariant(spark, tmp_path):
     )
     assert halves[0] == thirds[0], "CMS state depends on the batch split"
     assert halves[1] == thirds[1], "HLL state depends on the batch split"
+
+
+def test_lateness_monitor_conservation_and_watermark_semantics(spark, tmp_path):
+    """Streaming watermark-lateness panel (§2.I observability): the
+    per-window admitted/dropped split must (a) reproduce Spark's
+    watermark rule on provably-late rows — a row 2 h older than the
+    persisted watermark is dropped, a fresh row is admitted, and
+    batch 1 (no prior watermark) admits everything; (b) satisfy the
+    conservation law admitted + dropped_late == the unwatermarked
+    batch twin's per-window counts (drops are counted, never lost);
+    (c) be idempotent under at-least-once re-delivery of an applied
+    batch."""
+    base = 1704067200000  # window-aligned (divisible by 1h)
+    hour = 3600_000
+    state = str(tmp_path / "late_state")
+
+    def frame(rows):
+        return spark.createDataFrame([(int(r),) for r in rows], "ts_ms long")
+
+    # batch 0: three on-time rows, one per hour -> watermark = max - 10m
+    b0 = [base, base + hour, base + 2 * hour]
+    S.lateness_monitor_sink(frame(b0), 0, state, run_key="ck")
+    # batch 1: one fresh row + one row 2 h older than the watermark
+    b1 = [base + 3 * hour, base + 2 * hour - 2 * hour - 600_000]
+    S.lateness_monitor_sink(frame(b1), 1, state, run_key="ck")
+
+    panel = {
+        r["window_start_ms"]: (r["admitted"], r["dropped_late"])
+        for r in S.lateness_view(spark, state).collect()
+    }
+    # batch 0 rows all admitted (no prior watermark)
+    assert panel[base] == (1, 0)
+    assert panel[base + hour] == (1, 0)
+    assert panel[base + 2 * hour] == (1, 0)
+    # batch 1: fresh admitted; the 2h-late row dropped INTO ITS OWN window
+    assert panel[base + 3 * hour] == (1, 0)
+    late_win = ((base - 600_000) // hour) * hour
+    assert panel[late_win] == (0, 1)
+    # watermark column: max event time - 10 min, monotone
+    wm = {r["watermark_ms"] for r in S.lateness_view(spark, state).collect()}
+    assert wm == {base + 3 * hour - 600_000}
+
+    # conservation: admitted + dropped == unwatermarked batch counts
+    twin = (
+        frame(b0 + b1)
+        .groupBy(
+            (F.floor(F.col("ts_ms") / hour).cast("long") * hour).alias("w")
+        )
+        .count()
+        .collect()
+    )
+    for r in twin:
+        a, d = panel[r["w"]]
+        assert a + d == r["count"], r
+
+    # idempotence: re-delivering an applied batch changes nothing
+    before = sorted(panel.items())
+    S.lateness_monitor_sink(frame(b1), 1, state, run_key="ck")
+    after = sorted(
+        (r["window_start_ms"], (r["admitted"], r["dropped_late"]))
+        for r in S.lateness_view(spark, state).collect()
+    )
+    assert after == before
