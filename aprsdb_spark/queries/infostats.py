@@ -2668,3 +2668,192 @@ def j_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(est, 6).alias("chapman_est"),
         rnd((est - F.col("v_exact")) / F.col("v_exact"), 6).alias("rel_err"),
     )
+
+
+# ln(2) as the SAME repr literal in both engines (the JS upper bound
+# and the absent-mass coefficient — no query-time ln of a constant).
+import math as _math
+
+_LN2 = _math.log(2.0)
+
+
+@query(
+    "j_js_divergence",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, tok),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM sc GROUP BY source),
+    cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY tok),
+    ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM cc),
+    term AS (SELECT sc.source,
+                    0.5 * ((sc.c * 1.0 / st.nt)
+                           * ln((sc.c * 1.0 / st.nt)
+                                / (0.5 * (sc.c * 1.0 / st.nt)
+                                   + 0.5 * (cc.cc * 1.0 / ct.n)))
+                         + (cc.cc * 1.0 / ct.n)
+                           * ln((cc.cc * 1.0 / ct.n)
+                                / (0.5 * (sc.c * 1.0 / st.nt)
+                                   + 0.5 * (cc.cc * 1.0 / ct.n)))) AS js_t,
+                    cc.cc * 1.0 / ct.n AS pc
+             FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN ct),
+    red AS (SELECT source,
+                   {sql_rnd(
+                       f"SUM(js_t) + 0.5 * CAST({_LN2!r} AS DOUBLE)"
+                       " * (1.0 - SUM(pc))", 6)} AS js_div
+            FROM term GROUP BY source),
+    terms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms
+              FROM sc GROUP BY source)
+    SELECT st.source, st.nt AS n_tokens, terms.n_terms, red.js_div,
+           red.js_div <= CAST({_LN2!r} AS DOUBLE) AS bounded
+    FROM st JOIN terms USING (source) JOIN red USING (source)
+    """,
+)
+def j_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution (public 1991 statistic) — the SYMMETRIC, BOUNDED twin
+    of j_kl_sources, and the standard drift metric when distributions
+    can have disjoint support (KL blows up on a zero; JS never exceeds
+    ln 2, which the `bounded` column asserts per row): JS(P_s, P_c) =
+    0.5 KL(P_s||M) + 0.5 KL(P_c||M), M the even mixture. Drift
+    dashboards trend JS where mixture designers read KL — the two
+    relations share one (source, token) aggregation shape on purpose.
+
+    EXACT-enough by the documented convention: present-term
+    contributions sum unrounded libm terms (~1e-10/term boundary
+    odds, the j_kl_sources precedent); the corpus-mass ABSENT from the
+    source enters in closed form 0.5 ln2 (1 - SUM_present p_c) — ln 2
+    is a repr literal in both engines, never computed at query time —
+    and the per-source reduction rounds 1e-6.
+
+    Plan: identical to j_kl_sources — one (source, token) hash agg,
+    Heaps-small vocabulary broadcasts back, per-source reduction; no
+    shuffle carries more than (source, token) rows at any scale."""
+    t = load(spark, sf_dir)
+    sc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sc.persist()  # 3 consumers: source totals, corpus vocab, term rows
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    cc = sc.groupBy("tok").agg(F.sum("c").cast("long").alias("cc"))
+    ct = cc.agg(F.sum("cc").cast("long").alias("n"))
+    ps = F.col("c") * 1.0 / F.col("nt")
+    pc = F.col("cc") * 1.0 / F.col("n")
+    m = 0.5 * ps + 0.5 * pc
+    term = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "tok")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            (0.5 * (ps * F.log(ps / m) + pc * F.log(pc / m))).alias("js_t"),
+            pc.alias("pc"),
+        )
+    )
+    red = term.groupBy("source").agg(
+        rnd(
+            F.sum("js_t") + 0.5 * F.lit(_LN2) * (F.lit(1.0) - F.sum("pc")), 6
+        ).alias("js_div")
+    )
+    n_terms = sc.groupBy("source").agg(F.count("*").cast("long").alias("n_terms"))
+    return (
+        st.join(n_terms, "source")
+        .join(red, "source")
+        .select(
+            "source",
+            F.col("nt").alias("n_tokens"),
+            "n_terms",
+            "js_div",
+            (F.col("js_div") <= F.lit(_LN2)).alias("bounded"),
+        )
+    )
+
+
+@query(
+    "j_theil_index",
+    oracle=f"""
+    WITH h AS (SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+    g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ng,
+                 CAST(SUM(c * x) AS BIGINT) AS xg
+          FROM h GROUP BY 1),
+    t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(xg) AS BIGINT) AS xt
+          FROM g),
+    wi AS (SELECT h.source,
+                  SUM(h.c * (h.x * 1.0 * g.ng / g.xg)
+                      * ln(h.x * 1.0 * g.ng / g.xg)) / MAX(g.ng) AS tw
+           FROM h JOIN g USING (source) GROUP BY h.source),
+    bt AS (SELECT {sql_rnd(
+               "SUM((g.xg * 1.0 / t.xt)"
+               " * ln((g.xg * 1.0 / t.xt) / (g.ng * 1.0 / t.n)))", 6)}
+               AS t_between
+           FROM g CROSS JOIN t)
+    SELECT g.source, g.ng AS n_docs,
+           {sql_rnd("g.xg * 1.0 / g.ng", 6)} AS mean_chars,
+           {sql_rnd("wi.tw", 6)} AS theil_within,
+           {sql_rnd("g.xg * 1.0 / t.xt", 6)} AS share_of_total,
+           bt.t_between
+    FROM g JOIN wi USING (source) CROSS JOIN t CROSS JOIN bt
+    """,
+)
+def j_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of document length, DECOMPOSED by
+    source (public 1967 statistic) — the property j_gini_tokens
+    cannot offer: Theil splits EXACTLY into between-group +
+    weighted within-group terms (T = T_between + SUM share_g * T_g),
+    so a curation dashboard reads WHERE the length inequality lives —
+    a few verbose sources (between) vs heavy tails inside every
+    source (within). Per-source rows carry the within index and the
+    length share; t_between repeats as the decomposition's other half.
+
+    Float discipline: terms are (x/mu) ln(x/mu) over the VALUE
+    HISTOGRAM (one row per (source, distinct length) — the
+    j_mannwhitney collapse), so the libm sums run over
+    value-domain-bounded rows (unrounded-term convention, ~1e-10/term
+    boundary odds) and every output rounds 1e-6.
+
+    Plan: one (source, n_chars) hash agg bounds everything; group
+    totals are |sources| rows, the corpus total is 1 row broadcast —
+    nothing after the first agg scales with the corpus."""
+    t = load(spark, sf_dir)
+    h = t.documents.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    h.persist()  # 2 consumers: group totals + within terms
+    g = h.groupBy("source").agg(
+        F.sum("c").cast("long").alias("ng"),
+        F.sum(F.col("c") * F.col("x")).cast("long").alias("xg"),
+    )
+    tt = g.agg(
+        F.sum("ng").cast("long").alias("n"), F.sum("xg").cast("long").alias("xt")
+    )
+    ratio = F.col("x") * 1.0 * F.col("ng") / F.col("xg")
+    wi = (
+        h.join(F.broadcast(g), "source")
+        .groupBy("source")
+        .agg(
+            (F.sum(F.col("c") * ratio * F.log(ratio)) / F.max("ng")).alias("tw")
+        )
+    )
+    shr = F.col("xg") * 1.0 / F.col("xt")
+    bt = g.crossJoin(F.broadcast(tt)).agg(
+        rnd(
+            F.sum(shr * F.log(shr / (F.col("ng") * 1.0 / F.col("n")))), 6
+        ).alias("t_between")
+    )
+    return (
+        g.join(wi, "source")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "source",
+            F.col("ng").alias("n_docs"),
+            rnd(F.col("xg") * 1.0 / F.col("ng"), 6).alias("mean_chars"),
+            rnd(F.col("tw"), 6).alias("theil_within"),
+            rnd(shr, 6).alias("share_of_total"),
+            "t_between",
+        )
+    )

@@ -196,6 +196,13 @@ NEXT_QUEUE: list[str] = [
     # BPE-round discipline; serve-time dedup beside j_semdedup's
     # corpus-side dedup)
     "j_mmr_diversity",
+    # r15 wave 10: distribution-shift + inequality closure — the
+    # symmetric bounded drift twin of j_kl_sources (Jensen-Shannon,
+    # absent-mass in closed form, per-row ln2 bound asserted) and the
+    # decomposable inequality index beside j_gini_tokens (Theil T,
+    # between/within split over the length histogram)
+    "j_js_divergence",
+    "j_theil_index",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1147,6 +1147,9 @@ _SHUFFLE_BUDGETS = {
     "j_mmr_diversity": 0,       # createDataFrame of the driver-collected
                                 # greedy picks (shortlist leg runs inside
                                 # the loop, persisted)
+    "j_js_divergence": 18,      # j_kl_sources' shape (persisted sc reprints)
+    "j_theil_index": 20,        # (source,len) histogram agg, persisted h
+                                # reprints across group/within/between legs
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

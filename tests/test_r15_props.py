@@ -259,3 +259,47 @@ def test_mmr_trades_relevance_for_novelty(spark):
         assert all(rows[0]["mmr_score"] >= r["mmr_score"] - 1e-9 for r in rows[1:])
         # later picks actually saw similarity pressure
         assert any(r["max_sim"] > 0.0 for r in rows[1:])
+
+
+def test_js_divergence_is_bounded_and_ordered_like_kl(spark):
+    import math
+
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_js_divergence", sf)
+        kl = {r["source"]: r for r in QUERIES["j_kl_sources"](spark, sf).collect()}
+        assert len(rows) == 20
+        for r in rows:
+            assert r["bounded"] is True
+            assert 0.0 <= r["js_div"] <= math.log(2.0) + 1e-9
+            # JS <= KL/... no universal per-pair inequality vs KL(P||C),
+            # but both read the same aggregation: token/term counts agree
+            assert r["n_tokens"] == kl[r["source"]]["n_tokens"]
+            assert r["n_terms"] == kl[r["source"]]["n_terms"]
+
+
+def test_theil_decomposition_identity(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aprsdb_spark.tables import load
+
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_theil_index", sf)
+        assert len(rows) == 20
+        t_between = {r["t_between"] for r in rows}
+        assert len(t_between) == 1
+        (tb,) = t_between
+        assert tb >= -1e-9
+        assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert r["theil_within"] >= -1e-9  # Theil T is non-negative
+        # decomposition: T_total == T_between + sum(share_g * T_g),
+        # recomputed exactly from the corpus driver-side
+        t = load(spark, sf)
+        vals = t.documents.select("n_chars").collect()
+        xs = [r["n_chars"] for r in vals]
+        mu = sum(xs) / len(xs)
+        t_total = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+        t_decomp = tb + sum(r["share_of_total"] * r["theil_within"] for r in rows)
+        assert abs(t_total - t_decomp) < 1e-3, (t_total, t_decomp)
