@@ -3179,3 +3179,179 @@ def j_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("benford_expected"),
         rnd(F.abs(share_raw - expected), 6).alias("abs_dev"),
     )
+
+
+# Filter-bias enrichment: |z| >= 1.96 (two-sided alpha = 0.05 normal).
+_FB_CRIT = 1.96
+
+
+@query(
+    "j_filter_bias",
+    oracle=f"""
+    WITH r AS (SELECT lang,
+                      CASE WHEN ({_R1_SQL}) + ({_R2_SQL}) + ({_R3_SQL}) >= 2
+                           THEN 1 ELSE 0 END AS kept
+               FROM documents),
+    g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_lang,
+                 CAST(SUM(kept) AS BIGINT) AS k_kept
+          FROM r GROUP BY 1),
+    t AS (SELECT CAST(SUM(k_lang) AS BIGINT) AS n,
+                 CAST(SUM(k_kept) AS BIGINT) AS d
+          FROM g)
+    SELECT g.lang, g.k_lang AS n_lang, g.k_kept AS n_kept,
+           {sql_rnd("g.k_kept * 1.0 / g.k_lang", 6)} AS kept_rate,
+           {sql_rnd("t.d * 1.0 / t.n", 6)} AS overall_rate,
+           {sql_rnd(
+               "(g.k_kept - CAST(t.d AS DOUBLE) * g.k_lang / t.n)"
+               " / sqrt(CAST(t.d AS DOUBLE) * (CAST(g.k_lang AS DOUBLE) / t.n)"
+               "        * (1.0 - CAST(g.k_lang AS DOUBLE) / t.n)"
+               "        * (t.n - t.d) / (t.n - 1))", 6)} AS z_score,
+           ABS({sql_rnd(
+               "(g.k_kept - CAST(t.d AS DOUBLE) * g.k_lang / t.n)"
+               " / sqrt(CAST(t.d AS DOUBLE) * (CAST(g.k_lang AS DOUBLE) / t.n)"
+               "        * (1.0 - CAST(g.k_lang AS DOUBLE) / t.n)"
+               "        * (t.n - t.d) / (t.n - 1))", 6)}) >= {_FB_CRIT}
+               AS biased
+    FROM g CROSS JOIN t
+    """,
+)
+def j_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-FAIRNESS tripwire: hypergeometric enrichment z-score of
+    each language inside the kept set of the majority-vote quality
+    panel (the three j_fleiss_kappa raters, keep iff >= 2 votes) — the
+    audit a multilingual pipeline runs BEFORE shipping a filtered
+    corpus, because a length/whitespace/diversity heuristic tuned on
+    one language silently starves another (the documented failure mode
+    of web-scale quality filters). Under the null (language-blind
+    filter), the kept count per language is hypergeometric with mean
+    D*K/N and variance D*(K/N)*(1-K/N)*(N-D)/(N-1); |z| >= {C} flags
+    systematic over/under-selection.
+
+    EXACT: all cell counts are BIGINT from ONE agg; the z-score is one
+    fixed IEEE sequence (one sqrt) on those integers, rounded 1e-6
+    BEFORE the threshold compare.
+
+    Plan: one narrow projection + one lang agg + a 1-row total
+    broadcast — scan-speed; the enrichment math runs on |langs|
+    rows."""
+    t = load(spark, sf_dir)
+    k1, k2, k3 = quality_rater_cols()
+    kept = ((k1 + k2 + k3) >= 2).cast("long")
+    g = t.documents.select("lang", kept.alias("kept")).groupBy("lang").agg(
+        F.count("*").cast("long").alias("k_lang"),
+        F.sum("kept").cast("long").alias("k_kept"),
+    )
+    g = g.select(
+        "*",
+        F.sum("k_lang").over(Window.partitionBy(F.lit(1))).cast("long").alias("n"),
+        F.sum("k_kept").over(Window.partitionBy(F.lit(1))).cast("long").alias("d"),
+    )
+    share = F.col("k_lang").cast("double") / F.col("n")
+    mean = F.col("d").cast("double") * F.col("k_lang") / F.col("n")
+    var = (
+        F.col("d").cast("double")
+        * share
+        * (F.lit(1.0) - share)
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1)
+    )
+    z = rnd((F.col("k_kept") - mean) / F.sqrt(var), 6)
+    return g.select(
+        "lang",
+        F.col("k_lang").alias("n_lang"),
+        F.col("k_kept").alias("n_kept"),
+        rnd(F.col("k_kept") * 1.0 / F.col("k_lang"), 6).alias("kept_rate"),
+        rnd(F.col("d") * 1.0 / F.col("n"), 6).alias("overall_rate"),
+        z.alias("z_score"),
+        (F.abs(z) >= _FB_CRIT).alias("biased"),
+    )
+
+
+j_filter_bias.__doc__ = j_filter_bias.__doc__.replace("{C}", str(_FB_CRIT))
+
+
+@query(
+    "j_two_proportion_z",
+    oracle=f"""
+    WITH g AS (SELECT CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)),
+                                       1, 1) < '8'
+                           THEN 'A' ELSE 'B' END AS grp,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS conv
+               FROM events),
+    s AS (SELECT CAST(COUNT(*) FILTER (grp = 'A') AS BIGINT) AS n_a,
+                 CAST(COUNT(*) FILTER (grp = 'B') AS BIGINT) AS n_b,
+                 CAST(SUM(conv) FILTER (grp = 'A') AS BIGINT) AS c_a,
+                 CAST(SUM(conv) FILTER (grp = 'B') AS BIGINT) AS c_b
+          FROM g)
+    SELECT n_a, n_b, c_a, c_b,
+           {sql_rnd("c_a * 1.0 / n_a", 6)} AS rate_a,
+           {sql_rnd("c_b * 1.0 / n_b", 6)} AS rate_b,
+           {sql_rnd(
+               "(c_a * 1.0 / n_a - c_b * 1.0 / n_b)"
+               " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+               "        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+               "        * (1.0 / n_a + 1.0 / n_b))", 6)} AS z_score,
+           ABS({sql_rnd(
+               "(c_a * 1.0 / n_a - c_b * 1.0 / n_b)"
+               " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+               "        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+               "        * (1.0 / n_a + 1.0 / n_b))", 6)}) >= {_FB_CRIT}
+               AS significant
+    FROM s
+    """,
+)
+def j_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test (public textbook statistic) on
+    CONVERSION — purchase share of the j_ab_ttest experiment split
+    (the same md5 'ab' assignment, so the t on values and the z on
+    rates read ONE experiment): the binary-outcome member of the A/B
+    shelf, which is how most experiments actually conclude (conversion
+    is a rate, not a mean). Pooled form under H0: z = (p_a - p_b) /
+    sqrt(p(1-p)(1/n_a + 1/n_b)) with p the pooled rate.
+
+    EXACT: four BIGINT cells from ONE agg; z is one fixed IEEE
+    sequence (one sqrt) rounded 1e-6 BEFORE the |z| >= {C} compare.
+
+    Plan: one narrow projection + single-row fold — scan-speed, the
+    j_mcnemar_test shape."""
+    t = load(spark, sf_dir)
+    grp = F.when(
+        F.substring(F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))), 1, 1)
+        < "8",
+        "A",
+    ).otherwise("B")
+    conv = (F.col("event_type") == "purchase").cast("long")
+    s = t.events.select(grp.alias("grp"), conv.alias("conv")).agg(
+        F.count(F.when(F.col("grp") == "A", 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("grp") == "B", 1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("grp") == "A", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("grp") == "B", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    ra = F.col("c_a") * 1.0 / F.col("n_a")
+    rb = F.col("c_b") * 1.0 / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = rnd(
+        (ra - rb)
+        / F.sqrt(
+            pool * (F.lit(1.0) - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        6,
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        rnd(ra, 6).alias("rate_a"),
+        rnd(rb, 6).alias("rate_b"),
+        z.alias("z_score"),
+        (F.abs(z) >= _FB_CRIT).alias("significant"),
+    )
+
+
+j_two_proportion_z.__doc__ = j_two_proportion_z.__doc__.replace("{C}", str(_FB_CRIT))

@@ -203,6 +203,13 @@ NEXT_QUEUE: list[str] = [
     # between/within split over the length histogram)
     "j_js_divergence",
     "j_theil_index",
+    # r15 wave 11: experiment + fairness closure — hypergeometric
+    # enrichment of each language in the rater panel's kept set (the
+    # curation-fairness tripwire) and the pooled two-proportion z on
+    # conversion over the j_ab_ttest split (the binary-outcome A/B
+    # member). 19 additions total; capacity 20 (REFRESH holds 28).
+    "j_filter_bias",
+    "j_two_proportion_z",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1150,6 +1150,8 @@ _SHUFFLE_BUDGETS = {
     "j_js_divergence": 18,      # j_kl_sources' shape (persisted sc reprints)
     "j_theil_index": 20,        # (source,len) histogram agg, persisted h
                                 # reprints across group/within/between legs
+    "j_filter_bias": 2,         # one lang agg + 5-row total window
+    "j_two_proportion_z": 1,    # stateless split + single-row fold
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

@@ -303,3 +303,33 @@ def test_theil_decomposition_identity(spark):
         t_total = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
         t_decomp = tb + sum(r["share_of_total"] * r["theil_within"] for r in rows)
         assert abs(t_total - t_decomp) < 1e-3, (t_total, t_decomp)
+
+
+def test_filter_bias_reads_the_panel_and_balances(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_filter_bias", sf)
+        assert len(rows) == 5  # one per language
+        overall = {r["overall_rate"] for r in rows}
+        assert len(overall) == 1
+        n = sum(r["n_lang"] for r in rows)
+        kept = sum(r["n_kept"] for r in rows)
+        (ov,) = overall
+        assert abs(ov - kept / n) < 2e-6
+        for r in rows:
+            assert 0 < r["n_kept"] <= r["n_lang"]
+            assert r["biased"] == (abs(r["z_score"]) >= 1.96)
+        # enrichment z-scores of a partition sum to ~0 in expectation
+        # only under equal sizes — don't pin that; pin definedness
+        assert all(r["z_score"] is not None for r in rows)
+
+
+def test_two_proportion_z_matches_the_ab_split(spark):
+    for sf in (SF1, SF_DIR):
+        (r,) = _rows(spark, "j_two_proportion_z", sf)
+        assert r["n_a"] + r["n_b"] > 0 and r["c_a"] + r["c_b"] > 0
+        assert abs(r["rate_a"] - r["c_a"] / r["n_a"]) < 2e-6
+        assert abs(r["rate_b"] - r["c_b"] / r["n_b"]) < 2e-6
+        # same md5 'ab' assignment as j_ab_ttest: group sizes must match
+        tt = QUERIES["j_ab_ttest"](spark, sf).collect()
+        assert sum(x["n_a"] for x in tt) == r["n_a"] * 1  # per-type sums
+        assert r["significant"] == (abs(r["z_score"]) >= 1.96)
