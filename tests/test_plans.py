@@ -294,6 +294,13 @@ _EXPECTED_BNLJ = {
     # --- r12 additions, all metadata-scale build sides by design:
     "j_drift_timeslices",  # 1-row broadcast MIN/MAX grid + 1-row total + <=10-row bucket masses
     "j_ngram_entropy_curve",  # 1-row broadcast H1 onto the 3-row curve
+    # --- r15 additions, all metadata-scale build sides by design:
+    "j_kmv_jaccard",  # 15-row pair grid theta-joined (supp = a OR supp = b)
+    "j_rbo_overlap",  # 10-row depth grid theta-joined (m <= i) + two 1-row frames
+    "j_t_closeness",  # 1-row broadcast corpus total onto the QI-cell rows
+    "j_ts_crosscorr",  # 8-row lag grid cross-joined onto the |days| relation
+    "j_js_divergence",  # 1-row broadcast corpus total (the j_kl_sources shape)
+    "j_theil_index",  # 1-row broadcast totals + 1-row t_between cross-joins
     "j_decile_grid_2d",  # two 1-row broadcast 9-element boundary arrays + 1-row total
     "j_source_tfidf",  # 1-row broadcast source count onto the scored types
     "j_neyman_allocation",  # 1-row broadcast allocation denominator
