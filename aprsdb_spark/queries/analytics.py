@@ -3355,3 +3355,114 @@ def j_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_two_proportion_z.__doc__ = j_two_proportion_z.__doc__.replace("{C}", str(_FB_CRIT))
+
+
+@query(
+    "j_runs_test",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    s AS (SELECT day, n,
+                 n - LAG(n) OVER (ORDER BY day) AS delta
+          FROM d),
+    sg AS (SELECT day, CASE WHEN delta > 0 THEN 1 ELSE 0 END AS up
+           FROM s WHERE delta IS NOT NULL AND delta <> 0),
+    r AS (SELECT up,
+                 CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL
+                        OR LAG(up) OVER (ORDER BY day) <> up
+                      THEN 1 ELSE 0 END AS new_run
+          FROM sg),
+    t AS (SELECT CAST(SUM(up) AS BIGINT) AS n_plus,
+                 CAST(SUM(1 - up) AS BIGINT) AS n_minus,
+                 CAST(SUM(new_run) AS BIGINT) AS n_runs
+          FROM r)
+    SELECT n_plus, n_minus, n_runs,
+           {sql_rnd(
+               "1.0 + 2.0 * n_plus * n_minus / (n_plus + n_minus)", 6)}
+               AS expected_runs,
+           CASE WHEN n_plus = 0 OR n_minus = 0 THEN NULL
+                ELSE {sql_rnd(
+                    "(n_runs - (1.0 + 2.0 * n_plus * n_minus"
+                    "           / (n_plus + n_minus)))"
+                    " / sqrt(2.0 * n_plus * n_minus"
+                    "        * (2.0 * n_plus * n_minus - n_plus - n_minus)"
+                    "        / ((CAST(n_plus + n_minus AS DOUBLE))"
+                    "           * (n_plus + n_minus)"
+                    "           * (n_plus + n_minus - 1)))", 6)}
+           END AS z_score,
+           CASE WHEN n_plus = 0 OR n_minus = 0 THEN NULL
+                ELSE ABS({sql_rnd(
+                    "(n_runs - (1.0 + 2.0 * n_plus * n_minus"
+                    "           / (n_plus + n_minus)))"
+                    " / sqrt(2.0 * n_plus * n_minus"
+                    "        * (2.0 * n_plus * n_minus - n_plus - n_minus)"
+                    "        / ((CAST(n_plus + n_minus AS DOUBLE))"
+                    "           * (n_plus + n_minus)"
+                    "           * (n_plus + n_minus - 1)))", 6)}) >= {_FB_CRIT}
+           END AS nonrandom
+    FROM t
+    """,
+)
+def j_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (public 1940 statistic) on the SIGNS of
+    day-over-day event-volume deltas — the sequence-RANDOMNESS audit
+    beside the distributional shelf: KS/ANOVA ask "same distribution?",
+    the runs test asks "independent ORDER?" — too few runs flags
+    trending/autocorrelated volume (the j_ts_autocorr story as a
+    significance test), too many flags oscillation (a load-balancer
+    thrashing between feeds). Zero deltas are dropped (the standard
+    convention), runs counted by sign changes, and z uses the exact
+    run-count mean 1 + 2ab/(a+b) and variance 2ab(2ab-a-b)/((a+b)^2
+    (a+b-1)).
+
+    EXACT: run/sign counts are integers off ONE lag window over the
+    |days| relation; z is one fixed IEEE sequence on them, rounded
+    1e-6 BEFORE the |z| >= 1.96 compare; NULL when one sign is absent
+    (the statistic is undefined).
+
+    Plan: one day hash agg collapses events to |days| rows; both lag
+    windows run on that calendar-sized relation (the pinned 'offset
+    table' class); the fold is one row."""
+    t = load(spark, sf_dir)
+    d = t.events.select(
+        F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day")
+    ).groupBy("day").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("day")
+    s = d.select("day", (F.col("n") - F.lag("n").over(w)).alias("delta"))
+    sg = s.where(F.col("delta").isNotNull() & (F.col("delta") != 0)).select(
+        "day", (F.col("delta") > 0).cast("long").alias("up")
+    )
+    r = sg.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull() | (F.lag("up").over(w) != F.col("up")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    tt = r.agg(
+        F.sum("up").cast("long").alias("n_plus"),
+        F.sum(1 - F.col("up")).cast("long").alias("n_minus"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    a, b = F.col("n_plus"), F.col("n_minus")
+    mu = F.lit(1.0) + 2.0 * a * b / (a + b)
+    var = (
+        2.0
+        * a
+        * b
+        * (2.0 * a * b - a - b)
+        / ((a + b).cast("double") * (a + b) * (a + b - 1))
+    )
+    z = rnd((F.col("n_runs") - mu) / F.sqrt(var), 6)
+    und = (a == 0) | (b == 0)
+    return tt.select(
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        rnd(mu, 6).alias("expected_runs"),
+        F.when(und, F.lit(None).cast("double")).otherwise(z).alias("z_score"),
+        F.when(und, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) >= _FB_CRIT)
+        .alias("nonrandom"),
+    )

@@ -207,9 +207,15 @@ NEXT_QUEUE: list[str] = [
     # enrichment of each language in the rater panel's kept set (the
     # curation-fairness tripwire) and the pooled two-proportion z on
     # conversion over the j_ab_ttest split (the binary-outcome A/B
-    # member). 19 additions total; capacity 20 (REFRESH holds 28).
+    # member)
     "j_filter_bias",
     "j_two_proportion_z",
+    # r15 wave 12: sequence-randomness audit — Wald-Wolfowitz runs
+    # test on day-over-day volume delta signs (the ORDER-independence
+    # question the distributional shelf never asks). 20 additions
+    # total: the queue is at exactly the 20-slot capacity the r16
+    # window arithmetic assumes (20 + 28 REFRESH + 2 canaries = 50).
+    "j_runs_test",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1159,6 +1159,7 @@ _SHUFFLE_BUDGETS = {
                                 # reprints across group/within/between legs
     "j_filter_bias": 2,         # one lang agg + 5-row total window
     "j_two_proportion_z": 1,    # stateless split + single-row fold
+    "j_runs_test": 2,           # one day agg + |days|-row lag windows
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

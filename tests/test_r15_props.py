@@ -333,3 +333,15 @@ def test_two_proportion_z_matches_the_ab_split(spark):
         tt = QUERIES["j_ab_ttest"](spark, sf).collect()
         assert sum(x["n_a"] for x in tt) == r["n_a"] * 1  # per-type sums
         assert r["significant"] == (abs(r["z_score"]) >= 1.96)
+
+
+def test_runs_test_counts_are_consistent(spark):
+    for sf in (SF1, SF_DIR):
+        (r,) = _rows(spark, "j_runs_test", sf)
+        # runs partition the sign sequence: 1 <= R <= a + b
+        assert 1 <= r["n_runs"] <= r["n_plus"] + r["n_minus"]
+        assert r["n_plus"] > 0 and r["n_minus"] > 0
+        a, b = r["n_plus"], r["n_minus"]
+        assert abs(r["expected_runs"] - (1 + 2 * a * b / (a + b))) < 2e-6
+        assert r["z_score"] is not None
+        assert r["nonrandom"] == (abs(r["z_score"]) >= 1.96)
