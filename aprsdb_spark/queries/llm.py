@@ -6248,9 +6248,11 @@ def j_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("re"), F.col("ra")).cast("long").alias("m")
     )
     grid = spark.range(1, _PQ_TOPK + 1).select(F.col("id").cast("long").alias("i"))
+    # broadcast the BUILD (right) side: Spark cannot broadcast the
+    # preserved side of a left outer join, so a hint on grid is ignored
+    # — hinting m (<= k rows) pins BroadcastNestedLoopJoin(right).
     c = (
-        F.broadcast(grid)
-        .join(m, F.col("m") <= F.col("i"), "left")
+        grid.join(F.broadcast(m), F.col("m") <= F.col("i"), "left")
         .groupBy("i")
         .agg(F.count("m").cast("long").alias("ci"))
     )
@@ -6505,6 +6507,22 @@ def j_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_POOL)
     )
     cand.persist()  # R+1 consumers: one tiny job per greedy round
+    try:
+        picked, out_rows = _mmr_greedy(cand)
+    finally:
+        # monitor-sink cache-hygiene standard: never leak a persisted
+        # shortlist past the query (test_plans pins CacheManager empty)
+        cand.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "rank long, vec_id long, relevance double, max_sim double, mmr_score double",
+    )
+
+
+def _mmr_greedy(cand: DataFrame) -> tuple[list, list[tuple]]:
+    """The R bounded greedy rounds over the persisted shortlist."""
+    from ..operators.similarity import _lit_vector
+
     picked: list = []
     out_rows: list[tuple] = []
     for k in range(1, _MMR_SELECT + 1):
@@ -6538,10 +6556,7 @@ def j_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows.append(
             (k, pick.vec_id, float(pick.rel6), float(pick.ms), float(pick.mmr))
         )
-    return spark.createDataFrame(
-        out_rows,
-        "rank long, vec_id long, relevance double, max_sim double, mmr_score double",
-    )
+    return picked, out_rows
 
 
 j_mmr_diversity.__doc__ = (

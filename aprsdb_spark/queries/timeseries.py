@@ -1325,7 +1325,8 @@ _XC_MIN = 5
       FROM events GROUP BY 1),
     lg AS (SELECT CAST(unnest(range(0, {_XC_LAGS + 1})) AS BIGINT) AS lag),
     p AS (SELECT lg.lag, a.x, b.y
-          FROM lg, d a JOIN d b ON b.day = a.day - CAST(lg.lag AS INTEGER)),
+          FROM lg CROSS JOIN d a
+          JOIN d b ON b.day = a.day - CAST(lg.lag AS INTEGER)),
     s AS (SELECT lag,
                  CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(x) AS BIGINT) AS sx,

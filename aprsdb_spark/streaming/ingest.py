@@ -1154,6 +1154,11 @@ def ivf_balance_view(spark: SparkSession, state_dir: str, k: int) -> DataFrame:
     rollup (queries/llm.ivf_balance_from_occ)."""
     from ..queries.llm import ivf_balance_from_occ
 
+    # A monitor refresh between a crash mid-swap and the sink's next
+    # micro-batch would otherwise serve truncated state (the sink only
+    # self-heals on its next invocation) — recover on the READ side too
+    # (ADVICE r15); a completed main dir makes this a no-op stat call.
+    _recover_incomplete_swap(spark, state_dir)
     # The state frame is metadata-sized BY CONSTRUCTION (<= k rows, one
     # per occupied cell — the sink pre-aggregates per batch), so collect
     # it ONCE and serve both the truncation guard and the returned plan
@@ -1287,6 +1292,11 @@ def lateness_view(spark: SparkSession, state_dir: str) -> DataFrame:
     dropped_late, late_share) ordered facts plus the current watermark
     as a column — one glance says which windows are losing data and
     whether the delay budget is sized right."""
+    # Read-side crash recovery, same rationale as ivf_balance_view: a
+    # refresh between a mid-swap crash and the next micro-batch must
+    # not serve a truncated panel or a stale watermark (ADVICE r15).
+    _recover_incomplete_swap(spark, state_dir + "_panel")
+    _recover_incomplete_swap(spark, state_dir + "_wm")
     panel = spark.read.parquet(state_dir + "_panel").select(
         "window_start_ms", "admitted", "dropped_late"
     )

@@ -17,10 +17,19 @@ import sys
 import time
 
 
+# Rounds eligible for the gate's min window: the newest 6 RECORDED
+# rounds overall (not the newest 3 datapoints a qid happens to have —
+# see the recency bound below). 6 = 2x the min window, so a qid missing
+# from a couple of truncated tails still gets its 3-point min.
+_RECENT_ROUNDS = 6
+
+
 def _reference() -> dict[str, float]:
     """Per-qid datapoints merged across ALL recorded driver rounds
     (BENCH_r{N}.json): each qid's reference is the MIN over its newest 3
-    rounds' datapoints. Newest-wins (the pre-r15 rule) let one
+    rounds' datapoints WITHIN the newest _RECENT_ROUNDS recorded rounds
+    (recency-bounded per ADVICE r15; a qid absent from that window falls
+    back to its newest datapoint). Newest-wins (the pre-r15 rule) let one
     host-noisy round LOOSEN the gate for a whole round: r14's capture
     recorded j_entropy_rate at 1.26s (vs the healthy 0.607s) purely from
     session pressure — the r14 verdict adjudicated it host drift — and
@@ -98,8 +107,22 @@ def _reference() -> dict[str, float]:
             if (k, rnd_no) in taken:
                 continue
             taken.add((k, rnd_no))
-            per_qid.setdefault(k, []).append(v)
-    return {k: min(vals[:3]) for k, vals in per_qid.items()}
+            per_qid.setdefault(k, []).append((rnd_no, v))
+    # Recency bound (ADVICE r15): tail-truncated captures mean a qid can
+    # be absent from many recent rounds, so "newest 3 datapoints" alone
+    # silently reaches back to much older rounds — a stale fast value
+    # from a different host era would then permanently tighten the gate.
+    # Only datapoints from the newest _RECENT_ROUNDS recorded rounds are
+    # eligible for the min; a qid with none there falls back to its
+    # single newest datapoint (a gate that tracks where the qid actually
+    # is, not where it was eras ago).
+    recorded = sorted({r for vals in per_qid.values() for r, _ in vals})
+    recent = set(recorded[-_RECENT_ROUNDS:])
+    out: dict[str, float] = {}
+    for k, vals in per_qid.items():  # vals is newest-first
+        in_window = [v for r, v in vals if r in recent]
+        out[k] = min(in_window[:3]) if in_window else vals[0][1]
+    return out
 
 
 def main() -> None:

@@ -139,3 +139,27 @@ def test_no_registered_qid_is_a_proper_suffix_of_another():
         if a != b and b.endswith(a)
     ]
     assert not clashes, f"qid suffix collisions would poison tail parsing: {clashes}"
+
+
+def test_stale_fast_datapoint_outside_recency_window_cannot_tighten(
+    tmp_path, monkeypatch
+):
+    """ADVICE r15: a qid absent from recent rounds (tail truncation)
+    must not be gated by a stale fast datapoint from a different host
+    era. Only the newest _RECENT_ROUNDS recorded rounds feed the min;
+    a qid with no datapoint there falls back to its single newest one."""
+    b = _bench_module()
+    # 8 recorded rounds; "ghost" was benched only in the two OLDEST
+    # (one suspiciously fast), "live" appears everywhere.
+    for rnd in range(90, 98):
+        q = {"live": 1.0 + (rnd % 3) * 0.1}
+        if rnd in (90, 91):
+            q["ghost"] = 0.2 if rnd == 90 else 3.0
+        (tmp_path / f"BENCH_r{rnd}.json").write_text(json.dumps({"queries": q}))
+    monkeypatch.setattr(b.os.path, "dirname", lambda _: str(tmp_path))
+    ref = b._reference()
+    # recency window = r92..r97; ghost has nothing there -> newest
+    # datapoint (r91's 3.0), NOT the stale-fast 0.2 min
+    assert ref["ghost"] == 3.0, ref
+    # live: min over its newest 3 in-window datapoints, unchanged rule
+    assert ref["live"] == min(1.0 + (r % 3) * 0.1 for r in (95, 96, 97)), ref

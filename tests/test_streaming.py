@@ -1510,3 +1510,61 @@ def test_lateness_monitor_conservation_and_watermark_semantics(spark, tmp_path):
         for r in S.lateness_view(spark, state).collect()
     )
     assert after == before
+
+
+def test_monitor_views_recover_crash_mid_swap_on_read(spark, tmp_path):
+    """ADVICE r15: the read-side views (lateness_view,
+    ivf_balance_view) must not serve truncated state when a monitor
+    refresh lands BETWEEN a crash mid-swap and the sink's next
+    micro-batch — the sink self-heals only on its next invocation, so
+    the views call _recover_incomplete_swap themselves. Simulate the
+    crash window by deleting the main dir's _SUCCESS after a completed
+    batch (leaving _next authoritative) and read the view directly."""
+    import os
+
+    base = 1704067200000
+    hour = 3600_000
+
+    def frame(rows):
+        return spark.createDataFrame([(int(r),) for r in rows], "ts_ms long")
+
+    # --- lateness panel + watermark store
+    state = str(tmp_path / "late_state")
+    b0 = [base, base + hour]
+    b1 = [base + 3 * hour]
+    S.lateness_monitor_sink(frame(b0), 0, state, run_key="rk")
+    S.lateness_monitor_sink(frame(b1), 1, state, run_key="rk")
+    want = sorted(
+        (r["window_start_ms"], r["admitted"], r["dropped_late"], r["watermark_ms"])
+        for r in S.lateness_view(spark, state).collect()
+    )
+    os.remove(os.path.join(state + "_panel", "_SUCCESS"))  # crash mid-swap
+    os.remove(os.path.join(state + "_wm", "_SUCCESS"))
+    got = sorted(
+        (r["window_start_ms"], r["admitted"], r["dropped_late"], r["watermark_ms"])
+        for r in S.lateness_view(spark, state).collect()
+    )
+    assert got == want
+    # recovery restored the committed markers, not just this one read
+    assert os.path.exists(os.path.join(state + "_panel", "_SUCCESS"))
+    assert os.path.exists(os.path.join(state + "_wm", "_SUCCESS"))
+
+    # --- IVF occupancy store
+    from aprsdb_spark.operators.similarity import kmeans_train_local
+
+    sf = "/root/testdata/sf0.001"
+    cents = kmeans_train_local(sf, k=16, iters=2)
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    occ_state = str(tmp_path / "ivf_occ_state")
+    halves = [emb.where(F.col("vec_id") % 2 == k) for k in range(2)]
+    for k, b in enumerate(halves):
+        S.ivf_occupancy_sink(b, k, occ_state, cents, run_key="rk")
+    want_occ = sorted(
+        tuple(r) for r in S.ivf_balance_view(spark, occ_state, k=16).collect()
+    )
+    os.remove(os.path.join(occ_state, "_SUCCESS"))  # crash mid-swap
+    got_occ = sorted(
+        tuple(r) for r in S.ivf_balance_view(spark, occ_state, k=16).collect()
+    )
+    assert got_occ == want_occ
+    assert os.path.exists(os.path.join(occ_state, "_SUCCESS"))
