@@ -549,3 +549,291 @@ def a_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(portable_hash32(F.col("c_name"))).cast("long").alias("name_check"),
         F.sum("c_nationkey").cast("long").alias("nation_check"),
     )
+
+
+# --- r16: malformed-input semantics (PERMISSIVE mode + _corrupt_record) ---
+#
+# The clean round-trip qids above prove fidelity on well-formed input;
+# every 100 TB ingest also hits MALFORMED rows on day one, and the
+# public Spark contract there is PERMISSIVE mode: parse what parses,
+# null what doesn't, and record the raw line in
+# columnNameOfCorruptRecord — rows are never silently dropped. These
+# qids pin that contract against a deterministically-corrupted derived
+# file: corruption is keyed on the row's primary key (k % p == 0), so
+# the DuckDB oracle reproduces the same classification relationally
+# from the clean parquet and even reconstructs the corrupt lines
+# byte-for-byte (corrupt_check sums the md5 word over the raw lines
+# Spark captured vs the lines the oracle rebuilds).
+
+# Corruption-class moduli (pairwise coprime; checked in order).
+_BAD_NUM_MOD = 97   # price token replaced by a non-numeric string
+_SHORT_MOD = 89     # line truncated to 2 of 4 fields
+_EXTRA_MOD = 83     # one extra trailing field appended
+_JSON_BROKEN_MOD = 101  # line truncated mid-object (unparseable)
+_JSON_TYPE_MOD = 103    # n_chars written as a JSON string (type error)
+
+_PERM_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+_CSV_CAT_SQL = f"""CASE WHEN o_orderkey % {_BAD_NUM_MOD} = 0 THEN 'bad_number'
+                 WHEN o_orderkey % {_SHORT_MOD} = 0 THEN 'short_row'
+                 WHEN o_orderkey % {_EXTRA_MOD} = 0 THEN 'extra_field'
+                 ELSE 'clean' END"""
+
+
+@query(
+    "a_scan_csv_permissive",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS ps,
+             o_orderpriority AS pr,
+             {_CSV_CAT_SQL} AS category
+      FROM orders),
+    lines AS (
+      SELECT category, st,
+             CASE WHEN category IN ('bad_number', 'short_row')
+                  THEN NULL
+                  ELSE CAST(ps AS DOUBLE) END AS price,
+             CASE WHEN category = 'short_row' THEN NULL ELSE pr END AS prio,
+             CASE category
+               WHEN 'bad_number' THEN k || ',' || st || ',x9.99,' || pr
+               WHEN 'short_row'  THEN k || ',' || st
+               WHEN 'extra_field'
+                 THEN k || ',' || st || ',' || ps || ',' || pr || ',XTRA'
+             END AS raw
+      FROM base)
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(raw) AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) - COUNT(price) AS BIGINT) AS n_price_null,
+           FLOOR(CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_price,
+           CAST(SUM(CAST('0x' || substr(md5(st), 1, 8) AS BIGINT))
+                AS BIGINT) AS status_check,
+           CAST(SUM(CAST('0x' || substr(md5(prio), 1, 8) AS BIGINT))
+                AS BIGINT) AS prio_check,
+           CAST(SUM(CAST('0x' || substr(md5(raw), 1, 8) AS BIGINT))
+                AS BIGINT) AS corrupt_check
+    FROM lines GROUP BY category
+    """,
+)
+def a_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source under PERMISSIVE mode with _corrupt_record accounting
+    — the malformed-input contract every large-scale ingest depends on.
+    A derived orders CSV is corrupted deterministically by key: every
+    {_BAD_NUM_MOD}th key gets a non-numeric price token, every
+    {_SHORT_MOD}th a truncated 2-field line, every {_EXTRA_MOD}th an
+    extra trailing field. PERMISSIVE parsing must (a) keep EVERY row
+    (n_rows per class equals the parquet-side count — dirty rows land
+    in the corrupt column, not the floor), (b) null exactly the
+    unparseable fields while keeping the parseable prefix (price null
+    on bad_number/short_row; prio null only on short_row; extra_field
+    parses fully), and (c) capture the raw line VERBATIM in
+    _corrupt_record — corrupt_check sums the md5 word over Spark's
+    captured lines while the oracle rebuilds the same lines from clean
+    parquet and hashes those: a single shifted byte breaks the match.
+
+    PINNED GOTCHA — CSV column pruning changes malformation semantics:
+    with spark.sql.csv.parser.columnPruning.enabled (default true), a
+    query that skips a schema column makes the parser skip it too, and
+    an extra trailing token is then NOT detected as corrupt (observed:
+    dropping o_orderstatus from this agg zeroed extra_field's
+    n_corrupt). This qid references EVERY schema column (status_check
+    exists for exactly that reason), pinning full-parse semantics; an
+    audit query over a PERMISSIVE scan must do the same or read the
+    cached full parse.
+
+    Plan: the derived write is scaffolding (coalesce(1)); the product
+    surface is the parallel schema-explicit CSV scan + one hash agg on
+    the 4-class category — PERMISSIVE adds no extra pass (corrupt
+    capture rides the same parse), which is why it is the default at
+    100 TB over FAILFAST (kill the job) or DROPMALFORMED (silent
+    loss)."""
+    path = _derived_path(sf_dir, "orders_csv_dirty")
+
+    def write(p: str) -> None:
+        o = load(spark, sf_dir).orders
+        k = F.col("o_orderkey")
+        ps = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+        clean = F.concat_ws(
+            ",", k, F.col("o_orderstatus"), ps, F.col("o_orderpriority")
+        )
+        line = (
+            F.when(
+                k % _BAD_NUM_MOD == 0,
+                F.concat_ws(
+                    ",", k, F.col("o_orderstatus"), F.lit("x9.99"),
+                    F.col("o_orderpriority"),
+                ),
+            )
+            .when(k % _SHORT_MOD == 0, F.concat_ws(",", k, F.col("o_orderstatus")))
+            .when(k % _EXTRA_MOD == 0, F.concat(clean, F.lit(",XTRA")))
+            .otherwise(clean)
+        )
+        o.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(p)
+
+    _ensure(path, write)
+    df = (
+        spark.read.schema(_PERM_ORDERS_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    k = F.col("o_orderkey")
+    cat = (
+        F.when(k % _BAD_NUM_MOD == 0, "bad_number")
+        .when(k % _SHORT_MOD == 0, "short_row")
+        .when(k % _EXTRA_MOD == 0, "extra_field")
+        .otherwise("clean")
+    )
+    return df.groupBy(cat.alias("category")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("_corrupt_record").cast("long").alias("n_corrupt"),
+        (F.count("*") - F.count("o_totalprice")).cast("long").alias("n_price_null"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("sum_price"),
+        F.sum(portable_hash32(F.col("o_orderstatus")))
+        .cast("long")
+        .alias("status_check"),
+        F.sum(portable_hash32(F.col("o_orderpriority")))
+        .cast("long")
+        .alias("prio_check"),
+        F.sum(portable_hash32(F.col("_corrupt_record")))
+        .cast("long")
+        .alias("corrupt_check"),
+    )
+
+
+_PERM_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+@query(
+    "a_scan_json_permissive",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS d, lang, n_chars, text,
+             CASE WHEN doc_id % {_JSON_BROKEN_MOD} = 0 THEN 'unparseable'
+                  WHEN doc_id % {_JSON_TYPE_MOD} = 0 THEN 'type_error'
+                  ELSE 'clean' END AS category
+      FROM documents),
+    cls AS (
+      SELECT category,
+             CASE WHEN category = 'unparseable' THEN NULL ELSE lang END AS lang,
+             CASE WHEN category = 'clean' THEN n_chars END AS n_chars,
+             CASE WHEN category = 'unparseable' THEN NULL ELSE text END AS text,
+             CASE WHEN category = 'unparseable'
+                  THEN substr('{{"doc_id":' || d || ',"lang":"' || lang, 1, 20)
+             END AS raw_prefix,
+             CASE WHEN category = 'clean' THEN 0 ELSE 1 END AS corrupt
+      FROM base)
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS n_chars_null,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST('0x' || substr(md5(lang), 1, 8) AS BIGINT))
+                AS BIGINT) AS lang_check,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS text_check,
+           CAST(SUM(CAST('0x' || substr(md5(raw_prefix), 1, 8) AS BIGINT))
+                AS BIGINT) AS corrupt_prefix_check
+    FROM cls GROUP BY category
+    """,
+)
+def a_scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source under PERMISSIVE mode — the sibling of
+    a_scan_csv_permissive for the other half of day-one ingest
+    corruption: structurally BROKEN documents (every {_JSON_BROKEN_MOD}th
+    doc's line truncated mid-object — nothing parses, every schema
+    field null, the raw fragment lands in _corrupt_record) vs FIELD
+    TYPE errors (every {_JSON_TYPE_MOD}th doc's n_chars written as a
+    JSON string — only that field nulls, the rest of the row parses,
+    and the line is still recorded as corrupt). The category is
+    derived from the PARSE RESULT (corrupt null / doc_id present),
+    exactly how a production quarantine splits a dirty feed, and the
+    oracle reproduces the same three-way split relationally from clean
+    parquet. corrupt_prefix_check proves the unparseable rows' raw
+    fragments byte-for-byte: the oracle rebuilds the 20-char JSON
+    prefix ('{{"doc_id":N,"lang":"...') from parquet values and hashes
+    it against what Spark captured. text_check over the two parseable
+    categories proves the type-error rows still round-trip their text
+    exactly (partial parse loses nothing it could keep).
+
+    Same full-parse discipline as the CSV twin: every schema field is
+    referenced in the agg, so field pruning cannot weaken the
+    malformation semantics being pinned.
+
+    Plan: schema-explicit parallel JSONL scan + one 3-class hash agg;
+    PERMISSIVE is the 100 TB default for the same reason as CSV —
+    quarantine beats kill-the-job beats silent loss."""
+    path = _derived_path(sf_dir, "documents_json_dirty")
+
+    def write(p: str) -> None:
+        docs = load(spark, sf_dir).documents
+        d = F.col("doc_id")
+        clean_js = F.to_json(F.struct("doc_id", "lang", "n_chars", "text"))
+        type_js = F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.col("lang"),
+                F.lit("n/a").alias("n_chars"),
+                F.col("text"),
+            )
+        )
+        line = (
+            F.when(d % _JSON_BROKEN_MOD == 0, F.substring(clean_js, 1, 20))
+            .when(d % _JSON_TYPE_MOD == 0, type_js)
+            .otherwise(clean_js)
+        )
+        docs.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(p)
+
+    _ensure(path, write)
+    df = (
+        spark.read.schema(_PERM_DOCS_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    cat = (
+        F.when(~corrupt, "clean")
+        .when(F.col("doc_id").isNotNull(), "type_error")
+        .otherwise("unparseable")
+    )
+    return df.groupBy(cat.alias("category")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("_corrupt_record").cast("long").alias("n_corrupt"),
+        (F.count("*") - F.count("n_chars")).cast("long").alias("n_chars_null"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(portable_hash32(F.col("lang"))).cast("long").alias("lang_check"),
+        F.sum(portable_hash32(F.col("text"))).cast("long").alias("text_check"),
+        F.sum(
+            F.when(
+                F.col("doc_id").isNull(), portable_hash32(F.col("_corrupt_record"))
+            )
+        )
+        .cast("long")
+        .alias("corrupt_prefix_check"),
+    )

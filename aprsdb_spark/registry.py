@@ -144,6 +144,13 @@ NEXT_QUEUE: list[str] = [
     # r16 additions land here as they are built (capacity: <= 20, since
     # REFRESH_QUEUE below holds 28 and NEXT + REFRESH must fit one
     # 48-slot window).
+    # r16 wave 1: malformed-input source semantics (the r15 verdict's
+    # queued candidate) — PERMISSIVE-mode CSV and JSONL scans over
+    # deterministically-corrupted derived files, with _corrupt_record
+    # accounting, byte-level raw-line reconstruction in the oracle, and
+    # the full-parse-vs-column-pruning gotcha pinned
+    "a_scan_csv_permissive",
+    "a_scan_json_permissive",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1160,6 +1160,9 @@ _SHUFFLE_BUDGETS = {
     "j_filter_bias": 2,         # one lang agg + 5-row total window
     "j_two_proportion_z": 1,    # stateless split + single-row fold
     "j_runs_test": 2,           # one day agg + |days|-row lag windows
+    # --- r16 additions (measured cold at sf0.01):
+    "a_scan_csv_permissive": 1,   # one PERMISSIVE scan + 4-class hash agg
+    "a_scan_json_permissive": 1,  # one PERMISSIVE scan + 3-class hash agg
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the
