@@ -3466,3 +3466,529 @@ def j_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z) >= _FB_CRIT)
         .alias("nonrandom"),
     )
+
+
+# --- r16: community detection + link prediction + centrality closure ---
+#
+# The structural family (degree / assortativity / reciprocity /
+# triangles / clustering coeff / k-core / common-neighbors / BFS /
+# PageRank) reads the trade graph's local shape; these close the shelf
+# with the GLOBAL readouts: which nodes form communities (label
+# propagation), how good the split is (modularity), which nodes are in
+# the same component at all (connected components), which non-edges
+# are most likely next (Adamic-Adar), and who is centrally placed
+# (harmonic centrality). All share the _trade_edges lowering: one
+# data-sized flow agg, then nation-cardinality metadata algebra.
+
+_LP_ROUNDS = 3   # synchronous label-propagation rounds (fixed-round
+                 # semantics, the j_pagerank discipline — NOT run-to-
+                 # convergence, so iteration k is a pure function of
+                 # k-1 and the oracle unrolls exactly k CTEs)
+_CC_ROUNDS = 5   # min-label rounds: component = min node id within
+                 # <= _CC_ROUNDS hops (converged on the test graphs,
+                 # pinned by the every-edge-intra-component property)
+_HC_ROUNDS = 4   # BFS horizon for harmonic centrality
+
+# Symmetrized distinct neighbor relation (both directions), the
+# undirected view of the capped trade graph — identical text to the
+# j_common_neighbors oracle so all graph oracles agree on the graph.
+_UND_CTE = """und AS (SELECT DISTINCT u, v FROM (
+              SELECT src AS u, dst AS v FROM e
+              UNION ALL SELECT dst AS u, src AS v FROM e)
+            WHERE u <> v)"""
+
+
+def _sym_neighbors(t) -> DataFrame:
+    """Symmetrized distinct (u, v) neighbor frame of the capped trade
+    graph — the DataFrame twin of _UND_CTE."""
+    e = _trade_edges(t)
+    return (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _lp_ctes(rounds: int) -> str:
+    """The unrolled synchronous label-propagation CTE chain lp0..lpR
+    over `und` + `n` (nk spine): new label = most-frequent neighbor
+    label, ties to the SMALLEST label, isolated nodes keep their own.
+    Shared by the j_label_propagation and j_modularity oracles so both
+    engines (and both qids) agree on the communities."""
+    ctes = ["lp0 AS (SELECT nk, nk AS lbl FROM n)"]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""lp{k} AS (
+      SELECT n.nk, COALESCE(p.newl, prev.lbl) AS lbl
+      FROM n
+      JOIN lp{k - 1} prev ON prev.nk = n.nk
+      LEFT JOIN (
+        SELECT u AS nk, lbl AS newl FROM (
+          SELECT und.u, l.lbl,
+                 ROW_NUMBER() OVER (PARTITION BY und.u
+                                    ORDER BY COUNT(*) DESC, l.lbl) AS rk
+          FROM und JOIN lp{k - 1} l ON l.nk = und.v
+          GROUP BY und.u, l.lbl) x
+        WHERE rk = 1) p ON p.nk = n.nk)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _lp_labels(spark: SparkSession, t) -> DataFrame:
+    """Synchronous label propagation, _LP_ROUNDS rounds: (nk, lbl).
+    The DataFrame twin of _lp_ctes(_LP_ROUNDS)."""
+    und = _sym_neighbors(t)
+    und.persist()  # one consumer per round
+    nodes = t.nation.select(F.col("n_nationkey").alias("nk"))
+    labels = nodes.select("nk", F.col("nk").alias("lbl"))
+    for _ in range(_LP_ROUNDS):
+        cnt = (
+            und.join(
+                F.broadcast(labels.select(F.col("nk").alias("v"), "lbl")), "v"
+            )
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        wpick = Window.partitionBy("u").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        pick = (
+            cnt.withColumn("rk", F.row_number().over(wpick))
+            .where(F.col("rk") == 1)
+            .select(F.col("u").alias("nk"), F.col("lbl").alias("newl"))
+        )
+        # Rebuild from the tiny node spine, NOT from the previous
+        # labels frame: an isolated node's label is its own id in
+        # every round, so COALESCE(newl, nk) == COALESCE(newl, prev)
+        # — and referencing `labels` only once per round (inside
+        # `pick`) keeps the lineage LINEAR in the round count (two
+        # references double the plan per round: the first form
+        # measured 213 Exchanges at 3 rounds from exactly that).
+        labels = nodes.join(F.broadcast(pick), "nk", "left").select(
+            "nk", F.coalesce("newl", "nk").alias("lbl")
+        )
+    return labels
+
+
+@query(
+    "j_label_propagation",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    {_UND_CTE},
+    n AS (SELECT n_nationkey AS nk FROM nation),
+    {_lp_ctes(_LP_ROUNDS)},
+    sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM lp{_LP_ROUNDS} GROUP BY lbl)
+    SELECT nat.n_nationkey, nat.n_name,
+           CAST(l.lbl AS BIGINT) AS community, sz.n_members
+    FROM lp{_LP_ROUNDS} l
+    JOIN sz ON sz.lbl = l.lbl
+    JOIN nation nat ON nat.n_nationkey = l.nk
+    """,
+)
+def j_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, public) over the undirected capped trade
+    graph, {R} fixed rounds: every node starts as its own community
+    and repeatedly adopts the most-frequent label among its neighbors
+    (ties to the smallest label — the determinism LPA famously lacks
+    when run asynchronously with random tie-breaks; fixed-round
+    synchronous + min-tie-break makes round k a pure function of round
+    k-1, so the oracle unrolls exactly {R} CTE rounds, the j_pagerank
+    discipline). Output: each nation's community plus the community
+    size — the partition j_modularity scores.
+
+    EXACT: labels are node ids (integers) end-to-end; the argmax is a
+    (count DESC, label ASC) window rank — no floats anywhere.
+
+    Plan: one data-sized flow agg (shared _trade_edges lowering), then
+    {R} rounds of |V|-row broadcast join + (u,lbl) hash agg + per-u
+    window — all nation-cardinality metadata. Lineage grows linearly
+    in the fixed round count; a high-round deployment adds the lazy
+    localCheckpoint every ~8 rounds as j_dedup_cluster does."""
+    t = load(spark, sf_dir)
+    labels = _lp_labels(spark, t)
+    sz = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        labels.join(F.broadcast(sz), "lbl")
+        .join(
+            F.broadcast(t.nation), F.col("nk") == F.col("n_nationkey")
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("lbl").cast("long").alias("community"),
+            "n_members",
+        )
+    )
+
+
+j_label_propagation.__doc__ = j_label_propagation.__doc__.replace(
+    "{R}", str(_LP_ROUNDS)
+)
+
+
+@query(
+    "j_modularity",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    {_UND_CTE},
+    n AS (SELECT n_nationkey AS nk FROM nation),
+    {_lp_ctes(_LP_ROUNDS)},
+    edg AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM und),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edg),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    intra AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+              FROM edg
+              JOIN lp{_LP_ROUNDS} la ON la.nk = edg.a
+              JOIN lp{_LP_ROUNDS} lb ON lb.nk = edg.b
+              WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+    dsum AS (SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                    CAST(SUM(deg.d) AS BIGINT) AS d_c
+             FROM lp{_LP_ROUNDS} l
+             LEFT JOIN deg ON deg.u = l.nk GROUP BY l.lbl)
+    SELECT CAST(dsum.lbl AS BIGINT) AS community,
+           dsum.n_nodes,
+           COALESCE(intra.e_c, 0) AS intra_edges,
+           COALESCE(dsum.d_c, 0) AS degree_sum,
+           {sql_rnd(
+               "(4.0 * mm.m * COALESCE(intra.e_c, 0)"
+               " - CAST(COALESCE(dsum.d_c, 0) AS DOUBLE)"
+               "   * COALESCE(dsum.d_c, 0))"
+               " / (4.0 * mm.m * mm.m)", 6)} AS q_contrib
+    FROM dsum CROSS JOIN mm
+    LEFT JOIN intra ON intra.lbl = dsum.lbl
+    """,
+)
+def j_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (2004, public) of the label-propagation
+    partition — the score that says whether j_label_propagation's
+    communities are real structure or noise: per community c,
+    q_contrib = e_c/m - (d_c/2m)^2 (intra-edge share minus the share
+    expected under the degree-preserving null model), total Q = sum.
+    Q is bounded in [-1/2, 1) — pinned as a property test — and the
+    per-community decomposition localizes WHICH communities carry the
+    structure, the readout a single global Q hides.
+
+    EXACT: edges, degrees, and communities are integers; q_contrib is
+    one rounded division of the exact integer (4*m*e_c - d_c^2) by
+    4m^2. The communities are the SAME relation as
+    j_label_propagation's (shared _lp_ctes chain / _lp_labels frame),
+    so the two qids cannot drift apart.
+
+    Plan: the flow agg is the only data pass; edge canonicalization,
+    the LP rounds, both rollups, and the final fold are
+    |V|-cardinality broadcast algebra."""
+    t = load(spark, sf_dir)
+    labels = _lp_labels(spark, t)
+    labels.persist()  # consumers: intra (x2), dsum
+    und = _sym_neighbors(t)
+    und.persist()  # consumers: edg, deg
+    edg = und.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    mm = edg.agg(F.count("*").cast("long").alias("m"))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    la = labels.select(F.col("nk").alias("a"), F.col("lbl").alias("lbl_a"))
+    lb = labels.select(F.col("nk").alias("b"), F.col("lbl").alias("lbl_b"))
+    intra = (
+        edg.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .where(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy(F.col("lbl_a").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    dsum = (
+        labels.join(F.broadcast(deg), labels.nk == deg.u, "left")
+        .groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+    )
+    out = (
+        dsum.crossJoin(F.broadcast(mm))
+        .join(F.broadcast(intra), "lbl", "left")
+        .select(
+            F.col("lbl").cast("long").alias("community"),
+            "n_nodes",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("intra_edges"),
+            F.coalesce("d_c", F.lit(0)).cast("long").alias("degree_sum"),
+            rnd(
+                (
+                    4.0 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                    - F.coalesce("d_c", F.lit(0)).cast("double")
+                    * F.coalesce("d_c", F.lit(0))
+                )
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+    return out
+
+
+def _cc_ctes(rounds: int) -> str:
+    """Unrolled min-label propagation cc0..ccR: component label =
+    min node id within <= R hops."""
+    ctes = ["cc0 AS (SELECT nk, nk AS lbl FROM n)"]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""cc{k} AS (
+      SELECT n.nk, least(prev.lbl, COALESCE(mn.ml, prev.lbl)) AS lbl
+      FROM n
+      JOIN cc{k - 1} prev ON prev.nk = n.nk
+      LEFT JOIN (SELECT und.u AS nk, MIN(l.lbl) AS ml
+                 FROM und JOIN cc{k - 1} l ON l.nk = und.v
+                 GROUP BY und.u) mn ON mn.nk = n.nk)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "j_connected_components",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    {_UND_CTE},
+    n AS (SELECT n_nationkey AS nk FROM nation),
+    {_cc_ctes(_CC_ROUNDS)},
+    sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comp_size
+           FROM cc{_CC_ROUNDS} GROUP BY lbl)
+    SELECT nat.n_nationkey, nat.n_name,
+           CAST(c.lbl AS BIGINT) AS component, sz.comp_size
+    FROM cc{_CC_ROUNDS} c
+    JOIN sz ON sz.lbl = c.lbl
+    JOIN nation nat ON nat.n_nationkey = c.nk
+    """,
+)
+def j_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by fixed-round min-label propagation over
+    the undirected trade graph: every node starts labeled with its own
+    id and repeatedly takes the minimum of its own and its neighbors'
+    labels — after R rounds the label is exactly the minimum node id
+    within R hops, and once R reaches the component's eccentricity
+    from its minimum node, the label IS the component id (the
+    classic HashMin algorithm, e.g. Rastogi et al. 2013, public;
+    the pointer-doubling variant in j_dedup_cluster covers the
+    high-diameter regime — this qid is the plain propagation form on
+    a low-diameter graph). Convergence at the test scales is pinned
+    by the every-edge-joins-equal-labels property test, so the
+    fixed-round semantics and the component semantics coincide.
+
+    EXACT: labels are integer node ids; min is exact; sizes are
+    counts.
+
+    Plan: one data-sized flow agg, then {R} rounds of |V|-row
+    broadcast join + min agg — nation-cardinality metadata; linear
+    lineage in the fixed round count."""
+    t = load(spark, sf_dir)
+    und = _sym_neighbors(t)
+    nodes = t.nation.select(F.col("n_nationkey").alias("nk"))
+    # Self-loops make each round a SINGLE reference to the previous
+    # labels frame (min over neighbors-including-self == least(own,
+    # min neighbor)) — linear lineage instead of the 2^R plan blowup
+    # the least()/left-join form measured (871 Exchanges at 5 rounds).
+    und2 = und.unionByName(
+        nodes.select(F.col("nk").alias("u"), F.col("nk").alias("v"))
+    )
+    und2.persist()  # one consumer per round
+    labels = nodes.select("nk", F.col("nk").alias("lbl"))
+    for _ in range(_CC_ROUNDS):
+        labels = (
+            und2.join(
+                F.broadcast(labels.select(F.col("nk").alias("v"), "lbl")), "v"
+            )
+            .groupBy(F.col("u").alias("nk"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    sz = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("comp_size"))
+    return (
+        labels.join(F.broadcast(sz), "lbl")
+        .join(F.broadcast(t.nation), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("lbl").cast("long").alias("component"),
+            "comp_size",
+        )
+    )
+
+
+j_connected_components.__doc__ = j_connected_components.__doc__.replace(
+    "{R}", str(_CC_ROUNDS)
+)
+
+
+@query(
+    "j_adamic_adar",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    {_UND_CTE},
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    wedge AS (SELECT a.u AS u, b.u AS v, a.v AS w
+              FROM und a JOIN und b ON a.v = b.v AND a.u < b.u),
+    scored AS (SELECT wedge.u, wedge.v,
+                      CAST(COUNT(*) AS BIGINT) AS n_common,
+                      CAST(SUM(CAST(FLOOR(1000000.0 / LN(deg.d) + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS aa6
+               FROM wedge JOIN deg ON deg.u = wedge.w
+               GROUP BY wedge.u, wedge.v)
+    SELECT s.u, s.v, s.n_common,
+           EXISTS (SELECT 1 FROM und WHERE und.u = s.u AND und.v = s.v)
+             AS adjacent,
+           s.aa6, s.aa6 / 1000000.0 AS aa_score
+    FROM scored s
+    """,
+)
+def j_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, public) over
+    the undirected trade graph — the degree-weighted refinement of
+    j_common_neighbors: a shared neighbor w votes 1/ln(deg(w)), so a
+    promiscuous hub certifies a pair far more weakly than a selective
+    mutual partner. Scores every pair with >= 1 common neighbor plus
+    an `adjacent` flag (non-adjacent high scorers are the predicted
+    next edges).
+
+    EXACT across engines: each 1/ln(d) term is floored ONCE onto the
+    1e-6 grid as a BIGINT (d >= 2 always — a common neighbor has at
+    least its two endpoints — so ln(d) > 0), the pair score sums those
+    integers (the no-pre-rounded-double-sums rule), and the display
+    value is one exact division. ln() is libm on both engines; the
+    grid flooring is the repo's standard containment for its
+    implementation-defined last ulp.
+
+    Plan: identical wedge join to j_common_neighbors (one triangle
+    leg) with the degree broadcast moved INSIDE the wedge agg; all
+    |V|^2-bounded metadata after the shared flow agg."""
+    t = load(spark, sf_dir)
+    und = _sym_neighbors(t)
+    und.persist()  # consumers: wedge x2, degrees, adjacency probe
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    a = und.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    b = und.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    term = F.expr("CAST(FLOOR(1000000.0 / LN(d) + 0.5) AS BIGINT)")
+    scored = (
+        a.join(b, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(F.broadcast(deg.select(F.col("u").alias("w"), "d")), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(term).cast("long").alias("aa6"),
+        )
+    )
+    adj = und.select("u", "v", F.lit(True).alias("adjacent"))
+    return (
+        scored.join(F.broadcast(adj), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.coalesce("adjacent", F.lit(False)).alias("adjacent"),
+            "aa6",
+            (F.col("aa6") / F.lit(1000000.0)).alias("aa_score"),
+        )
+    )
+
+
+def _hc_ctes(rounds: int) -> str:
+    """Unrolled all-pairs bounded-hop BFS hd0..hdR: hd{{k}}(s, t, dist)
+    = shortest path length <= k between s and t."""
+    ctes = ["hd0 AS (SELECT nk AS s, nk AS t, CAST(0 AS BIGINT) AS dist FROM n)"]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""hd{k} AS (
+      SELECT s, t, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT s, t, dist FROM hd{k - 1}
+        UNION ALL
+        SELECT p.s, und.v AS t, p.dist + 1 AS dist
+        FROM hd{k - 1} p JOIN und ON und.u = p.t) x
+      GROUP BY s, t)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "j_harmonic_centrality",
+    oracle=f"""
+    WITH {_TRADE_E_CTES},
+    {_UND_CTE},
+    n AS (SELECT n_nationkey AS nk FROM nation),
+    {_hc_ctes(_HC_ROUNDS)}
+    SELECT nat.n_nationkey, nat.n_name,
+           CAST(COUNT(*) FILTER (WHERE d.dist > 0) AS BIGINT) AS n_reached,
+           CAST(SUM(CASE WHEN d.dist > 0 THEN 1000000 // d.dist
+                         ELSE 0 END) AS BIGINT) AS hc6,
+           CAST(SUM(CASE WHEN d.dist > 0 THEN 1000000 // d.dist
+                         ELSE 0 END) AS BIGINT) / 1000000.0 AS harmonic
+    FROM hd{_HC_ROUNDS} d
+    JOIN nation nat ON nat.n_nationkey = d.s
+    GROUP BY nat.n_nationkey, nat.n_name
+    """,
+)
+def j_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014, public) within a
+    {R}-hop horizon over the undirected trade graph:
+    HC(v) = sum over reachable u != v of 1/d(v, u) — the
+    disconnection-robust closeness variant (unreachable nodes
+    contribute 0 instead of breaking the mean), computed from
+    all-pairs bounded-hop BFS (hd{R} = min distance within {R} hops,
+    the multi-source generalization of j_bfs_distance's single-source
+    frontier). The per-node readout that ranks WHERE in the graph a
+    nation sits, beside j_pagerank's flow-based rank.
+
+    EXACT: distances are integer hop counts; each 1/d term is the
+    exact integer 1000000 div d summed in BIGINT; display is one
+    division.
+
+    Plan: after the shared flow agg everything is |V|^2-bounded
+    metadata ({R} rounds of |V|^2-row broadcast join + min agg). At
+    100 TB a node-level (rather than nation-level) centrality swaps
+    this for the HyperBall sketch family (j_hll_merge's registers) —
+    same round structure, registers instead of exact pair rows."""
+    t = load(spark, sf_dir)
+    und = _sym_neighbors(t)
+    nodes = t.nation.select(F.col("n_nationkey").alias("nk"))
+    # Zero-cost self-loops turn "union previous with the relaxed step"
+    # (two references to d per round -> 2^R plan growth) into ONE
+    # min-plus join per round: a walk may "wait" on a self-loop, so
+    # min over walks of length <= k is unchanged. Linear lineage, the
+    # j_pagerank discipline.
+    und2 = und.select("u", "v", F.lit(1).alias("cost")).unionByName(
+        nodes.select(
+            F.col("nk").alias("u"), F.col("nk").alias("v"), F.lit(0).alias("cost")
+        )
+    )
+    und2.persist()  # one consumer per round
+    d = nodes.select(
+        F.col("nk").alias("s"), F.col("nk").alias("t"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_HC_ROUNDS):
+        d = (
+            d.join(F.broadcast(und2), d.t == und2.u)
+            .select("s", F.col("v").alias("t"), (F.col("dist") + F.col("cost")).alias("dist"))
+            .groupBy("s", "t")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    pos = F.col("dist") > 0
+    per = d.groupBy("s").agg(
+        F.count(F.when(pos, 1)).cast("long").alias("n_reached"),
+        F.sum(F.when(pos, F.expr("1000000 div dist")).otherwise(0))
+        .cast("long")
+        .alias("hc6"),
+    )
+    return per.join(
+        F.broadcast(t.nation), F.col("s") == F.col("n_nationkey")
+    ).select(
+        "n_nationkey",
+        "n_name",
+        "n_reached",
+        "hc6",
+        (F.col("hc6") / F.lit(1000000.0)).alias("harmonic"),
+    )
+
+
+j_harmonic_centrality.__doc__ = j_harmonic_centrality.__doc__.replace(
+    "{R}", str(_HC_ROUNDS)
+)

@@ -151,6 +151,17 @@ NEXT_QUEUE: list[str] = [
     # the full-parse-vs-column-pruning gotcha pinned
     "a_scan_csv_permissive",
     "a_scan_json_permissive",
+    # r16 wave 2: community detection + graph-shelf closure (the r15
+    # verdict's queued candidate) — fixed-round synchronous label
+    # propagation with the unrolled-CTE oracle (j_pagerank discipline),
+    # its modularity score over the SAME shared LP chain, HashMin
+    # connected components, Adamic-Adar link prediction (integer-grid
+    # 1/ln(d) terms), and bounded-hop harmonic centrality
+    "j_label_propagation",
+    "j_modularity",
+    "j_connected_components",
+    "j_adamic_adar",
+    "j_harmonic_centrality",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

@@ -1163,6 +1163,14 @@ _SHUFFLE_BUDGETS = {
     # --- r16 additions (measured cold at sf0.01):
     "a_scan_csv_permissive": 1,   # one PERMISSIVE scan + 4-class hash agg
     "a_scan_json_permissive": 1,  # one PERMISSIVE scan + 3-class hash agg
+    "j_label_propagation": 93,    # 3 LP rounds; persisted-und flow-agg
+                                  # subtree reprints per round (j_pagerank's
+                                  # 83 caveat; executes once)
+    "j_modularity": 179,          # LP chain + edge/degree/intra rollups,
+                                  # same persisted-child reprints
+    "j_connected_components": 133, # 5 HashMin rounds over persisted und2
+    "j_adamic_adar": 50,          # wedge join + degree broadcast
+    "j_harmonic_centrality": 54,  # 4 min-plus rounds over persisted und2
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

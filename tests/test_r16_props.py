@@ -69,3 +69,100 @@ def test_json_permissive_three_way_split_semantics(spark):
             assert te["n_corrupt"] == te["n_rows"] > 0
             assert te["n_chars_null"] == te["n_rows"]
             assert te["text_check"] is not None and te["lang_check"] is not None
+
+
+def test_label_propagation_partition_is_wellformed(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_label_propagation", sf)
+        assert len(rows) == 25
+        nks = {r["n_nationkey"] for r in rows}
+        comms = {r["community"] for r in rows}
+        # labels are node ids, always
+        assert comms <= nks
+        # n_members is the actual member count of each community
+        from collections import Counter
+
+        sizes = Counter(r["community"] for r in rows)
+        for r in rows:
+            assert r["n_members"] == sizes[r["community"]], r
+        # nontrivial at the data scales we run (not 25 singletons)
+        assert len(comms) < 25
+
+
+def test_modularity_is_bounded_and_decomposes(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_modularity", sf)
+        q = sum(r["q_contrib"] for r in rows)
+        assert -0.5 - 1e-6 <= q <= 1.0, q  # Newman bound
+        assert sum(r["n_nodes"] for r in rows) == 25
+        total_deg = sum(r["degree_sum"] for r in rows)
+        assert total_deg % 2 == 0  # handshake lemma: sum deg = 2m
+        for r in rows:
+            # intra edges contribute 2 endpoint-degrees each
+            assert 2 * r["intra_edges"] <= r["degree_sum"], r
+        # the partition is the SAME relation j_label_propagation emits
+        lp = _rows(spark, "j_label_propagation", sf)
+        lp_sizes = {
+            (r["community"], r["n_members"]) for r in lp
+        }
+        mod_sizes = {(r["community"], r["n_nodes"]) for r in rows}
+        assert lp_sizes == mod_sizes
+
+
+def test_connected_components_converged_and_consistent(spark):
+    from aprsdb_spark.queries.analytics import _sym_neighbors
+    from aprsdb_spark.tables import load as tload
+
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_connected_components", sf)
+        assert len(rows) == 25
+        comp = {r["n_nationkey"]: r["component"] for r in rows}
+        # min-label semantics: the label never exceeds the node's own id,
+        # and every component id is one of its members' ids
+        for r in rows:
+            assert r["component"] <= r["n_nationkey"]
+        for c in set(comp.values()):
+            assert comp[c] == c, f"component id {c} is not its own min member"
+        # CONVERGENCE (fixed rounds reached the fixpoint): every edge
+        # joins equal labels
+        und = _sym_neighbors(tload(spark, sf)).collect()
+        for e in und:
+            assert comp[e["u"]] == comp[e["v"]], (e, sf)
+        # sizes are the actual member counts
+        from collections import Counter
+
+        sizes = Counter(comp.values())
+        for r in rows:
+            assert r["comp_size"] == sizes[r["component"]]
+
+
+def test_adamic_adar_agrees_with_common_neighbors(spark):
+    for sf in (SF1, SF_DIR):
+        aa = _rows(spark, "j_adamic_adar", sf)
+        cn = _rows(spark, "j_common_neighbors", sf)
+        # same pair universe, same shared-neighbor counts, same adjacency
+        aa_m = {(r["u"], r["v"]): (r["n_common"], r["adjacent"]) for r in aa}
+        cn_m = {(r["u"], r["v"]): (r["n_common"], r["adjacent"]) for r in cn}
+        assert aa_m == cn_m
+        for r in aa:
+            assert r["u"] < r["v"]
+            assert r["aa6"] > 0
+            assert r["aa_score"] == pytest.approx(r["aa6"] / 1e6, abs=1e-12)
+            # each term is 1e6/ln(d) with 2 <= d <= 24:
+            # 1e6/ln(24) <= term <= 1e6/ln(2)
+            assert 314658 * r["n_common"] <= r["aa6"] <= 1442696 * r["n_common"]
+
+
+def test_harmonic_centrality_terms_are_bounded(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_harmonic_centrality", sf)
+        assert len(rows) == 25
+        cc = {r["n_nationkey"]: r["comp_size"] for r in _rows(spark, "j_connected_components", sf)}
+        for r in rows:
+            assert 0 <= r["n_reached"] <= 24
+            # every reached node is 1..R hops away: term in
+            # [1e6 div R, 1e6]
+            assert r["n_reached"] * (1000000 // 4) <= r["hc6"] <= r["n_reached"] * 1000000
+            assert r["harmonic"] == pytest.approx(r["hc6"] / 1e6, abs=1e-12)
+            # can never reach beyond the node's own component
+            assert r["n_reached"] <= cc[r["n_nationkey"]] - 1
