@@ -162,6 +162,15 @@ NEXT_QUEUE: list[str] = [
     "j_connected_components",
     "j_adamic_adar",
     "j_harmonic_centrality",
+    # r16 wave 3: paired/blocked rank-test closure — Wilcoxon
+    # signed-rank on the paired daily click/view series (the paired
+    # member j_mannwhitney isn't), Friedman across three graded
+    # per-mille quality scorers with inline k=3 rank algebra, and
+    # Kendall's W concordance of the same scorer panel (doubled
+    # midranks end-to-end, the j_kruskal_wallis device)
+    "j_wilcoxon_signed",
+    "j_friedman_test",
+    "j_kendall_w",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

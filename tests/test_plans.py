@@ -1171,6 +1171,10 @@ _SHUFFLE_BUDGETS = {
     "j_connected_components": 133, # 5 HashMin rounds over persisted und2
     "j_adamic_adar": 50,          # wedge join + degree broadcast
     "j_harmonic_centrality": 54,  # 4 min-plus rounds over persisted und2
+    "j_wilcoxon_signed": 6,       # one day agg (persisted) + |d|-histogram
+    "j_friedman_test": 1,         # stateless ranks + single-row fold
+    "j_kendall_w": 21,            # 3 value-domain histograms + rank joins
+                                  # over the persisted score frame (reprints)
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

@@ -166,3 +166,32 @@ def test_harmonic_centrality_terms_are_bounded(spark):
             assert r["harmonic"] == pytest.approx(r["hc6"] / 1e6, abs=1e-12)
             # can never reach beyond the node's own component
             assert r["n_reached"] <= cc[r["n_nationkey"]] - 1
+
+
+def test_wilcoxon_signed_rank_identities(spark):
+    for sf in (SF1, SF_DIR):
+        r = _rows(spark, "j_wilcoxon_signed", sf)[0]
+        n = r["n_pairs"]
+        assert n > 0
+        # doubled rank sums partition the doubled total n(n+1)
+        assert r["w2_plus"] + r["w2_minus"] == n * (n + 1)
+        assert 0 <= r["w2_plus"] <= n * (n + 1)
+        assert r["n_zero"] >= 0
+        assert r["significant"] == (abs(r["z_stat"]) > 1.96)
+
+
+def test_friedman_and_kendall_share_a_coherent_panel(spark):
+    for sf in (SF1, SF_DIR):
+        f = _rows(spark, "j_friedman_test", sf)[0]
+        n, k = f["n_blocks"], f["k_treatments"]
+        assert k == 3
+        # doubled within-block midranks sum to k(k+1) = 12 per block
+        assert f["r2_1"] + f["r2_2"] + f["r2_3"] == 12 * n
+        assert f["chi2_f"] >= 0
+        assert f["significant"] == (f["chi2_f"] > 5.991)
+        w = _rows(spark, "j_kendall_w", sf)[0]
+        assert w["n_items"] == n  # same corpus, same panel
+        assert 0.0 <= w["w"] <= 1.0
+        # avg pairwise Spearman = (mW - 1)/(m - 1), within rounding
+        assert w["avg_spearman"] == pytest.approx((3 * w["w"] - 1) / 2, abs=5e-6)
+        assert -0.5 <= w["avg_spearman"] <= 1.0  # m=3 lower bound
