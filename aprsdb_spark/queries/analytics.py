@@ -4430,3 +4430,98 @@ def j_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(w_raw, 6).alias("w"),
         rnd((3.0 * w_raw - 1.0) / 2.0, 6).alias("avg_spearman"),
     )
+
+
+@query(
+    "j_cohens_d",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (grp = 'A') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (grp = 'B') AS BIGINT) AS n_b,
+             FLOOR(AVG(value) FILTER (grp = 'A') * 1000000 + 0.5) / 1000000 AS mean_a,
+             FLOOR(AVG(value) FILTER (grp = 'B') * 1000000 + 0.5) / 1000000 AS mean_b,
+             FLOOR(var_samp(value) FILTER (grp = 'A') * 1000000 + 0.5) / 1000000 AS var_a,
+             FLOOR(var_samp(value) FILTER (grp = 'B') * 1000000 + 0.5) / 1000000 AS var_b
+      FROM g GROUP BY event_type),
+    d AS (
+      SELECT *,
+             (mean_a - mean_b)
+             / sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                    / (n_a + n_b - 2)) AS d_raw
+      FROM s),
+    r AS (
+      SELECT event_type, n_a, n_b,
+             FLOOR(d_raw * 10000 + 0.5) / 10000 AS cohens_d,
+             FLOOR(d_raw * (1.0 - 3.0 / (4.0 * (n_a + n_b - 2) - 1))
+                   * 10000 + 0.5) / 10000 AS hedges_g
+      FROM d)
+    SELECT event_type, n_a, n_b, cohens_d, hedges_g,
+           CASE WHEN ABS(cohens_d) < 0.2 THEN 'negligible'
+                WHEN ABS(cohens_d) < 0.5 THEN 'small'
+                WHEN ABS(cohens_d) < 0.8 THEN 'medium'
+                ELSE 'large' END AS effect_class
+    FROM r
+    """,
+)
+def j_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size (public 1969/1988) per event type over
+    the SAME salted-md5 A/B split as j_ab_ttest, with Hedges'
+    small-sample correction g = d * (1 - 3/(4 df - 1)) and the
+    conventional magnitude class — the column the t test is missing:
+    at 100 TB event volume every difference is "significant", and the
+    decision-relevant number is the STANDARDIZED size, not the
+    p-value. Pooled-SD form (vs Welch's per-arm variances in the t
+    qid): d = (mean_a - mean_b) / s_p, s_p^2 = ((n_a-1)var_a +
+    (n_b-1)var_b) / (n_a + n_b - 2).
+
+    EXACT: means/variances pre-round 1e-6 from the single conditional
+    agg (the j_ab_ttest device); d and g round 1e-4 BEFORE the class
+    thresholds compare, so the label can never flip between engines;
+    g derives from the UNROUNDED d.
+
+    Plan: ONE map-side-combined conditional agg on event_type — no
+    arm self-join, no second scan; |event_type| output rows."""
+    t = load(spark, sf_dir)
+    grp = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    g = t.events.select("event_type", "value", grp.alias("grp"))
+    a = F.col("grp") == "A"
+    b = F.col("grp") == "B"
+    s = g.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        rnd(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
+        rnd(F.avg(F.when(b, F.col("value"))), 6).alias("mean_b"),
+        rnd(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),
+        rnd(F.var_samp(F.when(b, F.col("value"))), 6).alias("var_b"),
+    )
+    df_ = F.col("n_a") + F.col("n_b") - 2
+    d_raw = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        ((F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b"))
+        / df_
+    )
+    dd = rnd(d_raw, 4)
+    gg = rnd(d_raw * (F.lit(1.0) - 3.0 / (4.0 * df_ - 1)), 4)
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        dd.alias("cohens_d"),
+        gg.alias("hedges_g"),
+        F.when(F.abs(dd) < 0.2, "negligible")
+        .when(F.abs(dd) < 0.5, "small")
+        .when(F.abs(dd) < 0.8, "medium")
+        .otherwise("large")
+        .alias("effect_class"),
+    )

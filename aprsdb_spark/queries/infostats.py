@@ -2857,3 +2857,84 @@ def j_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_between",
         )
     )
+
+
+@query(
+    "j_hellinger",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, tok),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM sc GROUP BY source),
+    cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY tok),
+    ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM cc),
+    term AS (SELECT sc.source,
+                    sqrt((sc.c * 1.0 / st.nt) * (cc.cc * 1.0 / ct.n)) AS bt
+             FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN ct),
+    red AS (SELECT source, SUM(bt) AS bc_raw FROM term GROUP BY source),
+    terms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms
+              FROM sc GROUP BY source)
+    SELECT st.source, st.nt AS n_tokens, terms.n_terms,
+           {sql_rnd('red.bc_raw', 6)} AS bhattacharyya_coef,
+           {sql_rnd('sqrt(GREATEST(1.0 - red.bc_raw, 0.0))', 6)} AS hellinger,
+           {sql_rnd('-LN(red.bc_raw)', 6)} AS bhattacharyya_dist
+    FROM st JOIN terms USING (source) JOIN red USING (source)
+    """,
+)
+def j_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance (and Bhattacharyya coefficient/distance,
+    public 1909/1943 statistics) between each source's unigram
+    distribution and the corpus distribution — the BOUNDED METRIC
+    companion to j_kl_sources (KL is unbounded and asymmetric; H is a
+    true metric in [0,1], the right axis for thresholded drift alarms)
+    and the geometric twin of j_js_divergence on the same rollup:
+    BC = SUM_t sqrt(p_s(t) * p_c(t)), H = sqrt(1 - BC),
+    D_B = -ln(BC). Terms absent from the source contribute 0 by
+    construction (P_source's support), so no smoothing is needed.
+
+    Determinism: sqrt is IEEE-correctly-rounded on both engines; the
+    per-source sum adds UNROUNDED terms (the j_kl_sources convention —
+    boundary odds ~1e-10/row), H and D_B derive from the UNROUNDED
+    coefficient, and all three round 1e-6 at display. 1 - BC clamps at
+    0 (fp can land a hair above 1 when a source IS the corpus).
+
+    Plan: identical lowering to j_kl_sources — one (source, token)
+    hash agg, Heaps-small vocabulary broadcast back, per-source
+    reduction, 1-row corpus total broadcast. The corpus never crosses
+    a shuffle as text."""
+    t = load(spark, sf_dir)
+    sc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sc.persist()  # 3 consumers: source totals, corpus vocab, term rows
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    cc = sc.groupBy("tok").agg(F.sum("c").cast("long").alias("cc"))
+    ct = cc.agg(F.sum("cc").cast("long").alias("n"))
+    bt = F.sqrt(
+        (F.col("c") * 1.0 / F.col("nt")) * (F.col("cc") * 1.0 / F.col("n"))
+    )
+    term = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "tok")
+        .crossJoin(F.broadcast(ct))
+        .select("source", bt.alias("bt"))
+    )
+    red = term.groupBy("source").agg(F.sum("bt").alias("bc_raw"))
+    n_terms = sc.groupBy("source").agg(F.count("*").cast("long").alias("n_terms"))
+    return (
+        st.join(n_terms, "source")
+        .join(red, "source")
+        .select(
+            "source",
+            F.col("nt").alias("n_tokens"),
+            "n_terms",
+            rnd(F.col("bc_raw"), 6).alias("bhattacharyya_coef"),
+            rnd(F.sqrt(F.greatest(1.0 - F.col("bc_raw"), F.lit(0.0))), 6).alias(
+                "hellinger"
+            ),
+            rnd(-F.log("bc_raw"), 6).alias("bhattacharyya_dist"),
+        )
+    )

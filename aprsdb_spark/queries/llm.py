@@ -6565,3 +6565,173 @@ j_mmr_diversity.__doc__ = (
     .replace("{L}", str(_MMR_LAM))
     .replace("{C}", str(round(1.0 - _MMR_LAM, 10)))
 )
+
+
+@query(
+    "j_log_loss",
+    oracle=f"""
+    WITH {_ECE_VOTES_CTES},
+    nl AS (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS nlab
+           FROM embeddings),
+    per AS (SELECT v.qid, v.qlabel,
+                   CAST(SUM(CASE WHEN v.label = v.qlabel THEN v.v ELSE 0 END)
+                        AS BIGINT) AS vt
+            FROM votes v GROUP BY v.qid, v.qlabel),
+    term AS (SELECT qid, qlabel, vt,
+                    CAST(FLOOR(-LN((vt + 1.0) / ({_ECE_K} + nl.nlab))
+                               * 1000000 + 0.5) AS BIGINT) AS t6
+             FROM per CROSS JOIN nl)
+    SELECT qlabel AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN vt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vote,
+           CAST(SUM(t6) AS BIGINT) AS loss_sum6,
+           FLOOR(SUM(t6) * 1.0 / COUNT(*) / 1000000 * 1000000 + 0.5) / 1000000
+             AS log_loss
+    FROM term GROUP BY qlabel
+    """,
+)
+def j_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (logarithmic) loss of the kNN vote classifier per
+    true label — the THIRD proper-scoring readout on the shared
+    _ece_votes panel: ECE sees only argmax confidence, Brier charges
+    quadratically, log loss charges -ln(p_truth) and so punishes
+    CONFIDENT wrongness hardest (a zero-vote truth under Brier costs a
+    bounded 2; under log loss it dominates the mean — n_zero_vote
+    counts exactly those). Laplace-smoothed p = (v_truth + 1) /
+    (K + |labels|) keeps p > 0 with a deterministic integer recipe
+    (the standard add-one smoothing; |labels| from the corpus).
+
+    EXACT: vote counts are integers; each query's -ln(p) term floors
+    ONCE onto the 1e-6 grid as BIGINT (the libm containment), the
+    per-label sum is integer, display is one rounded division.
+
+    Plan: reuses the _ece_votes Arrow batch-partial top-k pipeline
+    (corpus never leaves the map stage; <= nq*K rows shuffle); the
+    loss rollup is two metadata-scale hash aggs + a 1-row label-count
+    broadcast."""
+    t = load(spark, sf_dir)
+    votes = _ece_votes(t)
+    nl = t.embeddings.agg(
+        F.countDistinct("label").cast("long").alias("nlab")
+    )
+    per = votes.groupBy("qid", "qlabel").agg(
+        F.sum(F.when(F.col("label") == F.col("qlabel"), F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("vt"),
+    )
+    term = per.crossJoin(F.broadcast(nl)).select(
+        "qid",
+        "qlabel",
+        "vt",
+        F.floor(
+            -F.log((F.col("vt") + 1.0) / (F.lit(_ECE_K) + F.col("nlab")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t6"),
+    )
+    return term.groupBy(F.col("qlabel").alias("true_label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("vt") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_vote"),
+        F.sum("t6").cast("long").alias("loss_sum6"),
+        rnd(F.sum("t6") * 1.0 / F.count("*") / 1000000, 6).alias("log_loss"),
+    )
+
+
+@query(
+    "j_map_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_KNNB_NQ}),
+    s AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                 FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv))
+                       * 1000000 + 0.5) / 1000000 AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+    r AS (SELECT qid, qlabel,
+                 CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rk
+          FROM s),
+    c AS (SELECT qid, qlabel, rel, rk,
+                 CAST(SUM(rel) OVER (PARTITION BY qid ORDER BY rk) AS BIGINT)
+                   AS cum_rel
+          FROM r)
+    SELECT qid, qlabel AS true_label,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           CAST(SUM(CASE WHEN rel = 1
+                         THEN (1000000 * cum_rel) // rk ELSE 0 END)
+                AS BIGINT) AS ap6_sum,
+           FLOOR(SUM(CASE WHEN rel = 1
+                          THEN (1000000 * cum_rel) // rk ELSE 0 END)
+                 * 1.0 / SUM(rel) / 1000000 * 1000000 + 0.5) / 1000000
+             AS avg_precision,
+           FLOOR(SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) / 10.0
+                 * 1000000 + 0.5) / 1000000 AS p_at_10
+    FROM c GROUP BY qid, qlabel
+    """,
+)
+def j_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision per query over the {nq}-query panel (MAP's
+    per-query decomposition; public TREC-era metric): AP = (1/R)
+    SUM over relevant ranks k of precision@k — the area-under-PR
+    readout that completes the ranked-retrieval scorecard
+    (j_retrieval_mrr = first hit only, j_ndcg = graded positions,
+    j_auc_rank = threshold-free separability; AP is what
+    ad-hoc-retrieval leaderboards actually average), plus p@10.
+
+    EXACT: relevance and ranks are integers; each precision@k term is
+    the exact integer (1e6 * cum_rel) div k, the per-query sum is
+    BIGINT, and AP/p@10 are single rounded display divisions (the
+    no-pre-rounded-double-sums rule applied to the harmonic-ish sum).
+
+    Plan: the j_retrieval_mrr fan-out verbatim — {nq}-row broadcast
+    query panel onto the candidate scan, ONE qid-partitioned rank
+    window + ONE qid-partitioned running-sum window, one group agg.
+    At 100 TB the candidate leg is the ANN shortlist (j_ann_recall's
+    protocol)."""
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double("embedding").alias("qv"),
+    )
+    s = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).cast("long").alias("rel"),
+            rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    wrk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    r = s.select("qid", "qlabel", "rel", F.row_number().over(wrk).alias("rk"))
+    wcum = Window.partitionBy("qid").orderBy("rk")
+    c = r.select(
+        "qid",
+        "qlabel",
+        "rel",
+        "rk",
+        F.sum("rel").over(wcum).cast("long").alias("cum_rel"),
+    )
+    term = F.when(
+        F.col("rel") == 1, F.expr("(1000000 * cum_rel) div rk")
+    ).otherwise(0)
+    return c.groupBy("qid", F.col("qlabel").alias("true_label")).agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(term).cast("long").alias("ap6_sum"),
+        rnd(F.sum(term) * 1.0 / F.sum("rel") / 1000000, 6).alias("avg_precision"),
+        rnd(F.sum(F.when(F.col("rk") <= 10, F.col("rel")).otherwise(0)) / 10.0, 6).alias(
+            "p_at_10"
+        ),
+    )
+
+
+j_map_eval.__doc__ = j_map_eval.__doc__.replace("{nq}", str(_KNNB_NQ))

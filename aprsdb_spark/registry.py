@@ -171,6 +171,21 @@ NEXT_QUEUE: list[str] = [
     "j_wilcoxon_signed",
     "j_friedman_test",
     "j_kendall_w",
+    # r16 wave 4: effect size + proper-scoring closure — Cohen's d /
+    # Hedges' g on the j_ab_ttest split (the standardized-size column
+    # a 100 TB A/B readout needs beside p-values) and Laplace-smoothed
+    # log loss on the shared _ece_votes panel (ECE/Brier/log-loss
+    # triad complete)
+    "j_cohens_d",
+    "j_log_loss",
+    # r16 wave 5: bounded-metric drift distance — Hellinger /
+    # Bhattacharyya per source on the j_kl_sources rollup
+    "j_hellinger",
+    # r16 wave 6: readability (Flesch + FK grade, integer count
+    # devices) and Average Precision per query (the MAP decomposition
+    # completing MRR/NDCG/AUC)
+    "j_readability",
+    "j_map_eval",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

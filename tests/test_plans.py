@@ -294,6 +294,13 @@ _EXPECTED_BNLJ = {
     # --- r12 additions, all metadata-scale build sides by design:
     "j_drift_timeslices",  # 1-row broadcast MIN/MAX grid + 1-row total + <=10-row bucket masses
     "j_ngram_entropy_curve",  # 1-row broadcast H1 onto the 3-row curve
+    # --- r16 additions, all metadata-scale build sides by design:
+    "j_modularity",  # 1-row edge-total mm cross-joined onto |communities| rows
+    "j_wilcoxon_signed",  # 1-row zero-pair count cross-joined onto the fold
+    "j_kendall_w",  # 1-row n / tie-mass frames cross-joined (x3)
+    "j_log_loss",  # 1-row |labels| broadcast onto the per-query vote rows
+    "j_hellinger",  # 1-row corpus total cross-join (the j_kl_sources shape)
+    "j_map_eval",  # 20-row query panel broadcast (the j_knn_batch fan-out)
     # --- r15 additions, all metadata-scale build sides by design:
     "j_kmv_jaccard",  # 15-row pair grid theta-joined (supp = a OR supp = b)
     "j_rbo_overlap",  # 10-row depth grid theta-joined (m <= i) + two 1-row frames
@@ -1175,6 +1182,12 @@ _SHUFFLE_BUDGETS = {
     "j_friedman_test": 1,         # stateless ranks + single-row fold
     "j_kendall_w": 21,            # 3 value-domain histograms + rank joins
                                   # over the persisted score frame (reprints)
+    "j_cohens_d": 1,              # the j_ab_ttest single conditional agg
+    "j_log_loss": 5,              # _ece_votes Arrow partial-top pipeline
+                                  # + label-count broadcast + rollup
+    "j_hellinger": 18,            # j_kl_sources' shape (persisted sc reprints)
+    "j_readability": 1,           # stateless counts + one source agg
+    "j_map_eval": 2,              # panel broadcast + qid windows + agg
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

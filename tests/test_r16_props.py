@@ -195,3 +195,88 @@ def test_friedman_and_kendall_share_a_coherent_panel(spark):
         # avg pairwise Spearman = (mW - 1)/(m - 1), within rounding
         assert w["avg_spearman"] == pytest.approx((3 * w["w"] - 1) / 2, abs=5e-6)
         assert -0.5 <= w["avg_spearman"] <= 1.0  # m=3 lower bound
+
+
+def test_cohens_d_is_consistent_with_the_t_test_panel(spark):
+    for sf in (SF1, SF_DIR):
+        d = {r["event_type"]: r for r in _rows(spark, "j_cohens_d", sf)}
+        t = {r["event_type"]: r for r in _rows(spark, "j_ab_ttest", sf)}
+        assert set(d) == set(t)  # same split, same types
+        for et, r in d.items():
+            assert r["n_a"] == t[et]["n_a"] and r["n_b"] == t[et]["n_b"]
+            # d and t share the sign of (mean_a - mean_b)
+            if t[et]["t_stat"] != 0:
+                assert (r["cohens_d"] >= 0) == (t[et]["t_stat"] >= 0)
+            # Hedges' correction shrinks toward zero, never flips sign
+            assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-4
+            lab = r["effect_class"]
+            a = abs(r["cohens_d"])
+            want = (
+                "negligible" if a < 0.2 else
+                "small" if a < 0.5 else
+                "medium" if a < 0.8 else "large"
+            )
+            assert lab == want
+
+
+def test_log_loss_bounds_and_zero_vote_accounting(spark):
+    import math
+
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_log_loss", sf)
+        assert sum(r["n_queries"] for r in rows) == 200  # the ECE panel
+        # Laplace p ranges over {1..K+1}/(K+L): loss per query is
+        # bounded by -ln(1/(K+L)) and below by -ln((K+1)/(K+L))
+        for r in rows:
+            lo = -math.log(11 / 20)  # vt = K, L = 10 labels
+            hi = -math.log(1 / 20)   # vt = 0
+            per = r["loss_sum6"] / r["n_queries"] / 1e6
+            assert lo - 1e-6 <= per <= hi + 1e-6, r
+            assert 0 <= r["n_zero_vote"] <= r["n_queries"]
+            # zero-vote queries each contribute exactly the max term
+            assert r["loss_sum6"] >= r["n_zero_vote"] * int(hi * 1e6) - r["n_queries"]
+
+
+def test_hellinger_is_a_bounded_metric_coherent_with_kl(spark):
+    for sf in (SF1, SF_DIR):
+        h = {r["source"]: r for r in _rows(spark, "j_hellinger", sf)}
+        kl = {r["source"]: r for r in _rows(spark, "j_kl_sources", sf)}
+        assert set(h) == set(kl)
+        for src, r in h.items():
+            assert 0.0 <= r["hellinger"] <= 1.0
+            assert 0.0 < r["bhattacharyya_coef"] <= 1.0 + 1e-6
+            assert r["bhattacharyya_dist"] >= -1e-6
+            # same rollup: token/term counts must agree with the KL qid
+            assert r["n_tokens"] == kl[src]["n_tokens"]
+            assert r["n_terms"] == kl[src]["n_terms"]
+
+
+def test_readability_count_devices_are_coherent(spark):
+    for sf in (SF1, SF_DIR):
+        for r in _rows(spark, "j_readability", sf):
+            assert r["n_words"] > 0 and r["n_sentences"] >= r["n_docs"]
+            assert r["n_syllables"] >= r["n_words"]  # floored proxy
+            assert r["syllables_per_word"] >= 1.0
+            assert r["words_per_sentence"] > 0
+            lvl = r["reading_level"]
+            fl = r["flesch"]
+            want = "easy" if fl >= 70 else "standard" if fl >= 50 else "difficult"
+            assert lvl == want
+
+
+def test_map_decomposition_is_coherent_with_mrr(spark):
+    for sf in (SF1, SF_DIR):
+        ap = {r["qid"]: r for r in _rows(spark, "j_map_eval", sf)}
+        mrr = {r["qid"]: r for r in _rows(spark, "j_retrieval_mrr", sf)}
+        assert set(ap) == set(mrr) and len(ap) == 20
+        for qid, r in ap.items():
+            assert 0.0 <= r["avg_precision"] <= 1.0
+            assert 0.0 <= r["p_at_10"] <= 1.0
+            assert r["n_rel"] > 0
+            # AP is bounded above by the first-hit reciprocal-rank
+            # ONLY when every doc is relevant... the true identity:
+            # the first relevant hit contributes cum/k = 1/rank_first
+            # and AP <= 1; cross-pin the rank itself instead:
+            assert r["true_label"] == mrr[qid]["true_label"]
+            # precision@k terms start at the MRR first-hit rank
+            assert r["ap6_sum"] >= (1000000 * 1) // mrr[qid]["first_rel_rank"]
