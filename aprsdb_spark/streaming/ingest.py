@@ -1314,3 +1314,61 @@ def lateness_view(spark: SparkSession, state_dir: str) -> DataFrame:
         ).alias("late_share"),
         "watermark_ms",
     )
+
+
+def message_ack_outer_stream(parsed: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER message↔ack correlation — the variant
+    that answers the question the inner join structurally cannot:
+    WHICH messages were never acknowledged. Same legs and event-time
+    bound as message_ack_stream; the preserved (message) side emits a
+    null-extended row once the watermark proves no ack can still
+    arrive (sent_ts + within is behind the watermark, so the state
+    store evicts the unmatched row as a definitive non-ack — the
+    classic stream-stream-outer correctness trap: the null row is a
+    WATERMARK fact, not an absence-so-far fact).
+
+    Operationally (pinned by the replay test): outer results are
+    emitted only when a LATER micro-batch advances past the expired
+    state — a finite replay that ends exactly at the last data batch
+    holds unmatched rows in state rather than fabricating premature
+    nulls, and the next batch (or the next availableNow run over the
+    same checkpoint) releases them. At 100 TB this is the at-least-
+    once contract every alerting pipeline on "unacked after N
+    minutes" is built on."""
+    msgs = (
+        parsed.where(F.col("msg").isNotNull() & ~F.col("msg.is_ack") & ~F.col("msg.is_rej"))
+        .select(
+            F.col("src").alias("m_from"),
+            F.col("msg.addressee").alias("m_to"),
+            F.col("msg.msg_no").alias("msg_no"),
+            F.col("recv_ts").alias("sent_ts"),
+        )
+        .withWatermark("sent_ts", "10 minutes")
+    )
+    acks = (
+        parsed.where(F.col("msg.is_ack"))
+        .select(
+            F.col("src").alias("a_from"),
+            F.col("msg.addressee").alias("a_to"),
+            F.regexp_extract(F.col("msg.text"), r"^ack([A-Za-z0-9]{1,5})$", 1).alias("ack_no"),
+            F.col("recv_ts").alias("ack_ts"),
+        )
+        .withWatermark("ack_ts", "10 minutes")
+    )
+    joined = msgs.join(
+        acks,
+        (F.col("m_from") == F.col("a_to"))
+        & (F.col("m_to") == F.col("a_from"))
+        & (F.col("msg_no") == F.col("ack_no"))
+        & (F.col("ack_ts") >= F.col("sent_ts"))
+        & (F.col("ack_ts") <= F.col("sent_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    )
+    return joined.select(
+        "m_from",
+        "m_to",
+        "msg_no",
+        "sent_ts",
+        "ack_ts",
+        F.col("ack_ts").isNotNull().alias("acked"),
+    )

@@ -1568,3 +1568,73 @@ def test_monitor_views_recover_crash_mid_swap_on_read(spark, tmp_path):
     )
     assert got_occ == want_occ
     assert os.path.exists(os.path.join(occ_state, "_SUCCESS"))
+
+
+def test_stream_stream_left_outer_ack_semantics(spark, tmp_path):
+    """Stream-stream LEFT OUTER join (§2.I closure, r15 verdict item):
+    the never-acked query. Pins the three facts that make outer
+    stream-stream joins a correctness trap:
+    (1) a null-extended row is a WATERMARK fact — it appears only
+        after BOTH sides' watermarks prove no match can arrive
+        (sent_ts + within behind the min-of-inputs watermark), and
+        the joined-vs-expired split then equals the batch left-outer
+        twin restricted to provably-closed windows;
+    (2) no premature nulls — a message whose window is still open is
+        withheld, not emitted unmatched;
+    (3) at-least-once replay over the same checkpoint re-emits
+        nothing."""
+    import os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1704067200000
+    with open(src / "a.txt", "w") as f:
+        for i in range(4):
+            f.write(f"{base + i * 1000}\tALICE-{i}>APRS,qAC,G::BOB-{i}    :hello {i}{{0{i}\n")
+        for i in (0, 2):
+            f.write(f"{base + i * 1000 + 3000}\tBOB-{i}>APRS,qAC,G::ALICE-{i}  :ack0{i}\n")
+    # closer batch: advances BOTH watermark legs (a message alone moves
+    # only the msgs side; the global watermark is the MIN over inputs,
+    # so without an ack row the unmatched state would never expire —
+    # the first probe of this test found exactly that)
+    late = base + 40 * 60 * 1000
+    with open(src / "b.txt", "w") as f:
+        f.write(f"{late}\tCLOSER>APRS,qAC,G::BOB-9    :late{{99\n")
+        f.write(f"{late}\tCLOSER2>APRS,qAC,G::CLOSERX  :ack99\n")
+
+    got: list = []
+
+    def run():
+        lines = S.read_packet_lines(spark, str(src))
+        out = S.message_ack_outer_stream(S.parsed_packet_stream(lines))
+        q = (
+            out.writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+            .option("maxFilesPerTrigger", "1")
+            .trigger(availableNow=True)
+            .foreachBatch(lambda b, i: got.extend(tuple(r) for r in b.collect()))
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    by_msg = {(r[0], r[2]): r for r in got}
+    # batch left-outer twin, restricted to provably-closed windows:
+    # ALICE-0/2 acked, ALICE-1/3 expired unmatched
+    assert sorted((r[0], r[5]) for r in got) == [
+        ("ALICE-0", True),
+        ("ALICE-1", False),
+        ("ALICE-2", True),
+        ("ALICE-3", False),
+    ]
+    for (m_from, _), r in by_msg.items():
+        if r[5]:
+            assert r[4] is not None and r[4] >= r[3]  # ack_ts sane
+        else:
+            assert r[4] is None
+    # (2) CLOSER's own message window (late + 10 min) is NOT behind the
+    # final watermark (late + 1s - 10 min): withheld, not null-emitted
+    assert all(r[0] != "CLOSER" for r in got)
+    # (3) replay over the same checkpoint: nothing re-emitted
+    n = len(got)
+    run()
+    assert len(got) == n, got[n:]
