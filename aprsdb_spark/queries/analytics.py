@@ -4525,3 +4525,323 @@ def j_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("effect_class"),
     )
+
+
+@query(
+    "j_cliffs_delta",
+    oracle=f"""
+    WITH d AS (SELECT source, n_chars AS v FROM documents
+               WHERE source IN ('{_MW_A}', '{_MW_B}')),
+    g AS (SELECT v,
+                 CAST(COUNT(*) FILTER (source = '{_MW_A}') AS BIGINT) AS ca,
+                 CAST(COUNT(*) FILTER (source = '{_MW_B}') AS BIGINT) AS cb
+          FROM d GROUP BY v),
+    w AS (SELECT v, ca, cb, ca + cb AS c,
+                 CAST(COALESCE(SUM(ca + cb) OVER (
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+          FROM g),
+    s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb,
+                 SUM(CAST(ca AS DECIMAL(38,0)) * (2 * cumb + c + 1)) AS r2a
+          FROM w),
+    f AS (SELECT na, nb,
+                 r2a - CAST(na AS DECIMAL(38,0)) * (na + 1) AS u2a
+          FROM s),
+    r AS (SELECT '{_MW_A}' AS source_a, '{_MW_B}' AS source_b,
+                 na AS n_a, nb AS n_b,
+                 CAST(u2a AS BIGINT) AS u2_a,
+                 FLOOR((CAST(u2a AS DOUBLE)
+                        / (CAST(na AS DOUBLE) * nb) - 1.0)
+                       * 1000000 + 0.5) / 1000000 AS cliffs_delta
+          FROM f)
+    SELECT *,
+           CASE WHEN ABS(cliffs_delta) < 0.147 THEN 'negligible'
+                WHEN ABS(cliffs_delta) < 0.33 THEN 'small'
+                WHEN ABS(cliffs_delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS effect_class
+    FROM r
+    """,
+)
+def j_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (public 1993 ordinal effect size) between the
+    j_mannwhitney source pair on document length — the NONPARAMETRIC
+    twin of j_cohens_d, closing the effect-size pair exactly as
+    Mann-Whitney closes the t test: delta = P(a > b) - P(a < b) =
+    2U_a/(n_a n_b) - 1, where the midrank U already credits ties with
+    1/2 each, so the doubled-rank integer u2a gives delta EXACTLY as
+    u2a/(n_a n_b) - 1. Romano magnitude classes on the rounded value.
+
+    EXACT: the full j_mannwhitney doubled-midrank chain (one
+    value-domain histogram, one unpartitioned prefix window on it),
+    one rounded display division; the class thresholds compare the
+    ROUNDED delta.
+
+    Plan: identical lowering to j_mannwhitney — value-domain metadata
+    after one filter+hash agg."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    d = t.documents.where(F.col("source").isin(_MW_A, _MW_B)).select(
+        "source", F.col("n_chars").alias("v")
+    )
+    g = d.groupBy("v").agg(
+        F.count(F.when(F.col("source") == _MW_A, 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("source") == _MW_B, 1)).cast("long").alias("cb"),
+    )
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w = g.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(win), F.lit(0))
+        .cast("long")
+        .alias("cumb"),
+    )
+    s = w.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca").cast(dec) * (2 * F.col("cumb") + F.col("c") + 1))
+        .cast(dec)
+        .alias("r2a"),
+    )
+    u2a = F.col("r2a") - F.col("na").cast(dec) * (F.col("na") + 1)
+    delta = rnd(
+        u2a.cast("double") / (F.col("na").cast("double") * F.col("nb")) - 1.0, 6
+    )
+    return s.select(
+        F.lit(_MW_A).alias("source_a"),
+        F.lit(_MW_B).alias("source_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        delta.alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+        .alias("effect_class"),
+    )
+
+
+# Holm-Bonferroni at alpha = 0.05 (step-down integer compare:
+# p6 * (m - rk + 1) * 20 <= 1e6).
+_HOLM_A_NUM, _HOLM_A_DEN = 1, 20  # alpha = 0.05
+
+
+@query(
+    "j_holm_bonferroni",
+    oracle=f"""
+    WITH tt AS ({_welch_t4_sql()}),
+    pv AS (SELECT event_type, t4,
+                  CAST(FLOOR({_tail_sql('t4')} * 1000000 + 0.5) AS BIGINT)
+                    AS p6
+           FROM tt),
+    r AS (SELECT event_type, t4, p6,
+                 ROW_NUMBER() OVER (ORDER BY p6, event_type) AS rk,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM pv),
+    c AS (SELECT *, CASE WHEN p6 * (m - rk + 1) * {_HOLM_A_DEN}
+                              > 1000000 * {_HOLM_A_NUM}
+                         THEN rk ELSE m + 1 END AS fail_at
+          FROM r),
+    k AS (SELECT CAST(MIN(fail_at) AS BIGINT) AS first_fail FROM c)
+    SELECT event_type, t4 AS t_stat, p6 / 1000000.0 AS p_value,
+           CAST(rk AS BIGINT) AS p_rank,
+           FLOOR({_HOLM_A_NUM}.0 / ({_HOLM_A_DEN} * (m - rk + 1))
+                 * 1000000 + 0.5) / 1000000 AS holm_cutoff,
+           rk < k.first_fail AS rejected
+    FROM c, k
+    """,
+)
+def j_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down FWER control (public 1979 procedure)
+    over the same Welch-t p-value panel as j_fdr_bh — the
+    multiple-testing closure's OTHER half: BH controls the false
+    DISCOVERY rate (expected fraction of false rejections), Holm
+    controls the family-wise error rate (any false rejection at all)
+    with uniformly more power than plain Bonferroni. Sort p ascending
+    and reject while p_(i) <= alpha/(m - i + 1); the first failure
+    stops everything after it (step-DOWN, vs BH's step-UP scan from
+    the largest hit).
+
+    Engine parity: identical t/p lowering to j_fdr_bh (A&S 7.1.26
+    erfc polynomial, same repr literals and Horner order, p on the
+    1e-6 integer grid), so the step-down compare
+    p6*(m-rk+1)*{_HOLM_A_DEN} <= 1e6 is exact integer arithmetic and
+    the two procedures' rejection sets are directly comparable (Holm
+    ⊆ BH at matched levels is the property pin).
+
+    Plan: the j_ab_ttest moment scan + K-row metadata windows —
+    nothing data-sized beyond the single pass."""
+    t = load(spark, sf_dir)
+    grp = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    g = t.events.select("event_type", "value", grp.alias("grp"))
+    a = F.col("grp") == "A"
+    b = F.col("grp") == "B"
+    s = g.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        rnd(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
+        rnd(F.avg(F.when(b, F.col("value"))), 6).alias("mean_b"),
+        rnd(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),
+        rnd(F.var_samp(F.when(b, F.col("value"))), 6).alias("var_b"),
+    )
+    t4 = rnd(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        4,
+    )
+    pv = s.select("event_type", t4.alias("t4")).select(
+        "event_type",
+        "t4",
+        F.floor(_tail_col(F.col("t4")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("p6"),
+    )
+    wr = Window.orderBy("p6", "event_type")
+    r = pv.select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    c = r.select(
+        "*",
+        F.when(
+            F.col("p6") * (F.col("m") - F.col("rk") + 1) * _HOLM_A_DEN
+            > 1000000 * _HOLM_A_NUM,
+            F.col("rk"),
+        )
+        .otherwise(F.col("m") + 1)
+        .alias("fail_at"),
+    )
+    k = c.agg(F.min("fail_at").cast("long").alias("first_fail"))
+    return c.crossJoin(F.broadcast(k)).select(
+        "event_type",
+        F.col("t4").alias("t_stat"),
+        (F.col("p6") / 1000000.0).alias("p_value"),
+        F.col("rk").cast("long").alias("p_rank"),
+        rnd(
+            F.lit(float(_HOLM_A_NUM))
+            / (_HOLM_A_DEN * (F.col("m") - F.col("rk") + 1)),
+            6,
+        ).alias("holm_cutoff"),
+        (F.col("rk") < F.col("first_fail")).alias("rejected"),
+    )
+
+
+_CA_GROUPS = 5  # ordered value bands (the drift-monitor bucket device)
+_CA_CRIT = 1.96
+
+
+@query(
+    "j_cochran_armitage",
+    oracle=f"""
+    WITH v AS (SELECT CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v6,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+               FROM events),
+    b AS (SELECT CAST(MIN(v6) AS BIGINT) AS lo, CAST(MAX(v6) AS BIGINT) AS hi
+          FROM v),
+    g AS (SELECT ((v.v6 - b.lo) * {_CA_GROUPS}) // (b.hi - b.lo + 1) AS w,
+                 y
+          FROM v CROSS JOIN b),
+    pg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS x
+           FROM g GROUP BY w),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                 CAST(SUM(x) AS BIGINT) AS xx,
+                 CAST(SUM(w * x) AS BIGINT) AS t,
+                 CAST(SUM(w * n) AS BIGINT) AS w1,
+                 CAST(SUM(w * w * n) AS BIGINT) AS w2,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM pg),
+    f AS (SELECT *,
+                 (CAST(nn AS DOUBLE) * t - CAST(xx AS DOUBLE) * w1)
+                 / sqrt(CAST(xx AS DOUBLE) * (nn - xx)
+                        * (CAST(nn AS DOUBLE) * w2
+                           - CAST(w1 AS DOUBLE) * w1) / nn) AS z_raw
+          FROM s)
+    SELECT nn AS n_total, xx AS n_success, k AS n_groups,
+           t AS t_score, w1, w2,
+           FLOOR(z_raw * 10000 + 0.5) / 10000 AS z_stat,
+           ABS(FLOOR(z_raw * 10000 + 0.5) / 10000) > {_CA_CRIT} AS significant
+    FROM f
+    """,
+)
+def j_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (public 1954/1955) for a
+    dose-response relation between the ORDERED event-value band
+    (the j_drift_timeslices equal-width bucket device, {k} bands as
+    integer scores 0..{k1}) and the binary click outcome — the
+    question chi-square independence (j_chi2_independence) cannot
+    ask: not "are they dependent" but "does the rate TREND with the
+    ordered exposure", with power concentrated on monotone
+    alternatives. T = SUM w_i x_i against its null mean/variance:
+    z = (N T - X W1) / sqrt(X (N - X) (N W2 - W1^2) / N).
+
+    EXACT: buckets are the exact integer device ((v6-lo)*k div
+    range); all sufficient statistics (N, X, T, W1, W2) are BIGINTs;
+    z applies one fixed IEEE sequence to them (factors cast double
+    SEPARATELY — the product would overflow 64-bit) and rounds 1e-4
+    before the significance compare.
+
+    Plan: one min/max fold broadcast onto the scan, one {k}-row hash
+    agg, one single-row fold — two data passes total (min/max +
+    bucket-count), both map-side combined."""
+    t = load(spark, sf_dir)
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    v = t.events.select(
+        v6.alias("v6"),
+        (F.col("event_type") == "click").cast("long").alias("y"),
+    )
+    v.persist()  # two consumers: the min/max fold and the bucket agg
+    b = v.agg(
+        F.min("v6").cast("long").alias("lo"), F.max("v6").cast("long").alias("hi")
+    )
+    g = v.crossJoin(F.broadcast(b)).select(
+        F.expr(f"((v6 - lo) * {_CA_GROUPS}) div (hi - lo + 1)").alias("w"), "y"
+    )
+    pg = g.groupBy("w").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("x")
+    )
+    s = pg.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("xx"),
+        F.sum(F.col("w") * F.col("x")).cast("long").alias("t"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("w1"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("long").alias("w2"),
+        F.count("*").cast("long").alias("k"),
+    )
+    z_raw = (
+        F.col("nn").cast("double") * F.col("t")
+        - F.col("xx").cast("double") * F.col("w1")
+    ) / F.sqrt(
+        F.col("xx").cast("double")
+        * (F.col("nn") - F.col("xx"))
+        * (
+            F.col("nn").cast("double") * F.col("w2")
+            - F.col("w1").cast("double") * F.col("w1")
+        )
+        / F.col("nn")
+    )
+    z = rnd(z_raw, 4)
+    return s.select(
+        F.col("nn").alias("n_total"),
+        F.col("xx").alias("n_success"),
+        F.col("k").alias("n_groups"),
+        F.col("t").alias("t_score"),
+        "w1",
+        "w2",
+        z.alias("z_stat"),
+        (F.abs(z) > _CA_CRIT).alias("significant"),
+    )
+
+
+j_cochran_armitage.__doc__ = j_cochran_armitage.__doc__.replace(
+    "{k1}", str(_CA_GROUPS - 1)
+).replace("{k}", str(_CA_GROUPS))

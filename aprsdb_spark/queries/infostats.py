@@ -2938,3 +2938,71 @@ def j_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(-F.log("bc_raw"), 6).alias("bhattacharyya_dist"),
         )
     )
+
+
+@query(
+    "j_chao1",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, tok),
+    agg AS (SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS s_obs,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS f1,
+                   CAST(COUNT(*) FILTER (c = 2) AS BIGINT) AS f2
+            FROM sc GROUP BY source)
+    SELECT source, n_tokens, s_obs, f1, f2,
+           FLOOR((s_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)))
+                 * 10000 + 0.5) / 10000 AS chao1,
+           FLOOR((1.0 - CAST(f1 AS DOUBLE) / n_tokens) * 1000000 + 0.5)
+             / 1000000 AS good_coverage
+    FROM agg
+    """,
+)
+def j_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimator per source (Chao 1984,
+    public; bias-corrected form S + F1(F1-1)/(2(F2+1)), defined even
+    when no doubletons exist) plus Good's sample coverage 1 - F1/n —
+    the UNSEEN-vocabulary readout that completes the lexical-growth
+    shelf: j_heaps_law fits how vocabulary grows with corpus size,
+    j_good_turing reallocates mass to unseen TYPES, j_hapax_rate
+    counts the singletons; Chao1 answers "how many types does this
+    source actually HAVE", the number a dedup/mixture planner wants
+    before deciding whether more crawl of a source buys new tokens.
+
+    EXACT: type counts, singleton (F1) and doubleton (F2) counts are
+    integers off one (source, token) hash agg; the estimator and
+    coverage are single rounded divisions of exact integers.
+
+    Plan: the j_kl_sources lowering's first half only — one
+    (source, token) hash agg then a |sources|-row rollup; the corpus
+    crosses the shuffle once as tokens, nothing else."""
+    t = load(spark, sf_dir)
+    sc = (
+        t.documents.select("source", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = sc.groupBy("source").agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("f1"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("long").alias("f2"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "s_obs",
+        "f1",
+        "f2",
+        rnd(
+            F.col("s_obs")
+            + F.col("f1").cast("double") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1"),
+        rnd(1.0 - F.col("f1").cast("double") / F.col("n_tokens"), 6).alias(
+            "good_coverage"
+        ),
+    )

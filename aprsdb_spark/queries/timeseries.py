@@ -1412,3 +1412,159 @@ def j_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_ts_crosscorr.__doc__ = j_ts_crosscorr.__doc__.replace("{L}", str(_XC_LAGS)).replace(
     "{M}", str(_XC_MIN)
 )
+
+
+# Ljung-Box over daily total volume, lags 1.._LB_LAGS; chi-square 0.05
+# critical values for df = 1..7 (public tables), compared per depth.
+_LB_LAGS = 7
+_LB_CRIT = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067)
+_LB_CRIT_SQL = "CASE lag " + " ".join(
+    f"WHEN {k + 1} THEN {c!r}" for k, c in enumerate(_LB_CRIT)
+) + " END"
+
+
+@query(
+    "j_ljung_box",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    lg AS (SELECT CAST(unnest(range(1, {_LB_LAGS + 1})) AS BIGINT) AS lag),
+    p AS (SELECT lg.lag, a.x AS x, b.x AS y
+          FROM lg CROSS JOIN d a
+          JOIN d b ON b.day = a.day - CAST(lg.lag AS INTEGER)),
+    s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS np,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM p GROUP BY lag),
+    r AS (SELECT lag, np,
+                 CASE WHEN np * sxx - CAST(sx AS HUGEINT) * sx > 0
+                       AND np * syy - CAST(sy AS HUGEINT) * sy > 0
+                      THEN FLOOR(CAST(np * sxy - CAST(sx AS HUGEINT) * sy
+                                      AS DOUBLE)
+                                 / sqrt(CAST(np * sxx
+                                             - CAST(sx AS HUGEINT) * sx
+                                             AS DOUBLE)
+                                        * (np * syy
+                                           - CAST(sy AS HUGEINT) * sy))
+                                 * 1000000 + 0.5) / 1000000
+                      ELSE 0.0 END AS rho
+          FROM s),
+    tm AS (SELECT lag, np, rho,
+                  CAST(FLOOR(rho * rho * 1000000000000 + 0.5) AS BIGINT)
+                    AS t12
+           FROM r),
+    cm AS (SELECT lag, np, rho,
+                  CAST(SUM((t12 * 1000000)
+                           // ((SELECT n FROM nn) - lag))
+                       OVER (ORDER BY lag) AS BIGINT) AS c18
+           FROM tm)
+    SELECT lag, np AS n_pairs, rho,
+           FLOOR(CAST((SELECT n FROM nn) AS DOUBLE)
+                 * ((SELECT n FROM nn) + 2) * c18 / 1e18 * 10000 + 0.5)
+             / 10000 AS q_stat,
+           FLOOR(CAST((SELECT n FROM nn) AS DOUBLE)
+                 * ((SELECT n FROM nn) + 2) * c18 / 1e18 * 10000 + 0.5)
+             / 10000 <= {_LB_CRIT_SQL} AS white_noise
+    FROM cm
+    """,
+)
+def j_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (public 1978 statistic) on the daily
+    total event volume: Q(h) = n(n+2) SUM_{{k<=h}} rho_k^2/(n-k) at
+    every depth h = 1..{L}, each compared against its own chi-square
+    critical value — the IS-THERE-ANY-STRUCTURE gate that closes the
+    serial-dependence shelf (j_ts_autocorr reads lag-1, j_ts_crosscorr
+    scans the lead-lag axis, j_runs_test checks sign randomness; Q
+    aggregates ALL lags into one white-noise verdict, the standard
+    residual diagnostic after any trend/seasonality fit). Gapped-
+    calendar variant: each rho_k is the exact-paired correlation over
+    the (day, day-k) DATE equi-join (the j_ts_crosscorr device), n is
+    the day count.
+
+    EXACT: per-lag sufficient statistics are BIGINT/HUGEINT; rho_k
+    pre-rounds 1e-6; each rho^2/(n-k) term becomes the exact integer
+    (floor(rho^2*1e12+0.5) * 1e6) div (n-k) summed in BIGINT via ONE
+    ordered prefix window (no engine-order float sums); Q rounds 1e-4
+    BEFORE the per-depth critical compare.
+
+    Plan: one day agg over the event scan (persisted), then
+    everything is the {L}-row lag grid — broadcast joins and one
+    unpartitioned {L}-row window."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    d.persist()  # consumers: n fold + two join legs per lag
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    lg = spark.range(1, _LB_LAGS + 1).select(F.col("id").cast("long").alias("lag"))
+    a = F.broadcast(lg).crossJoin(d.select(F.col("day").alias("day_a"), F.col("x")))
+    p = a.join(
+        d.select(F.col("day").alias("day_b"), F.col("x").alias("y")),
+        F.col("day_b") == F.date_sub(F.col("day_a"), F.col("lag").cast("int")),
+    )
+    dec = "decimal(38,0)"
+    s = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    d1 = F.col("np").cast(dec) * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    d2 = F.col("np").cast(dec) * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    num = F.col("np").cast(dec) * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    rho = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.floor(
+            num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    ).otherwise(F.lit(0.0))
+    tm = s.select(
+        "lag",
+        "np",
+        rho.alias("rho"),
+    ).select(
+        "lag",
+        "np",
+        "rho",
+        F.floor(F.col("rho") * F.col("rho") * F.lit(1000000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("t12"),
+    )
+    wc = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    cm = tm.crossJoin(F.broadcast(nn)).select(
+        "lag",
+        "np",
+        "rho",
+        "n",
+        F.sum(F.expr("(t12 * 1000000) div (n - lag)"))
+        .over(wc)
+        .cast("long")
+        .alias("c18"),
+    )
+    q = rnd(
+        F.col("n").cast("double") * (F.col("n") + 2) * F.col("c18") / F.lit(1e18),
+        4,
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(c) for c in _LB_CRIT]), F.col("lag").cast("int")
+    )
+    return cm.select(
+        "lag",
+        F.col("np").alias("n_pairs"),
+        "rho",
+        q.alias("q_stat"),
+        (q <= crit).alias("white_noise"),
+    )

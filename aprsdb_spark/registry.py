@@ -186,6 +186,22 @@ NEXT_QUEUE: list[str] = [
     # completing MRR/NDCG/AUC)
     "j_readability",
     "j_map_eval",
+    # r16 wave 7: nonparametric effect size + multiple-testing closure
+    # — Cliff's delta on the j_mannwhitney pair (2U/(nm) - 1 from the
+    # exact doubled-rank integer) and Holm-Bonferroni step-down FWER
+    # beside j_fdr_bh's step-up FDR on the identical p-value panel
+    "j_cliffs_delta",
+    "j_holm_bonferroni",
+    # r16 wave 8: trend / richness / portmanteau closure — the
+    # Cochran-Armitage dose-response test over ordered value bands,
+    # the Chao1 unseen-vocabulary estimator per source, and the
+    # Ljung-Box white-noise gate over the daily-volume ACF. 20
+    # additions total: the queue is at exactly the 20-slot capacity
+    # the r17 window arithmetic assumes (20 + 28 REFRESH + 2
+    # canaries = 50).
+    "j_cochran_armitage",
+    "j_chao1",
+    "j_ljung_box",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but

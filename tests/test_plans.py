@@ -301,6 +301,9 @@ _EXPECTED_BNLJ = {
     "j_log_loss",  # 1-row |labels| broadcast onto the per-query vote rows
     "j_hellinger",  # 1-row corpus total cross-join (the j_kl_sources shape)
     "j_map_eval",  # 20-row query panel broadcast (the j_knn_batch fan-out)
+    "j_holm_bonferroni",  # 1-row first-fail fold cross-joined onto K rows
+    "j_cochran_armitage",  # 1-row min/max band fold cross-join (drift shape)
+    "j_ljung_box",  # 7-row lag grid cross-joined onto the |days| relation
     # --- r15 additions, all metadata-scale build sides by design:
     "j_kmv_jaccard",  # 15-row pair grid theta-joined (supp = a OR supp = b)
     "j_rbo_overlap",  # 10-row depth grid theta-joined (m <= i) + two 1-row frames
@@ -1188,6 +1191,11 @@ _SHUFFLE_BUDGETS = {
     "j_hellinger": 18,            # j_kl_sources' shape (persisted sc reprints)
     "j_readability": 1,           # stateless counts + one source agg
     "j_map_eval": 2,              # panel broadcast + qid windows + agg
+    "j_cliffs_delta": 2,          # j_mannwhitney's value-domain chain
+    "j_holm_bonferroni": 5,       # moment agg + K-row p-value windows
+    "j_cochran_armitage": 4,      # min/max fold + 5-band agg (persisted v)
+    "j_chao1": 2,                 # (source,token) agg + source rollup
+    "j_ljung_box": 9,             # one day agg (persisted) + 7-row lag grid
     # --- r14 net completion: ceilings for every remaining registered
     # qid, measured on the cold sf0.01 plan in the exact sorted-loop
     # order this test runs (persisted-child reprints included, the

@@ -280,3 +280,72 @@ def test_map_decomposition_is_coherent_with_mrr(spark):
             assert r["true_label"] == mrr[qid]["true_label"]
             # precision@k terms start at the MRR first-hit rank
             assert r["ap6_sum"] >= (1000000 * 1) // mrr[qid]["first_rel_rank"]
+
+
+def test_cliffs_delta_is_the_mannwhitney_u_transform(spark):
+    for sf in (SF1, SF_DIR):
+        cd = _rows(spark, "j_cliffs_delta", sf)[0]
+        mw = _rows(spark, "j_mannwhitney", sf)[0]
+        assert (cd["n_a"], cd["n_b"]) == (mw["n_a"], mw["n_b"])
+        # delta = 2U/(nm) - 1 recomputed from the doubled-U column
+        want = cd["u2_a"] / (cd["n_a"] * cd["n_b"]) - 1.0
+        assert cd["cliffs_delta"] == pytest.approx(want, abs=1e-6)
+        assert -1.0 <= cd["cliffs_delta"] <= 1.0
+        # the mannwhitney qid's u_a is u2_a/2 on the same pair
+        assert mw["u_a"] == pytest.approx(cd["u2_a"] / 2, abs=1e-9)
+
+
+def test_holm_is_no_more_permissive_than_bh(spark):
+    for sf in (SF1, SF_DIR):
+        holm = {r["event_type"]: r for r in _rows(spark, "j_holm_bonferroni", sf)}
+        bh = {r["event_type"]: r for r in _rows(spark, "j_fdr_bh", sf)}
+        assert set(holm) == set(bh)
+        for et, r in holm.items():
+            # identical p-value panel (same t, same A&S tail)
+            assert r["p_value"] == bh[et]["p_value"]
+            assert r["t_stat"] == bh[et]["t_stat"]
+        # FWER control at alpha=0.05 rejects a subset of what FDR
+        # control at q=0.1 rejects (monotone cutoffs: a/(m-i+1) <= qi/m
+        # here since alpha < q)
+        h_rej = {et for et, r in holm.items() if r["rejected"]}
+        b_rej = {et for et, r in bh.items() if r["rejected"]}
+        assert h_rej <= b_rej
+        # step-down contiguity: rejected ranks form a prefix
+        ranks = sorted(r["p_rank"] for r in holm.values() if r["rejected"])
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_cochran_armitage_sufficient_stats_are_coherent(spark):
+    for sf in (SF1, SF_DIR):
+        r = _rows(spark, "j_cochran_armitage", sf)[0]
+        assert r["n_groups"] >= 2
+        assert 0 < r["n_success"] < r["n_total"]
+        # scores are 0..4: T <= 4X, W1 <= 4N, W2 <= 16N (and W2 >= W1)
+        assert r["t_score"] <= 4 * r["n_success"]
+        assert r["w1"] <= 4 * r["n_total"]
+        assert r["w1"] <= r["w2"] <= 4 * r["w1"]
+        assert r["significant"] == (abs(r["z_stat"]) > 1.96)
+
+
+def test_chao1_never_estimates_below_observed(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_chao1", sf)
+        assert len(rows) == 20
+        for r in rows:
+            assert r["f1"] + 2 * r["f2"] <= r["n_tokens"]
+            assert r["f1"] + r["f2"] <= r["s_obs"] <= r["n_tokens"]
+            assert r["chao1"] >= r["s_obs"]  # estimator adds unseen mass
+            assert 0.0 <= r["good_coverage"] <= 1.0
+
+
+def test_ljung_box_q_is_cumulative_and_flagged_per_depth(spark):
+    for sf in (SF1, SF_DIR):
+        rows = sorted(_rows(spark, "j_ljung_box", sf), key=lambda r: r["lag"])
+        assert [r["lag"] for r in rows] == list(range(1, 8))
+        crits = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067)
+        prev = 0.0
+        for r, crit in zip(rows, crits):
+            assert -1.0 <= r["rho"] <= 1.0
+            assert r["q_stat"] >= prev - 1e-9  # Q accumulates over depth
+            prev = r["q_stat"]
+            assert r["white_noise"] == (r["q_stat"] <= crit)
