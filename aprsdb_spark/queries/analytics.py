@@ -4845,3 +4845,318 @@ def j_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 j_cochran_armitage.__doc__ = j_cochran_armitage.__doc__.replace(
     "{k1}", str(_CA_GROUPS - 1)
 ).replace("{k}", str(_CA_GROUPS))
+
+
+# Log-rank: chi-square(1) 0.05 critical value (public tables).
+_LR_CRIT = 3.8415
+
+
+@query(
+    "j_logrank_test",
+    oracle=f"""
+    WITH u AS (SELECT user_id % 2 AS grp,
+                      CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE))
+                           AS BIGINT) AS dur,
+                      MAX(CAST(ts AS DATE)) AS ld
+               FROM events GROUP BY user_id),
+    g AS (SELECT MAX(ld) AS gmax FROM u),
+    e AS (SELECT dur,
+                 CAST(SUM(CASE WHEN grp = 0 AND ld < gmax THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d1,
+                 CAST(SUM(CASE WHEN grp = 1 AND ld < gmax THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d2,
+                 CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM u CROSS JOIN g GROUP BY 1),
+    n AS (SELECT CAST(SUM(c1) AS BIGINT) AS tn1,
+                 CAST(SUM(c2) AS BIGINT) AS tn2 FROM e),
+    r AS (SELECT dur, d1, d2, tn1, tn2,
+                 tn1 - CAST(COALESCE(SUM(c1) OVER (ORDER BY dur
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n1,
+                 tn2 - CAST(COALESCE(SUM(c2) OVER (ORDER BY dur
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n2
+          FROM e CROSS JOIN n),
+    t AS (SELECT dur, d1, d2, tn1, tn2, n1, n2, n1 + n2 AS nt,
+                 d1 + d2 AS dt
+          FROM r WHERE d1 + d2 > 0),
+    s AS (SELECT CAST(MAX(tn1) AS BIGINT) AS n1_total,
+                 CAST(MAX(tn2) AS BIGINT) AS n2_total,
+                 CAST(SUM(d1) AS BIGINT) AS o1,
+                 CAST(SUM(d2) AS BIGINT) AS o2,
+                 CAST(SUM(CAST(FLOOR(CAST(dt AS DOUBLE) * n1 / nt
+                                     * 1000000.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS e1_6,
+                 CAST(SUM(CASE WHEN nt > 1 THEN
+                        CAST(FLOOR(CAST(dt AS DOUBLE) * (nt - dt) * n1 * n2
+                                   / (CAST(nt AS DOUBLE) * nt * (nt - 1))
+                                   * 1000000.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS v6
+          FROM t)
+    SELECT n1_total, n2_total, o1, o2,
+           e1_6 / 1000000.0 AS e1,
+           v6 / 1000000.0 AS var_lr,
+           CASE WHEN v6 > 0 THEN
+             {sql_rnd("(CAST(o1 * 1000000 - e1_6 AS DOUBLE) / 1000000.0) / sqrt(v6 / 1000000.0)", 6)}
+           END AS z_score,
+           CASE WHEN v6 > 0 THEN
+             {sql_rnd("((CAST(o1 * 1000000 - e1_6 AS DOUBLE) / 1000000.0) / sqrt(v6 / 1000000.0)) * ((CAST(o1 * 1000000 - e1_6 AS DOUBLE) / 1000000.0) / sqrt(v6 / 1000000.0))", 6)}
+           END AS chi2_stat,
+           CASE WHEN v6 > 0 THEN
+             {sql_rnd("((CAST(o1 * 1000000 - e1_6 AS DOUBLE) / 1000000.0) / sqrt(v6 / 1000000.0)) * ((CAST(o1 * 1000000 - e1_6 AS DOUBLE) / 1000000.0) / sqrt(v6 / 1000000.0))", 6)} > {_LR_CRIT}
+           END AS significant
+    FROM s
+    """,
+)
+def j_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox, public 1966/1972) two-sample survival
+    comparison between the even/odd user-id cohorts on the
+    j_kaplan_meier lifetime data — the DO-THE-CURVES-DIFFER
+    significance test that partners the KM estimate the way
+    j_mann_kendall partners j_ts_trend. At each distinct lifetime
+    with deaths, cohort 1's observed deaths are compared to the
+    hypergeometric expectation d_t * n1_t / n_t, with variance
+    d_t (n_t - d_t) n1_t n2_t / (n_t^2 (n_t - 1)); the z (and its
+    chi-square) aggregates O1 - E1 over event times.
+
+    EXACT: at-risk / death counts per cohort are pure integer
+    arithmetic off preceding-frame cumulative counts; each
+    expectation and variance TERM is floored ONCE to a 1e-6-grid
+    BIGINT (the scaled-summation convention — never an engine-order
+    float sum), so E1 and V are exact integer totals; z is one IEEE
+    sequence on (o1*1e6 - e1_6, v6) rounded 1e-6 before the
+    chi-square > {_LR_CRIT} compare. NULL when V degenerates.
+
+    Plan: ONE (user_id) corpus hash agg (the j_kaplan_meier shuffle
+    class, cohort tag carried free as user_id % 2); a 1-row max-day
+    fold broadcast; then every window and fold runs on the <=
+    |distinct lifetimes| relation. At 100 TB only the user agg
+    scales."""
+    t = load(spark, sf_dir)
+    day = F.timestamp_millis(F.col("ts_ms")).cast("date")
+    u = (
+        t.events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("day"), F.min("day")).cast("long").alias("dur"),
+            F.max("day").alias("ld"),
+        )
+        .select((F.col("user_id") % 2).alias("grp"), "dur", "ld")
+    )
+    u.persist()  # consumers: the 1-row gmax fold and the duration agg
+    g = u.agg(F.max("ld").alias("gmax"))
+    obs = F.col("ld") < F.col("gmax")
+    e = (
+        u.crossJoin(F.broadcast(g))
+        .groupBy("dur")
+        .agg(
+            F.sum(((F.col("grp") == 0) & obs).cast("long"))
+            .cast("long")
+            .alias("d1"),
+            F.sum(((F.col("grp") == 1) & obs).cast("long"))
+            .cast("long")
+            .alias("d2"),
+            F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("c1"),
+            F.sum((F.col("grp") == 1).cast("long")).cast("long").alias("c2"),
+        )
+    )
+    n = e.agg(
+        F.sum("c1").cast("long").alias("tn1"),
+        F.sum("c2").cast("long").alias("tn2"),
+    )
+    wp = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    r = e.crossJoin(F.broadcast(n)).select(
+        "dur",
+        "d1",
+        "d2",
+        "tn1",
+        "tn2",
+        (F.col("tn1") - F.coalesce(F.sum("c1").over(wp), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+        (F.col("tn2") - F.coalesce(F.sum("c2").over(wp), F.lit(0)))
+        .cast("long")
+        .alias("n2"),
+    )
+    tt = r.where(F.col("d1") + F.col("d2") > 0).select(
+        "d1",
+        "d2",
+        "tn1",
+        "tn2",
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("nt"),
+        (F.col("d1") + F.col("d2")).alias("dt"),
+    )
+    e1_term = F.floor(
+        F.col("dt").cast("double") * F.col("n1") / F.col("nt") * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    v_term = F.when(
+        F.col("nt") > 1,
+        F.floor(
+            F.col("dt").cast("double")
+            * (F.col("nt") - F.col("dt"))
+            * F.col("n1")
+            * F.col("n2")
+            / (F.col("nt").cast("double") * F.col("nt") * (F.col("nt") - 1))
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    s = tt.agg(
+        F.max("tn1").cast("long").alias("n1_total"),
+        F.max("tn2").cast("long").alias("n2_total"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d2").cast("long").alias("o2"),
+        F.sum(e1_term).cast("long").alias("e1_6"),
+        F.sum(v_term).cast("long").alias("v6"),
+    )
+    z_raw = (
+        (F.col("o1") * 1000000 - F.col("e1_6")).cast("double") / F.lit(1000000.0)
+    ) / F.sqrt(F.col("v6") / F.lit(1000000.0))
+    ok = F.col("v6") > 0
+    return s.select(
+        "n1_total",
+        "n2_total",
+        "o1",
+        "o2",
+        (F.col("e1_6") / F.lit(1000000.0)).alias("e1"),
+        (F.col("v6") / F.lit(1000000.0)).alias("var_lr"),
+        F.when(ok, rnd(z_raw, 6)).alias("z_score"),
+        F.when(ok, rnd(z_raw * z_raw, 6)).alias("chi2_stat"),
+        F.when(ok, rnd(z_raw * z_raw, 6) > _LR_CRIT).alias("significant"),
+    )
+
+
+# Jarque-Bera: chi-square(2) 0.05 critical value (public tables).
+_JB_CRIT = 5.991
+
+
+@query(
+    "j_jarque_bera",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s1,
+                 CAST(SUM(v * v) AS BIGINT) AS s2,
+                 CAST(SUM(v * v * v) AS BIGINT) AS s3,
+                 CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+          FROM d GROUP BY 1),
+    m0 AS (SELECT event_type, n,
+                  CAST(s1 AS DOUBLE) / n AS mu,
+                  CAST(s2 AS DOUBLE) / n AS r2,
+                  CAST(s3 AS DOUBLE) / n AS r3,
+                  CAST(s4 AS DOUBLE) / n AS r4
+           FROM s),
+    m1 AS (SELECT event_type, n,
+                  r2 - mu * mu AS m2,
+                  r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                  r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                     - 3.0 * mu * mu * mu * mu AS m4
+           FROM m0),
+    f AS (SELECT event_type, n, m2,
+                 m3 / (m2 * sqrt(m2)) AS sk,
+                 m4 / (m2 * m2) AS ku
+          FROM m1)
+    SELECT event_type, n AS n_days,
+           CASE WHEN m2 > 0 THEN {sql_rnd("sk", 6)} END AS skewness,
+           CASE WHEN m2 > 0 THEN {sql_rnd("ku", 6)} END AS kurtosis,
+           CASE WHEN m2 > 0 THEN
+             {sql_rnd("CAST(n AS DOUBLE) / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)", 6)}
+           END AS jb_stat,
+           CASE WHEN m2 > 0 THEN
+             {sql_rnd("CAST(n AS DOUBLE) / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)", 6)} <= {_JB_CRIT}
+           END AS normal
+    FROM f
+    """,
+)
+def j_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980, public) on each
+    event type's daily-volume distribution — the IS-THE-MARGINAL-
+    NORMAL gate the parametric shelf quietly assumes (j_ab_ttest,
+    j_anova_oneway, j_cohens_d all lean on normal-ish errors; JB is
+    the cheap audit of that lean). JB = n/6 (skew^2 + (kurt-3)^2/4)
+    against chi-square(2); daily Poisson-ish counts at healthy volume
+    should pass, and a fat-tailed failure is the first symptom of
+    burst contamination.
+
+    EXACT: the four raw power sums are exact BIGINTs off the
+    calendar-sized relation (v <= per-type daily volume, v^4 * days
+    far inside 2^63 at any tested scale); central moments, skewness,
+    kurtosis and JB are ONE fixed IEEE sequence on those integers
+    (powers written as explicit products, sqrt the only libm call),
+    each rounded 1e-6 before output and the <= {_JB_CRIT} compare
+    reads the ROUNDED statistic. NULL when the variance degenerates.
+
+    Plan: ONE (event_type, day) corpus hash agg (the j_mann_kendall
+    shuffle class) then a |types|-row moment fold — two map-side-
+    combined aggs, no window, no join. At 100 TB only the first agg
+    scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    v = F.col("v")
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+        F.sum(v * v * v).cast("long").alias("s3"),
+        F.sum(v * v * v * v).cast("long").alias("s4"),
+    )
+    m0 = s.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        (F.col("s2").cast("double") / F.col("n")).alias("r2"),
+        (F.col("s3").cast("double") / F.col("n")).alias("r3"),
+        (F.col("s4").cast("double") / F.col("n")).alias("r4"),
+    )
+    mu = F.col("mu")
+    m1 = m0.select(
+        "event_type",
+        "n",
+        (F.col("r2") - mu * mu).alias("m2"),
+        (F.col("r3") - 3.0 * mu * F.col("r2") + 2.0 * mu * mu * mu).alias("m3"),
+        (
+            F.col("r4")
+            - 4.0 * mu * F.col("r3")
+            + 6.0 * mu * mu * F.col("r2")
+            - 3.0 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    f = m1.select(
+        "event_type",
+        "n",
+        "m2",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("sk"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("ku"),
+    )
+    jb_raw = (
+        F.col("n").cast("double")
+        / 6.0
+        * (
+            F.col("sk") * F.col("sk")
+            + (F.col("ku") - 3.0) * (F.col("ku") - 3.0) / 4.0
+        )
+    )
+    ok = F.col("m2") > 0
+    return f.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(ok, rnd(F.col("sk"), 6)).alias("skewness"),
+        F.when(ok, rnd(F.col("ku"), 6)).alias("kurtosis"),
+        F.when(ok, rnd(jb_raw, 6)).alias("jb_stat"),
+        F.when(ok, rnd(jb_raw, 6) <= _JB_CRIT).alias("normal"),
+    )

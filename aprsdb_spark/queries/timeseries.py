@@ -1568,3 +1568,551 @@ def j_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q_stat"),
         (q <= crit).alias("white_noise"),
     )
+
+
+# Mann-Kendall / Theil-Sen: two-sided 0.05 normal critical value
+# (public tables) shared with the runs/z shelf.
+_MK_CRIT = 1.96
+
+# z expression shared by the Spark and SQL sides of j_mann_kendall:
+# continuity-corrected S over sqrt(Var S), Var S carried as the exact
+# integer 18*Var (the tie-corrected Kendall variance numerator).
+_MK_Z_SQL = sql_rnd(
+    "CAST(CASE WHEN s_stat > 0 THEN s_stat - 1 "
+    "          WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE) "
+    "/ sqrt(var_s18 / 18.0)",
+    6,
+)
+
+
+@query(
+    "j_mann_kendall",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 CASE WHEN b.v > a.v THEN 1
+                      WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+          FROM d a JOIN d b
+            ON b.event_type = a.event_type AND b.day > a.day),
+    s AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM p GROUP BY 1),
+    tt AS (SELECT event_type,
+                  CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+                    AS tie18
+           FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM d GROUP BY 1, 2)
+           GROUP BY 1),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM d GROUP BY 1),
+    j AS (SELECT nd.event_type, nd.n_days, s.n_pairs, s.s_stat,
+                 nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                   - tt.tie18 AS var_s18
+          FROM nd JOIN s ON s.event_type = nd.event_type
+                 JOIN tt ON tt.event_type = nd.event_type)
+    SELECT event_type, n_days, n_pairs, s_stat, var_s18,
+           CASE WHEN var_s18 > 0 THEN {_MK_Z_SQL} END AS z_score,
+           CASE WHEN var_s18 > 0 THEN ABS({_MK_Z_SQL}) >= {_MK_CRIT} END
+             AS trending
+    FROM j
+    """,
+)
+def j_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945 / Kendall 1975, public) on
+    each event type's daily-volume series — the nonparametric IS-IT-
+    MONOTONE gate beside the shelf's descriptive fits: j_ts_trend
+    reports an OLS slope, j_runs_test checks sign independence, and MK
+    asks the significance question a 100 TB volume dashboard actually
+    needs answered before alerting on "traffic is drifting". S sums
+    sign(v_j - v_i) over all day pairs i<j; Var S carries the standard
+    tie correction SUM t(t-1)(2t+5); z applies the +/-1 continuity
+    correction.
+
+    EXACT: daily volumes are BIGINT counts, S / n / tie terms are pure
+    integer arithmetic, and Var S is carried as the exact integer
+    18*Var (var_s18) to the one IEEE z sequence, rounded 1e-6 BEFORE
+    the |z| >= 1.96 compare; NULL when the variance degenerates (all
+    days tied).
+
+    Plan: ONE (event_type, day) hash agg collapses the corpus to a
+    |types| x |days| relation (persisted — four consumers); the pair
+    "join" is a broadcast hash self-join on event_type filtered to
+    day_b > day_a (calendar-squared rows, metadata-scale), and the
+    sign / tie / day-count rollups plus the final 5-row joins never
+    touch the corpus again. At 100 TB only the first agg scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    d.persist()  # consumers: both pair-join legs, tie histogram, day count
+    p = (
+        d.select("event_type", F.col("day").alias("day_a"), F.col("v").alias("va"))
+        .join(
+            F.broadcast(
+                d.select(
+                    "event_type", F.col("day").alias("day_b"), F.col("v").alias("vb")
+                )
+            ),
+            "event_type",
+        )
+        .where(F.col("day_b") > F.col("day_a"))
+    )
+    sgn = (
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+    )
+    s = p.groupBy("event_type").agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    c = F.col("c")
+    tt = (
+        d.groupBy("event_type", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(c * (c - 1) * (2 * c + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    nd = d.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    n = F.col("n_days")
+    j = (
+        nd.join(F.broadcast(s), "event_type")
+        .join(F.broadcast(tt), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            (n * (n - 1) * (2 * n + 5) - F.col("tie18")).alias("var_s18"),
+        )
+    )
+    adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    z = rnd(adj.cast("double") / F.sqrt(F.col("var_s18") / F.lit(18.0)), 6)
+    ok = F.col("var_s18") > 0
+    return j.select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "var_s18",
+        F.when(ok, z).alias("z_score"),
+        F.when(ok, F.abs(z) >= _MK_CRIT).alias("trending"),
+    )
+
+
+@query(
+    "j_sen_slope",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 CAST(FLOOR(CAST(b.v - a.v AS DOUBLE) * 1000000.0
+                            / (b.day - a.day) + 0.5) AS BIGINT) AS slope6
+          FROM d a JOIN d b
+            ON b.event_type = a.event_type AND b.day > a.day),
+    r AS (SELECT event_type, slope6,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY slope6) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS k
+          FROM p)
+    SELECT event_type,
+           CAST(MAX(k) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN rn = (k + 1) // 2 THEN slope6 END) AS BIGINT)
+             AS med_lo,
+           CAST(MAX(CASE WHEN rn = (k + 2) // 2 THEN slope6 END) AS BIGINT)
+             AS med_hi,
+           (MAX(CASE WHEN rn = (k + 1) // 2 THEN slope6 END)
+            + MAX(CASE WHEN rn = (k + 2) // 2 THEN slope6 END))
+             / 2000000.0 AS sen_slope
+    FROM r GROUP BY 1
+    """,
+)
+def j_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope estimator (Theil 1950 / Sen 1968, public) per
+    event type: the median of all pairwise day-to-day slopes
+    (v_j - v_i)/(day_j - day_i) — the robust trend MAGNITUDE that
+    partners j_mann_kendall's significance verdict (MK says WHETHER
+    volume drifts, Sen says HOW FAST, immune to the outlier days that
+    bend j_ts_trend's least-squares line). Median of an even pair
+    count averages the two middle order statistics.
+
+    EXACT: each slope is pinned to the 1e-6 grid as the integer
+    floor(dv * 1e6 / ddays + 0.5) — dv, ddays are exact BIGINTs, the
+    scale/divide/floor is one fixed IEEE sequence — so ranking,
+    median selection, and the final (med_lo + med_hi) / 2e6 are exact
+    integer arithmetic plus one deterministic division; no rounding
+    of an accumulated float anywhere.
+
+    Plan: the j_mann_kendall skeleton — ONE (event_type, day) corpus
+    agg, a broadcast hash self-join onto the calendar-squared pair
+    grid, then ONE rank window per event_type over its ~|days|^2/2
+    slopes (metadata-scale partitions) and a 5-row conditional-agg
+    median pick. At 100 TB only the first agg scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    p = (
+        d.select("event_type", F.col("day").alias("day_a"), F.col("v").alias("va"))
+        .join(
+            F.broadcast(
+                d.select(
+                    "event_type", F.col("day").alias("day_b"), F.col("v").alias("vb")
+                )
+            ),
+            "event_type",
+        )
+        .where(F.col("day_b") > F.col("day_a"))
+        .select(
+            "event_type",
+            F.floor(
+                (F.col("vb") - F.col("va")).cast("double")
+                * F.lit(1000000.0)
+                / F.datediff(F.col("day_b"), F.col("day_a"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("slope6"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope6")
+    ww = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "slope6",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(ww).alias("k"),
+    )
+    lo = F.max(F.when(F.col("rn") == F.expr("(k + 1) div 2"), F.col("slope6")))
+    hi = F.max(F.when(F.col("rn") == F.expr("(k + 2) div 2"), F.col("slope6")))
+    return r.groupBy("event_type").agg(
+        F.max("k").cast("long").alias("n_pairs"),
+        lo.cast("long").alias("med_lo"),
+        hi.cast("long").alias("med_hi"),
+        ((lo + hi) / F.lit(2000000.0)).alias("sen_slope"),
+    )
+
+
+@query(
+    "j_kaplan_meier",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE))
+                           AS BIGINT) AS dur,
+                      MAX(CAST(ts AS DATE)) AS ld
+               FROM events GROUP BY 1),
+    g AS (SELECT MAX(ld) AS gmax, CAST(COUNT(*) AS BIGINT) AS tot FROM u),
+    e AS (SELECT dur,
+                 CAST(SUM(CASE WHEN ld < gmax THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+                 CAST(SUM(CASE WHEN ld < gmax THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(MAX(tot) AS BIGINT) AS tot
+          FROM u CROSS JOIN g GROUP BY 1),
+    r AS (SELECT dur, d, c,
+                 tot - CAST(COALESCE(SUM(cnt) OVER (ORDER BY dur
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n_risk
+          FROM e),
+    t AS (SELECT *,
+                 CASE WHEN d > 0 AND d < n_risk
+                      THEN CAST(FLOOR(LN(CAST(n_risk - d AS DOUBLE) / n_risk)
+                                      * 1000000.0 + 0.5) AS BIGINT)
+                      ELSE 0 END AS ln6,
+                 CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z0
+          FROM r),
+    s AS (SELECT *,
+                 CAST(SUM(ln6) OVER (ORDER BY dur) AS BIGINT) AS l6,
+                 CAST(MAX(z0) OVER (ORDER BY dur) AS BIGINT) AS anyzero
+          FROM t)
+    SELECT dur AS dur_days, n_risk, d AS n_events, c AS n_censored,
+           CASE WHEN anyzero = 1 THEN 0.0
+                ELSE FLOOR(EXP(l6 / 1000000.0) * 1000000 + 0.5) / 1000000
+           END AS survival
+    FROM s
+    """,
+)
+def j_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958, public) over USER LIFETIMES: duration = days between a
+    user's first and last event, right-censored when the last event
+    falls on the global final observed day (the user may still be
+    alive past the window). The retention curve every event pipeline
+    eventually asks for — S(t) = P(lifetime > t) with the censoring
+    handled correctly, which a naive histogram of lifetimes gets
+    wrong. S(t) = PROD_{t_i <= t, d_i > 0} (1 - d_i / n_i) with n_i
+    the at-risk count (users whose duration >= t_i).
+
+    EXACT: durations / death / censor / at-risk counts are pure
+    integer arithmetic (the at-risk column is total minus an exact
+    preceding-frame cumulative count); each log-survival factor
+    ln((n-d)/n) is floored ONCE to a 1e-6-grid BIGINT, the cumulative
+    product is an exact integer window SUM of those grid points, and
+    the displayed survival is one exp + round on the integer sum —
+    the scaled-BIGINT summation convention, so no engine-order float
+    accumulation anywhere. d_i = n_i (everyone at risk dies) pins
+    survival to exactly 0.0 from that duration on via a cumulative
+    flag, never through exp(ln(0)).
+
+    Plan: ONE (user_id) corpus hash agg collapses events to |users|
+    rows; the global max-day/total fold is a 1-row broadcast; the
+    duration table is <= |distinct lifetimes| (calendar-bounded, <=
+    31 rows here) so the unpartitioned windows run on a metadata-
+    scale relation. At 100 TB only the user agg scales — and it is
+    the same (user_id) shuffle class every sessionization qid already
+    pays."""
+    t = load(spark, sf_dir)
+    day = F.timestamp_millis(F.col("ts_ms")).cast("date")
+    u = (
+        t.events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("day"), F.min("day")).cast("long").alias("dur"),
+            F.max("day").alias("ld"),
+        )
+    )
+    u.persist()  # consumers: the 1-row gmax/total fold and the duration agg
+    g = u.agg(F.max("ld").alias("gmax"), F.count("*").cast("long").alias("tot"))
+    e = (
+        u.crossJoin(F.broadcast(g))
+        .groupBy("dur")
+        .agg(
+            F.sum((F.col("ld") < F.col("gmax")).cast("long"))
+            .cast("long")
+            .alias("d"),
+            F.sum((F.col("ld") >= F.col("gmax")).cast("long"))
+            .cast("long")
+            .alias("c"),
+            F.count("*").cast("long").alias("cnt"),
+            F.max("tot").cast("long").alias("tot"),
+        )
+    )
+    wp = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    r = e.select(
+        "dur",
+        "d",
+        "c",
+        (F.col("tot") - F.coalesce(F.sum("cnt").over(wp), F.lit(0)))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    ln6 = (
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("ln6")
+    )
+    z0 = (F.col("d") >= F.col("n_risk")).cast("long").alias("z0")
+    wc = Window.orderBy("dur")
+    s = r.select("dur", "d", "c", "n_risk", ln6, z0).select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("ln6").over(wc).cast("long").alias("l6"),
+        F.max("z0").over(wc).cast("long").alias("anyzero"),
+    )
+    return s.select(
+        F.col("dur").alias("dur_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("anyzero") == 1, F.lit(0.0))
+        .otherwise(rnd(F.exp(F.col("l6") / F.lit(1000000.0)), 6))
+        .alias("survival"),
+    )
+
+
+# Durbin-Watson: dw < _DW_POS is the conventional "worth a look"
+# positive-autocorrelation screen (exact bounds depend on n and k;
+# the fixed literal is documented as a heuristic, not a table lookup).
+_DW_POS = 1.5
+
+
+@query(
+    "j_durbin_watson",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    x0 AS (SELECT event_type, MIN(day) AS d0 FROM d GROUP BY 1),
+    xd AS (SELECT d.event_type, CAST(d.day - x0.d0 AS BIGINT) AS x, v, d.day
+           FROM d JOIN x0 ON x0.event_type = d.event_type),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(v) AS BIGINT) AS sy,
+                 CAST(SUM(x * v) AS BIGINT) AS sxy
+          FROM xd GROUP BY 1),
+    b AS (SELECT event_type, n, sx, sy,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta
+          FROM s),
+    b2 AS (SELECT event_type, n, beta,
+                  (CAST(sy AS DOUBLE) - beta * sx) / n AS alpha
+           FROM b),
+    e AS (SELECT xd.event_type, xd.day, b2.n, b2.beta,
+                 CAST(FLOOR((CAST(v AS DOUBLE) - (alpha + beta * x))
+                            * 10000.0 + 0.5) AS BIGINT) AS e4
+          FROM xd JOIN b2 ON b2.event_type = xd.event_type),
+    l AS (SELECT event_type, n, beta, e4,
+                 LAG(e4) OVER (PARTITION BY event_type ORDER BY day) AS p4
+          FROM e),
+    f AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+                 MAX(beta) AS beta,
+                 CAST(SUM(CASE WHEN p4 IS NOT NULL
+                               THEN (e4 - p4) * (e4 - p4) ELSE 0 END)
+                      AS BIGINT) AS num,
+                 CAST(SUM(e4 * e4) AS BIGINT) AS den
+          FROM l GROUP BY 1)
+    SELECT event_type, n_days,
+           {sql_rnd("beta", 6)} AS slope,
+           CASE WHEN den > 0
+                THEN {sql_rnd("CAST(num AS DOUBLE) / den", 6)} END AS dw_stat,
+           CASE WHEN den > 0
+                THEN {sql_rnd("1.0 - CAST(num AS DOUBLE) / den / 2.0", 6)} END
+             AS rho_lag1,
+           CASE WHEN den > 0
+                THEN {sql_rnd("CAST(num AS DOUBLE) / den", 6)} < {_DW_POS} END
+             AS positive_autocorr
+    FROM f
+    """,
+)
+def j_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic (Durbin &
+    Watson 1950, public) on the RESIDUALS of each event type's daily-
+    volume OLS trend line — the are-my-regression-errors-independent
+    audit that belongs beside j_ts_trend (which fits the line but
+    never checks its own assumption) and j_runs_test (which tests raw
+    sign order, not detrended residuals). DW = SUM(e_t - e_(t-1))^2 /
+    SUM(e_t^2) in time order; ~2 means independent, << 2 positive
+    autocorrelation; rho_lag1 ~ 1 - DW/2 is the conventional reading.
+
+    EXACT: the OLS line comes from five exact BIGINT sufficient sums
+    (factors cast double separately); each residual is floored ONCE
+    to a 1e-4-grid BIGINT, so the lag-difference numerator and the
+    denominator are EXACT integer window/agg arithmetic (1e-4 keeps
+    30 squared residuals < 2^63 with head-room) and DW is one IEEE
+    division rounded 1e-6 before the < {_DW_POS} screen-compare.
+    NULL when the fit is exact (den = 0: the statistic is undefined).
+
+    Plan: ONE (event_type, day) corpus hash agg (the j_mann_kendall
+    shuffle class); the per-type min-day and sufficient-sum folds are
+    |types|-row broadcasts back onto the calendar-sized relation; the
+    lag runs in ONE per-type window over <= 31 rows. At 100 TB only
+    the first agg scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    d.persist()  # consumers: min-day fold, sufficient sums, residual pass
+    x0 = d.groupBy("event_type").agg(F.min("day").alias("d0"))
+    xd = d.join(F.broadcast(x0), "event_type").select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        "v",
+        "day",
+    )
+    s = xd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("v").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("v")).cast("long").alias("sxy"),
+    )
+    beta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    # alpha needs sy/sx alongside beta: carry them through one select
+    b2 = s.select(
+        "event_type",
+        "n",
+        beta.alias("beta"),
+        "sx",
+        "sy",
+    ).select(
+        "event_type",
+        "n",
+        "beta",
+        ((F.col("sy").cast("double") - F.col("beta") * F.col("sx")) / F.col("n"))
+        .alias("alpha"),
+    )
+    e = xd.join(F.broadcast(b2), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "beta",
+        F.floor(
+            (F.col("v").cast("double") - (F.col("alpha") + F.col("beta") * F.col("x")))
+            * 10000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("e4"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    l = e.select(
+        "event_type", "n", "beta", "e4", F.lag("e4").over(wl).alias("p4")
+    )
+    f = l.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("beta").alias("beta"),
+        F.sum(
+            F.when(
+                F.col("p4").isNotNull(),
+                (F.col("e4") - F.col("p4")) * (F.col("e4") - F.col("p4")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("num"),
+        F.sum(F.col("e4") * F.col("e4")).cast("long").alias("den"),
+    )
+    ok = F.col("den") > 0
+    dw_raw = F.col("num").cast("double") / F.col("den")
+    return f.select(
+        "event_type",
+        "n_days",
+        rnd(F.col("beta"), 6).alias("slope"),
+        F.when(ok, rnd(dw_raw, 6)).alias("dw_stat"),
+        F.when(ok, rnd(F.lit(1.0) - dw_raw / 2.0, 6)).alias("rho_lag1"),
+        F.when(ok, rnd(dw_raw, 6) < _DW_POS).alias("positive_autocorr"),
+    )

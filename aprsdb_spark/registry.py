@@ -195,13 +195,33 @@ NEXT_QUEUE: list[str] = [
     # r16 wave 8: trend / richness / portmanteau closure — the
     # Cochran-Armitage dose-response test over ordered value bands,
     # the Chao1 unseen-vocabulary estimator per source, and the
-    # Ljung-Box white-noise gate over the daily-volume ACF. 20
-    # additions total: the queue is at exactly the 20-slot capacity
-    # the r17 window arithmetic assumes (20 + 28 REFRESH + 2
-    # canaries = 50).
+    # Ljung-Box white-noise gate over the daily-volume ACF.
     "j_cochran_armitage",
     "j_chao1",
     "j_ljung_box",
+    # r16 wave 9 (continuation session): robust-trend closure — the
+    # Mann-Kendall monotone-trend significance test per event type
+    # (exact integer S + tie-corrected 18*Var device) and the
+    # Theil-Sen median pairwise slope (1e-6-grid integer slopes, exact
+    # order-statistic median). Every slot beyond 20 here is paid for
+    # by dropping one r9-scored tail entry from REFRESH_QUEUE below
+    # (those qids are age 17-9=8 < the staleness bound at this
+    # registry size, so they can wait for r18 unqueued);
+    # test_registry_order.py pins NEXT + REFRESH <= 48 either way.
+    "j_mann_kendall",
+    "j_sen_slope",
+    # r16 wave 10 (continuation session): survival + regression-
+    # diagnostics closure — Kaplan-Meier product-limit retention over
+    # user lifetimes (scaled-BIGINT log-survival sums), the log-rank
+    # two-cohort comparison on the same lifetime data, Jarque-Bera
+    # normality of daily volumes (four exact power sums), and
+    # Durbin-Watson residual autocorrelation of the j_ts_trend OLS
+    # line (1e-4-grid integer residuals). Four more r9 tail entries
+    # dropped from REFRESH_QUEUE below, same arithmetic as wave 9.
+    "j_kaplan_meier",
+    "j_logrank_test",
+    "j_jarque_bera",
+    "j_durbin_watson",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
@@ -211,12 +231,13 @@ NEXT_QUEUE: list[str] = [
 # queue membership as "scheduled", and a sibling test pins that only
 # already-scored qids may sit here (never-scored ones belong on
 # NEXT_QUEUE, where the tri-scale-verification contract applies).
-# r17 plan: NEXT_QUEUE r16 additions (<= 20, never-scored) first, then
-# these — the last 12 of the r8-scored cohort followed by the first 16
-# of the 48 r9-scored qids, in registration order (20 + 28 + 2 canaries
-# = 50 exactly if r16 adds the full 20). The 32 r9-scored qids left off
-# the queue are age 17 - 9 = 8 < bound at N >= 385 during the r17
-# build, inside the staleness invariant; they lead the r18 queue.
+# r17 plan: NEXT_QUEUE r16 additions (never-scored) first, then these
+# — the last 12 of the r8-scored cohort followed by a registration-
+# order prefix of the 48 r9-scored qids, sized so NEXT + REFRESH + 2
+# canaries = 50 exactly (each wave-9+ addition on NEXT_QUEUE drops one
+# r9 tail entry here). The r9-scored qids left off the queue are age
+# 17 - 9 = 8 < bound at N >= 385 during the r17 build, inside the
+# staleness invariant; they lead the r18 queue.
 REFRESH_QUEUE: list[str] = [
     # the last 12 of the r8-scored cohort, registration order
     "c_sql_q1",
@@ -242,12 +263,9 @@ REFRESH_QUEUE: list[str] = [
     "h_hash",
     "h_geo_range",
     "h_geo_pairs",
-    "h_regexp",
-    "h_mask",
-    "h_encode",
-    "h_struct",
-    "h_collate",
-    "h_xml",
+    # (tail r9-scored entries are dropped one-for-one as wave-9+
+    # additions land on NEXT_QUEUE: dropped qids are not yet stale
+    # under the max(4, ceil(N/48)) bound and lead the r18 queue)
 ]
 
 def driver_ordered(d: dict) -> dict:

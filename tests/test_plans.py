@@ -298,6 +298,9 @@ _EXPECTED_BNLJ = {
     "j_modularity",  # 1-row edge-total mm cross-joined onto |communities| rows
     "j_wilcoxon_signed",  # 1-row zero-pair count cross-joined onto the fold
     "j_kendall_w",  # 1-row n / tie-mass frames cross-joined (x3)
+    # --- r16 continuation (wave 10): 1-row fold build sides by design:
+    "j_kaplan_meier",  # 1-row broadcast (gmax, total) fold onto |users| rows
+    "j_logrank_test",  # 1-row gmax + 1-row (tn1, tn2) folds, the KM shape
     "j_log_loss",  # 1-row |labels| broadcast onto the per-query vote rows
     "j_hellinger",  # 1-row corpus total cross-join (the j_kl_sources shape)
     "j_map_eval",  # 20-row query panel broadcast (the j_knn_batch fan-out)
@@ -1347,6 +1350,24 @@ _SHUFFLE_BUDGETS = {
     "k_pandas_iter": 0,
     "k_udtf_analyze": 0,
     "k_udtf_table": 1,
+    # --- r16 continuation-session additions (wave 9+) ---
+    "j_mann_kendall": 11,  # ONE (type,day) corpus agg (persisted, reprinted
+    #                        per consumer) + broadcast pair self-join; sign /
+    #                        tie / day-count rollups all on the <=|types|x
+    #                        |days| relation
+    "j_sen_slope": 4,      # same (type,day) agg + broadcast pair join + ONE
+    #                        per-type rank window + 5-row median agg
+    "j_kaplan_meier": 6,   # ONE (user_id) corpus agg (persisted, reprinted) +
+    #                        1-row fold broadcast + unpartitioned windows over
+    #                        the <=|lifetimes| relation
+    "j_logrank_test": 13,  # the KM user agg (persisted, reprinted per fold) +
+    #                        two 1-row folds + preceding-frame windows + final
+    #                        single-row agg, all on <=|lifetimes| rows
+    "j_jarque_bera": 2,    # ONE (type,day) corpus agg + |types|-row moment
+    #                        fold — no window, no join
+    "j_durbin_watson": 11, # ONE (type,day) corpus agg (persisted, reprinted)
+    #                        + |types|-row OLS folds broadcast back + ONE
+    #                        per-type lag window over <=31 rows
 }
 
 

@@ -1,0 +1,155 @@
+"""Property pins for the r16 continuation-session additions (wave 9+,
+r17-queued) — cross-column identities the oracle compare cannot see
+(it proves Spark == DuckDB, not that either is sensible). Same
+contract as test_r15_props / test_r16_props: every family pins
+non-emptiness plus at least one structural invariant per qid, at
+sf0.001 AND the suite SF, so a vacuous empty-vs-empty oracle pass
+(the j_good_turing lesson) cannot recur.
+"""
+
+from __future__ import annotations
+
+import os
+
+from aprsdb_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+SF1 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+
+
+def _rows(spark, qid, sf=SF1):
+    out = QUERIES[qid](spark, sf).collect()
+    assert out, f"{qid} returned an empty relation at {sf}"
+    return out
+
+
+def test_mann_kendall_integer_devices_are_consistent(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_mann_kendall", sf)
+        # one row per event type, all five present
+        assert {r["event_type"] for r in rows} == {
+            "click", "view", "purchase", "signup", "error",
+        }
+        for r in rows:
+            n = r["n_days"]
+            # the pair grid is exactly n-choose-2
+            assert r["n_pairs"] == n * (n - 1) // 2
+            # S is a signed pair count: |S| <= n_pairs
+            assert abs(r["s_stat"]) <= r["n_pairs"]
+            # tie-corrected variance never exceeds the tie-free ceiling
+            assert 0 < r["var_s18"] <= n * (n - 1) * (2 * n + 5)
+            # z carries S's sign (continuity correction cannot flip it)
+            if r["z_score"] is not None and r["s_stat"] != 0:
+                assert (r["z_score"] > 0) == (r["s_stat"] > 0) or r["z_score"] == 0
+            # trending is exactly the |z| >= 1.96 compare on the
+            # ROUNDED z the row itself carries
+            if r["z_score"] is not None:
+                assert r["trending"] == (abs(r["z_score"]) >= 1.96)
+
+
+def test_sen_slope_median_is_an_order_statistic_average(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_sen_slope", sf)
+        assert {r["event_type"] for r in rows} == {
+            "click", "view", "purchase", "signup", "error",
+        }
+        for r in rows:
+            # the two middle order statistics are ordered and adjacent
+            assert r["med_lo"] <= r["med_hi"]
+            # odd pair count => the medians coincide
+            if r["n_pairs"] % 2 == 1:
+                assert r["med_lo"] == r["med_hi"]
+            # sen_slope is EXACTLY their average on the 1e-6 grid
+            assert r["sen_slope"] == (r["med_lo"] + r["med_hi"]) / 2000000.0
+
+
+def test_mann_kendall_and_sen_agree_on_strict_monotonicity(spark):
+    """Cross-qid coupling: if MK reports S == +/-n_pairs (every pair
+    strictly ordered), every pairwise slope has that sign, so the Sen
+    median must share it."""
+    for sf in (SF1, SF_DIR):
+        mk = {r["event_type"]: r for r in _rows(spark, "j_mann_kendall", sf)}
+        sen = {r["event_type"]: r for r in _rows(spark, "j_sen_slope", sf)}
+        assert set(mk) == set(sen)
+        for et, r in mk.items():
+            assert r["n_pairs"] == sen[et]["n_pairs"]
+            if r["s_stat"] == r["n_pairs"]:
+                assert sen[et]["sen_slope"] > 0
+            if r["s_stat"] == -r["n_pairs"]:
+                assert sen[et]["sen_slope"] < 0
+
+
+def test_kaplan_meier_curve_is_a_valid_survival_function(spark):
+    for sf in (SF1, SF_DIR):
+        rows = sorted(_rows(spark, "j_kaplan_meier", sf),
+                      key=lambda r: r["dur_days"])
+        # the first at-risk set is the whole cohort; thereafter each
+        # step sheds exactly the deaths + censorings of the prior row
+        for a, b in zip(rows, rows[1:]):
+            assert b["n_risk"] == a["n_risk"] - a["n_events"] - a["n_censored"]
+            # survival never increases
+            assert b["survival"] <= a["survival"] + 1e-12
+        # every user is accounted for exactly once
+        assert rows[0]["n_risk"] == sum(
+            r["n_events"] + r["n_censored"] for r in rows
+        )
+        for r in rows:
+            assert 0.0 <= r["survival"] <= 1.0
+            assert r["n_events"] + r["n_censored"] <= r["n_risk"]
+
+
+def test_logrank_internal_identities_and_km_coupling(spark):
+    for sf in (SF1, SF_DIR):
+        (lr,) = _rows(spark, "j_logrank_test", sf)
+        km = _rows(spark, "j_kaplan_meier", sf)
+        # the two cohorts partition the KM cohort exactly
+        assert lr["n1_total"] + lr["n2_total"] == sum(
+            r["n_events"] + r["n_censored"] for r in km
+        )
+        # observed deaths per cohort sum to the KM death total
+        assert lr["o1"] + lr["o2"] == sum(r["n_events"] for r in km)
+        assert 0 <= lr["o1"] <= lr["n1_total"]
+        assert 0 <= lr["o2"] <= lr["n2_total"]
+        if lr["z_score"] is not None:
+            # chi2 is the square of z (both rounded from the same raw)
+            assert abs(lr["chi2_stat"] - lr["z_score"] ** 2) < 1e-4
+            assert lr["significant"] == (lr["chi2_stat"] > 3.8415)
+            assert lr["var_lr"] > 0
+
+
+def test_jarque_bera_statistic_recomposes_from_its_moments(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_jarque_bera", sf)
+        assert {r["event_type"] for r in rows} == {
+            "click", "view", "purchase", "signup", "error",
+        }
+        for r in rows:
+            if r["jb_stat"] is None:
+                continue
+            assert r["jb_stat"] >= 0
+            # kurtosis of a real sample is strictly positive
+            assert r["kurtosis"] > 0
+            # JB recomposes from the rounded moments to rounding slack
+            jb = r["n_days"] / 6.0 * (
+                r["skewness"] ** 2 + (r["kurtosis"] - 3.0) ** 2 / 4.0
+            )
+            assert abs(jb - r["jb_stat"]) < 1e-3
+            assert r["normal"] == (r["jb_stat"] <= 5.991)
+
+
+def test_durbin_watson_range_and_rho_identity(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_durbin_watson", sf)
+        assert {r["event_type"] for r in rows} == {
+            "click", "view", "purchase", "signup", "error",
+        }
+        for r in rows:
+            if r["dw_stat"] is None:
+                continue
+            # DW lives in [0, 4] by construction
+            assert 0.0 <= r["dw_stat"] <= 4.0
+            # rho_lag1 is exactly 1 - dw/2 up to the two roundings
+            assert abs(r["rho_lag1"] - (1.0 - r["dw_stat"] / 2.0)) < 2e-6
+            assert r["positive_autocorr"] == (r["dw_stat"] < 1.5)
