@@ -5160,3 +5160,315 @@ def j_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, rnd(jb_raw, 6)).alias("jb_stat"),
         F.when(ok, rnd(jb_raw, 6) <= _JB_CRIT).alias("normal"),
     )
+
+
+# Cronbach's alpha item order: the five event types as scale items.
+_CRON_ITEMS = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "j_cronbach_alpha",
+    oracle="""
+    WITH x AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS i1,
+                      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS i2,
+                      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS i3,
+                      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS i4,
+                      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS i5
+               FROM events GROUP BY 1),
+    t AS (SELECT i1, i2, i3, i4, i5, i1 + i2 + i3 + i4 + i5 AS tot FROM x),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i1 * i1) AS BIGINT) AS q1,
+                 CAST(SUM(i1 * tot) AS BIGINT) AS c1,
+                 CAST(SUM(i2) AS BIGINT) AS s2, CAST(SUM(i2 * i2) AS BIGINT) AS q2,
+                 CAST(SUM(i2 * tot) AS BIGINT) AS c2,
+                 CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i3 * i3) AS BIGINT) AS q3,
+                 CAST(SUM(i3 * tot) AS BIGINT) AS c3,
+                 CAST(SUM(i4) AS BIGINT) AS s4, CAST(SUM(i4 * i4) AS BIGINT) AS q4,
+                 CAST(SUM(i4 * tot) AS BIGINT) AS c4,
+                 CAST(SUM(i5) AS BIGINT) AS s5, CAST(SUM(i5 * i5) AS BIGINT) AS q5,
+                 CAST(SUM(i5 * tot) AS BIGINT) AS c5,
+                 CAST(SUM(tot) AS BIGINT) AS st, CAST(SUM(tot * tot) AS BIGINT) AS qt
+          FROM t),
+    i AS (SELECT item, n, sj, qj, cj, st, qt,
+                 n * qj - sj * sj AS vj,
+                 n * qt - st * st AS vt,
+                 n * (qt - 2 * cj + qj) - (st - sj) * (st - sj) AS vr,
+                 n * (cj - qj) - sj * (st - sj) AS cvjr,
+                 (n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)
+                   + (n * q4 - s4 * s4) + (n * q5 - s5 * s5) AS vsum
+          FROM s,
+               (VALUES ('click', 1), ('view', 2), ('purchase', 3),
+                       ('signup', 4), ('error', 5)) AS it(item, ix)
+               , LATERAL (SELECT CASE ix WHEN 1 THEN s1 WHEN 2 THEN s2
+                                 WHEN 3 THEN s3 WHEN 4 THEN s4 ELSE s5 END AS sj,
+                                 CASE ix WHEN 1 THEN q1 WHEN 2 THEN q2
+                                 WHEN 3 THEN q3 WHEN 4 THEN q4 ELSE q5 END AS qj,
+                                 CASE ix WHEN 1 THEN c1 WHEN 2 THEN c2
+                                 WHEN 3 THEN c3 WHEN 4 THEN c4 ELSE c5 END AS cj) j)
+    SELECT item, n AS n_users,
+           FLOOR(5.0 / 4.0 * (1.0 - CAST(vsum AS DOUBLE) / vt)
+                 * 1000000 + 0.5) / 1000000 AS alpha,
+           FLOOR(CAST(vj AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                 * 1000000 + 0.5) / 1000000 AS item_var,
+           CASE WHEN vj > 0 AND vr > 0 THEN
+             FLOOR(CAST(cvjr AS DOUBLE)
+                   / sqrt(CAST(vj AS DOUBLE) * vr) * 1000000 + 0.5) / 1000000
+           END AS item_rest_corr,
+           FLOOR(4.0 / 3.0 * (1.0 - CAST(vsum - vj AS DOUBLE) / vr)
+                 * 1000000 + 0.5) / 1000000 AS alpha_if_deleted
+    FROM i
+    """,
+)
+def j_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951, public) treating the five event types as scale ITEMS and
+    each user's per-type activity count as the item score — the
+    do-these-signals-measure-one-thing reliability audit a feature
+    pipeline runs before averaging engagement signals into one score.
+    alpha = k/(k-1) (1 - SUM var_j / var_total); per item the panel
+    also reports the item-rest correlation (corr of the item with the
+    scale MINUS itself — the discrimination column) and
+    alpha-if-deleted (the classic which-item-breaks-the-scale
+    diagnostic).
+
+    EXACT: every variance/covariance carries its exact integer
+    numerator (n*SUM x^2 - (SUM x)^2 over the common n^2 denominator,
+    cross terms likewise), so alpha, item variances, item-rest
+    correlations and drop-one alphas are each ONE IEEE sequence on
+    exact BIGINTs, floored once to the 1e-6 grid; NULL when a
+    variance degenerates.
+
+    Plan: ONE (user_id) corpus hash agg with five conditional sums
+    (no pivot shuffle), one single-row sufficient-statistic fold, and
+    a 5-row literal item spine joined driver-free — two map-side-
+    combined aggs total. At 100 TB only the user agg scales (the
+    j_kaplan_meier shuffle class)."""
+    t = load(spark, sf_dir)
+    conds = [
+        F.sum((F.col("event_type") == it).cast("long")).cast("long").alias(f"i{k}")
+        for k, it in enumerate(_CRON_ITEMS, 1)
+    ]
+    x = t.events.groupBy("user_id").agg(*conds)
+    tot = sum(F.col(f"i{k}") for k in range(1, 6))
+    tt = x.select(*[f"i{k}" for k in range(1, 6)], tot.alias("tot"))
+    aggs = [F.count("*").cast("long").alias("n")]
+    for k in range(1, 6):
+        i = F.col(f"i{k}")
+        aggs += [
+            F.sum(i).cast("long").alias(f"s{k}"),
+            F.sum(i * i).cast("long").alias(f"q{k}"),
+            F.sum(i * F.col("tot")).cast("long").alias(f"c{k}"),
+        ]
+    aggs += [
+        F.sum("tot").cast("long").alias("st"),
+        F.sum(F.col("tot") * F.col("tot")).cast("long").alias("qt"),
+    ]
+    s = tt.agg(*aggs)
+    spine = spark.createDataFrame(
+        [(it, k) for k, it in enumerate(_CRON_ITEMS, 1)], "item string, ix int"
+    )
+    n = F.col("n")
+    vsum = sum(
+        n * F.col(f"q{k}") - F.col(f"s{k}") * F.col(f"s{k}") for k in range(1, 6)
+    )
+    j = s.crossJoin(F.broadcast(spine))
+    sj = F.element_at(F.array(*[F.col(f"s{k}") for k in range(1, 6)]), F.col("ix"))
+    qj = F.element_at(F.array(*[F.col(f"q{k}") for k in range(1, 6)]), F.col("ix"))
+    cj = F.element_at(F.array(*[F.col(f"c{k}") for k in range(1, 6)]), F.col("ix"))
+    i = j.select(
+        "item",
+        "n",
+        sj.alias("sj"),
+        qj.alias("qj"),
+        cj.alias("cj"),
+        "st",
+        "qt",
+        vsum.alias("vsum"),
+    ).select(
+        "item",
+        "n",
+        "vsum",
+        (n * F.col("qj") - F.col("sj") * F.col("sj")).alias("vj"),
+        (n * F.col("qt") - F.col("st") * F.col("st")).alias("vt"),
+        (
+            n * (F.col("qt") - 2 * F.col("cj") + F.col("qj"))
+            - (F.col("st") - F.col("sj")) * (F.col("st") - F.col("sj"))
+        ).alias("vr"),
+        (
+            n * (F.col("cj") - F.col("qj"))
+            - F.col("sj") * (F.col("st") - F.col("sj"))
+        ).alias("cvjr"),
+    )
+    ok = (F.col("vj") > 0) & (F.col("vr") > 0)
+    return i.select(
+        "item",
+        F.col("n").alias("n_users"),
+        rnd(
+            F.lit(5.0) / 4.0 * (F.lit(1.0) - F.col("vsum").cast("double") / F.col("vt")),
+            6,
+        ).alias("alpha"),
+        rnd(
+            F.col("vj").cast("double") / (F.col("n").cast("double") * F.col("n")), 6
+        ).alias("item_var"),
+        F.when(
+            ok,
+            rnd(
+                F.col("cvjr").cast("double")
+                / F.sqrt(F.col("vj").cast("double") * F.col("vr")),
+                6,
+            ),
+        ).alias("item_rest_corr"),
+        rnd(
+            F.lit(4.0)
+            / 3.0
+            * (F.lit(1.0) - (F.col("vsum") - F.col("vj")).cast("double") / F.col("vr")),
+            6,
+        ).alias("alpha_if_deleted"),
+    )
+
+
+# Partial correlation: large-n normal 0.05 critical value for the
+# t-statistic (n - 3 df >> 30 at every tested scale).
+_PC_CRIT = 1.96
+
+
+@query(
+    "j_partial_corr",
+    oracle=f"""
+    WITH x AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+                      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cy,
+                      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cz
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+                 CAST(SUM(cz) AS BIGINT) AS sz,
+                 CAST(SUM(cx * cx) AS BIGINT) AS qx,
+                 CAST(SUM(cy * cy) AS BIGINT) AS qy,
+                 CAST(SUM(cz * cz) AS BIGINT) AS qz,
+                 CAST(SUM(cx * cy) AS BIGINT) AS pxy,
+                 CAST(SUM(cx * cz) AS BIGINT) AS pxz,
+                 CAST(SUM(cy * cz) AS BIGINT) AS pyz
+          FROM x),
+    r AS (SELECT n,
+                 (CAST(n AS DOUBLE) * pxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
+                   AS rxy,
+                 (CAST(n AS DOUBLE) * pxz - CAST(sx AS DOUBLE) * sz)
+                 / sqrt((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * qz - CAST(sz AS DOUBLE) * sz))
+                   AS rxz,
+                 (CAST(n AS DOUBLE) * pyz - CAST(sy AS DOUBLE) * sz)
+                 / sqrt((CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy)
+                        * (CAST(n AS DOUBLE) * qz - CAST(sz AS DOUBLE) * sz))
+                   AS ryz
+          FROM s),
+    p AS (SELECT n, rxy, rxz, ryz,
+                 (rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS rp
+          FROM r),
+    f AS (SELECT n, rxy, rxz, ryz, rp,
+                 rp * sqrt((n - 3) / (1.0 - rp * rp)) AS t_raw
+          FROM p)
+    SELECT n AS n_users,
+           {sql_rnd("rxy", 6)} AS r_xy, {sql_rnd("rxz", 6)} AS r_xz,
+           {sql_rnd("ryz", 6)} AS r_yz, {sql_rnd("rp", 6)} AS r_partial,
+           {sql_rnd("t_raw", 6)} AS t_stat,
+           ABS({sql_rnd("t_raw", 6)}) > {_PC_CRIT} AS significant
+    FROM f
+    """,
+)
+def j_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation (public, Yule 1907 lineage)
+    between per-user CLICK and PURCHASE counts CONTROLLING for VIEW
+    count — the does-the-funnel-edge-survive-the-confounder question
+    behind every engagement correlation: clicks and purchases both
+    ride raw activity (views), so their zero-order correlation is
+    inflated; r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)
+    (1-r_yz^2)) removes the shared-activity channel. The t statistic
+    r sqrt((n-3)/(1-r^2)) is compared at the large-n normal 0.05
+    critical value.
+
+    EXACT: all nine sufficient sums are exact BIGINTs off one user
+    agg; the three Pearson r's, the partial r and t are ONE fixed
+    IEEE sequence (factors cast double separately), each rounded
+    1e-6, and significance reads the ROUNDED t.
+
+    Plan: ONE (user_id) corpus hash agg with three conditional sums,
+    then a single-row fold — two map-side-combined aggs, no join, no
+    window. At 100 TB only the user agg scales."""
+    t = load(spark, sf_dir)
+    x = t.events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("cx"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("cy"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("cz"),
+    )
+    cx, cy, cz = F.col("cx"), F.col("cy"), F.col("cz")
+    s = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cx).cast("long").alias("sx"),
+        F.sum(cy).cast("long").alias("sy"),
+        F.sum(cz).cast("long").alias("sz"),
+        F.sum(cx * cx).cast("long").alias("qx"),
+        F.sum(cy * cy).cast("long").alias("qy"),
+        F.sum(cz * cz).cast("long").alias("qz"),
+        F.sum(cx * cy).cast("long").alias("pxy"),
+        F.sum(cx * cz).cast("long").alias("pxz"),
+        F.sum(cy * cz).cast("long").alias("pyz"),
+    )
+    n = F.col("n")
+
+    def _pear(p, a, sa, qa, b, sb, qb):
+        return (n.cast("double") * F.col(p) - F.col(sa).cast("double") * F.col(sb)) / F.sqrt(
+            (n.cast("double") * F.col(qa) - F.col(sa).cast("double") * F.col(sa))
+            * (n.cast("double") * F.col(qb) - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    r = s.select(
+        "n",
+        _pear("pxy", "x", "sx", "qx", "y", "sy", "qy").alias("rxy"),
+        _pear("pxz", "x", "sx", "qx", "z", "sz", "qz").alias("rxz"),
+        _pear("pyz", "y", "sy", "qy", "z", "sz", "qz").alias("ryz"),
+    )
+    p = r.select(
+        "n",
+        "rxy",
+        "rxz",
+        "ryz",
+        (
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+                * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+            )
+        ).alias("rp"),
+    )
+    f = p.select(
+        "n",
+        "rxy",
+        "rxz",
+        "ryz",
+        "rp",
+        (
+            F.col("rp")
+            * F.sqrt((F.col("n") - 3) / (F.lit(1.0) - F.col("rp") * F.col("rp")))
+        ).alias("t_raw"),
+    )
+    tr = rnd(F.col("t_raw"), 6)
+    return f.select(
+        F.col("n").alias("n_users"),
+        rnd(F.col("rxy"), 6).alias("r_xy"),
+        rnd(F.col("rxz"), 6).alias("r_xz"),
+        rnd(F.col("ryz"), 6).alias("r_yz"),
+        rnd(F.col("rp"), 6).alias("r_partial"),
+        tr.alias("t_stat"),
+        (F.abs(tr) > _PC_CRIT).alias("significant"),
+    )

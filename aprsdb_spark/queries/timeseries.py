@@ -2116,3 +2116,323 @@ def j_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, rnd(F.lit(1.0) - dw_raw / 2.0, 6)).alias("rho_lag1"),
         F.when(ok, rnd(dw_raw, 6) < _DW_POS).alias("positive_autocorr"),
     )
+
+
+# CUSUM: conventional drift alarm at 4 standard deviations.
+_CUSUM_H = 4.0
+
+
+@query(
+    "j_cusum_drift",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s1,
+                 CAST(SUM(v * v) AS BIGINT) AS s2
+          FROM d GROUP BY 1),
+    x AS (SELECT d.event_type, d.day, s.n, s.s1, s.s2,
+                 d.v * s.n - s.s1 AS dev
+          FROM d JOIN s ON s.event_type = d.event_type),
+    p AS (SELECT event_type, day, n, s1, s2,
+                 CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS cp
+          FROM x),
+    w AS (SELECT event_type, day, n, s1, s2, cp,
+                 cp - CAST(MIN(cp) OVER (PARTITION BY event_type ORDER BY day)
+                           AS BIGINT) AS sp,
+                 CAST(MAX(cp) OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) - cp AS sn
+          FROM p),
+    m AS (SELECT event_type, day, n, s1, s2, sp, sn,
+                 CAST(MAX(sp) OVER (PARTITION BY event_type) AS BIGINT) AS msp,
+                 CAST(MAX(sn) OVER (PARTITION BY event_type) AS BIGINT) AS msn
+          FROM w),
+    f AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+                 CAST(MAX(s1) AS BIGINT) AS s1, CAST(MAX(s2) AS BIGINT) AS s2,
+                 CAST(MAX(msp) AS BIGINT) AS msp,
+                 CAST(MAX(msn) AS BIGINT) AS msn,
+                 MIN(CASE WHEN sp = msp THEN day END) AS peak_day
+          FROM m GROUP BY 1),
+    g AS (SELECT event_type, n_days, msp, msn, peak_day,
+                 CAST(s1 AS DOUBLE) / n_days AS mu,
+                 sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)) / n_days AS sd
+          FROM f)
+    SELECT event_type, n_days,
+           {sql_rnd("mu", 6)} AS mean_daily,
+           {sql_rnd("sd", 6)} AS sd_daily,
+           CASE WHEN sd > 0 THEN
+             {sql_rnd("CAST(msp AS DOUBLE) / n_days / sd", 6)} END AS cusum_pos_sd,
+           CASE WHEN sd > 0 THEN
+             {sql_rnd("CAST(msn AS DOUBLE) / n_days / sd", 6)} END AS cusum_neg_sd,
+           peak_day,
+           CASE WHEN sd > 0 THEN
+             {sql_rnd("CAST(msp AS DOUBLE) / n_days / sd", 6)} > {_CUSUM_H}
+             OR {sql_rnd("CAST(msn AS DOUBLE) / n_days / sd", 6)} > {_CUSUM_H}
+           END AS drift
+    FROM g
+    """,
+)
+def j_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detector (Page 1954, public) on each event
+    type's daily-volume series — the batch twin of the streaming
+    drift monitor: the classic control chart that accumulates
+    deviations from the series mean and flags a sustained shift long
+    before any single day trips a z-score (the j_ts_anomaly
+    complement: that flags spikes, CUSUM flags drifts). Uses the
+    prefix-sum identity S+_t = P_t - min_(i<=t) P_i (and the mirror
+    for S-), so the classic recursive chart becomes two plain
+    windows.
+
+    EXACT: deviations are pre-scaled by n (dev = v*n - S1, exact
+    BIGINT — no float mean subtraction), so every prefix sum,
+    running extreme and maximum is exact integer arithmetic; the
+    normalized drift magnitudes divide ONCE by (n * sd) in a fixed
+    IEEE sequence rounded 1e-6 before the > {_CUSUM_H} sd alarm
+    compare; the peak day is the MIN day attaining the max (a
+    deterministic tie-break). NULL stats when the series is
+    constant.
+
+    Plan: ONE (event_type, day) corpus hash agg (the j_mann_kendall
+    shuffle class) + a |types|-row moment fold broadcast back; all
+    windows run per-type over <= 31 rows. At 100 TB only the first
+    agg scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    d.persist()  # consumers: the moment fold and the deviation pass
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    x = d.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "s1",
+        "s2",
+        (F.col("v") * F.col("n") - F.col("s1")).alias("dev"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("day")
+    p = x.select(
+        "event_type",
+        "day",
+        "n",
+        "s1",
+        "s2",
+        F.sum("dev").over(wc).cast("long").alias("cp"),
+    )
+    w = p.select(
+        "event_type",
+        "day",
+        "n",
+        "s1",
+        "s2",
+        (F.col("cp") - F.min("cp").over(wc).cast("long")).alias("sp"),
+        (F.max("cp").over(wc).cast("long") - F.col("cp")).alias("sn"),
+    )
+    wt = Window.partitionBy("event_type")
+    m = w.select(
+        "event_type",
+        "day",
+        "n",
+        "s1",
+        "s2",
+        "sp",
+        "sn",
+        F.max("sp").over(wt).cast("long").alias("msp"),
+        F.max("sn").over(wt).cast("long").alias("msn"),
+    )
+    f = m.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("s1").cast("long").alias("s1"),
+        F.max("s2").cast("long").alias("s2"),
+        F.max("msp").cast("long").alias("msp"),
+        F.max("msn").cast("long").alias("msn"),
+        F.min(F.when(F.col("sp") == F.col("msp"), F.col("day"))).alias("peak_day"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_days")
+    sd = (
+        F.sqrt((F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        / F.col("n_days")
+    )
+    g = f.select("event_type", "n_days", "msp", "msn", "peak_day",
+                 mu.alias("mu"), sd.alias("sd"))
+    pos = rnd(F.col("msp").cast("double") / F.col("n_days") / F.col("sd"), 6)
+    neg = rnd(F.col("msn").cast("double") / F.col("n_days") / F.col("sd"), 6)
+    ok = F.col("sd") > 0
+    return g.select(
+        "event_type",
+        "n_days",
+        rnd(F.col("mu"), 6).alias("mean_daily"),
+        rnd(F.col("sd"), 6).alias("sd_daily"),
+        F.when(ok, pos).alias("cusum_pos_sd"),
+        F.when(ok, neg).alias("cusum_neg_sd"),
+        "peak_day",
+        F.when(ok, (pos > _CUSUM_H) | (neg > _CUSUM_H)).alias("drift"),
+    )
+
+
+# EWMA control chart: classic lambda = 0.2, 3-sigma limits.
+_EWMA_L = 0.2
+
+
+@query(
+    "j_ewma_chart",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, day, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS rn
+          FROM d),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s1,
+                 CAST(SUM(v * v) AS BIGINT) AS s2
+          FROM d GROUP BY 1),
+    pr AS (SELECT a.event_type, a.day, a.v, a.rn, s.n, s.s1, s.s2,
+                  CAST(SUM(CAST(FLOOR({_EWMA_L} * POWER(1.0 - {_EWMA_L},
+                                          a.rn - b.rn) * b.v
+                                      * 1000000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS w6
+           FROM r a JOIN r b
+             ON b.event_type = a.event_type AND b.rn <= a.rn
+           JOIN s ON s.event_type = a.event_type
+           GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    e AS (SELECT event_type, day, v, rn, n, s1, s2,
+                 (w6 + CAST(FLOOR(POWER(1.0 - {_EWMA_L}, rn)
+                                  * (CAST(s1 AS DOUBLE) / n)
+                                  * 1000000.0 + 0.5) AS BIGINT))
+                   / 1000000.0 AS ewma,
+                 CAST(s1 AS DOUBLE) / n AS mu,
+                 sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS sd
+          FROM pr),
+    f AS (SELECT event_type, day, v, ewma, mu, sd,
+                 sd * sqrt({_EWMA_L} / (2.0 - {_EWMA_L})
+                           * (1.0 - POWER((1.0 - {_EWMA_L})
+                                          * (1.0 - {_EWMA_L}), rn))) AS sg
+          FROM e)
+    SELECT event_type, day, v AS n_events,
+           {sql_rnd("ewma", 6)} AS ewma,
+           {sql_rnd("mu + 3.0 * sg", 6)} AS ucl,
+           {sql_rnd("mu - 3.0 * sg", 6)} AS lcl,
+           {sql_rnd("ewma", 6)} > {sql_rnd("mu + 3.0 * sg", 6)}
+             OR {sql_rnd("ewma", 6)} < {sql_rnd("mu - 3.0 * sg", 6)} AS anomaly
+    FROM f
+    """,
+)
+def j_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959, public) on each event type's
+    daily volume, lambda = {_EWMA_L}, 3-sigma limits around the
+    series mean — the small-persistent-shift monitor between
+    j_ts_anomaly's single-day z flags and j_cusum_drift's cumulative
+    alarm; the time-varying sigma_t = sd sqrt(lambda/(2-lambda)
+    (1-(1-lambda)^2t)) keeps early days honest instead of borrowing
+    the asymptotic band. The chart centers on the series mean (a
+    retrospective audit, the control-chart convention for phase-I
+    analysis).
+
+    EXACT: the recursion is unrolled into its closed form EWMA_t =
+    sum_i lambda (1-lambda)^(t-i) v_i + (1-lambda)^t mu over the
+    per-type pair grid; each term (POWER the only libm call) is
+    floored ONCE to a 1e-6-grid BIGINT and summed in exact integer
+    arithmetic (the scaled-summation convention), so the chart value
+    is engine-order-free; limits are one IEEE sequence rounded 1e-6,
+    and the anomaly compare reads the ROUNDED chart vs the ROUNDED
+    limits.
+
+    Plan: ONE (event_type, day) corpus hash agg; the unrolled
+    recursion is a broadcast pair self-join on the <= 31-row
+    calendar relation (the j_mann_kendall grid device) grouped back
+    to one row per day — metadata-scale everywhere past the first
+    agg. At 100 TB only that agg scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    d.persist()  # consumers: both pair-join legs and the moment fold
+    wr = Window.partitionBy("event_type").orderBy("day")
+    r = d.select(
+        "event_type", "day", "v", F.row_number().over(wr).cast("long").alias("rn")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    lam = float(_EWMA_L)
+    term6 = F.floor(
+        F.lit(lam)
+        * F.pow(F.lit(1.0 - lam), F.col("rn") - F.col("rn_b"))
+        * F.col("v_b")
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    pr = (
+        r.join(
+            F.broadcast(
+                r.select(
+                    "event_type",
+                    F.col("rn").alias("rn_b"),
+                    F.col("v").alias("v_b"),
+                )
+            ),
+            "event_type",
+        )
+        .where(F.col("rn_b") <= F.col("rn"))
+        .groupBy("event_type", "day", "v", "rn")
+        .agg(F.sum(term6).cast("long").alias("w6"))
+        .join(F.broadcast(s), "event_type")
+    )
+    base6 = F.floor(
+        F.pow(F.lit(1.0 - lam), F.col("rn"))
+        * (F.col("s1").cast("double") / F.col("n"))
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    e = pr.select(
+        "event_type",
+        "day",
+        "v",
+        "rn",
+        "n",
+        "s1",
+        "s2",
+        ((F.col("w6") + base6) / F.lit(1000000.0)).alias("ewma"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        (
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("n")
+        ).alias("sd"),
+    )
+    sg = F.col("sd") * F.sqrt(
+        F.lit(lam / (2.0 - lam))
+        * (F.lit(1.0) - F.pow(F.lit((1.0 - lam) * (1.0 - lam)), F.col("rn")))
+    )
+    f = e.select("event_type", "day", "v", "ewma", "mu", sg.alias("sg"))
+    ew = rnd(F.col("ewma"), 6)
+    ucl = rnd(F.col("mu") + 3.0 * F.col("sg"), 6)
+    lcl = rnd(F.col("mu") - 3.0 * F.col("sg"), 6)
+    return f.select(
+        "event_type",
+        "day",
+        F.col("v").alias("n_events"),
+        ew.alias("ewma"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((ew > ucl) | (ew < lcl)).alias("anomaly"),
+    )

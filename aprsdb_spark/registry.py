@@ -222,6 +222,18 @@ NEXT_QUEUE: list[str] = [
     "j_logrank_test",
     "j_jarque_bera",
     "j_durbin_watson",
+    # r16 wave 11 (continuation session): reliability + control-chart
+    # closure — Cronbach's alpha item panel over the five event-type
+    # "items" (exact integer variance numerators), first-order partial
+    # correlation of the click/purchase funnel edge controlling views,
+    # CUSUM mean-shift detection via the prefix-sum identity, and the
+    # EWMA control chart with its recursion unrolled onto the pair
+    # grid (per-term 1e-6 floors). Four more r9 tail entries dropped
+    # from REFRESH_QUEUE below, same arithmetic.
+    "j_cronbach_alpha",
+    "j_partial_corr",
+    "j_cusum_drift",
+    "j_ewma_chart",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
@@ -259,10 +271,6 @@ REFRESH_QUEUE: list[str] = [
     "e_win_ignorenulls",
     "f_offset",
     "h_map",
-    "h_json",
-    "h_hash",
-    "h_geo_range",
-    "h_geo_pairs",
     # (tail r9-scored entries are dropped one-for-one as wave-9+
     # additions land on NEXT_QUEUE: dropped qids are not yet stale
     # under the max(4, ceil(N/48)) bound and lead the r18 queue)

@@ -301,6 +301,7 @@ _EXPECTED_BNLJ = {
     # --- r16 continuation (wave 10): 1-row fold build sides by design:
     "j_kaplan_meier",  # 1-row broadcast (gmax, total) fold onto |users| rows
     "j_logrank_test",  # 1-row gmax + 1-row (tn1, tn2) folds, the KM shape
+    "j_cronbach_alpha",  # 1-row sufficient-stat fold x 5-row literal item spine
     "j_log_loss",  # 1-row |labels| broadcast onto the per-query vote rows
     "j_hellinger",  # 1-row corpus total cross-join (the j_kl_sources shape)
     "j_map_eval",  # 20-row query panel broadcast (the j_knn_batch fan-out)
@@ -1368,6 +1369,13 @@ _SHUFFLE_BUDGETS = {
     "j_durbin_watson": 11, # ONE (type,day) corpus agg (persisted, reprinted)
     #                        + |types|-row OLS folds broadcast back + ONE
     #                        per-type lag window over <=31 rows
+    "j_cronbach_alpha": 3, # ONE (user_id) agg with 5 conditional sums + a
+    #                        1-row fold + 5-row literal spine cross-join
+    "j_partial_corr": 2,   # ONE (user_id) agg + single-row fold — no join
+    "j_cusum_drift": 5,    # ONE (type,day) agg (persisted, reprinted) +
+    #                        |types|-row fold broadcast + per-type windows
+    "j_ewma_chart": 8,     # same agg + broadcast pair self-join (unrolled
+    #                        recursion) + per-type row_number window
 }
 
 

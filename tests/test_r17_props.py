@@ -153,3 +153,81 @@ def test_durbin_watson_range_and_rho_identity(spark):
             # rho_lag1 is exactly 1 - dw/2 up to the two roundings
             assert abs(r["rho_lag1"] - (1.0 - r["dw_stat"] / 2.0)) < 2e-6
             assert r["positive_autocorr"] == (r["dw_stat"] < 1.5)
+
+
+def test_cronbach_alpha_panel_identities(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_cronbach_alpha", sf)
+        assert {r["item"] for r in rows} == {
+            "click", "view", "purchase", "signup", "error",
+        }
+        alphas = {r["alpha"] for r in rows}
+        # the overall alpha is one number repeated per item row
+        assert len(alphas) == 1
+        (alpha,) = alphas
+        # alpha is bounded above by 1 (k/(k-1) * (1 - pos/pos))
+        assert alpha <= 1.0
+        for r in rows:
+            assert r["item_var"] > 0
+            if r["item_rest_corr"] is not None:
+                assert -1.0 <= r["item_rest_corr"] <= 1.0
+            assert r["alpha_if_deleted"] <= 1.0
+
+
+def test_partial_corr_is_bounded_and_consistent(spark):
+    for sf in (SF1, SF_DIR):
+        (r,) = _rows(spark, "j_partial_corr", sf)
+        for c in ("r_xy", "r_xz", "r_yz", "r_partial"):
+            assert -1.0 <= r[c] <= 1.0, c
+        # t recomposes from r_partial and n to rounding slack
+        import math
+        t = r["r_partial"] * math.sqrt(
+            (r["n_users"] - 3) / (1.0 - r["r_partial"] ** 2)
+        )
+        assert abs(t - r["t_stat"]) < 1e-3
+        assert r["significant"] == (abs(r["t_stat"]) > 1.96)
+
+
+def test_cusum_drift_magnitudes_are_nonnegative(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_cusum_drift", sf)
+        assert {r["event_type"] for r in rows} == {
+            "click", "view", "purchase", "signup", "error",
+        }
+        for r in rows:
+            assert r["sd_daily"] is not None and r["sd_daily"] >= 0
+            if r["cusum_pos_sd"] is None:
+                continue
+            # prefix-max identities: both one-sided magnitudes >= 0
+            assert r["cusum_pos_sd"] >= 0
+            assert r["cusum_neg_sd"] >= 0
+            assert r["peak_day"] is not None
+            assert r["drift"] == (
+                r["cusum_pos_sd"] > 4.0 or r["cusum_neg_sd"] > 4.0
+            )
+
+
+def test_ewma_chart_stays_between_observations_and_mean(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_ewma_chart", sf)
+        bytype = {}
+        for r in rows:
+            bytype.setdefault(r["event_type"], []).append(r)
+        assert set(bytype) == {"click", "view", "purchase", "signup", "error"}
+        for et, rs in bytype.items():
+            rs.sort(key=lambda r: r["day"])
+            vs = [r["n_events"] for r in rs]
+            mu = sum(vs) / len(vs)
+            lo, hi = min(min(vs), mu), max(max(vs), mu)
+            for r in rs:
+                # a convex combination of observations and the center
+                # can never leave their hull (grid slack only)
+                assert lo - 1e-4 <= r["ewma"] <= hi + 1e-4
+                # the band is symmetric around the center and widens
+                assert r["ucl"] >= r["lcl"]
+                assert r["anomaly"] == (
+                    r["ewma"] > r["ucl"] or r["ewma"] < r["lcl"]
+                )
+            # sigma_t grows with t: the band is monotone non-shrinking
+            for a, b in zip(rs, rs[1:]):
+                assert b["ucl"] >= a["ucl"] - 1e-9
