@@ -5472,3 +5472,212 @@ def j_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.alias("t_stat"),
         (F.abs(tr) > _PC_CRIT).alias("significant"),
     )
+
+
+@query(
+    "j_krippendorff_alpha",
+    oracle=f"""
+    WITH r AS (SELECT ({_R1_SQL}) + ({_R2_SQL}) + ({_R3_SQL}) AS ki
+               FROM documents),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ki) AS BIGINT) AS kk,
+                 CAST(SUM(ki * (3 - ki)) AS BIGINT) AS dis
+          FROM r),
+    f AS (SELECT n, kk, dis,
+                 CAST(dis AS DOUBLE) / (3.0 * n) AS d_o,
+                 2.0 * CAST(kk AS DOUBLE) * (3.0 * n - kk)
+                   / (3.0 * n * (3.0 * n - 1.0)) AS d_e
+          FROM s)
+    SELECT n AS n_docs, kk AS keep_mass, dis AS dis_mass,
+           {sql_rnd("d_o", 6)} AS d_o,
+           {sql_rnd("d_e", 6)} AS d_e,
+           CASE WHEN kk > 0 AND kk < 3 * n THEN
+             {sql_rnd("1.0 - (3.0 * n - 1.0) * dis / (2.0 * CAST(kk AS DOUBLE) * (3.0 * n - kk))", 6)}
+           END AS alpha
+    FROM f
+    """,
+)
+def j_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (public, Krippendorff 1970/2004) over the
+    SAME three deterministic quality raters as j_fleiss_kappa —
+    closing the inter-rater shelf (Cohen 2-rater, Fleiss r-rater,
+    Kendall W rank concordance, and now the coincidence-matrix
+    reliability that generalizes to missing data and other metrics).
+    For binary categories with all three raters voting on every
+    document the coincidence matrix collapses to integers: observed
+    disagreement D_o = SUM k(3-k) / 3n (k = keep votes per doc) and
+    expected D_e = 2 K (3n-K) / (3n (3n-1)) with K = SUM k; alpha =
+    1 - D_o/D_e = 1 - (3n-1) SUM k(3-k) / (2 K (3n-K)). The (3n-1)
+    small-sample correction is exactly what separates alpha from
+    Fleiss' kappa here (property-pinned to agree within O(1/n)).
+
+    EXACT: every rater is the integer-compare indicator shared with
+    j_fleiss_kappa (analytics.quality_rater_cols); K and the
+    disagreement mass are exact BIGINTs; alpha is ONE IEEE sequence
+    rounded 1e-6; NULL when a category is empty (D_e = 0).
+
+    Plan: one narrow corpus projection folding to a single row —
+    map-side partials, zero joins, zero windows, scan-speed at
+    100 TB (the j_fleiss_kappa plan verbatim)."""
+    t = load(spark, sf_dir)
+    k1, k2, k3 = quality_rater_cols()
+    r = t.documents.select((k1 + k2 + k3).alias("ki"))
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ki").cast("long").alias("kk"),
+        F.sum(F.col("ki") * (3 - F.col("ki"))).cast("long").alias("dis"),
+    )
+    n, kk, dis = F.col("n"), F.col("kk"), F.col("dis")
+    d_o = dis.cast("double") / (3.0 * n)
+    d_e = 2.0 * kk.cast("double") * (3.0 * n - kk) / (3.0 * n * (3.0 * n - F.lit(1.0)))
+    alpha = F.lit(1.0) - (3.0 * n - F.lit(1.0)) * dis / (
+        2.0 * kk.cast("double") * (3.0 * n - kk)
+    )
+    ok = (kk > 0) & (kk < 3 * n)
+    return s.select(
+        n.alias("n_docs"),
+        kk.alias("keep_mass"),
+        dis.alias("dis_mass"),
+        rnd(d_o, 6).alias("d_o"),
+        rnd(d_e, 6).alias("d_e"),
+        F.when(ok, rnd(alpha, 6)).alias("alpha"),
+    )
+
+
+# Mantel-Haenszel / CMH: chi-square(1) 0.05 critical value.
+_MH_CRIT = 3.8415
+
+
+@query(
+    "j_mantel_haenszel",
+    oracle=f"""
+    WITH m AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    e AS (SELECT CAST((CAST(ts AS DATE) - m.d0) AS BIGINT) // 7 AS wk,
+                 CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+          FROM events CROSS JOIN m),
+    c AS (SELECT wk,
+                 CAST(SUM(exposed * hit) AS BIGINT) AS a,
+                 CAST(SUM(exposed * (1 - hit)) AS BIGINT) AS b,
+                 CAST(SUM((1 - exposed) * hit) AS BIGINT) AS c,
+                 CAST(SUM((1 - exposed) * (1 - hit)) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1),
+    t AS (SELECT wk, a, b, c, d, n,
+                 CAST(FLOOR(CAST(a AS DOUBLE) * d / n * 1000000.0 + 0.5)
+                      AS BIGINT) AS r6,
+                 CAST(FLOOR(CAST(b AS DOUBLE) * c / n * 1000000.0 + 0.5)
+                      AS BIGINT) AS s6,
+                 CAST(FLOOR(CAST(a + b AS DOUBLE) * (a + c) / n
+                            * 1000000.0 + 0.5) AS BIGINT) AS e6,
+                 CASE WHEN n > 1 THEN
+                   CAST(FLOOR(CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                              * (b + d)
+                              / (CAST(n AS DOUBLE) * n * (n - 1))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END AS v6
+          FROM c),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(SUM(a) AS BIGINT) AS a_total,
+                 CAST(SUM(r6) AS BIGINT) AS rr6,
+                 CAST(SUM(s6) AS BIGINT) AS ss6,
+                 CAST(SUM(e6) AS BIGINT) AS ee6,
+                 CAST(SUM(v6) AS BIGINT) AS vv6
+          FROM t)
+    SELECT n_strata, a_total,
+           ee6 / 1000000.0 AS e_total,
+           vv6 / 1000000.0 AS var_mh,
+           CASE WHEN ss6 > 0 THEN
+             {sql_rnd("CAST(rr6 AS DOUBLE) / ss6", 6)} END AS or_mh,
+           CASE WHEN vv6 > 0 THEN
+             {sql_rnd("(CAST(a_total * 1000000 - ee6 AS DOUBLE) / 1000000.0) * (CAST(a_total * 1000000 - ee6 AS DOUBLE) / 1000000.0) / (vv6 / 1000000.0)", 6)}
+           END AS chi2_stat,
+           CASE WHEN vv6 > 0 THEN
+             {sql_rnd("(CAST(a_total * 1000000 - ee6 AS DOUBLE) / 1000000.0) * (CAST(a_total * 1000000 - ee6 AS DOUBLE) / 1000000.0) / (vv6 / 1000000.0)", 6)} > {_MH_CRIT}
+           END AS significant
+    FROM f
+    """,
+)
+def j_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio + Cochran-Mantel-Haenszel
+    chi-square (public 1959) for the even/odd-cohort click outcome
+    STRATIFIED BY WEEK — the Simpson's-paradox-proof effect estimate
+    behind every experimentation platform: the crude 2x2 table mixes
+    weeks with different traffic, the MH estimator pools the
+    per-stratum odds ratios with their natural weights, and the CMH
+    statistic tests the common effect. OR_MH = SUM(a_i d_i / n_i) /
+    SUM(b_i c_i / n_i); chi2 = (SUM a_i - SUM E_i)^2 / SUM V_i with
+    the hypergeometric E_i, V_i per stratum.
+
+    EXACT: per-stratum cell counts are exact BIGINTs; each a d/n,
+    b c/n, E and V TERM is floored ONCE to a 1e-6-grid BIGINT (the
+    scaled-summation convention — the four-factor V numerator stays
+    inside 2^53 at every tested scale, factors cast double
+    separately), so all four pooled sums are exact integers; the OR
+    and chi-square are one IEEE sequence each, rounded 1e-6 before
+    the > {_MH_CRIT} compare. NULLs when a pooled denominator
+    degenerates.
+
+    Plan: a 1-row min-day fold broadcast onto the scan, ONE |weeks|-
+    row hash agg (map-side combined), and a single-row fold — the
+    j_cochran_armitage plan class. At 100 TB only the stratum agg
+    scales."""
+    t = load(spark, sf_dir)
+    m = t.events.agg(
+        F.min(F.timestamp_millis(F.col("ts_ms")).cast("date")).alias("d0")
+    )
+    e = t.events.crossJoin(F.broadcast(m)).select(
+        F.expr(
+            "CAST(datediff(CAST(timestamp_millis(ts_ms) AS DATE), d0) AS BIGINT)"
+            " div 7"
+        ).alias("wk"),
+        (F.col("user_id") % 2 == 0).cast("long").alias("exposed"),
+        (F.col("event_type") == "click").cast("long").alias("hit"),
+    )
+    c = e.groupBy("wk").agg(
+        F.sum(F.col("exposed") * F.col("hit")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("hit"))).cast("long").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("hit")).cast("long").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("hit"))).cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    a, b, cc, d, n = F.col("a"), F.col("b"), F.col("c"), F.col("d"), F.col("n")
+    r6 = F.floor(a.cast("double") * d / n * 1000000.0 + F.lit(0.5)).cast("long")
+    s6 = F.floor(b.cast("double") * cc / n * 1000000.0 + F.lit(0.5)).cast("long")
+    e6 = F.floor(
+        (a + b).cast("double") * (a + cc) / n * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    v6 = F.when(
+        n > 1,
+        F.floor(
+            (a + b).cast("double")
+            * (cc + d)
+            * (a + cc)
+            * (b + d)
+            / (n.cast("double") * n * (n - 1))
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    f = c.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(a).cast("long").alias("a_total"),
+        F.sum(r6).cast("long").alias("rr6"),
+        F.sum(s6).cast("long").alias("ss6"),
+        F.sum(e6).cast("long").alias("ee6"),
+        F.sum(v6).cast("long").alias("vv6"),
+    )
+    num = (F.col("a_total") * 1000000 - F.col("ee6")).cast("double") / F.lit(
+        1000000.0
+    )
+    chi2 = num * num / (F.col("vv6") / F.lit(1000000.0))
+    return f.select(
+        "n_strata",
+        "a_total",
+        (F.col("ee6") / F.lit(1000000.0)).alias("e_total"),
+        (F.col("vv6") / F.lit(1000000.0)).alias("var_mh"),
+        F.when(F.col("ss6") > 0, rnd(F.col("rr6").cast("double") / F.col("ss6"), 6))
+        .alias("or_mh"),
+        F.when(F.col("vv6") > 0, rnd(chi2, 6)).alias("chi2_stat"),
+        F.when(F.col("vv6") > 0, rnd(chi2, 6) > _MH_CRIT).alias("significant"),
+    )

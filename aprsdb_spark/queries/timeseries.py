@@ -2436,3 +2436,314 @@ def j_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcl.alias("lcl"),
         ((ew > ucl) | (ew < lcl)).alias("anomaly"),
     )
+
+
+@query(
+    "j_seasonal_decompose",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    x0 AS (SELECT event_type, MIN(day) AS d0 FROM d GROUP BY 1),
+    xd AS (SELECT d.event_type, CAST(d.day - x0.d0 AS BIGINT) AS x, v, d.day,
+                  CAST(d.day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+           FROM d JOIN x0 ON x0.event_type = d.event_type),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(v) AS BIGINT) AS sy,
+                 CAST(SUM(x * v) AS BIGINT) AS sxy
+          FROM xd GROUP BY 1),
+    b AS (SELECT event_type,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+                 n, sx, sy
+          FROM s),
+    b2 AS (SELECT event_type, beta,
+                  (CAST(sy AS DOUBLE) - beta * sx) / n AS alpha
+           FROM b),
+    e AS (SELECT xd.event_type, xd.dow, xd.v,
+                 CAST(FLOOR((CAST(v AS DOUBLE) - (alpha + beta * x))
+                            * 1000000.0 + 0.5) AS BIGINT) AS dt6
+          FROM xd JOIN b2 ON b2.event_type = xd.event_type),
+    g AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(SUM(dt6) AS BIGINT) AS sd6
+          FROM e GROUP BY 1, 2),
+    f AS (SELECT event_type, dow, n_days,
+                 FLOOR(CAST(sv AS DOUBLE) / n_days * 1000000 + 0.5) / 1000000
+                   AS mean_volume,
+                 FLOOR(CAST(sd6 AS DOUBLE) / n_days / 1000000.0
+                       * 1000000 + 0.5) / 1000000 AS seasonal_idx
+          FROM g)
+    SELECT event_type, dow, n_days, mean_volume, seasonal_idx,
+           seasonal_idx = MAX(seasonal_idx)
+             OVER (PARTITION BY event_type) AS is_peak
+    FROM f
+    """,
+)
+def j_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend + weekly-seasonal decomposition of each event type's
+    daily volume (the classical additive decomposition, public:
+    detrend by the OLS line, average the residuals per day-of-week)
+    — the is-Monday-really-different panel behind every traffic
+    dashboard, and the batch ground truth a forecasting pipeline
+    subtracts before modeling. seasonal_idx(dow) = mean over that
+    weekday of (v - trend); is_peak marks the strongest weekday.
+
+    EXACT: the OLS line reuses the j_durbin_watson five-BIGINT-sums
+    device; each detrended residual is floored ONCE to a 1e-6-grid
+    BIGINT so the per-weekday means are exact integer sums with one
+    IEEE division; day-of-week is the arithmetic (day - epoch) % 7
+    (0 = Thursday), immune to engine locale conventions; the peak
+    flag compares ROUNDED indexes (deterministic). OLS residuals sum
+    to ~0 by construction — the conservation property the test pins.
+
+    Plan: ONE (event_type, day) corpus hash agg; |types|-row OLS
+    folds broadcast back; one (type, dow) 35-row agg and a |dow|
+    window per type. At 100 TB only the first agg scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    d.persist()  # consumers: min-day fold, OLS sums, residual pass
+    x0 = d.groupBy("event_type").agg(F.min("day").alias("d0"))
+    xd = d.join(F.broadcast(x0), "event_type").select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        "v",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long") % 7)
+        .alias("dow"),
+    )
+    s = xd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("v").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("v")).cast("long").alias("sxy"),
+    )
+    beta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    b2 = s.select("event_type", beta.alias("beta"), "n", "sx", "sy").select(
+        "event_type",
+        "beta",
+        ((F.col("sy").cast("double") - F.col("beta") * F.col("sx")) / F.col("n"))
+        .alias("alpha"),
+    )
+    e = xd.join(F.broadcast(b2), "event_type").select(
+        "event_type",
+        "dow",
+        "v",
+        F.floor(
+            (F.col("v").cast("double") - (F.col("alpha") + F.col("beta") * F.col("x")))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dt6"),
+    )
+    g = e.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum("dt6").cast("long").alias("sd6"),
+    )
+    f = g.select(
+        "event_type",
+        "dow",
+        "n_days",
+        rnd(F.col("sv").cast("double") / F.col("n_days"), 6).alias("mean_volume"),
+        rnd(
+            F.col("sd6").cast("double") / F.col("n_days") / F.lit(1000000.0), 6
+        ).alias("seasonal_idx"),
+    )
+    wt = Window.partitionBy("event_type")
+    return f.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "mean_volume",
+        "seasonal_idx",
+        (F.col("seasonal_idx") == F.max("seasonal_idx").over(wt)).alias("is_peak"),
+    )
+
+
+# Hurst R/S curve: block-size grid over the 30-day series.
+_HURST_KS = (5, 10, 15, 30)
+
+
+@query(
+    "j_hurst_exponent",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, day, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS rn
+          FROM d),
+    g AS (SELECT r.*, ks.k FROM r
+          CROSS JOIN (VALUES (5), (10), (15), (30)) ks(k)),
+    b AS (SELECT event_type, k, (rn - 1) // k AS blk, rn, v FROM g),
+    w AS (SELECT event_type, k, blk, rn, v,
+                 CAST(SUM(v) OVER (PARTITION BY event_type, k, blk
+                                   ORDER BY rn) AS BIGINT) AS cum,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type, k, blk
+                                         ORDER BY rn) AS BIGINT) AS j,
+                 CAST(SUM(v) OVER (PARTITION BY event_type, k, blk)
+                      AS BIGINT) AS s1b
+          FROM b),
+    s AS (SELECT event_type, k, blk,
+                 CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(MAX(s1b) AS BIGINT) AS s1b,
+                 CAST(SUM(v * v) AS BIGINT) AS s2b,
+                 CAST(MAX(k * cum - j * s1b) AS BIGINT) AS pmax,
+                 CAST(MIN(k * cum - j * s1b) AS BIGINT) AS pmin
+          FROM w GROUP BY 1, 2, 3),
+    t AS (SELECT event_type, k,
+                 CAST(FLOOR(LN((pmax - pmin)
+                               / sqrt(CAST(k * s2b - s1b * s1b AS DOUBLE)))
+                            * 1000000.0 + 0.5) AS BIGINT) AS l6
+          FROM s
+          WHERE nb = k AND k * s2b - s1b * s1b > 0 AND pmax > pmin),
+    c AS (SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(FLOOR(CAST(SUM(l6) AS DOUBLE) / COUNT(*) + 0.5)
+                      AS BIGINT) AS y6,
+                 CAST(FLOOR(LN(CAST(k AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT) AS x6
+          FROM t GROUP BY 1, 2),
+    h AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n4,
+                 CAST(SUM(x6) AS BIGINT) AS hx,
+                 CAST(SUM(y6) AS BIGINT) AS hy,
+                 CAST(SUM(x6 * x6) AS BIGINT) AS hxx,
+                 CAST(SUM(x6 * y6) AS BIGINT) AS hxy
+          FROM c GROUP BY 1)
+    SELECT c.event_type, c.k AS block_size, c.n_blocks,
+           c.y6 / 1000000.0 AS log_rs,
+           CASE WHEN h.n4 >= 2 THEN
+             {sql_rnd("(CAST(h.n4 AS DOUBLE) * h.hxy - CAST(h.hx AS DOUBLE) * h.hy) / (CAST(h.n4 AS DOUBLE) * h.hxx - CAST(h.hx AS DOUBLE) * h.hx)", 6)}
+           END AS hurst
+    FROM c JOIN h ON h.event_type = c.event_type
+    """,
+)
+def j_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951 /
+    Mandelbrot-Wallis 1969, public) on each event type's daily-volume
+    series — the long-range-dependence number that separates
+    mean-reverting (H < 0.5), random-walk (H = 0.5) and trending
+    (H > 0.5) traffic, fitted as the log-log slope of mean R/S over
+    the block-size grid {_HURST_KS} (the sizing-curve discipline of
+    j_cms_width_curve: the CURVE is the output, the exponent rides
+    every row of its type).
+
+    EXACT: within each full block the cumulative deviation is the
+    exact integer k*cum_j - j*S1 (deviations pre-scaled by k — the
+    j_cusum_drift device), so the range R and the variance
+    denominator are exact BIGINTs and R/S is ONE IEEE sequence;
+    each ln(R/S) is floored ONCE to a 1e-6-grid BIGINT, block means
+    use one deterministic divide+floor, the grid x = ln(k) is floored
+    to the same grid, and the final OLS slope runs on exact integer
+    sums over <= 4 grid points. Degenerate blocks (constant, or
+    short tail blocks) are excluded by construction; H is NULL below
+    2 usable grid points.
+
+    Plan: ONE (event_type, day) corpus hash agg; the 4-row literal
+    block-size spine cross-joins the <= 31-row calendar relation
+    (metadata-scale), and every window/fold past the first agg runs
+    per (type, k, block) on <= 30 rows. At 100 TB only the first agg
+    scales."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    r = d.select(
+        "event_type", "day", "v", F.row_number().over(wr).cast("long").alias("rn")
+    )
+    ks = spark.createDataFrame([(k,) for k in _HURST_KS], "k long")
+    g = r.crossJoin(F.broadcast(ks))
+    b = g.select(
+        "event_type", "k", F.expr("(rn - 1) div k").alias("blk"), "rn", "v"
+    )
+    wb = Window.partitionBy("event_type", "k", "blk").orderBy("rn")
+    wf = Window.partitionBy("event_type", "k", "blk")
+    w = b.select(
+        "event_type",
+        "k",
+        "blk",
+        "v",
+        F.sum("v").over(wb).cast("long").alias("cum"),
+        F.row_number().over(wb).cast("long").alias("j"),
+        F.sum("v").over(wf).cast("long").alias("s1b"),
+    )
+    p = F.col("k") * F.col("cum") - F.col("j") * F.col("s1b")
+    s = w.groupBy("event_type", "k", "blk").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.max("s1b").cast("long").alias("s1b"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2b"),
+        F.max(p).cast("long").alias("pmax"),
+        F.min(p).cast("long").alias("pmin"),
+    )
+    sden = F.col("k") * F.col("s2b") - F.col("s1b") * F.col("s1b")
+    tt = s.where(
+        (F.col("nb") == F.col("k")) & (sden > 0) & (F.col("pmax") > F.col("pmin"))
+    ).select(
+        "event_type",
+        "k",
+        F.floor(
+            F.log((F.col("pmax") - F.col("pmin")) / F.sqrt(sden.cast("double")))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("l6"),
+    )
+    c = tt.groupBy("event_type", "k").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.floor(F.sum("l6").cast("double") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("y6"),
+    ).select(
+        "event_type",
+        "k",
+        "n_blocks",
+        "y6",
+        F.floor(F.log(F.col("k").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("x6"),
+    )
+    h = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n4"),
+        F.sum("x6").cast("long").alias("hx"),
+        F.sum("y6").cast("long").alias("hy"),
+        F.sum(F.col("x6") * F.col("x6")).cast("long").alias("hxx"),
+        F.sum(F.col("x6") * F.col("y6")).cast("long").alias("hxy"),
+    )
+    hurst = (
+        F.col("n4").cast("double") * F.col("hxy")
+        - F.col("hx").cast("double") * F.col("hy")
+    ) / (
+        F.col("n4").cast("double") * F.col("hxx")
+        - F.col("hx").cast("double") * F.col("hx")
+    )
+    return c.join(F.broadcast(h), "event_type").select(
+        "event_type",
+        F.col("k").alias("block_size"),
+        "n_blocks",
+        (F.col("y6") / F.lit(1000000.0)).alias("log_rs"),
+        F.when(F.col("n4") >= 2, rnd(hurst, 6)).alias("hurst"),
+    )

@@ -234,6 +234,18 @@ NEXT_QUEUE: list[str] = [
     "j_partial_corr",
     "j_cusum_drift",
     "j_ewma_chart",
+    # r16 wave 12 (continuation session): stratified-effect +
+    # long-memory closure — Krippendorff's alpha on the j_fleiss_kappa
+    # rater panel (coincidence-matrix integers), Mantel-Haenszel
+    # common OR + CMH chi2 for the even/odd click outcome stratified
+    # by week, additive trend+weekly-seasonal decomposition (OLS
+    # detrend, per-dow residual means), and the Hurst exponent by R/S
+    # analysis over the block-size grid. Four more r9 tail entries
+    # dropped from REFRESH_QUEUE below, same arithmetic.
+    "j_krippendorff_alpha",
+    "j_mantel_haenszel",
+    "j_seasonal_decompose",
+    "j_hurst_exponent",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
@@ -267,10 +279,6 @@ REFRESH_QUEUE: list[str] = [
     # the first 16 of the 48 r9-scored qids, registration order
     "c_join_nullsafe",
     "d_agg_groupall",
-    "d_agg_argminmax",
-    "e_win_ignorenulls",
-    "f_offset",
-    "h_map",
     # (tail r9-scored entries are dropped one-for-one as wave-9+
     # additions land on NEXT_QUEUE: dropped qids are not yet stale
     # under the max(4, ceil(N/48)) bound and lead the r18 queue)

@@ -302,6 +302,8 @@ _EXPECTED_BNLJ = {
     "j_kaplan_meier",  # 1-row broadcast (gmax, total) fold onto |users| rows
     "j_logrank_test",  # 1-row gmax + 1-row (tn1, tn2) folds, the KM shape
     "j_cronbach_alpha",  # 1-row sufficient-stat fold x 5-row literal item spine
+    "j_mantel_haenszel",  # 1-row min-day fold broadcast onto the event scan
+    "j_hurst_exponent",  # 4-row literal block-size spine x calendar relation
     "j_log_loss",  # 1-row |labels| broadcast onto the per-query vote rows
     "j_hellinger",  # 1-row corpus total cross-join (the j_kl_sources shape)
     "j_map_eval",  # 20-row query panel broadcast (the j_knn_batch fan-out)
@@ -1376,6 +1378,15 @@ _SHUFFLE_BUDGETS = {
     #                        |types|-row fold broadcast + per-type windows
     "j_ewma_chart": 8,     # same agg + broadcast pair self-join (unrolled
     #                        recursion) + per-type row_number window
+    "j_krippendorff_alpha": 1,  # one corpus projection folding to 1 row —
+    #                             the j_fleiss_kappa plan verbatim
+    "j_mantel_haenszel": 4,  # 1-row min-day fold broadcast + |weeks| agg +
+    #                          single-row fold (the j_cochran_armitage class)
+    "j_seasonal_decompose": 12,  # (type,day) agg (persisted, reprinted) +
+    #                              OLS folds broadcast + 35-row dow agg +
+    #                              per-type window
+    "j_hurst_exponent": 7,  # (type,day) agg + 4-row literal spine cross +
+    #                         per-(type,k,blk) windows + two metadata folds
 }
 
 

@@ -231,3 +231,72 @@ def test_ewma_chart_stays_between_observations_and_mean(spark):
             # sigma_t grows with t: the band is monotone non-shrinking
             for a, b in zip(rs, rs[1:]):
                 assert b["ucl"] >= a["ucl"] - 1e-9
+
+
+def test_krippendorff_alpha_couples_to_fleiss_kappa(spark):
+    for sf in (SF1, SF_DIR):
+        (ka,) = _rows(spark, "j_krippendorff_alpha", sf)
+        (fk,) = QUERIES["j_fleiss_kappa"](spark, sf).collect()
+        assert ka["alpha"] is not None and ka["alpha"] <= 1.0
+        assert 0.0 <= ka["d_o"] <= 1.0 and 0.0 < ka["d_e"] <= 1.0
+        # disagreement mass is bounded by 2 per doc (k(3-k) <= 2)
+        assert 0 <= ka["dis_mass"] <= 2 * ka["n_docs"]
+        # binary 3-rater alpha differs from Fleiss kappa only by the
+        # (3n-1) small-sample correction: O(1/n) apart
+        assert abs(ka["alpha"] - fk["kappa"]) < 0.05
+
+
+def test_mantel_haenszel_pooling_identities(spark):
+    for sf in (SF1, SF_DIR):
+        (r,) = _rows(spark, "j_mantel_haenszel", sf)
+        assert r["n_strata"] >= 4
+        assert r["or_mh"] is not None and r["or_mh"] > 0
+        assert r["var_mh"] > 0
+        # chi2 recomposes from (a_total - e_total) and var to slack
+        chi2 = (r["a_total"] - r["e_total"]) ** 2 / r["var_mh"]
+        assert abs(chi2 - r["chi2_stat"]) < 1e-3
+        assert r["significant"] == (r["chi2_stat"] > 3.8415)
+
+
+def test_seasonal_decompose_residuals_conserve(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_seasonal_decompose", sf)
+        bytype = {}
+        for r in rows:
+            bytype.setdefault(r["event_type"], []).append(r)
+        assert set(bytype) == {"click", "view", "purchase", "signup", "error"}
+        for et, rs in bytype.items():
+            assert {r["dow"] for r in rs} == set(range(7))
+            # OLS residuals sum to ~0: the weighted seasonal indexes
+            # cancel (grid slack: one 1e-6 floor per day + per dow)
+            tot = sum(r["n_days"] * r["seasonal_idx"] for r in rs)
+            assert abs(tot) < 1e-3, (et, tot)
+            # exactly one peak weekday flagged per type (max of 7
+            # rounded values; ties would flag more — require >= 1)
+            assert sum(1 for r in rs if r["is_peak"]) >= 1
+
+
+def test_hurst_curve_and_exponent_are_sane(spark):
+    for sf in (SF1, SF_DIR):
+        rows = _rows(spark, "j_hurst_exponent", sf)
+        bytype = {}
+        for r in rows:
+            bytype.setdefault(r["event_type"], []).append(r)
+        assert set(bytype) == {"click", "view", "purchase", "signup", "error"}
+        for et, rs in bytype.items():
+            ks = sorted(r["block_size"] for r in rs)
+            # the full grid survives on the 30-day series
+            assert ks == [5, 10, 15, 30], (et, ks)
+            hs = {r["hurst"] for r in rs}
+            assert len(hs) == 1  # one exponent per type, repeated
+            (h,) = hs
+            if h is not None:
+                # R/S slopes live strictly inside (0, 1) for any
+                # non-degenerate finite series
+                assert 0.0 < h < 1.0, (et, h)
+            for r in rs:
+                # R/S >= 1 in a block is typical but not guaranteed;
+                # the log mean must at least be finite and bounded
+                assert -14.0 < r["log_rs"] < 14.0
+                # block accounting: at most 30/k full blocks
+                assert 1 <= r["n_blocks"] <= 30 // r["block_size"]
