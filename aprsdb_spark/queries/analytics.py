@@ -5681,3 +5681,199 @@ def j_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vv6") > 0, rnd(chi2, 6)).alias("chi2_stat"),
         F.when(F.col("vv6") > 0, rnd(chi2, 6) > _MH_CRIT).alias("significant"),
     )
+
+
+# Breslow-Day: chi-square 0.05 critical values by df (public tables);
+# df = usable strata - 1, NULL outside the covered range.
+_BD_CRIT_SQL = (
+    "CASE df WHEN 1 THEN 3.8415 WHEN 2 THEN 5.9915 WHEN 3 THEN 7.8147"
+    " WHEN 4 THEN 9.4877 WHEN 5 THEN 11.0705 WHEN 6 THEN 12.5916 END"
+)
+
+
+@query(
+    "j_breslow_day",
+    oracle=f"""
+    WITH m AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    e AS (SELECT CAST((CAST(ts AS DATE) - m.d0) AS BIGINT) // 7 AS wk,
+                 CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+          FROM events CROSS JOIN m),
+    c AS (SELECT wk,
+                 CAST(SUM(exposed * hit) AS BIGINT) AS a,
+                 CAST(SUM(exposed * (1 - hit)) AS BIGINT) AS b,
+                 CAST(SUM((1 - exposed) * hit) AS BIGINT) AS c,
+                 CAST(SUM((1 - exposed) * (1 - hit)) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1),
+    t AS (SELECT wk, a, b, c, d, n,
+                 CAST(FLOOR(CAST(a AS DOUBLE) * d / n * 1000000.0 + 0.5)
+                      AS BIGINT) AS r6,
+                 CAST(FLOOR(CAST(b AS DOUBLE) * c / n * 1000000.0 + 0.5)
+                      AS BIGINT) AS s6
+          FROM c),
+    o AS (SELECT CAST(SUM(r6) AS BIGINT) AS rr6,
+                 CAST(SUM(s6) AS BIGINT) AS ss6 FROM t),
+    ps AS (SELECT CASE WHEN ss6 > 0 THEN
+                    FLOOR(CAST(rr6 AS DOUBLE) / ss6 * 1000000 + 0.5) / 1000000
+                  END AS psi FROM o),
+    q AS (SELECT c.wk, c.a, c.n, psi,
+                 CAST(c.a + c.b AS DOUBLE) AS r1,
+                 CAST(c.a + c.c AS DOUBLE) AS c1
+          FROM c CROSS JOIN ps),
+    q2 AS (SELECT wk, a, n, psi, r1, c1,
+                  CASE WHEN ABS(psi - 1.0) < 1e-12 THEN r1 * c1 / n
+                       ELSE (psi * (r1 + c1) + (n - r1 - c1)
+                             - sqrt((psi * (r1 + c1) + (n - r1 - c1))
+                                    * (psi * (r1 + c1) + (n - r1 - c1))
+                                    - 4.0 * (psi - 1.0) * psi * r1 * c1))
+                            / (2.0 * (psi - 1.0)) END AS atil
+           FROM q),
+    v AS (SELECT wk, a, n, r1, c1, atil,
+                 CASE WHEN atil > 0 AND r1 - atil > 0 AND c1 - atil > 0
+                       AND n - r1 - c1 + atil > 0 THEN
+                   1.0 / (1.0 / atil + 1.0 / (r1 - atil) + 1.0 / (c1 - atil)
+                          + 1.0 / (n - r1 - c1 + atil))
+                 END AS vt
+          FROM q2),
+    t6 AS (SELECT wk,
+                  CASE WHEN vt IS NOT NULL AND vt > 0 THEN
+                    CAST(FLOOR((a - atil) * (a - atil) / vt
+                               * 1000000.0 + 0.5) AS BIGINT)
+                  END AS term6
+           FROM v),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(COUNT(term6) AS BIGINT) AS n_used,
+                 CAST(SUM(term6) AS BIGINT) AS chi6
+          FROM t6),
+    g AS (SELECT n_strata, n_used, n_used - 1 AS df, chi6,
+                 (SELECT psi FROM ps) AS psi
+          FROM f)
+    SELECT n_strata, n_used, CAST(df AS BIGINT) AS df, psi AS or_mh,
+           CASE WHEN n_used >= 2 THEN chi6 / 1000000.0 END AS bd_chi2,
+           CASE WHEN n_used >= 2 THEN CAST(({_BD_CRIT_SQL}) AS DOUBLE) END
+             AS critical,
+           CASE WHEN n_used >= 2 AND ({_BD_CRIT_SQL}) IS NOT NULL
+                THEN chi6 / 1000000.0 <= ({_BD_CRIT_SQL}) END AS homogeneous
+    FROM g
+    """,
+)
+def j_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day test of odds-ratio HOMOGENEITY across the weekly
+    strata (Breslow & Day 1980, public) — the assumption audit under
+    j_mantel_haenszel: the MH common OR is only meaningful if the
+    per-stratum ORs agree, and BD is the standard check. Per stratum
+    the expected a-cell under the pooled OR psi solves the quadratic
+    psi = a(n-r1-c1+a)/((r1-a)(c1-a)) (the admissible minus root,
+    continuous with the psi = 1 linear case r1 c1/n); the statistic
+    sums (a - a_tilde)^2 / V_tilde against chi-square(strata - 1).
+
+    EXACT: cell counts and margins are exact BIGINTs; psi is the
+    ROUNDED j_mantel_haenszel pooled estimate (the same 1e-6-floored
+    R/S term device), so both engines seed the quadratic with the
+    identical double; root, variance and each stratum term are ONE
+    IEEE sequence, each term floored ONCE to a 1e-6-grid BIGINT and
+    summed exactly; strata whose expected cells degenerate are
+    excluded (n_used) and df follows. Critical values are a literal
+    df table (1..6).
+
+    Plan: the j_mantel_haenszel plan verbatim — a 1-row min-day fold
+    broadcast, ONE |weeks|-row hash agg, then single-row folds. At
+    100 TB only the stratum agg scales."""
+    t = load(spark, sf_dir)
+    m = t.events.agg(
+        F.min(F.timestamp_millis(F.col("ts_ms")).cast("date")).alias("d0")
+    )
+    e = t.events.crossJoin(F.broadcast(m)).select(
+        F.expr(
+            "CAST(datediff(CAST(timestamp_millis(ts_ms) AS DATE), d0) AS BIGINT)"
+            " div 7"
+        ).alias("wk"),
+        (F.col("user_id") % 2 == 0).cast("long").alias("exposed"),
+        (F.col("event_type") == "click").cast("long").alias("hit"),
+    )
+    c = e.groupBy("wk").agg(
+        F.sum(F.col("exposed") * F.col("hit")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("hit"))).cast("long").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("hit")).cast("long").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("hit"))).cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    c.persist()  # consumers: the pooled-OR fold and the per-stratum pass
+    a, b, cc, d, n = F.col("a"), F.col("b"), F.col("c"), F.col("d"), F.col("n")
+    r6 = F.floor(a.cast("double") * d / n * 1000000.0 + F.lit(0.5)).cast("long")
+    s6 = F.floor(b.cast("double") * cc / n * 1000000.0 + F.lit(0.5)).cast("long")
+    o = c.agg(F.sum(r6).cast("long").alias("rr6"), F.sum(s6).cast("long").alias("ss6"))
+    ps = o.select(
+        F.when(
+            F.col("ss6") > 0,
+            F.floor(F.col("rr6").cast("double") / F.col("ss6") * 1000000 + F.lit(0.5))
+            / 1000000,
+        ).alias("psi")
+    )
+    q = c.crossJoin(F.broadcast(ps)).select(
+        "wk",
+        "a",
+        "n",
+        "psi",
+        (a + b).cast("double").alias("r1"),
+        (a + cc).cast("double").alias("c1"),
+    )
+    psi, r1, c1 = F.col("psi"), F.col("r1"), F.col("c1")
+    bq = psi * (r1 + c1) + (n - r1 - c1)
+    atil = F.when(
+        F.abs(psi - 1.0) < 1e-12, r1 * c1 / n
+    ).otherwise(
+        (bq - F.sqrt(bq * bq - 4.0 * (psi - 1.0) * psi * r1 * c1))
+        / (2.0 * (psi - 1.0))
+    )
+    q2 = q.select("wk", "a", "n", "psi", "r1", "c1", atil.alias("atil"))
+    at = F.col("atil")
+    okc = (at > 0) & (r1 - at > 0) & (c1 - at > 0) & (n - r1 - c1 + at > 0)
+    vt = F.when(
+        okc,
+        F.lit(1.0)
+        / (
+            F.lit(1.0) / at
+            + F.lit(1.0) / (r1 - at)
+            + F.lit(1.0) / (c1 - at)
+            + F.lit(1.0) / (n - r1 - c1 + at)
+        ),
+    )
+    v = q2.select("wk", "a", "n", "r1", "c1", "atil", vt.alias("vt"))
+    term6 = F.when(
+        F.col("vt").isNotNull() & (F.col("vt") > 0),
+        F.floor(
+            (F.col("a") - F.col("atil"))
+            * (F.col("a") - F.col("atil"))
+            / F.col("vt")
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    t6 = v.select("wk", term6.alias("term6"))
+    f = t6.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.count("term6").cast("long").alias("n_used"),
+        F.sum("term6").cast("long").alias("chi6"),
+    )
+    g = f.crossJoin(F.broadcast(ps)).select(
+        "n_strata",
+        "n_used",
+        (F.col("n_used") - 1).cast("long").alias("df"),
+        "chi6",
+        "psi",
+    )
+    crit = F.expr(_BD_CRIT_SQL)
+    ok = F.col("n_used") >= 2
+    return g.select(
+        "n_strata",
+        "n_used",
+        "df",
+        F.col("psi").alias("or_mh"),
+        F.when(ok, F.col("chi6") / F.lit(1000000.0)).alias("bd_chi2"),
+        F.when(ok, crit.cast("double")).alias("critical"),
+        F.when(
+            ok & crit.isNotNull(), (F.col("chi6") / F.lit(1000000.0)) <= crit
+        ).alias("homogeneous"),
+    )

@@ -2747,3 +2747,178 @@ def j_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y6") / F.lit(1000000.0)).alias("log_rs"),
         F.when(F.col("n4") >= 2, rnd(hurst, 6)).alias("hurst"),
     )
+
+
+# PACF: unrolled Durbin-Levinson depth and large-n significance.
+_PACF_LAGS = 3
+
+
+@query(
+    "j_pacf",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    lg AS (SELECT CAST(unnest(range(1, {_PACF_LAGS + 1})) AS BIGINT) AS lag),
+    p AS (SELECT lg.lag, a.x AS x, b.x AS y
+          FROM lg CROSS JOIN d a
+          JOIN d b ON b.day = a.day - CAST(lg.lag AS INTEGER)),
+    s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS np,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM p GROUP BY lag),
+    r AS (SELECT lag, np,
+                 CASE WHEN np * sxx - CAST(sx AS HUGEINT) * sx > 0
+                       AND np * syy - CAST(sy AS HUGEINT) * sy > 0
+                      THEN FLOOR(CAST(np * sxy - CAST(sx AS HUGEINT) * sy
+                                      AS DOUBLE)
+                                 / sqrt(CAST(np * sxx
+                                             - CAST(sx AS HUGEINT) * sx
+                                             AS DOUBLE)
+                                        * (np * syy
+                                           - CAST(sy AS HUGEINT) * sy))
+                                 * 1000000 + 0.5) / 1000000
+                      ELSE 0.0 END AS rho
+          FROM s),
+    w AS (SELECT MAX(CASE WHEN lag = 1 THEN rho END) AS r1,
+                 MAX(CASE WHEN lag = 2 THEN rho END) AS r2,
+                 MAX(CASE WHEN lag = 3 THEN rho END) AS r3
+          FROM r),
+    f AS (SELECT r1, r2, r3, 1.0 - r1 * r1 AS den2 FROM w),
+    f2 AS (SELECT r1, r2, r3, den2,
+                  CASE WHEN den2 > 0
+                       THEN (r2 - r1 * r1) / den2 END AS p2,
+                  CASE WHEN den2 > 0
+                       THEN r1 * (1.0 - r2) / den2 END AS phi21
+           FROM f),
+    f3 AS (SELECT *,
+                  CASE WHEN den2 > 0
+                        AND ABS(1.0 - phi21 * r1 - p2 * r2) > 0
+                       THEN (r3 - phi21 * r2 - p2 * r1)
+                            / (1.0 - phi21 * r1 - p2 * r2) END AS p3
+           FROM f2)
+    SELECT r.lag, r.np AS n_pairs, r.rho,
+           CASE r.lag WHEN 1 THEN r.rho
+                WHEN 2 THEN {sql_rnd("f3.p2", 6)}
+                ELSE {sql_rnd("f3.p3", 6)} END AS pacf,
+           ABS(CASE r.lag WHEN 1 THEN r.rho
+                    WHEN 2 THEN {sql_rnd("f3.p2", 6)}
+                    ELSE {sql_rnd("f3.p3", 6)} END)
+             > {sql_rnd("1.96 / sqrt(CAST(nn.n AS DOUBLE))", 6)} AS significant
+    FROM r CROSS JOIN f3 CROSS JOIN nn
+    """,
+)
+def j_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function at lags 1..{L} of the daily
+    total event volume, by the Durbin-Levinson recursion unrolled to
+    its closed forms (public: Durbin 1960; Box-Jenkins order
+    identification) — the AR-ORDER dial that completes the serial-
+    dependence shelf: j_ts_autocorr reads raw correlation,
+    j_ljung_box aggregates it into a white-noise verdict, PACF says
+    WHICH lag carries direct structure once shorter lags are
+    partialed out. phi_11 = rho_1; phi_22 = (rho_2 - rho_1^2) /
+    (1 - rho_1^2); phi_33 from the unrolled level-3 recursion.
+    Significance uses the standard +/- 1.96/sqrt(n) band.
+
+    EXACT: each gapped-calendar rho_k is the exact-paired DATE
+    equi-join device of j_ljung_box (BIGINT/HUGEINT sufficient sums,
+    pre-rounded 1e-6), so every pacf is ONE IEEE sequence on
+    identical rounded inputs, rounded 1e-6 before the band compare
+    (the band itself rounds through the same grid); NULL when a
+    denominator degenerates.
+
+    Plan: one day agg over the event scan (persisted), then a {L}-row
+    lag grid with broadcast DATE equi-joins, a 1-row pivot fold and
+    the {L}-row unpivot — everything past the first agg is
+    metadata-scale."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            F.timestamp_millis(F.col("ts_ms")).cast("date").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    d.persist()  # consumers: n fold + two join legs per lag
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    lg = spark.range(1, _PACF_LAGS + 1).select(F.col("id").cast("long").alias("lag"))
+    a = F.broadcast(lg).crossJoin(d.select(F.col("day").alias("day_a"), F.col("x")))
+    p = a.join(
+        d.select(F.col("day").alias("day_b"), F.col("x").alias("y")),
+        F.col("day_b") == F.date_sub(F.col("day_a"), F.col("lag").cast("int")),
+    )
+    dec = "decimal(38,0)"
+    s = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    d1 = F.col("np").cast(dec) * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    d2 = F.col("np").cast(dec) * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    num = F.col("np").cast(dec) * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    rho = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.floor(
+            num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    ).otherwise(F.lit(0.0))
+    r = s.select("lag", "np", rho.alias("rho"))
+    r.persist()  # consumers: the pivot fold and the final unpivot join
+    w = r.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("rho"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("rho"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("rho"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    f = w.select("r1", "r2", "r3", (F.lit(1.0) - r1 * r1).alias("den2"))
+    ok2 = F.col("den2") > 0
+    f2 = f.select(
+        "r1",
+        "r2",
+        "r3",
+        "den2",
+        F.when(ok2, (r2 - r1 * r1) / F.col("den2")).alias("p2"),
+        F.when(ok2, r1 * (F.lit(1.0) - r2) / F.col("den2")).alias("phi21"),
+    )
+    den3 = F.lit(1.0) - F.col("phi21") * r1 - F.col("p2") * r2
+    f3 = f2.select(
+        "r1",
+        "r2",
+        "r3",
+        "den2",
+        "p2",
+        "phi21",
+        F.when(
+            ok2 & (F.abs(den3) > 0),
+            (r3 - F.col("phi21") * r2 - F.col("p2") * r1) / den3,
+        ).alias("p3"),
+    )
+    pacf = (
+        F.when(F.col("lag") == 1, F.col("rho"))
+        .when(F.col("lag") == 2, rnd(F.col("p2"), 6))
+        .otherwise(rnd(F.col("p3"), 6))
+    )
+    band = rnd(F.lit(1.96) / F.sqrt(F.col("n").cast("double")), 6)
+    return (
+        r.crossJoin(F.broadcast(f3))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lag",
+            F.col("np").alias("n_pairs"),
+            "rho",
+            pacf.alias("pacf"),
+            (F.abs(pacf) > band).alias("significant"),
+        )
+    )
+
+
+j_pacf.__doc__ = j_pacf.__doc__.replace("{L}", str(_PACF_LAGS))

@@ -246,6 +246,16 @@ NEXT_QUEUE: list[str] = [
     "j_mantel_haenszel",
     "j_seasonal_decompose",
     "j_hurst_exponent",
+    # r16 wave 13 (continuation session, final): serial-order +
+    # homogeneity closure — PACF at lags 1..3 by the unrolled
+    # Durbin-Levinson closed forms on the gapped-calendar rhos, and
+    # the Breslow-Day OR-homogeneity audit under j_mantel_haenszel
+    # (quadratic expected cells seeded with the ROUNDED pooled OR).
+    # The last two r9 tail entries move off REFRESH_QUEUE below;
+    # NEXT (36) + REFRESH (12, the whole remaining r8 cohort) + 2
+    # canaries = 50 exactly.
+    "j_pacf",
+    "j_breslow_day",
 ]
 
 # Already-scored qids whose evidence is the oldest in the registry but
@@ -277,8 +287,6 @@ REFRESH_QUEUE: list[str] = [
     "a_scan_orc",
     "a_pysrc_replay",
     # the first 16 of the 48 r9-scored qids, registration order
-    "c_join_nullsafe",
-    "d_agg_groupall",
     # (tail r9-scored entries are dropped one-for-one as wave-9+
     # additions land on NEXT_QUEUE: dropped qids are not yet stale
     # under the max(4, ceil(N/48)) bound and lead the r18 queue)

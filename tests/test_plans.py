@@ -304,6 +304,8 @@ _EXPECTED_BNLJ = {
     "j_cronbach_alpha",  # 1-row sufficient-stat fold x 5-row literal item spine
     "j_mantel_haenszel",  # 1-row min-day fold broadcast onto the event scan
     "j_hurst_exponent",  # 4-row literal block-size spine x calendar relation
+    "j_pacf",  # 3-row lag grid + 1-row pivot/n folds cross-joined (ljung shape)
+    "j_breslow_day",  # 1-row min-day + pooled-OR folds cross-joined per stratum
     "j_log_loss",  # 1-row |labels| broadcast onto the per-query vote rows
     "j_hellinger",  # 1-row corpus total cross-join (the j_kl_sources shape)
     "j_map_eval",  # 20-row query panel broadcast (the j_knn_batch fan-out)
@@ -1387,6 +1389,11 @@ _SHUFFLE_BUDGETS = {
     #                              per-type window
     "j_hurst_exponent": 7,  # (type,day) agg + 4-row literal spine cross +
     #                         per-(type,k,blk) windows + two metadata folds
+    "j_pacf": 15,          # ONE day agg (persisted, reprinted per lag leg) +
+    #                        3-row lag grid joins + 1-row pivot fold + unpivot
+    "j_breslow_day": 14,   # the j_mantel_haenszel stratum agg (persisted,
+    #                        reprinted) + pooled-OR fold + per-stratum pass +
+    #                        single-row folds
 }
 
 

@@ -300,3 +300,38 @@ def test_hurst_curve_and_exponent_are_sane(spark):
                 assert -14.0 < r["log_rs"] < 14.0
                 # block accounting: at most 30/k full blocks
                 assert 1 <= r["n_blocks"] <= 30 // r["block_size"]
+
+
+def test_pacf_matches_durbin_levinson_recomputation(spark):
+    for sf in (SF1, SF_DIR):
+        rows = sorted(_rows(spark, "j_pacf", sf), key=lambda r: r["lag"])
+        assert [r["lag"] for r in rows] == [1, 2, 3]
+        r1, r2, r3 = (r["rho"] for r in rows)
+        p = {r["lag"]: r["pacf"] for r in rows}
+        # lag 1: pacf IS rho
+        assert p[1] == r1
+        # recompute lags 2-3 from the emitted rhos (rounding slack)
+        den2 = 1.0 - r1 * r1
+        if den2 > 0 and p[2] is not None:
+            assert abs(p[2] - (r2 - r1 * r1) / den2) < 1e-4
+            phi21 = r1 * (1.0 - r2) / den2
+            den3 = 1.0 - phi21 * r1 - p[2] * r2
+            if p[3] is not None and abs(den3) > 1e-9:
+                assert abs(p[3] - (r3 - phi21 * r2 - p[2] * r1) / den3) < 1e-3
+        for r in rows:
+            assert -1.0 - 1e-9 <= r["pacf"] <= 1.0 + 1e-9
+            assert r["n_pairs"] > 0
+
+
+def test_breslow_day_couples_to_mantel_haenszel(spark):
+    for sf in (SF1, SF_DIR):
+        (bd,) = _rows(spark, "j_breslow_day", sf)
+        (mh,) = QUERIES["j_mantel_haenszel"](spark, sf).collect()
+        # the pooled OR seeding the quadratic IS the MH estimate
+        assert bd["or_mh"] == mh["or_mh"]
+        assert bd["n_strata"] == mh["n_strata"]
+        assert 2 <= bd["n_used"] <= bd["n_strata"]
+        assert bd["df"] == bd["n_used"] - 1
+        assert bd["bd_chi2"] is not None and bd["bd_chi2"] >= 0
+        if bd["critical"] is not None:
+            assert bd["homogeneous"] == (bd["bd_chi2"] <= bd["critical"])
