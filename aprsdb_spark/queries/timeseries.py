@@ -2208,6 +2208,15 @@ def j_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("v"))
     )
     d.persist()  # consumers: the moment fold and the deviation pass
+    return cusum_from_daily(d)
+
+
+def cusum_from_daily(d: DataFrame) -> DataFrame:
+    """The j_cusum_drift rollup over a (event_type, day DATE, v long)
+    daily-count relation — shared verbatim with the streaming volume
+    monitor's cusum_current_view so streamed ≡ batch is an identity
+    over equal count matrices, not a reimplementation (the
+    drift_from_counts pattern)."""
     s = d.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("v").cast("long").alias("s1"),
@@ -2365,6 +2374,13 @@ def j_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("v"))
     )
     d.persist()  # consumers: both pair-join legs and the moment fold
+    return ewma_from_daily(d)
+
+
+def ewma_from_daily(d: DataFrame) -> DataFrame:
+    """The j_ewma_chart rollup over a (event_type, day DATE, v long)
+    daily-count relation — shared verbatim with the streaming volume
+    monitor's ewma_current_view (the drift_from_counts pattern)."""
     wr = Window.partitionBy("event_type").orderBy("day")
     r = d.select(
         "event_type", "day", "v", F.row_number().over(wr).cast("long").alias("rn")

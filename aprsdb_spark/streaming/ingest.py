@@ -1372,3 +1372,87 @@ def message_ack_outer_stream(parsed: DataFrame, within: str = "10 minutes") -> D
         "ack_ts",
         F.col("ack_ts").isNotNull().alias("acked"),
     )
+
+
+def volume_monitor_sink(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    run_key: str | None = None,
+) -> None:
+    """foreachBatch per-type DAILY-VOLUME state — the shared substrate
+    of the streaming CONTROL-CHART monitors (the batch twins are
+    queries/timeseries.j_cusum_drift and j_ewma_chart, r16): as events
+    arrive, each batch collapses to (event_type, day_idx) count
+    partials and merges additively into the state matrix; the two
+    views below turn the accumulated state into the IDENTICAL chart
+    relations via the rollups the batch qids themselves call
+    (cusum_from_daily / ewma_from_daily), so streamed ≡ batch is an
+    identity over equal count matrices — the drift_monitor_sink
+    pattern with a different shared rollup.
+
+    Scale shape: the batch collapses to ≤ |types|·|days| partials
+    BEFORE touching state (the shuffle carries a string and a small
+    int); the merge is the incremental_rollup read-merge-swap with the
+    same crash recovery + (run_key, batch_id) replay guard. One state
+    serves BOTH charts (and any future consumer of the daily-volume
+    matrix) — the monitor cost is paid once per micro-batch, not per
+    chart. Input schema: (ts_ms long, event_type string)."""
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    part = (
+        batch.select(
+            "event_type", F.expr("ts_ms div 86400000").alias("day_idx")
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    existing = _read_state_or_none(spark, state_dir)
+    merged = (
+        existing.unionByName(part)
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("long").alias("c"))
+        if existing is not None
+        else part
+    )
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def _volume_daily(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated state as the (event_type, day DATE, v) relation
+    the shared chart rollups expect. Read-side crash recovery first
+    (the lateness_view / ivf_balance_view ADVICE-r15 rule): a refresh
+    between a mid-swap crash and the next micro-batch must not serve a
+    truncated count matrix."""
+    _recover_incomplete_swap(spark, state_dir)
+    return spark.read.parquet(state_dir).select(
+        "event_type",
+        F.date_from_unix_date(F.col("day_idx").cast("int")).alias("day"),
+        F.col("c").cast("long").alias("v"),
+    )
+
+
+def cusum_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated volume state as the j_cusum_drift relation
+    (event_type, n_days, mean/sd, one-sided CUSUM magnitudes in sd
+    units, peak_day, drift) — one shared rollup
+    (queries/timeseries.cusum_from_daily)."""
+    from ..queries.timeseries import cusum_from_daily
+
+    return cusum_from_daily(_volume_daily(spark, state_dir))
+
+
+def ewma_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated volume state as the j_ewma_chart relation
+    (event_type, day, n_events, ewma, ucl, lcl, anomaly) — one shared
+    rollup (queries/timeseries.ewma_from_daily)."""
+    from ..queries.timeseries import ewma_from_daily
+
+    return ewma_from_daily(_volume_daily(spark, state_dir))

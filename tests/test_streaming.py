@@ -1638,3 +1638,114 @@ def test_stream_stream_left_outer_ack_semantics(spark, tmp_path):
     n = len(got)
     run()
     assert len(got) == n, got[n:]
+
+
+def test_volume_monitor_matches_both_batch_charts(spark, tmp_path):
+    """Streaming control-chart monitor (§2.I, r16): replaying the
+    events table in THREE micro-batches must leave ONE daily-volume
+    state whose cusum_current_view equals the one-shot j_cusum_drift
+    relation AND whose ewma_current_view equals j_ewma_chart, row for
+    row — both via the shared rollups, so this is an identity over
+    equal count matrices. Replay of an applied batch is a no-op."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    from aprsdb_spark.tables import load as tload
+
+    ev = tload(spark, sf).events.select("ts_ms", "event_type", "event_id")
+    state = str(tmp_path / "vol_state")
+    thirds = [
+        ev.where(F.col("event_id") % 3 == k).select("ts_ms", "event_type")
+        for k in range(3)
+    ]
+    for k, b in enumerate(thirds):
+        S.volume_monitor_sink(b, k, state, run_key="vk")
+    before = sorted(
+        (r.event_type, r.day_idx, r.c)
+        for r in spark.read.parquet(state)
+        .select("event_type", "day_idx", "c")
+        .collect()
+    )
+    S.volume_monitor_sink(thirds[1], 1, state, run_key="vk")
+    after = sorted(
+        (r.event_type, r.day_idx, r.c)
+        for r in spark.read.parquet(state)
+        .select("event_type", "day_idx", "c")
+        .collect()
+    )
+    assert before == after
+    want_cusum = sorted(
+        tuple(r) for r in QUERIES["j_cusum_drift"](spark, sf).collect()
+    )
+    got_cusum = sorted(
+        tuple(r) for r in S.cusum_current_view(spark, state).collect()
+    )
+    assert got_cusum == want_cusum
+    want_ewma = sorted(
+        tuple(r) for r in QUERIES["j_ewma_chart"](spark, sf).collect()
+    )
+    got_ewma = sorted(
+        tuple(r) for r in S.ewma_current_view(spark, state).collect()
+    )
+    assert got_ewma == want_ewma
+
+
+def test_volume_monitor_split_invariance(spark, tmp_path):
+    """Halves vs thirds must converge to the IDENTICAL state matrix —
+    the additive-merge property that makes the monitor correct under
+    any micro-batch boundary the source happens to draw."""
+    from aprsdb_spark.tables import load as tload
+
+    sf = "/root/testdata/sf0.001"
+    ev = tload(spark, sf).events.select("ts_ms", "event_type", "event_id")
+    s2, s3 = str(tmp_path / "halves"), str(tmp_path / "thirds")
+    for k in range(2):
+        S.volume_monitor_sink(
+            ev.where(F.col("event_id") % 2 == k).select("ts_ms", "event_type"),
+            k, s2, run_key="h",
+        )
+    for k in range(3):
+        S.volume_monitor_sink(
+            ev.where(F.col("event_id") % 3 == k).select("ts_ms", "event_type"),
+            k, s3, run_key="t",
+        )
+    m2 = sorted(
+        (r.event_type, r.day_idx, r.c)
+        for r in spark.read.parquet(s2).select("event_type", "day_idx", "c").collect()
+    )
+    m3 = sorted(
+        (r.event_type, r.day_idx, r.c)
+        for r in spark.read.parquet(s3).select("event_type", "day_idx", "c").collect()
+    )
+    assert m2 == m3
+
+
+def test_volume_monitor_recovers_mid_swap_crash_on_read(spark, tmp_path):
+    """A crash between the _next write and the state swap must be
+    healed by the VIEW (read-side recovery, the ADVICE-r15 rule), not
+    only by the next sink invocation: corrupt the state dir after a
+    completed swap, leave a good _next, and the chart views must still
+    serve the full matrix."""
+    from aprsdb_spark.tables import load as tload
+
+    sf = "/root/testdata/sf0.001"
+    ev = tload(spark, sf).events.select("ts_ms", "event_type", "event_id")
+    state = str(tmp_path / "crash_state")
+    S.volume_monitor_sink(ev.select("ts_ms", "event_type"), 0, state, run_key="c")
+    good = sorted(
+        (r.event_type, r.day_idx, r.c)
+        for r in spark.read.parquet(state)
+        .select("event_type", "day_idx", "c")
+        .collect()
+    )
+    # simulate: _next fully written (it is, from the completed swap),
+    # then the state dir is lost mid-overwrite
+    shutil.rmtree(state)
+    got = sorted(
+        (r.event_type, r.day_idx, int(r.v))
+        for r in S._volume_daily(spark, state)
+        .select("event_type", F.expr("CAST(day - DATE '1970-01-01' AS LONG)").alias("day_idx"), "v")
+        .collect()
+    )
+    assert got == good
