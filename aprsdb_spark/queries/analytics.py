@@ -4947,6 +4947,13 @@ def j_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("user_id") % 2).alias("grp"), "dur", "ld")
     )
     u.persist()  # consumers: the 1-row gmax fold and the duration agg
+    return logrank_from_lifetimes(u)
+
+
+def logrank_from_lifetimes(u: DataFrame) -> DataFrame:
+    """The j_logrank_test rollup over a per-user (grp long, dur long,
+    ld DATE) lifetime relation — shared verbatim with the streaming
+    lifetime monitor's logrank_current_view."""
     g = u.agg(F.max("ld").alias("gmax"))
     obs = F.col("ld") < F.col("gmax")
     e = (

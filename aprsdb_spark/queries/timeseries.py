@@ -1894,6 +1894,13 @@ def j_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u.persist()  # consumers: the 1-row gmax/total fold and the duration agg
+    return km_from_lifetimes(u)
+
+
+def km_from_lifetimes(u: DataFrame) -> DataFrame:
+    """The j_kaplan_meier rollup over a per-user (dur long, ld DATE)
+    lifetime relation — shared verbatim with the streaming lifetime
+    monitor's km_current_view (the drift_from_counts pattern)."""
     g = u.agg(F.max("ld").alias("gmax"), F.count("*").cast("long").alias("tot"))
     e = (
         u.crossJoin(F.broadcast(g))

@@ -1456,3 +1456,94 @@ def ewma_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..queries.timeseries import ewma_from_daily
 
     return ewma_from_daily(_volume_daily(spark, state_dir))
+
+
+def lifetime_monitor_sink(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    run_key: str | None = None,
+) -> None:
+    """foreachBatch per-user LIFETIME state — the shared substrate of
+    the streaming SURVIVAL monitors (batch twins: queries/timeseries.
+    j_kaplan_meier and queries/analytics.j_logrank_test, r16): each
+    batch collapses to per-user (first_idx, last_idx) day-span
+    partials and merges into state BY MIN/MAX — the third merge law
+    on the shelf (addition for counts, MAX for HLL registers, MIN/MAX
+    spans here), idempotent under replay by construction; the guard
+    still skips redundant work and keeps recovery uniform. The two
+    views below serve the state through the exact rollups the batch
+    qids call (km_from_lifetimes / logrank_from_lifetimes), so
+    streamed ≡ batch is an identity over equal lifetime tables.
+
+    Scale shape: the batch collapses to ≤ |batch users| partials
+    BEFORE touching state (the shuffle carries three small ints); the
+    state is user-cardinality — the standard sessionization state
+    class, partitioned parquet under read-merge-swap with the same
+    crash recovery. Censoring is decided at VIEW time from the
+    state's own max day (a user whose last event touches the newest
+    observed day is censored), so the monitor needs no clock. Input
+    schema: (ts_ms long, user_id long)."""
+    spark = batch.sparkSession
+    _recover_incomplete_swap(spark, state_dir)
+    if run_key is not None and batch_id <= _last_applied_batch(state_dir, run_key):
+        return
+    part = (
+        batch.select("user_id", F.expr("ts_ms div 86400000").alias("day_idx"))
+        .groupBy("user_id")
+        .agg(
+            F.min("day_idx").cast("long").alias("first_idx"),
+            F.max("day_idx").cast("long").alias("last_idx"),
+        )
+    )
+    existing = _read_state_or_none(spark, state_dir)
+    merged = (
+        existing.unionByName(part)
+        .groupBy("user_id")
+        .agg(
+            F.min("first_idx").cast("long").alias("first_idx"),
+            F.max("last_idx").cast("long").alias("last_idx"),
+        )
+        if existing is not None
+        else part
+    )
+    _with_marker(merged, run_key, batch_id).write.mode("overwrite").parquet(
+        state_dir + "_next"
+    )
+    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    if run_key is not None:
+        _record_applied_batch(state_dir, run_key, batch_id)
+
+
+def _lifetimes(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated state as the per-user (user_id, dur, ld)
+    relation the shared survival rollups expect, with read-side
+    mid-swap recovery (the ADVICE-r15 rule)."""
+    _recover_incomplete_swap(spark, state_dir)
+    return spark.read.parquet(state_dir).select(
+        "user_id",
+        (F.col("last_idx") - F.col("first_idx")).cast("long").alias("dur"),
+        F.date_from_unix_date(F.col("last_idx").cast("int")).alias("ld"),
+    )
+
+
+def km_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated lifetime state as the j_kaplan_meier relation
+    (dur_days, n_risk, n_events, n_censored, survival) — one shared
+    rollup (queries/timeseries.km_from_lifetimes)."""
+    from ..queries.timeseries import km_from_lifetimes
+
+    return km_from_lifetimes(_lifetimes(spark, state_dir).select("dur", "ld"))
+
+
+def logrank_current_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated lifetime state as the j_logrank_test relation —
+    one shared rollup (queries/analytics.logrank_from_lifetimes); the
+    even/odd cohort tag derives from the state's own user_id."""
+    from ..queries.analytics import logrank_from_lifetimes
+
+    return logrank_from_lifetimes(
+        _lifetimes(spark, state_dir).select(
+            (F.col("user_id") % 2).alias("grp"), "dur", "ld"
+        )
+    )

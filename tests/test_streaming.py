@@ -1749,3 +1749,80 @@ def test_volume_monitor_recovers_mid_swap_crash_on_read(spark, tmp_path):
         .collect()
     )
     assert got == good
+
+
+def test_lifetime_monitor_matches_both_survival_twins(spark, tmp_path):
+    """Streaming survival monitor (§2.I, r16): replaying the events
+    table in THREE micro-batches must leave ONE per-user lifetime
+    state whose km_current_view equals the one-shot j_kaplan_meier
+    relation AND whose logrank_current_view equals j_logrank_test —
+    both via the shared rollups. The MIN/MAX span merge is idempotent:
+    replay of an applied batch is a no-op, and even a FORCED re-apply
+    (different run_key) cannot change the state."""
+    from aprsdb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    from aprsdb_spark.tables import load as tload
+
+    ev = tload(spark, sf).events.select("ts_ms", "user_id", "event_id")
+    state = str(tmp_path / "life_state")
+    thirds = [
+        ev.where(F.col("event_id") % 3 == k).select("ts_ms", "user_id")
+        for k in range(3)
+    ]
+    for k, b in enumerate(thirds):
+        S.lifetime_monitor_sink(b, k, state, run_key="lk")
+    snap = lambda: sorted(
+        (r.user_id, r.first_idx, r.last_idx)
+        for r in spark.read.parquet(state)
+        .select("user_id", "first_idx", "last_idx")
+        .collect()
+    )
+    before = snap()
+    S.lifetime_monitor_sink(thirds[1], 1, state, run_key="lk")  # guard no-op
+    assert snap() == before
+    # MIN/MAX idempotence: a forced re-apply under a NEW run key
+    # re-merges the same spans and must be a semantic no-op too
+    S.lifetime_monitor_sink(thirds[1], 0, state, run_key="lk2")
+    assert snap() == before
+    want_km = sorted(
+        tuple(r) for r in QUERIES["j_kaplan_meier"](spark, sf).collect()
+    )
+    got_km = sorted(tuple(r) for r in S.km_current_view(spark, state).collect())
+    assert got_km == want_km
+    want_lr = sorted(
+        tuple(r) for r in QUERIES["j_logrank_test"](spark, sf).collect()
+    )
+    got_lr = sorted(
+        tuple(r) for r in S.logrank_current_view(spark, state).collect()
+    )
+    assert got_lr == want_lr
+
+
+def test_lifetime_monitor_split_invariance(spark, tmp_path):
+    """Halves vs thirds converge to the identical span table — the
+    MIN/MAX merge is associative and commutative over any micro-batch
+    boundary."""
+    from aprsdb_spark.tables import load as tload
+
+    sf = "/root/testdata/sf0.001"
+    ev = tload(spark, sf).events.select("ts_ms", "user_id", "event_id")
+    s2, s3 = str(tmp_path / "lh"), str(tmp_path / "lt")
+    for k in range(2):
+        S.lifetime_monitor_sink(
+            ev.where(F.col("event_id") % 2 == k).select("ts_ms", "user_id"),
+            k, s2, run_key="h",
+        )
+    for k in range(3):
+        S.lifetime_monitor_sink(
+            ev.where(F.col("event_id") % 3 == k).select("ts_ms", "user_id"),
+            k, s3, run_key="t",
+        )
+    m = lambda p: sorted(
+        (r.user_id, r.first_idx, r.last_idx)
+        for r in spark.read.parquet(p)
+        .select("user_id", "first_idx", "last_idx")
+        .collect()
+    )
+    assert m(s2) == m(s3)
