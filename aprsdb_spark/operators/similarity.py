@@ -184,33 +184,61 @@ def _plane_sign(p: int, j: int) -> float:
     return 1.0 if hashlib.md5(f"{p},{j}".encode()).digest()[0] & 1 == 0 else -1.0
 
 
-def hyperplane_sketch(vec: str | Column, n_planes: int = 16, dim: int = 64) -> Column:
+def _sign_matrix_t_sql(n_planes: int, dim: int) -> str:
+    """TRANSPOSED ±1 plane family as one SQL literal: dim rows of
+    n_planes signs each (matT[j][p] == _plane_sign(p, j)). The
+    transposed layout lets a single fold over dimensions carry ALL
+    plane projections in an array accumulator — see hyperplane_sketch."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{_plane_sign(p, j)!r}D" for p in range(n_planes)) + ")"
+            for j in range(dim)
+        )
+        + ")"
+    )
+
+
+def hyperplane_sketch(vec: str, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane (sign) sketch for cosine LSH, as an INT bucket.
 
     The ±1 plane patterns are data-INDEPENDENT, so they are computed
-    once on the driver and embedded as literal arrays — per row this is
-    n_planes·dim multiply-adds in codegen. (The previous form derived
-    the pattern from xxhash64(p, j) inside the lambda: 1024 constant
-    hash calls per row that Catalyst cannot fold out of a higher-order
-    function.)
-    """
-    v = as_double(vec)
-    mat = _lit_matrix(
-        [[_plane_sign(p, j) for j in range(dim)] for p in range(n_planes)]
+    once on the driver and embedded as literal arrays. The whole sketch
+    is ONE parsed SQL expression instead of n_planes unrolled
+    aggregate(zip_with(...)) Column trees: the unrolled form cost
+    ~n_planes·dim py4j/analysis work on EVERY query build (~1.5-6 s of
+    pure driver time at 16-32 planes, measured r16) while this form is
+    O(1) driver-side and analyzes in milliseconds.
+
+    Shape constraint (learned the hard way): the input column must
+    appear ONLY as a top-level function argument, never captured inside
+    an outer lambda — an attribute reference under a lambda survives
+    analysis but can fail task-time binding with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND after self-join attribute
+    deduplication (the *_bucketed qids self-join the tagged frame). So
+    the plane loop is NOT a lambda over plane index; instead ONE fold
+    over dimensions carries all n_planes projections in an array
+    accumulator against the TRANSPOSED sign matrix, and the key folds
+    the projection signs. Per-plane arithmetic is the identical IEEE
+    sequence (acc_p starts 0.0 and adds x_j*s_jp in ascending j —
+    exactly the old per-plane left fold; integer bit adds are exact),
+    so bucket values are bit-identical to the unrolled form — verified
+    at all three SFs."""
+    mat_t = _sign_matrix_t_sql(n_planes, dim)
+    projs = (
+        f"aggregate(zip_with(transform(`{vec}`, x -> CAST(x AS DOUBLE)), {mat_t}, "
+        f"(x, srow) -> transform(srow, s -> x * s)), "
+        f"array_repeat(0.0D, {n_planes}), "
+        f"(acc, term) -> zip_with(acc, term, (a, t) -> a + t))"
     )
-    out = F.lit(0)
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.element_at(mat, p + 1), lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        out = out + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return out
+    return F.expr(
+        f"aggregate(zip_with({projs}, sequence(0, {n_planes - 1}), "
+        f"(pr, p) -> IF(pr >= 0, shiftleft(1, p), 0)), 0, (kacc, bit) -> kacc + bit)"
+    )
 
 
 def hyperplane_band_keys(
-    vec: str | Column, bands: int = 8, planes_per_band: int = 4, dim: int = 64
+    vec: str, bands: int = 8, planes_per_band: int = 4, dim: int = 64
 ) -> Column:
     """Banded (OR-construction) hyperplane LSH: array of ``bands`` keys,
     band b built from planes b*r .. b*r+r-1 of the same deterministic
@@ -227,28 +255,40 @@ def hyperplane_band_keys(
     0.70 (measured 0.70-0.73 across sf0.001/0.01/0.1) at the cost of
     examining more candidate pairs — the honest LSH tradeoff at a weak
     similarity threshold. At 100 TB the explode is narrow (×b rows,
-    no shuffle); the one shuffle is the (band, key) equi-join, and the
-    per-plane projections are n·b·r·dim multiply-adds in codegen."""
-    v = as_double(vec)
-    mat = _lit_matrix(
-        [
-            [_plane_sign(p, j) for j in range(dim)]
-            for p in range(bands * planes_per_band)
-        ]
+    no shuffle); the one shuffle is the (band, key) equi-join.
+
+    Built as ONE parsed SQL expression instead of bands·planes unrolled
+    aggregate(zip_with(...)) Column trees — the unrolled form cost
+    ~8.5 s of driver-side build+analysis per query at sf0.1 (measured
+    r16, ~1 ms/py4j call on this host), this form <0.1 s. Same shape
+    constraint as hyperplane_sketch: the input column appears ONLY as a
+    top-level function argument (never captured under an outer lambda,
+    which can fail task-time binding after self-join attribute dedup),
+    so one fold over dimensions carries all bands·r projections in an
+    array accumulator against the transposed sign matrix, per-plane key
+    bits derive from the projection signs, and a second fold scatters
+    the bits into their band slots. Per-plane arithmetic is the
+    identical IEEE sequence (acc_p starts 0.0 and adds x_j*s_jp in
+    ascending j; integer bit adds are exact), so keys are bit-identical
+    to the unrolled form — verified at all three SFs."""
+    n_planes = bands * planes_per_band
+    mat_t = _sign_matrix_t_sql(n_planes, dim)
+    projs = (
+        f"aggregate(zip_with(transform(`{vec}`, x -> CAST(x AS DOUBLE)), {mat_t}, "
+        f"(x, srow) -> transform(srow, s -> x * s)), "
+        f"array_repeat(0.0D, {n_planes}), "
+        f"(acc, term) -> zip_with(acc, term, (a, t) -> a + t))"
     )
-    keys = []
-    for b in range(bands):
-        key = F.lit(0)
-        for i in range(planes_per_band):
-            p = b * planes_per_band + i
-            proj = F.aggregate(
-                F.zip_with(v, F.element_at(mat, p + 1), lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        keys.append(key)
-    return F.array(*keys)
+    keybits = (
+        f"zip_with({projs}, sequence(0, {n_planes - 1}), "
+        f"(pr, p) -> struct(p div {planes_per_band} AS band, "
+        f"IF(pr >= 0, shiftleft(1, p % {planes_per_band}), 0) AS bit))"
+    )
+    return F.expr(
+        f"aggregate({keybits}, array_repeat(0, {bands}), "
+        f"(acc, kb) -> zip_with(acc, sequence(0, {bands - 1}), "
+        f"(a, b) -> IF(b = kb.band, a + kb.bit, a)))"
+    )
 
 
 def banded_gemm_pairs(

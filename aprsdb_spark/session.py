@@ -131,7 +131,22 @@ def tune(spark: SparkSession) -> SparkSession:
 
     The driver harness builds its own SparkSession; timezone pinning in
     particular is required for oracle hash-matching (FIXTURES.md §A).
+
+    Memoized per session object: every registered query calls tune() on
+    build (registry.py wrapper) and again through tables.load(), so a
+    434-qid bench sweep re-asserted the same six confs thousands of
+    times — each conf.set is a py4j round-trip (~1 ms on this host,
+    measured; driver-side latency exists on real clusters too). After
+    the first full tune, later calls only re-verify the timezone pin
+    (ONE round-trip): UTC is the conf whose drift silently corrupts
+    oracle hashes, and a caller that changed it mid-session (the
+    test_tables.py contract) still gets healed — a drifted TZ triggers
+    the full re-tune. The flag lives on the Python session object: a
+    different session (or a restarted one) gets tuned afresh.
     """
+    if getattr(spark, "_aprsdb_tuned", False):
+        if spark.conf.get("spark.sql.session.timeZone", "") == "UTC":
+            return spark
     from pyspark.errors import AnalysisException
 
     for k, v in _RUNTIME_CONFS.items():
@@ -142,4 +157,5 @@ def tune(spark: SparkSession) -> SparkSession:
             # non-fatal, the session-level default applies
             pass
     _ship_package(spark)
+    spark._aprsdb_tuned = True
     return spark
