@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..functions import rnd, sql_rnd
 from ..operators.dedup import shingles_from_toks, tokens_col
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 from .quality import ngrams_col
 
 # Segment width for line-level dedup; a segment is "boilerplate" when its
@@ -781,7 +781,7 @@ def j_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed agg rolls up. The novelty ratio divides two exact
     BIGINTs once, on identical operands."""
     t = load(spark, sf_dir)
-    sh = t.documents.select(
+    sh = spread(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(shingles_from_toks(tokens_col("text"))).alias("g"),
     ).select("doc_id", F.md5("g").alias("h"))

@@ -20,7 +20,7 @@ from ..operators.dedup import (
     tokens_col,
 )
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 # Conservative regex subset that parses identically under Java regex
 # (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
@@ -381,7 +381,7 @@ def j_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc totals come from the same frame pre-explosion — keyed on
     doc_id, co-partitioned with the hit counts."""
     t = load(spark, sf_dir)
-    docs = t.documents.select(
+    docs = spread(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens_col("text").alias("_toks")
     ).select("doc_id", "source", shingles_from_toks(F.col("_toks")).alias("sh"))
     cand = docs.where(F.col("source") != "src0")
@@ -1821,7 +1821,7 @@ def j_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n")
     )
-    sh = t.documents.select(
+    sh = spread(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", tokens_col("text").alias("_toks")
     ).select(
         "doc_id",

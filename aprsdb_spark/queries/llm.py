@@ -31,7 +31,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import VIDEO_FRAMES, decode_payloads, pack_multimodal
 from ..operators.similarity import as_double, brute_topk, dot_expr, ivf_assign, ivf_search
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 # ---------------------------------------------------------------- dedup
 
@@ -106,7 +106,7 @@ def j_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus text, and the sweep harness clearCache()s between plan
     # audits. Helpers that DO consume internally (kmeans_objective,
     # similarity.py) unpersist after their action instead.
-    sh = t.documents.select(
+    sh = spread(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", tokens_col("text").alias("_toks")
     ).select(
         "doc_id",
@@ -3681,14 +3681,14 @@ def j_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide doc_id shuffle for the doc→lang join. Re-reading the
     columnar text beats materializing its derivative."""
     t = load(spark, sf_dir)
-    cg = t.documents.select(
+    cg = spread(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.expr(_CHARGRAM_SPARK)).alias("term")
     )
     dtf = cg.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     langs = t.documents.select("lang").distinct()
     vocab = cg.agg(F.countDistinct("term").alias("v"))
     prof = (
-        t.documents.select("lang", F.explode(F.expr(_CHARGRAM_SPARK)).alias("term"))
+        spread(spark, sf_dir, "documents").select("lang", F.explode(F.expr(_CHARGRAM_SPARK)).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count("*").alias("cnt"))
     )
@@ -3819,12 +3819,12 @@ def j_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ref_doc").isNotNull())
     )
     uc = (
-        t.documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        spread(spark, sf_dir, "documents").select("doc_id", F.explode(tokens_col("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("c"))
     )
     bc = (
-        t.documents.select("doc_id", F.explode(ngrams_col("text", 2)).alias("term"))
+        spread(spark, sf_dir, "documents").select("doc_id", F.explode(ngrams_col("text", 2)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("c"))
     )

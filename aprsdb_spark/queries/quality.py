@@ -19,7 +19,7 @@ from ..functions import rnd
 from ..operators.dedup import tokens_col
 from ..operators.similarity import as_double
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 
 def ngrams_col(text: str | Column = "text", k: int = 2) -> Column:
@@ -294,7 +294,7 @@ def j_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries exactly one."""
     t = load(spark, sf_dir)
     hs = F.transform(ngrams_col("text", _WINNOW_K), F.md5)
-    staged = t.documents.select("doc_id", hs.alias("hs"))
+    staged = spread(spark, sf_dir, "documents").select("doc_id", hs.alias("hs"))
     h = F.col("hs")
     m = F.greatest(F.size(h) - (_WINNOW_W - 1), F.lit(0))
     wins = F.slice(h, 1, m)

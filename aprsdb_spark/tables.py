@@ -84,6 +84,56 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _est_scan_splits(sf_dir: str, name: str) -> int:
+    """Estimated scan-task count for a table from its on-disk bytes and
+    the 128 MB default split size. Local-path only; any error (remote
+    URI, missing file) returns a large count, i.e. 'assume the input
+    already parallelizes' — the safe answer at scale."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return 1 << 30
+    return max(1, -(-total // (128 * 1024 * 1024)))
+
+
+def spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan with at-least-cores parallelism for compute-heavy
+    downstream maps (explodes, shingling, per-row scoring).
+
+    The local fixture parquets are single row-group files, so a plain
+    scan is ONE task no matter how many cores the session has — every
+    downstream narrow transformation then runs single-threaded (guide
+    §2.5 'input skew: one huge unsplittable file'). When the file
+    layout yields fewer splits than the session's cores, insert one
+    round-robin repartition right after the read; when the input
+    already parallelizes (any table big enough to matter at scale —
+    estimated from file bytes, no Spark job), this is a NO-OP returning
+    the cached scan plan, so production plans carry no extra exchange.
+    The exchange moves the raw rows once, before any amplification
+    (explode multiplies rows 10-1000x downstream, so the shuffled bytes
+    are the small side of the pipeline by construction)."""
+    df = table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if _est_scan_splits(sf_dir, name) >= max(1, cores // 2):
+        return df
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name, "spread")
+    cached = _PLAN_CACHE.get(key)
+    if cached is None:
+        cached = _PLAN_CACHE[key] = df.repartition(cores)
+    return cached
+
+
 class Tables:
     """Lazy table namespace: `t.events` builds (or fetches the cached)
     scan plan on first attribute access — queries touch only the tables

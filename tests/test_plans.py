@@ -975,8 +975,8 @@ _SHUFFLE_BUDGETS = {
     "j_clustering_coeff": 76,
     "j_recall_curve": 4,
     "j_burstiness": 2,
-    "j_chargram_confusion": 17,  # +1 (doc,term) tf pre-agg buys a ~2x leaner fan-out
-    "j_bleu_precision": 20,
+    "j_chargram_confusion": 22,  # +2 spread() scan repartitions (single-row-group fixture heal), reprint-inflated
+    "j_bleu_precision": 26,  # +2 spread() repartitions, reprint-inflated
     "j_pagerank": 135,  # reprint-inflated by the persisted edge frames of the
     # whole graph family: assortativity/kcore/reciprocity caches built
     # earlier in this loop alias _trade_edges subtrees (CacheManager
@@ -1020,7 +1020,7 @@ _SHUFFLE_BUDGETS = {
     "j_semdedup": 15,       # bucket-keyed windows; persisted-child reprints
     "j_pii_scrub": 0,       # pure per-row scrub — zero-shuffle contract
     "j_sample_stratified": 0,  # hash-deterministic per-row keep decision
-    "j_contamination": 4,
+    "j_contamination": 7,  # +1 spread() repartition, reprint-inflated via cand/bench reuse
     "j_dedup_containment": 10,
     "j_embed_quantize": 0,  # literal-grid per-row quantization map
     # --- r11 additions. Measured on the cold sf0.01 plan at review
@@ -1060,7 +1060,7 @@ _SHUFFLE_BUDGETS = {
     "j_shuffle_shards": 1,  # ONE shard-keyed exchange IS the operator
     "j_reservoir_pergroup": 1,  # group-keyed draw-rank agg
     "j_dsir_weights": 6,
-    "j_winnow_pairs": 6,
+    "j_winnow_pairs": 10,  # inherits the fingerprint spread() repartition, reprinted per join leg
     "j_dedup_lines": 6,
     "j_dedup_substr": 4,
     "j_chunk_overlap": 0,   # pure map over chunk grid — zero-shuffle
@@ -1076,7 +1076,7 @@ _SHUFFLE_BUDGETS = {
     "j_domain_mix": 4,
     "j_ngram_lm": 6,
     "j_lm_buckets": 14,     # LM fit + per-bucket rollup chain
-    "j_winnow_fingerprints": 0,  # per-doc rolling-hash windows: pure map
+    "j_winnow_fingerprints": 1,  # +1 spread() repartition before the rolling-hash map
     "j_embed_outlier": 8,
     "j_retention_cohort": 4,
     "j_funnel_stages": 2,
@@ -1105,7 +1105,7 @@ _SHUFFLE_BUDGETS = {
     "j_neyman_allocation": 4,
     "j_ks_embed": 24,           # reprint-inflated (persisted cell counts)
     "j_minhash_est_error": 6,
-    "j_dedup_survivors": 12,    # reprint-inflated (persisted shingle frame)
+    "j_dedup_survivors": 14,  # +1 spread() repartition, reprint-inflated (persisted shingle frame)
     "j_dup_transitivity": 21,   # reprint-inflated (persisted edges, 2 refs x wedge join)
     "j_ts_autocorr": 1,         # ONE event_type exchange serves lead + moments
     "j_mannwhitney": 2,         # source filter agg + bounded rank window
@@ -1307,7 +1307,7 @@ _SHUFFLE_BUDGETS = {
     "j_compaction_plan": 2,
     "j_dedup_edit": 9,
     "j_dedup_exact": 1,
-    "j_dedup_ngram": 1,
+    "j_dedup_ngram": 3,  # +1 spread() repartition, reprinted on both self-join sides
     "j_dq_checks": 2,
     "j_entropy": 2,
     "j_feature_snapshot": 1,
@@ -1329,7 +1329,7 @@ _SHUFFLE_BUDGETS = {
     "j_multimodal_frames": 0,
     "j_multimodal_resize": 0,
     "j_multimodal_sim": 1,
-    "j_ngram_novelty": 3,
+    "j_ngram_novelty": 5,  # +1 spread() repartition, reprinted on both join legs
     "j_outlier_mad": 7,
     "j_pipeline_curate": 2,
     "j_pmi_bigrams": 11,
