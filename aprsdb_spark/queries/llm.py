@@ -1817,7 +1817,7 @@ def j_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
     )
     s = (
-        t.embeddings.crossJoin(F.broadcast(q))
+        spread(spark, sf_dir, "embeddings").crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -2613,7 +2613,7 @@ def j_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double("embedding").alias("qv"),
     )
     s = (
-        t.embeddings.crossJoin(F.broadcast(q))
+        spread(spark, sf_dir, "embeddings").crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -5080,7 +5080,7 @@ def j_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_rows
 
     t = load(spark, sf_dir)
-    docs = t.documents.select("doc_id", "text").where(
+    docs = spread(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.size(tokens_col("text")) >= 3
     )
     rows = shingle_rows(docs, ["doc_id"])
@@ -5773,7 +5773,7 @@ def j_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot_expr_unrolled
 
     s = (
-        t.embeddings.crossJoin(F.broadcast(q))
+        spread(spark, sf_dir, "embeddings").crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -5882,7 +5882,7 @@ def j_dim_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
         F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
     )
-    base = t.embeddings.crossJoin(F.broadcast(q)).where(
+    base = spread(spark, sf_dir, "embeddings").crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("qid")
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))

@@ -896,7 +896,7 @@ _SHUFFLE_BUDGETS = {
     "j_feature_hashing": 5,
     "j_span_corruption": 0,  # pure map — zero-shuffle contract
     "j_fim_transform": 0,    # pure map — zero-shuffle contract
-    "j_knn_confusion": 3,
+    "j_knn_confusion": 4,
     "j_retrieval_mrr": 2,
     "d_crosstab": 2,
     "j_gini_tokens": 3,     # token agg + distinct-count histogram agg + source rollup
@@ -1056,7 +1056,7 @@ _SHUFFLE_BUDGETS = {
     "j_ann_lsh": 0,         # literal planes: zero-shuffle bucket probe
     "j_ann_ivf": 0,         # literal centroids: zero-shuffle probe
     "j_lsh_recall": 5,      # both legs by construction (exact + LSH)
-    "j_knn_batch": 2,       # query panel broadcast; per-query top-k
+    "j_knn_batch": 3,       # query panel broadcast; per-query top-k
     "j_shuffle_shards": 1,  # ONE shard-keyed exchange IS the operator
     "j_reservoir_pergroup": 1,  # group-keyed draw-rank agg
     "j_dsir_weights": 6,
@@ -1111,7 +1111,7 @@ _SHUFFLE_BUDGETS = {
     "j_mannwhitney": 2,         # source filter agg + bounded rank window
     "j_kcore_peel": 12,         # lazy-localCheckpoint-truncated peel rounds
     "j_ivf_balance": 6,         # literal-centroid map + 16-row occupancy agg
-    "j_lsh_bucket_skew": 3,     # signature agg + (band,key) agg + 4-row rollup
+    "j_lsh_bucket_skew": 4,     # signature agg + (band,key) agg + 4-row rollup
     "j_lsh_band_plan": 6,       # blocked quadratic + 2-row agg fan-out
     "j_pr_auc": 2,              # scored scan agg + grid-bounded window
     "j_shard_skew": 2,          # 64-row shard agg + 1-row fold
@@ -1123,7 +1123,7 @@ _SHUFFLE_BUDGETS = {
     "j_dedup_yield_curve": 25,  # reprint-inflated (persisted 1-row drops agg x5 legs)
     "j_permutation_test": 6,    # two-source slice + replica explode agg
     "j_topk_stability": 6,      # ONE (half,term) agg + bounded rank window
-    "j_ivf_nprobe_curve": 48,   # reprint-inflated (persisted cand/exact x4 depths)
+    "j_ivf_nprobe_curve": 56,   # reprint-inflated (persisted cand/exact x4 depths)
     "j_power_analysis": 1,      # ONE event_type FILTER-moment agg
     "j_mcc_multiclass": 26,     # reprint-inflated (persisted confusion cells x5 re-aggs)
     "j_horvitz_thompson": 9,    # reprint-inflated (persisted (p6,u6) relation x3)
@@ -1145,8 +1145,8 @@ _SHUFFLE_BUDGETS = {
     # refs, each embedding the _trade_edges flow agg); nation-bounded metadata
     "j_good_turing": 9,         # reprint-inflated (persisted count-of-counts x3)
     "j_burrows_delta": 35,      # reprint-inflated (persisted st + f6 spine refs)
-    "j_hubness": 12,            # batch-kNN fan-out + occurrence spine join
-    "j_dim_truncation_curve": 28,  # four unioned kNN legs + persisted exact set
+    "j_hubness": 14,            # batch-kNN fan-out + occurrence spine join
+    "j_dim_truncation_curve": 36,  # four unioned kNN legs + persisted exact set; spread() scan reprinted per leg
     "j_lift_gains": 8,          # one scored agg + decile windows on metadata
     "j_youden_threshold": 5,    # one scored agg + heap TakeOrdered(1)
     "j_l_diversity": 2,         # one QI-cell hash agg (distinct expands)
@@ -1295,7 +1295,7 @@ _SHUFFLE_BUDGETS = {
     "h_variant": 1,
     "h_xml": 0,
     "j_ab_ttest": 1,
-    "j_ann_recall": 12,
+    "j_ann_recall": 14,
     "j_attribution": 1,
     "j_bfs_distance": 1,
     "j_bm25_topk": 10,
