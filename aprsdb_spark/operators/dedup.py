@@ -90,10 +90,18 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     # family stays pairwise-uniform (xxhash64 seeded by column position),
     # so the b/r s-curve analysis in the module docstring is unchanged.
     sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}") for i in range(NUM_HASHES)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    # The 128 min-aggregates are built as ONE parsed SQL struct instead
+    # of a per-hash Column-op loop: the loop form cost ~640 py4j
+    # round-trips of pure driver time per query build (~1 ms each on
+    # this host, measured r16). The optimizer's SimplifyExtractValueOps
+    # collapses struct(...).h_i back to the bare aggregates, so the
+    # physical plan and the signature values are identical.
+    fields = ", ".join(f"min(xxhash64(h, {i})) AS h{i}" for i in range(NUM_HASHES))
+    return (
+        sh.groupBy(id_col)
+        .agg(F.expr(f"struct({fields})").alias("_s"))
+        .select(id_col, "_s.*")
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -114,16 +122,21 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     by canonicalized plan, so repeated builds of the same query share
     one cache entry.
     """
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            # multi-arg xxhash64 folds the 4 longs directly — no
-            # cast-to-string/concat allocation per band
-            F.xxhash64(*[F.col(f"h{b * BAND_ROWS + j}") for j in range(BAND_ROWS)]).alias("bh"),
+    # The 32 band structs are built as ONE parsed SQL array expression
+    # instead of a per-band Column-op loop (~260 py4j round-trips of
+    # driver time per build — same r16 measurement as minhash above).
+    # multi-arg xxhash64 folds the 4 longs directly — no
+    # cast-to-string/concat allocation per band.
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh)".format(
+            b=b,
+            cols=", ".join(f"h{b * BAND_ROWS + j}" for j in range(BAND_ROWS)),
         )
         for b in range(NUM_BANDS)
-    ]
-    bands = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("x")).select(
+    )
+    bands = sig.select(
+        F.col(id_col), F.explode(F.expr(f"array({band_structs})")).alias("x")
+    ).select(
         F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     ).persist()
     a = bands.alias("a")

@@ -782,23 +782,40 @@ def c_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (new in Spark 4.0, SPARK-24497) — the SQL-native
     twin of j_bfs_distance: depth-bounded walk enumeration from nation
     {src} over the trade graph, then min-hop + walk-count per reached
-    node. The SAME SQL text runs on both engines (DuckDB's recursion
-    semantics match for UNION ALL + an explicit depth bound, which is
-    also the only safe recursion on a CYCLIC graph — an unbounded
-    UNION ALL walk never terminates, and this graph has cycles by
-    construction). n_walks counts distinct ≤{R}-step walks — a
-    multiset-level check that both engines expanded the same frontier,
-    strictly stronger than comparing min distances alone.
+    node. The oracle runs the same recursion with the edge CTE inlined
+    (DuckDB's recursion semantics match for UNION ALL + an explicit
+    depth bound, which is also the only safe recursion on a CYCLIC
+    graph — an unbounded UNION ALL walk never terminates, and this
+    graph has cycles by construction). n_walks counts distinct
+    ≤{R}-step walks — a multiset-level check that both engines expanded
+    the same frontier, strictly stronger than comparing min distances
+    alone.
 
-    At scale the recursion materializes one frontier per step keyed on
-    the |V|-bounded walk relation — same shuffle story as the
-    DataFrame-loop BFS; prefer the loop form when you need to persist/
-    checkpoint per round, the SQL form when the query ships to a SQL
-    surface."""
-    _views_local = load(spark, sf_dir)
-    for name in ("lineitem", "orders", "customer", "supplier", "nation"):
-        getattr(_views_local, name).createOrReplaceTempView(name)
-    return spark.sql(_recursive_walk_sql())
+    The Spark side materializes the capped edge list ONCE
+    (_trade_edges — identical to the oracle's flow/e CTEs, the
+    equivalence j_pagerank already pins) and recurses over the
+    localCheckpointed |V|·fanout-row relation: Spark's UnionLoop
+    re-evaluates non-recursive CTE references in the step query each
+    iteration, so the inlined form re-ran the 3-join flow aggregation
+    per step. At scale the recursion materializes one frontier per
+    step keyed on the |V|-bounded walk relation — same shuffle story as
+    the DataFrame-loop BFS; prefer the loop form when you need to
+    persist/checkpoint per round, the SQL form when the query ships to
+    a SQL surface."""
+    t = load(spark, sf_dir)
+    e = _trade_edges(t).localCheckpoint(eager=True)
+    e.createOrReplaceTempView("e_trade_walk")
+    return spark.sql(f"""
+    WITH RECURSIVE walk(nk, dist) AS (
+      SELECT CAST({_BFS_SRC} AS BIGINT) AS nk, CAST(0 AS BIGINT) AS dist
+      UNION ALL
+      SELECT e.dst AS nk, w.dist + 1 AS dist
+      FROM walk w JOIN e_trade_walk e ON e.src = w.nk
+      WHERE w.dist < {_BFS_ROUNDS})
+    SELECT nk, CAST(MIN(dist) AS BIGINT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_walks
+    FROM walk GROUP BY nk
+    """)
 
 
 c_sql_recursive.__doc__ = c_sql_recursive.__doc__.replace(

@@ -5770,20 +5770,18 @@ def j_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t.embeddings.where(F.col("vec_id") < _HUB_NQ).select(
         F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
     )
-    from ..operators.similarity import dot_expr_unrolled
-
+    # unrolled fixed-width dot: bit-identical left fold, stays in
+    # whole-stage codegen (measured ~2x on this exact fan-out). The
+    # 64-term sum is ONE parsed SQL expression over a staged _e
+    # projection — the per-term Column-op loop (dot_expr_unrolled) cost
+    # ~256 py4j round-trips of driver time per build (measured r16);
+    # `(a+b)+c` parse association keeps the IEEE fold order identical.
+    dot64 = " + ".join(f"_e[{i}] * qv[{i}]" for i in range(64))
     s = (
         spread(spark, sf_dir, "embeddings").crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            # unrolled fixed-width dot: bit-identical left fold, stays in
-            # whole-stage codegen (measured ~2x on this exact fan-out)
-            rnd(dot_expr_unrolled(as_double("embedding"), F.col("qv"), 64), 6).alias(
-                "score"
-            ),
-        )
+        .select("qid", "vec_id", as_double("embedding").alias("_e"), "qv")
+        .select("qid", "vec_id", rnd(F.expr(dot64), 6).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
     r = (

@@ -738,8 +738,10 @@ def c_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     == LENGTH(BIN(total-1)) — pure integer, no libm log2 at
     power-of-two boundaries. Counting orders above the mean then
     reuses the scan-filter-aggregate shape; at 100 TB the script costs
-    two aggregate passes (COUNT+SUM fused in one, then the filtered
-    rollup) — same as hand-written SQL."""
+    two aggregate passes (COUNT+SUM fused in one multi-variable SET —
+    assigning them in separate SET statements scanned orders twice for
+    one COUNT+SUM pair, then the filtered rollup) — same as
+    hand-written SQL."""
     _views(spark, sf_dir, "orders")
     return spark.sql("""
         BEGIN
@@ -747,13 +749,13 @@ def c_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE mean_cents BIGINT DEFAULT 0;
           DECLARE doublings INT DEFAULT 0;
           DECLARE p BIGINT DEFAULT 1;
-          SET total = (SELECT COUNT(*) FROM v_orders);
-          SET mean_cents =
-            (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
-                         AS BIGINT) FROM v_orders) DIV total;
+          SET (total, mean_cents) =
+            (SELECT COUNT(*),
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                         AS BIGINT) DIV COUNT(*)
+             FROM v_orders);
           WHILE p < total DO
-            SET p = p * 2;
-            SET doublings = doublings + 1;
+            SET (p, doublings) = (SELECT p * 2, doublings + 1);
           END WHILE;
           SELECT o_orderpriority,
                  COUNT(*) AS n_above,
