@@ -191,7 +191,14 @@ def enrich_positions(packets, info_col: Column) -> "pyspark.sql.DataFrame":  # n
     mice = F.when(F.col("fmt") == "mic-e", decode_mice(F.col("dst"), info_col))
     comp = F.when(F.col("fmt") == "compressed", decode_compressed(comp_body))
     dec = F.coalesce(mice, comp)
-    out = packets
-    for field in _COLS:
-        out = out.withColumn(field, F.coalesce(F.col(field), dec.getField(field)))
-    return out
+    # ONE projection instead of a 7x withColumn chain: each withColumn
+    # rebuilds the full projection through py4j (~0.5 s of driver time
+    # per enrich on the r16 host); the single select keeps column order
+    # and the per-field expressions identical.
+    enriched = {
+        field: F.coalesce(F.col(field), dec.getField(field)).alias(field)
+        for field in _COLS
+    }
+    return packets.select(
+        *[enriched.get(c, F.col(c)) for c in packets.columns]
+    )
