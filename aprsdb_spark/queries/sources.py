@@ -454,19 +454,42 @@ def a_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewrite (the data is a deterministic function of the parquet).
     import shutil
 
-    for name, src, key, cols in (
-        ("li_b", t.lineitem, "l_orderkey", ["l_orderkey", "l_extendedprice"]),
-        ("ord_b", t.orders, "o_orderkey", ["o_orderkey", "o_orderpriority"]),
-    ):
+    def _write_bucketed(spec) -> None:
+        name, src, key, cols = spec
         if not spark.catalog.tableExists(f"{db}.{name}"):
             shutil.rmtree(os.path.join(loc, name), ignore_errors=True)
             (
+                # hash-repartition to the bucket count first: the
+                # repartition uses the same murmur3 pmod placement as
+                # the bucket spec, so each of the 8 write tasks holds
+                # exactly one bucket and sorts/writes it in parallel —
+                # the plain form funneled the single-row-group scan
+                # into ONE task that sorted and wrote all 8 bucket
+                # files serially (guide §2.5 input skew). Same table
+                # content and file-per-bucket layout either way.
                 src.select(*cols)
+                .repartition(8, F.col(key))
                 .write.bucketBy(8, key)
                 .sortBy(key)
                 .mode("overwrite")
                 .saveAsTable(f"{db}.{name}")
             )
+
+    # the two table writes are independent jobs — overlap them from a
+    # 2-thread pool so one write's commit/DDL tail back-fills the other
+    # (guide §2.6); each job is still the same plan as the serial form
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write_bucketed,
+                (
+                    ("li_b", t.lineitem, "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+                    ("ord_b", t.orders, "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+                ),
+            )
+        )
     li = spark.table(f"{db}.li_b")
     od = spark.table(f"{db}.ord_b")
     j = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)

@@ -153,6 +153,37 @@ def main() -> None:
 
     _ident = pandas_udf(lambda s: s, "long")
     t.region.select(_ident(F.col("r_regionkey"))).write.format("noop").mode("overwrite").save()
+    # warm the Python DataSource machinery (driver-side schema worker +
+    # executor datasource workers) and the derby catalog the same way:
+    # both are per-session fixed costs (~6 s and ~0.5 s measured r16)
+    # that otherwise land on whichever qid touches the subsystem first
+    # (a_pysrc_replay, a_sink_bucketed). The warmup source is a 1-row
+    # dummy — none of any qid's input or work is precomputed.
+    try:
+        from pyspark.sql.datasource import DataSource, DataSourceReader
+
+        class _WarmReader(DataSourceReader):
+            def read(self, partition):
+                yield (0,)
+
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls) -> str:
+                return "sg_bench_warmup_src"
+
+            def schema(self) -> str:
+                return "v int"
+
+            def reader(self, schema):
+                return _WarmReader()
+
+        spark.dataSource.register(_WarmSource)
+        spark.read.format("sg_bench_warmup_src").load().write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # optional warm: absence must not fail the bench
+    spark.catalog.listDatabases()
 
     # n runs per qid, min reported: r2's gate datapoints were warm n=2
     # while r3/r4 ran cold n=1, and the resulting 1.2-3x "regressions"

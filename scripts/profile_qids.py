@@ -55,6 +55,32 @@ def main() -> None:
     t.lineitem.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     _ident = pandas_udf(lambda s: s, "long")
     t.region.select(_ident(F.col("r_regionkey"))).write.format("noop").mode("overwrite").save()
+    # mirror bench.py's subsystem warmups so profiles stay comparable
+    try:
+        from pyspark.sql.datasource import DataSource, DataSourceReader
+
+        class _WarmReader(DataSourceReader):
+            def read(self, partition):
+                yield (0,)
+
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls) -> str:
+                return "sg_bench_warmup_src"
+
+            def schema(self) -> str:
+                return "v int"
+
+            def reader(self, schema):
+                return _WarmReader()
+
+        spark.dataSource.register(_WarmSource)
+        spark.read.format("sg_bench_warmup_src").load().write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+    spark.catalog.listDatabases()
 
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
