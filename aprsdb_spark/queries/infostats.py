@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions import rnd, sql_rnd
 from ..operators.dedup import tokens_col
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 from .quality import ngrams_col
 
 # Entropy: normalized entropy below this flags template/repetitive text.
@@ -492,7 +492,9 @@ def j_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     exploded = (
-        t.documents.select("doc_id", tokens_col("text").alias("tok"))
+        # spread: the d-offset zip fan-out ran in the scan's ONE task
+        # (no-op at scale, tables.spread)
+        spread(spark, sf_dir, "documents").select("doc_id", tokens_col("text").alias("tok"))
         .select(
             "doc_id",
             F.explode(
@@ -723,9 +725,10 @@ def j_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (lang,source)-blocked variant runs per language shard."""
     from ..operators.dedup import shingle_rows
 
-    t = load(spark, sf_dir)
     g = (
-        shingle_rows(t.documents, ["source"], "text", 3)
+        # spread: shingling + md5 ran in the scan's ONE task (no-op at
+        # scale, tables.spread)
+        shingle_rows(spread(spark, sf_dir, "documents"), ["source"], "text", 3)
         .select("source", F.md5("sh").alias("h"))
         .distinct()
     )

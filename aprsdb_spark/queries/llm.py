@@ -3544,9 +3544,11 @@ def j_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over that aggregate — the curve costs nothing beyond the
     exact pass it audits. Tuning loop closed by j_lsh_recall_banded,
     which measures the banding's ACTUAL recall at tau=0.3."""
-    t = load(spark, sf_dir)
     sh = (
-        t.documents.select(
+        # spread: tokenization + shingle hashing feed the persisted
+        # self-join input; ONE task without it (no-op at scale,
+        # tables.spread)
+        spread(spark, sf_dir, "documents").select(
             "doc_id", "lang", "source", tokens_col("text").alias("_toks")
         )
         .select(

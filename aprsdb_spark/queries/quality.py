@@ -81,7 +81,11 @@ def j_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlined, Catalyst re-evaluates the whole split+zip_with chain per
     # reference (9 zip_with / 31 split nodes in the physical plan vs
     # 3 / 11 staged — measured 2x slower at sf0.1).
-    base = t.documents.select(
+    # spread: the split+zip_with n-gram chains and the explode leg are
+    # per-row compute off a single row-group scan — ONE task without it
+    # (no-op at scale, tables.spread)
+    docs = spread(spark, sf_dir, "documents")
+    base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         ngrams_col("text", 2).alias("g2"),
@@ -100,7 +104,7 @@ def j_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac(F.col("g3")).alias("d3"),
     )
     top = (
-        t.documents.select("doc_id", F.explode(toks).alias("tok"))
+        docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")

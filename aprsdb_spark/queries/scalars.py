@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import rnd
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 
 @query(
@@ -507,6 +507,10 @@ def h_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions, boundary odds ~1e-10/row)."""
     t = load(spark, sf_dir)
     div = F.expr("try_divide(CAST(o_totalprice AS DECIMAL(12,2)), o_custkey % 5)")
+    # NOT spread (r16): repartitioning before the agg reorders the
+    # double quotient sum and flipped the 1e-4 floor boundary on one
+    # sf0.1 group (…277.3225 vs .3226) — the win (1.77->0.65 s) is not
+    # worth an order-dependent value.
     return t.orders.groupBy("o_orderstatus").agg(
         F.count(F.when(div.isNull(), 1)).cast("long").alias("n_div_null"),
         (

@@ -892,7 +892,7 @@ _SHUFFLE_BUDGETS = {
     "j_topp_vocab": 5,
     "j_ts_changepoint": 3,  # ONE series-keyed exchange + mean/rollup
     "j_ts_trend": 3,
-    "j_source_overlap": 7,
+    "j_source_overlap": 20,  # +1 spread() repartition, reprinted on both self-join sides
     "j_feature_hashing": 5,
     "j_span_corruption": 0,  # pure map — zero-shuffle contract
     "j_fim_transform": 0,    # pure map — zero-shuffle contract
@@ -918,7 +918,7 @@ _SHUFFLE_BUDGETS = {
     "j_ann_pq_sink": 1,     # code-table TakeOrdered + ONE broadcast re-rank
     "j_ann_pq_recall": 3,   # exact leg + PQ leg + 1-row join
     "j_chunk_documents": 0,  # pure per-row array map — zero-shuffle contract
-    "j_cooccur_window": 2,
+    "j_cooccur_window": 6,  # +1 spread() repartition, reprint-inflated
     "j_dedup_chunks": 4,
     "j_negative_sampling": 6,
     "c_sql_exec_immediate": 2,
@@ -933,7 +933,7 @@ _SHUFFLE_BUDGETS = {
     "j_head_template": 5,
     "j_lang_confusion": 16,  # the full lang-id scoring pipeline + cell agg
     "j_cluster_purity": 5,
-    "j_jaccard_threshold_curve": 3,
+    "j_jaccard_threshold_curve": 9,  # +1 spread() repartition, reprinted on both self-join sides
     "j_cohen_kappa": 53,    # 3 refs x persisted 16-exchange confusion child
     "j_simpson_diversity": 2,
     "k_pandas_scalar": 0,
@@ -1072,7 +1072,7 @@ _SHUFFLE_BUDGETS = {
                             # re-print the cached merge-table child (~2 real)
     "j_pipeline_release": 2,
     "j_inverted_index": 2,  # (term,doc) agg + per-term ranked lists
-    "j_repetition": 3,
+    "j_repetition": 10,  # +1 spread() repartition, reprinted on both join legs
     "j_domain_mix": 4,
     "j_ngram_lm": 6,
     "j_lm_buckets": 14,     # LM fit + per-bucket rollup chain
