@@ -809,6 +809,27 @@ def pca_axis_local(
     return mean, axis, offset
 
 
+@functools.lru_cache(maxsize=None)
+def query_vector(sf_dir: str, vec_id: int = 0) -> tuple:
+    """The registered panel query vector, read DRIVER-SIDE with pyarrow
+    and memoized like the trainers: it is index METADATA (one row of
+    the documented query panel), and the Spark `head()` job every
+    panel qid previously ran to fetch it cost a measured ~0.4 s of
+    driver wall per query build at sf0.1 (9 call sites). float32 ->
+    float64 is exact, so these are the same doubles the head() row
+    carried (kmeans_train_local's parity note). Cleared by
+    clear_trainer_caches with the models."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        if vid == vec_id:
+            return tuple(float(x) for x in emb)
+    raise KeyError(f"vec_id {vec_id} not found in {sf_dir}/embeddings.parquet")
+
+
 def clear_trainer_caches() -> None:
     """Drop every memoized trainer model. Call after regenerating the
     parquet under an sf_dir that a trainer has already read in this
@@ -819,6 +840,7 @@ def clear_trainer_caches() -> None:
     pq_train_local.cache_clear()
     pca_axis_local.cache_clear()
     logreg_train_local.cache_clear()
+    query_vector.cache_clear()
     # parsed literal Columns hold py4j refs into the JVM — their memo
     # key already carries the SparkContext identity (so a restarted
     # JVM can never be served a stale handle even without this call),

@@ -29,7 +29,14 @@ from ..operators.dedup import (
     tokens_col,
 )
 from ..operators.multimodal import VIDEO_FRAMES, decode_payloads, pack_multimodal
-from ..operators.similarity import as_double, brute_topk, dot_expr, ivf_assign, ivf_search
+from ..operators.similarity import (
+    as_double,
+    brute_topk,
+    dot_expr,
+    ivf_assign,
+    ivf_search,
+    query_vector,
+)
 from ..registry import query
 from ..tables import load, spread
 
@@ -820,8 +827,8 @@ def j_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
     assigned, cents = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    qvec = [float(x) for x in qrow.embedding]
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    qvec = list(query_vector(sf_dir))
     return ivf_search(assigned, cents, qvec, k=10, nprobe=_IVF_NPROBE)
 
 
@@ -2188,8 +2195,8 @@ def j_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir)
     books = pq_train_local(sf_dir, n_blocks=_PQ_BLOCKS, k=_PQ_K, iters=_PQ_ITERS)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    q = [float(x) for x in qrow.embedding]
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    q = list(query_vector(sf_dir))
     # assignment + ADC fused in ONE Arrow pass (pq_adc_arrow — the
     # j_pq_distortion engine path; bit-identical to the best_code_expr
     # + chained element_at expression form, which remains the
@@ -2258,8 +2265,8 @@ def j_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     t = load(spark, sf_dir)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    qlit = _lit_vector(list(query_vector(sf_dir)))
     exact = (
         t.embeddings.where(F.col("vec_id") != 0)
         .select("vec_id", rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"))
@@ -2354,8 +2361,8 @@ def j_ann_pq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"('sg.src_stamp' = '{stamp}')"
         )
     ct = spark.table(f"{db}.pq_codes")
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    q = [float(x) for x in qrow.embedding]
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    q = list(query_vector(sf_dir))
     adc_lits = [
         _lit_vector([seq_dot(q[b * d : (b + 1) * d], cv) for _, cv in books[b]])
         for b in range(_PQ_BLOCKS)
@@ -2440,8 +2447,8 @@ def j_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     t = load(spark, sf_dir)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    qlit = _lit_vector(list(query_vector(sf_dir)))
     exact = (
         t.embeddings.where(F.col("vec_id") != 0)
         .select("vec_id", rnd(dot_expr(as_double("embedding"), qlit), 6).alias("score"))
@@ -3941,8 +3948,8 @@ def j_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     t = load(spark, sf_dir)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    qlit = _lit_vector(list(query_vector(sf_dir)))
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
     exact = (
         t.embeddings.where(F.col("vec_id") != 0)
@@ -4256,8 +4263,8 @@ def j_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     t = load(spark, sf_dir)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    qlit = _lit_vector(list(query_vector(sf_dir)))
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
     exact = (
         t.embeddings.where(F.col("vec_id") != 0)
@@ -6229,8 +6236,8 @@ def j_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     t = load(spark, sf_dir)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    qlit = _lit_vector(list(query_vector(sf_dir)))
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
     exact = (
         t.embeddings.where(F.col("vec_id") != 0)
@@ -6494,8 +6501,8 @@ def j_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _lit_vector
 
     t = load(spark, sf_dir)
-    qrow = t.embeddings.where(F.col("vec_id") == 0).select("embedding").head()
-    qlit = _lit_vector([float(x) for x in qrow.embedding])
+    # query vector: driver-side memoized metadata read (similarity.query_vector)
+    qlit = _lit_vector(list(query_vector(sf_dir)))
     cand = (
         t.embeddings.where(F.col("vec_id") != 0)
         .select(
