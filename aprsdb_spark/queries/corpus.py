@@ -204,7 +204,8 @@ def j_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-chasing and single-node; window hashing is one explode and
     two hash aggs at any corpus size."""
     t = load(spark, sf_dir)
-    staged = t.documents.select(
+    # spread: persisted with no exchange — see tables.spread
+    staged = spread(spark, sf_dir, "documents").select(
         "doc_id", ngrams_col("text", _SUB_W).alias("wins")
     ).select(
         "doc_id",
@@ -416,7 +417,8 @@ def j_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     expose bloom_filter_agg/might_contain in its public function
     registry."""
     t = load(spark, sf_dir)
-    g = t.documents.select(
+    # spread: persisted with no exchange — see tables.spread
+    g = spread(spark, sf_dir, "documents").select(
         "doc_id", "source", ngrams_col("text", _BLOOM_W).alias("wins")
     ).select(
         "doc_id",

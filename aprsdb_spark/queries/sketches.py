@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions import rnd, sql_rnd
 from ..operators.dedup import tokens_col
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 # Count-min geometry.
 _CMS_D = 4
@@ -166,7 +166,10 @@ def j_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch. Counters and estimates are integers: no float discipline
     needed anywhere."""
     t = load(spark, sf_dir)
-    tok = t.documents.select(F.explode(tokens_col("text")).alias("tok"))
+    # spread: the token explode is persisted with NO exchange, so a
+    # plain single-row-group scan pins the cached relation (and every
+    # consumer pass) to ONE partition (no-op at scale, tables.spread)
+    tok = spread(spark, sf_dir, "documents").select(F.explode(tokens_col("text")).alias("tok"))
     tok.persist()  # consumers: sketch build + truth
     cms = cms_cells(tok)
     truth = cms_truth(tok)
@@ -525,7 +528,10 @@ def j_cms_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |widths| rows. At 100 TB the explode is the only corpus pass,
     amortized across the whole curve."""
     t = load(spark, sf_dir)
-    tok = t.documents.select(F.explode(tokens_col("text")).alias("tok"))
+    # spread: the token explode is persisted with NO exchange, so a
+    # plain single-row-group scan pins the cached relation (and every
+    # consumer pass) to ONE partition (no-op at scale, tables.spread)
+    tok = spread(spark, sf_dir, "documents").select(F.explode(tokens_col("text")).alias("tok"))
     tok.persist()  # consumers: |widths| sketch builds + shared truth
     truth = tok.groupBy("tok").agg(F.count("*").cast("long").alias("true_count"))
     truth.persist()  # probed once per width

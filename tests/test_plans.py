@@ -1062,10 +1062,10 @@ _SHUFFLE_BUDGETS = {
     "j_dsir_weights": 6,
     "j_winnow_pairs": 10,  # inherits the fingerprint spread() repartition, reprinted per join leg
     "j_dedup_lines": 6,
-    "j_dedup_substr": 4,
+    "j_dedup_substr": 12,  # +1 spread() repartition, reprinted per consumer leg
     "j_chunk_overlap": 0,   # pure map over chunk grid — zero-shuffle
     "j_vocab_coverage": 4,
-    "j_bloom_decontam": 8,
+    "j_bloom_decontam": 21,  # +1 spread() repartition, reprinted per consumer leg
     "j_mix_temperature": 10,
     "j_bpe_train": 0,       # driver-literal trainer: scoring is a map
     "j_bpe_encode": 66,     # reprint-inflated: 64 InMemoryTableScans each
@@ -1115,7 +1115,7 @@ _SHUFFLE_BUDGETS = {
     "j_lsh_band_plan": 6,       # blocked quadratic + 2-row agg fan-out
     "j_pr_auc": 2,              # scored scan agg + grid-bounded window
     "j_shard_skew": 2,          # 64-row shard agg + 1-row fold
-    "j_cms_width_curve": 15,    # reprint-inflated (persisted tok + truth x3 widths)
+    "j_cms_width_curve": 35,    # reprint-inflated (persisted tok + truth x3 widths) +1 spread() repartition
     "j_hll_precision_curve": 18,  # reprint-inflated (persisted hash set x3 geometries)
     "j_bloom_fpr_curve": 115,   # reprint-inflated (persisted bench/neg/positions x3 sizes x k refs)
     "j_graph_reciprocity": 20,  # reprint-inflated (persisted capped edge list)
@@ -1303,7 +1303,7 @@ _SHUFFLE_BUDGETS = {
     "j_chi2_independence": 11,
     "j_class_weights": 4,
     "j_clean_text": 0,
-    "j_cms_sketch": 3,
+    "j_cms_sketch": 9,  # +1 spread() repartition, reprinted per consumer leg
     "j_compaction_plan": 2,
     "j_dedup_edit": 9,
     "j_dedup_exact": 1,
