@@ -1016,10 +1016,12 @@ def j_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply, no libm pow), floored 1e-6.
 
     Plan: ONE gram explode feeds the persisted bench/negative key
-    relations; per m the bitmap is a ≤ m/64-row bit_or agg that
-    BROADCASTS into the probe join (the j_bloom_decontam shape —
-    16 KB at any benchmark size); the probe is |negatives| rows x k
-    broadcast lookups. Output is |sizes| rows."""
+    relations; the bitmaps for EVERY size live in one (m, widx, word)
+    bit_or agg (≤ Σm/32 rows — 16 KB-scale at any benchmark size) that
+    BROADCASTS into ONE size-exploded probe pass of |negatives|·|sizes|
+    rows x k broadcast lookups (the j_bloom_decontam shape; the per-m
+    probe-pass loop this replaces cost |sizes| passes over the same
+    persisted negatives, r16). Output is |sizes| rows."""
     t = load(spark, sf_dir)
     g = t.documents.select(
         "doc_id", "source", ngrams_col("text", _BLOOM_W).alias("gs")
@@ -1063,75 +1065,89 @@ def j_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes_big = neg.select(
         "s", *[pos_big(j).alias(f"posb{j}") for j in range(1, _BFPR_K + 1)]
     ).persist()
-    out = None
-    for m in _BFPR_MS:
-        bpos = bpos_big.select((F.col("posb") % m).alias("pos")).distinct()
-        words = bpos.groupBy(F.expr("pos div 32").alias("widx")).agg(
+    # The whole curve in ONE probe pass (r16): the per-m loop ran
+    # |sizes| probe passes (each k broadcast joins over the persisted
+    # negatives) plus |sizes| bitmap aggs; exploding the size array
+    # instead keys every device by m and computes identical integers —
+    # same distinct (m, pos) set, same per-m bit_or words, same
+    # all-bits-hit count (an unmatched m never exists: the explode
+    # seeds every size on every row). Output rows sort by m_bits,
+    # reproducing the loop's ascending-union order.
+    ms_arr = F.expr("array(" + ",".join(str(m) for m in _BFPR_MS) + ")")
+    words_all = (
+        bpos_big.select(F.explode(ms_arr).alias("m"), "posb")
+        .select("m", (F.col("posb") % F.col("m")).alias("pos"))
+        .distinct()
+        .groupBy("m", F.expr("pos div 32").alias("widx"))
+        .agg(
             F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
             .alias("word")
         )
-        probes = probes_big.select(
-            "s",
-            *[
-                (F.col(f"posb{j}") % m).alias(f"pos{j}")
-                for j in range(1, _BFPR_K + 1)
-            ],
+    )
+    bits = words_all.groupBy("m").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("bits_set")
+    )
+    pr = probes_big.select(F.explode(ms_arr).alias("m"), "s", *[f"posb{j}" for j in range(1, _BFPR_K + 1)]).select(
+        "m",
+        "s",
+        *[
+            (F.col(f"posb{j}") % F.col("m")).alias(f"pos{j}")
+            for j in range(1, _BFPR_K + 1)
+        ],
+    )
+    conds = []
+    for j in range(1, _BFPR_K + 1):
+        wj = words_all.select(
+            F.col("m").alias(f"m{j}"),
+            F.col("widx").alias(f"widx{j}"),
+            F.col("word").alias(f"word{j}"),
         )
-        pr = probes
-        conds = []
-        for j in range(1, _BFPR_K + 1):
-            wj = words.select(
-                F.col("widx").alias(f"widx{j}"), F.col("word").alias(f"word{j}")
+        pr = pr.join(
+            F.broadcast(wj),
+            (F.col("m") == F.col(f"m{j}"))
+            & (F.expr(f"pos{j} div 32") == F.col(f"widx{j}")),
+            "left",
+        )
+        conds.append(
+            F.coalesce(
+                F.expr(f"(word{j} >> CAST(pos{j} % 32 AS INT)) & 1"),
+                F.lit(0),
             )
-            pr = pr.join(
-                F.broadcast(wj),
-                F.expr(f"pos{j} div 32") == F.col(f"widx{j}"),
-                "left",
-            )
-            conds.append(
-                F.coalesce(
-                    F.expr(
-                        f"(word{j} >> CAST(pos{j} % 32 AS INT)) & 1"
-                    ),
-                    F.lit(0),
+            == 1
+        )
+    allhit = conds[0]
+    for c in conds[1:]:
+        allhit = allhit & c
+    fp = pr.groupBy("m").agg(
+        F.sum(F.when(allhit, 1).otherwise(0)).cast("long").alias("n_fp")
+    )
+    nk = bench.agg(F.count("*").cast("long").alias("n_keys"))
+    npr = neg.agg(F.count("*").cast("long").alias("n_probes"))
+    load_frac = F.col("bits_set").cast("double") / F.col("m").cast("double")
+    return (
+        fp.join(bits, "m")
+        .crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(npr))
+        .select(
+            F.col("m").alias("m_bits"),
+            "n_keys",
+            "bits_set",
+            "n_probes",
+            F.col("n_fp").alias("n_false_pos"),
+            (
+                F.expr(
+                    "(2000000 * CAST(n_fp AS DECIMAL(38,0)) + n_probes)"
+                    " div (2 * CAST(n_probes AS DECIMAL(38,0)))"
                 )
-                == 1
-            )
-        allhit = conds[0]
-        for c in conds[1:]:
-            allhit = allhit & c
-        fp = pr.where(allhit).agg(F.count("*").cast("long").alias("n_fp"))
-        nk = bench.agg(F.count("*").cast("long").alias("n_keys"))
-        bs = words.agg(
-            F.sum(F.bit_count("word")).cast("long").alias("bits_set")
+                / 1000000.0
+            ).alias("fpr"),
+            (
+                F.floor((load_frac * load_frac) * load_frac * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("predicted_fpr"),
         )
-        npr = neg.agg(F.count("*").cast("long").alias("n_probes"))
-        load_frac = F.col("bits_set").cast("double") / F.lit(float(m))
-        row = (
-            nk.crossJoin(bs)
-            .crossJoin(npr)
-            .crossJoin(fp)
-            .select(
-                F.lit(m).alias("m_bits"),
-                "n_keys",
-                "bits_set",
-                "n_probes",
-                F.col("n_fp").alias("n_false_pos"),
-                (
-                    F.expr(
-                        "(2000000 * CAST(n_fp AS DECIMAL(38,0)) + n_probes)"
-                        " div (2 * CAST(n_probes AS DECIMAL(38,0)))"
-                    )
-                    / 1000000.0
-                ).alias("fpr"),
-                (
-                    F.floor((load_frac * load_frac) * load_frac * 1000000 + F.lit(0.5))
-                    / 1000000
-                ).alias("predicted_fpr"),
-            )
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+        .orderBy("m_bits")
+    )
 
 
 j_bloom_fpr_curve.__doc__ = j_bloom_fpr_curve.__doc__.replace(

@@ -1117,7 +1117,7 @@ _SHUFFLE_BUDGETS = {
     "j_shard_skew": 2,          # 64-row shard agg + 1-row fold
     "j_cms_width_curve": 35,    # reprint-inflated (persisted tok + truth x3 widths) +1 spread() repartition
     "j_hll_precision_curve": 18,  # reprint-inflated (persisted hash set x3 geometries)
-    "j_bloom_fpr_curve": 115,   # reprint-inflated (persisted bench/neg/positions x3 sizes x k refs)
+    "j_bloom_fpr_curve": 57,   # reprint-inflated (persisted bench/neg/positions x k refs); one size-exploded probe pass (r16)
     "j_graph_reciprocity": 20,  # reprint-inflated (persisted capped edge list)
     "j_markov_stationary": 50,  # reprint-inflated (persisted matrix x5 iterations)
     "j_dedup_yield_curve": 25,  # reprint-inflated (persisted 1-row drops agg x5 legs)
