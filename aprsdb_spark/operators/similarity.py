@@ -830,6 +830,31 @@ def query_vector(sf_dir: str, vec_id: int = 0) -> tuple:
     raise KeyError(f"vec_id {vec_id} not found in {sf_dir}/embeddings.parquet")
 
 
+@functools.lru_cache(maxsize=None)
+def query_panel(sf_dir: str, n: int, with_label: bool = False):
+    """The registered ≤n-row query panel (vec_id < n), read DRIVER-SIDE
+    with pyarrow and memoized like query_vector — the panel collect is
+    documented index metadata (the literal-centroid contract), and the
+    Spark collect job cost ~0.4-0.5 s of driver wall per query build.
+    Returns ((vec_id, emb_tuple), ...) or ((vec_id, label, emb_tuple),
+    ...) sorted by vec_id; float32 -> float64 is exact, so the doubles
+    match the collected rows'. Cleared by clear_trainer_caches."""
+    import pyarrow.parquet as pq
+
+    cols = ["vec_id", "label", "embedding"] if with_label else ["vec_id", "embedding"]
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols).to_pydict()
+    rows = []
+    if with_label:
+        for vid, lab, emb in zip(tbl["vec_id"], tbl["label"], tbl["embedding"]):
+            if vid < n:
+                rows.append((int(vid), int(lab), tuple(float(x) for x in emb)))
+    else:
+        for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+            if vid < n:
+                rows.append((int(vid), tuple(float(x) for x in emb)))
+    return tuple(sorted(rows))
+
+
 def clear_trainer_caches() -> None:
     """Drop every memoized trainer model. Call after regenerating the
     parquet under an sf_dir that a trainer has already read in this
@@ -841,6 +866,7 @@ def clear_trainer_caches() -> None:
     pca_axis_local.cache_clear()
     logreg_train_local.cache_clear()
     query_vector.cache_clear()
+    query_panel.cache_clear()
     # parsed literal Columns hold py4j refs into the JVM — their memo
     # key already carries the SparkContext identity (so a restarted
     # JVM can never be served a stale handle even without this call),

@@ -35,6 +35,7 @@ from ..operators.similarity import (
     dot_expr,
     ivf_assign,
     ivf_search,
+    query_panel,
     query_vector,
 )
 from ..registry import query
@@ -1922,16 +1923,12 @@ def j_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
     assigned, cents = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
-    qrows = (
-        t.embeddings.where(F.col("vec_id") < _KNNB_NQ)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    # panel: driver-side memoized metadata read (similarity.query_panel)
     probe_pairs = []
-    for r in qrows:
-        qv = [float(x) for x in r.embedding]
+    for vid, emb in query_panel(sf_dir, _KNNB_NQ):
+        qv = list(emb)
         order = sorted(((seq_dot(qv, v), -int(cid)) for cid, v in cents), reverse=True)
-        probe_pairs += [(int(r.vec_id), -ncid) for _, ncid in order[:_IVF_NPROBE]]
+        probe_pairs += [(vid, -ncid) for _, ncid in order[:_IVF_NPROBE]]
     probe = spark.createDataFrame(probe_pairs, "qid long, cid int")
     q = t.embeddings.where(F.col("vec_id") < _KNNB_NQ).select(
         F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
@@ -4005,20 +4002,17 @@ _ECE_NQ = 200
 _ECE_K = 10
 
 
-def _ece_votes(t) -> DataFrame:
+def _ece_votes(t, sf_dir: str) -> DataFrame:
     """Spark twin of _ECE_VOTES_CTES: the (qid, qlabel, label, v) kNN
     vote distribution over the _ECE_NQ-query panel, via the Arrow
     batch-partial top-k kernel (see j_ece_calibration's docstring for
     the boundary argument; the panel collect is documented index
     metadata, the literal-centroid contract)."""
-    qrows = (
-        t.embeddings.where(F.col("vec_id") < _ECE_NQ)
-        .select("vec_id", "label", "embedding")
-        .collect()
-    )
-    qids_l = [int(r.vec_id) for r in qrows]
-    qlabels_l = [int(r.label) for r in qrows]
-    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    # panel: driver-side memoized metadata read (similarity.query_panel)
+    qrows = query_panel(sf_dir, _ECE_NQ, with_label=True)
+    qids_l = [vid for vid, _, _ in qrows]
+    qlabels_l = [lab for _, lab, _ in qrows]
+    qmat = [list(emb) for _, _, emb in qrows]
     from ..operators.similarity import topk_scores_arrow
 
     part = topk_scores_arrow(
@@ -4114,7 +4108,7 @@ def j_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-scale. At 100 TB the candidate leg is the ANN shortlist
     and this exact form audits it on sampled queries."""
     t = load(spark, sf_dir)
-    votes = _ece_votes(t)
+    votes = _ece_votes(t, sf_dir)
     wv = Window.partitionBy("qid").orderBy(F.col("v").desc(), F.col("label").asc())
     pred = (
         votes.withColumn("rk", F.row_number().over(wv))
@@ -4185,7 +4179,7 @@ def j_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brier rollup is two metadata-scale hash aggs over ≤ nq·|labels|
     vote rows."""
     t = load(spark, sf_dir)
-    votes = _ece_votes(t)
+    votes = _ece_votes(t, sf_dir)
     per = votes.groupBy("qid", "qlabel").agg(
         F.sum(F.col("v") * F.col("v")).cast("long").alias("vsq"),
         F.sum(F.when(F.col("label") == F.col("qlabel"), F.col("v")).otherwise(0))
@@ -5501,18 +5495,14 @@ def j_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     cents = kmeans_train_local(sf_dir, k=_IVF_K, iters=_IVF_ITERS)
     assigned, cents = ivf_assign(t.embeddings, k_clusters=_IVF_K, cents=cents)
-    qrows = (
-        t.embeddings.where(F.col("vec_id") < _KNNB_NQ)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    # panel: driver-side memoized metadata read (similarity.query_panel)
     max_np = max(_NPROBE_CURVE)
     probe_pairs = []
-    for r in qrows:
-        qv = [float(x) for x in r.embedding]
+    for vid, emb in query_panel(sf_dir, _KNNB_NQ):
+        qv = list(emb)
         order = sorted(((seq_dot(qv, v), -int(cid)) for cid, v in cents), reverse=True)
         probe_pairs += [
-            (int(r.vec_id), -ncid, prk + 1)
+            (vid, -ncid, prk + 1)
             for prk, (_, ncid) in enumerate(order[:max_np])
         ]
     probe = spark.createDataFrame(probe_pairs, "qid long, cid int, prk int")
@@ -6618,7 +6608,7 @@ def j_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss rollup is two metadata-scale hash aggs + a 1-row label-count
     broadcast."""
     t = load(spark, sf_dir)
-    votes = _ece_votes(t)
+    votes = _ece_votes(t, sf_dir)
     nl = t.embeddings.agg(
         F.countDistinct("label").cast("long").alias("nlab")
     )
