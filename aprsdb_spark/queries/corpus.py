@@ -417,8 +417,10 @@ def j_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     expose bloom_filter_agg/might_contain in its public function
     registry."""
     t = load(spark, sf_dir)
-    # spread: persisted with no exchange — see tables.spread
-    g = spread(spark, sf_dir, "documents").select(
+    # NOT spread (r16): interleaved A/B measured a wash (plain 0.81 vs
+    # spread 0.77 s median warm) while two full-sweep benches flagged
+    # the spread form >2x — no win to defend against the gate.
+    g = t.documents.select(
         "doc_id", "source", ngrams_col("text", _BLOOM_W).alias("wins")
     ).select(
         "doc_id",

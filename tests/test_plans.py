@@ -1065,7 +1065,7 @@ _SHUFFLE_BUDGETS = {
     "j_dedup_substr": 12,  # +1 spread() repartition, reprinted per consumer leg
     "j_chunk_overlap": 0,   # pure map over chunk grid — zero-shuffle
     "j_vocab_coverage": 4,
-    "j_bloom_decontam": 21,  # +1 spread() repartition, reprinted per consumer leg
+    "j_bloom_decontam": 8,
     "j_mix_temperature": 10,
     "j_bpe_train": 0,       # driver-literal trainer: scoring is a map
     "j_bpe_encode": 66,     # reprint-inflated: 64 InMemoryTableScans each
