@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -223,7 +223,16 @@ def hyperplane_sketch(vec: str, n_planes: int = 16, dim: int = 64) -> Column:
     sequence (acc_p starts 0.0 and adds x_j*s_jp in ascending j —
     exactly the old per-plane left fold; integer bit adds are exact),
     so bucket values are bit-identical to the unrolled form — verified
-    at all three SFs."""
+    at all three SFs.
+
+    Contract (ADVICE r16): the input column must hold vectors of EXACTLY
+    ``dim`` elements — a longer vector would null-pad the transposed
+    sign matrix under zip_with and null the whole accumulator (where the
+    old per-plane form yielded bit 0), and ``n_planes`` must stay <= 31
+    because shiftleft(1, p) is INT arithmetic (the old F.lit(1 << p)
+    promoted to long). Both are asserted here rather than silently
+    diverging; every registered embedding fixture is dim=64."""
+    assert 0 < n_planes <= 31, f"n_planes={n_planes}: shiftleft(1, p) overflows INT past 31"
     mat_t = _sign_matrix_t_sql(n_planes, dim)
     projs = (
         f"aggregate(zip_with(transform(`{vec}`, x -> CAST(x AS DOUBLE)), {mat_t}, "
@@ -270,7 +279,14 @@ def hyperplane_band_keys(
     the bits into their band slots. Per-plane arithmetic is the
     identical IEEE sequence (acc_p starts 0.0 and adds x_j*s_jp in
     ascending j; integer bit adds are exact), so keys are bit-identical
-    to the unrolled form — verified at all three SFs."""
+    to the unrolled form — verified at all three SFs.
+
+    Contract (ADVICE r16, same as hyperplane_sketch): input vectors must
+    hold EXACTLY ``dim`` elements, and ``planes_per_band`` must stay
+    <= 31 (the in-band shiftleft(1, p % planes_per_band) is INT)."""
+    assert 0 < planes_per_band <= 31, (
+        f"planes_per_band={planes_per_band}: in-band shiftleft overflows INT past 31"
+    )
     n_planes = bands * planes_per_band
     mat_t = _sign_matrix_t_sql(n_planes, dim)
     projs = (
@@ -818,12 +834,29 @@ def query_vector(sf_dir: str, vec_id: int = 0) -> tuple:
     driver wall per query build at sf0.1 (9 call sites). float32 ->
     float64 is exact, so these are the same doubles the head() row
     carried (kmeans_train_local's parity note). Cleared by
-    clear_trainer_caches with the models."""
-    import pyarrow.parquet as pq
+    clear_trainer_caches with the models.
 
-    tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pydict()
+    A non-local sf_dir URI (or any unreadable path) falls back to the
+    pre-r16 Spark head() job — pyarrow only reads local/NFS paths, and
+    the 9 panel qids must keep working on remote storage (ADVICE r16;
+    the same 'assume remote' posture as tables._est_scan_splits)."""
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pydict()
+    except (OSError, ImportError):
+        row = (
+            SparkSession.getActiveSession()
+            .read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where(F.col("vec_id") == vec_id)
+            .select("vec_id", "embedding")
+            .head()
+        )
+        if row is None:
+            raise KeyError(f"vec_id {vec_id} not found in {sf_dir}/embeddings.parquet")
+        return tuple(float(x) for x in row.embedding)
     for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
         if vid == vec_id:
             return tuple(float(x) for x in emb)
@@ -838,11 +871,24 @@ def query_panel(sf_dir: str, n: int, with_label: bool = False):
     Spark collect job cost ~0.4-0.5 s of driver wall per query build.
     Returns ((vec_id, emb_tuple), ...) or ((vec_id, label, emb_tuple),
     ...) sorted by vec_id; float32 -> float64 is exact, so the doubles
-    match the collected rows'. Cleared by clear_trainer_caches."""
-    import pyarrow.parquet as pq
+    match the collected rows'. Cleared by clear_trainer_caches.
 
+    Falls back to the pre-r16 bounded Spark collect on a non-local /
+    unreadable sf_dir, like query_vector (ADVICE r16)."""
     cols = ["vec_id", "label", "embedding"] if with_label else ["vec_id", "embedding"]
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols).to_pydict()
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols).to_pydict()
+    except (OSError, ImportError):
+        collected = (
+            SparkSession.getActiveSession()
+            .read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where(F.col("vec_id") < n)
+            .select(*cols)
+            .collect()
+        )
+        tbl = {c: [getattr(r, c) for r in collected] for c in cols}
     rows = []
     if with_label:
         for vid, lab, emb in zip(tbl["vec_id"], tbl["label"], tbl["embedding"]):

@@ -125,6 +125,56 @@ def _reference() -> dict[str, float]:
     return out
 
 
+def _violates(t: float, ref_t: float) -> bool:
+    """A datapoint flags when it exceeds BOTH 2x its reference and the
+    reference + 0.5s (the floor absorbs run noise on sub-second qids)."""
+    return t >= 0 and t > max(2 * ref_t, ref_t + 0.5)
+
+
+def _gate_rc(n_flags: int, gate_mode: str) -> int:
+    """Exit-code contract (r16 VERDICT item 1): flags are warnings by
+    default — only an explicit SPARK_GRAFT_BENCH_GATE=strict turns them
+    into a nonzero exit. The driver's official artifact must not go
+    rc=1 on a cold-JVM noise draw over an untouched qid."""
+    return 1 if (n_flags and gate_mode == "strict") else 0
+
+
+def _record(
+    timings: dict[str, float],
+    sf: float,
+    n: int,
+    canary_start: float,
+    canary_end: float,
+) -> dict:
+    """Assemble the one-line JSON record. Field ORDER is load-bearing
+    (r16 VERDICT item 2): the driver's capture keeps only a TAIL of this
+    ~12 KB line (BENCH_r15.json lost the head and with it "value" and
+    half the qids -> PERF n_common=0). Constant/recoverable metadata
+    goes FIRST (truncated away harmlessly), the sorted per-qid dict
+    next, and "value" LAST so a truncated capture always retains the
+    total and the trailing alphabetic suffix of qids; the gate's tail
+    regex (_reference) parses surviving pairs regardless. The record is
+    still exactly ONE JSON line on stdout with the same keys as every
+    prior round (plus the "warmups" regime note, ADVICE r16)."""
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    return {
+        "metric": "total_query_wall_sec",
+        "unit": "sec",
+        "sf": sf,
+        "n": n,
+        "warmed": True,  # table + codegen + UDF-worker warmup in main()
+        # warmup regime: subsystems paid OUTSIDE the timed region;
+        # numbers are comparable across harnesses that warm the same
+        # set. None of these computes any qid's input.
+        "warmups": ["tables", "codegen", "udf_daemon", "python_datasource", "derby_catalog"],
+        "stat": "min" if n > 1 else "single",
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
+        "queries": timings,
+        "value": total,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -241,17 +291,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # Regression gate (BASELINE.md): any qid > 2x its newest recorded
-    # driver datapoint fails the bench. The +0.5s floor absorbs run
+    # driver datapoint flags the bench. The +0.5s floor absorbs run
     # noise on sub-second qids; disable with SPARK_GRAFT_BENCH_GATE=off.
     # Gate only at the recorded scale factor — other SFs have no
     # reference datapoints. Runs BEFORE the JSON line so retried minima
     # land in the recorded datapoints.
+    #
+    # Exit policy (r16 VERDICT item 1): the gate is a BUILDER aid — a
+    # >2x threshold over sub-3-second qids on a cold JVM fires
+    # spuriously about once per sweep (r16's driver run exited rc=1 on
+    # j_ivf_nprobe_curve reading 3.22s cold vs a 1.57s min reference on
+    # CODE-UNTOUCHED qid). Default is therefore WARN-ONLY (rc=0, flags
+    # on stderr); SPARK_GRAFT_BENCH_GATE=strict restores sys.exit(1)
+    # for builder A/B loops that want a hard stop.
+    gate_mode = os.environ.get("SPARK_GRAFT_BENCH_GATE", "warn")
     slow: list[tuple[str, float, float]] = []
-    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_GATE", "on") != "off":
+    if sf == 0.1 and gate_mode != "off":
         ref = _reference()
 
         def violates(qid: str, t: float) -> bool:
-            return t >= 0 and qid in ref and t > max(2 * ref[qid], ref[qid] + 0.5)
+            return qid in ref and _violates(t, ref[qid])
 
         # A 120-qid session has per-qid scheduler/GC noise a fixed
         # threshold can't absorb (d_agg_basic: 1.2s mid-session vs a
@@ -274,19 +333,13 @@ def main() -> None:
             if violates(qid, t):
                 slow.append((qid, t, ref[qid]))
 
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
-    record = {
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "n": n,
-        "warmed": True,  # table + codegen + UDF-worker warmup above
-        "stat": "min" if n > 1 else "single",
-        "canary_start_sec": canary_start,
-        "canary_end_sec": _canary(),
-    }
+    record = _record(timings, sf, n, canary_start, _canary())
+
+    # Flags go out BEFORE the JSON line so the record is the LAST thing
+    # on the combined stream — a tail-truncating capture keeps it whole.
+    for qid, t, r in slow:
+        print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs recorded {r:.3f}s (>2x)", file=sys.stderr)
+    sys.stderr.flush()
     print(json.dumps(record))
 
     # Persist the COMPLETE per-qid datapoints alongside the stdout line:
@@ -308,10 +361,9 @@ def main() -> None:
         except Exception as e:
             print(f"BENCH-WARN full-record write skipped: {e}", file=sys.stderr)
 
-    for qid, t, r in slow:
-        print(f"BENCH-REGRESSION {qid}: {t:.3f}s vs recorded {r:.3f}s (>2x)", file=sys.stderr)
-    if slow:
-        sys.exit(1)
+    rc = _gate_rc(len(slow), gate_mode)
+    if rc:
+        sys.exit(rc)
 
 
 if __name__ == "__main__":

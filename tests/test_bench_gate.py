@@ -141,6 +141,58 @@ def test_no_registered_qid_is_a_proper_suffix_of_another():
     assert not clashes, f"qid suffix collisions would poison tail parsing: {clashes}"
 
 
+def test_gate_detects_synthetic_2x_slowdown_but_default_rc_is_zero():
+    """r16 VERDICT item 1, both halves pinned: the gate still CATCHES a
+    synthetic 2x slowdown (detection is unchanged), but a flag only
+    produces a nonzero exit under an explicit
+    SPARK_GRAFT_BENCH_GATE=strict opt-in — the driver's official
+    artifact must never exit rc=1 on a noise draw (r16's driver run did,
+    on a code-untouched qid reading 3.22s cold vs a 1.57s reference)."""
+    b = _bench_module()
+    # detection: a genuine 2x slowdown past the +0.5s noise floor flags
+    assert b._violates(3.2, 1.5)          # 2.13x and +1.7s — caught
+    assert b._violates(10.0, 2.0)         # gross regression — caught
+    # ...while noise-class draws do not
+    assert not b._violates(0.9, 0.5)      # sub-second, inside the floor
+    assert not b._violates(2.9, 1.5)      # under 2x
+    assert not b._violates(-1.0, 1.5)     # error datapoints never gate
+    # exit policy: warn by default, hard-fail only under strict
+    assert b._gate_rc(1, "warn") == 0
+    assert b._gate_rc(3, "on") == 0       # legacy value: also warn-only
+    assert b._gate_rc(1, "strict") == 1
+    assert b._gate_rc(0, "strict") == 0
+    # and the default mode in main() is warn (source pin: the env
+    # default must not silently revert to a hard-exit value)
+    import inspect
+
+    src = inspect.getsource(b.main)
+    assert 'os.environ.get("SPARK_GRAFT_BENCH_GATE", "warn")' in src
+
+
+def test_record_field_order_survives_tail_truncation():
+    """r16 VERDICT item 2: the one-line JSON must keep its decisive
+    fields at the END so the driver's tail-truncating capture retains
+    them — "value" is the final key, "queries" immediately before it,
+    and a simulated truncated tail still yields the total plus the
+    trailing qids via the same regex _reference uses on tails."""
+    import re
+
+    b = _bench_module()
+    timings = {f"q_{c}": 1.0 for c in "abcdefghij"}
+    rec = b._record(timings, 0.1, 2, 0.05, 0.05)
+    line = json.dumps(rec)
+    assert list(rec)[-2:] == ["queries", "value"]
+    assert rec["value"] == 10.0
+    # simulate the driver keeping only the last ~90 bytes of the line
+    tail = line[-90:]
+    pairs = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+    }
+    assert pairs.get("value") == 10.0, (tail, pairs)
+    assert "q_j" in pairs, (tail, pairs)  # trailing qids survive
+
+
 def test_stale_fast_datapoint_outside_recency_window_cannot_tighten(
     tmp_path, monkeypatch
 ):

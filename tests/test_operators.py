@@ -434,3 +434,31 @@ def test_portable_hash_matches_python_reference(spark):
         h32 = int(d[:8], 16)
         b = int(d[8:16], 16) % 1024
         assert got[s] == (h64, h32, b), (s, got[s], (h64, h32, b))
+
+
+def test_query_vector_and_panel_fall_back_to_spark_on_unreadable_path(spark, monkeypatch):
+    """ADVICE r16: the driver-side pyarrow reads in query_vector /
+    query_panel must degrade to the pre-r16 bounded Spark job on a
+    non-local sf_dir (pyarrow only reads local paths) — and the fallback
+    must return value-identical tuples."""
+    from tests.conftest import SF_DIR
+
+    from aprsdb_spark.operators import similarity as sim
+
+    sim.query_vector.cache_clear()
+    sim.query_panel.cache_clear()
+    via_arrow_vec = sim.query_vector(SF_DIR)
+    via_arrow_panel = sim.query_panel(SF_DIR, 16, with_label=True)
+    sim.query_vector.cache_clear()
+    sim.query_panel.cache_clear()
+
+    import pyarrow.parquet as pq
+
+    def _boom(*a, **k):
+        raise OSError("simulated remote sf_dir URI")
+
+    monkeypatch.setattr(pq, "read_table", _boom)
+    assert sim.query_vector(SF_DIR) == via_arrow_vec
+    assert sim.query_panel(SF_DIR, 16, with_label=True) == via_arrow_panel
+    sim.query_vector.cache_clear()
+    sim.query_panel.cache_clear()
