@@ -1950,16 +1950,28 @@ def j_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     exact = QUERIES["j_knn_batch"](spark, sf_dir).select("qid", "vec_id")
-    hits = exact.join(approx, ["qid", "vec_id"]).agg(
-        F.count("*").cast("long").alias("n_hits")
-    )
-    nex = exact.agg(F.count("*").cast("long").alias("n_exact"))
-    return nex.crossJoin(F.broadcast(hits)).select(
-        "n_exact",
-        "n_hits",
-        F.lit(_KNNB_K).alias("k"),
-        F.lit(_IVF_NPROBE).alias("nprobe"),
-        rnd(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+    # ONE pass over the exact leg (r16 VERDICT item 5): n_exact and
+    # n_hits come from a single LEFT join against the (unique-keyed)
+    # approx set — count(*) is the exact row count, count(hit) the
+    # match count. The former hits/nex pair evaluated the expensive
+    # exact-kNN subtree TWICE (no persist dedupe across the two aggs).
+    return (
+        exact.join(
+            F.broadcast(approx.withColumn("hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_exact",
+            "n_hits",
+            F.lit(_KNNB_K).alias("k"),
+            F.lit(_IVF_NPROBE).alias("nprobe"),
+            rnd(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+        )
     )
 
 
@@ -5485,10 +5497,11 @@ def j_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: assignment is the zero-Exchange argmax map; the probe plan
     is nq x max(nprobe) driver metadata broadcast into ONE candidate
-    join, persisted; each depth re-windows the candidate slice
-    (metadata-scale: ≤ nq·k·fanout rows) and joins the persisted
-    exact leg. At 100 TB the curve costs one probed scan at the
-    DEEPEST depth — shallower depths are free filters over it."""
+    join; each candidate explodes to its eligible depths (≤ |curve|
+    rows of metadata each) so ONE window ranks all (depth, query)
+    slices and ONE join+agg counts hits — the j_bloom_fpr_curve
+    single-pass fold. At 100 TB the curve costs one probed scan at
+    the DEEPEST depth — shallower depths are free filters over it."""
     from ..operators.similarity import ivf_assign, kmeans_train_local, seq_dot
     from ..registry import QUERIES
 
@@ -5520,33 +5533,58 @@ def j_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(dot_expr(as_double("embedding"), F.col("qv")), 6).alias("score"),
         )
     )
-    cand = cand.persist()  # re-windowed once per probe depth
+    # Fold the per-depth legs into ONE pass (r16 VERDICT item 5, the
+    # j_bloom_fpr_curve device): each candidate explodes to the curve
+    # depths whose probe budget includes it (prk <= d — exactly the
+    # old per-leg filter's row set), ONE window ranks every
+    # (nprobe, qid) slice, and ONE join+agg counts hits per depth.
+    # The former loop re-windowed and re-joined the persisted
+    # candidate/exact relations once per depth: 4 window exchanges +
+    # 4 joins + a 4-leg union (52 jobs, 3.3 s cold at sf0.1).
+    curve_sql = ",".join(str(d) for d in _NPROBE_CURVE)
+    cand = cand.persist()  # the scored-candidate relation the fold ranks
+    expanded = cand.select(
+        "qid",
+        "vec_id",
+        "score",
+        F.expr(f"explode(filter(array({curve_sql}), d -> prk <= d))").alias("nprobe"),
+    )
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        expanded.select(
+            "nprobe", "qid", "vec_id", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= _KNNB_K)
+        .select("nprobe", "qid", "vec_id")
+    )
     exact = QUERIES["j_knn_batch"](spark, sf_dir).select("qid", "vec_id")
-    exact = exact.persist()  # joined once per probe depth
+    exact = exact.persist()  # two consumers: the hit join and n_exact
     nex = exact.agg(F.count("*").cast("long").alias("n_exact"))
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    out = None
-    for np_ in _NPROBE_CURVE:
-        approx = (
-            cand.where(F.col("prk") <= np_)
-            .select("qid", "vec_id", F.row_number().over(w).alias("rk"))
-            .where(F.col("rk") <= _KNNB_K)
-            .select("qid", "vec_id")
+    hits = (
+        exact.join(approx, ["qid", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    # depth spine: a depth whose probe finds NO exact neighbor must
+    # still emit its row (the oracle's scalar COUNT legs always do)
+    depths = spark.createDataFrame([(d,) for d in _NPROBE_CURVE], "nprobe int")
+    return (
+        depths.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(nex))
+        .select(
+            "nprobe",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            rnd(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                * 1.0
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
         )
-        hits = exact.join(approx, ["qid", "vec_id"]).agg(
-            F.count("*").cast("long").alias("n_hits")
-        )
-        row = (
-            hits.crossJoin(F.broadcast(nex))
-            .select(
-                F.lit(np_).alias("nprobe"),
-                "n_exact",
-                "n_hits",
-                rnd(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
-            )
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
 
 
 j_ivf_nprobe_curve.__doc__ = j_ivf_nprobe_curve.__doc__.replace(
@@ -6482,12 +6520,19 @@ def j_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     {R} rounds as CTEs (the _bpe_ctes discipline).
 
     Plan: corpus-touching work is ONE scored scan + TakeOrdered({P})
-    (the production brute-force / index shortlist leg); the greedy
-    loop runs {R} tiny jobs over the PERSISTED {P}-row shortlist with
-    each pick collected driver-side (1 row x {R} rounds of bounded
-    model state — the kmeans/BPE argmax discipline; lazy 1-row frames
-    would grow the lineage 2^R). At 100 TB the shortlist leg swaps
-    for any registered ANN index; the MMR stage is O({P}*{R}) always."""
+    (the production brute-force / index shortlist leg); the {P}-row
+    shortlist is BOUNDED MODEL STATE by construction (a top-{P} result
+    list is {P} rows at any corpus size), so the greedy loop runs
+    driver-side over the one collected shortlist (guide §5 "the driver
+    does metadata" — the kmeans/BPE bounded-collect discipline; r16 ran
+    {R} sequential 1-row Spark jobs here, ~1 s of pure round-trip
+    latency over 10 rows). Every driver-side operation replays the
+    EXACT IEEE sequence of the former in-plan expressions: seq_dot is
+    dot_expr's left fold, the 1e-6 floor-round is rnd's op order, max
+    over rounded sims is F.greatest, and the argmax tie-breaks
+    (mmr desc, vec_id asc) — value-identity verified tri-scale against
+    the unchanged oracle. At 100 TB the shortlist leg swaps for any
+    registered ANN index; the MMR stage is O({P}*{R}) always."""
     from ..operators.similarity import _lit_vector
 
     t = load(spark, sf_dir)
@@ -6503,57 +6548,50 @@ def j_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel6").desc(), F.col("vec_id").asc())
         .limit(_MMR_POOL)
     )
-    cand.persist()  # R+1 consumers: one tiny job per greedy round
-    try:
-        picked, out_rows = _mmr_greedy(cand)
-    finally:
-        # monitor-sink cache-hygiene standard: never leak a persisted
-        # shortlist past the query (test_plans pins CacheManager empty)
-        cand.unpersist()
+    out_rows = _mmr_greedy(cand.collect())
     return spark.createDataFrame(
         out_rows,
         "rank long, vec_id long, relevance double, max_sim double, mmr_score double",
     )
 
 
-def _mmr_greedy(cand: DataFrame) -> tuple[list, list[tuple]]:
-    """The R bounded greedy rounds over the persisted shortlist."""
-    from ..operators.similarity import _lit_vector
+def _mmr_greedy(shortlist: list) -> list[tuple]:
+    """The R bounded greedy rounds, driver-side over the collected
+    ≤_MMR_POOL-row shortlist. Bit-parity with the former in-plan form:
+    seq_dot ≡ dot_expr (left fold), _r6 ≡ rnd(…, 6) (floor(x*1e6+0.5)
+    is BIGINT-exact, /1e6 one correctly-rounded division), max ≡
+    F.greatest, and the blend applies the identical constant doubles
+    (_MMR_LAM, 1.0 - _MMR_LAM) in the identical multiply-multiply-
+    subtract order."""
+    import math
 
-    picked: list = []
+    from ..operators.similarity import seq_dot
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1000000 + 0.5) / 1000000
+
+    cands = [
+        (int(r.vec_id), float(r.rel6), [float(x) for x in r.v]) for r in shortlist
+    ]
+    picked: list[tuple[int, list[float]]] = []
     out_rows: list[tuple] = []
     for k in range(1, _MMR_SELECT + 1):
-        if picked:
-            sims = [
-                rnd(dot_expr(F.col("v"), _lit_vector([float(x) for x in s.v])), 6)
-                for s in picked
-            ]
-            ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
-            rem = cand.where(~F.col("vec_id").isin([s.vec_id for s in picked]))
-        else:
-            ms = F.lit(0.0)
-            rem = cand
-        pick = (
-            rem.select(
-                "vec_id",
-                "rel6",
-                "v",
-                ms.alias("ms"),
-                rnd(
-                    F.lit(_MMR_LAM) * F.col("rel6")
-                    - F.lit(1.0 - _MMR_LAM) * ms,
-                    6,
-                ).alias("mmr"),
+        taken = {vid for vid, _ in picked}
+        best = None  # (mmr, -vec_id) max == (mmr desc, vec_id asc) argmax
+        for vid, rel6, v in cands:
+            if vid in taken:
+                continue
+            ms = (
+                max(_r6(seq_dot(v, pv)) for _, pv in picked) if picked else 0.0
             )
-            .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .head()
-        )
-        picked.append(pick)
-        out_rows.append(
-            (k, pick.vec_id, float(pick.rel6), float(pick.ms), float(pick.mmr))
-        )
-    return picked, out_rows
+            mmr = _r6(_MMR_LAM * rel6 - (1.0 - _MMR_LAM) * ms)
+            key = (mmr, -vid)
+            if best is None or key > best[0]:
+                best = (key, vid, rel6, v, ms, mmr)
+        _, vid, rel6, v, ms, mmr = best
+        picked.append((vid, v))
+        out_rows.append((k, vid, rel6, ms, mmr))
+    return out_rows
 
 
 j_mmr_diversity.__doc__ = (
