@@ -655,6 +655,26 @@ _Q20 = """
 """
 
 
+# Spark-side form of _Q20 with the bolt-part restriction PUSHED BELOW
+# the (l_partkey, l_suppkey) rollup (guide §3.2 semi-join prefilter;
+# r16 VERDICT item 3). Provably identical output: the rollup groups BY
+# l_partkey, and downstream only groups whose partkey matches a
+# '%bolt%' part survive the part join — dropping the other partkeys'
+# rows before the aggregate removes whole non-surviving groups and
+# cannot change any surviving group's DECIMAL sums. The optimizer
+# cannot do this itself (the LIKE filter sits above the aggregate,
+# across a join); Catalyst decorrelates the IN into a broadcast
+# LeftSemi under the partial aggregate, so the rollup exchange carries
+# ~12% of lineitem (74k of 600k rows at sf0.1) instead of all of it.
+_Q20_SPARK = _Q20.replace(
+    "FROM {p}lineitem GROUP BY l_partkey, l_suppkey",
+    """FROM {p}lineitem
+      WHERE l_partkey IN
+          (SELECT p_partkey FROM {p}part WHERE p_name LIKE '%bolt%')
+      GROUP BY l_partkey, l_suppkey""",
+)
+
+
 @query("c_sql_q20", oracle=_Q20.format(p=""))
 def c_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (excess-inventory suppliers): a semi join whose
@@ -663,11 +683,14 @@ def c_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     than half of a bolt-part's lifetime volume inside 1997
     (qty_1997 * 2 > total_qty — integer-exact DECIMAL comparison,
     multiplied through). The conditional and total sums share ONE
-    (part, supplier) rollup pass; part broadcasts into it; the IN
-    decorrelates to a semi join on s_suppkey. Supplier and nation are
-    dims — at 100 TB only the lineitem rollup shuffles."""
+    (part, supplier) rollup pass over the SEMI-PREFILTERED fact (only
+    bolt-part rows reach the rollup exchange — see _Q20_SPARK; the
+    oracle keeps the unfiltered form, value-identical tri-scale);
+    part broadcasts into it; the IN decorrelates to a semi join on
+    s_suppkey. Supplier and nation are dims — at 100 TB only the
+    (prefiltered) lineitem rollup shuffles."""
     _views(spark, sf_dir, "lineitem", "supplier", "nation", "part")
-    return spark.sql(_Q20.format(p="v_"))
+    return spark.sql(_Q20_SPARK.format(p="v_"))
 
 
 _PIPE_ORACLE = f"""

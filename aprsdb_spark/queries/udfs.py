@@ -315,7 +315,16 @@ def k_udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization is unwanted: eval() streams rows. State here is
     three scalars per group, oracle = the plain GROUP BY; the scaled
     sum is exact BIGINT arithmetic in Python (unbounded ints), so
-    parity holds at any accumulation order."""
+    parity holds at any accumulation order.
+
+    Declined A/B (r17, guide §4): ``useArrow=True`` on this UDTF was
+    measured 12.8-17.4 s vs 2.8-3.8 s for the default pickle path at
+    sf0.1 (3 alternating warm runs, value parity confirmed) — Arrow
+    only changes SERIALIZATION for UDTFs while eval stays per-row, and
+    the per-batch Arrow->Row rehydration costs far more than pickle
+    here. The per-row eval dispatch is the surface this qid exists to
+    demonstrate; batching it away (mapInArrow) would demonstrate a
+    different operator."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="event_type string, n bigint, sum_s bigint, first_id bigint")
