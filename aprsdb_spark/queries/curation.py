@@ -1250,9 +1250,14 @@ def j_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen end to end; the k²-looking sentinel numbering is a
     filter-count over the <=~25-element block list, constant work per
     row. At 100 TB this is the map stage of the tokenize-and-pack
-    pipeline feeding j_pack_sequences."""
+    pipeline feeding j_pack_sequences. r17: the scan rides spread()
+    (guide §2.5 single-row-group heal) — the per-row mask/rebuild
+    chain is compute-heavy and the qid is pure row-identity, so
+    partitioning cannot move values."""
     t = load(spark, sf_dir)
-    base = t.documents.select(
+    from ..tables import spread
+
+    base = spread(spark, sf_dir, "documents").select(
         "doc_id", tokens_col("text").alias("toks"), F.size(tokens_col("text")).cast("long").alias("n")
     )
     base = base.withColumn("blocks", F.sequence(F.lit(0).cast("long"), F.ceil(F.col("n") / 5.0).cast("long") - 1))

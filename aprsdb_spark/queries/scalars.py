@@ -773,8 +773,13 @@ def h_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle needing to know Spark's XML formatting. Money crosses
     the XML boundary as integer cents (doubles-in-text would reopen
     shortest-round-trip questions). Pure codegen-adjacent expressions
-    (XML functions are JVM-side), zero shuffle."""
+    (XML functions are JVM-side). r17: the scan rides spread() — the
+    serialize+parse+2x-XPath chain is exactly the compute-heavy
+    per-row map the single-row-group heal exists for (guide §2.5;
+    measured 1.19 -> 0.55 s warm min-of-3), and the qid is pure
+    row-identity, so partitioning cannot move values."""
     t = load(spark, sf_dir)
+    from ..tables import spread
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
     xml = F.to_xml(
         F.struct(
@@ -785,7 +790,7 @@ def h_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = F.from_xml(xml, "ck BIGINT, st STRING, cents BIGINT")
     return (
-        t.orders.where(F.col("o_orderkey") % 20 == 0)
+        spread(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
         .select("o_orderkey", xml.alias("x"))
         .select(
             "o_orderkey",

@@ -370,6 +370,32 @@ _Q2 = """
 """
 
 
+# Spark-side form of _Q2 with both dim restrictions PUSHED BELOW the
+# shared (l_partkey, l_suppkey) MIN rollup (guide §3.2, the _Q20_SPARK
+# transform). Provably identical: BOTH consumers of ps restrict the
+# supplier to EUROPE (outer via the region join, the correlated MIN via
+# r2.r_name = 'EUROPE'), and both only ever reference partkeys of
+# qualifying parts (outer joins part with the size/type filters; the
+# inner MIN is correlated to the outer's p_partkey), so the prefilter
+# drops only whole (partkey, suppkey) GROUPS that neither consumer can
+# reference — a predicate on the group keys alone cannot change any
+# surviving group's exact-DECIMAL MIN. One shared prefiltered rollup
+# keeps the AQE exchange reuse across both consumers.
+_Q2_SPARK = _Q2.replace(
+    "FROM {p}lineitem GROUP BY l_partkey, l_suppkey",
+    """FROM {p}lineitem
+      WHERE l_suppkey IN
+          (SELECT s_suppkey FROM {p}supplier
+           JOIN {p}nation ON s_nationkey = n_nationkey
+           JOIN {p}region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+        AND l_partkey IN
+          (SELECT p_partkey FROM {p}part
+           WHERE p_size <= 10 AND p_type = 'LARGE')
+      GROUP BY l_partkey, l_suppkey""",
+)
+
+
 @query("c_sql_q2", oracle=_Q2.format(p=""))
 def c_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
@@ -381,9 +407,12 @@ def c_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers. Equality on the exact DECIMAL cost means ties surface
     identically in both engines; the ORDER BY ends in the unique
     (p_partkey, s_name) pair so LIMIT 100 is deterministic. dims
-    (part/supplier/nation/region) all broadcast."""
+    (part/supplier/nation/region) all broadcast. The Spark plan
+    prefilters the shared rollup to EUROPE-supplier x qualifying-part
+    rows (see _Q2_SPARK — the oracle keeps the unfiltered form,
+    value-identical tri-scale)."""
     _views(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
-    return spark.sql(_Q2.format(p="v_"))
+    return spark.sql(_Q2_SPARK.format(p="v_"))
 
 
 _Q6 = """
@@ -554,6 +583,28 @@ _Q11 = """
 """
 
 
+# Spark-side form of _Q11 with the EUROPE-supplier restriction PUSHED
+# BELOW the (l_partkey, l_suppkey) rollup — the same provably-safe
+# transform as _Q20_SPARK (guide §3.2): the rollup groups BY l_suppkey,
+# and natps keeps only groups whose suppkey joins a EUROPE supplier, so
+# dropping the other suppkeys' rows before the aggregate removes whole
+# non-surviving groups and cannot change any surviving group's DECIMAL
+# sum. Catalyst decorrelates the IN into a broadcast LeftSemi under the
+# partial aggregate; the rollup exchange carries ~1/5 of lineitem
+# (EUROPE is one of five regions). The shared natps exchange reuse for
+# the HAVING scalars is unaffected — the prefilter sits below it.
+_Q11_SPARK = _Q11.replace(
+    "FROM {p}lineitem GROUP BY l_partkey, l_suppkey",
+    """FROM {p}lineitem
+      WHERE l_suppkey IN
+          (SELECT s_suppkey FROM {p}supplier
+           JOIN {p}nation ON s_nationkey = n_nationkey
+           JOIN {p}region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+      GROUP BY l_partkey, l_suppkey""",
+)
+
+
 @query("c_sql_q11", oracle=_Q11.format(p=""))
 def c_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): per-part value
@@ -568,9 +619,11 @@ def c_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, supplier) — no partsupp. AQE reuses the natps exchange for
     the group-by and both scalars; the scalars are 1-row broadcasts.
     ORDER BY ends in ps_partkey (unique), so LIMIT 100 is
-    deterministic."""
+    deterministic. The Spark plan prefilters the rollup input to
+    EUROPE-supplier rows (see _Q11_SPARK — the oracle keeps the
+    unfiltered form, value-identical tri-scale)."""
     _views(spark, sf_dir, "lineitem", "supplier", "nation", "region")
-    return spark.sql(_Q11.format(p="v_"))
+    return spark.sql(_Q11_SPARK.format(p="v_"))
 
 
 _Q12 = """
@@ -764,7 +817,11 @@ def c_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     two aggregate passes (COUNT+SUM fused in one multi-variable SET —
     assigning them in separate SET statements scanned orders twice for
     one COUNT+SUM pair, then the filtered rollup) — same as
-    hand-written SQL."""
+    hand-written SQL. r17: the loop body assigns from a VALUES row,
+    not a one-row SELECT — same integers, but each iteration skips the
+    SELECT's plan round-trip (loop measured 1.2 -> 0.8 s warm at
+    ~18 iterations; a two-simple-SETs variant measured WORSE, 2.7 s,
+    and was declined)."""
     _views(spark, sf_dir, "orders")
     return spark.sql("""
         BEGIN
@@ -778,7 +835,7 @@ def c_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS BIGINT) DIV COUNT(*)
              FROM v_orders);
           WHILE p < total DO
-            SET (p, doublings) = (SELECT p * 2, doublings + 1);
+            SET (p, doublings) = (VALUES (p * 2, doublings + 1));
           END WHILE;
           SELECT o_orderpriority,
                  COUNT(*) AS n_above,

@@ -894,7 +894,9 @@ _SHUFFLE_BUDGETS = {
     "j_ts_trend": 3,
     "j_source_overlap": 20,  # +1 spread() repartition, reprinted on both self-join sides
     "j_feature_hashing": 5,
-    "j_span_corruption": 0,  # pure map — zero-shuffle contract
+    "j_span_corruption": 1,  # pure map + 1 spread() scan repartition (r17
+                             #   single-row-group heal) — still zero data-
+                             #   dependent shuffles
     "j_fim_transform": 0,    # pure map — zero-shuffle contract
     "j_knn_confusion": 4,
     "j_retrieval_mrr": 2,
@@ -977,7 +979,8 @@ _SHUFFLE_BUDGETS = {
     "j_burstiness": 2,
     "j_chargram_confusion": 22,  # +2 spread() scan repartitions (single-row-group fixture heal), reprint-inflated
     "j_bleu_precision": 26,  # +2 spread() repartitions, reprint-inflated
-    "j_pagerank": 135,  # reprint-inflated by the persisted edge frames of the
+    "j_pagerank": 25,   # r17 single-partition leaf fuse (measured 15 cold;
+    # was 135) — historical note below predates the fuse:
     # whole graph family: assortativity/kcore/reciprocity caches built
     # earlier in this loop alias _trade_edges subtrees (CacheManager
     # canonical-plan matching) and each reprints its cached child here;
@@ -1068,8 +1071,8 @@ _SHUFFLE_BUDGETS = {
     "j_bloom_decontam": 8,
     "j_mix_temperature": 10,
     "j_bpe_train": 0,       # driver-literal trainer: scoring is a map
-    "j_bpe_encode": 66,     # reprint-inflated: 64 InMemoryTableScans each
-                            # re-print the cached merge-table child (~2 real)
+    "j_bpe_encode": 6,      # r17: coalesced-vocab training (measured 4; was
+                            # 66 reprint-inflated cached-merge-table scans)
     "j_pipeline_release": 2,
     "j_inverted_index": 2,  # (term,doc) agg + per-term ranked lists
     "j_repetition": 10,  # +1 spread() repartition, reprinted on both join legs
@@ -1096,7 +1099,7 @@ _SHUFFLE_BUDGETS = {
     "j_ngram_entropy_curve": 5,
     "j_decile_grid_2d": 58,     # reprint-inflated (persisted hist + cell)
     "j_brier_score": 2,         # Arrow top-k partials + vote rollups
-    "j_bpe_compression": 66,    # reprint-inflated (cached merge table)
+    "j_bpe_compression": 6,     # r17: coalesced-vocab training (measured 4)
     "j_source_tfidf": 8,
     "j_simhash_hamming": 6,
     "j_assortativity": 20,      # reprint-inflated (persisted edge list)
@@ -1109,7 +1112,8 @@ _SHUFFLE_BUDGETS = {
     "j_dup_transitivity": 21,   # reprint-inflated (persisted edges, 2 refs x wedge join)
     "j_ts_autocorr": 1,         # ONE event_type exchange serves lead + moments
     "j_mannwhitney": 2,         # source filter agg + bounded rank window
-    "j_kcore_peel": 12,         # lazy-localCheckpoint-truncated peel rounds
+    "j_kcore_peel": 5,          # r17 single-partition leaf fuse (measured 3;
+                                #   was 12)
     "j_ivf_balance": 6,         # literal-centroid map + 16-row occupancy agg
     "j_lsh_bucket_skew": 4,     # signature agg + (band,key) agg + 4-row rollup
     "j_lsh_band_plan": 6,       # blocked quadratic + 2-row agg fan-out
@@ -1119,7 +1123,9 @@ _SHUFFLE_BUDGETS = {
     "j_hll_precision_curve": 18,  # reprint-inflated (persisted hash set x3 geometries)
     "j_bloom_fpr_curve": 57,   # reprint-inflated (persisted bench/neg/positions x k refs); one size-exploded probe pass (r16)
     "j_graph_reciprocity": 20,  # reprint-inflated (persisted capped edge list)
-    "j_markov_stationary": 50,  # reprint-inflated (persisted matrix x5 iterations)
+    "j_markov_stationary": 12,  # r17 single-partition leaf fuse: matrix and
+                                #   spine are checkpoint leaves (measured 10;
+                                #   was 50 reprint-inflated)
     "j_dedup_yield_curve": 25,  # reprint-inflated (persisted 1-row drops agg x5 legs)
     "j_permutation_test": 6,    # two-source slice + replica explode agg
     "j_topk_stability": 6,      # ONE (half,term) agg + bounded rank window
@@ -1157,8 +1163,8 @@ _SHUFFLE_BUDGETS = {
     "j_kmv_jaccard": 5,         # panel scan + distinct + pair window +
                                 # single conditional agg (no mem fork)
     "j_text_integrity": 1,      # stateless detectors + ONE source agg
-    "j_bpe_roundtrip": 67,      # reprint-inflated like j_bpe_encode (66):
-                                # cached merge-table scans + 1 distinct agg
+    "j_bpe_roundtrip": 7,       # r17: coalesced-vocab training (measured 5;
+                                # was 67 reprint-inflated) + 1 distinct agg
     "j_anova_oneway": 2,        # one event_type moment agg + 5-row fold
     "j_kruskal_wallis": 2,      # one (lang,len) agg; midrank windows on it
     "j_fleiss_kappa": 1,        # stateless raters + single-row fold
@@ -1181,14 +1187,23 @@ _SHUFFLE_BUDGETS = {
     # --- r16 additions (measured cold at sf0.01):
     "a_scan_csv_permissive": 1,   # one PERMISSIVE scan + 4-class hash agg
     "a_scan_json_permissive": 1,  # one PERMISSIVE scan + 3-class hash agg
-    "j_label_propagation": 93,    # 3 LP rounds; persisted-und flow-agg
-                                  # subtree reprints per round (j_pagerank's
-                                  # 83 caveat; executes once)
-    "j_modularity": 179,          # LP chain + edge/degree/intra rollups,
-                                  # same persisted-child reprints
-    "j_connected_components": 133, # 5 HashMin rounds over persisted und2
+    "j_label_propagation": 23,    # r17 single-partition leaf fuse: und is a
+                                  # checkpoint leaf, rounds are in-partition
+                                  # SHJs; the residual 25-row exchanges are
+                                  # the LeftOuter-chain stop point (measured
+                                  # 21; was 93 reprint-inflated)
+    "j_modularity": 3,            # r17 single-partition leaf fuse: the whole
+                                  # modularity fold plans with ZERO
+                                  # EnsureRequirements exchanges (measured 1;
+                                  # was 179 reprint-inflated)
+    "j_connected_components": 3,   # r17 single-partition leaf fuse: all 5
+                                   # HashMin rounds in-partition, ZERO ensure
+                                   # exchanges (measured 1; was 133)
     "j_adamic_adar": 50,          # wedge join + degree broadcast
-    "j_harmonic_centrality": 54,  # 4 min-plus rounds over persisted und2
+    "j_harmonic_centrality": 90,  # 4 min-plus rounds over persisted und2;
+                                  #   sibling-cache reprint-inflated in suite
+                                  #   order (r17: measured 86 after the graph
+                                  #   family persists, 54 standalone)
     "j_wilcoxon_signed": 6,       # one day agg (persisted) + |d|-histogram
     "j_friedman_test": 1,         # stateless ranks + single-row fold
     "j_kendall_w": 21,            # 3 value-domain histograms + rank joins
@@ -1231,7 +1246,9 @@ _SHUFFLE_BUDGETS = {
     "c_join_salted": 2,
     "c_join_shj": 3,
     "c_sql_pipe": 2,
-    "c_sql_q11": 17,
+    "c_sql_q11": 38,  # r17 EUROPE prefilter: the semi subquery subtree
+                      #   reprints under each natps consumer (measured 38;
+                      #   runtime reuses one exchange, rollup input 1/5)
     "c_sql_q12": 3,
     "c_sql_q13": 4,
     "c_sql_q14": 2,
@@ -1239,8 +1256,10 @@ _SHUFFLE_BUDGETS = {
     "c_sql_q16": 5,
     "c_sql_q17": 4,
     "c_sql_q19": 2,
-    "c_sql_q2": 12,
-    "c_sql_q20": 6,
+    "c_sql_q2": 30,   # r17 prefilter reprints under both ps consumers
+                      #   (measured 30; the rollup input drops to ~1%)
+    "c_sql_q20": 8,   # r17 bolt-part semi prefilter under the rollup
+                      #   (measured 8)
     "c_sql_q22": 8,
     "c_sql_q4": 3,
     "c_sql_q6": 1,
@@ -1293,7 +1312,7 @@ _SHUFFLE_BUDGETS = {
     "h_try_arith": 1,
     "h_url": 0,
     "h_variant": 1,
-    "h_xml": 0,
+    "h_xml": 1,  # +1 spread() scan repartition (r17)
     "j_ab_ttest": 1,
     "j_ann_recall": 14,
     "j_attribution": 1,
@@ -1421,7 +1440,12 @@ def test_pagerank_standalone_plan_stays_tight(spark):
     of the standalone plan — so the TIGHT bound is pinned here against
     an empty CacheManager, independent of sibling caches: clearCache()
     immediately before planning ONLY this qid prints the true 5-unrolled-
-    iteration shape (measured: exactly 83 Exchanges cold)."""
+    iteration shape (measured: exactly 83 Exchanges cold at r14; 15
+    after the r17 single-partition leaf fuse — the edge frame is a
+    checkpointed SinglePartition leaf, rounds are in-partition
+    ShuffledHashJoins with no broadcast build, exec 1.02 -> 0.72 s
+    warm at sf0.1; the residual 25-row exchanges are the documented
+    LeftOuter-chain stop point)."""
     spark.catalog.clearCache()
     p = (
         QUERIES["j_pagerank"](spark, SF_DIR)
@@ -1430,7 +1454,12 @@ def test_pagerank_standalone_plan_stays_tight(spark):
         .toString()
     )
     n = p.count("Exchange")
-    assert n <= 83, f"standalone j_pagerank plan grew: {n} Exchanges > 83"
+    assert n <= 25, f"standalone j_pagerank plan grew: {n} Exchanges > 25"
+    # the r17 fuse contract: no per-round BroadcastExchange build — the
+    # only broadcast left is the final nation dim join
+    assert p.count("BroadcastExchange") <= 1, (
+        "per-iteration broadcast builds reappeared"
+    )
 
 
 def test_shuffle_budget_net_is_complete():
