@@ -788,20 +788,26 @@ def j_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule). At 100 TB rounds shuffle only the |V|-keyed distance
     relation, never the fact table."""
     t = load(spark, sf_dir)
-    e = _trade_edges(t)
-    e.persist()
+    # r17: the single-partition leaf fuse (j_pagerank's _meta1 lowering,
+    # inlined here so the edge cache can still be RELEASED in the
+    # finally block — the r7 no-leaked-CacheManager-entry rule)
+    e1 = _trade_edges(t).repartition(1)
+    e1.persist()
     try:
+        e = e1.localCheckpoint(eager=False).coalesce(1)
         dist = spark.range(1).select(
             F.lit(_BFS_SRC).cast("long").alias("nk"), F.lit(0).cast("long").alias("dist")
-        )
+        ).coalesce(1)
         for _ in range(_BFS_ROUNDS):
-            nd = e.join(F.broadcast(dist), e.src == dist.nk).select(
+            nd = e.join(dist.hint("shuffle_hash"), e.src == dist.nk).select(
                 F.col("dst").alias("nk"), (F.col("dist") + 1).alias("dist")
             )
             dist = (
                 dist.unionByName(nd)
+                .coalesce(1)  # union of two 1-partition sides is 2 partitions
                 .groupBy("nk")
                 .agg(F.min("dist").cast("long").alias("dist"))
+                .coalesce(1)  # inner-SHJ PartitioningCollection fix
             )
         # materialize the O(|V|)-row result and truncate its lineage off
         # the cached edges, so e can be RELEASED here instead of leaking
@@ -809,7 +815,7 @@ def j_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint blocks are context-cleaned on GC, unlike df.persist
         dist = dist.localCheckpoint(eager=True)
     finally:
-        e.unpersist()
+        e1.unpersist()
     return (
         t.nation.join(F.broadcast(dist), t.nation.n_nationkey == dist.nk, "left")
         .select(

@@ -263,6 +263,11 @@ def j_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
+    # r17: the self-join references enc TWICE — persist so the encode
+    # pass (explode + vocab join + order-explicit concat agg) computes
+    # once, not once per join side (guide §5 persist-when-reused; the
+    # |docs|-row encoded frame is far smaller than its explode input)
+    enc.persist()
     a = enc.select(
         "lang", "source", F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
     )
